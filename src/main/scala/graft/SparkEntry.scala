@@ -1,13 +1,42 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{queries => qp}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + BASELINE.md.
+ *
+ * `queries` is the operator inventory (one entry per implemented
+ * operator from SURVEY.md §2); `oracleSql` carries the DuckDB-equivalent
+ * SQL for the driver's hash-match correctness gate.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** All operator packs. Order matters only for map merge (later packs
+   * may not shadow earlier names — names are prefixed per family). */
+  private val packs: Seq[QueryPack] = Seq(
+    qp.AggregateQueries
+  )
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+   * TPC-H Q3 shape: 3-way join → filter → agg → top-k. The customer side
+   * is broadcast (small dim); lineitem⋈orders shuffles on the join key. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val cust = Tables.load(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.load(spark, dir, "orders")
+    val li = Tables.load(spark, dir, "lineitem")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(24,6)")).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    packs.flatMap(_.queries).toMap
+
+  def oracleSql: Map[String, String] =
+    packs.flatMap(_.oracle).toMap
 }

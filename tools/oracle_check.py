@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage:
+  python3 tools/oracle_check.py <verify_out_dir> <sf_dir> [query...]
+
+Reads each <out>/<name> parquet (written by graft.Verify), runs the
+matching oracle SQL from <out>/oracle_sql.json in DuckDB with the sf
+tables registered as views, then compares: column names (sorted),
+row count, and exact values after sorting rows. Dev tool only — the
+shipped engine never depends on it.
+"""
+import sys, json, math, hashlib
+from decimal import Decimal
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, Decimal):
+        return str(v.normalize()) if v != 0 else "0"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{canon(x)}" for k, x in sorted(v.items())) + "}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def frame(con, rel):
+    cols = rel.columns
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    rows = rel.fetchall()
+    out = sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    return [cols[i] for i in order], out
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            got_cols, got = frame(con, con.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"))
+            exp_cols, exp = frame(con, con.sql(sql))
+        except Exception as e:
+            print(f"FAIL {name}: exception {e}")
+            n_fail += 1
+            continue
+        problems = []
+        if got_cols != exp_cols:
+            problems.append(f"cols {got_cols} != {exp_cols}")
+        if len(got) != len(exp):
+            problems.append(f"rows {len(got)} != {len(exp)}")
+        if not problems and got != exp:
+            k = next(i for i, (a, b) in enumerate(zip(got, exp)) if a != b)
+            problems.append(f"values differ at sorted row {k}:\n  spark={got[k]}\n  duck ={exp[k]}")
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            h = hashlib.sha256(repr(got).encode()).hexdigest()[:12]
+            print(f"PASS {name} rows={len(got)} hash={h}")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
