@@ -15,7 +15,10 @@ object SparkEntry {
   /** All operator packs. Order matters only for map merge (later packs
    * may not shadow earlier names — names are prefixed per family). */
   private val packs: Seq[QueryPack] = Seq(
-    qp.AggregateQueries
+    qp.AggregateQueries,
+    qp.JoinQueries,
+    qp.SetOpQueries,
+    qp.WindowOverQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,241 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Join operators (SURVEY.md §2.3): inner/left/right/full equi joins
+ * (shuffle-hash / sort-merge picked by Catalyst+AQE), broadcast join
+ * (small-dim hint), semi/anti (EXISTS / NOT EXISTS), cross join,
+ * non-equi theta join (broadcast nested loop), interval join (time-range
+ * predicate, reference `StreamExecIntervalJoin`), temporal/as-of join
+ * (reference `StreamExecTemporalJoin` → graft.operators.AsOfJoin), and
+ * coGroup (reference `DataSet.coGroup` / `CoGroupedStreams`).
+ *
+ * Scale notes: dims (nation, region, customer-at-our-SF) are broadcast —
+ * at 100 TB the fact⋈fact joins (lineitem⋈orders) shuffle on the join
+ * key with AQE skew splitting; nothing here materializes a cartesian
+ * blow-up except the explicitly-bounded cross/theta queries, which
+ * aggregate before emitting.
+ */
+object JoinQueries extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Fact ⋈ fact equi join (shuffle on key) + group agg.
+    "join_inner" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val ord = Tables.load(s, dir, "orders")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"),
+             sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // Left outer: some orders have no surviving customer after filter.
+    "join_left_outer" -> ((s, dir) => {
+      val ord = Tables.load(s, dir, "orders")
+      val cust = Tables.load(s, dir, "customer").filter(col("c_acctbal") > 5000)
+      ord.join(cust, col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+             count(col("c_custkey")).as("n_matched"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // Right outer.
+    "join_right_outer" -> ((s, dir) => {
+      val ord = Tables.load(s, dir, "orders").filter(col("o_totalprice") > 200000)
+      val cust = Tables.load(s, dir, "customer")
+      ord.join(cust, col("o_custkey") === col("c_custkey"), "right")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+             count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // Full outer with misses on both sides.
+    "join_full_outer" -> ((s, dir) => {
+      val liAgg = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+      val part = Tables.load(s, dir, "part").filter(col("p_size") > 25)
+      liAgg.join(part, col("l_partkey") === col("p_partkey"), "full")
+        .select(coalesce(col("l_partkey"), col("p_partkey")).as("partkey"),
+                col("qty"), col("p_size"))
+        .orderBy(col("partkey"))
+    }),
+
+    // Semi join = EXISTS.
+    "join_semi" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+      val big = Tables.load(s, dir, "orders").filter(col("o_totalprice") > 250000)
+      cust.join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Anti join = NOT EXISTS.
+    "join_anti" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+      val ord = Tables.load(s, dir, "orders")
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Cross join (cartesian, both sides tiny).
+    "join_cross" -> ((s, dir) => {
+      val r = Tables.load(s, dir, "region")
+      val n = Tables.load(s, dir, "nation")
+      r.crossJoin(n)
+        .select(col("r_name"), col("n_name"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // Non-equi theta join → broadcast nested loop; aggregated output.
+    "join_theta_nonequi" -> ((s, dir) => {
+      val supp = Tables.load(s, dir, "supplier")
+      val part = Tables.load(s, dir, "part")
+      supp.join(part, col("s_acctbal") < col("p_retailprice"))
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_cheaper"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // Explicit broadcast-hint join on a small dim.
+    "join_broadcast_dim" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+      val nat = Tables.load(s, dir, "nation")
+      cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+             sum(col("c_acctbal").cast("decimal(18,2)")).as("sum_bal"))
+        .orderBy(col("n_name"))
+    }),
+
+    // Interval join: purchases within 10 minutes after a click, same user.
+    "join_interval" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("bu"), col("ts").as("buy_ts"), col("event_id").as("buy_id"))
+      clicks.join(buys,
+          col("cu") === col("bu") &&
+          col("buy_ts") >= col("click_ts") &&
+          col("buy_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+        .select(col("click_id"), col("buy_id"), col("cu").as("user_id"))
+        .orderBy(col("click_id"), col("buy_id"))
+    }),
+
+    // Temporal / as-of join: each event enriched with the customer's most
+    // recent order at the event's time (union+window, no pair explosion).
+    "join_asof" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val ord = Tables.load(s, dir, "orders")
+      AsOfJoin(ev, ord,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          rightCols = Seq("o_orderkey", "o_totalprice"),
+          rightTieBreak = "o_orderkey")
+        .orderBy(col("event_id"))
+    }),
+
+    // coGroup: per-key two-input grouped reduce (superset of join).
+    "join_cogroup" -> ((s, dir) => {
+      import s.implicits._
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name")).as[(Long, String)]
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice")).as[(Long, Double)]
+      cust.groupByKey(_._1).cogroup(ord.groupByKey(_._1)) { (k, cs, os) =>
+        val names = cs.map(_._2).toList
+        if (names.isEmpty) Iterator.empty
+        else {
+          // exact, order-independent money math (group iteration order is
+          // not deterministic under distributed execution)
+          val prices = os.map(_._2).toList
+          val spend = prices
+            .map(BigDecimal(_).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+            .foldLeft(BigDecimal(0))(_ + _)
+          Iterator((k, names.head, prices.size.toLong, spend.toDouble))
+        }
+      }.toDF("c_custkey", "c_name", "n_orders", "spend")
+        .orderBy(col("c_custkey"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "join_inner" -> """
+      SELECT o_orderstatus, count(*) AS n_lines,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "join_left_outer" -> """
+      SELECT o_orderstatus, count(*) AS n, count(c_custkey) AS n_matched
+      FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+        ON o_custkey = c_custkey
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "join_right_outer" -> """
+      SELECT c_nationkey, count(*) AS n, count(o_orderkey) AS n_orders
+      FROM (SELECT * FROM orders WHERE o_totalprice > 200000) o
+      RIGHT JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "join_full_outer" -> """
+      SELECT coalesce(l_partkey, p_partkey) AS partkey, qty, p_size
+      FROM (SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+            FROM lineitem GROUP BY l_partkey) li
+      FULL JOIN (SELECT * FROM part WHERE p_size > 25) p
+        ON l_partkey = p_partkey
+      ORDER BY partkey""",
+    "join_semi" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+      ORDER BY c_custkey""",
+    "join_anti" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""",
+    "join_cross" -> """
+      SELECT r_name, n_name FROM region CROSS JOIN nation
+      ORDER BY r_name, n_name""",
+    "join_theta_nonequi" -> """
+      SELECT s_suppkey, count(*) AS n_cheaper
+      FROM supplier JOIN part ON s_acctbal < p_retailprice
+      GROUP BY s_suppkey ORDER BY s_suppkey""",
+    "join_broadcast_dim" -> """
+      SELECT n_name, count(*) AS n_cust,
+             sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""",
+    "join_interval" -> """
+      SELECT c.event_id AS click_id, b.event_id AS buy_id, c.user_id
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+        ON c.user_id = b.user_id
+       AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 10 MINUTE
+      ORDER BY click_id, buy_id""",
+    "join_asof" -> """
+      SELECT event_id, user_id, ts, o_orderkey, o_totalprice
+      FROM (
+        SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+               o.o_orderkey, o.o_totalprice,
+               row_number() OVER (PARTITION BY e.event_id
+                 ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e
+        LEFT JOIN orders o
+          ON e.user_id = o.o_custkey AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+      ) t WHERE rn = 1
+      ORDER BY event_id""",
+    "join_cogroup" -> """
+      SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+             CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS spend
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_name ORDER BY c_custkey"""
+  )
+}
