@@ -18,7 +18,12 @@ object SparkEntry {
     qp.AggregateQueries,
     qp.JoinQueries,
     qp.SetOpQueries,
-    qp.WindowOverQueries
+    qp.WindowOverQueries,
+    qp.CalcQueries,
+    qp.TimeWindowQueries,
+    qp.TextQueries,
+    qp.DedupQueries,
+    qp.SimilarityQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,230 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Row-level transforms and the scalar-function surface (SURVEY.md §2.2 +
+ * §2.8): fused project+filter (reference `CommonExecCalc`), CASE /
+ * COALESCE / NULLIF conditionals, the string / math / temporal /
+ * collection function families (reference `FlinkSqlOperatorTable` +
+ * `BuiltInFunctionDefinitions`), lateral explode (reference
+ * `CommonExecCorrelate` table-function join), literal VALUES relations,
+ * and JSON field extraction.
+ *
+ * Scale notes: all of these are narrow per-row transforms — they fuse
+ * into one WholeStageCodegen stage with the scan and push filters into
+ * the parquet reader; no shuffle is introduced except where an explicit
+ * agg/sort verifies the result deterministically.
+ */
+object CalcQueries extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Calc = project + filter fused; pushed filters reach the scan.
+    "calc_project_filter" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_discount") < 0.02)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,2)").as("net"),
+          col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // CASE WHEN / NULLIF / COALESCE conditional family.
+    "calc_conditionals" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") <= 1000)
+        .select(col("o_orderkey"),
+          when(col("o_totalprice") > 200000, "high")
+            .when(col("o_totalprice") > 100000, "mid")
+            .otherwise("low").as("price_band"),
+          nullif(col("o_orderstatus"), lit("O")).as("status_nn"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_filled"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // String function family over part names.
+    "calc_string_fns" -> ((s, dir) => {
+      Tables.load(s, dir, "part")
+        .filter(col("p_partkey") <= 500)
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          lower(col("p_brand")).as("lo"),
+          length(col("p_name")).cast("bigint").as("len"),
+          substring(col("p_name"), 1, 5).as("pre5"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("joined"),
+          lpad(col("p_brand"), 12, "*").as("padded"),
+          trim(col("p_name")).as("trimmed"),
+          regexp_replace(col("p_type"), "[aeiou]", "").as("novowel"),
+          split_part(col("p_type"), lit(" "), lit(1)).as("first_word"),
+          instr(col("p_name"), "a").cast("bigint").as("posa"),
+          reverse(col("p_brand")).as("rev"),
+          translate(col("p_brand"), "#", "-").as("trans"),
+          md5(col("p_name")).as("digest"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // Math function family; floats rounded (libm noise across engines).
+    "calc_math_fns" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 300)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_quantity") - 25).as("dist25"),
+          ceil(col("l_discount") * 100).as("disc_pct_ceil"),
+          floor(col("l_tax") * 100).as("tax_pct_floor"),
+          round(sqrt(col("l_extendedprice")), 4).as("sqrt_price"),
+          round(log(col("l_extendedprice")), 6).as("ln_price"),
+          round(pow(col("l_quantity"), lit(2)), 2).as("qty_sq"),
+          (col("l_orderkey") % 7).as("key_mod7"),
+          signum(col("l_quantity") - 25).cast("int").as("sgn"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Temporal function family over event timestamps.
+    "calc_temporal_fns" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .filter(col("event_id") <= 300)
+        .select(col("event_id"),
+          year(col("ts")).as("y"),
+          month(col("ts")).as("m"),
+          dayofmonth(col("ts")).as("d"),
+          hour(col("ts")).as("h"),
+          minute(col("ts")).as("mi"),
+          second(col("ts")).as("sec"),
+          weekday(col("ts")).as("wd"),
+          date_trunc("hour", col("ts")).as("ts_hour"),
+          (col("ts") + expr("INTERVAL 90 MINUTES")).as("ts_plus"),
+          to_date(col("ts")).as("dt"),
+          quarter(col("ts")).as("q"),
+          dayofyear(col("ts")).as("doy"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Collection constructors + access (ARRAY, CARDINALITY, element_at,
+    // array_contains, sort) — reference §2.8 collection family.
+    "calc_collections" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .filter(col("doc_id") <= 200)
+        .select(col("doc_id"),
+          size(split(trim(col("text")), " ")).cast("bigint").as("n_words"),
+          element_at(split(trim(col("text")), " "), 1).as("w1"),
+          element_at(split(trim(col("text")), " "), 3).as("w3"),
+          array_contains(split(trim(col("text")), " "), "spark").as("has_spark"),
+          slice(array_sort(array_distinct(split(trim(col("text")), " "))), 1, 3).as("top3_sorted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Lateral table-function join (reference CommonExecCorrelate):
+    // explode words, count per (doc, word).
+    "calc_explode_lateral" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .filter(col("doc_id") <= 50)
+        .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("word"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("doc_id"), col("word"))
+    }),
+
+    // Literal VALUES relation (reference BatchExecValues).
+    "calc_values" -> ((s, dir) => {
+      import s.implicits._
+      Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+        .toDF("id", "tag", "x")
+        .select(col("id"), col("tag"), (col("x") * 2).as("x2"))
+        .orderBy(col("id"))
+    }),
+
+    // JSON field extraction from the events.props payload.
+    "calc_json_extract" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .filter(col("event_id") <= 300)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("prop_k"))
+        .orderBy(col("event_id"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "calc_project_filter" -> """
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,2)) AS net,
+             l_returnflag
+      FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.02
+      ORDER BY l_orderkey, l_linenumber""",
+    "calc_conditionals" -> """
+      SELECT o_orderkey,
+             CASE WHEN o_totalprice > 200000 THEN 'high'
+                  WHEN o_totalprice > 100000 THEN 'mid'
+                  ELSE 'low' END AS price_band,
+             nullif(o_orderstatus, 'O') AS status_nn,
+             coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_filled
+      FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""",
+    "calc_string_fns" -> """
+      SELECT p_partkey,
+             upper(p_name) AS up,
+             lower(p_brand) AS lo,
+             CAST(length(p_name) AS BIGINT) AS len,
+             substring(p_name, 1, 5) AS pre5,
+             concat_ws('|', p_brand, p_type) AS joined,
+             lpad(p_brand, 12, '*') AS padded,
+             trim(p_name) AS trimmed,
+             regexp_replace(p_type, '[aeiou]', '', 'g') AS novowel,
+             split_part(p_type, ' ', 1) AS first_word,
+             CAST(strpos(p_name, 'a') AS BIGINT) AS posa,
+             reverse(p_brand) AS rev,
+             replace(p_brand, '#', '-') AS trans,
+             md5(p_name) AS digest
+      FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""",
+    "calc_math_fns" -> """
+      SELECT l_orderkey, l_linenumber,
+             abs(l_quantity - 25) AS dist25,
+             CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+             CAST(floor(l_tax * 100) AS BIGINT) AS tax_pct_floor,
+             round(sqrt(l_extendedprice), 4) AS sqrt_price,
+             round(ln(l_extendedprice), 6) AS ln_price,
+             round(pow(l_quantity, 2), 2) AS qty_sq,
+             l_orderkey % 7 AS key_mod7,
+             CAST(sign(l_quantity - 25) AS INT) AS sgn
+      FROM lineitem WHERE l_orderkey <= 300
+      ORDER BY l_orderkey, l_linenumber""",
+    "calc_temporal_fns" -> """
+      SELECT event_id,
+             CAST(year(ts) AS INT) AS y,
+             CAST(month(ts) AS INT) AS m,
+             CAST(day(ts) AS INT) AS d,
+             CAST(hour(ts) AS INT) AS h,
+             CAST(minute(ts) AS INT) AS mi,
+             CAST(floor(second(ts)) AS INT) AS sec,
+             CAST(isodow(ts) - 1 AS INT) AS wd,
+             date_trunc('hour', ts) AS ts_hour,
+             ts + INTERVAL 90 MINUTE AS ts_plus,
+             CAST(ts AS DATE) AS dt,
+             CAST(quarter(ts) AS INT) AS q,
+             CAST(dayofyear(ts) AS INT) AS doy
+      FROM events WHERE event_id <= 300 ORDER BY event_id""",
+    "calc_collections" -> """
+      SELECT doc_id,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_words,
+             string_split(trim(text), ' ')[1] AS w1,
+             string_split(trim(text), ' ')[3] AS w3,
+             list_contains(string_split(trim(text), ' '), 'spark') AS has_spark,
+             list_sort(list_distinct(string_split(trim(text), ' ')))[1:3] AS top3_sorted
+      FROM documents WHERE doc_id <= 200 ORDER BY doc_id""",
+    "calc_explode_lateral" -> """
+      SELECT doc_id, word, count(*) AS n
+      FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+            FROM documents WHERE doc_id <= 50) t
+      GROUP BY doc_id, word ORDER BY doc_id, word""",
+    "calc_values" -> """
+      SELECT id, tag, x * 2 AS x2
+      FROM (VALUES (CAST(1 AS BIGINT), 'a', CAST(1.5 AS DOUBLE)),
+                   (2, 'b', 2.5),
+                   (3, 'c', 3.5)) AS v(id, tag, x)
+      ORDER BY id""",
+    "calc_json_extract" -> """
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+      FROM events WHERE event_id <= 300 ORDER BY event_id"""
+  )
+}

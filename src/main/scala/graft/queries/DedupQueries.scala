@@ -1,0 +1,160 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import graft.operators.{MinHashLSH, SimHash}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus deduplication operators (SURVEY.md §7.4 M5 / llmops): exact
+ * (hash-groupBy), MinHash+LSH (shingle → min-hash signature → band →
+ * bucket join → exact-Jaccard verify), SimHash fingerprint buckets, and
+ * n-gram Jaccard near-dup pairs with source blocking.
+ *
+ * Scale notes: none of these compare all doc pairs. Exact dedup is one
+ * hash agg; MinHash/SimHash candidate generation is linear + a
+ * band-key equi-join; n-gram Jaccard uses source blocking so the
+ * pairwise work is bounded per block. All hashing is md5 (engine-
+ * portable; the DuckDB oracle reproduces every hash bit).
+ */
+object DedupQueries extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: canonical doc per normalized-content hash.
+    "dedup_exact_text" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .groupBy(md5(trim(lower(col("text")))).as("content_key"))
+        .agg(min(col("doc_id")).as("keep_doc"), count(lit(1)).as("n_copies"))
+        .orderBy(col("content_key"))
+    }),
+
+    // MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      MinHashLSH(Tables.load(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // SimHash fingerprints (16-bit, word-frequency weighted).
+    "dedup_simhash" -> ((s, dir) => {
+      SimHash(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc").as("doc_id"), col("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // SimHash collision buckets: groups of docs sharing a fingerprint.
+    "dedup_simhash_buckets" -> ((s, dir) => {
+      SimHash(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .groupBy(col("simhash"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc")).as("min_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("simhash"))
+    }),
+
+    // Word-bigram Jaccard near-dups, blocked by source.
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val sh = MinHashLSH.shingles(docs, "doc_id", "text", n = 2)
+        .join(docs.select(col("doc_id").as("doc"), col("source")), Seq("doc"))
+      val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+      val inter = sh.select(col("source"), col("shingle"), col("doc").as("doc_a"))
+        .join(sh.select(col("source"), col("shingle"), col("doc").as("doc_b")),
+          Seq("source", "shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("ninter"))
+      inter
+        .join(sizes.select(col("doc").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(sizes.select(col("doc").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .filter(col("ninter") * lit(1.0) / (col("na") + col("nb") - col("ninter")) >= 0.3)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("ninter") * lit(1.0) / (col("na") + col("nb") - col("ninter")), 4).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    })
+  )
+
+  private val shinglesCte = """
+    w AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w FROM documents),
+    sh0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+              i -> array_to_string(w[i:i+2], ' '))) AS shingle FROM w),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh0)"""
+
+  override def oracle: Map[String, String] = Map(
+    "dedup_exact_text" -> """
+      SELECT md5(trim(lower(text))) AS content_key,
+             min(doc_id) AS keep_doc, count(*) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY content_key""",
+    "dedup_minhash_lsh" -> s"""
+      WITH $shinglesCte,
+      sig AS (SELECT doc_id, min(md5('1:'||shingle)) h1, min(md5('2:'||shingle)) h2,
+                     min(md5('3:'||shingle)) h3, min(md5('4:'||shingle)) h4,
+                     min(md5('5:'||shingle)) h5, min(md5('6:'||shingle)) h6,
+                     min(md5('7:'||shingle)) h7, min(md5('8:'||shingle)) h8
+              FROM sh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, 1 AS band, h1||h2 AS key FROM sig UNION ALL
+        SELECT doc_id, 2, h3||h4 FROM sig UNION ALL
+        SELECT doc_id, 3, h5||h6 FROM sig UNION ALL
+        SELECT doc_id, 4, h7||h8 FROM sig),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ninter
+                FROM cand c
+                JOIN sh sa ON sa.doc_id = c.doc_a
+                JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+                GROUP BY c.doc_a, c.doc_b)
+      SELECT doc_a, doc_b,
+             round(ninter * 1.0 / (na.n + nb.n - ninter), 4) AS jaccard
+      FROM inter i
+      JOIN sizes na ON na.doc_id = i.doc_a
+      JOIN sizes nb ON nb.doc_id = i.doc_b
+      WHERE ninter * 1.0 / (na.n + nb.n - ninter) >= 0.5
+      ORDER BY doc_a, doc_b""",
+    "dedup_simhash" -> """
+      WITH wc AS (SELECT doc_id AS doc, unnest(string_split(trim(lower(text)), ' ')) AS word
+                  FROM documents),
+      wcc AS (SELECT doc, word, count(*) AS cnt FROM wc GROUP BY doc, word),
+      contrib AS (SELECT doc, j,
+                         CASE WHEN strpos('89abcdef', substr(md5(word), j, 1)) > 0
+                              THEN cnt ELSE -cnt END AS sgn
+                  FROM wcc CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS j) t),
+      sums AS (SELECT doc, j, sum(sgn) AS s FROM contrib GROUP BY doc, j),
+      bits AS (SELECT doc, CASE WHEN s >= 0 THEN CAST(pow(2, j - 1) AS BIGINT) ELSE 0 END AS bit
+               FROM sums)
+      SELECT doc AS doc_id, sum(bit) AS simhash FROM bits GROUP BY doc ORDER BY doc_id""",
+    "dedup_simhash_buckets" -> """
+      WITH wc AS (SELECT doc_id AS doc, unnest(string_split(trim(lower(text)), ' ')) AS word
+                  FROM documents),
+      wcc AS (SELECT doc, word, count(*) AS cnt FROM wc GROUP BY doc, word),
+      contrib AS (SELECT doc, j,
+                         CASE WHEN strpos('89abcdef', substr(md5(word), j, 1)) > 0
+                              THEN cnt ELSE -cnt END AS sgn
+                  FROM wcc CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS j) t),
+      sums AS (SELECT doc, j, sum(sgn) AS s FROM contrib GROUP BY doc, j),
+      bits AS (SELECT doc, CASE WHEN s >= 0 THEN CAST(pow(2, j - 1) AS BIGINT) ELSE 0 END AS bit
+               FROM sums),
+      fp AS (SELECT doc, sum(bit) AS simhash FROM bits GROUP BY doc)
+      SELECT simhash, count(*) AS n_docs, min(doc) AS min_doc
+      FROM fp GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash""",
+    "dedup_ngram_jaccard" -> """
+      WITH w AS (SELECT doc_id, source, string_split(trim(lower(text)), ' ') AS w FROM documents),
+      sh0 AS (SELECT doc_id, source,
+                     unnest(list_transform(generate_series(1, greatest(len(w) - 1, 1)),
+                       i -> array_to_string(w[i:i+1], ' '))) AS shingle FROM w),
+      sh AS (SELECT DISTINCT doc_id, source, shingle FROM sh0),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ninter
+                FROM sh a JOIN sh b
+                  ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+      SELECT doc_a, doc_b,
+             round(ninter * 1.0 / (na.n + nb.n - ninter), 4) AS jaccard
+      FROM inter i
+      JOIN sizes na ON na.doc_id = i.doc_a
+      JOIN sizes nb ON nb.doc_id = i.doc_b
+      WHERE ninter * 1.0 / (na.n + nb.n - ninter) >= 0.3
+      ORDER BY doc_a, doc_b"""
+  )
+}

@@ -1,0 +1,161 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over the embeddings table (SURVEY.md §7.4 M5 /
+ * llmops): brute-force cosine top-k as the exactness baseline, an
+ * IVF-style partition-restricted top-k as the scale path (the `label`
+ * column plays the role of the precomputed coarse-quantizer
+ * assignment), and blocked near-duplicate pair mining.
+ *
+ * Determinism across engines: dot products and squared norms are folded
+ * in EXACT integer arithmetic (floats floored to a 1e-7 grid —
+ * order-independent, identical in any engine), and the only
+ * floating-point ops are a fixed scalar sequence (int→double, sqrt,
+ * multiply, divide — all IEEE-correctly-rounded), so scores and
+ * rankings are bit-identical vs the DuckDB oracle.
+ *
+ * Scale notes: the query set is broadcast (small side), candidates
+ * stream map-side — brute force is one broadcast-nested-loop with no
+ * candidate-side shuffle. The IVF variant turns that into an equi-join
+ * on the cluster id, i.e. only same-cell pairs are scored; at 100 TB
+ * the cell id would come from a trained coarse quantizer, the plan
+ * shape is identical. Pair mining is blocked by label so pairwise work
+ * is bounded per block.
+ */
+object SimilarityQueries extends QueryPack {
+
+  /** Exact integer-quantized sum of elementwise products: each float is
+   * floored to a 1e-7 grid (floor is IEEE-identical in every engine —
+   * unlike decimal-cast tie rounding, which is HALF_UP in Spark but
+   * HALF_EVEN in DuckDB) and the products are summed as BIGINTs —
+   * exact and order-independent under any parallelism. */
+  private def decDot(a: String, b: String): Column = expr(
+    s"""aggregate(
+          zip_with($a, $b, (x, y) ->
+            CAST(floor(CAST(x AS DOUBLE) * 10000000.0D) AS BIGINT) *
+            CAST(floor(CAST(y AS DOUBLE) * 10000000.0D) AS BIGINT)),
+          CAST(0 AS BIGINT),
+          (acc, v) -> acc + v)""")
+
+  /** Embeddings with exact decimal squared norm. */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", decDot("embedding", "embedding"))
+
+  /** cos = dot / (sqrt(na) * sqrt(nb)) with the exact same op sequence
+   * as the oracle SQL. */
+  private val cosine: Column =
+    col("dot").cast("double") /
+      (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double")))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force cosine top-5 per query (queries broadcast).
+    "sim_cosine_topk" -> ((s, dir) => {
+      val e = withNorm(Tables.load(s, dir, "embeddings"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id"), col("embedding"), col("nrm").as("cn"))
+      val scored = c.crossJoin(broadcast(q))
+        .withColumn("dot", decDot("qv", "embedding"))
+        .withColumn("cos", cosine)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("vec_id"), col("rn"), round(col("cos"), 6).as("cosine"))
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
+    // IVF-style: only candidates in the query's coarse cell (label).
+    "sim_ivf_topk" -> ((s, dir) => {
+      val e = withNorm(Tables.load(s, dir, "embeddings"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("label"),
+                col("embedding").as("qv"), col("nrm").as("qn"))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id"), col("label"), col("embedding"), col("nrm").as("cn"))
+      val scored = c.join(broadcast(q), Seq("label"))
+        .withColumn("dot", decDot("qv", "embedding"))
+        .withColumn("cos", cosine)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("label"), col("vec_id"), col("rn"),
+                round(col("cos"), 6).as("cosine"))
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
+    // Near-dup pair mining: same-label pairs with cosine >= 0.3.
+    "sim_neardup_pairs" -> ((s, dir) => {
+      val e = withNorm(Tables.load(s, dir, "embeddings"))
+      val a = e.select(col("label"), col("vec_id").as("id_a"),
+                       col("embedding").as("qv"), col("nrm").as("qn"))
+      val b = e.select(col("label"), col("vec_id").as("id_b"),
+                       col("embedding"), col("nrm").as("cn"))
+      a.join(b, Seq("label"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("dot", decDot("qv", "embedding"))
+        .withColumn("cos", cosine)
+        .filter(col("cos") >= 0.3)
+        .select(col("label"), col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
+        .orderBy(col("label"), col("id_a"), col("id_b"))
+    })
+  )
+
+  private val normCte = """
+    e AS (SELECT vec_id, label, embedding,
+            list_sum([CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)
+                      * CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)
+                      for x in embedding]) AS nrm
+          FROM embeddings)"""
+
+  private def dotSql(a: String, b: String) =
+    s"""list_sum([CAST(floor(CAST($a[i] AS DOUBLE) * 10000000.0) AS BIGINT)
+                  * CAST(floor(CAST($b[i] AS DOUBLE) * 10000000.0) AS BIGINT)
+                  for i in generate_series(1, len($a))])"""
+
+  override def oracle: Map[String, String] = Map(
+    "sim_cosine_topk" -> s"""
+      WITH $normCte,
+      q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qn FROM e WHERE vec_id < 10),
+      c AS (SELECT vec_id, embedding, nrm AS cn FROM e WHERE vec_id >= 10),
+      p AS (SELECT q_id, vec_id, ${dotSql("qv", "embedding")} AS dot, qn, cn FROM q, c),
+      s AS (SELECT q_id, vec_id,
+                   CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS cos
+            FROM p),
+      r AS (SELECT q_id, vec_id, cos,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+            FROM s)
+      SELECT q_id, vec_id, rn, round(cos, 6) AS cosine
+      FROM r WHERE rn <= 5 ORDER BY q_id, rn""",
+    "sim_ivf_topk" -> s"""
+      WITH $normCte,
+      q AS (SELECT vec_id AS q_id, label, embedding AS qv, nrm AS qn FROM e WHERE vec_id < 10),
+      c AS (SELECT vec_id, label, embedding, nrm AS cn FROM e WHERE vec_id >= 10),
+      p AS (SELECT q_id, q.label AS label, vec_id, ${dotSql("qv", "embedding")} AS dot, qn, cn
+            FROM q JOIN c ON q.label = c.label),
+      s AS (SELECT q_id, label, vec_id,
+                   CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS cos
+            FROM p),
+      r AS (SELECT q_id, label, vec_id, cos,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+            FROM s)
+      SELECT q_id, label, vec_id, rn, round(cos, 6) AS cosine
+      FROM r WHERE rn <= 3 ORDER BY q_id, rn""",
+    "sim_neardup_pairs" -> s"""
+      WITH $normCte,
+      p AS (SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+                   ${dotSql("a.embedding", "b.embedding")} AS dot,
+                   a.nrm AS qn, b.nrm AS cn
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+      s AS (SELECT label, id_a, id_b,
+                   CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS cos
+            FROM p)
+      SELECT label, id_a, id_b, round(cos, 6) AS cosine
+      FROM s WHERE cos >= 0.3 ORDER BY label, id_a, id_b"""
+  )
+}

@@ -1,0 +1,136 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data pipelines (SURVEY.md §7.4
+ * M5 / llmops): token counting (whitespace + regex tokenizers), quality
+ * scoring (length / punctuation / stopword ratios), language-ID
+ * (stopword n-gram heuristic), and document fingerprinting (normalized
+ * md5 + min-hash-of-shingles content fingerprint).
+ *
+ * Scale notes: every query is a narrow per-row projection (codegen'd
+ * higher-order array functions, no UDFs) followed by at most one
+ * aggregate — at 100 TB these scan-transform pipelines are
+ * embarrassingly parallel and shuffle only final per-group aggregates.
+ */
+object TextQueries extends QueryPack {
+
+  /** Words of the normalized document text, as a column expression. */
+  private def words: org.apache.spark.sql.Column = split(trim(lower(col("text"))), " ")
+
+  private val stopList = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+  private val stopSql = stopList.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting: whitespace tokens vs regex word tokens vs uniques.
+    "text_token_count" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(words).cast("bigint").as("n_ws_tokens"),
+          size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).cast("bigint").as("n_re_tokens"),
+          size(array_distinct(words)).cast("bigint").as("n_unique"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring: length stats, stopword ratio, mean word length.
+    "text_quality_score" -> ((s, dir) => {
+      val stopArr = array(stopList.map(lit): _*)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          length(trim(col("text"))).cast("bigint").as("text_len"),
+          size(words).cast("bigint").as("n_words"),
+          round(
+            size(filter(words, w => array_contains(stopArr, w))).cast("double") /
+              size(words), 4).as("stopword_ratio"),
+          round((length(trim(col("text"))).cast("double") - (size(words) - 1).cast("double")) /
+              size(words), 4).as("mean_word_len"))
+        .withColumn("quality",
+          round(least(col("stopword_ratio") * 2 + col("n_words") / lit(100.0), lit(1.0)), 4))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language-ID heuristic: English-stopword hit ratio over word 1-grams.
+    "text_lang_id" -> ((s, dir) => {
+      val stopArr = array(stopList.map(lit): _*)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang").as("declared_lang"),
+          round(size(filter(words, w => array_contains(stopArr, w))).cast("double") /
+            size(words), 4).as("en_ratio"))
+        .withColumn("pred_lang", when(col("en_ratio") >= 0.1, "en").otherwise("unknown"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Fingerprinting: whole-content md5 + min-hash over word 3-grams
+    // (the winnowing-style content fingerprint used for near-dup keys).
+    "text_fingerprint" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(trim(lower(col("text")))).as("content_md5"),
+          expr("""
+            array_min(transform(
+              sequence(1, greatest(size(split(trim(lower(text)), ' ')) - 2, 1)),
+              i -> md5(concat_ws(' ', slice(split(trim(lower(text)), ' '), i, 3)))))
+          """).as("min_shingle_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus stats rollup: per (lang, source) aggregate quality profile.
+    "text_corpus_stats" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(words)).cast("bigint").as("total_words"),
+          round(avg(length(trim(col("text")))), 4).as("avg_len"))
+        .orderBy(col("lang"), col("source"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "text_token_count" -> """
+      SELECT doc_id,
+             CAST(len(string_split(trim(lower(text)), ' ')) AS BIGINT) AS n_ws_tokens,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS BIGINT) AS n_re_tokens,
+             CAST(len(list_distinct(string_split(trim(lower(text)), ' '))) AS BIGINT) AS n_unique
+      FROM documents ORDER BY doc_id""",
+    "text_quality_score" -> s"""
+      WITH t AS (
+        SELECT doc_id, n_chars,
+               CAST(length(trim(text)) AS BIGINT) AS text_len,
+               string_split(trim(lower(text)), ' ') AS w
+        FROM documents)
+      SELECT doc_id, n_chars, text_len,
+             CAST(len(w) AS BIGINT) AS n_words,
+             round(CAST(len(list_filter(w, x -> x IN $stopSql)) AS DOUBLE) / len(w), 4) AS stopword_ratio,
+             round((CAST(text_len AS DOUBLE) - (len(w) - 1)) / len(w), 4) AS mean_word_len,
+             round(least(round(CAST(len(list_filter(w, x -> x IN $stopSql)) AS DOUBLE) / len(w), 4) * 2
+                         + len(w) / 100.0, 1.0), 4) AS quality
+      FROM t ORDER BY doc_id""",
+    "text_lang_id" -> s"""
+      WITH t AS (
+        SELECT doc_id, lang AS declared_lang,
+               round(CAST(len(list_filter(string_split(trim(lower(text)), ' '),
+                                          x -> x IN $stopSql)) AS DOUBLE)
+                     / len(string_split(trim(lower(text)), ' ')), 4) AS en_ratio
+        FROM documents)
+      SELECT doc_id, declared_lang, en_ratio,
+             CASE WHEN en_ratio >= 0.1 THEN 'en' ELSE 'unknown' END AS pred_lang
+      FROM t ORDER BY doc_id""",
+    "text_fingerprint" -> """
+      WITH t AS (
+        SELECT doc_id, trim(lower(text)) AS norm,
+               string_split(trim(lower(text)), ' ') AS w
+        FROM documents)
+      SELECT doc_id, md5(norm) AS content_md5,
+             list_min(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+                                     i -> md5(array_to_string(w[i:i+2], ' ')))) AS min_shingle_hash
+      FROM t ORDER BY doc_id""",
+    "text_corpus_stats" -> """
+      SELECT lang, source, count(*) AS n_docs,
+             CAST(sum(len(string_split(trim(lower(text)), ' '))) AS BIGINT) AS total_words,
+             round(avg(length(trim(text))), 4) AS avg_len
+      FROM documents GROUP BY lang, source ORDER BY lang, source"""
+  )
+}

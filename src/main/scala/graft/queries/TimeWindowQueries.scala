@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import graft.operators.CumulateWindow
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Time-window aggregations (SURVEY.md §2.4 group/TVF window aggs):
+ * TUMBLE, HOP (sliding), SESSION (gap-based, per key), and CUMULATE
+ * (expanding slices — reference `StreamExecWindowTableFunction` /
+ * `SliceAssigners`; no Spark built-in → graft.operators.CumulateWindow).
+ *
+ * These run here in batch mode over the events table; the same
+ * expressions run unchanged under Structured Streaming with
+ * `.withWatermark` (covered by the streaming specs in src/test).
+ *
+ * Scale notes: window assignment is a map-side expression; each query is
+ * one partial/final hash-agg shuffle keyed on (window, key). HOP and
+ * CUMULATE fan out rows by the constant windows-per-event factor before
+ * the partial agg, so shuffled bytes stay proportional to the number of
+ * distinct (window, key) groups, not raw events.
+ */
+object TimeWindowQueries extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TUMBLE 15min: count + value sum per window × event_type.
+    "win_tumble" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+        .select(col("w.start").as("ws"), col("w.end").as("we"),
+                col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("ws"), col("event_type"))
+    }),
+
+    // HOP size 30min slide 10min: every event lands in 3 windows.
+    "win_hop" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "30 minutes", "10 minutes").as("w"))
+        .agg(count(lit(1)).as("n"),
+             countDistinct(col("user_id")).as("n_users"))
+        .select(col("w.start").as("ws"), col("w.end").as("we"),
+                col("n"), col("n_users"))
+        .orderBy(col("ws"))
+    }),
+
+    // SESSION with 30min gap per user; end = last event + gap.
+    "win_session" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+        .select(col("user_id"), col("w.start").as("ws"), col("w.end").as("we"),
+                col("n"), col("sum_value"))
+        .orderBy(col("user_id"), col("ws"))
+    }),
+
+    // CUMULATE size 1h step 20min: expanding windows per hour.
+    "win_cumulate" -> ((s, dir) => {
+      CumulateWindow(Tables.load(s, dir, "events"), "ts", stepMinutes = 20, sizeMinutes = 60)
+        .groupBy(col("w_start"), col("w_end"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+        .select(col("w_start").as("ws"), col("w_end").as("we"),
+                col("n"), col("sum_value"))
+        .orderBy(col("ws"), col("we"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "win_tumble" -> """
+      SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS ws,
+             time_bucket(INTERVAL 15 MINUTE, ts) + INTERVAL 15 MINUTE AS we,
+             event_type, count(*) AS n,
+             sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+      FROM events
+      GROUP BY 1, 2, 3 ORDER BY ws, event_type""",
+    "win_hop" -> """
+      SELECT ws, ws + INTERVAL 30 MINUTE AS we, count(*) AS n,
+             count(DISTINCT user_id) AS n_users
+      FROM (
+        SELECT time_bucket(INTERVAL 10 MINUTE, ts) - k * INTERVAL 10 MINUTE AS ws,
+               user_id
+        FROM events, generate_series(0, 2) AS t(k))
+      GROUP BY ws ORDER BY ws""",
+    "win_session" -> """
+      WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+      sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged)
+      SELECT user_id, min(ts) AS ws, max(ts) + INTERVAL 30 MINUTE AS we,
+             count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+      FROM sessions GROUP BY user_id, sid ORDER BY user_id, ws""",
+    "win_cumulate" -> """
+      SELECT ws, we, count(*) AS n,
+             sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+      FROM (
+        SELECT time_bucket(INTERVAL 60 MINUTE, ts) AS ws,
+               time_bucket(INTERVAL 60 MINUTE, ts) + k * INTERVAL 20 MINUTE AS we,
+               ts, value
+        FROM events, generate_series(1, 3) AS t(k))
+      WHERE we > ts
+      GROUP BY ws, we ORDER BY ws, we"""
+  )
+}
