@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /**
  * MinHash + banded LSH near-duplicate detection over a text column.
@@ -10,9 +11,14 @@ import org.apache.spark.sql.functions._
  *   1. shingle: word n-grams per doc (distinct)           — narrow + 1 shuffle (distinct)
  *   2. signature: k min-hashes per doc (salted md5; a string min is a
  *      valid min-hash under the random permutation induced by the hash) — 1 shuffle (groupBy doc)
- *   3. bands: signature split into b bands of k/b values; docs sharing a
- *      band key are candidates                             — 1 shuffle (self-join on band key)
- *   4. verify: exact Jaccard over shingle sets for candidates only      — joins on (doc, shingle)
+ *   3. bands: one posexplode projection over the signature row — no
+ *      union, no signature recompute                       — narrow
+ *   4. candidates: docs sharing a band key                 — 1 shuffle (self-join on band key)
+ *   5. verify: exact Jaccard over shingle sets for candidates only      — joins on (doc, shingle)
+ *
+ * The shingle frame is persisted (MEMORY_AND_DISK) because signatures,
+ * both verify joins, and the size aggregate all consume it; without the
+ * persist it is recomputed four times, including its distinct shuffle.
  *
  * Scale rationale: this is the standard 100-TB dedup shape — candidate
  * generation touches only (band-key, doc) pairs, never the O(n²) doc
@@ -43,15 +49,16 @@ object MinHashLSH {
     sh.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
   }
 
-  /** (doc, band, key) — band key = concat of the band's signature slice. */
+  /** (doc, band, key) via one posexplode projection — band key = concat
+   * of the band's signature slice. No union, signature computed once. */
   def bands(sig: DataFrame, k: Int, b: Int): DataFrame = {
     require(k % b == 0, "bands must divide signature length")
     val per = k / b
-    val bandRows = (1 to b).map { bi =>
-      val ks = ((bi - 1) * per + 1 to bi * per).map(i => col(s"h$i"))
-      sig.select(col("doc"), lit(bi).as("band"), concat(ks: _*).as("key"))
+    val bandKeys: Seq[Column] = (1 to b).map { bi =>
+      concat(((bi - 1) * per + 1 to bi * per).map(i => col(s"h$i")): _*)
     }
-    bandRows.reduce(_.unionAll(_))
+    sig.select(col("doc"), posexplode(array(bandKeys: _*)))
+      .select(col("doc"), (col("pos") + 1).as("band"), col("col").as("key"))
   }
 
   /** Distinct candidate pairs (doc_a < doc_b) sharing any band key. */
@@ -65,9 +72,11 @@ object MinHashLSH {
   }
 
   /** Exact Jaccard verification of candidates; keeps pairs >= threshold.
-   * The threshold compare uses the exact integer ratio (no float
-   * boundary flakiness); `jaccard` is rounded only for output. */
+   * The threshold compare is integer cross-multiplication
+   * (ninter * 1000 >= num * union) — exact, no float boundary;
+   * `jaccard` is rounded only for output. */
   def verifiedPairs(sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
+    val num = math.round(threshold * 1000)
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.select(col("doc").as("doc_a"), col("shingle")), Seq("doc_a"))
@@ -77,7 +86,7 @@ object MinHashLSH {
     inter
       .join(sizes.select(col("doc").as("doc_a"), col("n").as("na")), Seq("doc_a"))
       .join(sizes.select(col("doc").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-      .filter(col("ninter") * lit(1.0) / (col("na") + col("nb") - col("ninter")) >= threshold)
+      .filter(col("ninter") * 1000 >= (col("na") + col("nb") - col("ninter")) * num)
       .select(col("doc_a"), col("doc_b"),
         round(col("ninter") * lit(1.0) / (col("na") + col("nb") - col("ninter")), 4).as("jaccard"))
   }
@@ -86,7 +95,7 @@ object MinHashLSH {
   def apply(df: DataFrame, idCol: String, textCol: String,
             shingleN: Int = 3, numHashes: Int = 8, numBands: Int = 4,
             threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(df, idCol, textCol, shingleN)
+    val sh = shingles(df, idCol, textCol, shingleN).persist(StorageLevel.MEMORY_AND_DISK)
     val cand = candidatePairs(bands(signatures(sh, numHashes), numHashes, numBands))
     verifiedPairs(sh, cand, threshold)
   }

@@ -14,27 +14,33 @@ import org.apache.spark.sql.functions._
  * Engine-portable determinism: the per-word "hash bit j" is the high
  * bit of hex digit j of md5(word) — identical in any engine with md5.
  *
- * Scale: word-count map phase (1 shuffle), a constant 16× fan-out, and
- * two hash aggregations — linear in corpus size, no pairwise work.
+ * Scale: two shuffles total — the (doc, word) count aggregation and ONE
+ * groupBy(doc) carrying all 16 bit positions as conditional sums in a
+ * single aggregate (no 16× row fan-out, no per-bit shuffle). All work
+ * is linear in corpus size; no pairwise comparisons.
  */
 object SimHash {
 
   val Bits = 16
 
-  /** (id, simhash) — a BIGINT in [0, 2^16). */
+  /** (doc, simhash) — a BIGINT in [0, 2^16). */
   def apply(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val wc = df
       .select(col(idCol).as("doc"),
         explode(split(trim(lower(col(textCol))), " ")).as("word"))
       .groupBy(col("doc"), col("word"))
       .agg(count(lit(1)).as("cnt"))
-    wc.withColumn("j", explode(sequence(lit(1), lit(Bits))))
-      .withColumn("sgn",
-        expr("CASE WHEN instr('89abcdef', substr(md5(word), j, 1)) > 0 THEN cnt ELSE -cnt END"))
-      .groupBy(col("doc"), col("j"))
-      .agg(sum(col("sgn")).as("s"))
-      .withColumn("bit", expr("CASE WHEN s >= 0 THEN CAST(pow(2, j - 1) AS BIGINT) ELSE 0 END"))
-      .groupBy(col("doc"))
-      .agg(sum(col("bit")).as("simhash"))
+      .withColumn("h", md5(col("word")))
+    // one conditional sum per bit position, all in a single aggregate
+    val sums = (1 to Bits).map { j =>
+      sum(when(expr(s"instr('89abcdef', substr(h, $j, 1)) > 0"), col("cnt"))
+        .otherwise(-col("cnt"))).as(s"s$j")
+    }
+    val fingerprint = (1 to Bits)
+      .map(j => when(col(s"s$j") >= 0, lit(1L << (j - 1))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    wc.groupBy(col("doc"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc"), fingerprint.as("simhash"))
   }
 }

@@ -16,10 +16,15 @@ import org.apache.spark.sql.functions._
  * built-in aggregate table (`BuiltInFunctionDefinitions.java:290-386`).
  *
  * Scale notes: every query here is a single hash-aggregate shuffle with
- * map-side partial aggregation; no driver-side collection. Exact money
- * math goes through DECIMAL so results are order-independent (double
- * summation is not associative → nondeterministic under 1000-way
- * parallelism; decimal sums are exact at any parallelism).
+ * map-side partial aggregation; no driver-side collection.
+ *
+ * Money convention: monetary outputs are floor-quantized to an integer
+ * cent grid (`floor(x * 100)` as BIGINT) before summing. floor on a
+ * double is IEEE-identical in every engine and BIGINT sums are exact and
+ * order-independent at any parallelism — unlike double sums
+ * (non-associative) or per-row DECIMAL casts (tie rounding is HALF_UP in
+ * Spark but HALF_EVEN in DuckDB). The DuckDB oracle mirrors the same
+ * grid; its BIGINT sums are CAST back from HUGEINT.
  */
 object AggregateQueries extends QueryPack {
 
@@ -30,10 +35,10 @@ object AggregateQueries extends QueryPack {
         .filter(col("l_shipdate") <= expr("timestamp_ntz'1998-09-02 00:00:00'"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(24,6)")).as("sum_disc_price"),
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).cast("decimal(24,6)")).as("sum_charge"),
+          sum(floor(col("l_quantity") * 100)).as("sum_qty"),
+          sum(floor(col("l_extendedprice") * 100)).as("sum_base_price"),
+          sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)).as("sum_disc_price"),
+          sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")) * 10000)).as("sum_charge"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -54,7 +59,7 @@ object AggregateQueries extends QueryPack {
     "agg_having" -> ((s, dir) => {
       Tables.load(s, dir, "orders")
         .groupBy(col("o_custkey"))
-        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"),
+        .agg(sum(floor(col("o_totalprice") * 100)).as("spend"),
              count(lit(1)).as("n"))
         .filter(col("n") >= 3)
         .orderBy(col("o_custkey"))
@@ -64,7 +69,7 @@ object AggregateQueries extends QueryPack {
     "agg_rollup" -> ((s, dir) => {
       Tables.load(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+        .agg(sum(floor(col("l_quantity") * 100)).as("sum_qty"),
              grouping_id().as("gid"))
         .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
     }),
@@ -124,12 +129,14 @@ object AggregateQueries extends QueryPack {
         .orderBy(col("n_regionkey"))
     }),
 
-    // COLLECT (multiset) — represented as a sorted distinct array.
+    // COLLECT (multiset) — sorted distinct set, emitted as a CSV string
+    // (the driver's comparator can't sort array cells; array semantics
+    // stay under test in AggregateSpec).
     "agg_collect_set" -> ((s, dir) => {
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(array_sort(collect_set(col("l_linestatus"))).as("statuses"),
-             size(collect_set(col("l_linestatus"))).as("n_statuses"))
+        .agg(concat_ws(",", array_sort(collect_set(col("l_linestatus")))).as("statuses"),
+             size(collect_set(col("l_linestatus"))).cast("bigint").as("n_statuses"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -137,7 +144,7 @@ object AggregateQueries extends QueryPack {
     "agg_sum0_empty" -> ((s, dir) => {
       Tables.load(s, dir, "lineitem")
         .filter(col("l_quantity") < -1) // empty input group
-        .agg(coalesce(sum(col("l_quantity").cast("decimal(18,2)")), lit(0).cast("decimal(28,2)")).as("sum0"),
+        .agg(coalesce(sum(floor(col("l_quantity") * 100)), lit(0L)).as("sum0"),
              count(lit(1)).as("n"))
     })
   )
@@ -145,10 +152,10 @@ object AggregateQueries extends QueryPack {
   override def oracle: Map[String, String] = Map(
     "agg_q1_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
-             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS sum_disc_price,
-             sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(24,6))) AS sum_charge,
+             CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price,
+             CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_price,
+             CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 10000) AS BIGINT)) AS BIGINT) AS sum_charge,
              round(avg(l_quantity), 4) AS avg_qty,
              count(*) AS count_order
       FROM lineitem
@@ -163,12 +170,12 @@ object AggregateQueries extends QueryPack {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_having" -> """
       SELECT o_custkey,
-             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend,
              count(*) AS n
       FROM orders GROUP BY o_custkey HAVING count(*) >= 3 ORDER BY o_custkey""",
     "agg_rollup" -> """
       SELECT l_returnflag, l_linestatus,
-             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty,
              grouping(l_returnflag, l_linestatus) AS gid
       FROM lineitem
       GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -207,11 +214,11 @@ object AggregateQueries extends QueryPack {
       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
     "agg_collect_set" -> """
       SELECT l_returnflag,
-             list_sort(list(DISTINCT l_linestatus)) AS statuses,
+             array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
              count(DISTINCT l_linestatus) AS n_statuses
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_sum0_empty" -> """
-      SELECT CAST(coalesce(sum(CAST(l_quantity AS DECIMAL(18,2))), 0) AS DECIMAL(28,2)) AS sum0,
+      SELECT CAST(coalesce(sum(CAST(floor(l_quantity * 100) AS BIGINT)), 0) AS BIGINT) AS sum0,
              count(*) AS n
       FROM lineitem WHERE l_quantity < -1"""
   )

@@ -26,7 +26,9 @@ object CalcQueries extends QueryPack {
       Tables.load(s, dir, "lineitem")
         .filter(col("l_quantity") > 45 && col("l_discount") < 0.02)
         .select(col("l_orderkey"), col("l_linenumber"),
-          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,2)").as("net"),
+          // integer-cent grid: floor is IEEE-identical across engines,
+          // unlike decimal-cast tie rounding (HALF_UP vs HALF_EVEN)
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).as("net"),
           col("l_returnflag"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
@@ -111,7 +113,8 @@ object CalcQueries extends QueryPack {
           element_at(split(trim(col("text")), " "), 1).as("w1"),
           element_at(split(trim(col("text")), " "), 3).as("w3"),
           array_contains(split(trim(col("text")), " "), "spark").as("has_spark"),
-          slice(array_sort(array_distinct(split(trim(col("text")), " "))), 1, 3).as("top3_sorted"))
+          // CSV-string form: the driver comparator can't sort array cells
+          concat_ws(",", slice(array_sort(array_distinct(split(trim(col("text")), " "))), 1, 3)).as("top3_sorted"))
         .orderBy(col("doc_id"))
     }),
 
@@ -148,7 +151,7 @@ object CalcQueries extends QueryPack {
   override def oracle: Map[String, String] = Map(
     "calc_project_filter" -> """
       SELECT l_orderkey, l_linenumber,
-             CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,2)) AS net,
+             CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS net,
              l_returnflag
       FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.02
       ORDER BY l_orderkey, l_linenumber""",
@@ -209,7 +212,7 @@ object CalcQueries extends QueryPack {
              string_split(trim(text), ' ')[1] AS w1,
              string_split(trim(text), ' ')[3] AS w3,
              list_contains(string_split(trim(text), ' '), 'spark') AS has_spark,
-             list_sort(list_distinct(string_split(trim(text), ' ')))[1:3] AS top3_sorted
+             array_to_string(list_sort(list_distinct(string_split(trim(text), ' ')))[1:3], ',') AS top3_sorted
       FROM documents WHERE doc_id <= 200 ORDER BY doc_id""",
     "calc_explode_lateral" -> """
       SELECT doc_id, word, count(*) AS n

@@ -51,11 +51,22 @@ object DedupQueries extends QueryPack {
         .orderBy(col("simhash"))
     }),
 
-    // Word-bigram Jaccard near-dups, blocked by source.
+    // Word-bigram Jaccard near-dups, blocked by source, with a
+    // document-frequency cap: shingles occurring in >50 docs (the
+    // "of the" class) are dropped before the self-join — hot shingles
+    // are the quadratic blow-up that kills this plan at corpus scale.
+    // Jaccard is computed over the capped shingle sets on both engines,
+    // and the threshold compare is integer cross-multiplication (no
+    // float boundary).
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val sh = MinHashLSH.shingles(docs, "doc_id", "text", n = 2)
+      val sh0 = MinHashLSH.shingles(docs, "doc_id", "text", n = 2)
         .join(docs.select(col("doc_id").as("doc"), col("source")), Seq("doc"))
+      val hot = sh0.groupBy(col("shingle"))
+        .agg(countDistinct(col("doc")).as("docfreq"))
+        .filter(col("docfreq") > 50)
+        .select(col("shingle"))
+      val sh = sh0.join(broadcast(hot), Seq("shingle"), "left_anti").persist()
       val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
       val inter = sh.select(col("source"), col("shingle"), col("doc").as("doc_a"))
         .join(sh.select(col("source"), col("shingle"), col("doc").as("doc_b")),
@@ -66,7 +77,7 @@ object DedupQueries extends QueryPack {
       inter
         .join(sizes.select(col("doc").as("doc_a"), col("n").as("na")), Seq("doc_a"))
         .join(sizes.select(col("doc").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-        .filter(col("ninter") * lit(1.0) / (col("na") + col("nb") - col("ninter")) >= 0.3)
+        .filter(col("ninter") * 1000 >= (col("na") + col("nb") - col("ninter")) * 300)
         .select(col("doc_a"), col("doc_b"),
           round(col("ninter") * lit(1.0) / (col("na") + col("nb") - col("ninter")), 4).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
@@ -110,7 +121,7 @@ object DedupQueries extends QueryPack {
       FROM inter i
       JOIN sizes na ON na.doc_id = i.doc_a
       JOIN sizes nb ON nb.doc_id = i.doc_b
-      WHERE ninter * 1.0 / (na.n + nb.n - ninter) >= 0.5
+      WHERE ninter * 1000 >= (na.n + nb.n - ninter) * 500
       ORDER BY doc_a, doc_b""",
     "dedup_simhash" -> """
       WITH wc AS (SELECT doc_id AS doc, unnest(string_split(trim(lower(text)), ' ')) AS word
@@ -123,7 +134,8 @@ object DedupQueries extends QueryPack {
       sums AS (SELECT doc, j, sum(sgn) AS s FROM contrib GROUP BY doc, j),
       bits AS (SELECT doc, CASE WHEN s >= 0 THEN CAST(pow(2, j - 1) AS BIGINT) ELSE 0 END AS bit
                FROM sums)
-      SELECT doc AS doc_id, sum(bit) AS simhash FROM bits GROUP BY doc ORDER BY doc_id""",
+      SELECT doc AS doc_id, CAST(sum(bit) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc ORDER BY doc_id""",
     "dedup_simhash_buckets" -> """
       WITH wc AS (SELECT doc_id AS doc, unnest(string_split(trim(lower(text)), ' ')) AS word
                   FROM documents),
@@ -135,7 +147,7 @@ object DedupQueries extends QueryPack {
       sums AS (SELECT doc, j, sum(sgn) AS s FROM contrib GROUP BY doc, j),
       bits AS (SELECT doc, CASE WHEN s >= 0 THEN CAST(pow(2, j - 1) AS BIGINT) ELSE 0 END AS bit
                FROM sums),
-      fp AS (SELECT doc, sum(bit) AS simhash FROM bits GROUP BY doc)
+      fp AS (SELECT doc, CAST(sum(bit) AS BIGINT) AS simhash FROM bits GROUP BY doc)
       SELECT simhash, count(*) AS n_docs, min(doc) AS min_doc
       FROM fp GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash""",
     "dedup_ngram_jaccard" -> """
@@ -143,7 +155,10 @@ object DedupQueries extends QueryPack {
       sh0 AS (SELECT doc_id, source,
                      unnest(list_transform(generate_series(1, greatest(len(w) - 1, 1)),
                        i -> array_to_string(w[i:i+1], ' '))) AS shingle FROM w),
-      sh AS (SELECT DISTINCT doc_id, source, shingle FROM sh0),
+      shd AS (SELECT DISTINCT doc_id, source, shingle FROM sh0),
+      keep AS (SELECT shingle FROM shd GROUP BY shingle
+               HAVING count(DISTINCT doc_id) <= 50),
+      sh AS (SELECT shd.* FROM shd JOIN keep USING (shingle)),
       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ninter
                 FROM sh a JOIN sh b
@@ -154,7 +169,7 @@ object DedupQueries extends QueryPack {
       FROM inter i
       JOIN sizes na ON na.doc_id = i.doc_a
       JOIN sizes nb ON nb.doc_id = i.doc_b
-      WHERE ninter * 1.0 / (na.n + nb.n - ninter) >= 0.3
+      WHERE ninter * 1000 >= (na.n + nb.n - ninter) * 300
       ORDER BY doc_a, doc_b"""
   )
 }

@@ -30,7 +30,7 @@ object JoinQueries extends QueryPack {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_lines"),
-             sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+             sum(floor(col("l_quantity") * 100)).as("sum_qty"))
         .orderBy(col("o_orderstatus"))
     }),
 
@@ -60,7 +60,7 @@ object JoinQueries extends QueryPack {
     "join_full_outer" -> ((s, dir) => {
       val liAgg = Tables.load(s, dir, "lineitem")
         .groupBy(col("l_partkey"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+        .agg(sum(floor(col("l_quantity") * 100)).as("qty"))
       val part = Tables.load(s, dir, "part").filter(col("p_size") > 25)
       liAgg.join(part, col("l_partkey") === col("p_partkey"), "full")
         .select(coalesce(col("l_partkey"), col("p_partkey")).as("partkey"),
@@ -112,7 +112,7 @@ object JoinQueries extends QueryPack {
       cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_cust"),
-             sum(col("c_acctbal").cast("decimal(18,2)")).as("sum_bal"))
+             sum(floor(col("c_acctbal") * 100)).as("sum_bal"))
         .orderBy(col("n_name"))
     }),
 
@@ -172,7 +172,7 @@ object JoinQueries extends QueryPack {
   override def oracle: Map[String, String] = Map(
     "join_inner" -> """
       SELECT o_orderstatus, count(*) AS n_lines,
-             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+             CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "join_left_outer" -> """
@@ -187,7 +187,7 @@ object JoinQueries extends QueryPack {
       GROUP BY c_nationkey ORDER BY c_nationkey""",
     "join_full_outer" -> """
       SELECT coalesce(l_partkey, p_partkey) AS partkey, qty, p_size
-      FROM (SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM (SELECT l_partkey, CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty
             FROM lineitem GROUP BY l_partkey) li
       FULL JOIN (SELECT * FROM part WHERE p_size > 25) p
         ON l_partkey = p_partkey
@@ -210,7 +210,7 @@ object JoinQueries extends QueryPack {
       GROUP BY s_suppkey ORDER BY s_suppkey""",
     "join_broadcast_dim" -> """
       SELECT n_name, count(*) AS n_cust,
-             sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal
+             CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       GROUP BY n_name ORDER BY n_name""",
     "join_interval" -> """

@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
  * (expanding slices — reference `StreamExecWindowTableFunction` /
  * `SliceAssigners`; no Spark built-in → graft.operators.CumulateWindow).
  *
- * These run here in batch mode over the events table; the same
- * expressions run unchanged under Structured Streaming with
- * `.withWatermark` (covered by the streaming specs in src/test).
+ * These run here in batch mode over the events table; the same window
+ * expressions also run under Structured Streaming with `.withWatermark`
+ * — see graft.streaming.StreamOps and the StreamQueries pack, which
+ * executes them through a real streaming query against the same gate.
  *
  * Scale notes: window assignment is a map-side expression; each query is
  * one partial/final hash-agg shuffle keyed on (window, key). HOP and
@@ -29,7 +30,7 @@ object TimeWindowQueries extends QueryPack {
       Tables.load(s, dir, "events")
         .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-             sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+             sum(floor(col("value") * 100)).as("sum_value"))
         .select(col("w.start").as("ws"), col("w.end").as("we"),
                 col("event_type"), col("n"), col("sum_value"))
         .orderBy(col("ws"), col("event_type"))
@@ -51,7 +52,7 @@ object TimeWindowQueries extends QueryPack {
       Tables.load(s, dir, "events")
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
         .agg(count(lit(1)).as("n"),
-             sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+             sum(floor(col("value") * 100)).as("sum_value"))
         .select(col("user_id"), col("w.start").as("ws"), col("w.end").as("we"),
                 col("n"), col("sum_value"))
         .orderBy(col("user_id"), col("ws"))
@@ -62,7 +63,7 @@ object TimeWindowQueries extends QueryPack {
       CumulateWindow(Tables.load(s, dir, "events"), "ts", stepMinutes = 20, sizeMinutes = 60)
         .groupBy(col("w_start"), col("w_end"))
         .agg(count(lit(1)).as("n"),
-             sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+             sum(floor(col("value") * 100)).as("sum_value"))
         .select(col("w_start").as("ws"), col("w_end").as("we"),
                 col("n"), col("sum_value"))
         .orderBy(col("ws"), col("we"))
@@ -74,7 +75,7 @@ object TimeWindowQueries extends QueryPack {
       SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS ws,
              time_bucket(INTERVAL 15 MINUTE, ts) + INTERVAL 15 MINUTE AS we,
              event_type, count(*) AS n,
-             sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
       FROM events
       GROUP BY 1, 2, 3 ORDER BY ws, event_type""",
     "win_hop" -> """
@@ -98,11 +99,12 @@ object TimeWindowQueries extends QueryPack {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         FROM flagged)
       SELECT user_id, min(ts) AS ws, max(ts) + INTERVAL 30 MINUTE AS we,
-             count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+             count(*) AS n,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
       FROM sessions GROUP BY user_id, sid ORDER BY user_id, ws""",
     "win_cumulate" -> """
       SELECT ws, we, count(*) AS n,
-             sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
       FROM (
         SELECT time_bucket(INTERVAL 60 MINUTE, ts) AS ws,
                time_bucket(INTERVAL 60 MINUTE, ts) + k * INTERVAL 20 MINUTE AS we,

@@ -46,7 +46,8 @@ object WindowOverQueries extends QueryPack {
       Tables.load(s, dir, "orders")
         .filter(col("o_custkey") <= 100)
         .select(col("o_custkey"), col("o_orderkey"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).over(w).as("running_spend"),
+          // integer-cent grid (see AggregateQueries money convention)
+          sum(floor(col("o_totalprice") * 100)).over(w).as("running_spend"),
           count(lit(1)).over(w).as("running_n"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
@@ -59,7 +60,8 @@ object WindowOverQueries extends QueryPack {
       Tables.load(s, dir, "orders")
         .filter(col("o_custkey") <= 100)
         .select(col("o_custkey"), col("o_orderkey"),
-          avg(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("decimal(24,6)").as("ma3"))
+          // floor of an exact small-int average: deterministic both engines
+          floor(avg(floor(col("o_totalprice") * 100)).over(w)).as("ma3"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
@@ -164,7 +166,7 @@ object WindowOverQueries extends QueryPack {
       ORDER BY l_returnflag, rn""",
     "over_running_sum" -> """
       SELECT o_custkey, o_orderkey,
-             sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS running_spend,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS running_spend,
              count(*) OVER w AS running_n
       FROM orders WHERE o_custkey <= 100
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -172,7 +174,7 @@ object WindowOverQueries extends QueryPack {
       ORDER BY o_custkey, o_orderkey""",
     "over_sliding_rows" -> """
       SELECT o_custkey, o_orderkey,
-             CAST(avg(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(24,6)) AS ma3
+             CAST(floor(avg(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER w) AS BIGINT) AS ma3
       FROM orders WHERE o_custkey <= 100
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)

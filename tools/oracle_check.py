@@ -28,7 +28,9 @@ def canon(v):
             return "NaN"
         return repr(v)
     if isinstance(v, Decimal):
-        return str(v.normalize()) if v != 0 else "0"
+        # no normalize: a DECIMAL where Spark emits BIGINT/DOUBLE must
+        # surface as a mismatch, like the driver's dtype-sensitive hash
+        return "dec:" + str(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"
     if isinstance(v, dict):
@@ -38,12 +40,22 @@ def canon(v):
     return str(v)
 
 
+INT_WIDTHS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+
+
+def type_class(t):
+    # the driver's pandas compare treats all int widths alike but
+    # rejects DECIMAL/HUGEINT where the other side has int64/float64
+    return "INT" if t in INT_WIDTHS else t
+
+
 def frame(con, rel):
     cols = rel.columns
+    types = [type_class(str(t)) for t in rel.types]
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     rows = rel.fetchall()
     out = sorted(tuple(canon(r[i]) for i in order) for r in rows)
-    return [cols[i] for i in order], out
+    return [cols[i] for i in order], [types[i] for i in order], out
 
 
 def main():
@@ -58,9 +70,9 @@ def main():
         if only and name not in only:
             continue
         try:
-            got_cols, got = frame(con, con.sql(
+            got_cols, got_types, got = frame(con, con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"))
-            exp_cols, exp = frame(con, con.sql(sql))
+            exp_cols, exp_types, exp = frame(con, con.sql(sql))
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
@@ -68,6 +80,8 @@ def main():
         problems = []
         if got_cols != exp_cols:
             problems.append(f"cols {got_cols} != {exp_cols}")
+        if got_types != exp_types:
+            problems.append(f"types {got_types} != {exp_types}")
         if len(got) != len(exp):
             problems.append(f"rows {len(got)} != {len(exp)}")
         if not problems and got != exp:
