@@ -21,6 +21,7 @@ object SparkEntry {
     qp.WindowOverQueries,
     qp.CalcQueries,
     qp.TimeWindowQueries,
+    qp.StreamQueries,
     qp.TextQueries,
     qp.DedupQueries,
     qp.SimilarityQueries

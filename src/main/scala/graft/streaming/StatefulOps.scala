@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One Top-N buffer entry / output row. */
+case class TopNRow(event_type: String, event_id: Long, value: Double)
+
+/** Output of the per-key running aggregate (streaming OVER analog). */
+case class RunningRow(user_id: Long, event_id: Long, running_n: Long, running_cents: Long)
+
+/**
+ * Stateful streaming operators on `flatMapGroupsWithState` (SURVEY.md
+ * §7.2 "custom transformWithState processors", M3). Each mirrors a
+ * reference runtime operator:
+ *
+ *  - keepLastByUser → `deduplicate/ProcTimeDeduplicateKeepLastRowFunction.java`
+ *  - topNByType     → `rank/AppendOnlyTopNFunction.java:52`
+ *  - runningByUser  → `over/ProcTimeUnboundedPrecedingFunction.java`
+ *
+ * Determinism: every comparator breaks ties on `event_id`, so results
+ * are independent of arrival order inside a micro-batch. State per key
+ * is O(1) (winner / N-element buffer / two counters) — the 100-TB
+ * requirement for keyed state.
+ */
+object StatefulOps {
+
+  /** Streaming keep-LAST deduplication: one winner per user chosen by
+   * max (ts_us, event_id); emits the winner whenever it changes
+   * (update stream). `dropDuplicates` covers keep-first natively; this
+   * covers the keep-last half Spark lacks. */
+  def keepLastByUser(ds: Dataset[Ev]): Dataset[Ev] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Ev, Ev](OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_, it, state: GroupState[Ev]) =>
+          val cand = (state.getOption.iterator ++ it).maxBy(e => (e.ts_us, e.event_id))
+          val changed = state.getOption.forall(o => (o.ts_us, o.event_id) != (cand.ts_us, cand.event_id))
+          state.update(cand)
+          if (changed) Iterator.single(cand) else Iterator.empty
+      }
+  }
+
+  /** Streaming Top-N per event_type by (value desc, event_id asc):
+   * bounded N-element sorted buffer in state; emits the whole buffer
+   * when it changes. The final Top-N is recoverable from the update
+   * stream by re-ranking the distinct emitted candidates (see
+   * StreamQueries) — the true top rows are always emitted. */
+  def topNByType(ds: Dataset[Ev], n: Int): Dataset[TopNRow] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.event_type)
+      .flatMapGroupsWithState[List[TopNRow], TopNRow](OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (k, it, state: GroupState[List[TopNRow]]) =>
+          val old = state.getOption.getOrElse(Nil)
+          val merged = (old.iterator ++ it.map(e => TopNRow(k, e.event_id, e.value)))
+            .toList.distinct
+            .sortBy(r => (-r.value, r.event_id))
+            .take(n)
+          state.update(merged)
+          if (merged != old) merged.iterator else Iterator.empty
+      }
+  }
+
+  /** Per-key running aggregate in event order — the proc-time OVER
+   * analog (append stream; each input row emitted exactly once with
+   * its running count and integer-cent running sum). Rows inside a
+   * micro-batch are sorted by (ts_us, event_id) before folding, so a
+   * single batch reproduces the batch OVER result exactly; across
+   * batches the fold continues from state (arrival order across
+   * batches is the stream order, as in the reference's proc-time
+   * variant). */
+  def runningByUser(ds: Dataset[Ev]): Dataset[RunningRow] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), RunningRow](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k, it, state: GroupState[(Long, Long)]) =>
+          var (n, cents) = state.getOption.getOrElse((0L, 0L))
+          val out = it.toList.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+            n += 1
+            cents += math.floor(e.value * 100).toLong
+            RunningRow(k, e.event_id, n, cents)
+          }
+          state.update((n, cents))
+          out.iterator
+      }
+  }
+}

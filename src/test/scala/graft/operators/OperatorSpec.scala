@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Batch custom-operator semantics: AsOfJoin tie rules, CUMULATE slice
+ * assignment, MinHashLSH end-to-end, SimHash determinism. */
+class OperatorSpec extends SparkSuite {
+
+  test("AsOfJoin: most recent right row at-or-before left time; ties keep the largest tiebreak") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (2L, 20L, 105L), (3L, 30L, 95L))
+      .toDF("id", "k_l", "t_l").withColumnRenamed("k_l", "k").withColumnRenamed("t_l", "t")
+    val right = Seq(
+      (10L, 100L, 1L, "a"),  // exactly at left#1's time → visible (inclusive)
+      (10L, 100L, 2L, "b"),  // same ts, larger tiebreak → wins
+      (10L, 90L, 3L, "c"),
+      (20L, 110L, 4L, "d"),  // after left#2's time → invisible
+      (30L, 80L, 5L, "e"))
+      .toDF("rk", "rt", "seq", "payload")
+    val out = AsOfJoin(left, right, "k", "rk", "t", "rt",
+        rightCols = Seq("seq", "payload"), rightTieBreak = "seq")
+      .orderBy("id")
+      .select("id", "payload").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "b"), (2L, null), (3L, "e")))
+  }
+
+  test("CumulateWindow: each row lands in size/step expanding windows that contain it") {
+    import spark.implicits._
+    val df = Seq("2024-01-01 00:05:00").toDF("s")
+      .select(col("s").cast("timestamp_ntz").as("ts"))
+    val out = CumulateWindow(df, "ts", stepMinutes = 20, sizeMinutes = 60)
+      .select(col("w_start").cast("string"), col("w_end").cast("string"))
+      .as[(String, String)].collect().toSeq.sorted
+    assert(out == Seq(
+      ("2024-01-01 00:00:00", "2024-01-01 00:20:00"),
+      ("2024-01-01 00:00:00", "2024-01-01 00:40:00"),
+      ("2024-01-01 00:00:00", "2024-01-01 01:00:00")))
+  }
+
+  test("MinHashLSH: near-identical docs pair up, unrelated docs do not") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bend"),
+      (3L, "completely different text about spark catalyst optimizer internals"))
+      .toDF("doc_id", "text")
+    val pairs = MinHashLSH(docs, "doc_id", "text", shingleN = 3, numHashes = 8,
+        numBands = 4, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("SimHash: identical texts share a fingerprint in [0, 2^16); different texts differ") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val fp = SimHash(docs, "doc_id", "text")
+      .select("doc", "simhash").as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+    assert(fp.values.forall(v => v >= 0 && v < (1L << 16)))
+  }
+}

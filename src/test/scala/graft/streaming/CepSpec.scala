@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** NFA semantics (pure) + streaming behavior (match across micro-batch
+ * boundary, exactly-once emission) of the CEP operator. */
+class CepSpec extends SparkSuite {
+
+  private def ev(id: Long, typ: String, tsUs: Long, user: Long = 1) =
+    Ev(id, user, typ, tsUs, 1.0)
+
+  private val clickThenBuy = Cep.Pattern
+    .begin("click", _.event_type == "click")
+    .next("buy", _.event_type == "purchase")
+    .within(600L * 1000000)
+
+  test("next requires strict adjacency") {
+    val events = IndexedSeq(
+      ev(1, "click", 0), ev(2, "view", 10), ev(3, "purchase", 20),
+      ev(4, "click", 30), ev(5, "purchase", 40))
+    val ms = Cep.matchSorted(events, clickThenBuy)
+    assert(ms.map(_.event_ids) == List(Seq(4L, 5L))) // 1→3 blocked by the view
+  }
+
+  test("followedBy allows gaps and takes the earliest qualifying event") {
+    val p = Cep.Pattern.begin("click", _.event_type == "click")
+      .followedBy("buy", _.event_type == "purchase")
+      .within(600L * 1000000)
+    val events = IndexedSeq(
+      ev(1, "click", 0), ev(2, "view", 10), ev(3, "purchase", 20), ev(4, "purchase", 30))
+    assert(Cep.matchSorted(events, p).map(_.event_ids) == List(Seq(1L, 3L)))
+  }
+
+  test("within bound excludes too-late completions") {
+    val p = Cep.Pattern.begin("click", _.event_type == "click")
+      .followedBy("buy", _.event_type == "purchase")
+      .within(15)
+    val events = IndexedSeq(ev(1, "click", 0), ev(2, "purchase", 20))
+    assert(Cep.matchSorted(events, p).isEmpty)
+  }
+
+  test("every qualifying start begins its own match (NO_SKIP)") {
+    val p = Cep.Pattern.begin("a", _.event_type == "click")
+      .followedBy("b", _.event_type == "purchase")
+    val events = IndexedSeq(ev(1, "click", 0), ev(2, "click", 5), ev(3, "purchase", 9))
+    assert(Cep.matchSorted(events, p).map(_.event_ids).toSet ==
+      Set(Seq(1L, 3L), Seq(2L, 3L)))
+  }
+
+  test("streaming: a match straddling a micro-batch boundary is found exactly once") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Ev]
+    val q = Cep.run(ms.toDS(), clickThenBuy).toDF()
+      .writeStream.format("memory").queryName("t_cep").outputMode("append").start()
+    try {
+      ms.addData(ev(1, "click", 0))
+      q.processAllAvailable()
+      ms.addData(ev(2, "purchase", 10)) // completes the match started in batch 1
+      q.processAllAvailable()
+      ms.addData(ev(3, "view", 20))     // no new match; nothing re-emitted
+      q.processAllAvailable()
+      val got = spark.table("t_cep").as[CepMatch].collect()
+      assert(got.map(_.event_ids).toSeq == Seq(Seq(1L, 2L)))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,127 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/**
+ * Multi-batch semantics of the stateful streaming operators, driven by
+ * MemoryStream so micro-batch boundaries are controlled explicitly —
+ * the Spark analog of the reference's keyed-operator test harnesses
+ * (`KeyedOneInputStreamOperatorTestHarness`).
+ */
+class StatefulOpsSpec extends SparkSuite {
+
+  private def ev(id: Long, user: Long, typ: String, tsUs: Long, v: Double = 1.0) =
+    Ev(id, user, typ, tsUs, v)
+
+  test("keep-last dedup: winner survives out-of-order late arrivals across batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Ev]
+    val q = StatefulOps.keepLastByUser(ms.toDS()).toDF()
+      .writeStream.format("memory").queryName("t_keeplast").outputMode("update").start()
+    try {
+      ms.addData(ev(1, 1, "click", 100), ev(2, 1, "view", 200))
+      q.processAllAvailable()
+      ms.addData(ev(3, 1, "view", 150)) // late arrival, older than winner
+      q.processAllAvailable()
+      ms.addData(ev(4, 1, "buy", 300), ev(5, 2, "view", 50))
+      q.processAllAvailable()
+      val emitted = spark.table("t_keeplast").as[Ev].collect()
+      // the late event must NOT have been emitted (winner unchanged)
+      assert(emitted.map(_.event_id).toSet == Set(2L, 4L, 5L))
+      val finalPerUser = emitted.groupBy(_.user_id)
+        .view.mapValues(_.maxBy(e => (e.ts_us, e.event_id)).event_id).toMap
+      assert(finalPerUser == Map(1L -> 4L, 2L -> 5L))
+    } finally q.stop()
+  }
+
+  test("streaming top-n: buffer evolves across batches; re-rank of updates equals true top-n") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Ev]
+    val q = StatefulOps.topNByType(ms.toDS(), 2).toDF()
+      .writeStream.format("memory").queryName("t_topn").outputMode("update").start()
+    try {
+      ms.addData(ev(1, 1, "a", 1, 10.0), ev(2, 1, "a", 2, 5.0))
+      q.processAllAvailable()
+      ms.addData(ev(3, 1, "a", 3, 7.0)) // displaces id=2 from top-2
+      q.processAllAvailable()
+      ms.addData(ev(4, 1, "a", 4, 1.0)) // below top-2: no state change
+      q.processAllAvailable()
+      val updates = spark.table("t_topn").as[TopNRow].collect()
+      val top2 = updates.distinct.sortBy(r => (-r.value, r.event_id)).take(2).map(_.event_id)
+      assert(top2.toSeq == Seq(1L, 3L))
+      // the no-change batch must not have re-emitted the buffer
+      assert(updates.count(_.event_id == 1L) == 2) // emitted in batch 1 and 2 only
+    } finally q.stop()
+  }
+
+  test("running aggregate: fold continues from state across ordered batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Ev]
+    val q = StatefulOps.runningByUser(ms.toDS()).toDF()
+      .writeStream.format("memory").queryName("t_running").outputMode("append").start()
+    try {
+      ms.addData(ev(1, 7, "a", 100, 1.50), ev(2, 7, "a", 200, 2.25))
+      q.processAllAvailable()
+      ms.addData(ev(3, 7, "a", 300, 0.10))
+      q.processAllAvailable()
+      val rows = spark.table("t_running").as[RunningRow].collect().sortBy(_.event_id)
+      assert(rows.map(r => (r.event_id, r.running_n, r.running_cents)).toSeq ==
+        Seq((1L, 1L, 150L), (2L, 2L, 375L), (3L, 3L, 385L)))
+    } finally q.stop()
+  }
+
+  test("streaming tumble aggregation equals its batch twin on the same data") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val data = Seq(
+      ev(1, 1, "a", 0L, 1.0), ev(2, 1, "a", 10L * 60 * 1000 * 1000, 2.0),
+      ev(3, 2, "b", 20L * 60 * 1000 * 1000, 3.0), ev(4, 2, "a", 40L * 60 * 1000 * 1000, 4.0))
+    val ms = MemoryStream[Ev]
+    val agg = StatefulOpsSpecHelper.tumbleCounts(ms.toDS().toDF())
+    val q = agg.writeStream.format("memory").queryName("t_tumble").outputMode("complete").start()
+    try {
+      ms.addData(data.take(2): _*)
+      q.processAllAvailable()
+      ms.addData(data.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("t_tumble")
+        .orderBy("ws", "event_type").collect().toSeq
+      val batch = StatefulOpsSpecHelper.tumbleCounts(data.toDF())
+        .orderBy("ws", "event_type").collect().toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("dropDuplicates is streaming keep-first per key") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Ev]
+    val q = ms.toDS().dropDuplicates("user_id").toDF()
+      .writeStream.format("memory").queryName("t_keepfirst").outputMode("append").start()
+    try {
+      ms.addData(ev(1, 1, "a", 100))
+      q.processAllAvailable()
+      ms.addData(ev(2, 1, "b", 200), ev(3, 2, "c", 300)) // user 1 already seen
+      q.processAllAvailable()
+      val got = spark.table("t_keepfirst").as[Ev].collect().map(_.event_id).toSet
+      assert(got == Set(1L, 3L))
+    } finally q.stop()
+  }
+}
+
+/** Shared batch/stream expression so the equivalence test compiles the
+ * identical plan shape in both modes (SURVEY M2's t2 pattern). */
+object StatefulOpsSpecHelper {
+  import org.apache.spark.sql.DataFrame
+  def tumbleCounts(df: DataFrame): DataFrame =
+    df.withColumn("ts", expr("cast(timestamp_micros(ts_us) as timestamp_ntz)"))
+      .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(floor(col("value") * 100)).as("cents"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("cents"))
+}
