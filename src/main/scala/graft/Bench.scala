@@ -17,6 +17,13 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up codegen/parquet/shuffle paths so the first timed queries
+    // don't absorb one-time JVM startup cost
+    try {
+      Tables.load(spark, sfDir, "lineitem")
+        .groupBy("l_returnflag").count()
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

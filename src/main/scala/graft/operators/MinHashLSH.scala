@@ -32,13 +32,17 @@ import org.apache.spark.storage.StorageLevel
  */
 object MinHashLSH {
 
-  /** Distinct word n-gram shingles: (id, shingle). */
+  /** Distinct word n-gram shingles: (id, shingle). The words array is
+   * materialized once per row — splitting inside the lambda would
+   * re-split per shingle index (O(words²) string work). */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     df.select(col(idCol).as("doc"),
+        split(trim(lower(col(textCol))), " ").as("__w"))
+      .select(col("doc"),
         explode(expr(
           s"""transform(
-                sequence(1, greatest(size(split(trim(lower($textCol)), ' ')) - ${n - 1}, 1)),
-                i -> concat_ws(' ', slice(split(trim(lower($textCol)), ' '), i, $n)))"""))
+                sequence(1, greatest(size(__w) - ${n - 1}, 1)),
+                i -> concat_ws(' ', slice(__w, i, $n)))"""))
           .as("shingle"))
       .distinct()
   }
@@ -74,13 +78,17 @@ object MinHashLSH {
   /** Exact Jaccard verification of candidates; keeps pairs >= threshold.
    * The threshold compare is integer cross-multiplication
    * (ninter * 1000 >= num * union) — exact, no float boundary;
-   * `jaccard` is rounded only for output. */
+   * `jaccard` is rounded only for output. The intersection joins carry
+   * an 8-byte xxhash64 of the shingle instead of the shingle string —
+   * far fewer shuffled bytes; set semantics are unchanged (a 64-bit
+   * collision within one doc pair's shingle sets is negligible). */
   def verifiedPairs(sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
     val num = math.round(threshold * 1000)
-    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    val shh = sh.select(col("doc"), xxhash64(col("shingle")).as("sh64"))
+    val sizes = shh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
     val inter = cand
-      .join(sh.select(col("doc").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("doc").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .join(shh.select(col("doc").as("doc_a"), col("sh64")), Seq("doc_a"))
+      .join(shh.select(col("doc").as("doc_b"), col("sh64")), Seq("doc_b", "sh64"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("ninter"))
     inter

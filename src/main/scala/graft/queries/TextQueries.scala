@@ -66,13 +66,18 @@ object TextQueries extends QueryPack {
     // Fingerprinting: whole-content md5 + min-hash over word 3-grams
     // (the winnowing-style content fingerprint used for near-dup keys).
     "text_fingerprint" -> ((s, dir) => {
+      // the words array is materialized ONCE per row before the lambda:
+      // splitting inside `transform` re-splits per shingle index, turning
+      // an O(words) fingerprint into O(words^2) string work
       Tables.load(s, dir, "documents")
+        .withColumn("__norm", trim(lower(col("text"))))
+        .withColumn("__w", split(col("__norm"), " "))
         .select(col("doc_id"),
-          md5(trim(lower(col("text")))).as("content_md5"),
+          md5(col("__norm")).as("content_md5"),
           expr("""
             array_min(transform(
-              sequence(1, greatest(size(split(trim(lower(text)), ' ')) - 2, 1)),
-              i -> md5(concat_ws(' ', slice(split(trim(lower(text)), ' '), i, 3)))))
+              sequence(1, greatest(size(__w) - 2, 1)),
+              i -> md5(concat_ws(' ', slice(__w, i, 3)))))
           """).as("min_shingle_hash"))
         .orderBy(col("doc_id"))
     }),
