@@ -20,6 +20,7 @@ object SparkEntry {
     qp.SetOpQueries,
     qp.WindowOverQueries,
     qp.CalcQueries,
+    qp.GapFnQueries,
     qp.TimeWindowQueries,
     qp.StreamQueries,
     qp.TextQueries,

@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+
+/**
+ * SQL function registry for the gap functions (SURVEY §2.8), matching
+ * the reference's operator-table names (`FlinkSqlOperatorTable.java`).
+ * Functions Spark can already express are COMPOSED from built-in
+ * codegen'd expressions at registration time (SURVEY §7.2 preference
+ * (a)); only the genuine gaps get custom Expression classes.
+ *
+ * Use either `GraftFunctions.register(spark)` at runtime, or configure
+ * `spark.sql.extensions=graft.functions.GraftExtensions`.
+ */
+object GraftFunctions {
+
+  private def info(name: String) =
+    new ExpressionInfo(classOf[IsDecimal].getName, name)
+
+  /** (s1,e1) overlaps (s2,e2), endpoints normalized and inclusive —
+   * the reference's TEMPORAL_OVERLAPS, composed from built-ins. */
+  private def temporalOverlaps(es: Seq[Expression]): Expression = {
+    require(es.length == 4, "temporal_overlaps(s1, e1, s2, e2)")
+    val Seq(s1, e1, s2, e2) = es
+    And(
+      LessThanOrEqual(Least(Seq(s1, e1)), Greatest(Seq(s2, e2))),
+      LessThanOrEqual(Least(Seq(s2, e2)), Greatest(Seq(s1, e1))))
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "is_decimal" -> (es => IsDecimal(es.head)),
+    "is_digit" -> (es => IsDigit(es.head)),
+    "is_alpha" -> (es => IsAlpha(es.head)),
+    "is_json_value" -> (es => IsJsonPredicate(es.head, "value")),
+    "is_json_object" -> (es => IsJsonPredicate(es.head, "object")),
+    "is_json_array" -> (es => IsJsonPredicate(es.head, "array")),
+    "is_json_scalar" -> (es => IsJsonPredicate(es.head, "scalar")),
+    "split_index" -> (es => SplitIndex(es(0), es(1), es(2))),
+    "temporal_overlaps" -> temporalOverlaps,
+    // HASH_CODE ≡ Spark's Murmur3 hash; RAND_INTEGER(n) = floor(rand()*n)
+    "hash_code" -> (es => Murmur3Hash(es, 42)),
+    "rand_integer" -> (es =>
+      Cast(Floor(Multiply(new Rand(), Cast(es.head, org.apache.spark.sql.types.DoubleType))),
+        org.apache.spark.sql.types.IntegerType))
+  )
+
+  /** Runtime registration on an existing session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      reg.registerFunction(FunctionIdentifier(name), info(name), b)
+    }
+  }
+}
+
+/** `spark.sql.extensions` entry point — injects the gap functions into
+ * every session built with these extensions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftFunctions.builders.foreach { case (name, b) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[IsDecimal].getName, name), b))
+    }
+  }
+}
