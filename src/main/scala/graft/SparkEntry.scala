@@ -21,6 +21,7 @@ object SparkEntry {
     qp.WindowOverQueries,
     qp.CalcQueries,
     qp.GapFnQueries,
+    qp.UdfQueries,
     qp.TimeWindowQueries,
     qp.StreamQueries,
     qp.TextQueries,

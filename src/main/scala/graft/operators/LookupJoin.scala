@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+
+/**
+ * Lookup join against an external system (reference
+ * `exec/stream/StreamExecLookupJoin.java:43`, runtime
+ * `join/lookup/LookupJoinRunner.java` / `AsyncLookupJoinRunner`):
+ * probe a per-partition connection for each row instead of shuffling a
+ * dimension table.
+ *
+ * Scale notes: `mapPartitions` opens ONE connection per partition (not
+ * per row) and streams rows through it — at 1000 executors this is the
+ * standard connection-pooled enrichment pattern; when the dimension
+ * fits in memory, prefer a broadcast join instead (Catalyst handles
+ * that path natively — see `join_broadcast_dim`).
+ */
+object LookupJoin {
+
+  /** The external-system handle; `open` runs once per partition. */
+  trait LookupTable[K, V] extends Serializable {
+    def open(): Unit = ()
+    def lookup(k: K): Option[V]
+    def close(): Unit = ()
+  }
+
+  /** Synchronous lookup join: left outer semantics via Option. */
+  def apply[I, K, V, O: Encoder](ds: Dataset[I], table: LookupTable[K, V])(
+      key: I => K)(combine: (I, Option[V]) => O): Dataset[O] =
+    ds.mapPartitions { it =>
+      table.open()
+      new Iterator[O] {
+        def hasNext: Boolean = { val h = it.hasNext; if (!h) table.close(); h }
+        def next(): O = { val i = it.next(); combine(i, table.lookup(key(i))) }
+      }
+    }
+}
+
+/**
+ * Async I/O enrichment (reference `AsyncDataStream` /
+ * `api/operators/async/AsyncWaitOperator.java:78`, ordered mode):
+ * bounded in-flight futures per partition, results emitted in input
+ * order.
+ */
+object AsyncLookup {
+
+  /** `parallelism` futures in flight per partition; blocks on the
+   * oldest future only when the window is full or input is drained —
+   * the reference's ordered AsyncWaitOperator queue. */
+  def mapAsyncOrdered[I, O: Encoder](ds: Dataset[I], parallelism: Int, timeout: Duration = 5.minutes)(
+      f: I => Future[O]): Dataset[O] = {
+    require(parallelism >= 1)
+    ds.mapPartitions { it =>
+      val inFlight = scala.collection.mutable.Queue.empty[Future[O]]
+      new Iterator[O] {
+        private def fill(): Unit =
+          while (inFlight.size < parallelism && it.hasNext) inFlight.enqueue(f(it.next()))
+        def hasNext: Boolean = { fill(); inFlight.nonEmpty }
+        def next(): O = { fill(); Await.result(inFlight.dequeue(), timeout) }
+      }
+    }
+  }
+}

@@ -1,0 +1,185 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import graft.api._
+import graft.operators.{AsyncLookup, LookupJoin}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.concurrent.Future
+
+/** Example user functions, named/shaped like the reference's docs. */
+object ExampleFns {
+
+  class PriceBand extends ScalarFunction1[Double, String] {
+    override def eval(p: Double): String =
+      if (p > 200000) "high" else if (p > 100000) "mid" else "low"
+  }
+
+  /** Emits (word, 0-based idx, length) rows per document. */
+  class WordsWithIdx extends TableFunction1[String, (String, Int, Int)] {
+    override def eval(text: String): Unit =
+      text.split(" ").zipWithIndex.foreach { case (w, i) => collect((w, i, w.length)) }
+  }
+
+  /** Weighted average in integer cents: floor-quantized, exact. */
+  class WeightedAvg extends AggregateFunction[(Double, Double), (Long, Long), Long] {
+    override def createAccumulator(): (Long, Long) = (0L, 0L)
+    override def accumulate(acc: (Long, Long), in: (Double, Double)): (Long, Long) = {
+      val w = math.floor(in._1).toLong
+      (acc._1 + math.floor(in._2 * 100).toLong * w, acc._2 + w)
+    }
+    override def mergeAcc(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+      (a._1 + b._1, a._2 + b._2)
+    override def getValue(acc: (Long, Long)): Long =
+      if (acc._2 == 0) 0L else acc._1 / acc._2
+    override def bufferEncoder: Encoder[(Long, Long)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** The reference docs' Top2 table aggregate: two largest values with
+   * ranks (reference `TableAggregateFunction` Top2 example shape). */
+  class Top2 extends TableAggregateFunction[Long, (Long, Long), (Long, Int)] {
+    private val None_ = Long.MinValue
+    override def createAccumulator(): (Long, Long) = (None_, None_)
+    override def accumulate(acc: (Long, Long), in: Long): (Long, Long) =
+      if (in > acc._1) (in, acc._1)
+      else if (in > acc._2) (acc._1, in)
+      else acc
+    // sentinel values merge harmlessly (never greater than a real value)
+    override def mergeAcc(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+      accumulate(accumulate(a, b._1), b._2)
+    override def emitValue(acc: (Long, Long)): Seq[(Long, Int)] =
+      Seq(acc._1 -> 1, acc._2 -> 2).filter(_._1 != None_)
+    override def bufferEncoder: Encoder[(Long, Long)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    override def outputEncoder: Encoder[Seq[(Long, Int)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Int)]]()
+  }
+}
+
+/**
+ * UDF surface (SURVEY §2.10 — reference
+ * `flink-table-common/.../functions/{Scalar,Table,Aggregate,
+ * TableAggregate,AsyncTable}Function.java`) + lookup join
+ * (`StreamExecLookupJoin.java:43`), exercised through the gate.
+ *
+ * Scale notes: scalar/table UDFs run inside the scan's stage (JVM
+ * lambda, no Python bridge); the typed aggregates are real two-phase
+ * `Aggregator`s (partial merge on the map side); lookup joins open one
+ * connection per PARTITION and keep async lookups bounded+ordered.
+ */
+object UdfQueries extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ScalarFunction through SQL.
+    "udf_scalar_fn" -> ((s, dir) => {
+      Udfs.register(s, "price_band", new ExampleFns.PriceBand)
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderkey, price_band(o_totalprice) AS band
+        FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""")
+    }),
+
+    // TableFunction: 0..n collected rows per input row, exploded.
+    "udf_table_fn" -> ((s, dir) => {
+      Udfs.registerTable(s, "words_with_idx", new ExampleFns.WordsWithIdx)
+      Tables.load(s, dir, "documents")
+        .filter(col("doc_id") <= 50)
+        .select(col("doc_id"), explode(expr("words_with_idx(trim(text))")).as("p"))
+        .select(col("doc_id"), col("p._1").as("word"), col("p._3").cast("bigint").as("wlen"))
+        .orderBy(col("doc_id"), col("word"), col("wlen"))
+    }),
+
+    // AggregateFunction as a registered UDAF (two-phase partial agg).
+    "udf_agg_weighted_avg" -> ((s, dir) => {
+      s.udf.register("weighted_avg", udaf(new ExampleFns.WeightedAvg))
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT l_returnflag, weighted_avg(l_quantity, l_extendedprice) AS wavg_cents
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }),
+
+    // TableAggregateFunction: Top2 rows per group, exploded after agg.
+    "udf_table_agg_top2" -> ((s, dir) => {
+      import s.implicits._
+      val top2 = new ExampleFns.Top2
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          floor(col("l_extendedprice") * 100).as("cents"))
+        .as[(String, Long)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(top2.toColumn.name("top2"))
+        .toDF("flag", "top2")
+        .select(col("flag"), explode(col("top2")).as("p"))
+        .select(col("flag"), col("p._1").as("cents"), col("p._2").as("rank"))
+        .orderBy(col("flag"), col("rank"))
+    }),
+
+    // Sync lookup join: per-partition connection probes an external KV
+    // stub (a tiny collected dim seeds the stub — standing in for the
+    // JDBC/HBase connector the reference probes).
+    "lookup_join_sync" -> ((s, dir) => {
+      import s.implicits._
+      val dim = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name")).as[(Long, String)]
+        .collect().toMap
+      val table = new LookupJoin.LookupTable[Long, String] {
+        override def lookup(k: Long): Option[String] = dim.get(k)
+      }
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")).as[(Long, Long)]
+      LookupJoin(cust, table)(_._2) { case ((ck, _), name) => (ck, name.getOrElse("?")) }
+        .toDF("c_custkey", "n_name")
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Async lookup join (ordered, bounded in-flight futures).
+    "lookup_join_async" -> ((s, dir) => {
+      import s.implicits._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val dim = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name")).as[(Long, String)]
+        .collect().toMap
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")).as[(Long, Long)]
+      AsyncLookup.mapAsyncOrdered(cust, parallelism = 8) { case (ck, nk) =>
+        Future((ck, dim.getOrElse(nk, "?")))
+      }.toDF("c_custkey", "n_name")
+        .orderBy(col("c_custkey"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "udf_scalar_fn" -> """
+      SELECT o_orderkey,
+             CASE WHEN o_totalprice > 200000 THEN 'high'
+                  WHEN o_totalprice > 100000 THEN 'mid'
+                  ELSE 'low' END AS band
+      FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""",
+    "udf_table_fn" -> """
+      SELECT doc_id, word, CAST(length(word) AS BIGINT) AS wlen
+      FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+            FROM documents WHERE doc_id <= 50) t
+      ORDER BY doc_id, word, wlen""",
+    "udf_agg_weighted_avg" -> """
+      SELECT l_returnflag,
+             CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                      * CAST(floor(l_quantity) AS BIGINT))
+                  // sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS wavg_cents
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "udf_table_agg_top2" -> """
+      SELECT l_returnflag AS flag, cents, CAST(rn AS INT) AS rank
+      FROM (SELECT l_returnflag, CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+                   row_number() OVER (PARTITION BY l_returnflag
+                     ORDER BY CAST(floor(l_extendedprice * 100) AS BIGINT) DESC) AS rn
+            FROM lineitem) t
+      WHERE rn <= 2 ORDER BY flag, rank""",
+    "lookup_join_sync" -> """
+      SELECT c_custkey, n_name
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      ORDER BY c_custkey""",
+    "lookup_join_async" -> """
+      SELECT c_custkey, n_name
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      ORDER BY c_custkey"""
+  )
+}
