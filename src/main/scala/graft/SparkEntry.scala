@@ -26,6 +26,8 @@ object SparkEntry {
     qp.StreamQueries,
     qp.TextQueries,
     qp.DedupQueries,
+    qp.MultimodalQueries,
+    qp.FormatQueries,
     qp.SimilarityQueries
   )
 

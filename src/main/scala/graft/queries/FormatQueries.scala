@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Source/sink formats & utility connectors (SURVEY §2.1: reference
+ * `flink-formats/flink-csv`, `flink-json`,
+ * `DataGenTableSourceFactory.java`, `BlackHoleTableSinkFactory.java`):
+ * declared-schema CSV/JSON reads (the reference never infers schema —
+ * §1.3), a deterministic generated source, and a blackhole-sink
+ * write-then-count. Roundtrips stage through a scratch dir — the write
+ * path exercises the DSv2 file sinks.
+ */
+object FormatQueries extends QueryPack {
+
+  private def scratch(dir: String, name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_fmt/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/$name"
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CSV write → declared-schema read → aggregate. CSV has no types:
+    // the declared schema (reference CsvRowDataDeserializationSchema
+    // semantics) restores them.
+    "fmt_csv_roundtrip" -> ((s, dir) => {
+      val path = scratch(dir, "nation_csv")
+      val nation = Tables.load(s, dir, "nation")
+      nation.select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite").option("header", "true").csv(path)
+      s.read.schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+        .option("header", "true").csv(path)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"),
+          sum(col("n_nationkey")).as("key_sum"))
+        .orderBy(col("n_regionkey"))
+    }),
+
+    // JSON-lines write → declared-schema read → aggregate.
+    "fmt_json_roundtrip" -> ((s, dir) => {
+      val path = scratch(dir, "orders_json")
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").json(path)
+      s.read.schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+        .json(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * 100)).as("sum_cents"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // Deterministic generated source (datagen analog): spark.range with
+    // computed columns — no files, no RNG.
+    "src_datagen" -> ((s, dir) => {
+      s.range(0, 1000)
+        .select(col("id"),
+          (col("id") % 7).as("bucket"),
+          md5(col("id").cast("string")).as("tag"))
+        .orderBy(col("id"))
+    }),
+
+    // Blackhole/noop sink: fully execute a write with no output, then
+    // report what was written (print/blackhole connector analog).
+    "sink_blackhole" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      orders.write.format("noop").mode("overwrite").save()
+      orders.agg(count(lit(1)).as("n_written"),
+        sum(floor(col("o_totalprice") * 100)).as("sum_cents"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "fmt_csv_roundtrip" -> """
+      SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name,
+             CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "fmt_json_roundtrip" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM orders WHERE o_orderkey <= 2000
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "src_datagen" -> """
+      SELECT range AS id, range % 7 AS bucket, md5(CAST(range AS VARCHAR)) AS tag
+      FROM range(0, 1000) ORDER BY id""",
+    "sink_blackhole" -> """
+      SELECT count(*) AS n_written,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM orders"""
+  )
+}
