@@ -28,6 +28,8 @@ object SparkEntry {
     qp.DedupQueries,
     qp.MultimodalQueries,
     qp.FormatQueries,
+    qp.ChangelogQueries,
+    qp.GraphQueries,
     qp.SimilarityQueries
   )
 

@@ -1,0 +1,69 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Gelly-analog graph loops (SURVEY §7.1 `graph/`; reference
+ * `flink-libraries/flink-gelly/.../Graph.java:1901-2003`
+ * scatter-gather / gather-sum-apply iterations, and DataSet bulk
+ * iterations `DataSet.java:1181`): vertices and edges are DataFrames,
+ * iteration is a driver-side loop of joins — the GraphFrames/Pregel
+ * shape.
+ *
+ * Scale notes: each round is two shuffles (message join + vertex
+ * update); intermediate frames are persisted and lineage is cut with
+ * localCheckpoint every few rounds so plans don't grow unboundedly —
+ * the standard iterative-DataFrame discipline at cluster scale.
+ */
+object Pregel {
+
+  /** Min-label propagation for `rounds` FIXED rounds over an undirected
+   * edge list (src, dst): label := min(label, neighbors' labels).
+   * With rounds >= graph diameter this is connected components
+   * (labels = min vertex id in the component). Fixed rounds keep the
+   * result exactly reproducible by the SQL oracle. */
+  def minLabelPropagation(vertices: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
+    // undirected: send messages both ways
+    val undirected = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = vertices.select(col("id"), col("id").as("label"))
+    for (round <- 1 to rounds) {
+      val msgs = undirected
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("label")).as("nbr_label"))
+      labels = labels.join(msgs, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      if (round % 3 == 0) labels = labels.localCheckpoint() // cut lineage
+    }
+    labels
+  }
+
+  /** Standard PageRank, fixed iterations, damping 0.85. Kept exactly
+   * deterministic per-engine run (pure joins/aggregations); cross-engine
+   * float equality is NOT promised — validated by spec on a known
+   * graph, exposed in the gate as a rows-only entry. */
+  def pageRank(vertices: DataFrame, edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    val n = vertices.count().toDouble
+    val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = vertices.select(col("id"), lit(1.0 / n).as("rank"))
+    for (i <- 1 to iters) {
+      val contribs = edges
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .join(outDeg.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") / col("deg")).as("recv"))
+      ranks = vertices.select(col("id"))
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1 - damping) / n) + lit(damping) * coalesce(col("recv"), lit(0.0))).as("rank"))
+      if (i % 3 == 0) ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+}

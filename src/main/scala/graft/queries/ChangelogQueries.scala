@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import graft.changelog.ChangelogOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Changelog / RowKind layer (reference `RowKind.java:25`,
+ * `StreamExecChangelogNormalize.java:61`): derive the retract stream of
+ * a versioned table and normalize it back to the final table image.
+ * Round-trip identity (normalize ∘ toChangelog = keep-last) is what the
+ * oracle checks.
+ */
+object ChangelogQueries extends QueryPack {
+
+  private def versioned(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        floor(col("value") * 100).as("cents"))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Retract changelog of the per-user event history (version =
+    // event_id): first row +I, then -U/+U pairs.
+    "changelog_build" -> ((s, dir) => {
+      ChangelogOps.toChangelog(versioned(s, dir), keys = Seq("user_id"), versionCol = "event_id")
+        .orderBy(col("user_id"), col("row_kind"), col("event_id"))
+    }),
+
+    // Normalize the changelog back to its final image = keep-last.
+    "changelog_normalize" -> ((s, dir) => {
+      val cl = ChangelogOps.toChangelog(versioned(s, dir), Seq("user_id"), "event_id")
+      ChangelogOps.normalize(cl, keys = Seq("user_id"), seqCol = "event_id")
+        .orderBy(col("user_id"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "changelog_build" -> """
+      WITH t AS (
+        SELECT user_id, event_id, CAST(floor(value * 100) AS BIGINT) AS cents,
+               row_number() OVER w AS rn,
+               lag(event_id) OVER w AS p_eid,
+               lag(CAST(floor(value * 100) AS BIGINT)) OVER w AS p_cents
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+      SELECT user_id, event_id, cents, '+I' AS row_kind FROM t WHERE rn = 1
+      UNION ALL
+      SELECT user_id, p_eid, p_cents, '-U' FROM t WHERE rn > 1
+      UNION ALL
+      SELECT user_id, event_id, cents, '+U' FROM t WHERE rn > 1
+      ORDER BY user_id, row_kind, event_id""",
+    "changelog_normalize" -> """
+      SELECT user_id, event_id, cents FROM (
+        SELECT user_id, event_id, CAST(floor(value * 100) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events) t
+      WHERE rn = 1 ORDER BY user_id"""
+  )
+}

@@ -1,0 +1,82 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import graft.graph.Pregel
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Graph loops (SURVEY §7.1 `graph/`, reference Gelly
+ * `Graph.java:1901-2003` + DataSet bulk iteration `DataSet.java:1181`)
+ * over the bipartite user–event_type graph of the events table: type
+ * vertices get negative ids from a deterministic dense rank, so both
+ * engines label the identical graph. Fixed-round min-label propagation
+ * is exactly reproducible by the SQL oracle (4 unrolled rounds);
+ * PageRank is validated by spec on a known graph and enters the gate
+ * rows-only (float iteration — no cross-engine bit equality promised).
+ */
+object GraphQueries extends QueryPack {
+
+  private def bipartite(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ev = Tables.load(s, dir, "events")
+    val tmap = ev.select(col("event_type")).distinct()
+      .withColumn("tid", -dense_rank().over(Window.orderBy(col("event_type"))).cast("long"))
+    val edges = ev.select(col("user_id"), col("event_type")).distinct()
+      .join(tmap, Seq("event_type"))
+      .select(col("user_id").as("src"), col("tid").as("dst"))
+    val vertices = ev.select(col("user_id").as("id")).distinct()
+      .unionAll(tmap.select(col("tid").as("id")))
+    (vertices, edges)
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Connected-component labels after 4 fixed propagation rounds.
+    "graph_cc_labels" -> ((s, dir) => {
+      val (v, e) = bipartite(s, dir)
+      Pregel.minLabelPropagation(v, e, rounds = 4)
+        .filter(col("id") >= 0)
+        .orderBy(col("id"))
+    }),
+
+    // PageRank over user→type→user structure; rows-only gate entry.
+    "graph_pagerank" -> ((s, dir) => {
+      val (v, e) = bipartite(s, dir)
+      val undirected = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      Pregel.pageRank(v, undirected, iters = 5)
+        .orderBy(col("rank").desc, col("id"))
+        .limit(20)
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "graph_cc_labels" -> """
+      WITH types AS (SELECT DISTINCT event_type FROM events),
+      tmap AS (SELECT event_type,
+                      -CAST(dense_rank() OVER (ORDER BY event_type) AS BIGINT) AS tid
+               FROM types),
+      e0 AS (SELECT DISTINCT e.user_id AS src, t.tid AS dst
+             FROM events e JOIN tmap t USING (event_type)),
+      edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      v AS (SELECT DISTINCT user_id AS id FROM events
+            UNION SELECT tid FROM tmap),
+      l0 AS (SELECT id, id AS label FROM v),
+      l1 AS (SELECT l.id, least(l.label, coalesce(m.nl, l.label)) AS label
+             FROM l0 l LEFT JOIN (SELECT e.dst AS id, min(x.label) AS nl
+                                  FROM edges e JOIN l0 x ON e.src = x.id
+                                  GROUP BY e.dst) m ON l.id = m.id),
+      l2 AS (SELECT l.id, least(l.label, coalesce(m.nl, l.label)) AS label
+             FROM l1 l LEFT JOIN (SELECT e.dst AS id, min(x.label) AS nl
+                                  FROM edges e JOIN l1 x ON e.src = x.id
+                                  GROUP BY e.dst) m ON l.id = m.id),
+      l3 AS (SELECT l.id, least(l.label, coalesce(m.nl, l.label)) AS label
+             FROM l2 l LEFT JOIN (SELECT e.dst AS id, min(x.label) AS nl
+                                  FROM edges e JOIN l2 x ON e.src = x.id
+                                  GROUP BY e.dst) m ON l.id = m.id),
+      l4 AS (SELECT l.id, least(l.label, coalesce(m.nl, l.label)) AS label
+             FROM l3 l LEFT JOIN (SELECT e.dst AS id, min(x.label) AS nl
+                                  FROM edges e JOIN l3 x ON e.src = x.id
+                                  GROUP BY e.dst) m ON l.id = m.id)
+      SELECT id, label FROM l4 WHERE id >= 0 ORDER BY id"""
+  )
+}

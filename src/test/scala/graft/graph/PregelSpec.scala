@@ -1,0 +1,33 @@
+package graft.graph
+
+import graft.SparkSuite
+
+/** Graph loops on known small graphs. */
+class PregelSpec extends SparkSuite {
+
+  test("min-label propagation finds connected components within diameter rounds") {
+    import spark.implicits._
+    val v = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    // components: {1,2,3} (path), {4,5} (edge), {6} (isolated)
+    val e = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val labels = Pregel.minLabelPropagation(v, e, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("pagerank: sink-free cycle converges to uniform; star center outranks leaves") {
+    import spark.implicits._
+    val cv = Seq(1L, 2L, 3L).toDF("id")
+    val ce = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val cyc = Pregel.pageRank(cv, ce, iters = 10).as[(Long, Double)].collect().toMap
+    assert(cyc.values.forall(r => math.abs(r - 1.0 / 3) < 1e-9))
+
+    val sv = Seq(0L, 1L, 2L, 3L).toDF("id")
+    // leaves point at the center and back (undirected star)
+    val se = Seq((1L, 0L), (2L, 0L), (3L, 0L), (0L, 1L), (0L, 2L), (0L, 3L))
+      .toDF("src", "dst")
+    val star = Pregel.pageRank(sv, se, iters = 15).as[(Long, Double)].collect().toMap
+    assert(star(0L) > star(1L))
+    assert(math.abs(star(1L) - star(2L)) < 1e-12)
+  }
+}
