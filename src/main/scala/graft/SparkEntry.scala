@@ -30,6 +30,8 @@ object SparkEntry {
     qp.FormatQueries,
     qp.ChangelogQueries,
     qp.GraphQueries,
+    qp.DdlQueries,
+    qp.DataSetQueries,
     qp.SimilarityQueries
   )
 

@@ -1,0 +1,72 @@
+package graft.queries
+
+import graft.QueryPack
+import graft.sqlx.Ddl
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Connector-DDL surface (reference `parserImpls.ftl:569,849`): tables
+ * declared with `CREATE TABLE … WITH (…)` incl. computed columns, then
+ * queried through plain `spark.sql` — the reference's SQL entry path.
+ */
+object DdlQueries extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Parquet connector + computed column through DDL, queried via SQL.
+    "ddl_sql_pipeline" -> ((s, dir) => {
+      Ddl.execute(s,
+        s"""CREATE TABLE lineitem_t (
+              l_orderkey BIGINT,
+              l_returnflag STRING,
+              l_quantity DOUBLE,
+              l_extendedprice DOUBLE,
+              l_discount DOUBLE,
+              net AS floor(l_extendedprice * (1.0d - l_discount) * 100)
+            ) WITH (
+              'connector' = 'filesystem',
+              'path' = '$dir/lineitem.parquet',
+              'format' = 'parquet'
+            )""")
+      s.sql("""
+        SELECT l_returnflag, count(*) AS n,
+               sum(net) AS net_cents,
+               sum(floor(l_quantity * 100)) AS qty_cents
+        FROM lineitem_t
+        GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }),
+
+    // CSV connector through DDL: write a CSV staging copy, declare it
+    // with a schema (reference CSV formats never infer — §1.3), query.
+    "ddl_csv_source" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_fmt/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/ddl_supplier_csv"
+      graft.Tables.load(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .write.mode("overwrite").option("header", "true").csv(path)
+      Ddl.execute(s,
+        s"""CREATE TABLE supplier_csv (
+              s_suppkey BIGINT,
+              s_name STRING,
+              s_nationkey BIGINT
+            ) WITH (
+              'connector' = 'filesystem',
+              'path' = '$path',
+              'format' = 'csv',
+              'csv.header' = 'true'
+            )""")
+      s.sql("""
+        SELECT s_nationkey, count(*) AS n, min(s_name) AS first_name
+        FROM supplier_csv GROUP BY s_nationkey ORDER BY s_nationkey""")
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "ddl_sql_pipeline" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS net_cents,
+             CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "ddl_csv_source" -> """
+      SELECT s_nationkey, count(*) AS n, min(s_name) AS first_name
+      FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""
+  )
+}

@@ -1,0 +1,119 @@
+package graft.sqlx
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Connector DDL surface (SURVEY §1.3/§7.1 `sqlx/`): the reference's
+ * `CREATE TABLE … WITH ('connector'=…) / computed columns / WATERMARK
+ * FOR …` form (parser extension
+ * `flink-sql-parser/.../parserImpls.ftl:569,849`) translated onto
+ * Spark primitives — DataFrame reader (+ readStream), projection for
+ * computed columns, `withWatermark`, temp-view registration. After
+ * `Ddl.execute`, plain `spark.sql` queries the table; Catalyst owns
+ * everything below.
+ *
+ * Supported grammar (one statement):
+ * {{{
+ * CREATE TABLE name (
+ *   col TYPE, ...,
+ *   comp AS <spark sql expr>, ...,
+ *   WATERMARK FOR tscol AS tscol - INTERVAL '5' SECOND
+ * ) WITH (
+ *   'connector' = 'filesystem', 'path' = '...',
+ *   'format' = 'parquet' | 'csv' | 'json',
+ *   'scan.streaming' = 'true' | 'false',     -- default false
+ *   'csv.header' = 'true' | 'false'
+ * )
+ * }}}
+ */
+object Ddl {
+
+  final case class ColumnDef(name: String, typ: String)
+  final case class ComputedDef(name: String, sqlExpr: String)
+  final case class WatermarkDef(column: String, delay: String)
+  final case class TableDef(
+      name: String,
+      physical: Seq[ColumnDef],
+      computed: Seq[ComputedDef],
+      watermark: Option[WatermarkDef],
+      options: Map[String, String])
+
+  private val CreateRe =
+    """(?is)\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\)\s*WITH\s*\((.*)\)\s*""".r
+  private val WatermarkRe =
+    """(?is)WATERMARK\s+FOR\s+([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+\1\s*-\s*INTERVAL\s+'(\d+)'\s+(\w+)""".r
+  private val ComputedRe = """(?is)([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.+)""".r
+  private val PhysicalRe = """(?is)([A-Za-z_][A-Za-z0-9_]*)\s+([A-Za-z0-9_<>,() ]+)""".r
+  private val OptionRe = """'([^']*)'\s*=\s*'([^']*)'""".r
+
+  /** Split on commas not nested inside parentheses. */
+  private def splitTop(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    val cur = new StringBuilder
+    s.foreach {
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c =>
+        if (c == '(') depth += 1
+        if (c == ')') depth -= 1
+        cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  def parse(ddl: String): TableDef = ddl match {
+    case CreateRe(name, body, opts) =>
+      var physical = Vector.empty[ColumnDef]
+      var computed = Vector.empty[ComputedDef]
+      var watermark: Option[WatermarkDef] = None
+      splitTop(body).foreach {
+        case WatermarkRe(c, n, unit) => watermark = Some(WatermarkDef(c, s"$n $unit"))
+        case ComputedRe(n, e) => computed :+= ComputedDef(n, e.trim) // has AS → computed
+        case PhysicalRe(n, t) => physical :+= ColumnDef(n, t.trim)
+        case other => throw new IllegalArgumentException(s"cannot parse column clause: '$other'")
+      }
+      val options = OptionRe.findAllMatchIn(opts).map(m => m.group(1) -> m.group(2)).toMap
+      TableDef(name, physical, computed, watermark, options)
+    case _ => throw new IllegalArgumentException("expected CREATE TABLE … ( … ) WITH ( … )")
+  }
+
+  /** Execute the DDL: build the (possibly streaming) DataFrame, apply
+   * computed columns and watermark, register the temp view; returns the
+   * frame. */
+  def execute(spark: SparkSession, ddl: String): DataFrame = {
+    val t = parse(ddl)
+    val fmt = t.options.getOrElse("format", "parquet")
+    val path = t.options.getOrElse("path",
+      throw new IllegalArgumentException(s"table ${t.name}: missing 'path' option"))
+    val streaming = t.options.get("scan.streaming").contains("true")
+    val schema = StructType.fromDDL(t.physical.map(c => s"${c.name} ${c.typ}").mkString(", "))
+
+    var df =
+      if (streaming) {
+        // single-file paths need a glob so the file stream source treats
+        // the parent as basePath (see StreamOps.readStream)
+        val p = if (path.endsWith("/")) path else path + "*"
+        val r = spark.readStream.schema(schema)
+        fmt match {
+          case "parquet" => r.parquet(p)
+          case "csv" => r.option("header", t.options.getOrElse("csv.header", "false")).csv(p)
+          case "json" => r.json(p)
+          case other => throw new IllegalArgumentException(s"unsupported format $other")
+        }
+      } else fmt match {
+        case "parquet" => spark.read.parquet(path).selectExpr(t.physical.map(_.name): _*)
+        case "csv" => spark.read.schema(schema)
+          .option("header", t.options.getOrElse("csv.header", "false")).csv(path)
+        case "json" => spark.read.schema(schema).json(path)
+        case other => throw new IllegalArgumentException(s"unsupported format $other")
+      }
+
+    t.computed.foreach(c => df = df.withColumn(c.name, expr(c.sqlExpr)))
+    t.watermark.foreach { w => if (streaming) df = df.withWatermark(w.column, w.delay) }
+    df.createOrReplaceTempView(t.name)
+    df
+  }
+}

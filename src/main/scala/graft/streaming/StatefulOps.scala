@@ -9,6 +9,11 @@ case class TopNRow(event_type: String, event_id: Long, value: Double)
 /** Output of the per-key running aggregate (streaming OVER analog). */
 case class RunningRow(user_id: Long, event_id: Long, running_n: Long, running_cents: Long)
 
+/** Union-typed element for the control/data (broadcast state) pattern:
+ * `isControl` rows carry a new threshold, data rows carry an event. */
+case class Tagged(isControl: Boolean, event_type: String, threshold: Double,
+    event_id: Long, user_id: Long, ts_us: Long, value: Double)
+
 /**
  * Stateful streaming operators on `flatMapGroupsWithState` (SURVEY.md
  * §7.2 "custom transformWithState processors", M3). Each mirrors a
@@ -58,6 +63,30 @@ object StatefulOps {
             .take(n)
           state.update(merged)
           if (merged != old) merged.iterator else Iterator.empty
+      }
+  }
+
+  /** Control/data streams into one keyed state op (the reference's
+   * broadcast-state / connected-streams pattern,
+   * `KeyedBroadcastProcessFunction`): Spark state operators are
+   * single-input, so the two streams are UNIONed with a type tag
+   * (SURVEY §2.9's documented emulation). Control rows update the
+   * per-event_type threshold kept in state; data rows pass iff
+   * value >= the threshold current at their (ts, id) position. */
+  def thresholdFilter(ds: Dataset[Tagged]): Dataset[Ev] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.event_type)
+      .flatMapGroupsWithState[Double, Ev](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k, it, state: GroupState[Double]) =>
+          var thr = state.getOption.getOrElse(Double.NegativeInfinity)
+          // controls sort before data at the same instant
+          val out = it.toList.sortBy(r => (r.ts_us, !r.isControl, r.event_id)).flatMap { r =>
+            if (r.isControl) { thr = r.threshold; Nil }
+            else if (r.value >= thr) List(Ev(r.event_id, r.user_id, k, r.ts_us, r.value))
+            else Nil
+          }
+          state.update(thr)
+          out.iterator
       }
   }
 

@@ -1,0 +1,63 @@
+package graft.sqlx
+
+import graft.SparkSuite
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+
+/** DDL layer: parsing, computed columns, and the streaming WATERMARK
+ * path end-to-end (DDL → file stream → window agg → memory sink). */
+class DdlSpec extends SparkSuite {
+
+  test("parse: physical + computed columns, watermark, options") {
+    val t = Ddl.parse("""
+      CREATE TABLE ev (
+        event_id BIGINT,
+        ts TIMESTAMP,
+        v DOUBLE,
+        cents AS floor(v * 100),
+        WATERMARK FOR ts AS ts - INTERVAL '10' SECOND
+      ) WITH ('connector' = 'filesystem', 'path' = '/x', 'format' = 'json',
+              'scan.streaming' = 'true')""")
+    assert(t.name == "ev")
+    assert(t.physical.map(_.name) == Seq("event_id", "ts", "v"))
+    assert(t.computed == Seq(Ddl.ComputedDef("cents", "floor(v * 100)")))
+    assert(t.watermark.contains(Ddl.WatermarkDef("ts", "10 SECOND")))
+    assert(t.options("format") == "json")
+  }
+
+  test("parse rejects malformed statements") {
+    intercept[IllegalArgumentException](Ddl.parse("SELECT 1"))
+    intercept[IllegalArgumentException](
+      Ddl.execute(spark, "CREATE TABLE t (a BIGINT) WITH ('format' = 'parquet')"))
+  }
+
+  test("streaming DDL with watermark: windowed agg equals batch twin") {
+    val dir = "/root/testdata/sf0.001"
+    // events.parquet stores ts as int64 nanos; the computed column turns
+    // it into the event-time timestamp the watermark rides on
+    Ddl.execute(spark,
+      s"""CREATE TABLE events_stream (
+            event_id BIGINT, user_id BIGINT, event_type STRING,
+            ts BIGINT, value DOUBLE,
+            event_time AS cast(timestamp_micros(ts div 1000) as timestamp),
+            WATERMARK FOR event_time AS event_time - INTERVAL '60' SECOND
+          ) WITH ('connector' = 'filesystem',
+                  'path' = '$dir/events.parquet',
+                  'format' = 'parquet',
+                  'scan.streaming' = 'true')""")
+    val agg = spark.sql("""
+      SELECT window(event_time, '15 minutes').start AS ws, event_type,
+             count(*) AS n
+      FROM events_stream GROUP BY 1, 2""")
+    assert(agg.isStreaming)
+    val streamed = StreamOps.runToBatch(spark, agg, "complete", "t_ddl_stream")
+      .orderBy("ws", "event_type").collect().toSeq
+    val batch = graft.Tables.load(spark, dir, "events")
+      .withColumn("event_time", col("ts").cast("timestamp"))
+      .groupBy(window(col("event_time"), "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"))
+      .orderBy("ws", "event_type").collect().toSeq
+    assert(streamed == batch)
+  }
+}

@@ -98,6 +98,28 @@ class StatefulOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("broadcast-state analog: control rows update the threshold that filters data rows") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    def ctl(typ: String, thr: Double, tsUs: Long) =
+      Tagged(isControl = true, typ, thr, 0, 0, tsUs, 0)
+    def data(id: Long, typ: String, v: Double, tsUs: Long) =
+      Tagged(isControl = false, typ, 0, id, 1, tsUs, v)
+    val ms = MemoryStream[Tagged]
+    val q = StatefulOps.thresholdFilter(ms.toDS()).toDF()
+      .writeStream.format("memory").queryName("t_bcast").outputMode("append").start()
+    try {
+      ms.addData(ctl("a", 5.0, 0), data(1, "a", 3.0, 10), data(2, "a", 7.0, 20))
+      q.processAllAvailable()
+      ms.addData(data(3, "a", 4.0, 30))          // still below threshold 5
+      q.processAllAvailable()
+      ms.addData(ctl("a", 2.0, 40), data(4, "a", 3.0, 50)) // threshold lowered
+      q.processAllAvailable()
+      val passed = spark.table("t_bcast").as[Ev].collect().map(_.event_id).toSet
+      assert(passed == Set(2L, 4L))
+    } finally q.stop()
+  }
+
   test("dropDuplicates is streaming keep-first per key") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
