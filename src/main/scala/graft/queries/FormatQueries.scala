@@ -60,6 +60,17 @@ object FormatQueries extends QueryPack {
         .orderBy(col("id"))
     }),
 
+    // Custom DSv2 source (FLIP-27 analog, graft.sources.DatagenSource):
+    // split-planned bounded read; derived columns stay deterministic.
+    "src_datagen_dsv2" -> ((s, dir) => {
+      s.read.format("graft.sources.DatagenSource")
+        .option("rows", "1000").option("partitions", "8").load()
+        .select(col("id"), col("split"),
+          (col("id") % 7).as("bucket"),
+          md5(col("id").cast("string")).as("tag"))
+        .orderBy(col("id"))
+    }),
+
     // Blackhole/noop sink: fully execute a write with no output, then
     // report what was written (print/blackhole connector analog).
     "sink_blackhole" -> ((s, dir) => {
@@ -82,6 +93,10 @@ object FormatQueries extends QueryPack {
       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "src_datagen" -> """
       SELECT range AS id, range % 7 AS bucket, md5(CAST(range AS VARCHAR)) AS tag
+      FROM range(0, 1000) ORDER BY id""",
+    "src_datagen_dsv2" -> """
+      SELECT range AS id, CAST(range // 125 AS INT) AS split,
+             range % 7 AS bucket, md5(CAST(range AS VARCHAR)) AS tag
       FROM range(0, 1000) ORDER BY id""",
     "sink_blackhole" -> """
       SELECT count(*) AS n_written,

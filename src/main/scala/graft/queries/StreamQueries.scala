@@ -64,6 +64,22 @@ object StreamQueries extends QueryPack {
         .orderBy(col("user_id"), col("ws"))
     }),
 
+    // Streaming group aggregation in UPDATE mode (reference
+    // StreamExecGroupAggregate's per-key update stream): the sink holds
+    // every per-batch update; the final image is the max-count row per
+    // key (counts grow monotonically) — the upsert materialization.
+    "stream_group_agg_update" -> ((s, dir) => {
+      val agg = StreamOps.readStream(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(floor(col("value") * 100)).as("sum_value"))
+      val updates = StreamOps.runToBatch(s, agg, "update", "stream_groupagg")
+      val w = Window.partitionBy(col("event_type")).orderBy(col("n").desc)
+      updates.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // Stream-stream interval join: purchases within 10 minutes after a
     // click, same user; watermarks bound the join state on both sides.
     "stream_interval_join" -> ((s, dir) => {
@@ -178,6 +194,10 @@ object StreamQueries extends QueryPack {
              count(*) AS n,
              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
       FROM sessions GROUP BY user_id, sid ORDER BY user_id, ws""",
+    "stream_group_agg_update" -> """
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
+      FROM events GROUP BY event_type ORDER BY event_type""",
     "stream_interval_join" -> """
       SELECT c.event_id AS click_id, b.event_id AS buy_id, c.user_id
       FROM (SELECT * FROM events WHERE event_type = 'click') c

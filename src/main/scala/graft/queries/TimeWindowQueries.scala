@@ -58,6 +58,37 @@ object TimeWindowQueries extends QueryPack {
         .orderBy(col("user_id"), col("ws"))
     }),
 
+    // Window join (reference StreamExecWindowJoin): clicks ⋈ purchases
+    // inside the same 30-min tumbling window, same user — an equi-join
+    // on the window column (shuffle on (window, key), no time-range
+    // state like the interval join).
+    "win_window_join" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(window(col("ts"), "30 minutes").as("w"), col("user_id"),
+          col("event_id").as("click_id"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(window(col("ts"), "30 minutes").as("w"), col("user_id"),
+          col("event_id").as("buy_id"))
+      clicks.join(buys, Seq("w", "user_id"))
+        .select(col("w.start").as("ws"), col("user_id"), col("click_id"), col("buy_id"))
+        .orderBy(col("click_id"), col("buy_id"))
+    }),
+
+    // Window rank TVF (reference StreamExecWindowRank): top-2 events by
+    // value inside each (1-hour window, event_type) pane.
+    "win_window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("ws"), col("event_type"))
+        .orderBy(col("value").desc, col("event_id"))
+      Tables.load(s, dir, "events")
+        .select(window(col("ts"), "1 hour").getField("start").as("ws"),
+          col("event_type"), col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .orderBy(col("ws"), col("event_type"), col("rn"))
+    }),
+
     // CUMULATE size 1h step 20min: expanding windows per hour.
     "win_cumulate" -> ((s, dir) => {
       CumulateWindow(Tables.load(s, dir, "events"), "ts", stepMinutes = 20, sizeMinutes = 60)
@@ -102,6 +133,24 @@ object TimeWindowQueries extends QueryPack {
              count(*) AS n,
              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
       FROM sessions GROUP BY user_id, sid ORDER BY user_id, ws""",
+    "win_window_join" -> """
+      SELECT c.ws, c.user_id, c.click_id, b.buy_id
+      FROM (SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, user_id,
+                   event_id AS click_id
+            FROM events WHERE event_type = 'click') c
+      JOIN (SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, user_id,
+                   event_id AS buy_id
+            FROM events WHERE event_type = 'purchase') b
+        ON c.ws = b.ws AND c.user_id = b.user_id
+      ORDER BY click_id, buy_id""",
+    "win_window_rank" -> """
+      SELECT ws, event_type, event_id, value, rn FROM (
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
+               event_id, value,
+               row_number() OVER (PARTITION BY time_bucket(INTERVAL 1 HOUR, ts), event_type
+                                  ORDER BY value DESC, event_id) AS rn
+        FROM events) t
+      WHERE rn <= 2 ORDER BY ws, event_type, rn""",
     "win_cumulate" -> """
       SELECT ws, we, count(*) AS n,
              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
