@@ -145,6 +145,30 @@ object StreamQueries extends QueryPack {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Streaming temporal (versioned) join: each event enriched with the
+    // customer's order version in force at the event's time — dim and
+    // probe streams unioned into one keyed state op.
+    "stream_temporal_join" -> ((s, dir) => {
+      import s.implicits._
+      val dims = StreamOps.readStream(s, dir, "orders")
+        .select(lit(true).as("isDim"), col("o_custkey").as("key"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("time_us"),
+          col("o_orderkey").as("seq"), lit(0L).as("probe_id"),
+          col("o_totalprice").as("dim_payload"))
+      val probes = StreamOps.readStream(s, dir, "events")
+        .select(lit(false).as("isDim"), col("user_id").as("key"),
+          unix_micros(col("ts").cast("timestamp")).as("time_us"),
+          lit(0L).as("seq"), col("event_id").as("probe_id"),
+          lit(0.0).as("dim_payload"))
+      val joined = graft.streaming.TemporalJoin.run(
+        dims.unionByName(probes).as[graft.streaming.TjInput])
+      StreamOps.runToBatch(s, joined.toDF(), "append", "stream_tjoin")
+        .select(col("probe_id").as("event_id"), col("key").as("user_id"),
+          col("matched_seq").as("o_orderkey"),
+          col("matched_payload").as("o_totalprice"))
+        .orderBy(col("event_id"))
+    }),
+
     // CEP: click strictly followed by a purchase (adjacent in the
     // user's event-time order) within 10 minutes.
     "stream_cep_next" -> ((s, dir) => {
@@ -228,6 +252,17 @@ object StreamQueries extends QueryPack {
                    ORDER BY CAST(ts AS TIMESTAMP), event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       ORDER BY user_id, event_id""",
+    "stream_temporal_join" -> """
+      SELECT event_id, user_id, o_orderkey, o_totalprice
+      FROM (
+        SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+               row_number() OVER (PARTITION BY e.event_id
+                 ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e
+        LEFT JOIN orders o
+          ON e.user_id = o.o_custkey AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+      ) t WHERE rn = 1
+      ORDER BY event_id""",
     "stream_cep_next" -> """
       WITH o AS (
         SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS uts,

@@ -58,6 +58,25 @@ object TimeWindowQueries extends QueryPack {
         .orderBy(col("user_id"), col("ws"))
     }),
 
+    // SESSION with a DYNAMIC per-row gap (reference
+    // DynamicEventTimeSessionWindows / SURVEY §7.5 risk item): clicks
+    // extend their session by 10 minutes, everything else by 30 —
+    // Spark's gap-expression form of session_window.
+    "win_session_dynamic" -> ((s, dir) => {
+      // session_window's gap expression requires CalendarIntervalType —
+      // make_interval builds one (ANSI INTERVAL literals are day-time
+      // typed and rejected)
+      val gap = when(col("event_type") === "click", expr("make_interval(0,0,0,0,0,10,0)"))
+        .otherwise(expr("make_interval(0,0,0,0,0,30,0)"))
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+        .agg(count(lit(1)).as("n"),
+             sum(floor(col("value") * 100)).as("sum_value"))
+        .select(col("user_id"), col("w.start").as("ws"), col("w.end").as("we"),
+                col("n"), col("sum_value"))
+        .orderBy(col("user_id"), col("ws"))
+    }),
+
     // Window join (reference StreamExecWindowJoin): clicks ⋈ purchases
     // inside the same 30-min tumbling window, same user — an equi-join
     // on the window column (shuffle on (window, key), no time-range
@@ -131,6 +150,28 @@ object TimeWindowQueries extends QueryPack {
         FROM flagged)
       SELECT user_id, min(ts) AS ws, max(ts) + INTERVAL 30 MINUTE AS we,
              count(*) AS n,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
+      FROM sessions GROUP BY user_id, sid ORDER BY user_id, ws""",
+    "win_session_dynamic" -> """
+      WITH g AS (
+        SELECT user_id, ts, value,
+               CASE WHEN event_type = 'click' THEN INTERVAL 10 MINUTE
+                    ELSE INTERVAL 30 MINUTE END AS gap
+        FROM events),
+      flagged AS (
+        SELECT user_id, ts, value, gap,
+               CASE WHEN max(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                      OR ts >= max(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_session
+        FROM g),
+      sessions AS (
+        SELECT user_id, ts, value, gap,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged)
+      SELECT user_id, min(ts) AS ws, max(ts + gap) AS we, count(*) AS n,
              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
       FROM sessions GROUP BY user_id, sid ORDER BY user_id, ws""",
     "win_window_join" -> """

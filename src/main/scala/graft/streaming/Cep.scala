@@ -26,13 +26,33 @@ case class CepState(buffer: List[Ev], emittedStarts: List[Long])
  */
 object Cep {
 
-  final case class Step(name: String, pred: Ev => Boolean, strict: Boolean)
+  sealed trait Quant
+  case object Once extends Quant
+  /** Greedy include-first, skip on downstream failure. */
+  case object Optional extends Quant
+  /** Strict-contiguity maximal run, no backtracking (documented subset
+   * of the reference's greedy oneOrMore). */
+  case object OneOrMore extends Quant
+
+  final case class Step(name: String, pred: Ev => Boolean, strict: Boolean,
+      quant: Quant = Once)
 
   final case class Pattern(steps: Vector[Step], withinUs: Long = Long.MaxValue) {
     def next(name: String, pred: Ev => Boolean): Pattern =
       copy(steps = steps :+ Step(name, pred, strict = true))
     def followedBy(name: String, pred: Ev => Boolean): Pattern =
       copy(steps = steps :+ Step(name, pred, strict = false))
+    /** n occurrences with relaxed contiguity (expands to n steps —
+     * reference `Pattern.times`). */
+    def times(name: String, pred: Ev => Boolean, n: Int): Pattern =
+      (1 to n).foldLeft(this)((p, i) => p.followedBy(s"$name#$i", pred))
+    /** Optional relaxed step (reference `Pattern.optional`). */
+    def optional(name: String, pred: Ev => Boolean): Pattern =
+      copy(steps = steps :+ Step(name, pred, strict = false, quant = Optional))
+    /** Greedy maximal consecutive run, >= 1 (reference
+     * `Pattern.oneOrMore` with strict inner contiguity). */
+    def oneOrMoreNext(name: String, pred: Ev => Boolean): Pattern =
+      copy(steps = steps :+ Step(name, pred, strict = true, quant = OneOrMore))
     def within(us: Long): Pattern = copy(withinUs = us)
   }
 
@@ -51,38 +71,52 @@ object Cep {
    * stream, `followedBy` allows gaps; the whole match must span at
    * most `withinUs` microseconds. */
   private[streaming] def matchSorted(events: IndexedSeq[Ev], p: Pattern): List[CepMatch] = {
+
+    def inWindow(start: Ev, j: Int): Boolean =
+      j < events.length && events(j).ts_us - start.ts_us <= p.withinUs
+
+    /** Match `steps` with the previous consumed index at `pos`. */
+    def matchSteps(start: Ev, pos: Int, steps: List[Step],
+        acc: Vector[Long]): Option[(Int, Vector[Long])] = steps match {
+      case Nil => Some((pos, acc))
+      case st :: rest =>
+        def withEventAt(j: Int): Option[(Int, Vector[Long])] =
+          matchSteps(start, j, rest, acc :+ events(j).event_id)
+        st.quant match {
+          case Once if st.strict =>
+            val j = pos + 1
+            if (inWindow(start, j) && st.pred(events(j))) withEventAt(j) else None
+          case Once => // relaxed: earliest qualifying event
+            var j = pos + 1
+            while (inWindow(start, j) && !st.pred(events(j))) j += 1
+            if (inWindow(start, j)) withEventAt(j) else None
+          case Optional => // greedy include-first, fall back to skipping
+            var j = pos + 1
+            while (inWindow(start, j) && !st.pred(events(j))) j += 1
+            val included = if (inWindow(start, j)) withEventAt(j) else None
+            included.orElse(matchSteps(start, pos, rest, acc))
+          case OneOrMore => // maximal strict run, no backtracking
+            var j = pos + 1
+            if (!inWindow(start, j) || !st.pred(events(j))) None
+            else {
+              var ids = acc
+              while (inWindow(start, j) && st.pred(events(j))) {
+                ids :+= events(j).event_id; j += 1
+              }
+              matchSteps(start, j - 1, rest, ids)
+            }
+        }
+    }
+
     val out = List.newBuilder[CepMatch]
     var i = 0
     while (i < events.length) {
       val start = events(i)
       if (p.steps.head.pred(start)) {
-        var ok = true
-        var pos = i
-        val ids = Vector.newBuilder[Long]
-        ids += start.event_id
-        var stepIdx = 1
-        while (ok && stepIdx < p.steps.length) {
-          val st = p.steps(stepIdx)
-          if (st.strict) {
-            val j = pos + 1
-            if (j < events.length && st.pred(events(j)) &&
-                events(j).ts_us - start.ts_us <= p.withinUs) {
-              ids += events(j).event_id; pos = j
-            } else ok = false
-          } else {
-            var j = pos + 1
-            var found = -1
-            while (found < 0 && j < events.length &&
-                   events(j).ts_us - start.ts_us <= p.withinUs) {
-              if (st.pred(events(j))) found = j
-              j += 1
-            }
-            if (found >= 0) { ids += events(found).event_id; pos = found }
-            else ok = false
-          }
-          stepIdx += 1
+        matchSteps(start, i, p.steps.tail.toList, Vector(start.event_id)).foreach {
+          case (endPos, ids) =>
+            out += CepMatch(start.user_id, ids, start.ts_us, events(endPos).ts_us)
         }
-        if (ok) out += CepMatch(start.user_id, ids.result(), start.ts_us, events(pos).ts_us)
       }
       i += 1
     }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/**
+ * Physical-plan audits: the properties the 100-TB story depends on,
+ * asserted from `.explain("formatted")` output so regressions in plan
+ * shape fail CI — not just correctness (SURVEY §4.1/§4.2: pushdown,
+ * broadcast choice, two-phase agg, top-k without global sort).
+ */
+class PlanAuditSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("filters and projections push into the parquet scan") {
+    val p = plan(Tables.load(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 45)
+      .select("l_orderkey", "l_quantity"))
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(l_quantity"),
+      s"filter not pushed:\n$p")
+    assert(p.contains("ReadSchema") && !p.contains("l_extendedprice"),
+      s"projection not pruned:\n$p")
+  }
+
+  test("dim join broadcasts; fact-fact join shuffles") {
+    val cust = Tables.load(spark, dir, "customer")
+    val nat = Tables.load(spark, dir, "nation")
+    val p1 = plan(cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey")))
+    assert(p1.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p1")
+
+    val li = Tables.load(spark, dir, "lineitem")
+    val ord = Tables.load(spark, dir, "orders")
+    val p2 = plan(li.join(ord.hint("merge"), col("l_orderkey") === col("o_orderkey")))
+    assert(p2.contains("SortMergeJoin"), s"expected sort-merge join:\n$p2")
+  }
+
+  test("aggregation is two-phase (map-side partial before the shuffle)") {
+    val p = plan(Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag").agg(sum(floor(col("l_quantity") * 100))))
+    val firstExchange = p.indexOf("Exchange")
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstAgg >= 0 && firstExchange >= 0, s"missing agg/exchange:\n$p")
+    assert(p.indexOf("HashAggregate", firstExchange) > firstExchange,
+      s"no final agg after exchange:\n$p")
+    assert(firstAgg < firstExchange || p.substring(0, firstExchange).contains("HashAggregate"),
+      s"no partial agg before exchange:\n$p")
+  }
+
+  test("orderBy + limit compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan(Tables.load(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc).limit(10))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("gap expressions stay inside WholeStageCodegen") {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.load(spark, dir, "part").createOrReplaceTempView("part_audit")
+    val p = plan(spark.sql(
+      "SELECT is_alpha(p_name) a, split_index(p_type, ' ', 0) s FROM part_audit"))
+    // formatted explain marks fused stages with "[codegen id : N]"
+    assert(p.contains("codegen id"), s"no codegen stage:\n$p")
+    assert("""\(\d+\) Project \[codegen id""".r.findFirstIn(p).isDefined,
+      s"projection with gap expressions not codegen'd:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("CodegenFallback"),
+      s"expression fell out of codegen:\n$p")
+  }
+}

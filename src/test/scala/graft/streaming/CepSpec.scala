@@ -48,6 +48,42 @@ class CepSpec extends SparkSuite {
       Set(Seq(1L, 3L), Seq(2L, 3L)))
   }
 
+  test("times(n) expands to n relaxed occurrences") {
+    val p = Cep.Pattern.begin("click", _.event_type == "click")
+      .times("buy", _.event_type == "purchase", 2)
+    val events = IndexedSeq(
+      ev(1, "click", 0), ev(2, "view", 5), ev(3, "purchase", 10),
+      ev(4, "view", 15), ev(5, "purchase", 20))
+    assert(Cep.matchSorted(events, p).map(_.event_ids) == List(Seq(1L, 3L, 5L)))
+  }
+
+  test("optional: greedy include-first, skipped when absent") {
+    val p = Cep.Pattern.begin("click", _.event_type == "click")
+      .optional("view", _.event_type == "view")
+      .followedBy("buy", _.event_type == "purchase")
+    val withView = IndexedSeq(ev(1, "click", 0), ev(2, "view", 5), ev(3, "purchase", 10))
+    assert(Cep.matchSorted(withView, p).map(_.event_ids) == List(Seq(1L, 2L, 3L)))
+    val withoutView = IndexedSeq(ev(1, "click", 0), ev(3, "purchase", 10))
+    assert(Cep.matchSorted(withoutView, p).map(_.event_ids) == List(Seq(1L, 3L)))
+    // optional consumed the view AFTER the purchase? no — include fails
+    // downstream (no purchase after the view), so it falls back to skip
+    val viewAfter = IndexedSeq(ev(1, "click", 0), ev(3, "purchase", 10), ev(2, "view", 15))
+    assert(Cep.matchSorted(viewAfter, p).map(_.event_ids) == List(Seq(1L, 3L)))
+  }
+
+  test("oneOrMoreNext consumes the maximal consecutive run") {
+    val p = Cep.Pattern.begin("click", _.event_type == "click")
+      .oneOrMoreNext("buys", _.event_type == "purchase")
+      .followedBy("view", _.event_type == "view")
+    val events = IndexedSeq(
+      ev(1, "click", 0), ev(2, "purchase", 5), ev(3, "purchase", 10),
+      ev(4, "view", 15))
+    assert(Cep.matchSorted(events, p).map(_.event_ids) == List(Seq(1L, 2L, 3L, 4L)))
+    // zero purchases → no match
+    val none = IndexedSeq(ev(1, "click", 0), ev(4, "view", 15))
+    assert(Cep.matchSorted(none, p).isEmpty)
+  }
+
   test("streaming: a match straddling a micro-batch boundary is found exactly once") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
