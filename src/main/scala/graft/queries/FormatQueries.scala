@@ -60,6 +60,19 @@ object FormatQueries extends QueryPack {
         .orderBy(col("id"))
     }),
 
+    // ORC write → read → aggregate (spark-avro module jar is not in
+    // this environment; ORC exercises the same format-plugin path).
+    "fmt_orc_roundtrip" -> ((s, dir) => {
+      val path = scratch(dir, "part_orc")
+      Tables.load(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_size")
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("p_size").cast("long")).as("size_sum"))
+        .orderBy(col("p_brand"))
+    }),
+
     // Custom DSv2 source (FLIP-27 analog, graft.sources.DatagenSource):
     // split-planned bounded read; derived columns stay deterministic.
     "src_datagen_dsv2" -> ((s, dir) => {
@@ -94,6 +107,10 @@ object FormatQueries extends QueryPack {
     "src_datagen" -> """
       SELECT range AS id, range % 7 AS bucket, md5(CAST(range AS VARCHAR)) AS tag
       FROM range(0, 1000) ORDER BY id""",
+    "fmt_orc_roundtrip" -> """
+      SELECT p_brand, count(*) AS n,
+             CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS size_sum
+      FROM part GROUP BY p_brand ORDER BY p_brand""",
     "src_datagen_dsv2" -> """
       SELECT range AS id, CAST(range // 125 AS INT) AS split,
              range % 7 AS bucket, md5(CAST(range AS VARCHAR)) AS tag

@@ -90,6 +90,12 @@ object SimilarityQueries extends QueryPack {
     }),
 
     // Near-dup pair mining: same-label pairs with cosine >= 0.3.
+    // SCALE BOUND: this is all-pairs WITHIN a label cell — O(Σ|cell|²)
+    // pair scorings. Safe only while cells are bounded (here: coarse
+    // cluster assignments, ~|corpus|/|cells| each); at 100 TB the cell
+    // id must come from a quantizer sized so cells stay ≤ ~10⁴ rows, or
+    // route candidates through MinHashLSH banding first (same plan
+    // shape as dedup_minhash_lsh).
     "sim_neardup_pairs" -> ((s, dir) => {
       val e = withNorm(Tables.load(s, dir, "embeddings"))
       val a = e.select(col("label"), col("vec_id").as("id_a"),

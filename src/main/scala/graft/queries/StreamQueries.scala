@@ -33,7 +33,8 @@ object StreamQueries extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Streaming TUMBLE window aggregation (complete mode).
-    "stream_tumble_agg" -> ((s, dir) => {
+    "stream_tumble_agg" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
       val agg = StreamOps.readStream(s, dir, "events")
         .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(floor(col("value") * 100)).as("sum_value"))
@@ -44,7 +45,8 @@ object StreamQueries extends QueryPack {
     }),
 
     // Streaming HOP (sliding) window aggregation.
-    "stream_hop_agg" -> ((s, dir) => {
+    "stream_hop_agg" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
       val agg = StreamOps.readStream(s, dir, "events")
         .groupBy(window(col("ts"), "30 minutes", "10 minutes").as("w"))
         .agg(count(lit(1)).as("n"), sum(floor(col("value") * 100)).as("sum_value"))
@@ -54,7 +56,8 @@ object StreamQueries extends QueryPack {
     }),
 
     // Streaming SESSION window aggregation (30-min gap per user).
-    "stream_session_agg" -> ((s, dir) => {
+    "stream_session_agg" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
       val agg = StreamOps.readStream(s, dir, "events")
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
         .agg(count(lit(1)).as("n"), sum(floor(col("value") * 100)).as("sum_value"))
@@ -68,7 +71,8 @@ object StreamQueries extends QueryPack {
     // StreamExecGroupAggregate's per-key update stream): the sink holds
     // every per-batch update; the final image is the max-count row per
     // key (counts grow monotonically) — the upsert materialization.
-    "stream_group_agg_update" -> ((s, dir) => {
+    "stream_group_agg_update" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
       val agg = StreamOps.readStream(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(floor(col("value") * 100)).as("sum_value"))
@@ -82,7 +86,8 @@ object StreamQueries extends QueryPack {
 
     // Stream-stream interval join: purchases within 10 minutes after a
     // click, same user; watermarks bound the join state on both sides.
-    "stream_interval_join" -> ((s, dir) => {
+    "stream_interval_join" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
       // watermarks require TIMESTAMP (not NTZ); session tz is UTC so the
       // cast is instant-preserving
       val ev = StreamOps.readStream(s, dir, "events")
@@ -106,7 +111,8 @@ object StreamQueries extends QueryPack {
     // per user by (event time, id). The update stream is materialized
     // to its final upsert image by a keyed re-rank — the same
     // changelog→table materialization every upsert sink performs.
-    "stream_dedup_keeplast" -> ((s, dir) => {
+    "stream_dedup_keeplast" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
       val updates = StreamOps.runToBatch(
         s, StatefulOps.keepLastByUser(StreamOps.eventsTyped(s, dir)).toDF(),
         "update", "stream_keeplast")
@@ -122,7 +128,8 @@ object StreamQueries extends QueryPack {
     // Streaming Top-3 per event_type by (value desc, id): re-rank the
     // distinct emitted candidates — the true top rows are always in the
     // update stream.
-    "stream_topn" -> ((s, dir) => {
+    "stream_topn" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
       val updates = StreamOps.runToBatch(
         s, StatefulOps.topNByType(StreamOps.eventsTyped(s, dir), 3).toDF(),
         "update", "stream_topn")
@@ -137,7 +144,8 @@ object StreamQueries extends QueryPack {
 
     // Streaming OVER: per-user running count + integer-cent running sum
     // in (event time, id) order (append stream, one row out per row in).
-    "stream_over_running" -> ((s, dir) => {
+    "stream_over_running" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
       StreamOps.runToBatch(
         s, StatefulOps.runningByUser(StreamOps.eventsTyped(s, dir)).toDF(),
         "append", "stream_over")
@@ -148,7 +156,8 @@ object StreamQueries extends QueryPack {
     // Streaming temporal (versioned) join: each event enriched with the
     // customer's order version in force at the event's time — dim and
     // probe streams unioned into one keyed state op.
-    "stream_temporal_join" -> ((s, dir) => {
+    "stream_temporal_join" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
       import s.implicits._
       val dims = StreamOps.readStream(s, dir, "orders")
         .select(lit(true).as("isDim"), col("o_custkey").as("key"),
@@ -171,7 +180,8 @@ object StreamQueries extends QueryPack {
 
     // CEP: click strictly followed by a purchase (adjacent in the
     // user's event-time order) within 10 minutes.
-    "stream_cep_next" -> ((s, dir) => {
+    "stream_cep_next" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
       val pattern = Cep.Pattern
         .begin("click", _.event_type == "click")
         .next("buy", _.event_type == "purchase")

@@ -33,6 +33,8 @@ object Cep {
   /** Strict-contiguity maximal run, no backtracking (documented subset
    * of the reference's greedy oneOrMore). */
   case object OneOrMore extends Quant
+  /** Negative lookahead on the next event (not consumed). */
+  case object NotNext extends Quant
 
   final case class Step(name: String, pred: Ev => Boolean, strict: Boolean,
       quant: Quant = Once)
@@ -53,6 +55,11 @@ object Cep {
      * `Pattern.oneOrMore` with strict inner contiguity). */
     def oneOrMoreNext(name: String, pred: Ev => Boolean): Pattern =
       copy(steps = steps :+ Step(name, pred, strict = true, quant = OneOrMore))
+    /** Negative strict step (reference `Pattern.notNext`): the match
+     * continues only if the NEXT event does NOT satisfy `pred`; the
+     * event is not consumed. */
+    def notNext(name: String, pred: Ev => Boolean): Pattern =
+      copy(steps = steps :+ Step(name, pred, strict = true, quant = NotNext))
     def within(us: Long): Pattern = copy(withinUs = us)
   }
 
@@ -95,6 +102,10 @@ object Cep {
             while (inWindow(start, j) && !st.pred(events(j))) j += 1
             val included = if (inWindow(start, j)) withEventAt(j) else None
             included.orElse(matchSteps(start, pos, rest, acc))
+          case NotNext => // negative lookahead; end-of-stream satisfies it
+            val j = pos + 1
+            if (inWindow(start, j) && st.pred(events(j))) None
+            else matchSteps(start, pos, rest, acc)
           case OneOrMore => // maximal strict run, no backtracking
             var j = pos + 1
             if (!inWindow(start, j) || !st.pred(events(j))) None

@@ -30,6 +30,17 @@ object StreamOps {
   private val ctr = new AtomicLong(0)
   def freshName(prefix: String): String = s"${prefix}_${ctr.incrementAndGet()}"
 
+  /** A cloned session with fewer shuffle/state partitions: at test
+   * scale every micro-batch pays per-partition state-store I/O, so 8
+   * partitions cuts that 4× vs the batch-tuned 32. On a real cluster
+   * the cluster default stays in force (this is a session-local knob,
+   * not a code-path difference). */
+  def tuned(spark: SparkSession, partitions: Int = 8): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    ss
+  }
+
   /** Streaming read of a driver parquet table, mirroring Tables.load's
    * normalization (events.ts parquet TIMESTAMP(NANOS) long →
    * TIMESTAMP_NTZ at micros). */

@@ -58,6 +58,16 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
   }
 
+  test("rank-filter Top-N uses WindowGroupLimit (per-group pushdown, no full-window materialization)") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").desc)
+    val p = plan(Tables.load(spark, dir, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3))
+    assert(p.contains("WindowGroupLimit"), s"rank filter not pushed into WindowGroupLimit:\n$p")
+  }
+
   test("gap expressions stay inside WholeStageCodegen") {
     graft.functions.GraftFunctions.register(spark)
     Tables.load(spark, dir, "part").createOrReplaceTempView("part_audit")

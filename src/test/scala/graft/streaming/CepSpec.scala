@@ -84,6 +84,16 @@ class CepSpec extends SparkSuite {
     assert(Cep.matchSorted(none, p).isEmpty)
   }
 
+  test("notNext: negative lookahead blocks the match without consuming") {
+    val p = Cep.Pattern.begin("click", _.event_type == "click")
+      .notNext("no_view", _.event_type == "view")
+      .followedBy("buy", _.event_type == "purchase")
+    val blocked = IndexedSeq(ev(1, "click", 0), ev(2, "view", 5), ev(3, "purchase", 10))
+    assert(Cep.matchSorted(blocked, p).isEmpty)
+    val ok = IndexedSeq(ev(1, "click", 0), ev(4, "other", 5), ev(3, "purchase", 10))
+    assert(Cep.matchSorted(ok, p).map(_.event_ids) == List(Seq(1L, 3L)))
+  }
+
   test("streaming: a match straddling a micro-batch boundary is found exactly once") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
