@@ -67,6 +67,25 @@ object CalcQueries extends QueryPack {
         .orderBy(col("p_partkey"))
     }),
 
+    // String family part 2: left/right, repeat, initcap, position,
+    // base64 round-trip, overlay-style replace (reference
+    // FlinkSqlOperatorTable string table, second half).
+    "calc_string_fns2" -> ((s, dir) => {
+      Tables.load(s, dir, "part")
+        .filter(col("p_partkey") <= 400)
+        .select(col("p_partkey"),
+          expr("left(p_name, 4)").as("l4"),
+          expr("right(p_name, 3)").as("r3"),
+          repeat(col("p_brand"), 2).as("b2"),
+          initcap(col("p_name")).as("cap"),
+          expr("position('a' in p_name)").cast("bigint").as("pos_a"),
+          base64(encode(col("p_brand"), "UTF-8")).as("b64"),
+          decode(unbase64(base64(encode(col("p_name"), "UTF-8"))), "UTF-8").as("roundtrip"),
+          ascii(col("p_brand")).cast("int").as("first_code"),
+          expr("chr(65 + CAST(p_partkey % 26 AS INT))").as("letter"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // Math function family; floats rounded (libm noise across engines).
     "calc_math_fns" -> ((s, dir) => {
       Tables.load(s, dir, "lineitem")
@@ -179,6 +198,19 @@ object CalcQueries extends QueryPack {
              replace(p_brand, '#', '-') AS trans,
              md5(p_name) AS digest
       FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""",
+    "calc_string_fns2" -> """
+      SELECT p_partkey,
+             left(p_name, 4) AS l4,
+             right(p_name, 3) AS r3,
+             repeat(p_brand, 2) AS b2,
+             array_to_string(list_transform(string_split(p_name, ' '),
+               w -> concat(upper(w[1:1]), lower(w[2:]))), ' ') AS cap,
+             CAST(position('a' in p_name) AS BIGINT) AS pos_a,
+             to_base64(encode(p_brand)) AS b64,
+             decode(from_base64(to_base64(encode(p_name)))) AS roundtrip,
+             CAST(ascii(p_brand) AS INT) AS first_code,
+             chr(65 + CAST(p_partkey % 26 AS INT)) AS letter
+      FROM part WHERE p_partkey <= 400 ORDER BY p_partkey""",
     "calc_math_fns" -> """
       SELECT l_orderkey, l_linenumber,
              abs(l_quantity - 25) AS dist25,

@@ -29,22 +29,22 @@ import org.apache.spark.sql.functions._
  */
 object SimilarityQueries extends QueryPack {
 
-  /** Exact integer-quantized sum of elementwise products: each float is
-   * floored to a 1e-7 grid (floor is IEEE-identical in every engine —
-   * unlike decimal-cast tie rounding, which is HALF_UP in Spark but
-   * HALF_EVEN in DuckDB) and the products are summed as BIGINTs —
+  /** Exact integer dot product over PRE-quantized BIGINT vectors —
    * exact and order-independent under any parallelism. */
   private def decDot(a: String, b: String): Column = expr(
-    s"""aggregate(
-          zip_with($a, $b, (x, y) ->
-            CAST(floor(CAST(x AS DOUBLE) * 10000000.0D) AS BIGINT) *
-            CAST(floor(CAST(y AS DOUBLE) * 10000000.0D) AS BIGINT)),
-          CAST(0 AS BIGINT),
-          (acc, v) -> acc + v)""")
+    s"""aggregate(zip_with($a, $b, (x, y) -> x * y),
+          CAST(0 AS BIGINT), (acc, v) -> acc + v)""")
 
-  /** Embeddings with exact decimal squared norm. */
+  /** Quantize each embedding ONCE per row: floats floored to a 1e-7
+   * integer grid (floor is IEEE-identical in every engine — unlike
+   * decimal-cast tie rounding, which is HALF_UP in Spark but HALF_EVEN
+   * in DuckDB). Doing this before the join/cross removes 2×dim
+   * cast+floor ops from EVERY scored pair — the pairwise stage then
+   * runs integer-only. */
   private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("nrm", decDot("embedding", "embedding"))
+    df.withColumn("qe",
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000.0D) AS BIGINT))"))
+      .withColumn("nrm", decDot("qe", "qe"))
 
   /** cos = dot / (sqrt(na) * sqrt(nb)) with the exact same op sequence
    * as the oracle SQL. */
@@ -57,11 +57,11 @@ object SimilarityQueries extends QueryPack {
     "sim_cosine_topk" -> ((s, dir) => {
       val e = withNorm(Tables.load(s, dir, "embeddings"))
       val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+        .select(col("vec_id").as("q_id"), col("qe").as("qv"), col("nrm").as("qn"))
       val c = e.filter(col("vec_id") >= 10)
-        .select(col("vec_id"), col("embedding"), col("nrm").as("cn"))
+        .select(col("vec_id"), col("qe"), col("nrm").as("cn"))
       val scored = c.crossJoin(broadcast(q))
-        .withColumn("dot", decDot("qv", "embedding"))
+        .withColumn("dot", decDot("qv", "qe"))
         .withColumn("cos", cosine)
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
       scored.withColumn("rn", row_number().over(w))
@@ -75,11 +75,11 @@ object SimilarityQueries extends QueryPack {
       val e = withNorm(Tables.load(s, dir, "embeddings"))
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("label"),
-                col("embedding").as("qv"), col("nrm").as("qn"))
+                col("qe").as("qv"), col("nrm").as("qn"))
       val c = e.filter(col("vec_id") >= 10)
-        .select(col("vec_id"), col("label"), col("embedding"), col("nrm").as("cn"))
+        .select(col("vec_id"), col("label"), col("qe"), col("nrm").as("cn"))
       val scored = c.join(broadcast(q), Seq("label"))
-        .withColumn("dot", decDot("qv", "embedding"))
+        .withColumn("dot", decDot("qv", "qe"))
         .withColumn("cos", cosine)
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
       scored.withColumn("rn", row_number().over(w))
@@ -99,12 +99,12 @@ object SimilarityQueries extends QueryPack {
     "sim_neardup_pairs" -> ((s, dir) => {
       val e = withNorm(Tables.load(s, dir, "embeddings"))
       val a = e.select(col("label"), col("vec_id").as("id_a"),
-                       col("embedding").as("qv"), col("nrm").as("qn"))
+                       col("qe").as("qv"), col("nrm").as("qn"))
       val b = e.select(col("label"), col("vec_id").as("id_b"),
-                       col("embedding"), col("nrm").as("cn"))
+                       col("qe"), col("nrm").as("cn"))
       a.join(b, Seq("label"))
         .filter(col("id_a") < col("id_b"))
-        .withColumn("dot", decDot("qv", "embedding"))
+        .withColumn("dot", decDot("qv", "qe"))
         .withColumn("cos", cosine)
         .filter(col("cos") >= 0.3)
         .select(col("label"), col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
@@ -113,23 +113,23 @@ object SimilarityQueries extends QueryPack {
   )
 
   private val normCte = """
-    e AS (SELECT vec_id, label, embedding,
-            list_sum([CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)
-                      * CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)
-                      for x in embedding]) AS nrm
-          FROM embeddings)"""
+    e0 AS (SELECT vec_id, label,
+             [CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)
+              for x in embedding] AS qe
+           FROM embeddings),
+    e AS (SELECT vec_id, label, qe,
+            list_sum([x * x for x in qe]) AS nrm
+          FROM e0)"""
 
   private def dotSql(a: String, b: String) =
-    s"""list_sum([CAST(floor(CAST($a[i] AS DOUBLE) * 10000000.0) AS BIGINT)
-                  * CAST(floor(CAST($b[i] AS DOUBLE) * 10000000.0) AS BIGINT)
-                  for i in generate_series(1, len($a))])"""
+    s"""list_sum([$a[i] * $b[i] for i in generate_series(1, len($a))])"""
 
   override def oracle: Map[String, String] = Map(
     "sim_cosine_topk" -> s"""
       WITH $normCte,
-      q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qn FROM e WHERE vec_id < 10),
-      c AS (SELECT vec_id, embedding, nrm AS cn FROM e WHERE vec_id >= 10),
-      p AS (SELECT q_id, vec_id, ${dotSql("qv", "embedding")} AS dot, qn, cn FROM q, c),
+      q AS (SELECT vec_id AS q_id, qe AS qv, nrm AS qn FROM e WHERE vec_id < 10),
+      c AS (SELECT vec_id, qe, nrm AS cn FROM e WHERE vec_id >= 10),
+      p AS (SELECT q_id, vec_id, ${dotSql("qv", "qe")} AS dot, qn, cn FROM q, c),
       s AS (SELECT q_id, vec_id,
                    CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS cos
             FROM p),
@@ -140,9 +140,9 @@ object SimilarityQueries extends QueryPack {
       FROM r WHERE rn <= 5 ORDER BY q_id, rn""",
     "sim_ivf_topk" -> s"""
       WITH $normCte,
-      q AS (SELECT vec_id AS q_id, label, embedding AS qv, nrm AS qn FROM e WHERE vec_id < 10),
-      c AS (SELECT vec_id, label, embedding, nrm AS cn FROM e WHERE vec_id >= 10),
-      p AS (SELECT q_id, q.label AS label, vec_id, ${dotSql("qv", "embedding")} AS dot, qn, cn
+      q AS (SELECT vec_id AS q_id, label, qe AS qv, nrm AS qn FROM e WHERE vec_id < 10),
+      c AS (SELECT vec_id, label, qe, nrm AS cn FROM e WHERE vec_id >= 10),
+      p AS (SELECT q_id, q.label AS label, vec_id, ${dotSql("qv", "qe")} AS dot, qn, cn
             FROM q JOIN c ON q.label = c.label),
       s AS (SELECT q_id, label, vec_id,
                    CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS cos
@@ -155,7 +155,7 @@ object SimilarityQueries extends QueryPack {
     "sim_neardup_pairs" -> s"""
       WITH $normCte,
       p AS (SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
-                   ${dotSql("a.embedding", "b.embedding")} AS dot,
+                   ${dotSql("a.qe", "b.qe")} AS dot,
                    a.nrm AS qn, b.nrm AS cn
             FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
       s AS (SELECT label, id_a, id_b,
