@@ -16,6 +16,7 @@ object SparkEntry {
    * may not shadow earlier names — names are prefixed per family). */
   private val packs: Seq[QueryPack] = Seq(
     qp.AggregateQueries,
+    qp.TpchQueries,
     qp.JoinQueries,
     qp.SetOpQueries,
     qp.WindowOverQueries,
