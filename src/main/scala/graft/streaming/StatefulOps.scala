@@ -14,6 +14,10 @@ case class RunningRow(user_id: Long, event_id: Long, running_n: Long, running_ce
 case class Tagged(isControl: Boolean, event_type: String, threshold: Double,
     event_id: Long, user_id: Long, ts_us: Long, value: Double)
 
+/** Row shape for the event-time sorted emission operator: `ts` is the
+ * watermarked event-time column. */
+case class TimedRow(key: Long, id: Long, ts: java.sql.Timestamp)
+
 /**
  * Stateful streaming operators on `flatMapGroupsWithState` (SURVEY.md
  * §7.2 "custom transformWithState processors", M3). Each mirrors a
@@ -63,6 +67,27 @@ object StatefulOps {
             .take(n)
           state.update(merged)
           if (merged != old) merged.iterator else Iterator.empty
+      }
+  }
+
+  /** Event-time sorted emission (reference stream sort,
+   * `sort/RowTimeSortOperator.java`): rows buffer in keyed state and
+   * are released in (ts, id) order only once the watermark passes them
+   * — out-of-order arrivals are repaired up to the watermark bound.
+   * The input must carry `withWatermark` on `ts`;
+   * `GroupState.getCurrentWatermarkMs` is the release trigger the
+   * reference drives with watermark timers. */
+  def sortedEmit(ds: Dataset[TimedRow]): Dataset[TimedRow] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[List[(Long, Long)], TimedRow](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k, it, state: GroupState[List[(Long, Long)]]) =>
+          val buf = state.getOption.getOrElse(Nil) ++
+            it.map(r => (r.ts.getTime, r.id))
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, pending) = buf.partition(_._1 <= wm)
+          state.update(pending)
+          ready.sorted.map { case (t, id) => TimedRow(k, id, new java.sql.Timestamp(t)) }.iterator
       }
   }
 

@@ -120,6 +120,35 @@ class StatefulOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("event-time sorted emission: out-of-order rows released in order once the watermark passes") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val ms = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val in = ms.toDS().toDF("key", "id", "ts")
+      .withWatermark("ts", "5 seconds")
+      .as[TimedRow]
+    val q = StatefulOps.sortedEmit(in).toDF()
+      .writeStream.format("memory").queryName("t_sortemit").outputMode("append").start()
+    try {
+      // batch 1: out of order; watermark still 0 → nothing emitted
+      ms.addData((1L, 30L, t(30)), (1L, 10L, t(10)), (1L, 20L, t(20)))
+      q.processAllAvailable()
+      assert(spark.table("t_sortemit").count() == 0)
+      // batch 2 runs with watermark = 30-5 = 25 (watermark trails one
+      // batch) → releases 10, 20 in order; 30 still buffered
+      ms.addData((1L, 100L, t(100)))
+      q.processAllAvailable()
+      assert(spark.table("t_sortemit").as[TimedRow].collect().map(_.id).toSeq == Seq(10L, 20L))
+      // batch 3 runs with watermark = 100-5 = 95 → releases 30; the
+      // t=100 row stays buffered (100 > 95)
+      ms.addData((1L, 200L, t(200)))
+      q.processAllAvailable()
+      val got = spark.table("t_sortemit").as[TimedRow].collect().map(_.id).toSeq
+      assert(got == Seq(10L, 20L, 30L))
+    } finally q.stop()
+  }
+
   test("dropDuplicates is streaming keep-first per key") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
