@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming._
+
+/**
+ * Arbitrary-state v2 (`transformWithState`, Spark 4) variants of the
+ * stateful operators — the modern engine-native form of the reference's
+ * keyed-state operators, including state TTL (reference
+ * `StateTtlConfig.java:51`): the winner entry auto-expires after the
+ * configured idle duration, exactly like the reference's
+ * `cleanupInRocksdbCompactFilter` retention. Requires the RocksDB state
+ * store provider (the API is provider-gated in Spark 4.1).
+ */
+object TwsOps {
+
+  /** Keep-last dedup as a StatefulProcessor with TTL'd ValueState. */
+  class KeepLastProcessor(ttl: TTLConfig) extends StatefulProcessor[Long, Ev, Ev] {
+    @transient private var winner: ValueState[Ev] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      winner = getHandle.getValueState[Ev]("winner", Encoders.product[Ev], ttl)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[Ev] = {
+      val prev = if (winner.exists()) Some(winner.get()) else None
+      val cand = (prev.iterator ++ rows).maxBy(e => (e.ts_us, e.event_id))
+      val changed = prev.forall(o => (o.ts_us, o.event_id) != (cand.ts_us, cand.event_id))
+      winner.update(cand)
+      if (changed) Iterator.single(cand) else Iterator.empty
+    }
+  }
+
+  /** Streaming keep-last per user on transformWithState; state entries
+   * expire after `ttl` of inactivity (TTLConfig.NONE → keep forever). */
+  def keepLastByUser(ds: Dataset[Ev], ttl: TTLConfig = TTLConfig.NONE): Dataset[Ev] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new KeepLastProcessor(ttl), TimeMode.None(), OutputMode.Update())
+  }
+}

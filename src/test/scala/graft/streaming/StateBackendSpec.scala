@@ -34,6 +34,28 @@ class StateBackendSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("transformWithState (arbitrary state v2): keep-last with TTL'd ValueState on RocksDB") {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sql = ss.sqlContext
+    import ss.implicits._
+    val ms = MemoryStream[Ev]
+    val q = TwsOps.keepLastByUser(ms.toDS()).toDF()
+      .writeStream.format("memory").queryName("t_tws")
+      .outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("graft_tws").toString)
+      .start()
+    try {
+      ms.addData(Ev(1, 1, "a", 100, 1.0), Ev(2, 1, "b", 200, 1.0))
+      q.processAllAvailable()
+      ms.addData(Ev(3, 1, "c", 150, 1.0)) // late: winner unchanged, no emission
+      q.processAllAvailable()
+      val emitted = ss.table("t_tws").as[Ev].collect().map(_.event_id).toSet
+      assert(emitted == Set(2L))
+    } finally q.stop()
+  }
+
   test("queryable state: the state data source reads checkpointed aggregation state") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
