@@ -1,14 +1,16 @@
 package graft.streaming
 
 import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions.{col, timestamp_micros}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** One emitted pattern match: the matched event ids in step order. */
 case class CepMatch(user_id: Long, event_ids: Seq[Long], start_us: Long, end_us: Long)
 
-/** Buffered per-key state: all events seen so far (ts-ordered on use)
- * plus the start-event ids of matches already emitted. */
-case class CepState(buffer: List[Ev], emittedStarts: List[Long])
+/** Buffered per-key state: events still inside the pattern's `within`
+ * horizon (ts-ordered on use) plus (start_ts, start_id) of matches
+ * already emitted — both pruned on watermark advance. */
+case class CepState(buffer: List[Ev], emitted: List[(Long, Long)])
 
 /**
  * A linear CEP pattern: ordered steps, each a predicate plus a
@@ -137,26 +139,45 @@ object Cep {
   /**
    * Run the pattern per user over a stream (flatMapGroupsWithState NFA,
    * reference `operator/CepOperator.java:81`). Each batch re-evaluates
-   * over the full buffered, ts-sorted history and emits only matches
-   * whose start event wasn't emitted before — so matches that straddle
+   * over the buffered, ts-sorted history and emits only matches whose
+   * start event wasn't emitted before — so matches that straddle
    * micro-batch boundaries are found, and no match is emitted twice.
    *
-   * State is the per-key event buffer: bounded in practice by the
-   * pattern's `within` horizon (a production hardening would evict
-   * events older than watermark - within; the reference NFA's
-   * SharedBuffer does the same pruning on watermark advance).
+   * State is bounded by the pattern's `within` horizon: after each
+   * batch, buffer events (and emitted-match markers) with
+   * `ts_us < watermark − withinUs` are evicted — no event that old can
+   * participate in a match completed by a future (≥ watermark) event.
+   * This is the reference NFA's SharedBuffer pruning on watermark
+   * advance (`cep/nfa/sharedbuffer/SharedBuffer.java` via
+   * `CepOperator.advanceTime`). Eviction runs AFTER matching, so
+   * late-but-arrived rows still pair with the retained history.
+   * Eviction by ts removes a prefix of the sorted buffer, so strict
+   * (`next`) adjacency among retained events is unchanged. Patterns
+   * without `within` keep everything (documented: unbounded patterns
+   * need a horizon for bounded state, as in the reference).
    */
-  def run(ds: Dataset[Ev], pattern: Pattern): Dataset[CepMatch] = {
+  def run(ds: Dataset[Ev], pattern: Pattern,
+      watermarkDelay: String = "1 hour"): Dataset[CepMatch] = {
     import ds.sparkSession.implicits._
-    ds.groupByKey(_.user_id)
+    val withWm = ds.toDF()
+      .withColumn("__event_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("__event_ts", watermarkDelay)
+      .as[Ev]
+    withWm.groupByKey(_.user_id)
       .flatMapGroupsWithState[CepState, CepMatch](OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_, it, state: GroupState[CepState]) =>
           val st = state.getOption.getOrElse(CepState(Nil, Nil))
           val buffer = (st.buffer ++ it).sortBy(e => (e.ts_us, e.event_id))
           val all = matchSorted(buffer.toIndexedSeq, pattern)
-          val seen = st.emittedStarts.toSet
+          val seen = st.emitted.map(_._2).toSet
           val fresh = all.filterNot(m => seen.contains(m.event_ids.head))
-          state.update(CepState(buffer, st.emittedStarts ++ fresh.map(_.event_ids.head)))
+          val emitted = st.emitted ++ fresh.map(m => (m.start_us, m.event_ids.head))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val live: Long => Boolean =
+            if (wmUs <= 0L || pattern.withinUs == Long.MaxValue) _ => true
+            else ts => ts >= wmUs - pattern.withinUs
+          state.update(CepState(buffer.filter(e => live(e.ts_us)),
+            emitted.filter(p => live(p._1))))
           fresh.iterator
       }
   }

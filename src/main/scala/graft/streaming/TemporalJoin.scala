@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions.{col, timestamp_micros}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Union-typed input element: a versioned dimension row or a probe. */
@@ -10,6 +11,10 @@ case class TjInput(isDim: Boolean, key: Long, time_us: Long, seq: Long,
 /** One enriched probe row (left-join semantics). */
 case class TjOutput(probe_id: Long, key: Long, time_us: Long,
     matched_seq: Option[Long], matched_payload: Option[Double])
+
+/** Per-key state: dim versions (time_us, seq, payload) sorted
+ * DESCENDING by (time, seq), pruned on watermark advance. */
+case class TjVersions(versions: List[(Long, Long, Double)])
 
 /**
  * Streaming temporal (versioned) join — reference
@@ -30,33 +35,51 @@ case class TjOutput(probe_id: Long, key: Long, time_us: Long,
  * watermark passes, which Spark's flatMapGroupsWithState cannot
  * trigger emission on (documented divergence).
  *
- * Scale: state per key = that key's version history (prunable to the
- * latest version older than the watermark horizon, exactly like the
- * reference's state retention).
+ * Scale: state per key = the versions still inside the watermark
+ * horizon. After each batch, every version older than the newest
+ * version at-or-before the watermark is evicted — future probes
+ * (≥ watermark) can only ever match that newest-below-watermark
+ * version or a newer one. This is the reference's state retention in
+ * `join/temporal/TemporalRowTimeJoinOperator.java` (cleanup below
+ * `currentWatermark`). The list is kept DESC-sorted by (time, seq) so
+ * each probe is a prefix scan, not a full filter+maxBy.
  */
 object TemporalJoin {
 
-  def run(in: Dataset[TjInput]): Dataset[TjOutput] = {
+  def run(in: Dataset[TjInput],
+      watermarkDelay: String = "1 hour"): Dataset[TjOutput] = {
     import in.sparkSession.implicits._
-    in.groupByKey(_.key)
-      .flatMapGroupsWithState[List[(Long, Long, Double)], TjOutput](
+    val withWm = in.toDF()
+      .withColumn("__event_ts", timestamp_micros(col("time_us")))
+      .withWatermark("__event_ts", watermarkDelay)
+      .as[TjInput]
+    withWm.groupByKey(_.key)
+      .flatMapGroupsWithState[TjVersions, TjOutput](
           OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key, it, state: GroupState[List[(Long, Long, Double)]]) =>
-          var versions = state.getOption.getOrElse(Nil) // (time_us, seq, payload)
+        (key, it, state: GroupState[TjVersions]) =>
+          var versions = state.getOption.fold(List.empty[(Long, Long, Double)])(_.versions)
           val out = List.newBuilder[TjOutput]
           // dims sort before probes at the same instant (a version AS OF
           // time t is visible to a probe AT time t — inclusive)
           it.toList.sortBy(r => (r.time_us, !r.isDim, r.seq)).foreach { r =>
-            if (r.isDim) versions ::= ((r.time_us, r.seq, r.dim_payload))
-            else {
-              val m = versions.filter(_._1 <= r.time_us) match {
-                case Nil => None
-                case vs => Some(vs.maxBy(v => (v._1, v._2)))
-              }
+            if (r.isDim) {
+              val v = (r.time_us, r.seq, r.dim_payload)
+              val (newer, older) =
+                versions.span(x => x._1 > v._1 || (x._1 == v._1 && x._2 > v._2))
+              versions = newer ::: (v :: older)
+            } else {
+              // newest version at-or-before the probe time: first hit in
+              // the DESC-sorted list
+              val m = versions.find(_._1 <= r.time_us)
               out += TjOutput(r.probe_id, key, r.time_us, m.map(_._2), m.map(_._3))
             }
           }
-          state.update(versions)
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          if (wmUs > 0L) {
+            val (newer, older) = versions.span(_._1 > wmUs)
+            versions = newer ::: older.take(1)
+          }
+          state.update(TjVersions(versions))
           out.result().iterator
       }
   }

@@ -94,6 +94,38 @@ class CepSpec extends SparkSuite {
     assert(Cep.matchSorted(ok, p).map(_.event_ids) == List(Seq(1L, 3L)))
   }
 
+  test("watermark eviction keeps CEP state bounded by the pattern horizon") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, size}
+    val ms = MemoryStream[Ev]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cep_evict").toString
+    // within = 600s, watermark delay 1s: after each hourly batch the
+    // previous hour's events fall past watermark - within and are evicted
+    val q = Cep.run(ms.toDS(), clickThenBuy, "1 second").toDF()
+      .writeStream.format("memory").queryName("t_cep_evict").outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      val hourUs = 3600L * 1000000
+      (0 until 6).foreach { b =>
+        ms.addData(ev(b * 10 + 1, "click", b * hourUs),
+          ev(b * 10 + 2, "purchase", b * hourUs + 1000000))
+        q.processAllAvailable()
+      }
+      assert(spark.table("t_cep_evict").count() == 6) // one match per batch
+      // 12 events ingested; retained state holds at most the last two
+      // batches (watermark lags one batch), never the full history
+      val bufSizes = spark.read.format("statestore").load(ckpt)
+        .select(size(col("value.groupState.buffer"))).as[Int].collect()
+      assert(bufSizes.nonEmpty && bufSizes.forall(_ <= 4),
+        s"CEP buffer not watermark-bounded: ${bufSizes.toList}")
+      val emittedSizes = spark.read.format("statestore").load(ckpt)
+        .select(size(col("value.groupState.emitted"))).as[Int].collect()
+      assert(emittedSizes.forall(_ <= 2),
+        s"emitted-match markers not pruned: ${emittedSizes.toList}")
+    } finally q.stop()
+  }
+
   test("streaming: a match straddling a micro-batch boundary is found exactly once") {
     implicit val sql = spark.sqlContext
     import spark.implicits._

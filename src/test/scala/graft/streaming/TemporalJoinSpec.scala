@@ -32,6 +32,35 @@ class TemporalJoinSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("watermark retention keeps only live dim versions in state") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, size}
+    val ms = MemoryStream[TjInput]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tj_retain").toString
+    val q = TemporalJoin.run(ms.toDS(), "1 second").toDF()
+      .writeStream.format("memory").queryName("t_tj_retain").outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      val hourUs = 3600L * 1000000
+      (0 until 6).foreach { b =>
+        ms.addData(dim(1, b * hourUs, b + 1, b * 10.0),
+          probe(100 + b, 1, b * hourUs + 1000000))
+        q.processAllAvailable()
+      }
+      // every probe matched the version current at its time
+      val out = spark.table("t_tj_retain").as[TjOutput].collect()
+        .map(o => o.probe_id -> o.matched_seq).toMap
+      assert(out == (0 until 6).map(b => (100L + b) -> Some(b + 1L)).toMap)
+      // 6 versions ingested; state keeps only versions above the
+      // watermark plus the single newest at-or-before it
+      val sizes = spark.read.format("statestore").load(ckpt)
+        .select(size(col("value.groupState.versions"))).as[Int].collect()
+      assert(sizes.nonEmpty && sizes.forall(_ <= 2),
+        s"version history not watermark-pruned: ${sizes.toList}")
+    } finally q.stop()
+  }
+
   test("cross-batch: later probes see versions from earlier batches (proc-time semantics)") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
