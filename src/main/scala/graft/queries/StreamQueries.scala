@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryPack
-import graft.streaming.{Cep, Ev, StatefulOps, StreamOps}
+import graft.streaming.{BoundedOver, Cep, Ev, StatefulOps, StreamOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -178,6 +178,32 @@ object StreamQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // Event-time bounded streaming OVER, ROWS frame (reference
+    // RowTimeRowsBoundedPrecedingFunction): per-user sliding 3-row
+    // count/sum, rows released as the watermark passes them; the staged
+    // sentinel drives the end-of-input watermark so the bounded run
+    // flushes completely.
+    "stream_over_bounded_rows" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val out = BoundedOver.run(
+        StreamOps.eventsTypedWithFinalWatermark(s, dir), BoundedOver.RowsFrame(2))
+      StreamOps.runToBatch(s, out.toDF(), "append", "stream_obrows")
+        .filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Event-time bounded streaming OVER, RANGE frame (reference
+    // RowTimeRangeBoundedPrecedingFunction): per-user 10-minute
+    // trailing count/sum; same-ts peers share a frame per SQL RANGE.
+    "stream_over_bounded_range" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val out = BoundedOver.run(
+        StreamOps.eventsTypedWithFinalWatermark(s, dir), BoundedOver.RangeFrame(TenMinUs))
+      StreamOps.runToBatch(s, out.toDF(), "append", "stream_obrange")
+        .filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // CEP: click strictly followed by a purchase (adjacent in the
     // user's event-time order) within 10 minutes.
     "stream_cep_next" -> ((s0, dir) => {
@@ -273,6 +299,24 @@ object StreamQueries extends QueryPack {
           ON e.user_id = o.o_custkey AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
       ) t WHERE rn = 1
       ORDER BY event_id""",
+    "stream_over_bounded_rows" -> """
+      SELECT user_id, event_id,
+             count(*) OVER w AS frame_n,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT) AS frame_cents
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id""",
+    "stream_over_bounded_range" -> """
+      SELECT user_id, event_id,
+             count(*) OVER w AS frame_n,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT) AS frame_cents
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP)
+                   RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id""",
     "stream_cep_next" -> """
       WITH o AS (
         SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS uts,
