@@ -32,16 +32,45 @@ object Cep {
   case object Once extends Quant
   /** Greedy include-first, skip on downstream failure. */
   case object Optional extends Quant
+  /** Reluctant optional: skip-first, include only on downstream
+   * failure (reference `Quantifier.optional` with
+   * `ConsumingStrategy`/greedy flag off). */
+  case object OptionalReluctant extends Quant
   /** Strict-contiguity maximal run, no backtracking (documented subset
    * of the reference's greedy oneOrMore). */
   case object OneOrMore extends Quant
+  /** Reluctant oneOrMore: minimal strict run (≥1), extended only when
+   * the remaining steps fail (reference `Pattern.oneOrMore` without
+   * `greedy()`). */
+  case object OneOrMoreReluctant extends Quant
   /** Negative lookahead on the next event (not consumed). */
   case object NotNext extends Quant
+
+  /** After-match skip strategy (reference
+   * `cep/nfa/aftermatch/AfterMatchSkipStrategy.java` + its five
+   * subclasses): where the scan resumes after a match is emitted. */
+  sealed trait AfterMatch
+  /** Every qualifying event starts its own match (overlaps allowed). */
+  case object NoSkip extends AfterMatch
+  /** One match per start event; in this engine's deterministic
+   * earliest-match subset each start yields at most one match, so
+   * SKIP_TO_NEXT coincides with NO_SKIP (documented). */
+  case object SkipToNext extends AfterMatch
+  /** Resume after the last event of the emitted match
+   * (`SkipPastLastStrategy`): non-overlapping matches. */
+  case object SkipPastLast extends AfterMatch
+  /** Resume at the FIRST event bound to `step` in the emitted match
+   * (`SkipToFirstStrategy`; never stalls: advances at least one). */
+  final case class SkipToFirst(step: String) extends AfterMatch
+  /** Resume at the LAST event bound to `step` in the emitted match
+   * (`SkipToLastStrategy`). */
+  final case class SkipToLast(step: String) extends AfterMatch
 
   final case class Step(name: String, pred: Ev => Boolean, strict: Boolean,
       quant: Quant = Once)
 
-  final case class Pattern(steps: Vector[Step], withinUs: Long = Long.MaxValue) {
+  final case class Pattern(steps: Vector[Step], withinUs: Long = Long.MaxValue,
+      skip: AfterMatch = NoSkip) {
     def next(name: String, pred: Ev => Boolean): Pattern =
       copy(steps = steps :+ Step(name, pred, strict = true))
     def followedBy(name: String, pred: Ev => Boolean): Pattern =
@@ -53,10 +82,21 @@ object Cep {
     /** Optional relaxed step (reference `Pattern.optional`). */
     def optional(name: String, pred: Ev => Boolean): Pattern =
       copy(steps = steps :+ Step(name, pred, strict = false, quant = Optional))
+    /** Reluctant optional: excluded unless the rest of the pattern
+     * cannot match without it. */
+    def optionalReluctant(name: String, pred: Ev => Boolean): Pattern =
+      copy(steps = steps :+ Step(name, pred, strict = false, quant = OptionalReluctant))
     /** Greedy maximal consecutive run, >= 1 (reference
      * `Pattern.oneOrMore` with strict inner contiguity). */
     def oneOrMoreNext(name: String, pred: Ev => Boolean): Pattern =
       copy(steps = steps :+ Step(name, pred, strict = true, quant = OneOrMore))
+    /** Reluctant consecutive run, >= 1: consumes as few events as the
+     * rest of the pattern allows. */
+    def oneOrMoreNextReluctant(name: String, pred: Ev => Boolean): Pattern =
+      copy(steps = steps :+ Step(name, pred, strict = true, quant = OneOrMoreReluctant))
+    /** After-match skip strategy (reference `Pattern.begin(name,
+     * afterMatchSkipStrategy)`). */
+    def afterMatchSkip(s: AfterMatch): Pattern = copy(skip = s)
     /** Negative strict step (reference `Pattern.notNext`): the match
      * continues only if the NEXT event does NOT satisfy `pred`; the
      * event is not consumed. */
@@ -73,37 +113,49 @@ object Cep {
   /** Match the pattern over one key's ts-ordered event list.
    *
    * Semantics (deterministic subset of the reference NFA,
-   * `cep/nfa/NFA.java:86`): a match may begin at every row whose first
-   * predicate holds (NO_SKIP after-match strategy); each subsequent
-   * step consumes the FIRST qualifying later event (earliest-match
-   * greediness); `next` requires strict adjacency in the ordered
-   * stream, `followedBy` allows gaps; the whole match must span at
-   * most `withinUs` microseconds. */
+   * `cep/nfa/NFA.java:86`): a match may begin at every row the
+   * after-match skip strategy has not skipped past and whose first
+   * predicate holds; each subsequent step consumes the FIRST
+   * qualifying later event (earliest-match greediness) unless its
+   * quantifier says otherwise; `next` requires strict adjacency in the
+   * ordered stream, `followedBy` allows gaps; the whole match must
+   * span at most `withinUs` microseconds. */
   private[streaming] def matchSorted(events: IndexedSeq[Ev], p: Pattern): List[CepMatch] = {
 
     def inWindow(start: Ev, j: Int): Boolean =
       j < events.length && events(j).ts_us - start.ts_us <= p.withinUs
 
-    /** Match `steps` with the previous consumed index at `pos`. */
+    /** Match `steps` with the previous consumed index at `pos`; `acc`
+     * carries (step name, event index) bindings in consumption order
+     * — the skip strategies address events by the step that bound
+     * them (reference SharedBuffer's per-state event paths). */
     def matchSteps(start: Ev, pos: Int, steps: List[Step],
-        acc: Vector[Long]): Option[(Int, Vector[Long])] = steps match {
+        acc: Vector[(String, Int)]): Option[(Int, Vector[(String, Int)])] = steps match {
       case Nil => Some((pos, acc))
       case st :: rest =>
-        def withEventAt(j: Int): Option[(Int, Vector[Long])] =
-          matchSteps(start, j, rest, acc :+ events(j).event_id)
+        def withEventAt(j: Int): Option[(Int, Vector[(String, Int)])] =
+          matchSteps(start, j, rest, acc :+ ((st.name, j)))
+        def firstQualifying(from: Int): Int = {
+          var j = from
+          while (inWindow(start, j) && !st.pred(events(j))) j += 1
+          j
+        }
         st.quant match {
           case Once if st.strict =>
             val j = pos + 1
             if (inWindow(start, j) && st.pred(events(j))) withEventAt(j) else None
           case Once => // relaxed: earliest qualifying event
-            var j = pos + 1
-            while (inWindow(start, j) && !st.pred(events(j))) j += 1
+            val j = firstQualifying(pos + 1)
             if (inWindow(start, j)) withEventAt(j) else None
           case Optional => // greedy include-first, fall back to skipping
-            var j = pos + 1
-            while (inWindow(start, j) && !st.pred(events(j))) j += 1
+            val j = firstQualifying(pos + 1)
             val included = if (inWindow(start, j)) withEventAt(j) else None
             included.orElse(matchSteps(start, pos, rest, acc))
+          case OptionalReluctant => // skip-first, include on failure
+            matchSteps(start, pos, rest, acc).orElse {
+              val j = firstQualifying(pos + 1)
+              if (inWindow(start, j)) withEventAt(j) else None
+            }
           case NotNext => // negative lookahead; end-of-stream satisfies it
             val j = pos + 1
             if (inWindow(start, j) && st.pred(events(j))) None
@@ -112,11 +164,23 @@ object Cep {
             var j = pos + 1
             if (!inWindow(start, j) || !st.pred(events(j))) None
             else {
-              var ids = acc
+              var binds = acc
               while (inWindow(start, j) && st.pred(events(j))) {
-                ids :+= events(j).event_id; j += 1
+                binds :+= ((st.name, j)); j += 1
               }
-              matchSteps(start, j - 1, rest, ids)
+              matchSteps(start, j - 1, rest, binds)
+            }
+          case OneOrMoreReluctant => // minimal strict run, extend on failure
+            var j = pos + 1
+            if (!inWindow(start, j) || !st.pred(events(j))) None
+            else {
+              var binds = acc :+ ((st.name, j))
+              var res = matchSteps(start, j, rest, binds)
+              while (res.isEmpty && inWindow(start, j + 1) && st.pred(events(j + 1))) {
+                j += 1; binds :+= ((st.name, j))
+                res = matchSteps(start, j, rest, binds)
+              }
+              res
             }
         }
     }
@@ -125,13 +189,26 @@ object Cep {
     var i = 0
     while (i < events.length) {
       val start = events(i)
+      var next = i + 1
       if (p.steps.head.pred(start)) {
-        matchSteps(start, i, p.steps.tail.toList, Vector(start.event_id)).foreach {
-          case (endPos, ids) =>
-            out += CepMatch(start.user_id, ids, start.ts_us, events(endPos).ts_us)
+        matchSteps(start, i, p.steps.tail.toList,
+            Vector((p.steps.head.name, i))).foreach {
+          case (endPos, binds) =>
+            out += CepMatch(start.user_id, binds.map(b => events(b._2).event_id),
+              start.ts_us, events(endPos).ts_us)
+            // `times` expands names to "name#k": match on the prefix
+            def bound(step: String) = binds.filter(_._1.takeWhile(_ != '#') == step)
+            p.skip match {
+              case NoSkip | SkipToNext => ()
+              case SkipPastLast => next = endPos + 1
+              case SkipToFirst(s) =>
+                bound(s).headOption.foreach { case (_, j) => next = math.max(j, i + 1) }
+              case SkipToLast(s) =>
+                bound(s).lastOption.foreach { case (_, j) => next = math.max(j, i + 1) }
+            }
         }
       }
-      i += 1
+      i = next
     }
     out.result()
   }

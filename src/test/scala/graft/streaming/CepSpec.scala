@@ -94,6 +94,72 @@ class CepSpec extends SparkSuite {
     assert(Cep.matchSorted(ok, p).map(_.event_ids) == List(Seq(1L, 3L)))
   }
 
+  // The reference's documented skip-strategy example
+  // (nfa/aftermatch/AfterMatchSkipStrategy.java family): pattern b+ c
+  // over b1 b2 b3 c, matched with strict-contiguity oneOrMore.
+  private val bPlusC = Cep.Pattern
+    .begin("b", _.event_type == "b")
+    .oneOrMoreNext("b", _.event_type == "b")
+    .next("c", _.event_type == "c")
+  private val bRun = IndexedSeq(
+    ev(1, "b", 0), ev(2, "b", 10), ev(3, "b", 20), ev(4, "c", 30))
+  // begin("b") consumes the first b; oneOrMoreNext("b") the rest — so
+  // starts at b1/b2 match, b3 alone cannot feed the oneOrMore
+  private def matchesWith(s: Cep.AfterMatch) =
+    Cep.matchSorted(bRun, bPlusC.afterMatchSkip(s)).map(_.event_ids)
+
+  test("NO_SKIP / SKIP_TO_NEXT: every qualifying start matches (overlaps allowed)") {
+    val expected = List(Seq(1L, 2L, 3L, 4L), Seq(2L, 3L, 4L))
+    assert(matchesWith(Cep.NoSkip) == expected)
+    assert(matchesWith(Cep.SkipToNext) == expected)
+  }
+
+  test("SKIP_PAST_LAST_EVENT: non-overlapping — resume after the match end") {
+    assert(matchesWith(Cep.SkipPastLast) == List(Seq(1L, 2L, 3L, 4L)))
+  }
+
+  test("SKIP_TO_FIRST[step]: resume at the first event bound to the step (never stalls)") {
+    // first "b" of the current match IS the start → advances by one:
+    // identical to NO_SKIP, per the reference's documented example
+    assert(matchesWith(Cep.SkipToFirst("b")) ==
+      List(Seq(1L, 2L, 3L, 4L), Seq(2L, 3L, 4L)))
+    // skipping to the first "c" jumps past the overlapping start at b2
+    assert(matchesWith(Cep.SkipToFirst("c")) == List(Seq(1L, 2L, 3L, 4L)))
+  }
+
+  test("SKIP_TO_LAST[step]: resume at the last event bound to the step") {
+    // last "b" of match 1 is b3, which cannot start a new match (no
+    // second b for the oneOrMore) → only the first match survives
+    assert(matchesWith(Cep.SkipToLast("b")) == List(Seq(1L, 2L, 3L, 4L)))
+  }
+
+  test("reluctant oneOrMore consumes minimally; greedy cannot backtrack") {
+    val greedy = Cep.Pattern.begin("a", _.event_type == "a")
+      .oneOrMoreNext("bs", _.event_type == "b")
+      .next("end", _.event_type == "b")
+    val reluctant = Cep.Pattern.begin("a", _.event_type == "a")
+      .oneOrMoreNextReluctant("bs", _.event_type == "b")
+      .next("end", _.event_type == "b")
+    val events = IndexedSeq(ev(1, "a", 0), ev(2, "b", 10), ev(3, "b", 20))
+    // greedy swallows b1 b2, leaving nothing for `end`
+    assert(Cep.matchSorted(events, greedy).isEmpty)
+    // reluctant stops after b1, so `end` takes b2
+    assert(Cep.matchSorted(events, reluctant).map(_.event_ids) ==
+      List(Seq(1L, 2L, 3L)))
+  }
+
+  test("reluctant optional excluded when the rest can match without it") {
+    val greedyOpt = Cep.Pattern.begin("a", _.event_type == "a")
+      .optional("x", _.event_type == "b")
+      .followedBy("y", _.event_type == "b")
+    val reluctantOpt = Cep.Pattern.begin("a", _.event_type == "a")
+      .optionalReluctant("x", _.event_type == "b")
+      .followedBy("y", _.event_type == "b")
+    val events = IndexedSeq(ev(1, "a", 0), ev(2, "b", 10), ev(3, "b", 20))
+    assert(Cep.matchSorted(events, greedyOpt).map(_.event_ids) == List(Seq(1L, 2L, 3L)))
+    assert(Cep.matchSorted(events, reluctantOpt).map(_.event_ids) == List(Seq(1L, 2L)))
+  }
+
   test("watermark eviction keeps CEP state bounded by the pattern horizon") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
