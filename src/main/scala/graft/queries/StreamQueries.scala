@@ -204,6 +204,28 @@ object StreamQueries extends QueryPack {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // MATCH_RECOGNIZE SQL surface (reference StreamExecMatch): the
+    // same click→purchase pattern expressed as PARTITION BY / ORDER BY
+    // / MEASURES / PATTERN / DEFINE and parsed onto the CEP engine.
+    "match_recognize_sql" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val mrSql = """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES A.event_id AS click_id, B.event_id AS buy_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (A B)
+          WITHIN INTERVAL '10' MINUTE
+          DEFINE A AS A.event_type = 'click', B AS B.event_type = 'purchase'
+        )"""
+      StreamOps.runToBatch(s,
+          graft.sqlx.MatchRecognize.run(StreamOps.eventsTyped(s, dir), mrSql),
+          "append", "stream_mr")
+        .orderBy(col("click_id"))
+    }),
+
     // CEP: click strictly followed by a purchase (adjacent in the
     // user's event-time order) within 10 minutes.
     "stream_cep_next" -> ((s0, dir) => {
@@ -317,6 +339,19 @@ object StreamQueries extends QueryPack {
                    ORDER BY CAST(ts AS TIMESTAMP)
                    RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW)
       ORDER BY user_id, event_id""",
+    "match_recognize_sql" -> """
+      WITH o AS (
+        SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS uts,
+               lead(event_id) OVER w AS nid,
+               lead(event_type) OVER w AS ntype,
+               lead(CAST(ts AS TIMESTAMP)) OVER w AS nts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
+      SELECT user_id, event_id AS click_id, nid AS buy_id
+      FROM o
+      WHERE event_type = 'click' AND ntype = 'purchase'
+        AND nts - uts <= INTERVAL 10 MINUTE
+      ORDER BY click_id""",
     "stream_cep_next" -> """
       WITH o AS (
         SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS uts,

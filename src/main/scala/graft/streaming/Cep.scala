@@ -7,6 +7,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** One emitted pattern match: the matched event ids in step order. */
 case class CepMatch(user_id: Long, event_ids: Seq[Long], start_us: Long, end_us: Long)
 
+/** One event of a match together with the pattern step that bound it. */
+case class BoundEv(step: String, ev: Ev)
+
+/** A match with full step→event bindings (the MATCH_RECOGNIZE MEASURES
+ * surface reads fields of bound events per step). */
+case class CepBound(user_id: Long, start_us: Long, end_us: Long, binds: List[BoundEv])
+
 /** Buffered per-key state: events still inside the pattern's `within`
  * horizon (ts-ordered on use) plus (start_ts, start_id) of matches
  * already emitted — both pruned on watermark advance. */
@@ -82,6 +89,10 @@ object Cep {
     /** Optional relaxed step (reference `Pattern.optional`). */
     def optional(name: String, pred: Ev => Boolean): Pattern =
       copy(steps = steps :+ Step(name, pred, strict = false, quant = Optional))
+    /** Optional STRICT step: included only if the immediately next
+     * event qualifies (MATCH_RECOGNIZE `X?` contiguity). */
+    def optionalNext(name: String, pred: Ev => Boolean): Pattern =
+      copy(steps = steps :+ Step(name, pred, strict = true, quant = Optional))
     /** Reluctant optional: excluded unless the rest of the pattern
      * cannot match without it. */
     def optionalReluctant(name: String, pred: Ev => Boolean): Pattern =
@@ -120,7 +131,11 @@ object Cep {
    * quantifier says otherwise; `next` requires strict adjacency in the
    * ordered stream, `followedBy` allows gaps; the whole match must
    * span at most `withinUs` microseconds. */
-  private[streaming] def matchSorted(events: IndexedSeq[Ev], p: Pattern): List[CepMatch] = {
+  private[streaming] def matchSorted(events: IndexedSeq[Ev], p: Pattern): List[CepMatch] =
+    matchSortedBound(events, p).map(b =>
+      CepMatch(b.user_id, b.binds.map(_.ev.event_id), b.start_us, b.end_us))
+
+  private[graft] def matchSortedBound(events: IndexedSeq[Ev], p: Pattern): List[CepBound] = {
 
     def inWindow(start: Ev, j: Int): Boolean =
       j < events.length && events(j).ts_us - start.ts_us <= p.withinUs
@@ -148,8 +163,14 @@ object Cep {
             val j = firstQualifying(pos + 1)
             if (inWindow(start, j)) withEventAt(j) else None
           case Optional => // greedy include-first, fall back to skipping
-            val j = firstQualifying(pos + 1)
-            val included = if (inWindow(start, j)) withEventAt(j) else None
+            val included =
+              if (st.strict) { // MATCH_RECOGNIZE contiguity: next event only
+                val j = pos + 1
+                if (inWindow(start, j) && st.pred(events(j))) withEventAt(j) else None
+              } else {
+                val j = firstQualifying(pos + 1)
+                if (inWindow(start, j)) withEventAt(j) else None
+              }
             included.orElse(matchSteps(start, pos, rest, acc))
           case OptionalReluctant => // skip-first, include on failure
             matchSteps(start, pos, rest, acc).orElse {
@@ -185,7 +206,7 @@ object Cep {
         }
     }
 
-    val out = List.newBuilder[CepMatch]
+    val out = List.newBuilder[CepBound]
     var i = 0
     while (i < events.length) {
       val start = events(i)
@@ -194,8 +215,8 @@ object Cep {
         matchSteps(start, i, p.steps.tail.toList,
             Vector((p.steps.head.name, i))).foreach {
           case (endPos, binds) =>
-            out += CepMatch(start.user_id, binds.map(b => events(b._2).event_id),
-              start.ts_us, events(endPos).ts_us)
+            out += CepBound(start.user_id, start.ts_us, events(endPos).ts_us,
+              binds.map { case (n, j) => BoundEv(n, events(j)) }.toList)
             // `times` expands names to "name#k": match on the prefix
             def bound(step: String) = binds.filter(_._1.takeWhile(_ != '#') == step)
             p.skip match {
@@ -236,19 +257,28 @@ object Cep {
   def run(ds: Dataset[Ev], pattern: Pattern,
       watermarkDelay: String = "1 hour"): Dataset[CepMatch] = {
     import ds.sparkSession.implicits._
+    runBound(ds, pattern, watermarkDelay).map(b =>
+      CepMatch(b.user_id, b.binds.map(_.ev.event_id), b.start_us, b.end_us))
+  }
+
+  /** `run` with full step→event bindings preserved per match — the
+   * MATCH_RECOGNIZE MEASURES surface projects fields out of these. */
+  def runBound(ds: Dataset[Ev], pattern: Pattern,
+      watermarkDelay: String = "1 hour"): Dataset[CepBound] = {
+    import ds.sparkSession.implicits._
     val withWm = ds.toDF()
       .withColumn("__event_ts", timestamp_micros(col("ts_us")))
       .withWatermark("__event_ts", watermarkDelay)
       .as[Ev]
     withWm.groupByKey(_.user_id)
-      .flatMapGroupsWithState[CepState, CepMatch](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[CepState, CepBound](OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_, it, state: GroupState[CepState]) =>
           val st = state.getOption.getOrElse(CepState(Nil, Nil))
           val buffer = (st.buffer ++ it).sortBy(e => (e.ts_us, e.event_id))
-          val all = matchSorted(buffer.toIndexedSeq, pattern)
+          val all = matchSortedBound(buffer.toIndexedSeq, pattern)
           val seen = st.emitted.map(_._2).toSet
-          val fresh = all.filterNot(m => seen.contains(m.event_ids.head))
-          val emitted = st.emitted ++ fresh.map(m => (m.start_us, m.event_ids.head))
+          val fresh = all.filterNot(m => seen.contains(m.binds.head.ev.event_id))
+          val emitted = st.emitted ++ fresh.map(m => (m.start_us, m.binds.head.ev.event_id))
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val live: Long => Boolean =
             if (wmUs <= 0L || pattern.withinUs == Long.MaxValue) _ => true

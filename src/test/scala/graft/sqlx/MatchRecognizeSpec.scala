@@ -1,0 +1,80 @@
+package graft.sqlx
+
+import graft.SparkSuite
+import graft.streaming.{Cep, Ev}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** MATCH_RECOGNIZE parsing + execution: clause compilation onto
+ * Cep.Pattern, FIRST/LAST measures over quantified steps, skip
+ * strategies, and the streaming end-to-end path. */
+class MatchRecognizeSpec extends SparkSuite {
+
+  private def ev(id: Long, typ: String, tsUs: Long, v: Double = 1.0, user: Long = 1) =
+    Ev(id, user, typ, tsUs, v)
+
+  test("parse compiles pattern, quantifiers, within, skip and defines") {
+    val spec = MatchRecognize.parse("""
+      SELECT * FROM events MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts
+        MEASURES FIRST(B.event_id) AS first_b, LAST(B.event_id) AS last_b
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B+ C?)
+        WITHIN INTERVAL '5' MINUTE
+        DEFINE A AS A.event_type = 'a', B AS B.value > 2 AND B.value < 10
+      )""")
+    assert(spec.skip == Cep.SkipPastLast)
+    assert(spec.pattern.withinUs == 5L * 60000000)
+    assert(spec.pattern.steps.map(_.name) == Vector("A", "B", "C"))
+    assert(spec.pattern.steps(1).quant == Cep.OneOrMore)
+    assert(spec.pattern.steps(2).quant == Cep.Optional && spec.pattern.steps(2).strict)
+    val defB = spec.pattern.steps(1).pred
+    assert(defB(ev(1, "x", 0, 5.0)) && !defB(ev(1, "x", 0, 11.0)))
+    // undefined symbol C matches any row
+    assert(spec.pattern.steps(2).pred(ev(1, "anything", 0)))
+  }
+
+  test("end-to-end: measures project FIRST/LAST of a one-or-more step") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Ev]
+    val out = MatchRecognize.run(ms.toDS(), """
+      SELECT * FROM events MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts
+        MEASURES A.event_id AS a_id, FIRST(B.event_id) AS first_b,
+                 LAST(B.event_id) AS last_b, C.event_id AS c_id
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B+ C)
+        DEFINE A AS A.event_type = 'a', B AS B.event_type = 'b',
+               C AS C.event_type = 'c'
+      )""")
+    val q = out.writeStream.format("memory").queryName("t_mr")
+      .outputMode("append").start()
+    try {
+      ms.addData(ev(1, "a", 0), ev(2, "b", 10), ev(3, "b", 20), ev(4, "c", 30))
+      q.processAllAvailable()
+      val rows = spark.table("t_mr")
+        .as[(Long, Long, Long, Long, Long)].collect().toList
+      assert(rows == List((1L, 1L, 2L, 3L, 4L)))
+    } finally q.stop()
+  }
+
+  test("unsupported clauses raise, not silently misparse") {
+    intercept[IllegalArgumentException] {
+      MatchRecognize.parse("SELECT 1") // no clause
+    }
+    intercept[IllegalArgumentException] {
+      MatchRecognize.parse("""
+        SELECT * FROM t MATCH_RECOGNIZE (
+          PARTITION BY other_col
+          ORDER BY ts
+          MEASURES A.event_id AS x
+          PATTERN (A)
+          DEFINE A AS A.value > 0
+        )""") // partition col outside the subset
+    }
+  }
+}
