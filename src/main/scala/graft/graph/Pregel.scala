@@ -43,10 +43,40 @@ object Pregel {
     labels
   }
 
+  /** PageRank in integer fixed-point: ranks are longs at scale 10⁹ and
+   * every step floors through BIGINT division (`div`), so two engines
+   * running the same recurrence produce BIT-IDENTICAL integers —
+   * cross-engine hash equality without float trust:
+   *
+   *   rank₀ = 10⁹ div n
+   *   rankₜ₊₁ = (0.15·10⁹) div n + (85 · Σ_{u→v} rankₜ(u) div deg(u)) div 100
+   *
+   * Same plan shape as [[pageRank]] (two shuffles per round,
+   * localCheckpoint lineage cuts). */
+  def pageRankFixed(vertices: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    val n = vertices.count()
+    val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = vertices.select(col("id"), lit(1000000000L / n).as("rankq"))
+    for (i <- 1 to iters) {
+      val contribs = edges
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .join(outDeg.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(expr("rankq div deg")).as("recv"))
+      ranks = vertices.select(col("id"))
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(150000000L / n) + expr("(85 * coalesce(recv, 0L)) div 100")).as("rankq"))
+      if (i % 3 == 0) ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
   /** Standard PageRank, fixed iterations, damping 0.85. Kept exactly
    * deterministic per-engine run (pure joins/aggregations); cross-engine
    * float equality is NOT promised — validated by spec on a known
-   * graph, exposed in the gate as a rows-only entry. */
+   * graph (the fixed-point variant above is the hash-gated one). */
   def pageRank(vertices: DataFrame, edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
     val n = vertices.count().toDouble
     val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))

@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
  * vertices get negative ids from a deterministic dense rank, so both
  * engines label the identical graph. Fixed-round min-label propagation
  * is exactly reproducible by the SQL oracle (4 unrolled rounds);
- * PageRank is validated by spec on a known graph and enters the gate
- * rows-only (float iteration — no cross-engine bit equality promised).
+ * PageRank runs in integer fixed-point (scale 10⁹, floored BIGINT
+ * division per step) so the oracle's 5 unrolled rounds reproduce the
+ * exact longs — both graph rows are full hash gates.
  */
 object GraphQueries extends QueryPack {
 
@@ -39,12 +40,14 @@ object GraphQueries extends QueryPack {
         .orderBy(col("id"))
     }),
 
-    // PageRank over user→type→user structure; rows-only gate entry.
+    // PageRank over the user→type→user structure in integer
+    // fixed-point (scale 10⁹, floored BIGINT division per step) so the
+    // DuckDB oracle reproduces the exact longs — full hash gate.
     "graph_pagerank" -> ((s, dir) => {
       val (v, e) = bipartite(s, dir)
       val undirected = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
-      Pregel.pageRank(v, undirected, iters = 5)
-        .orderBy(col("rank").desc, col("id"))
+      Pregel.pageRankFixed(v, undirected, iters = 5)
+        .orderBy(col("rankq").desc, col("id"))
         .limit(20)
     })
   )
@@ -77,6 +80,51 @@ object GraphQueries extends QueryPack {
              FROM l3 l LEFT JOIN (SELECT e.dst AS id, min(x.label) AS nl
                                   FROM edges e JOIN l3 x ON e.src = x.id
                                   GROUP BY e.dst) m ON l.id = m.id)
-      SELECT id, label FROM l4 WHERE id >= 0 ORDER BY id"""
+      SELECT id, label FROM l4 WHERE id >= 0 ORDER BY id""",
+    "graph_pagerank" -> """
+      WITH types AS (SELECT DISTINCT event_type FROM events),
+      tmap AS (SELECT event_type,
+                      -CAST(dense_rank() OVER (ORDER BY event_type) AS BIGINT) AS tid
+               FROM types),
+      e0 AS (SELECT DISTINCT e.user_id AS src, t.tid AS dst
+             FROM events e JOIN tmap t USING (event_type)),
+      edges AS (SELECT src, dst FROM e0
+                UNION ALL SELECT dst AS src, src AS dst FROM e0),
+      v AS (SELECT DISTINCT user_id AS id FROM events
+            UNION SELECT tid FROM tmap),
+      p AS (SELECT count(*) AS n FROM v),
+      deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+      r0 AS (SELECT id, CAST(1000000000 // (SELECT n FROM p) AS BIGINT) AS rankq FROM v),
+      r1 AS (SELECT v.id, CAST(150000000 // (SELECT n FROM p)
+                               + (85 * coalesce(m.recv, 0)) // 100 AS BIGINT) AS rankq
+             FROM v LEFT JOIN (SELECT e.dst AS id, sum(x.rankq // d.deg) AS recv
+                               FROM edges e JOIN r0 x ON e.src = x.id
+                                            JOIN deg d ON e.src = d.id
+                               GROUP BY e.dst) m ON v.id = m.id),
+      r2 AS (SELECT v.id, CAST(150000000 // (SELECT n FROM p)
+                               + (85 * coalesce(m.recv, 0)) // 100 AS BIGINT) AS rankq
+             FROM v LEFT JOIN (SELECT e.dst AS id, sum(x.rankq // d.deg) AS recv
+                               FROM edges e JOIN r1 x ON e.src = x.id
+                                            JOIN deg d ON e.src = d.id
+                               GROUP BY e.dst) m ON v.id = m.id),
+      r3 AS (SELECT v.id, CAST(150000000 // (SELECT n FROM p)
+                               + (85 * coalesce(m.recv, 0)) // 100 AS BIGINT) AS rankq
+             FROM v LEFT JOIN (SELECT e.dst AS id, sum(x.rankq // d.deg) AS recv
+                               FROM edges e JOIN r2 x ON e.src = x.id
+                                            JOIN deg d ON e.src = d.id
+                               GROUP BY e.dst) m ON v.id = m.id),
+      r4 AS (SELECT v.id, CAST(150000000 // (SELECT n FROM p)
+                               + (85 * coalesce(m.recv, 0)) // 100 AS BIGINT) AS rankq
+             FROM v LEFT JOIN (SELECT e.dst AS id, sum(x.rankq // d.deg) AS recv
+                               FROM edges e JOIN r3 x ON e.src = x.id
+                                            JOIN deg d ON e.src = d.id
+                               GROUP BY e.dst) m ON v.id = m.id),
+      r5 AS (SELECT v.id, CAST(150000000 // (SELECT n FROM p)
+                               + (85 * coalesce(m.recv, 0)) // 100 AS BIGINT) AS rankq
+             FROM v LEFT JOIN (SELECT e.dst AS id, sum(x.rankq // d.deg) AS recv
+                               FROM edges e JOIN r4 x ON e.src = x.id
+                                            JOIN deg d ON e.src = d.id
+                               GROUP BY e.dst) m ON v.id = m.id)
+      SELECT id, rankq FROM r5 ORDER BY rankq DESC, id LIMIT 20"""
   )
 }

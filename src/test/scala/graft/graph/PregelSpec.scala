@@ -30,4 +30,21 @@ class PregelSpec extends SparkSuite {
     assert(star(0L) > star(1L))
     assert(math.abs(star(1L) - star(2L)) < 1e-12)
   }
+
+  test("fixed-point pagerank: integer ranks track the float ranks and are symmetric") {
+    import spark.implicits._
+    val sv = Seq(0L, 1L, 2L, 3L).toDF("id")
+    val se = Seq((1L, 0L), (2L, 0L), (3L, 0L), (0L, 1L), (0L, 2L), (0L, 3L))
+      .toDF("src", "dst")
+    val fixed = Pregel.pageRankFixed(sv, se, iters = 15).as[(Long, Long)].collect().toMap
+    val float = Pregel.pageRank(sv, se, iters = 15).as[(Long, Double)].collect().toMap
+    // leaves are exactly symmetric in integer arithmetic
+    assert(fixed(1L) == fixed(2L) && fixed(2L) == fixed(3L))
+    assert(fixed(0L) > fixed(1L))
+    // within rounding distance of the float recurrence (flooring loses
+    // at most a few units per step at scale 1e9)
+    float.foreach { case (id, r) =>
+      assert(math.abs(fixed(id) - r * 1e9) < 1e3, s"vertex $id: ${fixed(id)} vs $r")
+    }
+  }
 }
