@@ -204,6 +204,31 @@ object StreamQueries extends QueryPack {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Retraction-aware streaming join (reference StreamingJoinOperator):
+    // customer (right upserts) ⋈ latest-order-per-customer (left
+    // upserts) through one keyed state op; every change emits -U/+U
+    // changelog rows, and ChangelogOps.normalize materializes the
+    // final join image that the oracle reproduces.
+    "stream_retract_join" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      import s.implicits._
+      val lefts = StreamOps.readStream(s, dir, "orders")
+        .select(lit(true).as("isLeft"), col("o_custkey").as("key"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("time_us"),
+          col("o_orderkey").as("seq"), col("o_totalprice").as("payload"))
+      val rights = StreamOps.readStream(s, dir, "customer")
+        .select(lit(false).as("isLeft"), col("c_custkey").as("key"),
+          lit(0L).as("time_us"), lit(0L).as("seq"), col("c_acctbal").as("payload"))
+      val changes = graft.streaming.RetractJoin.run(
+        lefts.unionByName(rights).as[graft.streaming.RjInput])
+      val changelog = StreamOps.runToBatch(s, changes.toDF(), "append", "stream_rjoin")
+      graft.changelog.ChangelogOps.normalize(changelog, Seq("key"), "out_seq")
+        .select(col("key"), col("left_seq").as("o_orderkey"),
+          col("left_payload").as("o_totalprice"),
+          col("right_payload").as("c_acctbal"))
+        .orderBy(col("key"))
+    }),
+
     // MATCH_RECOGNIZE SQL surface (reference StreamExecMatch): the
     // same click→purchase pattern expressed as PARTITION BY / ORDER BY
     // / MEASURES / PATTERN / DEFINE and parsed onto the CEP engine.
@@ -339,6 +364,15 @@ object StreamQueries extends QueryPack {
                    ORDER BY CAST(ts AS TIMESTAMP)
                    RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW)
       ORDER BY user_id, event_id""",
+    "stream_retract_join" -> """
+      SELECT c.c_custkey AS key, o.o_orderkey, o.o_totalprice, c.c_acctbal
+      FROM customer c JOIN (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders) o
+        ON o.o_custkey = c.c_custkey AND o.rn = 1
+      ORDER BY key""",
     "match_recognize_sql" -> """
       WITH o AS (
         SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS uts,
