@@ -204,6 +204,22 @@ object StreamQueries extends QueryPack {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Tumbling window agg WITH late-data side capture (reference
+    // WindowedStream.sideOutputLateData): per-user 15-minute windows
+    // finalized under the per-key sentinel cascade; late rows would
+    // surface tagged 'late' instead of silently dropping (none exist
+    // in the ordered bounded replay, so the oracle is the agg side).
+    "stream_window_late_capture" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val out = graft.streaming.LateCapture.tumble(
+        StreamOps.eventsTypedWithKeyedSentinels(s, dir), 15L * 60 * 1000000)
+      StreamOps.runToBatch(s, out.toDF(), "append", "stream_latecap")
+        .select(col("kind"), col("user_id"),
+          expr("cast(timestamp_micros(ws_us) as timestamp_ntz)").as("ws"),
+          col("n"), col("sum_cents"), col("late_event_id"))
+        .orderBy(col("user_id"), col("ws"))
+    }),
+
     // Retraction-aware streaming join (reference StreamingJoinOperator):
     // customer (right upserts) ⋈ latest-order-per-customer (left
     // upserts) through one keyed state op; every change emits -U/+U
@@ -364,6 +380,15 @@ object StreamQueries extends QueryPack {
                    ORDER BY CAST(ts AS TIMESTAMP)
                    RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW)
       ORDER BY user_id, event_id""",
+    "stream_window_late_capture" -> """
+      SELECT 'agg' AS kind, user_id,
+             time_bucket(INTERVAL 15 MINUTE, ts) AS ws,
+             count(*) AS n,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+             CAST(-1 AS BIGINT) AS late_event_id
+      FROM events
+      GROUP BY user_id, ws
+      ORDER BY user_id, ws""",
     "stream_retract_join" -> """
       SELECT c.c_custkey AS key, o.o_orderkey, o.o_totalprice, c.c_acctbal
       FROM customer c JOIN (

@@ -75,6 +75,60 @@ object StreamOps {
       .as[Ev]
   }
 
+  /** The events stream staged with TWO rounds of PER-KEY far-future
+   * sentinel rows, each file its own micro-batch (maxFilesPerTrigger=1,
+   * explicit mtime ordering): round 1 advances the watermark past all
+   * real data, round 2 invokes every key again under that watermark so
+   * NoTimeout keyed operators (which Spark never wakes without input)
+   * can finalize remaining windows — the per-key analog of the
+   * reference's end-of-input MAX_WATERMARK broadcast. Sentinel rows
+   * carry event_id = -1; operators skip them for aggregation. */
+  def eventsTypedWithKeyedSentinels(spark: SparkSession, dir: String): Dataset[Ev] = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val src = Paths.get(s"$dir/events.parquet")
+    val work = Files.createTempDirectory("graft_evsent")
+    val dataFile = work.resolve("events_data.parquet")
+    try Files.createLink(dataFile, src)
+    catch { case _: Exception => Files.copy(src, dataFile) }
+    Files.setLastModifiedTime(dataFile, FileTime.fromMillis(10000L))
+    val batch = spark.read.parquet(src.toString)
+    val tsIsLong = batch.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    def parquets() = Files.list(work).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSet
+    def sentinelRound(tsNs: Long, mtimeMs: Long): Unit = {
+      val cols = batch.schema.fields.map { f =>
+        (f.name, f.dataType) match {
+          case ("user_id", _) => col("user_id")
+          case ("event_id", _) => lit(-1L).as("event_id")
+          case ("ts", _) =>
+            (if (tsIsLong) lit(tsNs)
+             else lit(new java.sql.Timestamp(tsNs / 1000000L))).as("ts")
+          case (n, org.apache.spark.sql.types.StringType) => lit("sentinel").as(n)
+          case (n, org.apache.spark.sql.types.LongType) => lit(0L).as(n)
+          case (n, _) => lit(0.0).as(n)
+        }
+      }
+      val before = parquets()
+      batch.select(col("user_id")).distinct().select(cols.toSeq: _*)
+        .coalesce(1).write.mode("append").parquet(work.toString)
+      (parquets() -- before).foreach(p =>
+        Files.setLastModifiedTime(p, FileTime.fromMillis(mtimeMs)))
+    }
+    sentinelRound(7258118400000000000L, 20000L) // ~2200-01-01
+    sentinelRound(7258122000000000000L, 30000L) // +1 hour
+    val sdf = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/*.parquet")
+    val norm =
+      if (tsIsLong) sdf.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      else sdf
+    norm.select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"))
+      .as[Ev]
+  }
+
   /** The events stream staged together with one far-future sentinel
    * row (user_id = -1): after the data batch, the run's final no-data
    * micro-batch sees a watermark beyond every real event, so
