@@ -40,7 +40,13 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // the driver artifact preserves only the log tail, which truncates
+    // ~50 of the per-query timings — persist the full JSON for audit
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -60,8 +60,24 @@ object FormatQueries extends QueryPack {
         .orderBy(col("id"))
     }),
 
-    // ORC write → read → aggregate (spark-avro module jar is not in
-    // this environment; ORC exercises the same format-plugin path).
+    // Avro container write → declared-schema read → aggregate. The
+    // env lacks the spark-avro DataSource module, so this runs the
+    // repo's own container-API format (graft.sources.AvroFormat).
+    "fmt_avro_roundtrip" -> ((s, dir) => {
+      val path = scratch(dir, "supplier_avro")
+      graft.sources.AvroFormat.write(
+        Tables.load(s, dir, "supplier")
+          .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal"), path)
+      graft.sources.AvroFormat.read(s, path,
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "s_suppkey BIGINT, s_name STRING, s_nationkey BIGINT, s_acctbal DOUBLE"))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), min(col("s_name")).as("first_name"),
+          sum(floor(col("s_acctbal") * 100)).as("bal_cents"))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    // ORC write → read → aggregate (exercises the format-plugin path).
     "fmt_orc_roundtrip" -> ((s, dir) => {
       val path = scratch(dir, "part_orc")
       Tables.load(s, dir, "part")
@@ -107,6 +123,11 @@ object FormatQueries extends QueryPack {
     "src_datagen" -> """
       SELECT range AS id, range % 7 AS bucket, md5(CAST(range AS VARCHAR)) AS tag
       FROM range(0, 1000) ORDER BY id""",
+    "fmt_avro_roundtrip" -> """
+      SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n,
+             min(s_name) AS first_name,
+             CAST(sum(CAST(floor(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+      FROM supplier GROUP BY 1 ORDER BY s_nationkey""",
     "fmt_orc_roundtrip" -> """
       SELECT p_brand, count(*) AS n,
              CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS size_sum
