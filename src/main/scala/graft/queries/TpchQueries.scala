@@ -18,7 +18,114 @@ import org.apache.spark.sql.functions._
  */
 object TpchQueries extends QueryPack {
 
+  /** Register the named tables as views and run SQL — the round-4
+   * additions run through spark.sql so predicate rewrites (EXISTS →
+   * semi, NOT IN → null-aware anti, IN-HAVING → semi) come from
+   * Catalyst exactly as the reference's rule set produces them. */
+  private def sql(s: SparkSession, dir: String, tables: Seq[String], q: String): DataFrame = {
+    tables.foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+    s.sql(q)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q4: order-priority checking — EXISTS over lineitem (semi join;
+    // l_shipdate > o_orderdate stands in for the missing commit dates).
+    "tpch_q4_order_priority" -> ((s, dir) => sql(s, dir, Seq("orders", "lineitem"), """
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP_NTZ'1997-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP_NTZ'1998-01-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Q6: forecasting revenue change — tight scan-level band filters.
+    "tpch_q6_forecast_revenue" -> ((s, dir) => sql(s, dir, Seq("lineitem"), """
+      SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT) AS revenue,
+             count(*) AS n
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP_NTZ'1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP_NTZ'1998-01-01 00:00:00'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")),
+
+    // Q12: shipping-priority split — join + conditional aggregation
+    // (l_returnflag stands in for the missing l_shipmode).
+    "tpch_q12_priority_split" -> ((s, dir) => sql(s, dir, Seq("orders", "lineitem"), """
+      SELECT l_returnflag,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= TIMESTAMP_NTZ'1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP_NTZ'1998-01-01 00:00:00'
+      GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Q13: customer order-count distribution — left join preserved
+    // through two grouping levels.
+    "tpch_q13_customer_distribution" -> ((s, dir) => sql(s, dir, Seq("customer", "orders"), """
+      SELECT c_count, count(*) AS custdist
+      FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey) t
+      GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")),
+
+    // Q14: promotion revenue share — conditional vs total integer sums
+    // (the float percentage stays out of the gate columns).
+    "tpch_q14_promo_revenue" -> ((s, dir) => sql(s, dir, Seq("lineitem", "part"), """
+      SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                           THEN CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS promo_revenue,
+             CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS total_revenue
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP_NTZ'1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP_NTZ'1997-07-01 00:00:00'""")),
+
+    // Q16: parts/supplier relationship — NOT IN (null-aware anti join)
+    // under a count(DISTINCT).
+    "tpch_q16_parts_supplier" -> ((s, dir) => sql(s, dir, Seq("lineitem", "part", "supplier"), """
+      SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand <> 'Brand#1' AND p_size IN (1, 2, 3, 4, 5)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+      LIMIT 20""")),
+
+    // Q18: large-volume customers — IN over a grouped HAVING subquery
+    // on the fact table itself.
+    "tpch_q18_large_volume" -> ((s, dir) => sql(s, dir, Seq("customer", "orders", "lineitem"), """
+      SELECT c_name, c.c_custkey, o.o_orderkey, o_orderdate,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents,
+             CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey HAVING sum(l_quantity) > 260)
+      GROUP BY c_name, c.c_custkey, o.o_orderkey, o_orderdate, o_totalprice
+      ORDER BY total_cents DESC, o_orderkey LIMIT 20""")),
+
+    // Q19: discounted revenue — three-arm disjunctive predicate the
+    // optimizer must keep join-pushable.
+    "tpch_q19_disjunctive" -> ((s, dir) => sql(s, dir, Seq("lineitem", "part"), """
+      SELECT CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue,
+             count(*) AS n
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""")),
+
+    // Q22: global sales opportunity — scalar AVG subquery + NOT EXISTS
+    // anti join (c_nationkey stands in for the missing phone country
+    // code).
+    "tpch_q22_sales_opportunity" -> ((s, dir) => sql(s, dir, Seq("customer", "orders"), """
+      SELECT CAST(c_nationkey AS BIGINT) AS cntrycode, count(*) AS numcust,
+             CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+      FROM customer c
+      WHERE floor(c_acctbal * 100) > (SELECT avg(floor(c_acctbal * 100))
+                                      FROM customer WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP_NTZ'2000-01-01 00:00:00')
+      GROUP BY c_nationkey ORDER BY cntrycode""")),
     // Q3: shipping-priority — broadcast(filtered customer) prunes
     // orders BEFORE the lineitem shuffle.
     "tpch_q3_shipping_priority" -> ((s, dir) => {
@@ -81,6 +188,78 @@ object TpchQueries extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "tpch_q4_order_priority" -> """
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "tpch_q6_forecast_revenue" -> """
+      SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT) AS revenue,
+             count(*) AS n
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "tpch_q12_priority_split" -> """
+      SELECT l_returnflag,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "tpch_q13_customer_distribution" -> """
+      SELECT c_count, count(*) AS custdist
+      FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey) t
+      GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "tpch_q14_promo_revenue" -> """
+      SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                           THEN CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS promo_revenue,
+             CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS total_revenue
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'""",
+    "tpch_q16_parts_supplier" -> """
+      SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand <> 'Brand#1' AND p_size IN (1, 2, 3, 4, 5)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+      LIMIT 20""",
+    "tpch_q18_large_volume" -> """
+      SELECT c_name, c.c_custkey, o.o_orderkey, o_orderdate,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents,
+             CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey HAVING sum(l_quantity) > 260)
+      GROUP BY c_name, c.c_custkey, o.o_orderkey, o_orderdate, o_totalprice
+      ORDER BY total_cents DESC, o_orderkey LIMIT 20""",
+    "tpch_q19_disjunctive" -> """
+      SELECT CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue,
+             count(*) AS n
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""",
+    "tpch_q22_sales_opportunity" -> """
+      SELECT CAST(c_nationkey AS BIGINT) AS cntrycode, count(*) AS numcust,
+             CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+      FROM customer c
+      WHERE floor(c_acctbal * 100) > (SELECT avg(floor(c_acctbal * 100))
+                                      FROM customer WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      GROUP BY c_nationkey ORDER BY cntrycode""",
     "tpch_q3_shipping_priority" -> """
       SELECT l_orderkey, o_orderdate, o_orderpriority,
              CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue
