@@ -115,6 +115,29 @@ object StatefulOps {
       }
   }
 
+  /** Count-trigger analog (reference
+   * `windowing/triggers/CountTrigger.java`: FIRE every N elements):
+   * per key, emit the running (count, cent-sum) aggregate at every
+   * `every`-th row, in (ts, id) order. Composes the trigger surface
+   * Spark lacks onto keyed state; the purging variant is `state
+   * .remove()` at fire time (documented, not needed here). */
+  def countTriggered(ds: Dataset[Ev], every: Int): Dataset[RunningRow] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), RunningRow](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k, it, state: GroupState[(Long, Long)]) =>
+          var (n, cents) = state.getOption.getOrElse((0L, 0L))
+          val out = List.newBuilder[RunningRow]
+          it.toList.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            n += 1
+            cents += math.floor(e.value * 100).toLong
+            if (n % every == 0) out += RunningRow(k, e.event_id, n, cents)
+          }
+          state.update((n, cents))
+          out.result().iterator
+      }
+  }
+
   /** Per-key running aggregate in event order — the proc-time OVER
    * analog (append stream; each input row emitted exactly once with
    * its running count and integer-cent running sum). Rows inside a
