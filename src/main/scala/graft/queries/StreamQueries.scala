@@ -142,6 +142,22 @@ object StreamQueries extends QueryPack {
         .orderBy(col("event_type"), col("rn"))
     }),
 
+    // Streaming Top-N as a changelog (reference AppendOnlyTopNFunction
+    // emitting insert/delete records): the normalized changelog IS the
+    // final Top-3 membership — no consumer-side re-rank needed.
+    "stream_topn_changelog" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val changes = StatefulOps.topNChangelog(StreamOps.eventsTyped(s, dir), 3)
+      val changelog = StreamOps.runToBatch(s, changes.toDF(), "append", "stream_topn_cl")
+      val members = graft.changelog.ChangelogOps.normalize(
+        changelog, Seq("event_type", "event_id"), "out_seq")
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id"))
+      members.withColumn("rn", row_number().over(w))
+        .select(col("event_type"), col("event_id"), col("value"), col("rn"))
+        .orderBy(col("event_type"), col("rn"))
+    }),
+
     // Streaming OVER: per-user running count + integer-cent running sum
     // in (event time, id) order (append stream, one row out per row in).
     "stream_over_running" -> ((s0, dir) => {
@@ -336,6 +352,13 @@ object StreamQueries extends QueryPack {
             FROM events) t
       WHERE rn = 1 ORDER BY user_id""",
     "stream_topn" -> """
+      SELECT event_type, event_id, value, rn
+      FROM (SELECT event_type, event_id, value,
+                   row_number() OVER (PARTITION BY event_type
+                     ORDER BY value DESC, event_id) AS rn
+            FROM events) t
+      WHERE rn <= 3 ORDER BY event_type, rn""",
+    "stream_topn_changelog" -> """
       SELECT event_type, event_id, value, rn
       FROM (SELECT event_type, event_id, value,
                    row_number() OVER (PARTITION BY event_type

@@ -18,6 +18,11 @@ case class Tagged(isControl: Boolean, event_type: String, threshold: Double,
  * watermarked event-time column. */
 case class TimedRow(key: Long, id: Long, ts: java.sql.Timestamp)
 
+/** One Top-N changelog row: +I when a row enters the key's Top-N set,
+ * -D when it is evicted; `out_seq` orders changes per key. */
+case class TopNChange(row_kind: String, event_type: String, event_id: Long,
+    value: Double, out_seq: Long)
+
 /**
  * Stateful streaming operators on `flatMapGroupsWithState` (SURVEY.md
  * §7.2 "custom transformWithState processors", M3). Each mirrors a
@@ -112,6 +117,38 @@ object StatefulOps {
           }
           state.update(thr)
           out.iterator
+      }
+  }
+
+  /** Streaming Top-N as a CHANGELOG (reference
+   * `rank/AppendOnlyTopNFunction.java:52`, which emits insert and
+   * delete records as rows enter/leave the Top-N set): per event_type
+   * keep the N best rows by (value desc, event_id asc); every change
+   * emits -D for evicted rows and +I for entrants, with a per-key
+   * monotone out_seq. `ChangelogOps.normalize` over (event_type,
+   * event_id) materializes the exact final Top-N membership. */
+  def topNChangelog(ds: Dataset[Ev], n: Int): Dataset[TopNChange] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.event_type)
+      .flatMapGroupsWithState[(List[TopNRow], Long), TopNChange](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k, it, state: GroupState[(List[TopNRow], Long)]) =>
+          val (old, seq0) = state.getOption.getOrElse((Nil, 0L))
+          val merged = (old.iterator ++ it.map(e => TopNRow(k, e.event_id, e.value)))
+            .toList.distinct
+            .sortBy(r => (-r.value, r.event_id))
+            .take(n)
+          var seq = seq0
+          val out = List.newBuilder[TopNChange]
+          old.filterNot(merged.contains).foreach { r =>
+            seq += 1
+            out += TopNChange(graft.changelog.RowKind.Delete, k, r.event_id, r.value, seq)
+          }
+          merged.filterNot(old.contains).foreach { r =>
+            seq += 1
+            out += TopNChange(graft.changelog.RowKind.Insert, k, r.event_id, r.value, seq)
+          }
+          state.update((merged, seq))
+          out.result().iterator
       }
   }
 

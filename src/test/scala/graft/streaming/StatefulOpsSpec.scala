@@ -59,6 +59,29 @@ class StatefulOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("top-n changelog: evictions emit -D, entrants +I; normalize gives exact membership") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Ev]
+    val q = StatefulOps.topNChangelog(ms.toDS(), 2).toDF()
+      .writeStream.format("memory").queryName("t_topn_cl").outputMode("append").start()
+    try {
+      ms.addData(ev(1, 1, "a", 1, 10.0), ev(2, 1, "a", 2, 5.0))
+      q.processAllAvailable()
+      ms.addData(ev(3, 1, "a", 3, 7.0)) // displaces id=2
+      q.processAllAvailable()
+      ms.addData(ev(4, 1, "a", 4, 1.0)) // below top-2: no change rows
+      q.processAllAvailable()
+      val changes = spark.table("t_topn_cl").as[TopNChange].collect().sortBy(_.out_seq)
+      assert(changes.map(c => (c.row_kind, c.event_id)).toList ==
+        List(("+I", 1L), ("+I", 2L), ("-D", 2L), ("+I", 3L)))
+      val members = graft.changelog.ChangelogOps.normalize(
+          spark.table("t_topn_cl"), Seq("event_type", "event_id"), "out_seq")
+        .select("event_id").as[Long].collect().toSet
+      assert(members == Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("running aggregate: fold continues from state across ordered batches") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
