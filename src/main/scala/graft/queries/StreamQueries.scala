@@ -142,6 +142,21 @@ object StreamQueries extends QueryPack {
         .orderBy(col("event_type"), col("rn"))
     }),
 
+    // Event-time stream sort (reference RowTimeSortOperator): rows
+    // release in (ts, id) order as the watermark passes them, each
+    // stamped with its per-key release index — the oracle checks the
+    // ORDER itself, not just membership.
+    "stream_sorted_emit" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val out = StatefulOps.sortedEmitIndexed(
+        StreamOps.eventsTypedWithKeyedSentinels(s, dir))
+      StreamOps.runToBatch(s, out.toDF(), "append", "stream_sorted")
+        .select(col("key"), col("id"),
+          expr("cast(timestamp_micros(ts_us) as timestamp_ntz)").as("ts"),
+          col("idx"))
+        .orderBy(col("key"), col("idx"))
+    }),
+
     // Streaming Top-N as a changelog (reference AppendOnlyTopNFunction
     // emitting insert/delete records): the normalized changelog IS the
     // final Top-3 membership — no consumer-side re-rank needed.
@@ -358,6 +373,12 @@ object StreamQueries extends QueryPack {
                      ORDER BY value DESC, event_id) AS rn
             FROM events) t
       WHERE rn <= 3 ORDER BY event_type, rn""",
+    "stream_sorted_emit" -> """
+      SELECT user_id AS key, event_id AS id, CAST(ts AS TIMESTAMP) AS ts,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS idx
+      FROM events
+      ORDER BY key, idx""",
     "stream_topn_changelog" -> """
       SELECT event_type, event_id, value, rn
       FROM (SELECT event_type, event_id, value,

@@ -96,6 +96,42 @@ object StatefulOps {
       }
   }
 
+  /** One watermark-released row of the indexed event-time sort: `idx`
+   * is the per-key release position (1-based). */
+  case class SortedRow(key: Long, id: Long, ts_us: Long, idx: Long)
+
+  /** Event-time sort with a RELEASE INDEX (reference
+   * `sort/RowTimeSortOperator.java`): rows buffer per key and release
+   * in (ts, id) order once the watermark passes them, each stamped
+   * with its per-key emission position — so the output order itself is
+   * oracle-checkable, not just the membership. Sentinel rows
+   * (event_id < 0, from the keyed-sentinel harness) advance the
+   * watermark and invoke the key but are never buffered. */
+  def sortedEmitIndexed(ds: Dataset[Ev],
+      watermarkDelay: String = "0 seconds"): Dataset[SortedRow] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val withWm = ds.toDF()
+      .withColumn("__event_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("__event_ts", watermarkDelay)
+      .as[Ev]
+    withWm.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(List[(Long, Long)], Long), SortedRow](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k, it, state: GroupState[(List[(Long, Long)], Long)]) =>
+          val (buf0, idx0) = state.getOption.getOrElse((List.empty[(Long, Long)], 0L))
+          val buf = buf0 ++ it.filter(_.event_id >= 0).map(e => (e.ts_us, e.event_id))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, pending) = buf.partition(_._1 <= wmUs)
+          var idx = idx0
+          val out = ready.sorted.map { case (t, id) =>
+            idx += 1; SortedRow(k, id, t, idx)
+          }
+          state.update((pending, idx))
+          out.iterator
+      }
+  }
+
   /** Control/data streams into one keyed state op (the reference's
    * broadcast-state / connected-streams pattern,
    * `KeyedBroadcastProcessFunction`): Spark state operators are
