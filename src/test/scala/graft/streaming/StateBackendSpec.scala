@@ -56,6 +56,33 @@ class StateBackendSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("checkpoint restore: a restarted query resumes keyed state exactly once") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ckpt = Files.createTempDirectory("graft_restore").toString
+    val out = Files.createTempDirectory("graft_restore_out").toString
+    val ms = MemoryStream[Ev]
+    // file sink (memory sink cannot recover from a checkpoint)
+    def start() = StatefulOps.runningByUser(ms.toDS()).toDF()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    try {
+      ms.addData(Ev(1, 1, "a", 100, 1.0), Ev(2, 1, "b", 200, 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      ms.addData(Ev(3, 1, "c", 300, 1.0))
+      q2.processAllAvailable()
+      // the restarted fold continues from restored state (n=3, cents
+      // cumulative) and run 1's output is not replayed
+      val rows = spark.read.parquet(out).as[RunningRow].collect().sortBy(_.event_id)
+      assert(rows.map(r => (r.event_id, r.running_n, r.running_cents)).toList ==
+        List((1L, 1L, 100L), (2L, 2L, 300L), (3L, 3L, 400L)), s"got ${rows.toList}")
+    } finally q2.stop()
+  }
+
   test("queryable state: the state data source reads checkpointed aggregation state") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
