@@ -82,6 +82,31 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // End-to-end corpus cleaning pipeline — the composed shape a
+    // training-data run executes: language-ID filter → quality floor →
+    // exact dedup (keep lowest doc_id per content hash) → per-source
+    // rollup. One DAG: two narrow projections, one window dedup, one
+    // aggregate; at 100 TB the only shuffles are the dedup hash and
+    // the final rollup.
+    "text_clean_pipeline" -> ((s, dir) => {
+      val stopArr = array(stopList.map(lit): _*)
+      import org.apache.spark.sql.expressions.Window
+      val scored = Tables.load(s, dir, "documents")
+        .withColumn("__norm", trim(lower(col("text"))))
+        .withColumn("__w", split(col("__norm"), " "))
+        .withColumn("n_words", size(col("__w")).cast("bigint"))
+        .withColumn("en_ratio",
+          round(size(filter(col("__w"), w => array_contains(stopArr, w))).cast("double") /
+            size(col("__w")), 4))
+        .filter(col("en_ratio") >= 0.1 && col("n_words") >= 20)
+        .withColumn("content_md5", md5(col("__norm")))
+      val w = Window.partitionBy(col("content_md5")).orderBy(col("doc_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("total_words"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // Corpus stats rollup: per (lang, source) aggregate quality profile.
     "text_corpus_stats" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -132,6 +157,26 @@ object TextQueries extends QueryPack {
              list_min(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
                                      i -> md5(array_to_string(w[i:i+2], ' ')))) AS min_shingle_hash
       FROM t ORDER BY doc_id""",
+    "text_clean_pipeline" -> s"""
+      WITH t AS (
+        SELECT doc_id, lang, source, trim(lower(text)) AS norm,
+               string_split(trim(lower(text)), ' ') AS w
+        FROM documents),
+      scored AS (
+        SELECT doc_id, lang, source, norm,
+               CAST(len(w) AS BIGINT) AS n_words,
+               round(CAST(len(list_filter(w, x -> x IN $stopSql)) AS DOUBLE) / len(w), 4) AS en_ratio
+        FROM t),
+      kept AS (
+        SELECT *, md5(norm) AS content_md5
+        FROM scored WHERE en_ratio >= 0.1 AND n_words >= 20),
+      dedup AS (
+        SELECT *, row_number() OVER (PARTITION BY content_md5 ORDER BY doc_id) AS rn
+        FROM kept)
+      SELECT lang, source, count(*) AS n_docs,
+             CAST(sum(n_words) AS BIGINT) AS total_words
+      FROM dedup WHERE rn = 1
+      GROUP BY lang, source ORDER BY lang, source""",
     "text_corpus_stats" -> """
       SELECT lang, source, count(*) AS n_docs,
              CAST(sum(len(string_split(trim(lower(text)), ' '))) AS BIGINT) AS total_words,
