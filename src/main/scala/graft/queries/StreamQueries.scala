@@ -107,6 +107,34 @@ object StreamQueries extends QueryPack {
         .orderBy(col("click_id"), col("buy_id"))
     }),
 
+    // Stream-stream interval LEFT OUTER join: clicks keep their row
+    // even without a purchase in the window (reference IntervalJoin
+    // outer emission on watermark close); null side fills once both
+    // watermarks pass the join range.
+    "stream_interval_join_outer" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      // Catalyst pushes the type filters BELOW the watermark node, so
+      // sentinel rows must SURVIVE the filters (event_id < 0 branch) to
+      // advance each side's observed event time past all real data —
+      // they only ever join each other and are dropped from the output
+      val ev = StreamOps.eventsTypedWithKeyedSentinels(s, dir).toDF()
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .withWatermark("ts", "0 seconds")
+      val clicks = ev.filter(col("event_type") === "click" || col("event_id") < 0)
+        .select(col("user_id").as("cu"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      val buys = ev.filter(col("event_type") === "purchase" || col("event_id") < 0)
+        .select(col("user_id").as("bu"), col("ts").as("buy_ts"), col("event_id").as("buy_id"))
+      val joined = clicks.join(buys,
+          col("cu") === col("bu") &&
+          col("buy_ts") >= col("click_ts") &&
+          col("buy_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"),
+          "left_outer")
+        .select(col("click_id"), col("buy_id"), col("cu").as("user_id"))
+      StreamOps.runToBatch(s, joined, "append", "stream_ijoin_outer")
+        .filter(col("click_id") >= 0)
+        .orderBy(col("click_id"), col("buy_id"))
+    }),
+
     // Streaming keep-LAST dedup (flatMapGroupsWithState): final winner
     // per user by (event time, id). The update stream is materialized
     // to its final upsert image by a keyed re-rank — the same
@@ -356,6 +384,13 @@ object StreamQueries extends QueryPack {
       SELECT c.event_id AS click_id, b.event_id AS buy_id, c.user_id
       FROM (SELECT * FROM events WHERE event_type = 'click') c
       JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+        ON c.user_id = b.user_id
+       AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 10 MINUTE
+      ORDER BY click_id, buy_id""",
+    "stream_interval_join_outer" -> """
+      SELECT c.event_id AS click_id, b.event_id AS buy_id, c.user_id
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
         ON c.user_id = b.user_id
        AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 10 MINUTE
       ORDER BY click_id, buy_id""",
