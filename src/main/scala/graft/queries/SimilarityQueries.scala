@@ -89,6 +89,38 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("q_id"), col("rn"))
     }),
 
+    // LSH-bucketed ANN: 4 random-hyperplane sign bits → 16 buckets;
+    // only same-signature candidates are scored (the other scale path
+    // next to IVF — at 100 TB this is band-join LSH with trained
+    // planes; here planes are DETERMINISTIC pseudo-random ±1
+    // coefficients from an integer LCG, so both engines compute
+    // bit-identical signatures).
+    "sim_lsh_topk" -> ((s, dir) => {
+      val e = withNorm(Tables.load(s, dir, "embeddings"))
+        .withColumn("bucket", expr("""
+          aggregate(sequence(0, 3), CAST(0 AS BIGINT), (acc, p) ->
+            acc + CASE WHEN aggregate(sequence(1, size(qe)), CAST(0 AS BIGINT),
+                         (s2, d) -> s2 + element_at(qe, d) *
+                           (CASE WHEN ((CAST(1103515245 AS BIGINT) * (CAST(p AS BIGINT) * 1000 + d)
+                                        + 12345) div 65536) % 2 = 0
+                                 THEN 1 ELSE -1 END)) >= 0
+                       THEN CAST(shiftleft(1, p) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("bucket"),
+                col("qe").as("qv"), col("nrm").as("qn"))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id"), col("bucket"), col("qe"), col("nrm").as("cn"))
+      val scored = c.join(broadcast(q), Seq("bucket"))
+        .withColumn("dot", decDot("qv", "qe"))
+        .withColumn("cos", cosine)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("bucket"), col("vec_id"), col("rn"),
+                round(col("cos"), 6).as("cosine"))
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
     // Near-dup pair mining: same-label pairs with cosine >= 0.3.
     // SCALE BOUND: this is all-pairs WITHIN a label cell — O(Σ|cell|²)
     // pair scorings. Safe only while cells are bounded (here: coarse
@@ -151,6 +183,28 @@ object SimilarityQueries extends QueryPack {
                    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
             FROM s)
       SELECT q_id, label, vec_id, rn, round(cos, 6) AS cosine
+      FROM r WHERE rn <= 3 ORDER BY q_id, rn""",
+    "sim_lsh_topk" -> s"""
+      WITH $normCte,
+      eb AS (SELECT vec_id, qe, nrm,
+               list_sum([CASE WHEN list_sum([qe[d] *
+                   (CASE WHEN ((1103515245 * (p * 1000 + d) + 12345) // 65536) % 2 = 0
+                         THEN 1 ELSE -1 END)
+                   for d in generate_series(1, len(qe))]) >= 0
+                 THEN (1 << p) ELSE 0 END
+                 for p in generate_series(0, 3)]) AS bucket
+             FROM e),
+      q AS (SELECT vec_id AS q_id, bucket, qe AS qv, nrm AS qn FROM eb WHERE vec_id < 10),
+      c AS (SELECT vec_id, bucket, qe, nrm AS cn FROM eb WHERE vec_id >= 10),
+      p AS (SELECT q_id, q.bucket AS bucket, vec_id, ${dotSql("qv", "qe")} AS dot, qn, cn
+            FROM q JOIN c ON q.bucket = c.bucket),
+      s AS (SELECT q_id, bucket, vec_id,
+                   CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS cos
+            FROM p),
+      r AS (SELECT q_id, bucket, vec_id, cos,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+            FROM s)
+      SELECT q_id, CAST(bucket AS BIGINT) AS bucket, vec_id, rn, round(cos, 6) AS cosine
       FROM r WHERE rn <= 3 ORDER BY q_id, rn""",
     "sim_neardup_pairs" -> s"""
       WITH $normCte,
