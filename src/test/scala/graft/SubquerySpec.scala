@@ -31,6 +31,12 @@ class SubquerySpec extends SparkSuite {
     assert(p.contains("LeftSemi"), s"IN not rewritten to semi join:\n$p")
   }
 
+  test("NOT IN over a nullable subquery rewrites to a null-aware anti join") {
+    val p = graft.queries.TpchQueries.queries("tpch_q16_parts_supplier")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), s"NOT IN not an anti join:\n$p")
+  }
+
   test("EXISTS / NOT EXISTS rewrite to semi and anti joins") {
     val p = physical("subq_exists_chain")
     assert(p.contains("LeftSemi"), s"EXISTS not a semi join:\n$p")
