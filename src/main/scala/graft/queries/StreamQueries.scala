@@ -67,6 +67,22 @@ object StreamQueries extends QueryPack {
         .orderBy(col("user_id"), col("ws"))
     }),
 
+    // Streaming CUMULATE aggregation: the slice-explode rewrite is
+    // stateless map-side fan-out, so it composes with the streaming
+    // windowed agg unchanged (reference StreamExecWindowTableFunction
+    // slicing on a stream).
+    "stream_cumulate_agg" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val agg = graft.operators.CumulateWindow(
+          StreamOps.readStream(s, dir, "events"), "ts", stepMinutes = 20, sizeMinutes = 60)
+        .groupBy(col("w_start"), col("w_end"))
+        .agg(count(lit(1)).as("n"), sum(floor(col("value") * 100)).as("sum_value"))
+        .select(col("w_start").as("ws"), col("w_end").as("we"),
+                col("n"), col("sum_value"))
+      StreamOps.runToBatch(s, agg, "complete", "stream_cumulate")
+        .orderBy(col("ws"), col("we"))
+    }),
+
     // Streaming group aggregation in UPDATE mode (reference
     // StreamExecGroupAggregate's per-key update stream): the sink holds
     // every per-batch update; the final image is the max-count row per
@@ -376,6 +392,16 @@ object StreamQueries extends QueryPack {
              count(*) AS n,
              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
       FROM sessions GROUP BY user_id, sid ORDER BY user_id, ws""",
+    "stream_cumulate_agg" -> """
+      SELECT ws, we, count(*) AS n,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
+      FROM (
+        SELECT time_bucket(INTERVAL 60 MINUTE, ts) AS ws,
+               time_bucket(INTERVAL 60 MINUTE, ts) + k * INTERVAL 20 MINUTE AS we,
+               ts, value
+        FROM events, generate_series(1, 3) AS t(k))
+      WHERE we > ts
+      GROUP BY ws, we ORDER BY ws, we""",
     "stream_group_agg_update" -> """
       SELECT event_type, count(*) AS n,
              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
