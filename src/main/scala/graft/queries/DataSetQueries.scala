@@ -35,6 +35,24 @@ object DataSetQueries extends QueryPack {
         .orderBy(col("status"), col("tag"))
     }),
 
+    // Keyed reduce (reference KeyedStream.reduce / DataSet.reduceGroup):
+    // associative+commutative typed fold per key — the winner is the
+    // max by (integer cents, id), deterministic under any combine order.
+    "dset_keyed_reduce" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          if (a._3 > b._3 || (a._3 == b._3 && a._2 > b._2)) a else b
+        }
+        .map(_._2)
+        .toDF("o_custkey", "o_orderkey", "cents")
+        .orderBy(col("o_custkey"))
+    }),
+
     // Side outputs: one pass tags rows (main/late/oversize), branches
     // split by filter, processed separately, unioned back with the tag.
     "side_outputs_split" -> ((s, dir) => {
@@ -79,6 +97,15 @@ object DataSetQueries extends QueryPack {
             UNION ALL
             SELECT status, 'half', cents // 2 FROM m)
       GROUP BY status, tag ORDER BY status, tag""",
+    "dset_keyed_reduce" -> """
+      SELECT o_custkey, o_orderkey, cents
+      FROM (SELECT o_custkey, o_orderkey,
+                   CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+                   row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT) DESC,
+                              o_orderkey DESC) AS rn
+            FROM orders) t
+      WHERE rn = 1 ORDER BY o_custkey""",
     "side_outputs_split" -> """
       SELECT CASE WHEN value < 0 THEN 'negative'
                   WHEN value > 90 THEN 'oversize'
