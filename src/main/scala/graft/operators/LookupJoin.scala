@@ -39,6 +39,44 @@ object LookupJoin {
 }
 
 /**
+ * A KV "client" backed by a parquet file, loaded lazily PER PARTITION
+ * with the bare parquet-mr reader — no SparkSession, no driver
+ * materialization: exactly the shape of a real dimension-store client
+ * (the reference's JDBC/HBase `LookupFunction`s — swap `open()` for a
+ * connection pool and `lookup` for a point read). The keyed map lives
+ * on the executor that opened it; at 1000 executors each loads its own
+ * copy, like any connection-local cache.
+ */
+class ParquetKvTable(path: String, keyCol: String, valCol: String)
+    extends LookupJoin.LookupTable[Long, String] {
+  @transient private var m: java.util.HashMap[java.lang.Long, String] = _
+
+  override def open(): Unit = synchronized {
+    if (m != null) return
+    m = new java.util.HashMap[java.lang.Long, String]()
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(path))
+      .build()
+    var g = reader.read()
+    while (g != null) {
+      // the key may be INT32 or INT64 in the store's schema
+      val keyIsInt32 = g.getType.getType(keyCol).asPrimitiveType()
+        .getPrimitiveTypeName == org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32
+      val k: java.lang.Long = if (keyIsInt32) g.getInteger(keyCol, 0).toLong else g.getLong(keyCol, 0)
+      m.put(k, g.getString(valCol, 0))
+      g = reader.read()
+    }
+    reader.close()
+  }
+
+  override def lookup(k: Long): Option[String] = {
+    open() // idempotent: first probe on this task loads the store
+    Option(m.get(k))
+  }
+}
+
+/**
  * Async I/O enrichment (reference `AsyncDataStream` /
  * `api/operators/async/AsyncWaitOperator.java:78`, ordered mode):
  * bounded in-flight futures per partition, results emitted in input

@@ -114,17 +114,13 @@ object UdfQueries extends QueryPack {
         .orderBy(col("flag"), col("rank"))
     }),
 
-    // Sync lookup join: per-partition connection probes an external KV
-    // stub (a tiny collected dim seeds the stub — standing in for the
+    // Sync lookup join: each partition opens its own KV client (bare
+    // parquet-mr read of the dim — no driver collect; swap for the
     // JDBC/HBase connector the reference probes).
     "lookup_join_sync" -> ((s, dir) => {
       import s.implicits._
-      val dim = Tables.load(s, dir, "nation")
-        .select(col("n_nationkey"), col("n_name")).as[(Long, String)]
-        .collect().toMap
-      val table = new LookupJoin.LookupTable[Long, String] {
-        override def lookup(k: Long): Option[String] = dim.get(k)
-      }
+      val table = new graft.operators.ParquetKvTable(
+        s"$dir/nation.parquet", "n_nationkey", "n_name")
       val cust = Tables.load(s, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey")).as[(Long, Long)]
       LookupJoin(cust, table)(_._2) { case ((ck, _), name) => (ck, name.getOrElse("?")) }
@@ -132,17 +128,17 @@ object UdfQueries extends QueryPack {
         .orderBy(col("c_custkey"))
     }),
 
-    // Async lookup join (ordered, bounded in-flight futures).
+    // Async lookup join (ordered, bounded in-flight futures) probing
+    // the same per-task KV client.
     "lookup_join_async" -> ((s, dir) => {
       import s.implicits._
       import scala.concurrent.ExecutionContext.Implicits.global
-      val dim = Tables.load(s, dir, "nation")
-        .select(col("n_nationkey"), col("n_name")).as[(Long, String)]
-        .collect().toMap
+      val table = new graft.operators.ParquetKvTable(
+        s"$dir/nation.parquet", "n_nationkey", "n_name")
       val cust = Tables.load(s, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey")).as[(Long, Long)]
       AsyncLookup.mapAsyncOrdered(cust, parallelism = 8) { case (ck, nk) =>
-        Future((ck, dim.getOrElse(nk, "?")))
+        Future((ck, table.lookup(nk).getOrElse("?")))
       }.toDF("c_custkey", "n_name")
         .orderBy(col("c_custkey"))
     })
