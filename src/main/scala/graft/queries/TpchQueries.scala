@@ -48,6 +48,50 @@ object TpchQueries extends QueryPack {
         AND l_shipdate < TIMESTAMP_NTZ'1998-01-01 00:00:00'
         AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")),
 
+    // Q7: volume shipping between a nation pair, by year — double
+    // nation-dim join with a symmetric pair predicate.
+    "tpch_q7_volume_shipping" -> ((s, dir) =>
+      sql(s, dir, Seq("supplier", "lineitem", "orders", "customer", "nation"), """
+      SELECT supp_nation, cust_nation, l_year,
+             CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue
+      FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               l_extendedprice, l_discount
+        FROM supplier s, lineitem l, orders o, customer c, nation n1, nation n2
+        WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
+          AND c.c_custkey = o.o_custkey
+          AND s.s_nationkey = n1.n_nationkey AND c.c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP_NTZ'1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP_NTZ'1998-01-01 00:00:00'
+      ) shipping
+      GROUP BY supp_nation, cust_nation, l_year
+      ORDER BY supp_nation, cust_nation, l_year""")),
+
+    // Q8: national market share in a region's economy-part orders, by
+    // year — 7-way star join; the float share stays out of the gate
+    // columns (nation vs total integer volumes instead).
+    "tpch_q8_market_share" -> ((s, dir) =>
+      sql(s, dir, Seq("part", "supplier", "lineitem", "orders", "customer", "nation", "region"), """
+      SELECT o_year,
+             CAST(sum(CASE WHEN nation = 'NATION_3' THEN vol ELSE 0 END) AS BIGINT) AS nation_vol,
+             CAST(sum(vol) AS BIGINT) AS total_vol
+      FROM (
+        SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+               CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT) AS vol,
+               n2.n_name AS nation
+        FROM part p, supplier s, lineitem l, orders o, customer c,
+             nation n1, nation n2, region r
+        WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+          AND l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+          AND c.c_nationkey = n1.n_nationkey AND n1.n_regionkey = r.r_regionkey
+          AND r.r_name = 'AMERICA' AND s.s_nationkey = n2.n_nationkey
+          AND p.p_type = 'ECONOMY'
+      ) all_nations
+      GROUP BY o_year ORDER BY o_year""")),
+
     // Q12: shipping-priority split — join + conditional aggregation
     // (l_returnflag stands in for the missing l_shipmode).
     "tpch_q12_priority_split" -> ((s, dir) => sql(s, dir, Seq("orders", "lineitem"), """
@@ -203,6 +247,41 @@ object TpchQueries extends QueryPack {
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
         AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "tpch_q7_volume_shipping" -> """
+      SELECT supp_nation, cust_nation, l_year,
+             CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue
+      FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               l_extendedprice, l_discount
+        FROM supplier s, lineitem l, orders o, customer c, nation n1, nation n2
+        WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
+          AND c.c_custkey = o.o_custkey
+          AND s.s_nationkey = n1.n_nationkey AND c.c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      ) shipping
+      GROUP BY supp_nation, cust_nation, l_year
+      ORDER BY supp_nation, cust_nation, l_year""",
+    "tpch_q8_market_share" -> """
+      SELECT o_year,
+             CAST(sum(CASE WHEN nation = 'NATION_3' THEN vol ELSE 0 END) AS BIGINT) AS nation_vol,
+             CAST(sum(vol) AS BIGINT) AS total_vol
+      FROM (
+        SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+               CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT) AS vol,
+               n2.n_name AS nation
+        FROM part p, supplier s, lineitem l, orders o, customer c,
+             nation n1, nation n2, region r
+        WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+          AND l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+          AND c.c_nationkey = n1.n_nationkey AND n1.n_regionkey = r.r_regionkey
+          AND r.r_name = 'AMERICA' AND s.s_nationkey = n2.n_nationkey
+          AND p.p_type = 'ECONOMY'
+      ) all_nations
+      GROUP BY o_year ORDER BY o_year""",
     "tpch_q12_priority_split" -> """
       SELECT l_returnflag,
              CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
