@@ -123,6 +123,23 @@ object TpchQueries extends QueryPack {
       WHERE l_shipdate >= TIMESTAMP_NTZ'1997-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP_NTZ'1997-07-01 00:00:00'""")),
 
+    // Q15: top supplier — revenue view reused twice (group-by + scalar
+    // MAX subquery over it); integer revenue makes the max-equality
+    // exact.
+    "tpch_q15_top_supplier" -> ((s, dir) => sql(s, dir, Seq("supplier", "lineitem"), """
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP_NTZ'1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP_NTZ'1997-04-01 00:00:00'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, CAST(total_rev AS BIGINT) AS total_rev
+      FROM supplier, revenue
+      WHERE s_suppkey = supplier_no
+        AND total_rev = (SELECT max(total_rev) FROM revenue)
+      ORDER BY s_suppkey""")),
+
     // Q16: parts/supplier relationship — NOT IN (null-aware anti join)
     // under a count(DISTINCT).
     "tpch_q16_parts_supplier" -> ((s, dir) => sql(s, dir, Seq("lineitem", "part", "supplier"), """
@@ -304,6 +321,19 @@ object TpchQueries extends QueryPack {
       FROM lineitem JOIN part ON p_partkey = l_partkey
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'""",
+    "tpch_q15_top_supplier" -> """
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, CAST(total_rev AS BIGINT) AS total_rev
+      FROM supplier, revenue
+      WHERE s_suppkey = supplier_no
+        AND total_rev = (SELECT max(total_rev) FROM revenue)
+      ORDER BY s_suppkey""",
     "tpch_q16_parts_supplier" -> """
       SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
       FROM lineitem JOIN part ON p_partkey = l_partkey
