@@ -1,0 +1,95 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/**
+ * Randomized properties for the round-4 operators, sampled with fixed
+ * seeds (deterministic CI). The NFA matcher properties run pure
+ * in-memory; the heavier ones pin invariants a single example can't.
+ */
+class StreamPropertySpec extends SparkSuite {
+
+  private val evGen: Gen[Ev] = for {
+    id <- Gen.choose(1L, 100000L)
+    typ <- Gen.oneOf("a", "b", "c")
+    ts <- Gen.choose(0L, 400L)
+    v <- Gen.choose(0, 1000)
+  } yield Ev(id, 1, typ, ts, v / 100.0)
+
+  private def events(seed: Long, n: Int = 30): IndexedSeq[Ev] =
+    Gen.listOfN(n, evGen)
+      .apply(Gen.Parameters.default, Seed(seed))
+      .getOrElse(Nil)
+      .distinctBy(_.event_id)
+      .sortBy(e => (e.ts_us, e.event_id))
+      .toIndexedSeq
+
+  private val abPattern = Cep.Pattern
+    .begin("a", _.event_type == "a")
+    .followedBy("b", _.event_type == "b")
+    .within(200L)
+
+  test("property: SKIP_PAST_LAST matches never overlap and are a subset of NO_SKIP") {
+    for (seed <- 1L to 8L) {
+      val evs = events(seed)
+      val all = Cep.matchSorted(evs, abPattern).map(_.event_ids).toSet
+      val skips = Cep.matchSorted(evs, abPattern.afterMatchSkip(Cep.SkipPastLast))
+      assert(skips.map(_.event_ids).forall(all.contains), s"seed=$seed: not a subset")
+      // consecutive matches are disjoint in event-id AND time order
+      skips.sliding(2).foreach {
+        case List(m1, m2) =>
+          assert(m1.end_us <= m2.start_us ||
+            (m1.end_us == m2.start_us && m1.event_ids.last != m2.event_ids.head),
+            s"seed=$seed overlap: $m1 vs $m2")
+          assert(m1.event_ids.toSet.intersect(m2.event_ids.toSet).isEmpty,
+            s"seed=$seed shared events: $m1 vs $m2")
+        case _ => ()
+      }
+    }
+  }
+
+  test("property: reluctant oneOrMore finds a match whenever greedy does (consuming no more)") {
+    val greedy = Cep.Pattern.begin("a", _.event_type == "a")
+      .oneOrMoreNext("bs", _.event_type == "b")
+    val reluctant = Cep.Pattern.begin("a", _.event_type == "a")
+      .oneOrMoreNextReluctant("bs", _.event_type == "b")
+    for (seed <- 20L to 27L) {
+      val evs = events(seed)
+      val g = Cep.matchSorted(evs, greedy).map(m => m.event_ids.head -> m.event_ids.size).toMap
+      val r = Cep.matchSorted(evs, reluctant).map(m => m.event_ids.head -> m.event_ids.size).toMap
+      assert(g.keySet == r.keySet, s"seed=$seed: different match starts")
+      g.foreach { case (start, glen) =>
+        assert(r(start) <= glen, s"seed=$seed: reluctant consumed more at $start")
+      }
+    }
+  }
+
+  test("property: bounded OVER single-release equals the in-memory sliding frame") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    for (seed <- 30L to 32L) {
+      val evs = events(seed, n = 20)
+      val ms = MemoryStream[Ev]
+      val name = s"t_prop_bo_$seed"
+      val q = BoundedOver.run(ms.toDS(), BoundedOver.RowsFrame(2)).toDF()
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        ms.addData(evs: _*)
+        q.processAllAvailable()
+        // flush: a far-future row on another key advances the watermark
+        ms.addData(Ev(-1, -2, "x", 100000000L, 0.0))
+        q.processAllAvailable()
+        val got = spark.table(name).as[BoundedOverRow].collect()
+          .filter(_.user_id == 1).map(r => r.event_id -> r.frame_cents).toMap
+        val want = evs.zipWithIndex.map { case (e, i) =>
+          val frame = evs.slice(math.max(0, i - 2), i + 1)
+          e.event_id -> frame.map(x => math.floor(x.value * 100).toLong).sum
+        }.toMap
+        assert(got == want, s"seed=$seed")
+      } finally q.stop()
+    }
+  }
+}
