@@ -132,8 +132,10 @@ object StreamQueries extends QueryPack {
       // Catalyst pushes the type filters BELOW the watermark node, so
       // sentinel rows must SURVIVE the filters (event_id < 0 branch) to
       // advance each side's observed event time past all real data —
-      // they only ever join each other and are dropped from the output
-      val ev = StreamOps.eventsTypedWithKeyedSentinels(s, dir).toDF()
+      // they only ever join each other and are dropped from the output.
+      // Two GLOBAL sentinel rounds suffice (join operators scan state
+      // every batch; null-extensions emit one advance after eviction).
+      val ev = StreamOps.eventsTypedWithFinalWatermark(s, dir, rounds = 2).toDF()
         .withColumn("ts", timestamp_micros(col("ts_us")))
         .withWatermark("ts", "0 seconds")
       val clicks = ev.filter(col("event_type") === "click" || col("event_id") < 0)

@@ -129,45 +129,66 @@ object StreamOps {
       .as[Ev]
   }
 
-  /** The events stream staged together with one far-future sentinel
-   * row (user_id = -1): after the data batch, the run's final no-data
-   * micro-batch sees a watermark beyond every real event, so
-   * event-time timeouts fire and watermark-released operators flush
-   * completely — the analog of the reference's end-of-input
-   * MAX_WATERMARK on bounded streams (`Watermark.java:38`
-   * MAX_WATERMARK, emitted when a bounded source closes). Callers
-   * filter `user_id >= 0` on the operator output. */
-  def eventsTypedWithFinalWatermark(spark: SparkSession, dir: String): Dataset[Ev] = {
+  /** The events stream staged together with `rounds` far-future
+   * sentinel rows (event_id = user_id = -1): after the data batch, the
+   * run sees a watermark beyond every real event, so event-time
+   * timeouts fire and watermark-released operators flush completely —
+   * the analog of the reference's end-of-input MAX_WATERMARK on
+   * bounded streams (`Watermark.java:38` MAX_WATERMARK, emitted when a
+   * bounded source closes). With `rounds > 1` each sentinel is its own
+   * micro-batch (maxFilesPerTrigger=1, explicit mtime order) — needed
+   * by operators that emit one watermark advance after eviction, e.g.
+   * outer-join null-extensions. Callers filter the sentinel out of the
+   * operator output. */
+  def eventsTypedWithFinalWatermark(spark: SparkSession, dir: String,
+      rounds: Int = 1): Dataset[Ev] = {
     import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
     import spark.implicits._
     val src = Paths.get(s"$dir/events.parquet")
     val work = Files.createTempDirectory("graft_evflush")
-    try Files.createLink(work.resolve("events_data.parquet"), src)
-    catch { case _: Exception => Files.copy(src, work.resolve("events_data.parquet")) }
+    val dataFile = work.resolve("events_data.parquet")
+    try Files.createLink(dataFile, src)
+    catch { case _: Exception => Files.copy(src, dataFile) }
+    Files.setLastModifiedTime(dataFile, FileTime.fromMillis(10000L))
     val batch = spark.read.parquet(src.toString)
     val tsIsLong = batch.schema("ts").dataType == org.apache.spark.sql.types.LongType
-    val sentinelTs: Any = // ~year 2200, in the table's own ts representation
-      if (tsIsLong) Long.box(7258118400000000000L)
-      else java.sql.Timestamp.valueOf("2200-01-01 00:00:00")
-    val values = batch.schema.fields.map { f =>
-      (f.name, f.dataType) match {
-        case ("event_id" | "user_id", _) => Long.box(-1L)
-        case ("ts", _) => sentinelTs
-        case (_, org.apache.spark.sql.types.StringType) => "sentinel"
-        case (_, org.apache.spark.sql.types.LongType) => Long.box(0L)
-        case _ => Double.box(0.0)
+    (1 to rounds).foreach { r =>
+      val tsNs = 7258118400000000000L + r * 3600000000000L // ~2200 + r hours
+      val sentinelTs: Any =
+        if (tsIsLong) Long.box(tsNs)
+        else new java.sql.Timestamp(tsNs / 1000000L)
+      val values = batch.schema.fields.map { f =>
+        (f.name, f.dataType) match {
+          case ("event_id" | "user_id", _) => Long.box(-1L)
+          case ("ts", _) => sentinelTs
+          case (_, org.apache.spark.sql.types.StringType) => "sentinel"
+          case (_, org.apache.spark.sql.types.LongType) => Long.box(0L)
+          case _ => Double.box(0.0)
+        }
       }
+      val before = listParquets(work)
+      spark.createDataFrame(
+          java.util.Collections.singletonList(org.apache.spark.sql.Row(values: _*)),
+          batch.schema)
+        .coalesce(1).write.mode("append").parquet(work.toString)
+      (listParquets(work) -- before).foreach(p =>
+        Files.setLastModifiedTime(p, FileTime.fromMillis(10000L + r * 10000L)))
     }
-    spark.createDataFrame(
-        java.util.Collections.singletonList(org.apache.spark.sql.Row(values: _*)),
-        batch.schema)
-      .coalesce(1).write.mode("append").parquet(work.toString)
-    val sdf = spark.readStream.schema(batch.schema).parquet(s"$work/*.parquet")
+    val reader = spark.readStream.schema(batch.schema)
+    val sdf = (if (rounds > 1) reader.option("maxFilesPerTrigger", "1") else reader)
+      .parquet(s"$work/*.parquet")
     val norm =
       if (tsIsLong) sdf.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
       else sdf
     norm.select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"))
       .as[Ev]
+  }
+
+  private def listParquets(work: java.nio.file.Path): Set[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(work).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSet
   }
 }
