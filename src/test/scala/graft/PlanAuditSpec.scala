@@ -68,6 +68,14 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("WindowGroupLimit"), s"rank filter not pushed into WindowGroupLimit:\n$p")
   }
 
+  test("entry query broadcasts the filtered customer dim before the lineitem shuffle") {
+    val p = plan(SparkEntry.entry(spark))
+    assert(p.contains("BroadcastHashJoin"), s"customer dim not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not pushed:\n$p")
+    // the selective segment filter reaches the customer scan
+    assert(p.contains("c_mktsegment"), s"segment filter missing:\n$p")
+  }
+
   test("gap expressions stay inside WholeStageCodegen") {
     graft.functions.GraftFunctions.register(spark)
     Tables.load(spark, dir, "part").createOrReplaceTempView("part_audit")
