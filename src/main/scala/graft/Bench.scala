@@ -44,8 +44,10 @@ object Bench {
     println(line)
     // the driver artifact preserves only the log tail, which truncates
     // ~50 of the per-query timings — persist the full JSON for audit
+    // resolves against the working directory; SPARK_GRAFT_BENCH_OUT overrides
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), line + "\n")
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json: ${e.getMessage}") }
     spark.stop()
   }

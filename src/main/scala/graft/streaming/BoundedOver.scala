@@ -60,7 +60,12 @@ object BoundedOver {
           val st = state.getOption.getOrElse(BoundedOverState(Nil, Nil))
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val all = (st.pending ++ it).sortBy(e => (e.ts_us, e.event_id))
-          val (ready, pending) = all.partition(_.ts_us <= wmUs)
+          // Strict release: a row at ts == watermark is held until the
+          // watermark passes it, because Spark still ADMITS rows at the
+          // watermark — releasing it now could split a RANGE peer group
+          // across batches (a later-arriving same-ts peer would get a
+          // different frame than the one already emitted).
+          val (ready, pending) = all.partition(_.ts_us < wmUs)
           var hist = st.history // ascending (ts, event_id), all released
           val out = List.newBuilder[BoundedOverRow]
           frame match {

@@ -248,7 +248,11 @@ object Cep {
    * This is the reference NFA's SharedBuffer pruning on watermark
    * advance (`cep/nfa/sharedbuffer/SharedBuffer.java` via
    * `CepOperator.advanceTime`). Eviction runs AFTER matching, so
-   * late-but-arrived rows still pair with the retained history.
+   * late-but-arrived rows at or above the horizon still pair with the
+   * retained history; rows BELOW the horizon are dropped on entry (they
+   * cannot extend any live match, and re-admitting one could duplicate
+   * a match whose emitted marker was already pruned — the reference
+   * CepOperator likewise drops late elements).
    * Eviction by ts removes a prefix of the sorted buffer, so strict
    * (`next`) adjacency among retained events is unchanged. Patterns
    * without `within` keep everything (documented: unbounded patterns
@@ -274,15 +278,25 @@ object Cep {
       .flatMapGroupsWithState[CepState, CepBound](OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_, it, state: GroupState[CepState]) =>
           val st = state.getOption.getOrElse(CepState(Nil, Nil))
-          val buffer = (st.buffer ++ it).sortBy(e => (e.ts_us, e.event_id))
-          val all = matchSortedBound(buffer.toIndexedSeq, pattern)
-          val seen = st.emitted.map(_._2).toSet
-          val fresh = all.filterNot(m => seen.contains(m.binds.head.ev.event_id))
-          val emitted = st.emitted ++ fresh.map(m => (m.start_us, m.binds.head.ev.event_id))
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val live: Long => Boolean =
             if (wmUs <= 0L || pattern.withinUs == Long.MaxValue) _ => true
             else ts => ts >= wmUs - pattern.withinUs
+          // Drop too-late arrivals at entry (NoTimeout admits them): an
+          // event below the eviction horizon can never extend a live
+          // match — any match containing it ends before the watermark —
+          // but re-admitting it could re-create a match whose emitted
+          // marker was already pruned, emitting a duplicate. Mirrors the
+          // reference CepOperator dropping late elements.
+          val buffer = (st.buffer ++ it.filter(e => live(e.ts_us)))
+            .sortBy(e => (e.ts_us, e.event_id))
+          val all = matchSortedBound(buffer.toIndexedSeq, pattern)
+          // Dedup on (start_us, start event_id) — ids need only be
+          // unique within a timestamp, not globally per key.
+          val seen = st.emitted.map(p => (p._1, p._2)).toSet
+          val fresh = all.filterNot(m =>
+            seen.contains((m.start_us, m.binds.head.ev.event_id)))
+          val emitted = st.emitted ++ fresh.map(m => (m.start_us, m.binds.head.ev.event_id))
           state.update(CepState(buffer.filter(e => live(e.ts_us)),
             emitted.filter(p => live(p._1))))
           fresh.iterator

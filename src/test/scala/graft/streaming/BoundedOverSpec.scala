@@ -20,10 +20,12 @@ class BoundedOverSpec extends SparkSuite {
     try {
       ms.addData(ev(1, 10000000, 1.0), ev(2, 20000000, 2.0))
       q.processAllAvailable()
-      // the no-data batch advances the watermark to 20s → both released
+      // watermark lands AT 20s: row 1 is strictly below it → released;
+      // row 2 sits at the watermark → held (a same-ts peer could still
+      // arrive), released only once the watermark passes 20s
       val got1 = spark.table("t_bo_rows").as[BoundedOverRow].collect().sortBy(_.event_id)
       assert(got1.map(r => (r.event_id, r.frame_n, r.frame_cents)).toList ==
-        List((1L, 1L, 100L), (2L, 2L, 300L)))
+        List((1L, 1L, 100L)))
       ms.addData(ev(3, 15000000, 9.0)) // later than watermark → dropped
       q.processAllAvailable()
       ms.addData(ev(4, 30000000, 4.0))
@@ -53,15 +55,23 @@ class BoundedOverSpec extends SparkSuite {
       ms.addData(ev(1, 10000000, 1.0), ev(2, 15000000, 2.0), ev(3, 15000000, 3.0))
       q.processAllAvailable()
       val got = spark.table("t_bo_range").as[BoundedOverRow].collect().sortBy(_.event_id)
-      // rows 2 and 3 are peers at t=15s: one frame {1,2,3} for both
+      // watermark at 15s: only row 1 is strictly below it; the 15s peer
+      // group (rows 2, 3) is held until the watermark passes 15s so a
+      // late-arriving peer can never split the shared frame
       assert(got.map(r => (r.event_id, r.frame_n, r.frame_cents)).toList ==
-        List((1L, 1L, 100L), (2L, 3L, 600L), (3L, 3L, 600L)))
+        List((1L, 1L, 100L)))
       // advance an hour per batch: history prunes to the 10s horizon
       val hourUs = 3600L * 1000000
       (1 to 4).foreach { b =>
         ms.addData(ev(10 + b, b * hourUs, 1.0))
         q.processAllAvailable()
       }
+      // the peer group released together once the watermark passed 15s:
+      // rows 2 and 3 share one frame {1,2,3}
+      val got2 = spark.table("t_bo_range").as[BoundedOverRow].collect().sortBy(_.event_id)
+      assert(got2.filter(r => r.event_id == 2 || r.event_id == 3)
+        .map(r => (r.event_id, r.frame_n, r.frame_cents)).toList ==
+        List((2L, 3L, 600L), (3L, 3L, 600L)))
       val histSizes = spark.read.format("statestore").load(ckpt)
         .select(size(col("value.groupState.history"))).as[Int].collect()
       assert(histSizes.nonEmpty && histSizes.forall(_ <= 3),
