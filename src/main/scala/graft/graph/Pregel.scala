@@ -96,4 +96,52 @@ object Pregel {
     }
     ranks
   }
+
+  /** Single-source BFS distances via DELTA iteration (the reference's
+   * `DataSet.iterateDelta`, `DataSet.java:1181` / Gelly
+   * scatter-gather): a SOLUTION SET of settled (id, dist) pairs and a
+   * WORKSET of vertices improved last round — each round only the
+   * workset propagates, and the loop exits early once the workset
+   * empties. For unit weights a vertex's first-found distance is
+   * final, so `maxRounds` delta rounds equal `maxRounds` bulk BFS
+   * rounds — which is what the unrolled SQL oracle computes.
+   *
+   * Scale: per round one join of edges against the (shrinking)
+   * workset + one anti-join into the solution set — the delta
+   * optimization is exactly what makes 100-TB iteration affordable,
+   * versus bulk loops that re-join the whole solution every round.
+   * The `isEmpty` early-exit is a driver-side scalar check, standard
+   * for iterative dataflow (the reference's convergence criterion). */
+  def ssspDelta(edges: DataFrame, sourceId: Long, maxRounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val undirected = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var solution = Seq((sourceId, 0L)).toDF("id", "dist")
+    var workset = solution
+    var round = 0
+    var done = false
+    while (round < maxRounds && !done) {
+      round += 1
+      val candidates = undirected
+        .join(workset.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("dist") + 1).as("nd"))
+      val improved = candidates
+        .join(solution, Seq("id"), "left")
+        .where(col("dist").isNull || col("nd") < col("dist"))
+        .select(col("id"), col("nd").as("dist"))
+        .localCheckpoint() // materialize: reused as workset AND merged
+      if (improved.isEmpty) done = true
+      else {
+        solution = solution.join(improved, Seq("id"), "left_anti")
+          .unionAll(improved)
+          .localCheckpoint()
+        workset = improved
+      }
+    }
+    solution
+  }
 }

@@ -51,6 +51,21 @@ object DedupQueries extends QueryPack {
         .orderBy(col("simhash"))
     }),
 
+    // Prefix-key near-dedup — the cheap fuzzy pass production corpus
+    // cleaners run before MinHash: documents sharing a normalized
+    // 6-word prefix collapse to the lowest doc_id. One hash shuffle,
+    // no pairwise work — the O(n) tier of the dedup cascade.
+    "dedup_prefix" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .withColumn("__pfx",
+          array_join(slice(filter(split(lower(trim(col("text"))), " "),
+            w => w =!= ""), 1, 6), " "))
+        .groupBy(md5(col("__pfx")).as("prefix_key"))
+        .agg(min(col("doc_id")).as("keep_doc"), count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("prefix_key"))
+    }),
+
     // Word-bigram Jaccard near-dups, blocked by source, with a
     // document-frequency cap: shingles occurring in >50 docs (the
     // "of the" class) are dropped before the self-join — hot shingles
@@ -95,6 +110,14 @@ object DedupQueries extends QueryPack {
       SELECT md5(trim(lower(text))) AS content_key,
              min(doc_id) AS keep_doc, count(*) AS n_copies
       FROM documents GROUP BY 1 ORDER BY content_key""",
+    "dedup_prefix" -> """
+      WITH t AS (
+        SELECT doc_id,
+               array_to_string(list_filter(string_split(lower(trim(text)), ' '),
+                 x -> x <> '')[1:6], ' ') AS pfx
+        FROM documents)
+      SELECT md5(pfx) AS prefix_key, min(doc_id) AS keep_doc, count(*) AS n_docs
+      FROM t GROUP BY 1 HAVING count(*) > 1 ORDER BY prefix_key""",
     "dedup_minhash_lsh" -> s"""
       WITH $shinglesCte,
       sig AS (SELECT doc_id, min(md5('1:'||shingle)) h1, min(md5('2:'||shingle)) h2,

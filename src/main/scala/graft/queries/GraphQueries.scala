@@ -49,6 +49,17 @@ object GraphQueries extends QueryPack {
       Pregel.pageRankFixed(v, undirected, iters = 5)
         .orderBy(col("rankq").desc, col("id"))
         .limit(20)
+    }),
+
+    // Single-source BFS distances from the first type vertex (tid -1)
+    // via DELTA iteration (reference DataSet.iterateDelta): solution
+    // set + shrinking workset, early exit on convergence. Unit weights
+    // make k delta rounds equal k bulk rounds — the oracle's 6
+    // unrolled min-merge rounds. Full hash gate.
+    "graph_sssp_delta" -> ((s, dir) => {
+      val (_, e) = bipartite(s, dir)
+      Pregel.ssspDelta(e, sourceId = -1L, maxRounds = 6)
+        .orderBy(col("id"))
     })
   )
 
@@ -125,6 +136,40 @@ object GraphQueries extends QueryPack {
                                FROM edges e JOIN r4 x ON e.src = x.id
                                             JOIN deg d ON e.src = d.id
                                GROUP BY e.dst) m ON v.id = m.id)
-      SELECT id, rankq FROM r5 ORDER BY rankq DESC, id LIMIT 20"""
+      SELECT id, rankq FROM r5 ORDER BY rankq DESC, id LIMIT 20""",
+    "graph_sssp_delta" -> """
+      WITH types AS (SELECT DISTINCT event_type FROM events),
+      tmap AS (SELECT event_type,
+                      -CAST(dense_rank() OVER (ORDER BY event_type) AS BIGINT) AS tid
+               FROM types),
+      e0 AS (SELECT DISTINCT e.user_id AS src, t.tid AS dst
+             FROM events e JOIN tmap t USING (event_type)),
+      edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      d0 AS (SELECT CAST(-1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist),
+      d1 AS (SELECT id, min(dist) AS dist FROM (
+               SELECT id, dist FROM d0 UNION ALL
+               SELECT e.dst, x.dist + 1 FROM edges e JOIN d0 x ON e.src = x.id
+             ) GROUP BY id),
+      d2 AS (SELECT id, min(dist) AS dist FROM (
+               SELECT id, dist FROM d1 UNION ALL
+               SELECT e.dst, x.dist + 1 FROM edges e JOIN d1 x ON e.src = x.id
+             ) GROUP BY id),
+      d3 AS (SELECT id, min(dist) AS dist FROM (
+               SELECT id, dist FROM d2 UNION ALL
+               SELECT e.dst, x.dist + 1 FROM edges e JOIN d2 x ON e.src = x.id
+             ) GROUP BY id),
+      d4 AS (SELECT id, min(dist) AS dist FROM (
+               SELECT id, dist FROM d3 UNION ALL
+               SELECT e.dst, x.dist + 1 FROM edges e JOIN d3 x ON e.src = x.id
+             ) GROUP BY id),
+      d5 AS (SELECT id, min(dist) AS dist FROM (
+               SELECT id, dist FROM d4 UNION ALL
+               SELECT e.dst, x.dist + 1 FROM edges e JOIN d4 x ON e.src = x.id
+             ) GROUP BY id),
+      d6 AS (SELECT id, min(dist) AS dist FROM (
+               SELECT id, dist FROM d5 UNION ALL
+               SELECT e.dst, x.dist + 1 FROM edges e JOIN d5 x ON e.src = x.id
+             ) GROUP BY id)
+      SELECT id, dist FROM d6 ORDER BY id"""
   )
 }

@@ -281,6 +281,38 @@ object StreamQueries extends QueryPack {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Count windows (reference KeyedStream.countWindow → GlobalWindows
+    // + purging CountTrigger): per-user tumbling 5-row windows over
+    // watermark-ordered release; the trailing incomplete window never
+    // fires, like the purging trigger. Per-key sentinels flush.
+    "stream_count_window" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val out = graft.streaming.CountSession.countWindow(
+        StreamOps.eventsTypedWithKeyedSentinels(s, dir), n = 5)
+      StreamOps.runToBatch(s, out.toDF(), "append", "stream_cwin")
+        .filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("win_idx"))
+    }),
+
+    // Dynamic-gap session windows, streaming (reference
+    // DynamicEventTimeSessionWindows + SessionWindowTimeGapExtractor):
+    // clicks close after 10 minutes of quiet, other events after 30 —
+    // the same merge rule as the batch session_window gate, so the
+    // same SQL shape oracles both engines.
+    "stream_session_dynamic" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val out = graft.streaming.CountSession.sessionDynamic(
+        StreamOps.eventsTypedWithKeyedSentinels(s, dir),
+        e => if (e.event_type == "click") 10L * 60 * 1000000 else 30L * 60 * 1000000)
+      StreamOps.runToBatch(s, out.toDF(), "append", "stream_dynsess")
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"),
+          expr("cast(timestamp_micros(ws_us) as timestamp_ntz)").as("ws"),
+          expr("cast(timestamp_micros(we_us) as timestamp_ntz)").as("we"),
+          col("n"), col("sum_cents"))
+        .orderBy(col("user_id"), col("ws"))
+    }),
+
     // Tumbling window agg WITH late-data side capture (reference
     // WindowedStream.sideOutputLateData): per-user 15-minute windows
     // finalized under the per-key sentinel cascade; late rows would
@@ -487,6 +519,40 @@ object StreamQueries extends QueryPack {
                    ORDER BY CAST(ts AS TIMESTAMP)
                    RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW)
       ORDER BY user_id, event_id""",
+    "stream_count_window" -> """
+      WITH ranked AS (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        FROM events)
+      SELECT user_id, CAST((rn - 1) // 5 + 1 AS BIGINT) AS win_idx,
+             count(*) AS n_rows,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS win_cents
+      FROM ranked GROUP BY user_id, win_idx
+      HAVING count(*) = 5
+      ORDER BY user_id, win_idx""",
+    "stream_session_dynamic" -> """
+      WITH g AS (
+        SELECT user_id, ts, value,
+               CASE WHEN event_type = 'click' THEN INTERVAL 10 MINUTE
+                    ELSE INTERVAL 30 MINUTE END AS gap
+        FROM events),
+      flagged AS (
+        SELECT user_id, ts, value, gap,
+               CASE WHEN max(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                      OR ts >= max(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_session
+        FROM g),
+      sessions AS (
+        SELECT user_id, ts, value, gap,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged)
+      SELECT user_id, min(ts) AS ws, max(ts + gap) AS we, count(*) AS n,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM sessions GROUP BY user_id, sid ORDER BY user_id, ws""",
     "stream_window_late_capture" -> """
       SELECT 'agg' AS kind, user_id,
              time_bucket(INTERVAL 15 MINUTE, ts) AS ws,

@@ -107,6 +107,43 @@ object TextQueries extends QueryPack {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // Repetition scoring — the distinct-token-ratio quality filter
+    // (boilerplate / spam detector in training-data pipelines): unique
+    // tokens per mille of total, integer-exact so both engines agree
+    // bit-for-bit; `is_repetitive` is the filter verdict.
+    "text_repetition_score" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .withColumn("__t", filter(split(lower(trim(col("text"))), " "), w => w =!= ""))
+        .select(col("doc_id"),
+          size(col("__t")).cast("bigint").as("n_tokens"),
+          expr("cast((size(array_distinct(__t)) * cast(1000 as bigint)) div size(__t) as bigint)")
+            .as("distinct_permille"))
+        .withColumn("is_repetitive", col("distinct_permille") < 250)
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII scrubbing — regex redaction of emails and phone-shaped
+    // tokens (documents are synthetic, so deterministic contact
+    // strings are appended per doc, then redacted): emits per-doc
+    // match counts and the md5 of the redacted text, proving both
+    // engines produced byte-identical scrubbed output.
+    "text_pii_redact" -> ((s, dir) => {
+      val emailRe = "[a-z0-9]+@[a-z][a-z.]+[a-z]"
+      val phoneRe = "\\+1-555-[0-9]{4}"
+      Tables.load(s, dir, "documents")
+        .withColumn("__aug",
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@mail.example or +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .select(col("doc_id"),
+          size(expr(s"regexp_extract_all(__aug, '$emailRe', 0)")).cast("bigint").as("n_emails"),
+          size(expr(s"regexp_extract_all(__aug, '${phoneRe.replace("\\", "\\\\")}', 0)"))
+            .cast("bigint").as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("__aug"), lit(emailRe), lit("<EMAIL>")),
+            lit(phoneRe), lit("<PHONE>"))).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus stats rollup: per (lang, source) aggregate quality profile.
     "text_corpus_stats" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -177,6 +214,27 @@ object TextQueries extends QueryPack {
              CAST(sum(n_words) AS BIGINT) AS total_words
       FROM dedup WHERE rn = 1
       GROUP BY lang, source ORDER BY lang, source""",
+    "text_repetition_score" -> """
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS w
+        FROM documents)
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(w)) * 1000 // len(w) AS BIGINT) AS distinct_permille,
+             (len(list_distinct(w)) * 1000 // len(w)) < 250 AS is_repetitive
+      FROM t ORDER BY doc_id""",
+    "text_pii_redact" -> """
+      WITH t AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@mail.example or +1-555-' ||
+                 lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(aug, '[a-z0-9]+@[a-z][a-z.]+[a-z]')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(aug, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+             md5(regexp_replace(regexp_replace(aug, '[a-z0-9]+@[a-z][a-z.]+[a-z]', '<EMAIL>', 'g'),
+                 '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+      FROM t ORDER BY doc_id""",
     "text_corpus_stats" -> """
       SELECT lang, source, count(*) AS n_docs,
              CAST(sum(len(string_split(trim(lower(text)), ' '))) AS BIGINT) AS total_words,

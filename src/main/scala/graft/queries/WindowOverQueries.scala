@@ -90,6 +90,25 @@ object WindowOverQueries extends QueryPack {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // IGNORE NULLS navigation (reference planner's LEAD/LAG/LAST_VALUE
+    // IGNORE NULLS support, `over/frame/OffsetOverFrame.java` family):
+    // last non-null carried forward, previous non-null, first non-null
+    // — the gap-filling idiom — over a column NULLed on 'click' rows.
+    "over_ignore_nulls" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .withColumn("v_cents",
+          when(col("event_type") === "click", lit(null))
+            .otherwise(floor(col("value") * 100).cast("bigint")))
+        .select(col("user_id"), col("event_id"),
+          last(col("v_cents"), ignoreNulls = true).over(run).as("last_nn"),
+          lag(col("v_cents"), 1, null, ignoreNulls = true).over(w).as("prev_nn"),
+          first(col("v_cents"), ignoreNulls = true).over(run).as("first_nn"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // FIRST_VALUE / LAST_VALUE over the full partition frame.
     "over_first_last_value" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -194,6 +213,23 @@ object WindowOverQueries extends QueryPack {
       FROM orders WHERE o_custkey <= 100
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       ORDER BY o_custkey, o_orderkey""",
+    "over_ignore_nulls" -> """
+      WITH e AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_type = 'click' THEN NULL
+                    ELSE CAST(floor(value * 100) AS BIGINT) END AS v_cents
+        FROM events)
+      SELECT user_id, event_id,
+             last_value(v_cents IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_nn,
+             lag(v_cents, 1 IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_nn,
+             first_value(v_cents IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_nn
+      FROM e
+      ORDER BY user_id, event_id""",
     "over_first_last_value" -> """
       SELECT o_custkey, o_orderkey,
              first_value(o_orderkey) OVER w AS first_order,

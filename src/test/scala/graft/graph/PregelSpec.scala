@@ -47,4 +47,18 @@ class PregelSpec extends SparkSuite {
       assert(math.abs(fixed(id) - r * 1e9) < 1e3, s"vertex $id: ${fixed(id)} vs $r")
     }
   }
+
+  test("delta-iteration SSSP: BFS distances, early convergence, unreached excluded") {
+    import spark.implicits._
+    // path 1-2-3-4 plus a shortcut 1-4; 9-10 is a separate component
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (9L, 10L)).toDF("src", "dst")
+    val d = Pregel.ssspDelta(e, sourceId = 1L, maxRounds = 10)
+      .as[(Long, Long)].collect().toMap
+    // shortcut wins for 4; the other component never enters the solution
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+    // maxRounds smaller than the eccentricity truncates the frontier
+    val d2 = Pregel.ssspDelta(e, sourceId = 1L, maxRounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(d2 == Map(1L -> 0L, 2L -> 1L, 4L -> 1L))
+  }
 }
