@@ -391,6 +391,25 @@ object StreamQueries extends QueryPack {
           col("event_ids").getItem(0).as("click_id"),
           col("event_ids").getItem(1).as("buy_id"))
         .orderBy(col("click_id"))
+    }),
+
+    // CEP absence detection (reference Pattern.notFollowedBy ending a
+    // pattern, `cep/pattern/Pattern.java` notFollowedBy + within):
+    // clicks with NO purchase in the next 10 minutes. Absence over a
+    // window is only provable once the watermark closes it, so matches
+    // hold until then; the keyed sentinels drive the final watermark.
+    "stream_cep_absence" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val pattern = Cep.Pattern
+        .begin("click", _.event_type == "click")
+        .notFollowedBy("no_buy", _.event_type == "purchase")
+        .within(TenMinUs)
+      StreamOps.runToBatch(
+        s, Cep.run(StreamOps.eventsTypedWithKeyedSentinels(s, dir), pattern).toDF(),
+        "append", "stream_cep_abs")
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("event_ids").getItem(0).as("click_id"))
+        .orderBy(col("user_id"), col("click_id"))
     })
   )
 
@@ -596,6 +615,15 @@ object StreamQueries extends QueryPack {
       FROM o
       WHERE event_type = 'click' AND ntype = 'purchase'
         AND nts - uts <= INTERVAL 10 MINUTE
-      ORDER BY click_id"""
+      ORDER BY click_id""",
+    "stream_cep_absence" -> """
+      SELECT user_id, event_id AS click_id
+      FROM events c
+      WHERE event_type = 'click' AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+          AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
+          AND p.ts <= c.ts + INTERVAL 10 MINUTE)
+      ORDER BY user_id, click_id"""
   )
 }

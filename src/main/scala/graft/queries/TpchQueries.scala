@@ -92,6 +92,49 @@ object TpchQueries extends QueryPack {
       ) all_nations
       GROUP BY o_year ORDER BY o_year""")),
 
+    // Q9: product-type profit — 5-way join through part/supplier/
+    // orders/nation, grouped by nation and order year. The driver
+    // schema has no partsupp, so ps_supplycost is proxied by 10% of
+    // p_retailprice per unit (documented adaptation); profit stays on
+    // the integer grid, floored per row on both engines.
+    "tpch_q9_product_profit" -> ((s, dir) =>
+      sql(s, dir, Seq("part", "supplier", "lineitem", "orders", "nation"), """
+      SELECT nation, o_year, CAST(sum(amount) AS BIGINT) AS sum_profit
+      FROM (
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)
+                 - CAST(floor(p_retailprice * l_quantity * 1000) AS BIGINT) AS amount
+        FROM part p, supplier su, lineitem l, orders o, nation n
+        WHERE su.s_suppkey = l.l_suppkey AND p.p_partkey = l.l_partkey
+          AND o.o_orderkey = l.l_orderkey AND su.s_nationkey = n.n_nationkey
+          AND p.p_name LIKE '%widget%'
+      ) profit
+      GROUP BY nation, o_year
+      ORDER BY nation, o_year DESC""")),
+
+    // Q11: important stock — no partsupp in the driver schema, so
+    // inventory value is proxied by shipped value (price × quantity)
+    // per part from one nation's suppliers; keeps Q11's essential
+    // shape: grouped sum filtered by a scalar-subquery fraction of the
+    // total, with the threshold compare in exact integers (×1000, no
+    // float boundary).
+    "tpch_q11_important_stock" -> ((s, dir) =>
+      sql(s, dir, Seq("lineitem", "supplier", "nation"), """
+      SELECT l_partkey AS ps_partkey, CAST(sum(val) AS BIGINT) AS value
+      FROM (
+        SELECT l_partkey,
+               CAST(floor(l_extendedprice * l_quantity * 100) AS BIGINT) AS val
+        FROM lineitem l, supplier su, nation n
+        WHERE l.l_suppkey = su.s_suppkey AND su.s_nationkey = n.n_nationkey
+          AND n.n_name = 'NATION_3') t
+      GROUP BY l_partkey
+      HAVING sum(val) * 1000 > (
+        SELECT sum(CAST(floor(l_extendedprice * l_quantity * 100) AS BIGINT))
+        FROM lineitem l, supplier su, nation n
+        WHERE l.l_suppkey = su.s_suppkey AND su.s_nationkey = n.n_nationkey
+          AND n.n_name = 'NATION_3')
+      ORDER BY value DESC, ps_partkey""")),
+
     // Q12: shipping-priority split — join + conditional aggregation
     // (l_returnflag stands in for the missing l_shipmode).
     "tpch_q12_priority_split" -> ((s, dir) => sql(s, dir, Seq("orders", "lineitem"), """
@@ -390,6 +433,34 @@ object TpchQueries extends QueryPack {
         AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
       GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "tpch_q9_product_profit" -> """
+      SELECT nation, o_year, CAST(sum(amount) AS BIGINT) AS sum_profit
+      FROM (
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)
+                 - CAST(floor(p_retailprice * l_quantity * 1000) AS BIGINT) AS amount
+        FROM part p, supplier su, lineitem l, orders o, nation n
+        WHERE su.s_suppkey = l.l_suppkey AND p.p_partkey = l.l_partkey
+          AND o.o_orderkey = l.l_orderkey AND su.s_nationkey = n.n_nationkey
+          AND p.p_name LIKE '%widget%'
+      ) profit
+      GROUP BY nation, o_year
+      ORDER BY nation, o_year DESC""",
+    "tpch_q11_important_stock" -> """
+      SELECT l_partkey AS ps_partkey, CAST(sum(val) AS BIGINT) AS value
+      FROM (
+        SELECT l_partkey,
+               CAST(floor(l_extendedprice * l_quantity * 100) AS BIGINT) AS val
+        FROM lineitem l, supplier su, nation n
+        WHERE l.l_suppkey = su.s_suppkey AND su.s_nationkey = n.n_nationkey
+          AND n.n_name = 'NATION_3') t
+      GROUP BY l_partkey
+      HAVING sum(val) * 1000 > (
+        SELECT sum(CAST(floor(l_extendedprice * l_quantity * 100) AS BIGINT))
+        FROM lineitem l, supplier su, nation n
+        WHERE l.l_suppkey = su.s_suppkey AND su.s_nationkey = n.n_nationkey
+          AND n.n_name = 'NATION_3')
+      ORDER BY value DESC, ps_partkey""",
     "tpch_q10_returned_items" -> """
       SELECT c_custkey, c_name, n_name,
              CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue

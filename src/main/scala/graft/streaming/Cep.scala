@@ -52,6 +52,15 @@ object Cep {
   case object OneOrMoreReluctant extends Quant
   /** Negative lookahead on the next event (not consumed). */
   case object NotNext extends Quant
+  /** Relaxed contiguity with ALL alternatives (reference
+   * `Pattern.followedByAny`): every qualifying later event is a
+   * branch, so one start can yield several matches. */
+  case object Any extends Quant
+  /** Negative relaxed step (reference `Pattern.notFollowedBy`): no
+   * qualifying event may occur before the next consumed event (or, at
+   * pattern end, anywhere in the `within` window — which then gates
+   * emission on window close). Not consumed. */
+  case object NotFollowed extends Quant
 
   /** After-match skip strategy (reference
    * `cep/nfa/aftermatch/AfterMatchSkipStrategy.java` + its five
@@ -113,6 +122,19 @@ object Cep {
      * event is not consumed. */
     def notNext(name: String, pred: Ev => Boolean): Pattern =
       copy(steps = steps :+ Step(name, pred, strict = true, quant = NotNext))
+    /** Relaxed step matching EVERY qualifying later event, not just
+     * the earliest (reference `Pattern.followedByAny`): one start can
+     * emit several matches, deduplicated by full match signature.
+     * Only NoSkip/SkipToNext compose with Any branches. */
+    def followedByAny(name: String, pred: Ev => Boolean): Pattern =
+      copy(steps = steps :+ Step(name, pred, strict = false, quant = Any))
+    /** Negative relaxed step (reference `Pattern.notFollowedBy`): no
+     * qualifying event between the previous consumed event and the
+     * next consumed one. At pattern END it requires `within` (as in
+     * the reference) and the engine holds the match until the
+     * watermark closes the window — absence is only provable then. */
+    def notFollowedBy(name: String, pred: Ev => Boolean): Pattern =
+      copy(steps = steps :+ Step(name, pred, strict = false, quant = NotFollowed))
     def within(us: Long): Pattern = copy(withinUs = us)
   }
 
@@ -140,15 +162,18 @@ object Cep {
     def inWindow(start: Ev, j: Int): Boolean =
       j < events.length && events(j).ts_us - start.ts_us <= p.withinUs
 
-    /** Match `steps` with the previous consumed index at `pos`; `acc`
+    /** Enumerate matches of `steps` with the previous consumed index
+     * at `pos`, lazily, in deterministic preference order; `acc`
      * carries (step name, event index) bindings in consumption order
      * — the skip strategies address events by the step that bound
-     * them (reference SharedBuffer's per-state event paths). */
+     * them (reference SharedBuffer's per-state event paths). Callers
+     * take the head for the earliest-match subset, or every
+     * alternative when the pattern contains a `followedByAny` step. */
     def matchSteps(start: Ev, pos: Int, steps: List[Step],
-        acc: Vector[(String, Int)]): Option[(Int, Vector[(String, Int)])] = steps match {
-      case Nil => Some((pos, acc))
+        acc: Vector[(String, Int)]): LazyList[(Int, Vector[(String, Int)])] = steps match {
+      case Nil => LazyList((pos, acc))
       case st :: rest =>
-        def withEventAt(j: Int): Option[(Int, Vector[(String, Int)])] =
+        def withEventAt(j: Int): LazyList[(Int, Vector[(String, Int)])] =
           matchSteps(start, j, rest, acc :+ ((st.name, j)))
         def firstQualifying(from: Int): Int = {
           var j = from
@@ -158,32 +183,48 @@ object Cep {
         st.quant match {
           case Once if st.strict =>
             val j = pos + 1
-            if (inWindow(start, j) && st.pred(events(j))) withEventAt(j) else None
+            if (inWindow(start, j) && st.pred(events(j))) withEventAt(j) else LazyList.empty
           case Once => // relaxed: earliest qualifying event
             val j = firstQualifying(pos + 1)
-            if (inWindow(start, j)) withEventAt(j) else None
+            if (inWindow(start, j)) withEventAt(j) else LazyList.empty
+          case Any => // relaxed: EVERY qualifying later event is a branch
+            LazyList.from(pos + 1)
+              .takeWhile(j => inWindow(start, j))
+              .filter(j => st.pred(events(j)))
+              .flatMap(withEventAt)
           case Optional => // greedy include-first, fall back to skipping
             val included =
               if (st.strict) { // MATCH_RECOGNIZE contiguity: next event only
                 val j = pos + 1
-                if (inWindow(start, j) && st.pred(events(j))) withEventAt(j) else None
+                if (inWindow(start, j) && st.pred(events(j))) withEventAt(j) else LazyList.empty
               } else {
                 val j = firstQualifying(pos + 1)
-                if (inWindow(start, j)) withEventAt(j) else None
+                if (inWindow(start, j)) withEventAt(j) else LazyList.empty
               }
-            included.orElse(matchSteps(start, pos, rest, acc))
+            included #::: matchSteps(start, pos, rest, acc)
           case OptionalReluctant => // skip-first, include on failure
-            matchSteps(start, pos, rest, acc).orElse {
+            matchSteps(start, pos, rest, acc) #::: {
               val j = firstQualifying(pos + 1)
-              if (inWindow(start, j)) withEventAt(j) else None
+              if (inWindow(start, j)) withEventAt(j) else LazyList.empty
             }
           case NotNext => // negative lookahead; end-of-stream satisfies it
             val j = pos + 1
-            if (inWindow(start, j) && st.pred(events(j))) None
+            if (inWindow(start, j) && st.pred(events(j))) LazyList.empty
             else matchSteps(start, pos, rest, acc)
+          case NotFollowed =>
+            // forbid qualifying events between pos and each
+            // alternative's next consumed event (or the window end
+            // when the pattern ends here — emission is then gated on
+            // window close by the caller)
+            matchSteps(start, pos, rest, acc).filter { case (_, binds) =>
+              val boundary =
+                if (binds.length > acc.length) binds(acc.length)._2
+                else { var j = pos + 1; while (inWindow(start, j)) j += 1; j }
+              !((pos + 1) until boundary).exists(j => st.pred(events(j)))
+            }
           case OneOrMore => // maximal strict run, no backtracking
             var j = pos + 1
-            if (!inWindow(start, j) || !st.pred(events(j))) None
+            if (!inWindow(start, j) || !st.pred(events(j))) LazyList.empty
             else {
               var binds = acc
               while (inWindow(start, j) && st.pred(events(j))) {
@@ -192,41 +233,45 @@ object Cep {
               matchSteps(start, j - 1, rest, binds)
             }
           case OneOrMoreReluctant => // minimal strict run, extend on failure
-            var j = pos + 1
-            if (!inWindow(start, j) || !st.pred(events(j))) None
-            else {
-              var binds = acc :+ ((st.name, j))
-              var res = matchSteps(start, j, rest, binds)
-              while (res.isEmpty && inWindow(start, j + 1) && st.pred(events(j + 1))) {
-                j += 1; binds :+= ((st.name, j))
-                res = matchSteps(start, j, rest, binds)
+            def runs(j: Int, binds: Vector[(String, Int)]): LazyList[(Int, Vector[(String, Int)])] =
+              if (!inWindow(start, j) || !st.pred(events(j))) LazyList.empty
+              else {
+                val b = binds :+ ((st.name, j))
+                matchSteps(start, j, rest, b) #::: runs(j + 1, b)
               }
-              res
-            }
+            runs(pos + 1, acc)
         }
     }
 
+    val hasAny = p.steps.exists(_.quant == Any)
+    require(!hasAny || p.skip == NoSkip || p.skip == SkipToNext,
+      "followedByAny emits overlapping matches; only NoSkip/SkipToNext compose with it")
+    require(p.steps.last.quant != NotFollowed || p.withinUs != Long.MaxValue,
+      "notFollowedBy at pattern end requires within() (as in the reference)")
     val out = List.newBuilder[CepBound]
     var i = 0
     while (i < events.length) {
       val start = events(i)
       var next = i + 1
       if (p.steps.head.pred(start)) {
-        matchSteps(start, i, p.steps.tail.toList,
-            Vector((p.steps.head.name, i))).foreach {
-          case (endPos, binds) =>
-            out += CepBound(start.user_id, start.ts_us, events(endPos).ts_us,
-              binds.map { case (n, j) => BoundEv(n, events(j)) }.toList)
-            // `times` expands names to "name#k": match on the prefix
-            def bound(step: String) = binds.filter(_._1.takeWhile(_ != '#') == step)
-            p.skip match {
-              case NoSkip | SkipToNext => ()
-              case SkipPastLast => next = endPos + 1
-              case SkipToFirst(s) =>
-                bound(s).headOption.foreach { case (_, j) => next = math.max(j, i + 1) }
-              case SkipToLast(s) =>
-                bound(s).lastOption.foreach { case (_, j) => next = math.max(j, i + 1) }
-            }
+        val alts = matchSteps(start, i, p.steps.tail.toList,
+          Vector((p.steps.head.name, i)))
+        // earliest-match subset takes the preferred alternative; Any
+        // patterns emit every distinct branch (reference followedByAny)
+        val ms = if (hasAny) alts.toList.distinct else alts.headOption.toList
+        ms.foreach { case (endPos, binds) =>
+          out += CepBound(start.user_id, start.ts_us, events(endPos).ts_us,
+            binds.map { case (n, j) => BoundEv(n, events(j)) }.toList)
+          // `times` expands names to "name#k": match on the prefix
+          def bound(step: String) = binds.filter(_._1.takeWhile(_ != '#') == step)
+          p.skip match {
+            case NoSkip | SkipToNext => ()
+            case SkipPastLast => next = endPos + 1
+            case SkipToFirst(s) =>
+              bound(s).headOption.foreach { case (_, j) => next = math.max(j, i + 1) }
+            case SkipToLast(s) =>
+              bound(s).lastOption.foreach { case (_, j) => next = math.max(j, i + 1) }
+          }
         }
       }
       i = next
@@ -291,12 +336,22 @@ object Cep {
           val buffer = (st.buffer ++ it.filter(e => live(e.ts_us)))
             .sortBy(e => (e.ts_us, e.event_id))
           val all = matchSortedBound(buffer.toIndexedSeq, pattern)
-          // Dedup on (start_us, start event_id) — ids need only be
-          // unique within a timestamp, not globally per key.
+          // A pattern ENDING in notFollowedBy asserts absence over the
+          // whole within window — provable only once the watermark
+          // closes it. Unconfirmed candidates stay unmarked and
+          // re-surface (their events outlive them in the buffer:
+          // start_us >= wm - within while the window is open).
+          val confirmed =
+            if (pattern.steps.last.quant != NotFollowed) all
+            else all.filter(m => wmUs > 0L && m.start_us + pattern.withinUs < wmUs)
+          // Dedup on (start_us, match signature): ids need only be
+          // unique within a timestamp, and followedByAny patterns can
+          // emit several distinct matches per start.
+          def sig(m: CepBound): Long =
+            m.binds.foldLeft(1125899906842597L)((h, b) => h * 31 + b.ev.event_id)
           val seen = st.emitted.map(p => (p._1, p._2)).toSet
-          val fresh = all.filterNot(m =>
-            seen.contains((m.start_us, m.binds.head.ev.event_id)))
-          val emitted = st.emitted ++ fresh.map(m => (m.start_us, m.binds.head.ev.event_id))
+          val fresh = confirmed.filterNot(m => seen.contains((m.start_us, sig(m))))
+          val emitted = st.emitted ++ fresh.map(m => (m.start_us, sig(m)))
           state.update(CepState(buffer.filter(e => live(e.ts_us)),
             emitted.filter(p => live(p._1))))
           fresh.iterator

@@ -209,4 +209,69 @@ class CepSpec extends SparkSuite {
       assert(got.map(_.event_ids).toSeq == Seq(Seq(1L, 2L)))
     } finally q.stop()
   }
+
+  test("followedByAny: every qualifying later event is its own branch") {
+    val p = Cep.Pattern.begin("click", _.event_type == "click")
+      .followedByAny("buy", _.event_type == "purchase")
+      .within(600L * 1000000)
+    val events = IndexedSeq(
+      ev(1, "click", 0), ev(2, "view", 10), ev(3, "purchase", 20),
+      ev(4, "purchase", 30), ev(5, "click", 40), ev(6, "purchase", 50))
+    // click 1 pairs with EVERY later purchase; click 5 with purchase 6
+    assert(Cep.matchSorted(events, p).map(_.event_ids).toSet ==
+      Set(Seq(1L, 3L), Seq(1L, 4L), Seq(1L, 6L), Seq(5L, 6L)))
+    // plain followedBy keeps only the earliest branch
+    val first = Cep.Pattern.begin("click", _.event_type == "click")
+      .followedBy("buy", _.event_type == "purchase").within(600L * 1000000)
+    assert(Cep.matchSorted(events, first).map(_.event_ids) ==
+      List(Seq(1L, 3L), Seq(5L, 6L)))
+  }
+
+  test("notFollowedBy blocks when a forbidden event sits in the gap") {
+    val p = Cep.Pattern.begin("click", _.event_type == "click")
+      .notFollowedBy("no_err", _.event_type == "error")
+      .followedBy("buy", _.event_type == "purchase")
+      .within(600L * 1000000)
+    val events = IndexedSeq(
+      ev(1, "click", 0), ev(2, "error", 10), ev(3, "purchase", 20),
+      ev(4, "click", 30), ev(5, "view", 40), ev(6, "purchase", 50))
+    // click 1 → purchase 3 blocked by the error between; click 4 fine
+    assert(Cep.matchSorted(events, p).map(_.event_ids) == List(Seq(4L, 6L)))
+  }
+
+  test("notFollowedBy at pattern end requires within; absence over the window") {
+    val noWithin = Cep.Pattern.begin("click", _.event_type == "click")
+      .notFollowedBy("no_buy", _.event_type == "purchase")
+    assertThrows[IllegalArgumentException] {
+      Cep.matchSorted(IndexedSeq(ev(1, "click", 0)), noWithin)
+    }
+    val p = noWithin.within(100)
+    val events = IndexedSeq(
+      ev(1, "click", 0), ev(2, "purchase", 50), // click 1: buy inside window
+      ev(3, "click", 200), ev(4, "view", 250))  // click 3: no buy
+    assert(Cep.matchSorted(events, p).map(_.event_ids) == List(Seq(3L)))
+  }
+
+  test("streaming: end-negated match held until the watermark closes its window") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val p = Cep.Pattern.begin("click", _.event_type == "click")
+      .notFollowedBy("no_buy", _.event_type == "purchase")
+      .within(100L * 1000000)
+    val ms = MemoryStream[Ev]
+    val q = Cep.run(ms.toDS(), p, watermarkDelay = "0 seconds").toDF()
+      .writeStream.format("memory").queryName("t_cep_neg").outputMode("append").start()
+    try {
+      ms.addData(ev(1, "click", 0))
+      q.processAllAvailable()
+      // window [0, 100s] still open — absence not provable yet
+      assert(spark.table("t_cep_neg").count() == 0)
+      ms.addData(ev(2, "view", 400L * 1000000))
+      q.processAllAvailable()
+      ms.addData(ev(3, "view", 500L * 1000000)) // watermark now well past 100s
+      q.processAllAvailable()
+      val got = spark.table("t_cep_neg").as[CepMatch].collect()
+      assert(got.map(_.event_ids).toSeq == Seq(Seq(1L)))
+    } finally q.stop()
+  }
 }
