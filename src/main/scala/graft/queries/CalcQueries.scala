@@ -87,6 +87,22 @@ object CalcQueries extends QueryPack {
     }),
 
     // Math function family; floats rounded (libm noise across engines).
+    // Bitwise function family (reference BIN/bitAnd/bitOr/bitXor and
+    // shift builtins): masks, shifts, popcount over the key column.
+    "calc_bitwise_fns" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 300)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("l_orderkey & 255").as("k_and"),
+          expr("l_orderkey | 4096").as("k_or"),
+          expr("l_orderkey ^ l_linenumber").as("k_xor"),
+          expr("shiftleft(l_linenumber, 3)").cast("bigint").as("ln_shl"),
+          expr("shiftright(l_orderkey, 2)").as("k_shr"),
+          expr("cast(bit_count(l_orderkey) as int)").as("k_pop"),
+          expr("~l_orderkey").as("k_not"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     "calc_math_fns" -> ((s, dir) => {
       Tables.load(s, dir, "lineitem")
         .filter(col("l_orderkey") <= 300)
@@ -211,6 +227,17 @@ object CalcQueries extends QueryPack {
              CAST(ascii(p_brand) AS INT) AS first_code,
              chr(65 + CAST(p_partkey % 26 AS INT)) AS letter
       FROM part WHERE p_partkey <= 400 ORDER BY p_partkey""",
+    "calc_bitwise_fns" -> """
+      SELECT l_orderkey, l_linenumber,
+             l_orderkey & 255 AS k_and,
+             l_orderkey | 4096 AS k_or,
+             xor(l_orderkey, l_linenumber) AS k_xor,
+             CAST(l_linenumber << 3 AS BIGINT) AS ln_shl,
+             l_orderkey >> 2 AS k_shr,
+             CAST(bit_count(l_orderkey) AS INT) AS k_pop,
+             ~l_orderkey AS k_not
+      FROM lineitem WHERE l_orderkey <= 300
+      ORDER BY l_orderkey, l_linenumber""",
     "calc_math_fns" -> """
       SELECT l_orderkey, l_linenumber,
              abs(l_quantity - 25) AS dist25,

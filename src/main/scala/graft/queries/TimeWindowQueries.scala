@@ -36,6 +36,18 @@ object TimeWindowQueries extends QueryPack {
         .orderBy(col("ws"), col("event_type"))
     }),
 
+    // TUMBLE with a window OFFSET (reference TUMBLE(..., INTERVAL
+    // offset) / TumblingEventTimeWindows.of(size, offset)): 15-minute
+    // windows aligned 5 minutes off the epoch grid.
+    "win_tumble_offset" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "15 minutes", "15 minutes", "5 minutes").as("w"))
+        .agg(count(lit(1)).as("n"),
+             sum(floor(col("value") * 100)).as("sum_value"))
+        .select(col("w.start").as("ws"), col("n"), col("sum_value"))
+        .orderBy(col("ws"))
+    }),
+
     // HOP size 30min slide 10min: every event lands in 3 windows.
     "win_hop" -> ((s, dir) => {
       Tables.load(s, dir, "events")
@@ -128,6 +140,13 @@ object TimeWindowQueries extends QueryPack {
              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
       FROM events
       GROUP BY 1, 2, 3 ORDER BY ws, event_type""",
+    "win_tumble_offset" -> """
+      SELECT time_bucket(INTERVAL 15 MINUTE, ts,
+                         TIMESTAMP '2000-01-01 00:05:00') AS ws,
+             count(*) AS n,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
+      FROM events
+      GROUP BY 1 ORDER BY ws""",
     "win_hop" -> """
       SELECT ws, ws + INTERVAL 30 MINUTE AS we, count(*) AS n,
              count(DISTINCT user_id) AS n_users

@@ -76,6 +76,28 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("c_mktsegment"), s"segment filter missing:\n$p")
   }
 
+  test("Q9 star join: part filter pushed to scan, dims broadcast, two-phase agg") {
+    val p = plan(graft.queries.TpchQueries.queries("tpch_q9_product_profit")(spark, dir))
+    assert(p.contains("StringContains(p_name,widget)"),
+      s"part name filter not pushed to the scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"comma joins fell to cartesian:\n$p")
+    // two-phase: final agg above the shuffle, partial below it (the
+    // formatted plan prints top-down, so partial follows final in text)
+    val finalAgg = p.indexOf("HashAggregate")
+    val aggExchange = p.indexOf("Exchange", finalAgg)
+    assert(finalAgg >= 0 && aggExchange > finalAgg &&
+      p.indexOf("HashAggregate", aggExchange) > aggExchange,
+      s"aggregate is not partial/final around the shuffle:\n$p")
+  }
+
+  test("Q11 threshold: scalar subquery evaluated once, not a join per row") {
+    val p = plan(graft.queries.TpchQueries.queries("tpch_q11_important_stock")(spark, dir))
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"),
+      s"expected a hoisted scalar subquery:\n$p")
+    assert(!p.contains("CartesianProduct"), s"threshold compare became a cartesian:\n$p")
+  }
+
   test("gap expressions stay inside WholeStageCodegen") {
     graft.functions.GraftFunctions.register(spark)
     Tables.load(spark, dir, "part").createOrReplaceTempView("part_audit")
