@@ -92,4 +92,72 @@ class StreamPropertySpec extends SparkSuite {
       } finally q.stop()
     }
   }
+
+  test("property: streaming countWindow equals the batch row_number partition") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    for (seed <- 40L to 42L) {
+      val evs = events(seed, n = 23)
+      val ms = MemoryStream[Ev]
+      val name = s"t_prop_cw_$seed"
+      val q = CountSession.countWindow(ms.toDS(), n = 4).toDF()
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        ms.addData(evs: _*)
+        q.processAllAvailable()
+        // two same-key sentinel rounds: round 1 advances the watermark,
+        // round 2 invokes the (NoTimeout) key under the advanced mark
+        ms.addData(Ev(-1, 1, "x", 100000000L, 0.0))
+        q.processAllAvailable()
+        ms.addData(Ev(-2, 1, "x", 200000000L, 0.0))
+        q.processAllAvailable()
+        val got = spark.table(name).as[CountWindowRow].collect()
+          .map(r => r.win_idx -> (r.n_rows, r.win_cents)).toMap
+        // batch truth: (ts, id)-ordered rows chunked by 4, full chunks only
+        val want = evs.grouped(4).zipWithIndex
+          .filter(_._1.size == 4)
+          .map { case (chunk, i) =>
+            (i + 1).toLong -> (4L, chunk.map(x => math.floor(x.value * 100).toLong).sum)
+          }.toMap
+        assert(got == want, s"seed=$seed: $got vs $want")
+      } finally q.stop()
+    }
+  }
+
+  test("property: streaming sessionDynamic equals the in-memory session merge") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val gapOf: Ev => Long = e => if (e.event_type == "a") 10L else 40L
+    for (seed <- 50L to 52L) {
+      val evs = events(seed, n = 23)
+      val ms = MemoryStream[Ev]
+      val name = s"t_prop_ds_$seed"
+      val q = CountSession.sessionDynamic(ms.toDS(), gapOf).toDF()
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        ms.addData(evs: _*)
+        q.processAllAvailable()
+        ms.addData(Ev(-1, 1, "x", 100000000L, 0.0))
+        q.processAllAvailable()
+        ms.addData(Ev(-2, 1, "x", 200000000L, 0.0))
+        q.processAllAvailable()
+        val got = spark.table(name).as[DynSessionRow].collect()
+          .filter(_.ws_us < 100000000L)
+          .map(r => (r.ws_us, r.we_us, r.n, r.sum_cents)).toSet
+        // in-memory truth: extend while ts < running max(ts + gap)
+        var sessions = List.empty[(Long, Long, Long, Long)]
+        evs.foreach { e =>
+          val end = e.ts_us + gapOf(e)
+          sessions = sessions match {
+            case (ws, we, n, sum) :: rest if e.ts_us < we =>
+              (ws, math.max(we, end), n + 1, sum + math.floor(e.value * 100).toLong) :: rest
+            case rest => (e.ts_us, end, 1L, math.floor(e.value * 100).toLong) :: rest
+          }
+        }
+        assert(got == sessions.toSet, s"seed=$seed: $got vs ${sessions.toSet}")
+      } finally q.stop()
+    }
+  }
 }
