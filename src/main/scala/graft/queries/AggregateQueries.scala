@@ -94,6 +94,21 @@ object AggregateQueries extends QueryPack {
       """)
     }),
 
+    // Discrete percentiles (reference PERCENTILE family): unlike the
+    // interpolating percentile_cont, percentile_disc SELECTS an
+    // existing value (smallest with cume_dist >= p), so the result is
+    // bit-exact across engines — no rounding needed.
+    "agg_percentile_disc" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT l_returnflag,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS med_qty,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q1_qty,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+      """)
+    }),
+
     // Statistical aggregates (STDDEV/VAR family) — rounded: double
     // accumulation order differs across engines/parallelism.
     "agg_stats" -> ((s, dir) => {
@@ -192,6 +207,12 @@ object AggregateQueries extends QueryPack {
       FROM lineitem
       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       ORDER BY gid, l_returnflag, l_linestatus""",
+    "agg_percentile_disc" -> """
+      SELECT l_returnflag,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS med_qty,
+             percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q1_qty,
+             percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_stats" -> """
       SELECT l_returnflag,
              round(stddev_samp(l_quantity), 4) AS sd_qty,
