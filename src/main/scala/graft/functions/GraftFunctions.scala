@@ -63,5 +63,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[IsDecimal].getName, name), b))
     }
+    // off unless spark.graft.distinctAggSplit.buckets > 0
+    ext.injectOptimizerRule(_ => graft.rules.SplitDistinctAggRule())
   }
 }

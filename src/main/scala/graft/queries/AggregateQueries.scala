@@ -55,6 +55,17 @@ object AggregateQueries extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Skew-split COUNT(DISTINCT) (reference SplitAggregateRule): the
+    // two-level bucketed rewrite must equal the plain distinct count,
+    // proven against the unsplit oracle.
+    "agg_count_distinct_split" -> ((s, dir) => {
+      graft.operators.SkewAgg.countDistinctSplit(
+          Tables.load(s, dir, "lineitem"),
+          groupCols = Seq("l_returnflag"), distinctCol = "l_orderkey",
+          buckets = 16, outName = "n_orders")
+        .orderBy(col("l_returnflag"))
+    }),
+
     // HAVING = filter above aggregate.
     "agg_having" -> ((s, dir) => {
       Tables.load(s, dir, "orders")
@@ -177,6 +188,9 @@ object AggregateQueries extends QueryPack {
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus""",
+    "agg_count_distinct_split" -> """
+      SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_count_distinct" -> """
       SELECT l_returnflag,
              count(DISTINCT l_orderkey) AS n_orders,

@@ -145,6 +145,21 @@ object JoinQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // Salted skew join: the hot-key widening technique — probe rows
+    // hashed across 8 salts, build side replicated per salt, join on
+    // (key, salt). Must equal the plain join exactly (the salt only
+    // changes partitioning), which the unsalted oracle proves.
+    "join_salted_skew" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      graft.operators.SkewJoin.saltedEquiJoin(li, ord, "l_orderkey", "o_orderkey", salts = 8)
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_orderpriority"),
+          floor(col("l_quantity")).cast("bigint").as("qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // coGroup: per-key two-input grouped reduce (superset of join).
     "join_cogroup" -> ((s, dir) => {
       import s.implicits._
@@ -204,6 +219,11 @@ object JoinQueries extends QueryPack {
     "join_cross" -> """
       SELECT r_name, n_name FROM region CROSS JOIN nation
       ORDER BY r_name, n_name""",
+    "join_salted_skew" -> """
+      SELECT l_orderkey, l_linenumber, o_orderpriority,
+             CAST(floor(l_quantity) AS BIGINT) AS qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      ORDER BY l_orderkey, l_linenumber""",
     "join_theta_nonequi" -> """
       SELECT s_suppkey, count(*) AS n_cheaper
       FROM supplier JOIN part ON s_acctbal < p_retailprice
