@@ -98,6 +98,48 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), s"threshold compare became a cartesian:\n$p")
   }
 
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    val base = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val ord = Tables.load(spark, dir, "orders")
+      .withColumn("o_year", expr("year(o_orderdate)"))
+    ord.write.mode("overwrite").partitionBy("o_year").parquet(s"$base/orders_part")
+    spark.read.parquet(s"$base/orders_part").createOrReplaceTempView("orders_part")
+    ord.select(col("o_year")).distinct()
+      .withColumn("pick", col("o_year") % 7)
+      .write.mode("overwrite").parquet(s"$base/years")
+    spark.read.parquet(s"$base/years").createOrReplaceTempView("years_dim")
+    val df = spark.sql("""
+      SELECT count(*) AS n FROM orders_part o JOIN years_dim y
+        ON o.o_year = y.o_year WHERE y.pick = 1""")
+    val p = plan(df)
+    assert(p.contains("dynamicpruning") || p.contains("DynamicPruning"),
+      s"no dynamic partition pruning on the fact scan:\n$p")
+    assert(df.collect().head.getLong(0) > 0)
+  }
+
+  test("bucketed tables co-locate the join: no shuffle on either side") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    spark.sql("DROP TABLE IF EXISTS li_bkt")
+    spark.sql("DROP TABLE IF EXISTS ord_bkt")
+    Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_bkt")
+    Tables.load(spark, dir, "orders").select("o_orderkey", "o_totalprice")
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable("ord_bkt")
+    try {
+      // disable broadcast so the equi-join would otherwise shuffle both sides
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan(spark.table("li_bkt").join(spark.table("ord_bkt"),
+        col("l_orderkey") === col("o_orderkey")))
+      assert(p.contains("SortMergeJoin"), s"expected sort-merge join:\n$p")
+      assert(!p.contains("Exchange"),
+        s"bucketed join still shuffles — co-location lost:\n$p")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS li_bkt")
+      spark.sql("DROP TABLE IF EXISTS ord_bkt")
+    }
+  }
+
   test("gap expressions stay inside WholeStageCodegen") {
     graft.functions.GraftFunctions.register(spark)
     Tables.load(spark, dir, "part").createOrReplaceTempView("part_audit")
