@@ -90,7 +90,10 @@ object StatefulOps {
           val buf = state.getOption.getOrElse(Nil) ++
             it.map(r => (r.ts.getTime, r.id))
           val wm = state.getCurrentWatermarkMs()
-          val (ready, pending) = buf.partition(_._1 <= wm)
+          // strict: a row AT the watermark is still admissible, and a
+          // late same-ts peer with a smaller id would have to sort
+          // BEFORE an already-emitted row — hold until the mark passes
+          val (ready, pending) = buf.partition(_._1 < wm)
           state.update(pending)
           ready.sorted.map { case (t, id) => TimedRow(k, id, new java.sql.Timestamp(t)) }.iterator
       }
@@ -122,7 +125,8 @@ object StatefulOps {
           val (buf0, idx0) = state.getOption.getOrElse((List.empty[(Long, Long)], 0L))
           val buf = buf0 ++ it.filter(_.event_id >= 0).map(e => (e.ts_us, e.event_id))
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val (ready, pending) = buf.partition(_._1 <= wmUs)
+          // strict release — same peer-safety argument as sortedEmit
+          val (ready, pending) = buf.partition(_._1 < wmUs)
           var idx = idx0
           val out = ready.sorted.map { case (t, id) =>
             idx += 1; SortedRow(k, id, t, idx)
