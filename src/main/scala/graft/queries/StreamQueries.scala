@@ -393,6 +393,54 @@ object StreamQueries extends QueryPack {
         .orderBy(col("click_id"))
     }),
 
+    // Broadcast state / connected streams (reference
+    // KeyedBroadcastProcessFunction): a control stream of per-type
+    // thresholds (batch-computed mean cents, the broadcast side) and
+    // the event stream union into one keyed state op; data rows pass
+    // iff their cents reach the threshold current at their position.
+    // Controls stage as the FIRST micro-batch (mtime-ordered files),
+    // the integer-cent domain keeps the compare exact cross-engine.
+    "stream_broadcast_threshold" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      import s.implicits._
+      import java.nio.file.{Files, Paths}
+      import java.nio.file.attribute.FileTime
+      val ev = graft.Tables.load(s, dir, "events")
+      val controls = ev.groupBy(col("event_type"))
+        .agg(sum(floor(col("value") * 100).cast("bigint")).as("sc"), count(lit(1)).as("n"))
+        .select(lit(true).as("isControl"), col("event_type"),
+          expr("cast(sc div n as double)").as("threshold"),
+          lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+          lit(0L).as("ts_us"), lit(0.0).as("value"))
+      val data = ev.select(lit(false).as("isControl"), col("event_type"),
+        lit(0.0).as("threshold"), col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        floor(col("value") * 100).cast("double").as("value"))
+      val work = Files.createTempDirectory("graft_bcast")
+      def stage(df: org.apache.spark.sql.DataFrame, mtime: Long): Unit = {
+        val before = Files.list(work).iterator()
+        val seen = new scala.collection.mutable.HashSet[java.nio.file.Path]
+        while (before.hasNext) seen += before.next()
+        df.coalesce(1).write.mode("append").parquet(work.toString)
+        val after = Files.list(work).iterator()
+        while (after.hasNext) {
+          val p = after.next()
+          if (!seen.contains(p) && p.toString.endsWith(".parquet"))
+            Files.setLastModifiedTime(p, FileTime.fromMillis(mtime))
+        }
+      }
+      stage(controls, 10000L)
+      stage(data, 20000L)
+      val tagged = s.readStream.schema(controls.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/*.parquet")
+        .as[graft.streaming.Tagged]
+      val out = graft.streaming.StatefulOps.thresholdFilter(tagged)
+      StreamOps.runToBatch(s, out.toDF(), "append", "stream_bcast")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value").cast("bigint").as("cents"))
+        .orderBy(col("event_id"))
+    }),
+
     // CEP absence detection (reference Pattern.notFollowedBy ending a
     // pattern, `cep/pattern/Pattern.java` notFollowedBy + within):
     // clicks with NO purchase in the next 10 minutes. Absence over a
@@ -616,6 +664,16 @@ object StreamQueries extends QueryPack {
       WHERE event_type = 'click' AND ntype = 'purchase'
         AND nts - uts <= INTERVAL 10 MINUTE
       ORDER BY click_id""",
+    "stream_broadcast_threshold" -> """
+      WITH thr AS (
+        SELECT event_type,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) // count(*) AS BIGINT) AS t
+        FROM events GROUP BY event_type)
+      SELECT e.event_id, e.user_id, e.event_type,
+             CAST(floor(e.value * 100) AS BIGINT) AS cents
+      FROM events e JOIN thr USING (event_type)
+      WHERE CAST(floor(e.value * 100) AS BIGINT) >= t
+      ORDER BY event_id""",
     "stream_cep_absence" -> """
       SELECT user_id, event_id AS click_id
       FROM events c
