@@ -35,6 +35,29 @@ object DdlQueries extends QueryPack {
         GROUP BY l_returnflag ORDER BY l_returnflag""")
     }),
 
+    // CREATE VIEW over a DDL table (reference SqlCreateView): the view
+    // layers a filter+projection; the final query composes on top.
+    "ddl_create_view" -> ((s, dir) => {
+      Ddl.execute(s,
+        s"""CREATE TABLE orders_t (
+              o_orderkey BIGINT,
+              o_custkey BIGINT,
+              o_orderpriority STRING,
+              o_totalprice DOUBLE
+            ) WITH (
+              'connector' = 'filesystem',
+              'path' = '$dir/orders.parquet',
+              'format' = 'parquet'
+            )""")
+      Ddl.execute(s,
+        """CREATE OR REPLACE VIEW urgent_orders AS
+           SELECT o_custkey, floor(o_totalprice * 100) AS price_cents
+           FROM orders_t WHERE o_orderpriority = '1-URGENT'""")
+      s.sql("""
+        SELECT o_custkey, count(*) AS n, sum(price_cents) AS spend_cents
+        FROM urgent_orders GROUP BY o_custkey ORDER BY o_custkey""")
+    }),
+
     // CSV connector through DDL: write a CSV staging copy, declare it
     // with a schema (reference CSV formats never infer — §1.3), query.
     "ddl_csv_source" -> ((s, dir) => {
@@ -65,6 +88,11 @@ object DdlQueries extends QueryPack {
              CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS net_cents,
              CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "ddl_create_view" -> """
+      SELECT o_custkey, count(*) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+      GROUP BY o_custkey ORDER BY o_custkey""",
     "ddl_csv_source" -> """
       SELECT s_nationkey, count(*) AS n, min(s_name) AS first_name
       FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""

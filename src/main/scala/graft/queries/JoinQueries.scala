@@ -131,6 +131,23 @@ object JoinQueries extends QueryPack {
         .orderBy(col("click_id"), col("buy_id"))
     }),
 
+    // Interval LEFT OUTER join (batch): clicks keep a row even when no
+    // purchase lands in their 10-minute window (reference interval
+    // outer join null-extension semantics, batch form).
+    "join_interval_outer" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("bu"), col("ts").as("buy_ts"), col("event_id").as("buy_id"))
+      clicks.join(buys,
+          col("cu") === col("bu") &&
+          col("buy_ts") >= col("click_ts") &&
+          col("buy_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"), "left")
+        .select(col("click_id"), col("buy_id"), col("cu").as("user_id"))
+        .orderBy(col("click_id"), col("buy_id"))
+    }),
+
     // Temporal / as-of join: each event enriched with the customer's most
     // recent order at the event's time (union+window, no pair explosion).
     "join_asof" -> ((s, dir) => {
@@ -237,6 +254,13 @@ object JoinQueries extends QueryPack {
       SELECT c.event_id AS click_id, b.event_id AS buy_id, c.user_id
       FROM (SELECT * FROM events WHERE event_type = 'click') c
       JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+        ON c.user_id = b.user_id
+       AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 10 MINUTE
+      ORDER BY click_id, buy_id""",
+    "join_interval_outer" -> """
+      SELECT c.event_id AS click_id, b.event_id AS buy_id, c.user_id
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
         ON c.user_id = b.user_id
        AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 10 MINUTE
       ORDER BY click_id, buy_id""",

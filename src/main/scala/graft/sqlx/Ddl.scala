@@ -80,10 +80,22 @@ object Ddl {
     case _ => throw new IllegalArgumentException("expected CREATE TABLE … ( … ) WITH ( … )")
   }
 
+  private val CreateViewRe =
+    """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.*)""".r
+
   /** Execute the DDL: build the (possibly streaming) DataFrame, apply
    * computed columns and watermark, register the temp view; returns the
-   * frame. */
+   * frame. `CREATE [OR REPLACE] [TEMPORARY] VIEW name AS query`
+   * (reference `SqlCreateView`, `parserImpls.ftl`) registers the query
+   * as a temp view over previously declared tables. */
   def execute(spark: SparkSession, ddl: String): DataFrame = {
+    ddl match {
+      case CreateViewRe(name, query) =>
+        val df = spark.sql(query)
+        df.createOrReplaceTempView(name)
+        return df
+      case _ => ()
+    }
     val t = parse(ddl)
     val fmt = t.options.getOrElse("format", "parquet")
     val path = t.options.getOrElse("path",
