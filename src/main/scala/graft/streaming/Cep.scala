@@ -50,6 +50,11 @@ object Cep {
    * the remaining steps fail (reference `Pattern.oneOrMore` without
    * `greedy()`). */
   case object OneOrMoreReluctant extends Quant
+  /** Reluctant oneOrMore with RELAXED inner contiguity — the
+   * reference's default `Pattern.oneOrMore` mode (SKIP_TILL_NEXT
+   * between repetitions): repetitions may skip non-matching events,
+   * and the run extends only when the remaining steps fail. */
+  case object OneOrMoreRelaxed extends Quant
   /** Negative lookahead on the next event (not consumed). */
   case object NotNext extends Quant
   /** Relaxed contiguity with ALL alternatives (reference
@@ -95,6 +100,19 @@ object Cep {
      * reference `Pattern.times`). */
     def times(name: String, pred: Ev => Boolean, n: Int): Pattern =
       (1 to n).foldLeft(this)((p, i) => p.followedBy(s"$name#$i", pred))
+    /** Between `min` and `max` occurrences, relaxed contiguity
+     * (reference `Pattern.times(from, to)`): `min` required steps then
+     * `max - min` greedy-optional ones, include-first like `optional`. */
+    def timesRange(name: String, pred: Ev => Boolean, min: Int, max: Int): Pattern = {
+      require(min >= 1 && max >= min, "need 1 <= min <= max")
+      val withMin = (1 to min).foldLeft(this)((p, i) => p.followedBy(s"$name#$i", pred))
+      (min + 1 to max).foldLeft(withMin)((p, i) => p.optional(s"$name#$i", pred))
+    }
+    /** One or more occurrences, RELAXED inner contiguity, reluctant —
+     * the reference's default `Pattern.oneOrMore` (SKIP_TILL_NEXT
+     * between repetitions, minimal consumption). */
+    def oneOrMore(name: String, pred: Ev => Boolean): Pattern =
+      copy(steps = steps :+ Step(name, pred, strict = false, quant = OneOrMoreRelaxed))
     /** Optional relaxed step (reference `Pattern.optional`). */
     def optional(name: String, pred: Ev => Boolean): Pattern =
       copy(steps = steps :+ Step(name, pred, strict = false, quant = Optional))
@@ -240,6 +258,17 @@ object Cep {
                 matchSteps(start, j, rest, b) #::: runs(j + 1, b)
               }
             runs(pos + 1, acc)
+          case OneOrMoreRelaxed => // minimal relaxed run: each further
+            // repetition jumps to the next qualifying event (gaps OK)
+            def relaxedRuns(from: Int, binds: Vector[(String, Int)]): LazyList[(Int, Vector[(String, Int)])] = {
+              val k = firstQualifying(from)
+              if (!inWindow(start, k)) LazyList.empty
+              else {
+                val b = binds :+ ((st.name, k))
+                matchSteps(start, k, rest, b) #::: relaxedRuns(k + 1, b)
+              }
+            }
+            relaxedRuns(pos + 1, acc)
         }
     }
 

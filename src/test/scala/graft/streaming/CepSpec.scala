@@ -210,6 +210,46 @@ class CepSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("timesRange(min, max): greedy up to max, matches with only min when short") {
+    val p = Cep.Pattern.begin("click", _.event_type == "click")
+      .timesRange("v", _.event_type == "view", min = 1, max = 3)
+      .followedBy("buy", _.event_type == "purchase")
+      .within(600L * 1000000)
+    // three views available: greedy consumes all three
+    val evs3 = IndexedSeq(
+      ev(1, "click", 0), ev(2, "view", 10), ev(3, "view", 20),
+      ev(4, "view", 30), ev(5, "purchase", 40))
+    assert(Cep.matchSorted(evs3, p).map(_.event_ids) == List(Seq(1L, 2L, 3L, 4L, 5L)))
+    // one view: min satisfied, optionals skipped
+    val evs1 = IndexedSeq(
+      ev(1, "click", 0), ev(2, "view", 10), ev(3, "purchase", 20))
+    assert(Cep.matchSorted(evs1, p).map(_.event_ids) == List(Seq(1L, 2L, 3L)))
+    // zero views: below min, no match from the click
+    val evs0 = IndexedSeq(ev(1, "click", 0), ev(2, "purchase", 10))
+    assert(Cep.matchSorted(evs0, p).isEmpty)
+  }
+
+  test("oneOrMore (relaxed, reluctant): repetitions skip gaps, consume minimally") {
+    val p = Cep.Pattern.begin("click", _.event_type == "click")
+      .oneOrMore("v", _.event_type == "view")
+      .next("buy", _.event_type == "purchase")
+      .within(600L * 1000000)
+    // views separated by non-matching events; purchase requires strict
+    // adjacency after the run, so the run must extend across the gaps
+    val evs = IndexedSeq(
+      ev(1, "click", 0), ev(2, "view", 10), ev(3, "other", 20),
+      ev(4, "view", 30), ev(5, "purchase", 40))
+    // reluctant: try [2] first — next after idx(2) is 'other', fails;
+    // extend relaxed past the gap to [2,4] — next is purchase: match
+    assert(Cep.matchSorted(evs, p).map(_.event_ids) == List(Seq(1L, 2L, 4L, 5L)))
+    // strict-contiguity oneOrMoreNext cannot bridge the gap
+    val strict = Cep.Pattern.begin("click", _.event_type == "click")
+      .oneOrMoreNext("v", _.event_type == "view")
+      .next("buy", _.event_type == "purchase")
+      .within(600L * 1000000)
+    assert(Cep.matchSorted(evs, strict).isEmpty)
+  }
+
   test("followedByAny: every qualifying later event is its own branch") {
     val p = Cep.Pattern.begin("click", _.event_type == "click")
       .followedByAny("buy", _.event_type == "purchase")
