@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
  *  - ONE ROW PER MATCH           (the only output mode)
  *  - AFTER MATCH SKIP TO NEXT ROW | SKIP PAST LAST ROW |
  *    SKIP TO [FIRST|LAST] Sym    (default NO_SKIP, as the reference)
- *  - PATTERN (A B+ C? ...)       with quantifiers +, ?, +?, ?? on
+ *  - PATTERN (A B+ C? D{1,3} ...) with quantifiers +, ?, +?, ??, {m,n} on
  *    non-initial symbols; contiguity is strict, per MATCH_RECOGNIZE
  *  - WITHIN INTERVAL 'n' unit
  *  - DEFINE Sym AS Sym.field op literal [AND ...] — conjunctions of
@@ -152,14 +152,18 @@ object MatchRecognize {
 
     val patternTxt = sec.getOrElse("PATTERN", fail("PATTERN required"))
       .trim.stripPrefix("(").stripSuffix(")").trim
-    val tokens = patternTxt.split("\\s+").toSeq.map { t =>
-      val quant = Seq("+?", "??", "+", "?").find(q => t.endsWith(q)).getOrElse("")
-      (t.stripSuffix(quant).toUpperCase, quant)
+    val RangeQuant = """^([A-Za-z_][A-Za-z0-9_]*)\{(\d+),(\d+)\}$""".r
+    val tokens = patternTxt.split("\\s+").toSeq.map {
+      case RangeQuant(sym, lo, hi) => (sym.toUpperCase, s"{${lo.toInt},${hi.toInt}}")
+      case t =>
+        val quant = Seq("+?", "??", "+", "?").find(q => t.endsWith(q)).getOrElse("")
+        (t.stripSuffix(quant).toUpperCase, quant)
     }
     if (tokens.isEmpty) fail("empty PATTERN")
     if (tokens.head._2.nonEmpty)
       fail("subset: first pattern symbol must be unquantified")
     def pred(sym: String): Ev => Boolean = defines.getOrElse(sym, _ => true)
+    val Range = """\{(\d+),(\d+)\}""".r
     var pat = Cep.Pattern.begin(tokens.head._1, pred(tokens.head._1))
     tokens.tail.foreach { case (sym, q) =>
       pat = q match {
@@ -168,6 +172,14 @@ object MatchRecognize {
         case "+?" => pat.oneOrMoreNextReluctant(sym, pred(sym))
         case "?" => pat.optionalNext(sym, pred(sym))
         case "??" => pat.optionalReluctant(sym, pred(sym))
+        case Range(lo, hi) =>
+          // SQL {m,n}: m required + (n-m) optional, strict contiguity
+          val (m, n) = (lo.toInt, hi.toInt)
+          if (m < 1 || n < m) fail(s"bad range quantifier {$lo,$hi}")
+          var p = pat
+          (1 to m).foreach(i => p = p.next(s"$sym#$i", pred(sym)))
+          (m + 1 to n).foreach(i => p = p.optionalNext(s"$sym#$i", pred(sym)))
+          p
       }
     }
     sec.get("WITHIN").foreach {
@@ -208,7 +220,9 @@ object MatchRecognize {
     val spec = parse(sql)
     val bound = Cep.runBound(events, spec.pattern, watermarkDelay).toDF()
     val cols: Seq[Column] = spec.measures.map { m =>
-      val arr = filter(col("binds"), b => b.getField("step") === m.sym)
+      // range-quantified symbols expand to SYM#k step names
+      val arr = filter(col("binds"), b =>
+        b.getField("step") === m.sym || b.getField("step").startsWith(m.sym + "#"))
       val pick = m.fn match {
         case Some("FIRST") => element_at(arr, 1)
         case _ => element_at(arr, -1) // LAST / SQL FINAL default

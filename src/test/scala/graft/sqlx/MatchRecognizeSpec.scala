@@ -62,6 +62,35 @@ class MatchRecognizeSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("range quantifier {m,n}: greedy to max, min enforced, measures span the expansion") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Ev]
+    val out = MatchRecognize.run(ms.toDS(), """
+      SELECT * FROM events MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts
+        MEASURES A.event_id AS a_id, FIRST(B.event_id) AS first_b,
+                 LAST(B.event_id) AS last_b, C.event_id AS c_id
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B{1,2} C)
+        DEFINE A AS A.event_type = 'a', B AS B.event_type = 'b',
+               C AS C.event_type = 'c'
+      )""")
+    val q = out.writeStream.format("memory").queryName("t_mr_range")
+      .outputMode("append").start()
+    try {
+      // first match: two Bs (greedy max); second: single B (min)
+      ms.addData(ev(1, "a", 0), ev(2, "b", 10), ev(3, "b", 20), ev(4, "c", 30),
+        ev(5, "a", 40), ev(6, "b", 50), ev(7, "c", 60))
+      q.processAllAvailable()
+      val rows = spark.table("t_mr_range")
+        .as[(Long, Long, Long, Long, Long)].collect().toList.sortBy(_._2)
+      assert(rows == List((1L, 1L, 2L, 3L, 4L), (1L, 5L, 6L, 6L, 7L)))
+    } finally q.stop()
+  }
+
   test("unsupported clauses raise, not silently misparse") {
     intercept[IllegalArgumentException] {
       MatchRecognize.parse("SELECT 1") // no clause
