@@ -107,6 +107,37 @@ object TextQueries extends QueryPack {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // Character-trigram language ID (the n-gram-profile technique —
+    // SURVEY M5 "language-ID (n-gram heuristic)"): per-language top-20
+    // trigram profiles built FROM the corpus itself (deterministic),
+    // each document classified by profile-hit count over its distinct
+    // trigrams. Scale: profiles are tiny (langs × 20 → broadcast);
+    // the trigram explode is embarrassingly parallel, two shuffles
+    // total (profile counts, per-doc scores).
+    "text_lang_id_ngram" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), lower(trim(col("text"))).as("t"))
+      val tri = docs.select(col("doc_id"), col("lang"),
+        explode(expr(
+          "transform(sequence(1, greatest(length(t) - 2, 1)), i -> substring(t, i, 3))")).as("g"))
+      val prof = tri.groupBy(col("lang"), col("g")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("c").desc, col("g"))))
+        .filter(col("rn") <= 20)
+        .select(col("lang").as("plang"), col("g"))
+      val docTris = tri.select(col("doc_id"), col("g")).distinct()
+      val scores = docTris.join(broadcast(prof), Seq("g"))
+        .groupBy(col("doc_id"), col("plang")).agg(count(lit(1)).as("hits"))
+      val best = scores.withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("hits").desc, col("plang"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("plang").as("best_lang"), col("hits"))
+      docs.select(col("doc_id"), col("lang").as("declared_lang"))
+        .join(best, Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Repetition scoring — the distinct-token-ratio quality filter
     // (boilerplate / spam detector in training-data pipelines): unique
     // tokens per mille of total, integer-exact so both engines agree
@@ -214,6 +245,30 @@ object TextQueries extends QueryPack {
              CAST(sum(n_words) AS BIGINT) AS total_words
       FROM dedup WHERE rn = 1
       GROUP BY lang, source ORDER BY lang, source""",
+    "text_lang_id_ngram" -> """
+      WITH docs AS (SELECT doc_id, lang, lower(trim(text)) AS t FROM documents),
+      tri AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(generate_series(1, greatest(length(t) - 2, 1)),
+                                     i -> t[i:i+2])) AS g
+        FROM docs),
+      prof0 AS (SELECT lang, g, count(*) AS c FROM tri GROUP BY 1, 2),
+      prof AS (
+        SELECT lang AS plang, g FROM (
+          SELECT lang, g, row_number() OVER (PARTITION BY lang ORDER BY c DESC, g) AS rn
+          FROM prof0) WHERE rn <= 20),
+      dt AS (SELECT DISTINCT doc_id, g FROM tri),
+      scores AS (
+        SELECT dt.doc_id, p.plang, count(*) AS hits
+        FROM dt JOIN prof p USING (g) GROUP BY 1, 2),
+      best AS (
+        SELECT doc_id, plang AS best_lang, hits FROM (
+          SELECT doc_id, plang, hits,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, plang) AS rn
+          FROM scores) WHERE rn = 1)
+      SELECT d.doc_id, d.lang AS declared_lang, b.best_lang, b.hits
+      FROM docs d JOIN best b USING (doc_id)
+      ORDER BY d.doc_id""",
     "text_repetition_score" -> """
       WITH t AS (
         SELECT doc_id,
