@@ -393,6 +393,28 @@ object StreamQueries extends QueryPack {
         .orderBy(col("click_id"))
     }),
 
+    // MATCH_RECOGNIZE ALL ROWS PER MATCH (reference StreamExecMatch
+    // all-rows output mode): every matched event becomes a row with
+    // its CLASSIFIER symbol and the match's FINAL measures.
+    "match_recognize_all_rows" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val mrSql = """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES A.event_id AS a_id
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (A B)
+          WITHIN INTERVAL '10' MINUTE
+          DEFINE A AS A.event_type = 'click', B AS B.event_type = 'purchase'
+        )"""
+      StreamOps.runToBatch(
+        s, graft.sqlx.MatchRecognize.run(StreamOps.eventsTyped(s, dir), mrSql),
+        "append", "stream_mr_all")
+        .orderBy(col("a_id"), col("classifier"))
+    }),
+
     // Broadcast state / connected streams (reference
     // KeyedBroadcastProcessFunction): a control stream of per-type
     // thresholds (batch-computed mean cents, the broadcast side) and
@@ -664,6 +686,26 @@ object StreamQueries extends QueryPack {
       WHERE event_type = 'click' AND ntype = 'purchase'
         AND nts - uts <= INTERVAL 10 MINUTE
       ORDER BY click_id""",
+    "match_recognize_all_rows" -> """
+      WITH o AS (
+        SELECT user_id, event_id, event_type, value, CAST(ts AS TIMESTAMP) AS uts,
+               lead(event_id) OVER w AS nid, lead(event_type) OVER w AS ntype,
+               lead(value) OVER w AS nval,
+               lead(CAST(ts AS TIMESTAMP)) OVER w AS nts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+      m AS (
+        SELECT * FROM o
+        WHERE event_type = 'click' AND ntype = 'purchase'
+          AND nts - uts <= INTERVAL 10 MINUTE)
+      SELECT user_id, 'A' AS classifier, event_id,
+             CAST(epoch_us(uts) AS BIGINT) AS ts_us, value, event_id AS a_id
+      FROM m
+      UNION ALL
+      SELECT user_id, 'B' AS classifier, nid AS event_id,
+             CAST(epoch_us(nts) AS BIGINT) AS ts_us, nval AS value, event_id AS a_id
+      FROM m
+      ORDER BY a_id, classifier""",
     "stream_broadcast_threshold" -> """
       WITH thr AS (
         SELECT event_type,

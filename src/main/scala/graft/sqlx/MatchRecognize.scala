@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
  *  - ORDER BY ts                 (event-time order, ties by event_id)
  *  - MEASURES `[FIRST|LAST](Sym.field)` AS alias, ... — default is
  *    LAST per SQL FINAL semantics; fields are the events columns
- *  - ONE ROW PER MATCH           (the only output mode)
+ *  - ONE ROW PER MATCH | ALL ROWS PER MATCH (FINAL measure semantics;
+ *    ALL ROWS adds CLASSIFIER and the row's event columns)
  *  - AFTER MATCH SKIP TO NEXT ROW | SKIP PAST LAST ROW |
  *    SKIP TO [FIRST|LAST] Sym    (default NO_SKIP, as the reference)
  *  - PATTERN (A B+ C? D{1,3} ...) with quantifiers +, ?, +?, ??, {m,n} on
@@ -33,7 +34,7 @@ object MatchRecognize {
 
   final case class Measure(fn: Option[String], sym: String, field: String, alias: String)
   final case class Spec(partitionBy: String, orderBy: String, measures: Seq[Measure],
-      skip: Cep.AfterMatch, pattern: Cep.Pattern)
+      skip: Cep.AfterMatch, pattern: Cep.Pattern, allRows: Boolean = false)
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"MATCH_RECOGNIZE: $msg")
@@ -78,6 +79,7 @@ object MatchRecognize {
       "ORDER BY" -> """(?i)\bORDER\s+BY\b""",
       "MEASURES" -> """(?i)\bMEASURES\b""",
       "ONE ROW PER MATCH" -> """(?i)\bONE\s+ROW\s+PER\s+MATCH\b""",
+      "ALL ROWS PER MATCH" -> """(?i)\bALL\s+ROWS\s+PER\s+MATCH\b""",
       "AFTER MATCH" -> """(?i)\bAFTER\s+MATCH\b""",
       "PATTERN" -> """(?i)\bPATTERN\b""",
       "WITHIN" -> """(?i)\bWITHIN\b""",
@@ -210,11 +212,14 @@ object MatchRecognize {
           Measure(Option(fn).map(_.toUpperCase), sym.toUpperCase, field, alias)
         case m => fail(s"cannot parse measure '$m'")
       }
-    Spec(part, ord, measures, skip, pat)
+    Spec(part, ord, measures, skip, pat, allRows = sec.contains("ALL ROWS PER MATCH"))
   }
 
-  /** Execute a MATCH_RECOGNIZE query over the events stream: one row
-   * per match, columns = partition key + measures. */
+  /** Execute a MATCH_RECOGNIZE query over the events stream. ONE ROW
+   * PER MATCH: partition key + measures. ALL ROWS PER MATCH: one row
+   * per matched event — partition key, CLASSIFIER (the step's symbol,
+   * range expansions collapsed), the event's id/ts/value, then the
+   * measures with SQL FINAL semantics (constant across the match). */
   def run(events: Dataset[Ev], sql: String,
       watermarkDelay: String = "1 hour"): DataFrame = {
     val spec = parse(sql)
@@ -229,6 +234,17 @@ object MatchRecognize {
       }
       pick.getField("ev").getField(m.field).as(m.alias)
     }
-    bound.select(col("user_id") +: cols: _*)
+    if (!spec.allRows)
+      bound.select(col("user_id") +: cols: _*)
+    else
+      bound.select(col("user_id") +: col("binds") +: cols.map(c => c): _*)
+        .select(col("user_id") +: explode(col("binds")).as("__b") +:
+          spec.measures.map(m => col(m.alias)): _*)
+        .select(Seq(col("user_id"),
+          expr("split(__b.step, '#')[0]").as("classifier"),
+          col("__b.ev.event_id").as("event_id"),
+          col("__b.ev.ts_us").as("ts_us"),
+          col("__b.ev.value").as("value")) ++
+          spec.measures.map(m => col(m.alias)): _*)
   }
 }
