@@ -66,6 +66,27 @@ object DedupQueries extends QueryPack {
         .orderBy(col("prefix_key"))
     }),
 
+    // The full dedup cascade's clustering tier: LSH-verified near-dup
+    // PAIRS become edges, fixed-round min-label propagation groups
+    // them into duplicate CLUSTERS, and the lowest doc_id is each
+    // cluster's canonical survivor — pair list → union-find → keep-one,
+    // the production shape (pairs alone don't dedup transitive chains).
+    // Fixed rounds keep labels bit-reproducible by the SQL oracle even
+    // before convergence.
+    "dedup_lsh_clusters" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = MinHashLSH(docs, "doc_id", "text",
+          shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.5)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val vertices = docs.select(col("doc_id").as("id"))
+      val labels = graft.graph.Pregel.minLabelPropagation(vertices, pairs, rounds = 4)
+      val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      labels.join(sizes.filter(col("n") > 1), Seq("label"))
+        .select(col("id").as("doc_id"), col("label").as("cluster"),
+          (col("id") === col("label")).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Word-bigram Jaccard near-dups, blocked by source, with a
     // document-frequency cap: shingles occurring in >50 docs (the
     // "of the" class) are dropped before the self-join — hot shingles
@@ -146,6 +167,55 @@ object DedupQueries extends QueryPack {
       JOIN sizes nb ON nb.doc_id = i.doc_b
       WHERE ninter * 1000 >= (na.n + nb.n - ninter) * 500
       ORDER BY doc_a, doc_b""",
+    "dedup_lsh_clusters" -> s"""
+      WITH $shinglesCte,
+      sig AS (SELECT doc_id, min(md5('1:'||shingle)) h1, min(md5('2:'||shingle)) h2,
+                     min(md5('3:'||shingle)) h3, min(md5('4:'||shingle)) h4,
+                     min(md5('5:'||shingle)) h5, min(md5('6:'||shingle)) h6,
+                     min(md5('7:'||shingle)) h7, min(md5('8:'||shingle)) h8
+              FROM sh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, 1 AS band, h1||h2 AS key FROM sig UNION ALL
+        SELECT doc_id, 2, h3||h4 FROM sig UNION ALL
+        SELECT doc_id, 3, h5||h6 FROM sig UNION ALL
+        SELECT doc_id, 4, h7||h8 FROM sig),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ninter
+                FROM cand c
+                JOIN sh sa ON sa.doc_id = c.doc_a
+                JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+                GROUP BY c.doc_a, c.doc_b),
+      pairs AS (SELECT i.doc_a AS src, i.doc_b AS dst
+                FROM inter i
+                JOIN sizes na ON na.doc_id = i.doc_a
+                JOIN sizes nb ON nb.doc_id = i.doc_b
+                WHERE ninter * 1000 >= (na.n + nb.n - ninter) * 500),
+      edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+      v AS (SELECT doc_id AS id FROM documents),
+      l0 AS (SELECT id, id AS label FROM v),
+      l1 AS (SELECT l.id, least(l.label, coalesce(m.nl, l.label)) AS label
+             FROM l0 l LEFT JOIN (SELECT e.dst AS id, min(x.label) AS nl
+                                  FROM edges e JOIN l0 x ON e.src = x.id
+                                  GROUP BY e.dst) m ON l.id = m.id),
+      l2 AS (SELECT l.id, least(l.label, coalesce(m.nl, l.label)) AS label
+             FROM l1 l LEFT JOIN (SELECT e.dst AS id, min(x.label) AS nl
+                                  FROM edges e JOIN l1 x ON e.src = x.id
+                                  GROUP BY e.dst) m ON l.id = m.id),
+      l3 AS (SELECT l.id, least(l.label, coalesce(m.nl, l.label)) AS label
+             FROM l2 l LEFT JOIN (SELECT e.dst AS id, min(x.label) AS nl
+                                  FROM edges e JOIN l2 x ON e.src = x.id
+                                  GROUP BY e.dst) m ON l.id = m.id),
+      l4 AS (SELECT l.id, least(l.label, coalesce(m.nl, l.label)) AS label
+             FROM l3 l LEFT JOIN (SELECT e.dst AS id, min(x.label) AS nl
+                                  FROM edges e JOIN l3 x ON e.src = x.id
+                                  GROUP BY e.dst) m ON l.id = m.id),
+      csize AS (SELECT label, count(*) AS n FROM l4 GROUP BY label)
+      SELECT l.id AS doc_id, l.label AS cluster, l.id = l.label AS is_canonical
+      FROM l4 l JOIN csize c ON l.label = c.label
+      WHERE c.n > 1 ORDER BY doc_id""",
     "dedup_simhash" -> """
       WITH wc AS (SELECT doc_id AS doc, unnest(string_split(trim(lower(text)), ' ')) AS word
                   FROM documents),
