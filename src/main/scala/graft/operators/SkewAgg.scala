@@ -30,6 +30,7 @@ object SkewAgg {
     df.groupBy(g :+ pmod(xxhash64(col(distinctCol)), lit(buckets)).as("__bucket"): _*)
       .agg(count_distinct(col(distinctCol)).as("__pc"))
       .groupBy(g: _*)
-      .agg(sum(col("__pc")).cast("bigint").as(outName))
+      // coalesce: a global (no-group) count over empty input stays 0
+      .agg(coalesce(sum(col("__pc")), lit(0L)).cast("bigint").as(outName))
   }
 }

@@ -439,15 +439,19 @@ object StreamQueries extends QueryPack {
         unix_micros(col("ts").cast("timestamp")).as("ts_us"),
         floor(col("value") * 100).cast("double").as("value"))
       val work = Files.createTempDirectory("graft_bcast")
+      def listAll(): Set[java.nio.file.Path] = {
+        val st = Files.list(work)
+        try {
+          val it = st.iterator(); val b = Set.newBuilder[java.nio.file.Path]
+          while (it.hasNext) b += it.next()
+          b.result()
+        } finally st.close()
+      }
       def stage(df: org.apache.spark.sql.DataFrame, mtime: Long): Unit = {
-        val before = Files.list(work).iterator()
-        val seen = new scala.collection.mutable.HashSet[java.nio.file.Path]
-        while (before.hasNext) seen += before.next()
+        val seen = listAll()
         df.coalesce(1).write.mode("append").parquet(work.toString)
-        val after = Files.list(work).iterator()
-        while (after.hasNext) {
-          val p = after.next()
-          if (!seen.contains(p) && p.toString.endsWith(".parquet"))
+        (listAll() -- seen).foreach { p =>
+          if (p.toString.endsWith(".parquet"))
             Files.setLastModifiedTime(p, FileTime.fromMillis(mtime))
         }
       }

@@ -57,9 +57,13 @@ case class SplitDistinctAggRule() extends Rule[LogicalPlan] {
           groupAttrs :+ saltExpr,
           groupAttrs ++ Seq(salt, pc),
           child)
+        // coalesce: a global (no-group) distinct count over EMPTY input
+        // must stay 0 — sum over the empty inner aggregate is NULL
         val total = Alias(
-          Cast(AggregateExpression(Sum(pc.toAttribute), Complete, isDistinct = false),
-            LongType),
+          Coalesce(Seq(
+            Cast(AggregateExpression(Sum(pc.toAttribute), Complete, isDistinct = false),
+              LongType),
+            Literal(0L))),
           distinctAlias.name)(exprId = distinctAlias.exprId)
         Aggregate(
           groupAttrs,
@@ -91,13 +95,20 @@ case class SplitDistinctAggRule() extends Rule[LogicalPlan] {
       case a: Attribute => groupExprs.exists(_.semanticEquals(a))
       case _ => false
     }
-    val onlyThatAggregate = theDistinctCount(aggExprs).isDefined &&
-      aggExprs.forall { e =>
-        isGroupPassthrough(e) || (e match {
-          case Alias(AggregateExpression(_: Count, _, true, None, _), _) => true
-          case _ => false
-        })
-      }
+    // every aggregate alias must BE the single rewritable distinct
+    // count — a second aggregate (even another count-distinct over an
+    // expression) would reference child columns the salted inner
+    // aggregate no longer outputs
+    val onlyThatAggregate = theDistinctCount(aggExprs) match {
+      case None => false
+      case Some((theAlias, _)) =>
+        aggExprs.forall { e =>
+          isGroupPassthrough(e) || (e match {
+            case a: Alias => a.exprId == theAlias.exprId
+            case _ => false
+          })
+        }
+    }
     allAttrGroups && !salted && onlyThatAggregate
   }
 }

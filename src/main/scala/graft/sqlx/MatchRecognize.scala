@@ -155,11 +155,16 @@ object MatchRecognize {
     val patternTxt = sec.getOrElse("PATTERN", fail("PATTERN required"))
       .trim.stripPrefix("(").stripSuffix(")").trim
     val RangeQuant = """^([A-Za-z_][A-Za-z0-9_]*)\{(\d+),(\d+)\}$""".r
+    val BareSym = """^[A-Za-z_][A-Za-z0-9_]*$""".r
     val tokens = patternTxt.split("\\s+").toSeq.map {
       case RangeQuant(sym, lo, hi) => (sym.toUpperCase, s"{${lo.toInt},${hi.toInt}}")
       case t =>
         val quant = Seq("+?", "??", "+", "?").find(q => t.endsWith(q)).getOrElse("")
-        (t.stripSuffix(quant).toUpperCase, quant)
+        val sym = t.stripSuffix(quant)
+        // reject unsupported quantifier spellings ({m}, {m,}, *) loudly
+        // rather than treating them as a never-defined symbol name
+        if (!BareSym.matches(sym)) fail(s"unsupported pattern token '$t'")
+        (sym.toUpperCase, quant)
     }
     if (tokens.isEmpty) fail("empty PATTERN")
     if (tokens.head._2.nonEmpty)

@@ -272,11 +272,8 @@ object Cep {
         }
     }
 
+    validate(p) // direct batch callers (specs) get the same checks
     val hasAny = p.steps.exists(_.quant == Any)
-    require(!hasAny || p.skip == NoSkip || p.skip == SkipToNext,
-      "followedByAny emits overlapping matches; only NoSkip/SkipToNext compose with it")
-    require(p.steps.last.quant != NotFollowed || p.withinUs != Long.MaxValue,
-      "notFollowedBy at pattern end requires within() (as in the reference)")
     val out = List.newBuilder[CepBound]
     var i = 0
     while (i < events.length) {
@@ -341,8 +338,20 @@ object Cep {
 
   /** `run` with full step→event bindings preserved per match — the
    * MATCH_RECOGNIZE MEASURES surface projects fields out of these. */
+  /** Pattern-composition checks shared by the batch matcher and the
+   * streaming entry — called HERE driver-side so a misconfigured
+   * pattern fails fast at query construction, not as repeated
+   * executor task failures mid-stream. */
+  private[graft] def validate(p: Pattern): Unit = {
+    require(!p.steps.exists(_.quant == Any) || p.skip == NoSkip || p.skip == SkipToNext,
+      "followedByAny emits overlapping matches; only NoSkip/SkipToNext compose with it")
+    require(p.steps.last.quant != NotFollowed || p.withinUs != Long.MaxValue,
+      "notFollowedBy at pattern end requires within() (as in the reference)")
+  }
+
   def runBound(ds: Dataset[Ev], pattern: Pattern,
       watermarkDelay: String = "1 hour"): Dataset[CepBound] = {
+    validate(pattern) // fail fast on the driver
     import ds.sparkSession.implicits._
     val withWm = ds.toDF()
       .withColumn("__event_ts", timestamp_micros(col("ts_us")))
@@ -365,19 +374,34 @@ object Cep {
           val buffer = (st.buffer ++ it.filter(e => live(e.ts_us)))
             .sortBy(e => (e.ts_us, e.event_id))
           val all = matchSortedBound(buffer.toIndexedSeq, pattern)
-          // A pattern ENDING in notFollowedBy asserts absence over the
-          // whole within window — provable only once the watermark
-          // closes it. Unconfirmed candidates stay unmarked and
-          // re-surface (their events outlive them in the buffer:
-          // start_us >= wm - within while the window is open).
+          // A pattern containing notFollowedBy asserts ABSENCE, which a
+          // later batch can falsify with a late in-horizon event — so
+          // when a within bound exists, hold its matches until the
+          // watermark closes the window (at pattern end this is also
+          // the only point absence becomes provable). Unconfirmed
+          // candidates stay unmarked and re-surface (their events
+          // outlive them: start_us >= wm - within while open).
           val confirmed =
-            if (pattern.steps.last.quant != NotFollowed) all
+            if (!pattern.steps.exists(_.quant == NotFollowed) ||
+                pattern.withinUs == Long.MaxValue) all
             else all.filter(m => wmUs > 0L && m.start_us + pattern.withinUs < wmUs)
-          // Dedup on (start_us, match signature): ids need only be
-          // unique within a timestamp, and followedByAny patterns can
-          // emit several distinct matches per start.
+          // Dedup marker: one match per start for the deterministic
+          // earliest-match subset — a late event may CHANGE the
+          // preferred binding for an emitted start, and re-emitting the
+          // new binding would duplicate the match. followedByAny
+          // patterns legitimately emit many matches per start, so they
+          // dedup on the full binding signature (splitmix64-mixed ids;
+          // collisions negligible).
+          val anyPattern = pattern.steps.exists(_.quant == Any)
+          def mix(h0: Long, v: Long): Long = {
+            var z = h0 + 0x9E3779B97F4A7C15L + v
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+            z ^ (z >>> 31)
+          }
           def sig(m: CepBound): Long =
-            m.binds.foldLeft(1125899906842597L)((h, b) => h * 31 + b.ev.event_id)
+            if (!anyPattern) m.binds.head.ev.event_id
+            else m.binds.foldLeft(m.binds.length.toLong)((h, b) => mix(h, b.ev.event_id))
           val seen = st.emitted.map(p => (p._1, p._2)).toSet
           val fresh = confirmed.filterNot(m => seen.contains((m.start_us, sig(m))))
           val emitted = st.emitted ++ fresh.map(m => (m.start_us, sig(m)))

@@ -30,6 +30,21 @@ class SplitDistinctAggRuleSpec extends SparkSuite {
                                FROM li_split GROUP BY l_returnflag""")
       assert(!multi.queryExecution.optimizedPlan.toString.contains("__graft_salt"),
         "rule fired on an ineligible aggregate list")
+      // a SECOND count-distinct over an expression is equally out of
+      // shape (its child column would vanish from the salted inner agg)
+      val twoDistinct = spark.sql(
+        """SELECT l_returnflag, count(DISTINCT l_orderkey) AS c1,
+                  count(DISTINCT l_suppkey + 1) AS c2
+           FROM li_split GROUP BY l_returnflag""")
+      assert(!twoDistinct.queryExecution.optimizedPlan.toString.contains("__graft_salt"),
+        "rule fired with a second distinct aggregate present")
+      assert(twoDistinct.collect().nonEmpty) // and the plan still runs
+      // a GLOBAL distinct count over empty input must stay 0, not NULL
+      val empty = spark.sql(
+        "SELECT count(DISTINCT l_orderkey) AS n FROM li_split WHERE l_orderkey < 0")
+      assert(empty.queryExecution.optimizedPlan.toString.contains("__graft_salt"),
+        "global shape should fire")
+      assert(empty.collect().toList.map(_.getLong(0)) == List(0L))
     } finally {
       spark.conf.unset("spark.graft.distinctAggSplit.buckets")
       spark.experimental.extraOptimizations = Nil

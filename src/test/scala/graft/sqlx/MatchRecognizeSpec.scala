@@ -105,5 +105,19 @@ class MatchRecognizeSpec extends SparkSuite {
           DEFINE A AS A.value > 0
         )""") // partition col outside the subset
     }
+    // unsupported quantifier spellings raise instead of silently
+    // becoming a never-defined symbol that matches anything
+    for (bad <- Seq("B{2}", "B{2,}", "B*")) {
+      intercept[IllegalArgumentException] {
+        MatchRecognize.parse(s"""
+          SELECT * FROM t MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts
+            MEASURES A.event_id AS x
+            PATTERN (A $bad)
+            DEFINE A AS A.value > 0
+          )""")
+      }
+    }
   }
 }

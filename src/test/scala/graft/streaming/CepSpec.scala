@@ -250,6 +250,29 @@ class CepSpec extends SparkSuite {
     assert(Cep.matchSorted(evs, strict).isEmpty)
   }
 
+  test("streaming: a late event changing the preferred binding does not re-emit the match") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val p = Cep.Pattern.begin("click", _.event_type == "click")
+      .followedBy("buy", _.event_type == "purchase")
+      .within(600L * 1000000)
+    val ms = MemoryStream[Ev]
+    val q = Cep.run(ms.toDS(), p).toDF() // 1h delay admits the late row
+      .writeStream.format("memory").queryName("t_cep_rebind").outputMode("append").start()
+    try {
+      ms.addData(ev(1, "click", 0), ev(5, "purchase", 300L * 1000000))
+      q.processAllAvailable()
+      assert(spark.table("t_cep_rebind").count() == 1) // match (1, 5)
+      // late purchase BEFORE the emitted one: the matcher now prefers
+      // (1, 3), but the start already emitted — no duplicate
+      ms.addData(ev(3, "purchase", 120L * 1000000))
+      q.processAllAvailable()
+      val got = spark.table("t_cep_rebind").as[CepMatch].collect()
+      assert(got.map(_.event_ids).toSeq == Seq(Seq(1L, 5L)),
+        s"late rebind duplicated or replaced the match: ${got.toList}")
+    } finally q.stop()
+  }
+
   test("followedByAny: every qualifying later event is its own branch") {
     val p = Cep.Pattern.begin("click", _.event_type == "click")
       .followedByAny("buy", _.event_type == "purchase")
