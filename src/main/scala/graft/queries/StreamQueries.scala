@@ -44,6 +44,35 @@ object StreamQueries extends QueryPack {
         .orderBy(col("ws"), col("event_type"))
     }),
 
+    // Non-keyed window aggregation (reference DataStream.windowAll /
+    // AllWindowedStream): one tumbling window stream over ALL records.
+    // The reference runs this single-task; Spark still parallelizes
+    // the partial aggregation and only the per-window finals meet.
+    "stream_windowall_agg" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val agg = StreamOps.readStream(s, dir, "events")
+        .groupBy(window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), sum(floor(col("value") * 100)).as("sum_value"))
+        .select(col("w.start").as("ws"), col("n"), col("sum_value"))
+      StreamOps.runToBatch(s, agg, "complete", "stream_winall")
+        .orderBy(col("ws"))
+    }),
+
+    // Stream UNION (reference DataStream.union): two filtered event
+    // streams merge by name before a shared windowed aggregation.
+    "stream_union_agg" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val ev = StreamOps.readStream(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+      val buys = ev.filter(col("event_type") === "purchase")
+      val agg = clicks.unionByName(buys)
+        .groupBy(window(col("ts"), "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("ws"), col("event_type"), col("n"))
+      StreamOps.runToBatch(s, agg, "complete", "stream_union")
+        .orderBy(col("ws"), col("event_type"))
+    }),
+
     // Streaming HOP (sliding) window aggregation.
     "stream_hop_agg" -> ((s0, dir) => {
       val s = StreamOps.tuned(s0)
@@ -690,6 +719,14 @@ object StreamQueries extends QueryPack {
       WHERE event_type = 'click' AND ntype = 'purchase'
         AND nts - uts <= INTERVAL 10 MINUTE
       ORDER BY click_id""",
+    "stream_windowall_agg" -> """
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, count(*) AS n,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
+      FROM events GROUP BY 1 ORDER BY ws""",
+    "stream_union_agg" -> """
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, event_type, count(*) AS n
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1, 2 ORDER BY ws, event_type""",
     "match_recognize_all_rows" -> """
       WITH o AS (
         SELECT user_id, event_id, event_type, value, CAST(ts AS TIMESTAMP) AS uts,
