@@ -308,9 +308,16 @@ object Cep {
   /**
    * Run the pattern per user over a stream (flatMapGroupsWithState NFA,
    * reference `operator/CepOperator.java:81`). Each batch re-evaluates
-   * over the buffered, ts-sorted history and emits only matches whose
-   * start event wasn't emitted before — so matches that straddle
-   * micro-batch boundaries are found, and no match is emitted twice.
+   * over the buffered, ts-sorted history and emits only new matches —
+   * so matches that straddle micro-batch boundaries are found, and no
+   * match is emitted twice. Dedup is per START EVENT in the
+   * deterministic earliest-match subset (a late arrival that changes
+   * an emitted start's preferred binding does not re-emit), and per
+   * full binding signature for `followedByAny` patterns (which
+   * legitimately emit several matches per start). Patterns containing
+   * `notFollowedBy` hold their matches until the watermark closes the
+   * `within` window — a later batch could otherwise falsify the
+   * asserted absence.
    *
    * State is bounded by the pattern's `within` horizon: after each
    * batch, buffer events (and emitted-match markers) with
