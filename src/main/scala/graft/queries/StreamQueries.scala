@@ -182,6 +182,31 @@ object StreamQueries extends QueryPack {
         .orderBy(col("click_id"), col("buy_id"))
     }),
 
+    // Stream-stream interval FULL OUTER join: unmatched rows on BOTH
+    // sides null-extend once both watermarks pass the join range
+    // (reference interval join full-outer emission).
+    "stream_interval_join_full" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val ev = StreamOps.eventsTypedWithFinalWatermark(s, dir, rounds = 2).toDF()
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .withWatermark("ts", "0 seconds")
+      val clicks = ev.filter(col("event_type") === "click" || col("event_id") < 0)
+        .select(col("user_id").as("cu"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      val buys = ev.filter(col("event_type") === "purchase" || col("event_id") < 0)
+        .select(col("user_id").as("bu"), col("ts").as("buy_ts"), col("event_id").as("buy_id"))
+      val joined = clicks.join(buys,
+          col("cu") === col("bu") &&
+          col("buy_ts") >= col("click_ts") &&
+          col("buy_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"),
+          "full_outer")
+        .select(col("click_id"), col("buy_id"),
+          coalesce(col("cu"), col("bu")).as("user_id"))
+      StreamOps.runToBatch(s, joined, "append", "stream_ijoin_full")
+        .filter(coalesce(col("click_id"), lit(0L)) >= 0 &&
+          coalesce(col("buy_id"), lit(0L)) >= 0)
+        .orderBy(col("click_id"), col("buy_id"))
+    }),
+
     // Streaming keep-LAST dedup (flatMapGroupsWithState): final winner
     // per user by (event time, id). The update stream is materialized
     // to its final upsert image by a keyed re-rank — the same
@@ -573,6 +598,14 @@ object StreamQueries extends QueryPack {
       SELECT c.event_id AS click_id, b.event_id AS buy_id, c.user_id
       FROM (SELECT * FROM events WHERE event_type = 'click') c
       LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+        ON c.user_id = b.user_id
+       AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 10 MINUTE
+      ORDER BY click_id, buy_id""",
+    "stream_interval_join_full" -> """
+      SELECT c.event_id AS click_id, b.event_id AS buy_id,
+             coalesce(c.user_id, b.user_id) AS user_id
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
         ON c.user_id = b.user_id
        AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 10 MINUTE
       ORDER BY click_id, buy_id""",
