@@ -87,6 +87,23 @@ object CalcQueries extends QueryPack {
     }),
 
     // Math function family; floats rounded (libm noise across engines).
+    // Temporal arithmetic family (reference TIMESTAMPADD/TIMESTAMPDIFF/
+    // LAST_DAY/DAYOFYEAR builtins): calendar arithmetic with exact
+    // integer outputs on both engines.
+    "calc_temporal_arith" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .filter(col("event_id") <= 300)
+        .select(col("event_id"),
+          last_day(col("ts")).as("month_end"),
+          dayofyear(col("ts")).cast("int").as("doy"),
+          unix_timestamp(col("ts").cast("timestamp")).as("epoch_s"),
+          datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("2024-01-01")))
+            .cast("int").as("days_in"),
+          expr("make_date(year(ts), month(ts), 1)").as("month_start"),
+          expr("timestampadd(HOUR, 3, ts)").as("plus3h"))
+        .orderBy(col("event_id"))
+    }),
+
     // Bitwise function family (reference BIN/bitAnd/bitOr/bitXor and
     // shift builtins): masks, shifts, popcount over the key column.
     "calc_bitwise_fns" -> ((s, dir) => {
@@ -227,6 +244,15 @@ object CalcQueries extends QueryPack {
              CAST(ascii(p_brand) AS INT) AS first_code,
              chr(65 + CAST(p_partkey % 26 AS INT)) AS letter
       FROM part WHERE p_partkey <= 400 ORDER BY p_partkey""",
+    "calc_temporal_arith" -> """
+      SELECT event_id,
+             last_day(CAST(ts AS DATE)) AS month_end,
+             CAST(dayofyear(ts) AS INT) AS doy,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_s,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS days_in,
+             make_date(CAST(year(ts) AS INT), CAST(month(ts) AS INT), 1) AS month_start,
+             ts + INTERVAL 3 HOUR AS plus3h
+      FROM events WHERE event_id <= 300 ORDER BY event_id""",
     "calc_bitwise_fns" -> """
       SELECT l_orderkey, l_linenumber,
              l_orderkey & 255 AS k_and,

@@ -22,6 +22,26 @@ object FormatQueries extends QueryPack {
     // CSV write → declared-schema read → aggregate. CSV has no types:
     // the declared schema (reference CsvRowDataDeserializationSchema
     // semantics) restores them.
+    // Malformed-row tolerance (reference 'csv.ignore-parse-errors'
+    // format option): injected bad lines (wrong arity, unparseable
+    // key) are DROPPED, so the survivors equal the clean table — which
+    // is exactly what the oracle checks.
+    "fmt_csv_malformed" -> ((s, dir) => {
+      val path = scratch(dir, "nation_csv_bad")
+      Tables.load(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite").csv(path)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path, "zz_malformed.csv"),
+        "not_a_number,BROKEN\nx,y,z,extra,columns\n,,\n")
+      s.read.schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+        .option("mode", "DROPMALFORMED").csv(path)
+        .filter(col("n_nationkey").isNotNull)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("key_sum"))
+        .orderBy(col("n_regionkey"))
+    }),
+
     "fmt_csv_roundtrip" -> ((s, dir) => {
       val path = scratch(dir, "nation_csv")
       val nation = Tables.load(s, dir, "nation")
@@ -111,6 +131,9 @@ object FormatQueries extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "fmt_csv_malformed" -> """
+      SELECT n_regionkey, count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
     "fmt_csv_roundtrip" -> """
       SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name,
              CAST(sum(n_nationkey) AS BIGINT) AS key_sum
