@@ -86,7 +86,6 @@ object CalcQueries extends QueryPack {
         .orderBy(col("p_partkey"))
     }),
 
-    // Math function family; floats rounded (libm noise across engines).
     // Temporal arithmetic family (reference TIMESTAMPADD/TIMESTAMPDIFF/
     // LAST_DAY/DAYOFYEAR builtins): calendar arithmetic with exact
     // integer outputs on both engines.
@@ -120,6 +119,7 @@ object CalcQueries extends QueryPack {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // Math function family; floats rounded (libm noise across engines).
     "calc_math_fns" -> ((s, dir) => {
       Tables.load(s, dir, "lineitem")
         .filter(col("l_orderkey") <= 300)

@@ -23,9 +23,13 @@ object FormatQueries extends QueryPack {
     // the declared schema (reference CsvRowDataDeserializationSchema
     // semantics) restores them.
     // Malformed-row tolerance (reference 'csv.ignore-parse-errors'
-    // format option): injected bad lines (wrong arity, unparseable
-    // key) are DROPPED, so the survivors equal the clean table — which
-    // is exactly what the oracle checks.
+    // format option): injected bad lines are DROPPED, so the survivors
+    // equal the clean table — which is exactly what the oracle checks.
+    // The '999,NAME,not_a_number' line is the mode sentinel: its KEY
+    // parses but its typed region column does not, so PERMISSIVE would
+    // keep the row (999 leaks into key_sum under a null region) and
+    // fail the gate — only DROPMALFORMED recovers the clean table.
+    // (Over-arity alone is no sentinel: Spark truncates extra tokens.)
     "fmt_csv_malformed" -> ((s, dir) => {
       val path = scratch(dir, "nation_csv_bad")
       Tables.load(s, dir, "nation")
@@ -33,10 +37,9 @@ object FormatQueries extends QueryPack {
         .write.mode("overwrite").csv(path)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(path, "zz_malformed.csv"),
-        "not_a_number,BROKEN\nx,y,z,extra,columns\n,,\n")
+        "not_a_number,BROKEN\nx,y,z\n999,NAME,not_a_number\n")
       s.read.schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
         .option("mode", "DROPMALFORMED").csv(path)
-        .filter(col("n_nationkey").isNotNull)
         .groupBy(col("n_regionkey"))
         .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("key_sum"))
         .orderBy(col("n_regionkey"))

@@ -31,6 +31,30 @@ object StreamQueries extends QueryPack {
 
   private val TenMinUs = 10L * 60 * 1000 * 1000
 
+  /** Shared scaffold of the outer interval-join gates: sentinel-staged
+   * clicks ⋈ purchases in the 10-minute window. Catalyst pushes the
+   * type filters BELOW the watermark node, so sentinel rows must
+   * SURVIVE the filters (event_id < 0 branch) to advance each side's
+   * observed event time past all real data — they only ever join each
+   * other and are dropped by the caller's post-filter. Two GLOBAL
+   * sentinel rounds suffice (join operators scan state every batch;
+   * null-extensions emit one advance after eviction). */
+  private def sentinelIntervalJoin(s: SparkSession, dir: String,
+      joinType: String): DataFrame = {
+    val ev = StreamOps.eventsTypedWithFinalWatermark(s, dir, rounds = 2).toDF()
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "0 seconds")
+    val clicks = ev.filter(col("event_type") === "click" || col("event_id") < 0)
+      .select(col("user_id").as("cu"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val buys = ev.filter(col("event_type") === "purchase" || col("event_id") < 0)
+      .select(col("user_id").as("bu"), col("ts").as("buy_ts"), col("event_id").as("buy_id"))
+    clicks.join(buys,
+      col("cu") === col("bu") &&
+      col("buy_ts") >= col("click_ts") &&
+      col("buy_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"),
+      joinType)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Streaming TUMBLE window aggregation (complete mode).
     "stream_tumble_agg" -> ((s0, dir) => {
@@ -158,24 +182,7 @@ object StreamQueries extends QueryPack {
     // watermarks pass the join range.
     "stream_interval_join_outer" -> ((s0, dir) => {
       val s = StreamOps.tuned(s0)
-      // Catalyst pushes the type filters BELOW the watermark node, so
-      // sentinel rows must SURVIVE the filters (event_id < 0 branch) to
-      // advance each side's observed event time past all real data —
-      // they only ever join each other and are dropped from the output.
-      // Two GLOBAL sentinel rounds suffice (join operators scan state
-      // every batch; null-extensions emit one advance after eviction).
-      val ev = StreamOps.eventsTypedWithFinalWatermark(s, dir, rounds = 2).toDF()
-        .withColumn("ts", timestamp_micros(col("ts_us")))
-        .withWatermark("ts", "0 seconds")
-      val clicks = ev.filter(col("event_type") === "click" || col("event_id") < 0)
-        .select(col("user_id").as("cu"), col("ts").as("click_ts"), col("event_id").as("click_id"))
-      val buys = ev.filter(col("event_type") === "purchase" || col("event_id") < 0)
-        .select(col("user_id").as("bu"), col("ts").as("buy_ts"), col("event_id").as("buy_id"))
-      val joined = clicks.join(buys,
-          col("cu") === col("bu") &&
-          col("buy_ts") >= col("click_ts") &&
-          col("buy_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"),
-          "left_outer")
+      val joined = sentinelIntervalJoin(s, dir, "left_outer")
         .select(col("click_id"), col("buy_id"), col("cu").as("user_id"))
       StreamOps.runToBatch(s, joined, "append", "stream_ijoin_outer")
         .filter(col("click_id") >= 0)
@@ -187,18 +194,7 @@ object StreamQueries extends QueryPack {
     // (reference interval join full-outer emission).
     "stream_interval_join_full" -> ((s0, dir) => {
       val s = StreamOps.tuned(s0)
-      val ev = StreamOps.eventsTypedWithFinalWatermark(s, dir, rounds = 2).toDF()
-        .withColumn("ts", timestamp_micros(col("ts_us")))
-        .withWatermark("ts", "0 seconds")
-      val clicks = ev.filter(col("event_type") === "click" || col("event_id") < 0)
-        .select(col("user_id").as("cu"), col("ts").as("click_ts"), col("event_id").as("click_id"))
-      val buys = ev.filter(col("event_type") === "purchase" || col("event_id") < 0)
-        .select(col("user_id").as("bu"), col("ts").as("buy_ts"), col("event_id").as("buy_id"))
-      val joined = clicks.join(buys,
-          col("cu") === col("bu") &&
-          col("buy_ts") >= col("click_ts") &&
-          col("buy_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"),
-          "full_outer")
+      val joined = sentinelIntervalJoin(s, dir, "full_outer")
         .select(col("click_id"), col("buy_id"),
           coalesce(col("cu"), col("bu")).as("user_id"))
       StreamOps.runToBatch(s, joined, "append", "stream_ijoin_full")
