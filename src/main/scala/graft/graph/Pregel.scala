@@ -40,7 +40,12 @@ object Pregel {
         .select(col("id"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
       if (round % 3 == 0) labels = labels.localCheckpoint() // cut lineage
     }
-    labels
+    // materialize the result (eager localCheckpoint), then release the
+    // cached edge blocks — they otherwise leak across repeated runs in
+    // one session (gate + bench share a JVM)
+    val out = labels.localCheckpoint()
+    undirected.unpersist()
+    out
   }
 
   /** PageRank in integer fixed-point: ranks are longs at scale 10⁹ and
@@ -70,7 +75,9 @@ object Pregel {
           (lit(150000000L / n) + expr("(85 * coalesce(recv, 0L)) div 100")).as("rankq"))
       if (i % 3 == 0) ranks = ranks.localCheckpoint()
     }
-    ranks
+    val out = ranks.localCheckpoint() // materialize before freeing outDeg
+    outDeg.unpersist()
+    out
   }
 
   /** Standard PageRank, fixed iterations, damping 0.85. Kept exactly
@@ -94,7 +101,9 @@ object Pregel {
           (lit((1 - damping) / n) + lit(damping) * coalesce(col("recv"), lit(0.0))).as("rank"))
       if (i % 3 == 0) ranks = ranks.localCheckpoint()
     }
-    ranks
+    val out = ranks.localCheckpoint() // materialize before freeing outDeg
+    outDeg.unpersist()
+    out
   }
 
   /** Single-source BFS distances via DELTA iteration (the reference's
@@ -142,6 +151,9 @@ object Pregel {
         workset = improved
       }
     }
+    // solution is already localCheckpoint-materialized per round; free
+    // the cached edge blocks before returning
+    undirected.unpersist()
     solution
   }
 }

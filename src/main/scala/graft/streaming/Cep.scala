@@ -352,8 +352,13 @@ object Cep {
   private[graft] def validate(p: Pattern): Unit = {
     require(!p.steps.exists(_.quant == Any) || p.skip == NoSkip || p.skip == SkipToNext,
       "followedByAny emits overlapping matches; only NoSkip/SkipToNext compose with it")
-    require(p.steps.last.quant != NotFollowed || p.withinUs != Long.MaxValue,
-      "notFollowedBy at pattern end requires within() (as in the reference)")
+    // ANY NotFollowed step — not just at pattern end — asserts absence,
+    // which is only provable over a bounded window: a mid-pattern gap's
+    // boundary event may arrive long after a candidate match was found,
+    // and without a within() horizon the emission hold below would be
+    // bypassed, letting a later event falsify an already-emitted match.
+    require(!p.steps.exists(_.quant == NotFollowed) || p.withinUs != Long.MaxValue,
+      "a pattern containing notFollowedBy requires within() (as in the reference)")
   }
 
   def runBound(ds: Dataset[Ev], pattern: Pattern,
@@ -377,8 +382,19 @@ object Cep {
           // match — any match containing it ends before the watermark —
           // but re-admitting it could re-create a match whose emitted
           // marker was already pruned, emitting a duplicate. Mirrors the
-          // reference CepOperator dropping late elements.
-          val buffer = (st.buffer ++ it.filter(e => live(e.ts_us)))
+          // reference CepOperator dropping late elements. Patterns that
+          // assert ABSENCE (NotFollowed) drop everything below the
+          // watermark itself — the reference's exact late-element rule —
+          // because a sub-watermark arrival landing in an emitted
+          // match's gap would falsify it unretractably; the emission
+          // hold below only protects against events at or above the
+          // watermark.
+          val negated = pattern.steps.exists(_.quant == NotFollowed)
+          val admit: Long => Boolean =
+            if (wmUs <= 0L) _ => true
+            else if (negated) ts => ts >= wmUs
+            else live
+          val buffer = (st.buffer ++ it.filter(e => admit(e.ts_us)))
             .sortBy(e => (e.ts_us, e.event_id))
           val all = matchSortedBound(buffer.toIndexedSeq, pattern)
           // A pattern containing notFollowedBy asserts ABSENCE, which a
@@ -389,8 +405,7 @@ object Cep {
           // candidates stay unmarked and re-surface (their events
           // outlive them: start_us >= wm - within while open).
           val confirmed =
-            if (!pattern.steps.exists(_.quant == NotFollowed) ||
-                pattern.withinUs == Long.MaxValue) all
+            if (!negated) all // validate() guarantees negated => within()
             else all.filter(m => wmUs > 0L && m.start_us + pattern.withinUs < wmUs)
           // Dedup marker: one match per start for the deterministic
           // earliest-match subset — a late event may CHANGE the

@@ -302,6 +302,15 @@ class CepSpec extends SparkSuite {
     assert(Cep.matchSorted(events, p).map(_.event_ids) == List(Seq(4L, 6L)))
   }
 
+  test("mid-pattern notFollowedBy also requires within (emission hold needs a horizon)") {
+    val midNoWithin = Cep.Pattern.begin("click", _.event_type == "click")
+      .notFollowedBy("no_err", _.event_type == "error")
+      .followedBy("buy", _.event_type == "purchase")
+    assertThrows[IllegalArgumentException] {
+      Cep.matchSorted(IndexedSeq(ev(1, "click", 0)), midNoWithin)
+    }
+  }
+
   test("notFollowedBy at pattern end requires within; absence over the window") {
     val noWithin = Cep.Pattern.begin("click", _.event_type == "click")
       .notFollowedBy("no_buy", _.event_type == "purchase")
