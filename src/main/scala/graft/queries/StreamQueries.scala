@@ -505,26 +505,28 @@ object StreamQueries extends QueryPack {
             Files.setLastModifiedTime(p, FileTime.fromMillis(mtime))
         }
       }
-      stage(controls, 10000L)
-      stage(data, 20000L)
-      // control-before-data relies on FileStreamSource consuming files
-      // in modification-time order under maxFilesPerTrigger=1 — the
-      // documented latestFirst=false default sorts pending files by
-      // mtime, which the two stage() calls set explicitly (10s < 20s).
-      val tagged = s.readStream.schema(controls.schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$work/*.parquet")
-        .as[graft.streaming.Tagged]
-      val out = graft.streaming.StatefulOps.thresholdFilter(tagged)
-      val res = StreamOps.runToBatch(s, out.toDF(), "append", "stream_bcast")
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          col("value").cast("bigint").as("cents"))
-        .orderBy(col("event_id"))
-      // the memory sink has consumed all input — drop the staging dir
-      // (it otherwise accumulates one copy of events per run)
-      val all = listAll().toSeq.sortBy(_.toString).reverse
-      all.foreach(p => try Files.deleteIfExists(p) catch { case _: Exception => () })
-      try Files.deleteIfExists(work) catch { case _: Exception => () }
-      res
+      try {
+        stage(controls, 10000L)
+        stage(data, 20000L)
+        // control-before-data relies on FileStreamSource consuming files
+        // in modification-time order under maxFilesPerTrigger=1 — the
+        // documented latestFirst=false default sorts pending files by
+        // mtime, which the two stage() calls set explicitly (10s < 20s).
+        val tagged = s.readStream.schema(controls.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$work/*.parquet")
+          .as[graft.streaming.Tagged]
+        val out = graft.streaming.StatefulOps.thresholdFilter(tagged)
+        StreamOps.runToBatch(s, out.toDF(), "append", "stream_bcast")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value").cast("bigint").as("cents"))
+          .orderBy(col("event_id"))
+      } finally {
+        // the memory sink has consumed all input (or the run threw) —
+        // drop the staging dir either way so it never accumulates
+        val all = listAll().toSeq.sortBy(_.toString).reverse
+        all.foreach(p => try Files.deleteIfExists(p) catch { case _: Exception => () })
+        try Files.deleteIfExists(work) catch { case _: Exception => () }
+      }
     }),
 
     // CEP absence detection (reference Pattern.notFollowedBy ending a

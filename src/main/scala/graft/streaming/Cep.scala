@@ -148,9 +148,11 @@ object Cep {
       copy(steps = steps :+ Step(name, pred, strict = false, quant = Any))
     /** Negative relaxed step (reference `Pattern.notFollowedBy`): no
      * qualifying event between the previous consumed event and the
-     * next consumed one. At pattern END it requires `within` (as in
-     * the reference) and the engine holds the match until the
-     * watermark closes the window — absence is only provable then. */
+     * next consumed one. This engine requires `within` on ANY pattern
+     * containing a negative step (the reference only rejects a
+     * trailing notFollowedBy without within) and holds such matches
+     * until the watermark closes the window — with per-micro-batch
+     * re-evaluation, absence is only provable then. */
     def notFollowedBy(name: String, pred: Ev => Boolean): Pattern =
       copy(steps = steps :+ Step(name, pred, strict = false, quant = NotFollowed))
     def within(us: Long): Pattern = copy(withinUs = us)
@@ -225,7 +227,10 @@ object Cep {
               val j = firstQualifying(pos + 1)
               if (inWindow(start, j)) withEventAt(j) else LazyList.empty
             }
-          case NotNext => // negative lookahead; end-of-stream satisfies it
+          case NotNext => // negative lookahead; end-of-buffer satisfies
+            // it — safe in streaming because the caller holds negated
+            // matches until the watermark closes the within window, at
+            // which point no event can still land in the adjacency slot
             val j = pos + 1
             if (inWindow(start, j) && st.pred(events(j))) LazyList.empty
             else matchSteps(start, pos, rest, acc)
@@ -352,13 +357,21 @@ object Cep {
   private[graft] def validate(p: Pattern): Unit = {
     require(!p.steps.exists(_.quant == Any) || p.skip == NoSkip || p.skip == SkipToNext,
       "followedByAny emits overlapping matches; only NoSkip/SkipToNext compose with it")
-    // ANY NotFollowed step — not just at pattern end — asserts absence,
-    // which is only provable over a bounded window: a mid-pattern gap's
-    // boundary event may arrive long after a candidate match was found,
-    // and without a within() horizon the emission hold below would be
-    // bypassed, letting a later event falsify an already-emitted match.
-    require(!p.steps.exists(_.quant == NotFollowed) || p.withinUs != Long.MaxValue,
-      "a pattern containing notFollowedBy requires within() (as in the reference)")
+    // ANY negative step — notFollowedBy anywhere, notNext anywhere —
+    // asserts absence, which is only provable over a bounded window: a
+    // gap/adjacency slot's falsifying event may arrive long after a
+    // candidate match was found, and without a within() horizon the
+    // emission hold below would be bypassed, letting a later event
+    // falsify an already-emitted match. (Engine-specific restriction:
+    // this engine re-evaluates per micro-batch, so it must know when a
+    // negative assertion becomes immutable. The reference NFA only
+    // rejects a TRAILING notFollowedBy without within; the mid-pattern
+    // and notNext requirements here are ours.)
+    require(!p.steps.exists(s => s.quant == NotFollowed || s.quant == NotNext) ||
+        p.withinUs != Long.MaxValue,
+      "a pattern containing notFollowedBy/notNext requires within() " +
+        "(this engine holds negative-assertion matches until the watermark " +
+        "closes the within window)")
   }
 
   def runBound(ds: Dataset[Ev], pattern: Pattern,
@@ -389,7 +402,8 @@ object Cep {
           // match's gap would falsify it unretractably; the emission
           // hold below only protects against events at or above the
           // watermark.
-          val negated = pattern.steps.exists(_.quant == NotFollowed)
+          val negated =
+            pattern.steps.exists(s => s.quant == NotFollowed || s.quant == NotNext)
           val admit: Long => Boolean =
             if (wmUs <= 0L) _ => true
             else if (negated) ts => ts >= wmUs

@@ -88,6 +88,7 @@ class CepSpec extends SparkSuite {
     val p = Cep.Pattern.begin("click", _.event_type == "click")
       .notNext("no_view", _.event_type == "view")
       .followedBy("buy", _.event_type == "purchase")
+      .within(60L * 1000000L) // negative steps require a within horizon
     val blocked = IndexedSeq(ev(1, "click", 0), ev(2, "view", 5), ev(3, "purchase", 10))
     assert(Cep.matchSorted(blocked, p).isEmpty)
     val ok = IndexedSeq(ev(1, "click", 0), ev(4, "other", 5), ev(3, "purchase", 10))
