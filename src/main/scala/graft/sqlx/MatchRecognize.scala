@@ -34,7 +34,7 @@ object MatchRecognize {
 
   final case class Measure(fn: Option[String], sym: String, field: String, alias: String)
   final case class Spec(partitionBy: String, orderBy: String, measures: Seq[Measure],
-      skip: Cep.AfterMatch, pattern: Cep.Pattern, allRows: Boolean = false)
+      skip: Cep.AfterMatch, pattern: Cep.Pattern[Ev], allRows: Boolean = false)
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"MATCH_RECOGNIZE: $msg")

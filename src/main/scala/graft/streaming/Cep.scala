@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.functions.{col, timestamp_micros}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import scala.reflect.runtime.universe.TypeTag
 
 /** One emitted pattern match: the matched event ids in step order. */
 case class CepMatch(user_id: Long, event_ids: Seq[Long], start_us: Long, end_us: Long)
@@ -14,23 +16,39 @@ case class BoundEv(step: String, ev: Ev)
  * surface reads fields of bound events per step). */
 case class CepBound(user_id: Long, start_us: Long, end_us: Long, binds: List[BoundEv])
 
+/** Generic step→event binding (any event type `T`). */
+case class BoundG[T](step: String, ev: T)
+
+/** Generic batch match: event-time span plus step bindings. */
+case class MatchG[T](start_us: Long, end_us: Long, binds: List[BoundG[T]])
+
+/** Generic streaming match: the (stringified) partition key plus the
+ * match span and bindings. Downstream projections read the typed key
+ * back out of `binds.head.ev`, so the string form never leaks into
+ * results. */
+case class CepBoundG[T](key: String, start_us: Long, end_us: Long, binds: List[BoundG[T]])
+
 /** Buffered per-key state: events still inside the pattern's `within`
- * horizon (ts-ordered on use) plus (start_ts, start_id) of matches
+ * horizon (ts-ordered on use) plus (start_ts, start_sig) of matches
  * already emitted — both pruned on watermark advance. */
-case class CepState(buffer: List[Ev], emitted: List[(Long, Long)])
+case class CepStateG[T](buffer: List[T], emitted: List[(Long, Long)])
 
 /**
- * A linear CEP pattern: ordered steps, each a predicate plus a
- * contiguity mode, with an overall `within` bound. Mirrors the
- * reference pattern surface `cep/pattern/Pattern.java:155-416`
- * (`begin/next/followedBy/within`) on a simple-NFA subset — no
- * quantifiers/optional/greedy yet (see Scaladoc of `Cep.run`).
+ * A linear CEP pattern over an arbitrary event type `T`: ordered steps,
+ * each a predicate plus a contiguity mode, with an overall `within`
+ * bound. Mirrors the reference pattern surface
+ * `cep/pattern/Pattern.java:128-416` (`Pattern<T, F extends T>` —
+ * generic over the event type — with
+ * `begin/next/followedBy/within`) on a deterministic-NFA subset.
  *
  * {{{
- * Cep.Pattern.begin("click", _.event_type == "click")
+ * Cep.Pattern.begin("click", _.event_type == "click")   // Ev fixture
  *   .next("buy", _.event_type == "purchase")      // strictly adjacent
  *   .followedBy("ship", _.event_type == "ship")   // relaxed contiguity
  *   .within(10.minutes → micros)
+ *
+ * Cep.Pattern.of[Order]("placed", _.o_orderstatus == "O")  // any type
+ *   .followedBy("filled", _.o_orderstatus == "F")
  * }}}
  */
 object Cep {
@@ -87,23 +105,23 @@ object Cep {
    * (`SkipToLastStrategy`). */
   final case class SkipToLast(step: String) extends AfterMatch
 
-  final case class Step(name: String, pred: Ev => Boolean, strict: Boolean,
+  final case class Step[T](name: String, pred: T => Boolean, strict: Boolean,
       quant: Quant = Once)
 
-  final case class Pattern(steps: Vector[Step], withinUs: Long = Long.MaxValue,
+  final case class Pattern[T](steps: Vector[Step[T]], withinUs: Long = Long.MaxValue,
       skip: AfterMatch = NoSkip) {
-    def next(name: String, pred: Ev => Boolean): Pattern =
+    def next(name: String, pred: T => Boolean): Pattern[T] =
       copy(steps = steps :+ Step(name, pred, strict = true))
-    def followedBy(name: String, pred: Ev => Boolean): Pattern =
+    def followedBy(name: String, pred: T => Boolean): Pattern[T] =
       copy(steps = steps :+ Step(name, pred, strict = false))
     /** n occurrences with relaxed contiguity (expands to n steps —
      * reference `Pattern.times`). */
-    def times(name: String, pred: Ev => Boolean, n: Int): Pattern =
+    def times(name: String, pred: T => Boolean, n: Int): Pattern[T] =
       (1 to n).foldLeft(this)((p, i) => p.followedBy(s"$name#$i", pred))
     /** Between `min` and `max` occurrences, relaxed contiguity
      * (reference `Pattern.times(from, to)`): `min` required steps then
      * `max - min` greedy-optional ones, include-first like `optional`. */
-    def timesRange(name: String, pred: Ev => Boolean, min: Int, max: Int): Pattern = {
+    def timesRange(name: String, pred: T => Boolean, min: Int, max: Int): Pattern[T] = {
       require(min >= 1 && max >= min, "need 1 <= min <= max")
       val withMin = (1 to min).foldLeft(this)((p, i) => p.followedBy(s"$name#$i", pred))
       (min + 1 to max).foldLeft(withMin)((p, i) => p.optional(s"$name#$i", pred))
@@ -111,40 +129,41 @@ object Cep {
     /** One or more occurrences, RELAXED inner contiguity, reluctant —
      * the reference's default `Pattern.oneOrMore` (SKIP_TILL_NEXT
      * between repetitions, minimal consumption). */
-    def oneOrMore(name: String, pred: Ev => Boolean): Pattern =
+    def oneOrMore(name: String, pred: T => Boolean): Pattern[T] =
       copy(steps = steps :+ Step(name, pred, strict = false, quant = OneOrMoreRelaxed))
     /** Optional relaxed step (reference `Pattern.optional`). */
-    def optional(name: String, pred: Ev => Boolean): Pattern =
+    def optional(name: String, pred: T => Boolean): Pattern[T] =
       copy(steps = steps :+ Step(name, pred, strict = false, quant = Optional))
     /** Optional STRICT step: included only if the immediately next
      * event qualifies (MATCH_RECOGNIZE `X?` contiguity). */
-    def optionalNext(name: String, pred: Ev => Boolean): Pattern =
+    def optionalNext(name: String, pred: T => Boolean): Pattern[T] =
       copy(steps = steps :+ Step(name, pred, strict = true, quant = Optional))
     /** Reluctant optional: excluded unless the rest of the pattern
      * cannot match without it. */
-    def optionalReluctant(name: String, pred: Ev => Boolean): Pattern =
+    def optionalReluctant(name: String, pred: T => Boolean): Pattern[T] =
       copy(steps = steps :+ Step(name, pred, strict = false, quant = OptionalReluctant))
     /** Greedy maximal consecutive run, >= 1 (reference
      * `Pattern.oneOrMore` with strict inner contiguity). */
-    def oneOrMoreNext(name: String, pred: Ev => Boolean): Pattern =
+    def oneOrMoreNext(name: String, pred: T => Boolean): Pattern[T] =
       copy(steps = steps :+ Step(name, pred, strict = true, quant = OneOrMore))
     /** Reluctant consecutive run, >= 1: consumes as few events as the
      * rest of the pattern allows. */
-    def oneOrMoreNextReluctant(name: String, pred: Ev => Boolean): Pattern =
+    def oneOrMoreNextReluctant(name: String, pred: T => Boolean): Pattern[T] =
       copy(steps = steps :+ Step(name, pred, strict = true, quant = OneOrMoreReluctant))
     /** After-match skip strategy (reference `Pattern.begin(name,
      * afterMatchSkipStrategy)`). */
-    def afterMatchSkip(s: AfterMatch): Pattern = copy(skip = s)
+    def afterMatchSkip(s: AfterMatch): Pattern[T] = copy(skip = s)
     /** Negative strict step (reference `Pattern.notNext`): the match
      * continues only if the NEXT event does NOT satisfy `pred`; the
-     * event is not consumed. */
-    def notNext(name: String, pred: Ev => Boolean): Pattern =
+     * event is not consumed. Requires `within` in this engine (see
+     * `notFollowedBy`). */
+    def notNext(name: String, pred: T => Boolean): Pattern[T] =
       copy(steps = steps :+ Step(name, pred, strict = true, quant = NotNext))
     /** Relaxed step matching EVERY qualifying later event, not just
      * the earliest (reference `Pattern.followedByAny`): one start can
      * emit several matches, deduplicated by full match signature.
      * Only NoSkip/SkipToNext compose with Any branches. */
-    def followedByAny(name: String, pred: Ev => Boolean): Pattern =
+    def followedByAny(name: String, pred: T => Boolean): Pattern[T] =
       copy(steps = steps :+ Step(name, pred, strict = false, quant = Any))
     /** Negative relaxed step (reference `Pattern.notFollowedBy`): no
      * qualifying event between the previous consumed event and the
@@ -153,17 +172,34 @@ object Cep {
      * trailing notFollowedBy without within) and holds such matches
      * until the watermark closes the window — with per-micro-batch
      * re-evaluation, absence is only provable then. */
-    def notFollowedBy(name: String, pred: Ev => Boolean): Pattern =
+    def notFollowedBy(name: String, pred: T => Boolean): Pattern[T] =
       copy(steps = steps :+ Step(name, pred, strict = false, quant = NotFollowed))
-    def within(us: Long): Pattern = copy(withinUs = us)
+    def within(us: Long): Pattern[T] = copy(withinUs = us)
   }
 
   object Pattern {
-    def begin(name: String, pred: Ev => Boolean): Pattern =
+    /** Generic entry over any event type (reference
+     * `Pattern.<T>begin`); the explicit type argument gives the
+     * predicate lambda its parameter type. */
+    def of[T](name: String, pred: T => Boolean): Pattern[T] =
       Pattern(Vector(Step(name, pred, strict = false)))
+    /** Ev-fixture shorthand (the original entry; keeps the predicate
+     * lambdas inferring without a type argument). */
+    def begin(name: String, pred: Ev => Boolean): Pattern[Ev] = of[Ev](name, pred)
   }
 
-  /** Match the pattern over one key's ts-ordered event list.
+  /** Match the pattern over one key's ts-ordered event list (Ev
+   * fixture shim over [[matchSortedG]]). */
+  private[streaming] def matchSorted(events: IndexedSeq[Ev], p: Pattern[Ev]): List[CepMatch] =
+    matchSortedBound(events, p).map(b =>
+      CepMatch(b.user_id, b.binds.map(_.ev.event_id), b.start_us, b.end_us))
+
+  private[graft] def matchSortedBound(events: IndexedSeq[Ev], p: Pattern[Ev]): List[CepBound] =
+    matchSortedG[Ev](events, p, _.ts_us, _.event_id).map(m =>
+      CepBound(m.binds.head.ev.user_id, m.start_us, m.end_us,
+        m.binds.map(b => BoundEv(b.step, b.ev))))
+
+  /** Match the pattern over one key's time-ordered event list.
    *
    * Semantics (deterministic subset of the reference NFA,
    * `cep/nfa/NFA.java:86`): a match may begin at every row the
@@ -172,15 +208,14 @@ object Cep {
    * qualifying later event (earliest-match greediness) unless its
    * quantifier says otherwise; `next` requires strict adjacency in the
    * ordered stream, `followedBy` allows gaps; the whole match must
-   * span at most `withinUs` microseconds. */
-  private[streaming] def matchSorted(events: IndexedSeq[Ev], p: Pattern): List[CepMatch] =
-    matchSortedBound(events, p).map(b =>
-      CepMatch(b.user_id, b.binds.map(_.ev.event_id), b.start_us, b.end_us))
+   * span at most `withinUs` microseconds. `time` reads the event-time
+   * (epoch micros) of an event; `id` a unique Long used for
+   * deterministic tie-breaks and match signatures. */
+  private[graft] def matchSortedG[T](events: IndexedSeq[T], p: Pattern[T],
+      time: T => Long, id: T => Long): List[MatchG[T]] = {
 
-  private[graft] def matchSortedBound(events: IndexedSeq[Ev], p: Pattern): List[CepBound] = {
-
-    def inWindow(start: Ev, j: Int): Boolean =
-      j < events.length && events(j).ts_us - start.ts_us <= p.withinUs
+    def inWindow(start: T, j: Int): Boolean =
+      j < events.length && time(events(j)) - time(start) <= p.withinUs
 
     /** Enumerate matches of `steps` with the previous consumed index
      * at `pos`, lazily, in deterministic preference order; `acc`
@@ -189,7 +224,7 @@ object Cep {
      * them (reference SharedBuffer's per-state event paths). Callers
      * take the head for the earliest-match subset, or every
      * alternative when the pattern contains a `followedByAny` step. */
-    def matchSteps(start: Ev, pos: Int, steps: List[Step],
+    def matchSteps(start: T, pos: Int, steps: List[Step[T]],
         acc: Vector[(String, Int)]): LazyList[(Int, Vector[(String, Int)])] = steps match {
       case Nil => LazyList((pos, acc))
       case st :: rest =>
@@ -279,7 +314,7 @@ object Cep {
 
     validate(p) // direct batch callers (specs) get the same checks
     val hasAny = p.steps.exists(_.quant == Any)
-    val out = List.newBuilder[CepBound]
+    val out = List.newBuilder[MatchG[T]]
     var i = 0
     while (i < events.length) {
       val start = events(i)
@@ -291,8 +326,8 @@ object Cep {
         // patterns emit every distinct branch (reference followedByAny)
         val ms = if (hasAny) alts.toList.distinct else alts.headOption.toList
         ms.foreach { case (endPos, binds) =>
-          out += CepBound(start.user_id, start.ts_us, events(endPos).ts_us,
-            binds.map { case (n, j) => BoundEv(n, events(j)) }.toList)
+          out += MatchG(time(start), time(events(endPos)),
+            binds.map { case (n, j) => BoundG(n, events(j)) }.toList)
           // `times` expands names to "name#k": match on the prefix
           def bound(step: String) = binds.filter(_._1.takeWhile(_ != '#') == step)
           p.skip match {
@@ -311,50 +346,21 @@ object Cep {
   }
 
   /**
-   * Run the pattern per user over a stream (flatMapGroupsWithState NFA,
-   * reference `operator/CepOperator.java:81`). Each batch re-evaluates
-   * over the buffered, ts-sorted history and emits only new matches —
-   * so matches that straddle micro-batch boundaries are found, and no
-   * match is emitted twice. Dedup is per START EVENT in the
-   * deterministic earliest-match subset (a late arrival that changes
-   * an emitted start's preferred binding does not re-emit), and per
-   * full binding signature for `followedByAny` patterns (which
-   * legitimately emit several matches per start). Patterns containing
-   * `notFollowedBy` hold their matches until the watermark closes the
-   * `within` window — a later batch could otherwise falsify the
-   * asserted absence.
-   *
-   * State is bounded by the pattern's `within` horizon: after each
-   * batch, buffer events (and emitted-match markers) with
-   * `ts_us < watermark − withinUs` are evicted — no event that old can
-   * participate in a match completed by a future (≥ watermark) event.
-   * This is the reference NFA's SharedBuffer pruning on watermark
-   * advance (`cep/nfa/sharedbuffer/SharedBuffer.java` via
-   * `CepOperator.advanceTime`). Eviction runs AFTER matching, so
-   * late-but-arrived rows at or above the horizon still pair with the
-   * retained history; rows BELOW the horizon are dropped on entry (they
-   * cannot extend any live match, and re-admitting one could duplicate
-   * a match whose emitted marker was already pruned — the reference
-   * CepOperator likewise drops late elements).
-   * Eviction by ts removes a prefix of the sorted buffer, so strict
-   * (`next`) adjacency among retained events is unchanged. Patterns
-   * without `within` keep everything (documented: unbounded patterns
-   * need a horizon for bounded state, as in the reference).
-   */
-  def run(ds: Dataset[Ev], pattern: Pattern,
+   * Run the pattern per user over the Ev fixture stream — shim over
+   * the generic [[runBoundBy]] (key `user_id`, time `ts_us`, id
+   * `event_id`). */
+  def run(ds: Dataset[Ev], pattern: Pattern[Ev],
       watermarkDelay: String = "1 hour"): Dataset[CepMatch] = {
     import ds.sparkSession.implicits._
     runBound(ds, pattern, watermarkDelay).map(b =>
       CepMatch(b.user_id, b.binds.map(_.ev.event_id), b.start_us, b.end_us))
   }
 
-  /** `run` with full step→event bindings preserved per match — the
-   * MATCH_RECOGNIZE MEASURES surface projects fields out of these. */
   /** Pattern-composition checks shared by the batch matcher and the
    * streaming entry — called HERE driver-side so a misconfigured
    * pattern fails fast at query construction, not as repeated
    * executor task failures mid-stream. */
-  private[graft] def validate(p: Pattern): Unit = {
+  private[graft] def validate(p: Pattern[_]): Unit = {
     require(!p.steps.exists(_.quant == Any) || p.skip == NoSkip || p.skip == SkipToNext,
       "followedByAny emits overlapping matches; only NoSkip/SkipToNext compose with it")
     // ANY negative step — notFollowedBy anywhere, notNext anywhere —
@@ -374,18 +380,80 @@ object Cep {
         "closes the within window)")
   }
 
-  def runBound(ds: Dataset[Ev], pattern: Pattern,
+  /** `run` with full step→event bindings preserved per match (Ev
+   * fixture shim; the MATCH_RECOGNIZE MEASURES surface projects
+   * fields out of the bindings). */
+  def runBound(ds: Dataset[Ev], pattern: Pattern[Ev],
       watermarkDelay: String = "1 hour"): Dataset[CepBound] = {
-    validate(pattern) // fail fast on the driver
     import ds.sparkSession.implicits._
+    runBoundBy(ds, pattern, "user_id", "ts_us", "event_id", watermarkDelay)
+      .map(b => CepBound(b.binds.head.ev.user_id, b.start_us, b.end_us,
+        b.binds.map(x => BoundEv(x.step, x.ev))))
+  }
+
+  /**
+   * Run the pattern per key over ANY case-class event stream
+   * (flatMapGroupsWithState NFA, reference `operator/CepOperator.java:81`
+   * — which is generic over the event type exactly like this entry).
+   * `keyField`/`timeField`/`idField` name columns of `T`: the
+   * partition key (any type; grouped by its string form, projected
+   * back typed from the bindings), the event time (epoch-micros Long),
+   * and a unique Long id (tie-breaks and dedup signatures). Each batch
+   * re-evaluates over the buffered, time-sorted history and emits only
+   * new matches — so matches that straddle micro-batch boundaries are
+   * found, and no match is emitted twice. Dedup is per START EVENT in
+   * the deterministic earliest-match subset (a late arrival that
+   * changes an emitted start's preferred binding does not re-emit),
+   * and per full binding signature for `followedByAny` patterns (which
+   * legitimately emit several matches per start). Patterns containing
+   * negative steps hold their matches until the watermark closes the
+   * `within` window — a later batch could otherwise falsify the
+   * asserted absence.
+   *
+   * State is bounded by the pattern's `within` horizon: after each
+   * batch, buffer events (and emitted-match markers) with
+   * `ts < watermark − withinUs` are evicted — no event that old can
+   * participate in a match completed by a future (≥ watermark) event.
+   * This is the reference NFA's SharedBuffer pruning on watermark
+   * advance (`cep/nfa/sharedbuffer/SharedBuffer.java` via
+   * `CepOperator.advanceTime`). Eviction runs AFTER matching, so
+   * late-but-arrived rows at or above the horizon still pair with the
+   * retained history; rows BELOW the horizon are dropped on entry (they
+   * cannot extend any live match, and re-admitting one could duplicate
+   * a match whose emitted marker was already pruned — the reference
+   * CepOperator likewise drops late elements).
+   * Eviction by ts removes a prefix of the sorted buffer, so strict
+   * (`next`) adjacency among retained events is unchanged. Patterns
+   * without `within` keep everything (documented: unbounded patterns
+   * need a horizon for bounded state, as in the reference).
+   */
+  def runBoundBy[T <: Product : TypeTag](ds: Dataset[T], pattern: Pattern[T],
+      keyField: String, timeField: String, idField: String,
+      watermarkDelay: String = "1 hour"): Dataset[CepBoundG[T]] = {
+    validate(pattern) // fail fast on the driver
+    implicit val tEnc: org.apache.spark.sql.Encoder[T] = Encoders.product[T]
+    implicit val stEnc: org.apache.spark.sql.Encoder[CepStateG[T]] =
+      Encoders.product[CepStateG[T]]
+    implicit val outEnc: org.apache.spark.sql.Encoder[CepBoundG[T]] =
+      Encoders.product[CepBoundG[T]]
+    implicit val keyEnc: org.apache.spark.sql.Encoder[String] = Encoders.STRING
+    // accessors by case-class field position (product order == encoder
+    // schema order), so the closures capture plain ints
+    val schema = tEnc.schema
+    val ki = schema.fieldIndex(keyField)
+    val ti = schema.fieldIndex(timeField)
+    val ii = schema.fieldIndex(idField)
+    val key: T => String = t => String.valueOf(t.productElement(ki))
+    val time: T => Long = t => t.productElement(ti).asInstanceOf[Number].longValue
+    val id: T => Long = t => t.productElement(ii).asInstanceOf[Number].longValue
     val withWm = ds.toDF()
-      .withColumn("__event_ts", timestamp_micros(col("ts_us")))
+      .withColumn("__event_ts", timestamp_micros(col(timeField)))
       .withWatermark("__event_ts", watermarkDelay)
-      .as[Ev]
-    withWm.groupByKey(_.user_id)
-      .flatMapGroupsWithState[CepState, CepBound](OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_, it, state: GroupState[CepState]) =>
-          val st = state.getOption.getOrElse(CepState(Nil, Nil))
+      .as[T]
+    withWm.groupByKey(key)
+      .flatMapGroupsWithState[CepStateG[T], CepBoundG[T]](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k, it, state: GroupState[CepStateG[T]]) =>
+          val st = state.getOption.getOrElse(CepStateG[T](Nil, Nil))
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val live: Long => Boolean =
             if (wmUs <= 0L || pattern.withinUs == Long.MaxValue) _ => true
@@ -396,9 +464,9 @@ object Cep {
           // but re-admitting it could re-create a match whose emitted
           // marker was already pruned, emitting a duplicate. Mirrors the
           // reference CepOperator dropping late elements. Patterns that
-          // assert ABSENCE (NotFollowed) drop everything below the
-          // watermark itself — the reference's exact late-element rule —
-          // because a sub-watermark arrival landing in an emitted
+          // assert ABSENCE (NotFollowed/NotNext) drop everything below
+          // the watermark itself — the reference's exact late-element
+          // rule — because a sub-watermark arrival landing in an emitted
           // match's gap would falsify it unretractably; the emission
           // hold below only protects against events at or above the
           // watermark.
@@ -408,11 +476,11 @@ object Cep {
             if (wmUs <= 0L) _ => true
             else if (negated) ts => ts >= wmUs
             else live
-          val buffer = (st.buffer ++ it.filter(e => admit(e.ts_us)))
-            .sortBy(e => (e.ts_us, e.event_id))
-          val all = matchSortedBound(buffer.toIndexedSeq, pattern)
-          // A pattern containing notFollowedBy asserts ABSENCE, which a
-          // later batch can falsify with a late in-horizon event — so
+          val buffer = (st.buffer ++ it.filter(e => admit(time(e))))
+            .sortBy(e => (time(e), id(e)))
+          val all = matchSortedG(buffer.toIndexedSeq, pattern, time, id)
+          // A pattern containing a negative step asserts ABSENCE, which
+          // a later batch can falsify with a late in-horizon event — so
           // when a within bound exists, hold its matches until the
           // watermark closes the window (at pattern end this is also
           // the only point absence becomes provable). Unconfirmed
@@ -435,15 +503,15 @@ object Cep {
             z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
             z ^ (z >>> 31)
           }
-          def sig(m: CepBound): Long =
-            if (!anyPattern) m.binds.head.ev.event_id
-            else m.binds.foldLeft(m.binds.length.toLong)((h, b) => mix(h, b.ev.event_id))
+          def sig(m: MatchG[T]): Long =
+            if (!anyPattern) id(m.binds.head.ev)
+            else m.binds.foldLeft(m.binds.length.toLong)((h, b) => mix(h, id(b.ev)))
           val seen = st.emitted.map(p => (p._1, p._2)).toSet
           val fresh = confirmed.filterNot(m => seen.contains((m.start_us, sig(m))))
           val emitted = st.emitted ++ fresh.map(m => (m.start_us, sig(m)))
-          state.update(CepState(buffer.filter(e => live(e.ts_us)),
+          state.update(CepStateG(buffer.filter(e => live(time(e))),
             emitted.filter(p => live(p._1))))
-          fresh.iterator
+          fresh.iterator.map(m => CepBoundG(k, m.start_us, m.end_us, m.binds))
       }
   }
 }
