@@ -105,15 +105,51 @@ object Cep {
    * (`SkipToLastStrategy`). */
   final case class SkipToLast(step: String) extends AfterMatch
 
-  final case class Step[T](name: String, pred: T => Boolean, strict: Boolean,
-      quant: Quant = Once)
+  /** Context visible to an iterative condition (reference
+   * `cep/pattern/conditions/IterativeCondition.java:59`
+   * `Context.getEventsForPattern`, plus MATCH_RECOGNIZE's PREV
+   * navigation): the events already bound to earlier (or looping)
+   * steps of the CURRENT partial match, and the rows physically
+   * preceding the candidate in the key's time-ordered stream. */
+  trait MatchCtx[T] {
+    /** Events bound so far to `step`, in consumption order
+     * (times-expanded `step#k` names match by prefix). */
+    def eventsFor(step: String): Seq[T]
+    /** The row `offset` >= 1 positions before the candidate row in the
+     * key's time-ordered stream (MATCH_RECOGNIZE `PREV`): None before
+     * the start of the retained buffer — in streaming, history older
+     * than `watermark - within` is evicted, so PREV is exact within
+     * the pattern's own horizon. */
+    def prev(offset: Int): Option[T]
+  }
+
+  /** A step condition: the candidate event plus the partial-match
+   * context (simple conditions ignore the context). */
+  type IterPred[T] = (T, MatchCtx[T]) => Boolean
+
+  private def lift[T](pred: T => Boolean): IterPred[T] = (e, _) => pred(e)
+
+  final case class Step[T](name: String, pred: IterPred[T], strict: Boolean,
+      quant: Quant = Once, until: Option[IterPred[T]] = None)
 
   final case class Pattern[T](steps: Vector[Step[T]], withinUs: Long = Long.MaxValue,
       skip: AfterMatch = NoSkip) {
     def next(name: String, pred: T => Boolean): Pattern[T] =
-      copy(steps = steps :+ Step(name, pred, strict = true))
+      copy(steps = steps :+ Step(name, lift(pred), strict = true))
     def followedBy(name: String, pred: T => Boolean): Pattern[T] =
+      copy(steps = steps :+ Step(name, lift(pred), strict = false))
+    /** Strict step with an ITERATIVE condition — the predicate also
+     * sees the events bound to earlier steps of the partial match and
+     * PREV rows (reference `IterativeCondition`). */
+    def nextIter(name: String, pred: IterPred[T]): Pattern[T] =
+      copy(steps = steps :+ Step(name, pred, strict = true))
+    /** Relaxed step with an ITERATIVE condition. */
+    def followedByIter(name: String, pred: IterPred[T]): Pattern[T] =
       copy(steps = steps :+ Step(name, pred, strict = false))
+    /** Relaxed-reluctant oneOrMore with an ITERATIVE condition — each
+     * repetition sees the repetitions already consumed. */
+    def oneOrMoreIter(name: String, pred: IterPred[T]): Pattern[T] =
+      copy(steps = steps :+ Step(name, pred, strict = false, quant = OneOrMoreRelaxed))
     /** n occurrences with relaxed contiguity (expands to n steps —
      * reference `Pattern.times`). */
     def times(name: String, pred: T => Boolean, n: Int): Pattern[T] =
@@ -130,26 +166,26 @@ object Cep {
      * the reference's default `Pattern.oneOrMore` (SKIP_TILL_NEXT
      * between repetitions, minimal consumption). */
     def oneOrMore(name: String, pred: T => Boolean): Pattern[T] =
-      copy(steps = steps :+ Step(name, pred, strict = false, quant = OneOrMoreRelaxed))
+      copy(steps = steps :+ Step(name, lift(pred), strict = false, quant = OneOrMoreRelaxed))
     /** Optional relaxed step (reference `Pattern.optional`). */
     def optional(name: String, pred: T => Boolean): Pattern[T] =
-      copy(steps = steps :+ Step(name, pred, strict = false, quant = Optional))
+      copy(steps = steps :+ Step(name, lift(pred), strict = false, quant = Optional))
     /** Optional STRICT step: included only if the immediately next
      * event qualifies (MATCH_RECOGNIZE `X?` contiguity). */
     def optionalNext(name: String, pred: T => Boolean): Pattern[T] =
-      copy(steps = steps :+ Step(name, pred, strict = true, quant = Optional))
+      copy(steps = steps :+ Step(name, lift(pred), strict = true, quant = Optional))
     /** Reluctant optional: excluded unless the rest of the pattern
      * cannot match without it. */
     def optionalReluctant(name: String, pred: T => Boolean): Pattern[T] =
-      copy(steps = steps :+ Step(name, pred, strict = false, quant = OptionalReluctant))
+      copy(steps = steps :+ Step(name, lift(pred), strict = false, quant = OptionalReluctant))
     /** Greedy maximal consecutive run, >= 1 (reference
      * `Pattern.oneOrMore` with strict inner contiguity). */
     def oneOrMoreNext(name: String, pred: T => Boolean): Pattern[T] =
-      copy(steps = steps :+ Step(name, pred, strict = true, quant = OneOrMore))
+      copy(steps = steps :+ Step(name, lift(pred), strict = true, quant = OneOrMore))
     /** Reluctant consecutive run, >= 1: consumes as few events as the
      * rest of the pattern allows. */
     def oneOrMoreNextReluctant(name: String, pred: T => Boolean): Pattern[T] =
-      copy(steps = steps :+ Step(name, pred, strict = true, quant = OneOrMoreReluctant))
+      copy(steps = steps :+ Step(name, lift(pred), strict = true, quant = OneOrMoreReluctant))
     /** After-match skip strategy (reference `Pattern.begin(name,
      * afterMatchSkipStrategy)`). */
     def afterMatchSkip(s: AfterMatch): Pattern[T] = copy(skip = s)
@@ -158,13 +194,13 @@ object Cep {
      * event is not consumed. Requires `within` in this engine (see
      * `notFollowedBy`). */
     def notNext(name: String, pred: T => Boolean): Pattern[T] =
-      copy(steps = steps :+ Step(name, pred, strict = true, quant = NotNext))
+      copy(steps = steps :+ Step(name, lift(pred), strict = true, quant = NotNext))
     /** Relaxed step matching EVERY qualifying later event, not just
      * the earliest (reference `Pattern.followedByAny`): one start can
      * emit several matches, deduplicated by full match signature.
      * Only NoSkip/SkipToNext compose with Any branches. */
     def followedByAny(name: String, pred: T => Boolean): Pattern[T] =
-      copy(steps = steps :+ Step(name, pred, strict = false, quant = Any))
+      copy(steps = steps :+ Step(name, lift(pred), strict = false, quant = Any))
     /** Negative relaxed step (reference `Pattern.notFollowedBy`): no
      * qualifying event between the previous consumed event and the
      * next consumed one. This engine requires `within` on ANY pattern
@@ -173,16 +209,60 @@ object Cep {
      * until the watermark closes the window — with per-micro-batch
      * re-evaluation, absence is only provable then. */
     def notFollowedBy(name: String, pred: T => Boolean): Pattern[T] =
-      copy(steps = steps :+ Step(name, pred, strict = false, quant = NotFollowed))
+      copy(steps = steps :+ Step(name, lift(pred), strict = false, quant = NotFollowed))
+    /** Stop condition for the LAST step, which must be a looping
+     * (oneOrMore-family) step (reference `Pattern.until`,
+     * `Pattern.java:219`): the loop stops accepting repetitions as
+     * soon as a row satisfying `stop` is reached — the stopping row is
+     * not consumed, and a loop that hits the stop row before its first
+     * repetition fails (>= 1 not met). */
+    def until(stop: T => Boolean): Pattern[T] = untilIter(lift(stop))
+    /** `until` with an iterative stop condition. */
+    def untilIter(stop: IterPred[T]): Pattern[T] = {
+      require(steps.nonEmpty && isLooping(steps.last.quant),
+        "until() applies to a oneOrMore-family step")
+      copy(steps = steps.init :+ steps.last.copy(until = Some(stop)))
+    }
+    /** Append a GROUP pattern with relaxed contiguity (reference
+     * `GroupPattern.java:30`, `Pattern.followedBy(Pattern)`): the
+     * group's steps splice into this pattern; the group's first step
+     * adopts relaxed contiguity toward the preceding event. The group
+     * must not set its own within/skip (the outer pattern's apply). */
+    def followedByGroup(group: Pattern[T]): Pattern[T] = splice(group, strictHead = false)
+    /** Append a GROUP pattern with strict contiguity (reference
+     * `Pattern.next(Pattern)`). */
+    def nextGroup(group: Pattern[T]): Pattern[T] = splice(group, strictHead = true)
+    /** n repetitions of a GROUP pattern, relaxed between repetitions
+     * (reference `Pattern.followedBy(group).times(n)`): inner step
+     * names get `#k` suffixes per repetition so bindings stay
+     * addressable. */
+    def timesGroup(group: Pattern[T], n: Int): Pattern[T] = {
+      require(n >= 1, "need n >= 1")
+      (1 to n).foldLeft(this)((p, k) =>
+        p.splice(group.copy(steps = group.steps.map(s =>
+          s.copy(name = s"${s.name}#$k"))), strictHead = false))
+    }
+    private def splice(group: Pattern[T], strictHead: Boolean): Pattern[T] = {
+      require(group.steps.nonEmpty, "empty group pattern")
+      require(group.withinUs == Long.MaxValue && group.skip == NoSkip,
+        "group patterns may not carry within()/afterMatchSkip (set them on the outer pattern)")
+      require(group.steps.head.quant == Once,
+        "a group's first step must be unquantified (its contiguity comes from the outer combinator)")
+      val head = group.steps.head.copy(strict = strictHead)
+      copy(steps = steps ++ (head +: group.steps.tail))
+    }
     def within(us: Long): Pattern[T] = copy(withinUs = us)
   }
+
+  private def isLooping(q: Quant): Boolean =
+    q == OneOrMore || q == OneOrMoreReluctant || q == OneOrMoreRelaxed
 
   object Pattern {
     /** Generic entry over any event type (reference
      * `Pattern.<T>begin`); the explicit type argument gives the
      * predicate lambda its parameter type. */
     def of[T](name: String, pred: T => Boolean): Pattern[T] =
-      Pattern(Vector(Step(name, pred, strict = false)))
+      Pattern(Vector(Step(name, lift(pred), strict = false)))
     /** Ev-fixture shorthand (the original entry; keeps the predicate
      * lambdas inferring without a type argument). */
     def begin(name: String, pred: Ev => Boolean): Pattern[Ev] = of[Ev](name, pred)
