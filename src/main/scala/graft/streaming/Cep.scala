@@ -297,6 +297,19 @@ object Cep {
     def inWindow(start: T, j: Int): Boolean =
       j < events.length && time(events(j)) - time(start) <= p.withinUs
 
+    /** Iterative-condition context for the candidate at index `cand`
+     * given the bindings accumulated so far: the context sees only the
+     * CURRENT partial match (reference `IterativeCondition.java:59`),
+     * and `prev` walks the physical time-ordered buffer
+     * (MATCH_RECOGNIZE `PREV`). */
+    def ctxAt(binds: Vector[(String, Int)], cand: Int): MatchCtx[T] = new MatchCtx[T] {
+      def eventsFor(step: String): Seq[T] = binds.collect {
+        case (n, j) if n == step || n.startsWith(step + "#") => events(j)
+      }
+      def prev(offset: Int): Option[T] =
+        if (offset >= 1 && cand - offset >= 0) Some(events(cand - offset)) else None
+    }
+
     /** Enumerate matches of `steps` with the previous consumed index
      * at `pos`, lazily, in deterministic preference order; `acc`
      * carries (step name, event index) bindings in consumption order
@@ -308,30 +321,38 @@ object Cep {
         acc: Vector[(String, Int)]): LazyList[(Int, Vector[(String, Int)])] = steps match {
       case Nil => LazyList((pos, acc))
       case st :: rest =>
+        def ok(binds: Vector[(String, Int)], j: Int): Boolean =
+          st.pred(events(j), ctxAt(binds, j))
+        // until() stop condition (reference `Pattern.java:219`): the
+        // loop stops accepting repetitions at the first row satisfying
+        // it; the stop row is not consumed, and a stop row before the
+        // first repetition fails the loop (>= 1 not met).
+        def stopAt(binds: Vector[(String, Int)], j: Int): Boolean =
+          st.until.exists(u => u(events(j), ctxAt(binds, j)))
         def withEventAt(j: Int): LazyList[(Int, Vector[(String, Int)])] =
           matchSteps(start, j, rest, acc :+ ((st.name, j)))
         def firstQualifying(from: Int): Int = {
           var j = from
-          while (inWindow(start, j) && !st.pred(events(j))) j += 1
+          while (inWindow(start, j) && !ok(acc, j)) j += 1
           j
         }
         st.quant match {
           case Once if st.strict =>
             val j = pos + 1
-            if (inWindow(start, j) && st.pred(events(j))) withEventAt(j) else LazyList.empty
+            if (inWindow(start, j) && ok(acc, j)) withEventAt(j) else LazyList.empty
           case Once => // relaxed: earliest qualifying event
             val j = firstQualifying(pos + 1)
             if (inWindow(start, j)) withEventAt(j) else LazyList.empty
           case Any => // relaxed: EVERY qualifying later event is a branch
             LazyList.from(pos + 1)
               .takeWhile(j => inWindow(start, j))
-              .filter(j => st.pred(events(j)))
+              .filter(j => ok(acc, j))
               .flatMap(withEventAt)
           case Optional => // greedy include-first, fall back to skipping
             val included =
               if (st.strict) { // MATCH_RECOGNIZE contiguity: next event only
                 val j = pos + 1
-                if (inWindow(start, j) && st.pred(events(j))) withEventAt(j) else LazyList.empty
+                if (inWindow(start, j) && ok(acc, j)) withEventAt(j) else LazyList.empty
               } else {
                 val j = firstQualifying(pos + 1)
                 if (inWindow(start, j)) withEventAt(j) else LazyList.empty
@@ -347,7 +368,7 @@ object Cep {
             // matches until the watermark closes the within window, at
             // which point no event can still land in the adjacency slot
             val j = pos + 1
-            if (inWindow(start, j) && st.pred(events(j))) LazyList.empty
+            if (inWindow(start, j) && ok(acc, j)) LazyList.empty
             else matchSteps(start, pos, rest, acc)
           case NotFollowed =>
             // forbid qualifying events between pos and each
@@ -358,31 +379,34 @@ object Cep {
               val boundary =
                 if (binds.length > acc.length) binds(acc.length)._2
                 else { var j = pos + 1; while (inWindow(start, j)) j += 1; j }
-              !((pos + 1) until boundary).exists(j => st.pred(events(j)))
+              !((pos + 1) until boundary).exists(j => ok(acc, j))
             }
           case OneOrMore => // maximal strict run, no backtracking
-            var j = pos + 1
-            if (!inWindow(start, j) || !st.pred(events(j))) LazyList.empty
+            val j0 = pos + 1
+            if (!inWindow(start, j0) || stopAt(acc, j0) || !ok(acc, j0)) LazyList.empty
             else {
+              var j = j0
               var binds = acc
-              while (inWindow(start, j) && st.pred(events(j))) {
+              while (inWindow(start, j) && !stopAt(binds, j) && ok(binds, j)) {
                 binds :+= ((st.name, j)); j += 1
               }
               matchSteps(start, j - 1, rest, binds)
             }
           case OneOrMoreReluctant => // minimal strict run, extend on failure
             def runs(j: Int, binds: Vector[(String, Int)]): LazyList[(Int, Vector[(String, Int)])] =
-              if (!inWindow(start, j) || !st.pred(events(j))) LazyList.empty
+              if (!inWindow(start, j) || stopAt(binds, j) || !ok(binds, j)) LazyList.empty
               else {
                 val b = binds :+ ((st.name, j))
                 matchSteps(start, j, rest, b) #::: runs(j + 1, b)
               }
             runs(pos + 1, acc)
           case OneOrMoreRelaxed => // minimal relaxed run: each further
-            // repetition jumps to the next qualifying event (gaps OK)
+            // repetition jumps to the next qualifying event (gaps OK),
+            // but a stop row reached first ends the loop unconsumed
             def relaxedRuns(from: Int, binds: Vector[(String, Int)]): LazyList[(Int, Vector[(String, Int)])] = {
-              val k = firstQualifying(from)
-              if (!inWindow(start, k)) LazyList.empty
+              var k = from
+              while (inWindow(start, k) && !stopAt(binds, k) && !ok(binds, k)) k += 1
+              if (!inWindow(start, k) || stopAt(binds, k)) LazyList.empty
               else {
                 val b = binds :+ ((st.name, k))
                 matchSteps(start, k, rest, b) #::: relaxedRuns(k + 1, b)
@@ -399,7 +423,7 @@ object Cep {
     while (i < events.length) {
       val start = events(i)
       var next = i + 1
-      if (p.steps.head.pred(start)) {
+      if (p.steps.head.pred(start, ctxAt(Vector.empty, i))) {
         val alts = matchSteps(start, i, p.steps.tail.toList,
           Vector((p.steps.head.name, i)))
         // earliest-match subset takes the preferred alternative; Any
@@ -568,7 +592,9 @@ object Cep {
           // outlive them: start_us >= wm - within while open).
           val confirmed =
             if (!negated) all // validate() guarantees negated => within()
-            else all.filter(m => wmUs > 0L && m.start_us + pattern.withinUs < wmUs)
+            // subtraction form: start + within can overflow Long for
+            // large within; wmUs >= 0 makes wmUs - within overflow-safe
+            else all.filter(m => wmUs > 0L && m.start_us < wmUs - pattern.withinUs)
           // Dedup marker: one match per start for the deterministic
           // earliest-match subset — a late event may CHANGE the
           // preferred binding for an emitted start, and re-emitting the

@@ -12,6 +12,13 @@ class MatchRecognizeSpec extends SparkSuite {
   private def ev(id: Long, typ: String, tsUs: Long, v: Double = 1.0, user: Long = 1) =
     Ev(id, user, typ, tsUs, v)
 
+  /** Empty iterative-condition context for exercising simple (context-
+   * blind) predicates directly. */
+  private val noCtx = new Cep.MatchCtx[Ev] {
+    def eventsFor(step: String): Seq[Ev] = Nil
+    def prev(offset: Int): Option[Ev] = None
+  }
+
   test("parse compiles pattern, quantifiers, within, skip and defines") {
     val spec = MatchRecognize.parse("""
       SELECT * FROM events MATCH_RECOGNIZE (
@@ -30,9 +37,9 @@ class MatchRecognizeSpec extends SparkSuite {
     assert(spec.pattern.steps(1).quant == Cep.OneOrMore)
     assert(spec.pattern.steps(2).quant == Cep.Optional && spec.pattern.steps(2).strict)
     val defB = spec.pattern.steps(1).pred
-    assert(defB(ev(1, "x", 0, 5.0)) && !defB(ev(1, "x", 0, 11.0)))
+    assert(defB(ev(1, "x", 0, 5.0), noCtx) && !defB(ev(1, "x", 0, 11.0), noCtx))
     // undefined symbol C matches any row
-    assert(spec.pattern.steps(2).pred(ev(1, "anything", 0)))
+    assert(spec.pattern.steps(2).pred(ev(1, "anything", 0), noCtx))
   }
 
   test("end-to-end: measures project FIRST/LAST of a one-or-more step") {

@@ -325,6 +325,120 @@ class CepSpec extends SparkSuite {
     assert(Cep.matchSorted(events, p).map(_.event_ids) == List(Seq(3L)))
   }
 
+  test("until(): a relaxed loop stops accepting repetitions at the stop row") {
+    // without until, the relaxed run extends past `stop` to view 5 and
+    // the strict next(buy) matches after it
+    def mk(withUntil: Boolean) = {
+      val loop = Cep.Pattern.begin("a", _.event_type == "a")
+        .oneOrMore("v", _.event_type == "view")
+      (if (withUntil) loop.until(_.event_type == "stop") else loop)
+        .next("buy", _.event_type == "purchase")
+    }
+    val events = IndexedSeq(
+      ev(1, "a", 0), ev(2, "view", 10), ev(3, "view", 20),
+      ev(4, "stop", 30), ev(5, "view", 40), ev(6, "purchase", 50))
+    assert(Cep.matchSorted(events, mk(withUntil = false)).map(_.event_ids) ==
+      List(Seq(1L, 2L, 3L, 5L, 6L)))
+    // with until(stop): the scan reaches the stop row before view 5,
+    // the loop ends (stop row unconsumed), and no alternative reaches
+    // the purchase adjacently — no match
+    assert(Cep.matchSorted(events, mk(withUntil = true)).isEmpty)
+  }
+
+  test("until(): stop row before the first repetition fails the loop (>= 1 unmet)") {
+    val p = Cep.Pattern.begin("a", _.event_type == "a")
+      .oneOrMore("v", _.event_type == "view")
+      .until(_.event_type == "stop")
+      .followedBy("buy", _.event_type == "purchase")
+    val events = IndexedSeq(
+      ev(1, "a", 0), ev(2, "stop", 10), ev(3, "view", 20), ev(4, "purchase", 30))
+    assert(Cep.matchSorted(events, p).isEmpty)
+  }
+
+  test("until(): a greedy strict run stops at a stop row that also satisfies pred") {
+    def ev2(id: Long, typ: String, tsUs: Long, v: Double) = Ev(id, 1, typ, tsUs, v)
+    val p = Cep.Pattern.begin("a", _.event_type == "a")
+      .oneOrMoreNext("v", _.event_type == "view")
+      .followedBy("buy", _.event_type == "purchase")
+    val events = IndexedSeq(
+      ev2(1, "a", 0, 0), ev2(2, "view", 10, 1), ev2(3, "view", 20, 2),
+      ev2(4, "view", 30, 9), ev2(5, "view", 40, 3), ev2(6, "purchase", 50, 0))
+    // unbounded greedy run swallows all four views
+    assert(Cep.matchSorted(events, p).map(_.event_ids) ==
+      List(Seq(1L, 2L, 3L, 4L, 5L, 6L)))
+    // until(value > 5): run stops BEFORE view 4 (stop wins over pred)
+    assert(Cep.matchSorted(events, p.copy(steps =
+        p.steps.updated(1, p.steps(1).copy(until =
+          Some((e: Ev, _: Cep.MatchCtx[Ev]) => e.value > 5))))).map(_.event_ids) ==
+      List(Seq(1L, 2L, 3L, 6L)))
+  }
+
+  test("iterative condition: followedByIter reads earlier bindings via ctx.eventsFor") {
+    def ev2(id: Long, typ: String, tsUs: Long, v: Double) = Ev(id, 1, typ, tsUs, v)
+    val p = Cep.Pattern.begin("a", _.event_type == "a")
+      .followedByIter("b", (e, ctx) =>
+        e.event_type == "b" && e.value > ctx.eventsFor("a").head.value)
+    val events = IndexedSeq(
+      ev2(1, "a", 0, 5.0), ev2(2, "b", 10, 3.0), ev2(3, "b", 20, 7.0))
+    // b with value 3 fails the iterative compare; the 7.0 one binds
+    assert(Cep.matchSorted(events, p).map(_.event_ids) == List(Seq(1L, 3L)))
+  }
+
+  test("iterative condition: oneOrMoreIter sees its own consumed repetitions") {
+    def ev2(id: Long, typ: String, tsUs: Long, v: Double) = Ev(id, 1, typ, tsUs, v)
+    // strictly-increasing run: each repetition must exceed the last one
+    val p = Cep.Pattern.begin("a", _.event_type == "a")
+      .oneOrMoreIter("inc", (e, ctx) =>
+        e.event_type == "v" &&
+          ctx.eventsFor("inc").lastOption.forall(_.value < e.value))
+      .followedBy("end", _.event_type == "end")
+    val events = IndexedSeq(
+      ev2(1, "a", 0, 0), ev2(2, "v", 10, 2.0), ev2(3, "v", 20, 1.0),
+      ev2(4, "v", 30, 5.0), ev2(5, "end", 40, 0))
+    // reluctant minimal first: [2] then end matches → binds (2);
+    // v=1 would have been rejected by the increasing constraint
+    assert(Cep.matchSorted(events, p).map(_.event_ids) == List(Seq(1L, 2L, 5L)))
+  }
+
+  test("iterative condition: ctx.prev navigates the physical time-ordered stream") {
+    // b binds only when the row physically before it is an 'x'
+    val p = Cep.Pattern.begin("a", _.event_type == "a")
+      .followedByIter("b", (e, ctx) =>
+        e.event_type == "b" && ctx.prev(1).exists(_.event_type == "x"))
+    val events = IndexedSeq(
+      ev(1, "a", 0), ev(2, "b", 10), ev(3, "x", 20), ev(4, "b", 30))
+    assert(Cep.matchSorted(events, p).map(_.event_ids) == List(Seq(1L, 4L)))
+  }
+
+  test("group splicing: followedByGroup/nextGroup equal the hand-spliced pattern") {
+    val group = Cep.Pattern.of[Ev]("g1", _.event_type == "view")
+      .next("g2", _.event_type == "purchase")
+    val spliced = Cep.Pattern.begin("a", _.event_type == "a").followedByGroup(group)
+    val manual = Cep.Pattern.begin("a", _.event_type == "a")
+      .followedBy("g1", _.event_type == "view")
+      .next("g2", _.event_type == "purchase")
+    val events = IndexedSeq(
+      ev(1, "a", 0), ev(2, "other", 10), ev(3, "view", 20), ev(4, "purchase", 30))
+    assert(Cep.matchSorted(events, spliced).map(_.event_ids) ==
+      Cep.matchSorted(events, manual).map(_.event_ids))
+    assert(Cep.matchSorted(events, spliced).map(_.event_ids) == List(Seq(1L, 3L, 4L)))
+    // nextGroup: strict head — the gap event blocks it
+    val strict = Cep.Pattern.begin("a", _.event_type == "a").nextGroup(group)
+    assert(Cep.matchSorted(events, strict).isEmpty)
+  }
+
+  test("timesGroup repeats a group with addressable #k step names") {
+    val group = Cep.Pattern.of[Ev]("v", _.event_type == "view")
+      .next("p", _.event_type == "purchase")
+    val p = Cep.Pattern.begin("a", _.event_type == "a").timesGroup(group, 2)
+    val events = IndexedSeq(
+      ev(1, "a", 0), ev(2, "view", 10), ev(3, "purchase", 20),
+      ev(4, "other", 30), ev(5, "view", 40), ev(6, "purchase", 50))
+    val bound = Cep.matchSortedBound(events, p)
+    assert(bound.map(_.binds.map(_.ev.event_id)) == List(List(1L, 2L, 3L, 5L, 6L)))
+    assert(bound.head.binds.map(_.step) == List("a", "v#1", "p#1", "v#2", "p#2"))
+  }
+
   test("streaming: end-negated match held until the watermark closes its window") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
