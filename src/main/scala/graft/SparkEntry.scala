@@ -26,6 +26,7 @@ object SparkEntry {
     qp.UdfQueries,
     qp.TimeWindowQueries,
     qp.StreamQueries,
+    qp.CepQueries,
     qp.TextQueries,
     qp.DedupQueries,
     qp.MultimodalQueries,

@@ -1,0 +1,191 @@
+package graft.queries
+
+import graft.QueryPack
+import graft.streaming.{Cep, StreamOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Order-stream event for the generic (non-`Ev`) CEP gate: the CEP
+ * engine is generic over any case-class event type (reference
+ * `cep/operator/CepOperator.java:81`, `Pattern<T, F extends T>`), so
+ * this gate runs a pattern over the `orders` table — partition key
+ * `o_custkey`, event time `o_orderdate` (epoch micros), id
+ * `o_orderkey`. */
+case class OrderEv(o_orderkey: Long, o_custkey: Long, o_orderstatus: String, ts_us: Long)
+
+/**
+ * Oracle gates for the advanced CEP pattern surface (SURVEY.md §2.9):
+ * `until()` stop conditions (reference `cep/pattern/Pattern.java:219`),
+ * iterative conditions reading the partial match + PREV rows
+ * (`cep/pattern/conditions/IterativeCondition.java:59`), group-pattern
+ * splicing (`cep/pattern/GroupPattern.java:30`), and genericity over
+ * the event type (`Pattern.java:128` type parameter).
+ *
+ * Each gate is a REAL Structured Streaming query (file source →
+ * flatMapGroupsWithState NFA → memory sink) hash-checked against a
+ * DuckDB oracle expressing the same earliest-match semantics with
+ * chained LATERAL first-qualifying scans.
+ *
+ * Scale notes: state per key is bounded by the pattern's `within`
+ * horizon (watermark eviction inside `Cep.runBoundBy`); matching is
+ * per-key sequential over that bounded buffer, so the work distributes
+ * by partition key with no shuffle beyond the initial groupByKey.
+ */
+object CepQueries extends QueryPack {
+
+  private val TenMinUs = 10L * 60 * 1000 * 1000
+  private val TwelveHoursUs = 12L * 3600 * 1000 * 1000
+  private val ThreeDaysUs = 3L * 24 * 3600 * 1000 * 1000
+  private val NinetyDaysUs = 90L * 24 * 3600 * 1000 * 1000
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // until() stop condition on a looping step (reference
+    // `Pattern.java:219`): a click followed by page views, where the
+    // view loop stops (unconsumed) at the first purchase — so the match
+    // exists only if a view is reached BEFORE any purchase. Reluctant
+    // oneOrMore emits the minimal (first-view) match.
+    "stream_cep_until" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val pattern = Cep.Pattern
+        .begin("click", _.event_type == "click")
+        .oneOrMore("page", _.event_type == "view")
+        .until(_.event_type == "purchase")
+        .within(TenMinUs)
+      StreamOps.runToBatch(
+        s, Cep.run(StreamOps.eventsTyped(s, dir), pattern).toDF(),
+        "append", "stream_cep_until")
+        .select(col("user_id"),
+          col("event_ids").getItem(0).as("click_id"),
+          col("event_ids").getItem(1).as("view_id"))
+        .orderBy(col("click_id"))
+    }),
+
+    // Iterative condition (reference `IterativeCondition.java:59` +
+    // MATCH_RECOGNIZE PREV): the second step's predicate reads the
+    // partial match (`ctx.eventsFor("click")` — the purchase must beat
+    // the click's value) AND the physical predecessor row
+    // (`ctx.prev(1)` — the purchase must not directly follow an error).
+    "stream_cep_iterative" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val pattern = Cep.Pattern
+        .begin("click", _.event_type == "click")
+        .followedByIter("big_buy", (e, ctx) =>
+          e.event_type == "purchase" &&
+            ctx.eventsFor("click").headOption.exists(c => e.value > c.value) &&
+            ctx.prev(1).forall(_.event_type != "error"))
+        .within(TwelveHoursUs)
+      StreamOps.runToBatch(
+        s, Cep.run(StreamOps.eventsTyped(s, dir), pattern).toDF(),
+        "append", "stream_cep_iter")
+        .select(col("user_id"),
+          col("event_ids").getItem(0).as("click_id"),
+          col("event_ids").getItem(1).as("buy_id"))
+        .orderBy(col("click_id"))
+    }),
+
+    // Group-pattern splicing (reference `GroupPattern.java:30`,
+    // `Pattern.followedBy(Pattern).times(n)`): a (view → purchase)
+    // group repeated twice after a click, relaxed contiguity
+    // throughout, each repetition's bindings addressable via the
+    // `name#k` convention.
+    "stream_cep_group" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val grp = Cep.Pattern.of[graft.streaming.Ev]("v", _.event_type == "view")
+        .followedBy("b", _.event_type == "purchase")
+      val pattern = Cep.Pattern
+        .begin("click", _.event_type == "click")
+        .timesGroup(grp, 2)
+        .within(ThreeDaysUs)
+      StreamOps.runToBatch(
+        s, Cep.run(StreamOps.eventsTyped(s, dir), pattern).toDF(),
+        "append", "stream_cep_group")
+        .select(col("user_id"),
+          col("event_ids").getItem(0).as("click_id"),
+          col("event_ids").getItem(1).as("v1_id"),
+          col("event_ids").getItem(2).as("b1_id"),
+          col("event_ids").getItem(3).as("v2_id"),
+          col("event_ids").getItem(4).as("b2_id"))
+        .orderBy(col("click_id"))
+    }),
+
+    // Genericity over the event type (reference `Pattern.java:128`
+    // `Pattern<T, F extends T>`, `CepOperator.java:81`): the same NFA
+    // runs over the `orders` schema via `runBoundBy` — per customer, a
+    // filled order ('F') followed within 90 days by an open one ('O').
+    "stream_cep_generic" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      import s.implicits._
+      val orders = StreamOps.readStream(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("ts_us"))
+        .as[OrderEv]
+      val pattern = Cep.Pattern.of[OrderEv]("f", _.o_orderstatus == "F")
+        .followedBy("o", _.o_orderstatus == "O")
+        .within(NinetyDaysUs)
+      val matches = Cep
+        .runBoundBy(orders, pattern, "o_custkey", "ts_us", "o_orderkey")
+        .map(m => (m.binds.head.ev.o_custkey,
+          m.binds.head.ev.o_orderkey, m.binds(1).ev.o_orderkey))
+        .toDF("o_custkey", "f_key", "o_key")
+      StreamOps.runToBatch(s, matches, "append", "stream_cep_gen")
+        .orderBy(col("f_key"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "stream_cep_until" -> """
+      SELECT c.user_id, c.event_id AS click_id, n.event_id AS view_id
+      FROM events c,
+      LATERAL (SELECT e.* FROM events e WHERE e.user_id = c.user_id
+        AND e.event_type IN ('view', 'purchase')
+        AND (e.ts > c.ts OR (e.ts = c.ts AND e.event_id > c.event_id))
+        AND e.ts <= c.ts + INTERVAL 10 MINUTE
+        ORDER BY e.ts, e.event_id LIMIT 1) n
+      WHERE c.event_type = 'click' AND n.event_type = 'view'
+      ORDER BY click_id""",
+    "stream_cep_iterative" -> """
+      WITH o AS (
+        SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events)
+      SELECT c.user_id, c.event_id AS click_id, b.event_id AS buy_id
+      FROM events c,
+      LATERAL (SELECT e.* FROM o e WHERE e.user_id = c.user_id
+        AND e.event_type = 'purchase'
+        AND e.value > c.value AND coalesce(e.prev_type, '') <> 'error'
+        AND (e.ts > c.ts OR (e.ts = c.ts AND e.event_id > c.event_id))
+        AND e.ts <= c.ts + INTERVAL 12 HOUR
+        ORDER BY e.ts, e.event_id LIMIT 1) b
+      WHERE c.event_type = 'click'
+      ORDER BY click_id""",
+    "stream_cep_group" -> """
+      SELECT c.user_id, c.event_id AS click_id, v1.event_id AS v1_id,
+             b1.event_id AS b1_id, v2.event_id AS v2_id, b2.event_id AS b2_id
+      FROM events c,
+      LATERAL (SELECT e.* FROM events e WHERE e.user_id = c.user_id AND e.event_type = 'view'
+        AND (e.ts > c.ts OR (e.ts = c.ts AND e.event_id > c.event_id))
+        AND e.ts <= c.ts + INTERVAL 3 DAY ORDER BY e.ts, e.event_id LIMIT 1) v1,
+      LATERAL (SELECT e.* FROM events e WHERE e.user_id = c.user_id AND e.event_type = 'purchase'
+        AND (e.ts > v1.ts OR (e.ts = v1.ts AND e.event_id > v1.event_id))
+        AND e.ts <= c.ts + INTERVAL 3 DAY ORDER BY e.ts, e.event_id LIMIT 1) b1,
+      LATERAL (SELECT e.* FROM events e WHERE e.user_id = c.user_id AND e.event_type = 'view'
+        AND (e.ts > b1.ts OR (e.ts = b1.ts AND e.event_id > b1.event_id))
+        AND e.ts <= c.ts + INTERVAL 3 DAY ORDER BY e.ts, e.event_id LIMIT 1) v2,
+      LATERAL (SELECT e.* FROM events e WHERE e.user_id = c.user_id AND e.event_type = 'purchase'
+        AND (e.ts > v2.ts OR (e.ts = v2.ts AND e.event_id > v2.event_id))
+        AND e.ts <= c.ts + INTERVAL 3 DAY ORDER BY e.ts, e.event_id LIMIT 1) b2
+      WHERE c.event_type = 'click'
+      ORDER BY click_id""",
+    "stream_cep_generic" -> """
+      SELECT f.o_custkey, f.o_orderkey AS f_key, o.o_orderkey AS o_key
+      FROM orders f,
+      LATERAL (SELECT e.* FROM orders e WHERE e.o_custkey = f.o_custkey
+        AND e.o_orderstatus = 'O'
+        AND (e.o_orderdate > f.o_orderdate
+             OR (e.o_orderdate = f.o_orderdate AND e.o_orderkey > f.o_orderkey))
+        AND e.o_orderdate <= f.o_orderdate + INTERVAL 90 DAY
+        ORDER BY e.o_orderdate, e.o_orderkey LIMIT 1) o
+      WHERE f.o_orderstatus = 'F'
+      ORDER BY f_key"""
+  )
+}
