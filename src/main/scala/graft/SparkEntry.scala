@@ -27,6 +27,7 @@ object SparkEntry {
     qp.TimeWindowQueries,
     qp.StreamQueries,
     qp.CepQueries,
+    qp.GenericStreamQueries,
     qp.TextQueries,
     qp.DedupQueries,
     qp.MultimodalQueries,

@@ -280,28 +280,27 @@ object StreamQueries extends QueryPack {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
-    // Streaming temporal (versioned) join: each event enriched with the
-    // customer's order version in force at the event's time — dim and
-    // probe streams unioned into one keyed state op.
+    // Streaming temporal (versioned) join, ROW-TIME semantics: each
+    // event enriched with the customer's order version in force at the
+    // event's time; probes HELD until the watermark passes them
+    // (reference TemporalRowTimeJoinOperator), so the probe side is
+    // staged with a far-future sentinel that drives the final flush.
     "stream_temporal_join" -> ((s0, dir) => {
       val s = StreamOps.tuned(s0)
       import s.implicits._
       val dims = StreamOps.readStream(s, dir, "orders")
-        .select(lit(true).as("isDim"), col("o_custkey").as("key"),
-          unix_micros(col("o_orderdate").cast("timestamp")).as("time_us"),
-          col("o_orderkey").as("seq"), lit(0L).as("probe_id"),
-          col("o_totalprice").as("dim_payload"))
-      val probes = StreamOps.readStream(s, dir, "events")
-        .select(lit(false).as("isDim"), col("user_id").as("key"),
-          unix_micros(col("ts").cast("timestamp")).as("time_us"),
-          lit(0L).as("seq"), col("event_id").as("probe_id"),
-          lit(0.0).as("dim_payload"))
-      val joined = graft.streaming.TemporalJoin.run(
-        dims.unionByName(probes).as[graft.streaming.TjInput])
+        .select(col("o_custkey"), unix_micros(col("o_orderdate").cast("timestamp")).as("ts_us"),
+          col("o_orderkey"), col("o_totalprice"))
+        .as[OrderVer]
+      val probes = StreamOps.eventsTypedWithFinalWatermark(s, dir)
+      val joined = graft.streaming.TemporalJoin.runTyped(dims, probes,
+        "o_custkey", "ts_us", "o_orderkey", "user_id", "ts_us", "event_id")
       StreamOps.runToBatch(s, joined.toDF(), "append", "stream_tjoin")
-        .select(col("probe_id").as("event_id"), col("key").as("user_id"),
-          col("matched_seq").as("o_orderkey"),
-          col("matched_payload").as("o_totalprice"))
+        .filter(col("probe.event_id") >= 0)
+        .select(col("probe.event_id").as("event_id"),
+          col("probe.user_id").as("user_id"),
+          col("dim.o_orderkey").as("o_orderkey"),
+          col("dim.o_totalprice").as("o_totalprice"))
         .orderBy(col("event_id"))
     }),
 

@@ -1,7 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import scala.reflect.runtime.universe.TypeTag
+
+/** Per-key Top-N buffer for the generic [[StatefulOps.topNBy]]. */
+case class TopNStateG[T](rows: List[T])
 
 /** One Top-N buffer entry / output row. */
 case class TopNRow(event_type: String, event_id: Long, value: Double)
@@ -39,19 +44,69 @@ case class TopNChange(row_kind: String, event_type: String, event_id: Long,
  */
 object StatefulOps {
 
-  /** Streaming keep-LAST deduplication: one winner per user chosen by
-   * max (ts_us, event_id); emits the winner whenever it changes
-   * (update stream). `dropDuplicates` covers keep-first natively; this
-   * covers the keep-last half Spark lacks. */
-  def keepLastByUser(ds: Dataset[Ev]): Dataset[Ev] = {
-    import ds.sparkSession.implicits._
-    ds.groupByKey(_.user_id)
-      .flatMapGroupsWithState[Ev, Ev](OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (_, it, state: GroupState[Ev]) =>
-          val cand = (state.getOption.iterator ++ it).maxBy(e => (e.ts_us, e.event_id))
-          val changed = state.getOption.forall(o => (o.ts_us, o.event_id) != (cand.ts_us, cand.event_id))
+  /** Field getters by case-class field POSITION (product order ==
+   * encoder schema order), so state-op closures capture plain ints —
+   * the schema-driven recipe of `Cep.runBoundBy`. */
+  private def fieldGetters[T <: Product](schema: org.apache.spark.sql.types.StructType,
+      keyField: String, ordField: String, idField: String): (T => String, T => Long, T => Long) = {
+    val (ki, oi, ii) =
+      (schema.fieldIndex(keyField), schema.fieldIndex(ordField), schema.fieldIndex(idField))
+    (t => String.valueOf(t.productElement(ki)),
+      t => t.productElement(oi).asInstanceOf[Number].longValue,
+      t => t.productElement(ii).asInstanceOf[Number].longValue)
+  }
+
+  /** Streaming keep-LAST deduplication over ANY case-class stream
+   * (reference `deduplicate/ProcTimeDeduplicateKeepLastRowFunction.java`,
+   * which is RowData-generic): one winner per key chosen by max
+   * (time, id); emits the winner whenever it changes (update stream).
+   * `dropDuplicates` covers keep-first natively; this covers the
+   * keep-last half Spark lacks. */
+  def keepLastBy[T <: Product : TypeTag](ds: Dataset[T],
+      keyField: String, timeField: String, idField: String): Dataset[T] = {
+    implicit val tEnc: Encoder[T] = Encoders.product[T]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    val (key, time, id) = fieldGetters[T](tEnc.schema, keyField, timeField, idField)
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[T, T](OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_, it, state: GroupState[T]) =>
+          val cand = (state.getOption.iterator ++ it).maxBy(e => (time(e), id(e)))
+          val changed = state.getOption.forall(o => (time(o), id(o)) != (time(cand), id(cand)))
           state.update(cand)
           if (changed) Iterator.single(cand) else Iterator.empty
+      }
+  }
+
+  /** Ev-fixture shim over [[keepLastBy]] (the original entry). */
+  def keepLastByUser(ds: Dataset[Ev]): Dataset[Ev] =
+    keepLastBy(ds, "user_id", "ts_us", "event_id")
+
+  /** Streaming Top-N over ANY case-class stream (reference
+   * `rank/AppendOnlyTopNFunction.java:52`, RowData-generic): per key
+   * the N best rows by (value desc, id asc) in a bounded sorted state
+   * buffer; emits the whole buffer when it changes (update stream —
+   * the final Top-N is recoverable by re-ranking the distinct emitted
+   * candidates, as the gates do). `valueField` must be numeric. */
+  def topNBy[T <: Product : TypeTag](ds: Dataset[T], keyField: String,
+      valueField: String, idField: String, n: Int): Dataset[T] = {
+    implicit val tEnc: Encoder[T] = Encoders.product[T]
+    implicit val stEnc: Encoder[TopNStateG[T]] = Encoders.product[TopNStateG[T]]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    val schema = tEnc.schema
+    val (ki, vi, ii) = (schema.fieldIndex(keyField),
+      schema.fieldIndex(valueField), schema.fieldIndex(idField))
+    val key: T => String = t => String.valueOf(t.productElement(ki))
+    val value: T => Double = t => t.productElement(vi).asInstanceOf[Number].doubleValue
+    val id: T => Long = t => t.productElement(ii).asInstanceOf[Number].longValue
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[TopNStateG[T], T](OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_, it, state: GroupState[TopNStateG[T]]) =>
+          val old = state.getOption.fold(List.empty[T])(_.rows)
+          val merged = (old.iterator ++ it).toList.distinct
+            .sortBy(e => (-value(e), id(e)))
+            .take(n)
+          state.update(TopNStateG(merged))
+          if (merged != old) merged.iterator else Iterator.empty
       }
   }
 

@@ -186,6 +186,46 @@ object StreamOps {
       .as[Ev]
   }
 
+  /** ANY driver table staged with `rounds` far-future sentinel rows —
+   * the generic analog of [[eventsTypedWithFinalWatermark]] for
+   * non-events schemas: after the data batch the watermark advances
+   * past every real row, so event-time timeouts fire and
+   * watermark-released operators flush completely (the reference's
+   * end-of-input MAX_WATERMARK on bounded streams). Sentinel rows carry
+   * -1 in every `idCols` column (callers filter them out), "sentinel"
+   * in other strings, far-future in `timeCol`, zero elsewhere. */
+  def tableWithFinalWatermark(spark: SparkSession, dir: String, name: String,
+      timeCol: String, idCols: Seq[String], rounds: Int = 1): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val src = Paths.get(s"$dir/$name.parquet")
+    val work = Files.createTempDirectory(s"graft_${name}_flush")
+    val dataFile = work.resolve(s"${name}_data.parquet")
+    try Files.createLink(dataFile, src)
+    catch { case _: Exception => Files.copy(src, dataFile) }
+    Files.setLastModifiedTime(dataFile, FileTime.fromMillis(10000L))
+    val batch = spark.read.parquet(src.toString)
+    (1 to rounds).foreach { r =>
+      val cols = batch.schema.fields.map { f =>
+        if (idCols.contains(f.name)) lit(-1L).cast(f.dataType).as(f.name)
+        else if (f.name == timeCol)
+          lit(s"2200-01-01 0$r:00:00").cast(f.dataType).as(f.name)
+        else f.dataType match {
+          case org.apache.spark.sql.types.StringType => lit("sentinel").as(f.name)
+          case dt => lit(0).cast(dt).as(f.name)
+        }
+      }
+      val before = listParquets(work)
+      batch.limit(1).select(cols.toSeq: _*)
+        .coalesce(1).write.mode("append").parquet(work.toString)
+      (listParquets(work) -- before).foreach(p =>
+        Files.setLastModifiedTime(p, FileTime.fromMillis(10000L + r * 10000L)))
+    }
+    val reader = spark.readStream.schema(batch.schema)
+    (if (rounds > 1) reader.option("maxFilesPerTrigger", "1") else reader)
+      .parquet(s"$work/*.parquet")
+  }
+
   private def listParquets(work: java.nio.file.Path): Set[java.nio.file.Path] = {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.list(work).iterator().asScala

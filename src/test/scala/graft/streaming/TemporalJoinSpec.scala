@@ -3,28 +3,42 @@ package graft.streaming
 import graft.SparkSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
-/** Streaming temporal join: versioned enrichment, tie rules, and the
- * proc-time cross-batch behavior. */
+/** Dim version fixture for the generic temporal join. */
+case class DimV(k: Long, t: Long, seq: Long, payload: Double)
+
+/** Probe fixture for the generic temporal join. */
+case class PrbV(k: Long, t: Long, id: Long)
+
+/** Streaming temporal join: row-time hold-and-release, as-of tie rules,
+ * late dim versions, and watermark retention of the version history. */
 class TemporalJoinSpec extends SparkSuite {
 
-  private def dim(key: Long, t: Long, seq: Long, v: Double) =
-    TjInput(isDim = true, key, t, seq, 0, v)
-  private def probe(id: Long, key: Long, t: Long) =
-    TjInput(isDim = false, key, t, 0, id, 0.0)
+  private val FarUs = 4102444800000000L // ~2100-01-01, advances the watermark
 
-  test("probe matches the latest version at-or-before its time; same-instant version visible") {
+  private def run(dims: MemoryStream[DimV], probes: MemoryStream[PrbV],
+      name: String, delay: String) = {
+    TemporalJoin.runTyped(dims.toDS(), probes.toDS(),
+      "k", "t", "seq", "k", "t", "id", delay).toDF()
+  }
+
+  test("probe matches the latest version at-or-before its time; released on watermark passage") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
-    val ms = MemoryStream[TjInput]
-    val q = TemporalJoin.run(ms.toDS()).toDF()
+    val dims = MemoryStream[DimV]
+    val probes = MemoryStream[PrbV]
+    val q = run(dims, probes, "t_tj1", "0 seconds")
       .writeStream.format("memory").queryName("t_tj1").outputMode("append").start()
     try {
-      ms.addData(
-        dim(1, 100, 1, 10.0), dim(1, 200, 2, 20.0), dim(1, 200, 3, 30.0), // seq tie at t=200
-        probe(101, 1, 150), probe(102, 1, 200), probe(103, 1, 50))
+      dims.addData(DimV(1, 100, 1, 10.0), DimV(1, 200, 2, 20.0), DimV(1, 200, 3, 30.0))
+      probes.addData(PrbV(1, 150, 101), PrbV(1, 200, 102), PrbV(1, 50, 103))
       q.processAllAvailable()
-      val out = spark.table("t_tj1").as[TjOutput].collect()
-        .map(o => o.probe_id -> o.matched_seq).toMap
+      // row-time: nothing may emit before the watermark passes the probes
+      assert(spark.table("t_tj1").count() == 0,
+        "row-time join emitted probes before the watermark passed them")
+      probes.addData(PrbV(1, FarUs, -1)) // advance the watermark
+      q.processAllAvailable()
+      val out = spark.table("t_tj1")
+        .select($"probe.id", $"dim.seq").as[(Long, Option[Long])].collect().toMap
       assert(out == Map(
         101L -> Some(1L),  // version at t=100
         102L -> Some(3L),  // same instant visible; seq tie → max seq
@@ -32,49 +46,62 @@ class TemporalJoinSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("late dim version below a held probe's time is joined (proc-time would miss it)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dims = MemoryStream[DimV]
+    val probes = MemoryStream[PrbV]
+    val q = run(dims, probes, "t_tj_late", "10 seconds")
+      .writeStream.format("memory").queryName("t_tj_late").outputMode("append").start()
+    try {
+      val sec = 1000000L
+      dims.addData(DimV(1, 1 * sec, 1, 10.0))
+      probes.addData(PrbV(1, 5 * sec, 201))
+      q.processAllAvailable() // wm = 0: probe held
+      // v2 arrives in a LATER batch but with time below the held
+      // probe's: row-time semantics must enrich the probe with v2
+      dims.addData(DimV(1, 3 * sec, 2, 20.0))
+      probes.addData(PrbV(1, FarUs, -1))
+      q.processAllAvailable()
+      val out = spark.table("t_tj_late")
+        .select($"probe.id", $"dim.seq").as[(Long, Option[Long])].collect().toMap
+      assert(out == Map(201L -> Some(2L)),
+        s"held probe must see the late version 2, got $out")
+    } finally q.stop()
+  }
+
   test("watermark retention keeps only live dim versions in state") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, size}
-    val ms = MemoryStream[TjInput]
+    val dims = MemoryStream[DimV]
+    val probes = MemoryStream[PrbV]
     val ckpt = java.nio.file.Files.createTempDirectory("graft_tj_retain").toString
-    val q = TemporalJoin.run(ms.toDS(), "1 second").toDF()
+    val q = run(dims, probes, "t_tj_retain", "1 second")
       .writeStream.format("memory").queryName("t_tj_retain").outputMode("append")
       .option("checkpointLocation", ckpt).start()
     try {
       val hourUs = 3600L * 1000000
+      // +7us: an event time of exactly epoch 0 sits at the INITIAL
+      // watermark and Spark's late-row filter drops it before the
+      // operator — a fixture artifact, never a real event time
       (0 until 6).foreach { b =>
-        ms.addData(dim(1, b * hourUs, b + 1, b * 10.0),
-          probe(100 + b, 1, b * hourUs + 1000000))
+        dims.addData(DimV(1, b * hourUs + 7, b + 1, b * 10.0))
+        probes.addData(PrbV(1, b * hourUs + 1000000, 100 + b))
         q.processAllAvailable()
       }
+      probes.addData(PrbV(1, FarUs, -1)) // flush the held tail
+      q.processAllAvailable()
       // every probe matched the version current at its time
-      val out = spark.table("t_tj_retain").as[TjOutput].collect()
-        .map(o => o.probe_id -> o.matched_seq).toMap
+      val out = spark.table("t_tj_retain").filter($"probe.id" >= 0)
+        .select($"probe.id", $"dim.seq").as[(Long, Option[Long])].collect().toMap
       assert(out == (0 until 6).map(b => (100L + b) -> Some(b + 1L)).toMap)
       // 6 versions ingested; state keeps only versions above the
       // watermark plus the single newest at-or-before it
       val sizes = spark.read.format("statestore").load(ckpt)
-        .select(size(col("value.groupState.versions"))).as[Int].collect()
+        .select(size(col("value.groupState.dims"))).as[Int].collect()
       assert(sizes.nonEmpty && sizes.forall(_ <= 2),
         s"version history not watermark-pruned: ${sizes.toList}")
-    } finally q.stop()
-  }
-
-  test("cross-batch: later probes see versions from earlier batches (proc-time semantics)") {
-    implicit val sql = spark.sqlContext
-    import spark.implicits._
-    val ms = MemoryStream[TjInput]
-    val q = TemporalJoin.run(ms.toDS()).toDF()
-      .writeStream.format("memory").queryName("t_tj2").outputMode("append").start()
-    try {
-      ms.addData(probe(201, 2, 500)) // no version known yet
-      q.processAllAvailable()
-      ms.addData(dim(2, 100, 7, 70.0), probe(202, 2, 500))
-      q.processAllAvailable()
-      val out = spark.table("t_tj2").as[TjOutput].collect()
-        .map(o => o.probe_id -> o.matched_seq).toMap
-      assert(out == Map(201L -> None, 202L -> Some(7L)))
     } finally q.stop()
   }
 }
