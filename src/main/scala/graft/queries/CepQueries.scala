@@ -109,6 +109,81 @@ object CepQueries extends QueryPack {
         .orderBy(col("click_id"))
     }),
 
+    // MATCH_RECOGNIZE aggregate measures (reference
+    // `MatchCodeGenerator.scala:61-354` aggregate support): COUNT/SUM/
+    // MAX over a one-or-more pattern variable — a click followed by a
+    // maximal strict run of >=1-dollar events within 30 minutes.
+    "match_recognize_agg_measures" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val df = StreamOps.eventsTyped(s, dir).toDF()
+        .withColumn("value_cents", floor(col("value") * 100).cast("long"))
+      val mrSql = """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES A.event_id AS start_id, COUNT(B.*) AS n_b,
+                   SUM(B.value_cents) AS sum_b, MAX(B.value_cents) AS max_b
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (A B+)
+          WITHIN INTERVAL '30' MINUTE
+          DEFINE A AS A.event_type = 'click', B AS B.value_cents >= 100
+        )"""
+      StreamOps.runToBatch(s,
+          graft.sqlx.MatchRecognize.run(df, mrSql, "event_id"),
+          "append", "mr_agg")
+        .orderBy(col("start_id"))
+    }),
+
+    // MATCH_RECOGNIZE with PREV and a cross-symbol DEFINE (reference
+    // MatchCodeGenerator PREV navigation + inter-variable conditions):
+    // a purchase directly after a click that beats BOTH the click's
+    // value (cross-symbol LAST(A.value)) and the value two rows back
+    // (PREV(B.value, 2)).
+    "match_recognize_prev_define" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val mrSql = """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES A.event_id AS click_id, B.event_id AS buy_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (A B)
+          WITHIN INTERVAL '60' MINUTE
+          DEFINE A AS A.event_type = 'click',
+                 B AS B.event_type = 'purchase' AND B.value > LAST(A.value)
+                      AND B.value > PREV(B.value, 2)
+        )"""
+      StreamOps.runToBatch(s,
+          graft.sqlx.MatchRecognize.run(StreamOps.eventsTyped(s, dir), mrSql),
+          "append", "mr_prev")
+        .orderBy(col("click_id"))
+    }),
+
+    // MATCH_RECOGNIZE over a non-events schema (the DEFINE/PARTITION
+    // whitelist is gone — any column set works): per customer, a
+    // filled order directly followed by a pricier open one.
+    "match_recognize_generic" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val mrSql = """
+        SELECT * FROM orders MATCH_RECOGNIZE (
+          PARTITION BY o_custkey
+          ORDER BY o_orderdate
+          MEASURES F.o_orderkey AS f_key, O.o_orderkey AS o_key
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (F O)
+          WITHIN INTERVAL '90' DAY
+          DEFINE F AS F.o_orderstatus = 'F',
+                 O AS O.o_orderstatus = 'O' AND O.o_totalprice > LAST(F.o_totalprice)
+        )"""
+      StreamOps.runToBatch(s,
+          graft.sqlx.MatchRecognize.run(StreamOps.readStream(s, dir, "orders"), mrSql, "o_orderkey"),
+          "append", "mr_gen")
+        .orderBy(col("f_key"))
+    }),
+
     // Genericity over the event type (reference `Pattern.java:128`
     // `Pattern<T, F extends T>`, `CepOperator.java:81`): the same NFA
     // runs over the `orders` schema via `runBoundBy` — per customer, a
@@ -134,6 +209,47 @@ object CepQueries extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "match_recognize_agg_measures" -> """
+      WITH o AS (
+        SELECT user_id, event_id, event_type, ts,
+               CAST(floor(value * 100) AS BIGINT) AS cents,
+               row_number() OVER w AS rn,
+               sum(CASE WHEN CAST(floor(value * 100) AS BIGINT) >= 100 THEN 0 ELSE 1 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nq
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT c.user_id, c.event_id AS start_id, count(*) AS n_b,
+             CAST(sum(b.cents) AS BIGINT) AS sum_b, max(b.cents) AS max_b
+      FROM o c JOIN o b ON b.user_id = c.user_id AND b.rn > c.rn AND b.nq = c.nq
+        AND b.ts <= c.ts + INTERVAL 30 MINUTE
+      WHERE c.event_type = 'click'
+      GROUP BY c.user_id, c.event_id
+      ORDER BY start_id""",
+    "match_recognize_prev_define" -> """
+      WITH o AS (
+        SELECT user_id, event_id, event_type, value, ts,
+               lag(event_id) OVER w AS pid, lag(event_type) OVER w AS ptype,
+               lag(value) OVER w AS pval, lag(ts) OVER w AS pts,
+               lag(value, 2) OVER w AS pval2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, pid AS click_id, event_id AS buy_id
+      FROM o WHERE event_type = 'purchase' AND ptype = 'click'
+        AND value > pval AND pval2 IS NOT NULL AND value > pval2
+        AND ts <= pts + INTERVAL 60 MINUTE
+      ORDER BY click_id""",
+    "match_recognize_generic" -> """
+      WITH o AS (
+        SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice, o_orderdate,
+               lag(o_orderkey) OVER w AS pkey, lag(o_orderstatus) OVER w AS pstat,
+               lag(o_totalprice) OVER w AS pprice, lag(o_orderdate) OVER w AS pdate
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+      SELECT o_custkey, pkey AS f_key, o_orderkey AS o_key
+      FROM o WHERE o_orderstatus = 'O' AND pstat = 'F' AND o_totalprice > pprice
+        AND o_orderdate <= pdate + INTERVAL 90 DAY
+      ORDER BY f_key""",
     "stream_cep_until" -> """
       SELECT c.user_id, c.event_id AS click_id, n.event_id AS view_id
       FROM events c,

@@ -779,11 +779,11 @@ object StreamQueries extends QueryPack {
         SELECT * FROM o
         WHERE event_type = 'click' AND ntype = 'purchase'
           AND nts - uts <= INTERVAL 10 MINUTE)
-      SELECT user_id, 'A' AS classifier, event_id,
+      SELECT user_id, 'A' AS classifier, event_id, event_type,
              CAST(epoch_us(uts) AS BIGINT) AS ts_us, value, event_id AS a_id
       FROM m
       UNION ALL
-      SELECT user_id, 'B' AS classifier, nid AS event_id,
+      SELECT user_id, 'B' AS classifier, nid AS event_id, ntype AS event_type,
              CAST(epoch_us(nts) AS BIGINT) AS ts_us, nval AS value, event_id AS a_id
       FROM m
       ORDER BY a_id, classifier""",

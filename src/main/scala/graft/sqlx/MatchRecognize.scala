@@ -1,40 +1,76 @@
 package graft.sqlx
 
 import graft.streaming.{Cep, Ev}
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Dynamic event row for the schema-generic MATCH_RECOGNIZE surface:
+ * any input schema maps onto (partition key, event-time micros, unique
+ * id, numeric fields, string fields). The reference code-generates
+ * typed accessors per query (`MatchCodeGenerator.scala:61`); here the
+ * dynamic maps carry the fields and the output projection casts them
+ * back to the input schema's types.
+ */
+case class MrEv(key: String, ts_us: Long, id: Long,
+    num: Map[String, Double], str: Map[String, String])
 
 /**
  * MATCH_RECOGNIZE SQL surface over the CEP engine — the reference's
  * `nodes/exec/stream/StreamExecMatch.java:90` +
- * `match/PatternTranslator`-style clause handling, re-expressed as a
- * parser that compiles onto `Cep.Pattern` and projects MEASURES with
- * Spark column expressions over the match's step bindings.
+ * `codegen/MatchCodeGenerator.scala` clause handling, re-expressed as a
+ * parser that compiles onto `Cep.Pattern[MrEv]` and projects MEASURES
+ * with Spark column expressions over the match's step bindings.
  *
  * Supported subset (documented; everything else raises):
- *  - PARTITION BY user_id        (the CEP engine keys by user_id)
- *  - ORDER BY ts                 (event-time order, ties by event_id)
- *  - MEASURES `[FIRST|LAST](Sym.field)` AS alias, ... — default is
- *    LAST per SQL FINAL semantics; fields are the events columns
- *  - ONE ROW PER MATCH | ALL ROWS PER MATCH (FINAL measure semantics;
- *    ALL ROWS adds CLASSIFIER and the row's event columns)
+ *  - PARTITION BY any column; ORDER BY any event-time column
+ *    (timestamp or epoch-micros long; `ts` resolves to `ts_us`)
+ *  - MEASURES `[RUNNING|FINAL] [FIRST|LAST|SUM|COUNT|MIN|MAX|AVG]
+ *    (Sym.field)` AS alias — navigation defaults to LAST (SQL FINAL
+ *    semantics); `COUNT(Sym.*)` counts the symbol's rows; in ALL ROWS
+ *    mode measures default to RUNNING per SQL:2016 (prefix of the
+ *    match up to the current row), FIRST/LAST stay navigation
+ *  - ONE ROW PER MATCH | ALL ROWS PER MATCH (ALL ROWS adds CLASSIFIER
+ *    and the row's numeric/string input columns)
  *  - AFTER MATCH SKIP TO NEXT ROW | SKIP PAST LAST ROW |
  *    SKIP TO [FIRST|LAST] Sym    (default NO_SKIP, as the reference)
- *  - PATTERN (A B+ C? D{1,3} ...) with quantifiers +, ?, +?, ??, {m,n} on
- *    non-initial symbols; contiguity is strict, per MATCH_RECOGNIZE
+ *  - PATTERN (A B+ C? D{1,3} ...) with quantifiers +, ?, +?, ??, {m,n}
+ *    on non-initial symbols; contiguity is strict, per MATCH_RECOGNIZE
  *  - WITHIN INTERVAL 'n' unit
- *  - DEFINE Sym AS Sym.field op literal [AND ...] — conjunctions of
- *    comparisons on the current row; undefined symbols match any row
+ *  - DEFINE Sym AS <cmp> [AND ...] where each side of a comparison is
+ *    `Sym.field` (the current row), `Other.field` / `LAST(Other.field)`
+ *    / `FIRST(Other.field)` (rows bound to another pattern variable —
+ *    cross-symbol conditions, compiled onto the NFA's iterative-
+ *    condition context), `PREV(Sym.field[, n])` (the row n positions
+ *    before the current one in the partition's time-ordered stream),
+ *    or a literal. A comparison with a missing operand (no bound row,
+ *    PREV before start of stream) is FALSE, mirroring SQL null
+ *    comparison semantics. Undefined symbols match any row.
  *
- * Scale: parsing is driver-side trivia; execution is `Cep.runBound`
+ * Scale: parsing is driver-side trivia; execution is `Cep.runBoundBy`
  * (keyed state, watermark-evicted buffer) and a columnar projection —
  * nothing new materializes.
  */
 object MatchRecognize {
 
-  final case class Measure(fn: Option[String], sym: String, field: String, alias: String)
+  // ---- DEFINE condition AST ----
+  private sealed trait Operand
+  private final case class NumLit(v: Double) extends Operand
+  private final case class StrLit(v: String) extends Operand
+  /** Field of the row being tested (the defining symbol's current row). */
+  private final case class CurField(field: String) extends Operand
+  /** FIRST/LAST row bound to another pattern variable (bare `Sym.f`
+   * from a different symbol = LAST, the reference's default). */
+  private final case class NavField(first: Boolean, sym: String, field: String) extends Operand
+  /** The row `off` positions before the current one (MATCH_RECOGNIZE
+   * PREV — physical stream navigation, any symbol). */
+  private final case class PrevField(field: String, off: Int) extends Operand
+
+  final case class Measure(running: Option[Boolean], fn: Option[String],
+      sym: String, field: String, alias: String)
   final case class Spec(partitionBy: String, orderBy: String, measures: Seq[Measure],
-      skip: Cep.AfterMatch, pattern: Cep.Pattern[Ev], allRows: Boolean = false)
+      skip: Cep.AfterMatch, pattern: Cep.Pattern[MrEv], allRows: Boolean = false)
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"MATCH_RECOGNIZE: $msg")
@@ -93,55 +129,92 @@ object MatchRecognize {
     }.toMap
   }
 
+  private val PrevRe = """(?i)^PREV\s*\(\s*(\w+)\.(\w+)\s*(?:,\s*(\d+))?\s*\)$""".r
+  private val NavRe = """(?i)^(FIRST|LAST)\s*\(\s*(\w+)\.(\w+)\s*\)$""".r
+  private val FieldRe = """^(\w+)\.(\w+)$""".r
   private val MeasureRe =
-    """(?i)(?:(FIRST|LAST)\s*\(\s*)?(\w+)\.(\w+)\s*\)?\s+AS\s+(\w+)""".r
-  private val CmpRe = """(?i)(\w+)\.(\w+)\s*(=|<>|<=|>=|<|>)\s*(.+)""".r
+    """(?i)^(?:(RUNNING|FINAL)\s+)?(?:(FIRST|LAST|SUM|COUNT|MIN|MAX|AVG)\s*\(\s*)?(\w+)\.(\w+|\*)\s*\)?\s+AS\s+(\w+)$""".r
   private val IntervalRe = """(?i)INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)S?""".r
+  // longest-first so `<=` is not consumed as `<`
+  private val CmpSplit = """(<=|>=|<>|=|<|>)"""
 
-  private def parseDefine(sym: String, cond: String): Ev => Boolean = {
-    val conjs = cond.split("(?i)\\s+AND\\s+").map(_.trim).map {
-      case CmpRe(s, field, op, lit0) =>
-        if (!s.equalsIgnoreCase(sym))
-          fail(s"DEFINE $sym references other symbol $s (subset: current row only)")
-        val lit = lit0.trim
-        if (field.equalsIgnoreCase("event_type")) {
-          val s0 = lit.stripPrefix("'").stripSuffix("'")
-          op match {
-            case "=" => (e: Ev) => e.event_type == s0
-            case "<>" => (e: Ev) => e.event_type != s0
-            case o => fail(s"op $o not valid for event_type")
-          }
-        } else {
-          val num = lit.toDouble
-          val get: Ev => Double = field.toLowerCase match {
-            case "value" => _.value
-            case "event_id" => _.event_id.toDouble
-            case "user_id" => _.user_id.toDouble
-            case "ts_us" => _.ts_us.toDouble
-            case f => fail(s"unknown field $f")
-          }
-          op match {
-            case "=" => (e: Ev) => get(e) == num
-            case "<>" => (e: Ev) => get(e) != num
-            case "<" => (e: Ev) => get(e) < num
-            case "<=" => (e: Ev) => get(e) <= num
-            case ">" => (e: Ev) => get(e) > num
-            case ">=" => (e: Ev) => get(e) >= num
-          }
-        }
-      case c => fail(s"cannot parse DEFINE condition '$c'")
+  private def parseOperand(sym: String, txt0: String): Operand = {
+    val txt = txt0.trim
+    txt match {
+      case PrevRe(_, field, off) =>
+        PrevField(field, Option(off).map(_.toInt).getOrElse(1))
+      case NavRe(fn, s, field) =>
+        if (s.equalsIgnoreCase(sym)) fail(
+          s"DEFINE $sym: FIRST/LAST of the defining symbol is not in the subset (use PREV)")
+        else NavField(fn.equalsIgnoreCase("FIRST"), s.toUpperCase, field)
+      case FieldRe(s, field) =>
+        if (s.equalsIgnoreCase(sym)) CurField(field)
+        else NavField(first = false, s.toUpperCase, field) // bare other-symbol ref = LAST
+      case t if t.startsWith("'") && t.endsWith("'") && t.length >= 2 =>
+        StrLit(t.substring(1, t.length - 1))
+      case t =>
+        try NumLit(t.toDouble)
+        catch { case _: NumberFormatException => fail(s"cannot parse operand '$t'") }
     }
-    e => conjs.forall(_(e))
+  }
+
+  private def fieldOf(e: MrEv, f: String): Option[Any] =
+    e.num.get(f).orElse(e.str.get(f))
+
+  private def evalOperand(o: Operand, e: MrEv, ctx: Cep.MatchCtx[MrEv]): Option[Any] = o match {
+    case NumLit(v) => Some(v)
+    case StrLit(v) => Some(v)
+    case CurField(f) => fieldOf(e, f)
+    case NavField(first, s, f) =>
+      val rows = ctx.eventsFor(s)
+      (if (first) rows.headOption else rows.lastOption).flatMap(fieldOf(_, f))
+    case PrevField(f, n) => ctx.prev(n).flatMap(fieldOf(_, f))
+  }
+
+  private def compare(a: Any, b: Any, op: String): Boolean = (a, b) match {
+    case (x: Double, y: Double) => op match {
+      case "=" => x == y
+      case "<>" => x != y
+      case "<" => x < y
+      case "<=" => x <= y
+      case ">" => x > y
+      case ">=" => x >= y
+    }
+    case (x: String, y: String) => op match {
+      case "=" => x == y
+      case "<>" => x != y
+      case "<" => x < y
+      case "<=" => x <= y
+      case ">" => x > y
+      case ">=" => x >= y
+    }
+    case _ => false // mixed types never compare true
+  }
+
+  private def parseDefine(sym: String, cond: String): Cep.IterPred[MrEv] = {
+    val conjs: Array[(Operand, String, Operand)] =
+      cond.split("(?i)\\s+AND\\s+").map(_.trim).map { c =>
+        val parts = c.split(CmpSplit, 2)
+        if (parts.length != 2) fail(s"cannot parse DEFINE condition '$c'")
+        val op = c.substring(parts(0).length, c.length - parts(1).length)
+        (parseOperand(sym, parts(0)), op, parseOperand(sym, parts(1)))
+      }
+    (e, ctx) => conjs.forall { case (l, op, r) =>
+      (evalOperand(l, e, ctx), evalOperand(r, e, ctx)) match {
+        case (Some(a), Some(b)) => compare(a, b, op)
+        case _ => false // missing operand (no bound row / PREV off-stream)
+      }
+    }
   }
 
   def parse(sql: String): Spec = {
     val sec = sections(body(sql))
     val part = sec.getOrElse("PARTITION BY", fail("PARTITION BY required")).trim
-    if (part != "user_id") fail(s"subset: PARTITION BY user_id only, got $part")
+    if (!part.matches("""\w+""")) fail(s"subset: PARTITION BY one column, got '$part'")
     val ord = sec.getOrElse("ORDER BY", fail("ORDER BY required")).trim
-    if (ord != "ts" && ord != "ts_us") fail(s"subset: ORDER BY ts only, got $ord")
+    if (!ord.matches("""\w+""")) fail(s"subset: ORDER BY one column, got '$ord'")
 
-    val defines: Map[String, Ev => Boolean] =
+    val defines: Map[String, Cep.IterPred[MrEv]] =
       sec.get("DEFINE").map { d =>
         d.split(",(?![^()]*\\))").map(_.trim).filter(_.nonEmpty).map { entry =>
           val m = """(?is)(\w+)\s+AS\s+(.+)""".r
@@ -169,23 +242,23 @@ object MatchRecognize {
     if (tokens.isEmpty) fail("empty PATTERN")
     if (tokens.head._2.nonEmpty)
       fail("subset: first pattern symbol must be unquantified")
-    def pred(sym: String): Ev => Boolean = defines.getOrElse(sym, _ => true)
+    def pred(sym: String): Cep.IterPred[MrEv] = defines.getOrElse(sym, (_, _) => true)
     val Range = """\{(\d+),(\d+)\}""".r
-    var pat = Cep.Pattern.begin(tokens.head._1, pred(tokens.head._1))
+    var pat = Cep.Pattern(Vector(Cep.Step[MrEv](tokens.head._1, pred(tokens.head._1), strict = false)))
     tokens.tail.foreach { case (sym, q) =>
       pat = q match {
-        case "" => pat.next(sym, pred(sym))
-        case "+" => pat.oneOrMoreNext(sym, pred(sym))
-        case "+?" => pat.oneOrMoreNextReluctant(sym, pred(sym))
-        case "?" => pat.optionalNext(sym, pred(sym))
-        case "??" => pat.optionalReluctant(sym, pred(sym))
+        case "" => pat.stepIter(sym, pred(sym), strict = true)
+        case "+" => pat.stepIter(sym, pred(sym), strict = true, Cep.OneOrMore)
+        case "+?" => pat.stepIter(sym, pred(sym), strict = true, Cep.OneOrMoreReluctant)
+        case "?" => pat.stepIter(sym, pred(sym), strict = true, Cep.Optional)
+        case "??" => pat.stepIter(sym, pred(sym), strict = false, Cep.OptionalReluctant)
         case Range(lo, hi) =>
           // SQL {m,n}: m required + (n-m) optional, strict contiguity
           val (m, n) = (lo.toInt, hi.toInt)
           if (m < 1 || n < m) fail(s"bad range quantifier {$lo,$hi}")
           var p = pat
-          (1 to m).foreach(i => p = p.next(s"$sym#$i", pred(sym)))
-          (m + 1 to n).foreach(i => p = p.optionalNext(s"$sym#$i", pred(sym)))
+          (1 to m).foreach(i => p = p.stepIter(s"$sym#$i", pred(sym), strict = true))
+          (m + 1 to n).foreach(i => p = p.stepIter(s"$sym#$i", pred(sym), strict = true, Cep.Optional))
           p
       }
     }
@@ -213,43 +286,115 @@ object MatchRecognize {
 
     val measures = sec.getOrElse("MEASURES", fail("MEASURES required"))
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq.map {
-        case MeasureRe(fn, sym, field, alias) =>
-          Measure(Option(fn).map(_.toUpperCase), sym.toUpperCase, field, alias)
+        case MeasureRe(rf, fn, sym, field, alias) =>
+          val f = Option(fn).map(_.toUpperCase)
+          if (field == "*" && !f.contains("COUNT")) fail(s"only COUNT accepts ${sym}.*")
+          Measure(Option(rf).map(_.equalsIgnoreCase("RUNNING")), f,
+            sym.toUpperCase, field, alias)
         case m => fail(s"cannot parse measure '$m'")
       }
     Spec(part, ord, measures, skip, pat, allRows = sec.contains("ALL ROWS PER MATCH"))
   }
 
-  /** Execute a MATCH_RECOGNIZE query over the events stream. ONE ROW
-   * PER MATCH: partition key + measures. ALL ROWS PER MATCH: one row
-   * per matched event — partition key, CLASSIFIER (the step's symbol,
-   * range expansions collapsed), the event's id/ts/value, then the
-   * measures with SQL FINAL semantics (constant across the match). */
-  def run(events: Dataset[Ev], sql: String,
+  /** Ev-fixture shim (the original entry): events stream, id column
+   * `event_id`. */
+  def run(events: Dataset[Ev], sql: String): DataFrame =
+    run(events.toDF(), sql, "event_id")
+  def run(events: Dataset[Ev], sql: String, watermarkDelay: String): DataFrame =
+    run(events.toDF(), sql, "event_id", watermarkDelay)
+
+  /**
+   * Execute a MATCH_RECOGNIZE query over ANY input schema. `idCol`
+   * names a unique Long id column (deterministic order ties + match
+   * dedup). ONE ROW PER MATCH: partition key + measures. ALL ROWS PER
+   * MATCH: one row per matched event — partition key, CLASSIFIER (the
+   * step's symbol, range expansions collapsed), the event's numeric
+   * and string input columns, then the measures (RUNNING by default,
+   * per SQL:2016; FIRST/LAST stay navigation).
+   */
+  def run(df: DataFrame, sql: String, idCol: String,
       watermarkDelay: String = "1 hour"): DataFrame = {
     val spec = parse(sql)
-    val bound = Cep.runBound(events, spec.pattern, watermarkDelay).toDF()
-    val cols: Seq[Column] = spec.measures.map { m =>
-      // range-quantified symbols expand to SYM#k step names
-      val arr = filter(col("binds"), b =>
-        b.getField("step") === m.sym || b.getField("step").startsWith(m.sym + "#"))
-      val pick = m.fn match {
-        case Some("FIRST") => element_at(arr, 1)
-        case _ => element_at(arr, -1) // LAST / SQL FINAL default
-      }
-      pick.getField("ev").getField(m.field).as(m.alias)
+    val schema = df.schema
+    val names = schema.fieldNames.toSet
+    if (!names.contains(spec.partitionBy)) fail(s"PARTITION BY ${spec.partitionBy}: no such column")
+    if (!names.contains(idCol)) fail(s"id column $idCol: no such column")
+    // ORDER BY resolution: the column itself, else `<name>_us` (the
+    // epoch-micros convention of the streaming layer)
+    val ordName =
+      if (names.contains(spec.orderBy)) spec.orderBy
+      else if (names.contains(spec.orderBy + "_us")) spec.orderBy + "_us"
+      else fail(s"ORDER BY ${spec.orderBy}: no such column")
+    val ordExpr = schema(ordName).dataType match {
+      case TimestampType | TimestampNTZType => unix_micros(col(ordName).cast("timestamp"))
+      case LongType | IntegerType | ShortType | ByteType => col(ordName).cast("long")
+      case t => fail(s"ORDER BY $ordName: unsupported type $t")
     }
+    val numFields = schema.fields.filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
+    val strFields = schema.fields.filter(_.dataType == StringType).map(_.name).toSeq
+    val numMap =
+      if (numFields.isEmpty) map().cast(MapType(StringType, DoubleType))
+      else map(numFields.flatMap(n => Seq(lit(n), col(n).cast("double"))): _*)
+    val strMap =
+      if (strFields.isEmpty) map().cast(MapType(StringType, StringType))
+      else map(strFields.flatMap(n => Seq(lit(n), col(n))): _*)
+    implicit val mrEnc: Encoder[MrEv] = Encoders.product[MrEv]
+    val evs = df.select(col(spec.partitionBy).cast("string").as("key"),
+      ordExpr.as("ts_us"), col(idCol).cast("long").as("id"),
+      numMap.as("num"), strMap.as("str")).as[MrEv]
+    val bound = Cep.runBoundBy(evs, spec.pattern, "key", "ts_us", "id", watermarkDelay).toDF()
+
+    val strSet = strFields.toSet
+    // cast a measure back to the input column's type (dynamic nums are
+    // doubles; integral sources surface as their integral type)
+    def srcCast(c: Column, field: String): Column = schema.fields.find(_.name == field) match {
+      case Some(f) if Set[DataType](LongType, IntegerType, ShortType, ByteType)(f.dataType) => c.cast(f.dataType)
+      case _ => c
+    }
+    def measureCol(m: Measure, binds: Column): Column = {
+      val arr = filter(binds, b =>
+        b.getField("step") === m.sym || b.getField("step").startsWith(m.sym + "#"))
+      def numOf(b: Column) = b.getField("ev").getField("num").getItem(m.field)
+      def strOf(b: Column) = b.getField("ev").getField("str").getItem(m.field)
+      m.fn match {
+        case Some("COUNT") => size(arr).cast("long")
+        case Some("SUM") => srcCast(aggregate(arr, lit(0.0), (acc, b) => acc + numOf(b)), m.field)
+        case Some("MIN") => srcCast(array_min(transform(arr, numOf(_))), m.field)
+        case Some("MAX") => srcCast(array_max(transform(arr, numOf(_))), m.field)
+        case Some("AVG") => aggregate(arr, lit(0.0), (acc, b) => acc + numOf(b)) / size(arr)
+        case fn =>
+          val pick = if (fn.contains("FIRST")) element_at(arr, 1) else element_at(arr, -1)
+          if (strSet.contains(m.field)) strOf(pick) else srcCast(numOf(pick), m.field)
+      }
+    }
+    val partCol = col("key").cast(schema(spec.partitionBy).dataType).as(spec.partitionBy)
+
     if (!spec.allRows)
-      bound.select(col("user_id") +: cols: _*)
-    else
-      bound.select(col("user_id") +: col("binds") +: cols.map(c => c): _*)
-        .select(col("user_id") +: explode(col("binds")).as("__b") +:
-          spec.measures.map(m => col(m.alias)): _*)
-        .select(Seq(col("user_id"),
-          expr("split(__b.step, '#')[0]").as("classifier"),
-          col("__b.ev.event_id").as("event_id"),
-          col("__b.ev.ts_us").as("ts_us"),
-          col("__b.ev.value").as("value")) ++
-          spec.measures.map(m => col(m.alias)): _*)
+      // ONE ROW PER MATCH: all measures are FINAL (the full match)
+      bound.select(partCol +: spec.measures.map(m => measureCol(m, col("binds")).as(m.alias)): _*)
+    else {
+      val exploded = bound.select(Seq(col("key"), col("binds"),
+        posexplode(col("binds")).as(Seq("__pos", "__b"))): _*)
+      val rowCols = schema.fields.toSeq
+        .filter(f => f.name != spec.partitionBy &&
+          (f.dataType.isInstanceOf[NumericType] || f.dataType == StringType))
+        .map { f =>
+          val c =
+            if (f.dataType == StringType) col("__b.ev.str").getItem(f.name)
+            else col("__b.ev.num").getItem(f.name).cast(f.dataType)
+          c.as(f.name)
+        }
+      val mCols = spec.measures.map { m =>
+        // SQL:2016 ALL ROWS default: aggregates are RUNNING (prefix up
+        // to the current row); navigation (FIRST/LAST/bare) is FINAL
+        // unless RUNNING is requested explicitly
+        val isAgg = m.fn.exists(Set("SUM", "COUNT", "MIN", "MAX", "AVG"))
+        val running = m.running.getOrElse(isAgg)
+        val binds = if (running) slice(col("binds"), lit(1), col("__pos") + 1) else col("binds")
+        measureCol(m, binds).as(m.alias)
+      }
+      exploded.select(Seq(partCol,
+        expr("split(__b.step, '#')[0]").as("classifier")) ++ rowCols ++ mCols: _*)
+    }
   }
 }

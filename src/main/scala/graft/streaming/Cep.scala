@@ -186,6 +186,12 @@ object Cep {
      * rest of the pattern allows. */
     def oneOrMoreNextReluctant(name: String, pred: T => Boolean): Pattern[T] =
       copy(steps = steps :+ Step(name, lift(pred), strict = true, quant = OneOrMoreReluctant))
+    /** Append a step with an explicit quantifier and an ITERATIVE
+     * condition — the generic constructor the MATCH_RECOGNIZE surface
+     * compiles onto (every named combinator is a special case). */
+    def stepIter(name: String, pred: IterPred[T], strict: Boolean,
+        quant: Quant = Once): Pattern[T] =
+      copy(steps = steps :+ Step(name, pred, strict, quant))
     /** After-match skip strategy (reference `Pattern.begin(name,
      * afterMatchSkipStrategy)`). */
     def afterMatchSkip(s: AfterMatch): Pattern[T] = copy(skip = s)
@@ -465,6 +471,19 @@ object Cep {
    * pattern fails fast at query construction, not as repeated
    * executor task failures mid-stream. */
   private[graft] def validate(p: Pattern[_]): Unit = {
+    // Step names address bindings (eventsFor, skip strategies) by
+    // '#'-prefix convention. Re-USING a name across steps is the
+    // supported way to bind one variable in several steps (the b+ c
+    // skip example), but a user-chosen name that itself looks like a
+    // times/group expansion of a DIFFERENT step ("x#1" next to "x")
+    // would silently alias that step's bindings — reject it.
+    val names = p.steps.map(_.name)
+    for (n <- names; h = n.indexOf('#'); if h >= 0) {
+      require(n.drop(h + 1).forall(_.isDigit),
+        s"step name '$n': '#' is reserved for the 'name#k' expansion convention")
+      require(names.forall(m => m == n || !n.startsWith(m + "#")),
+        s"step name '$n' aliases the bindings of step '${n.take(h)}'")
+    }
     require(!p.steps.exists(_.quant == Any) || p.skip == NoSkip || p.skip == SkipToNext,
       "followedByAny emits overlapping matches; only NoSkip/SkipToNext compose with it")
     // ANY negative step — notFollowedBy anywhere, notNext anywhere —

@@ -12,11 +12,18 @@ class MatchRecognizeSpec extends SparkSuite {
   private def ev(id: Long, typ: String, tsUs: Long, v: Double = 1.0, user: Long = 1) =
     Ev(id, user, typ, tsUs, v)
 
+  /** Dynamic-row fixture matching what `run` builds from an Ev frame. */
+  private def mrev(id: Long, typ: String, tsUs: Long, v: Double = 1.0, user: Long = 1) =
+    MrEv(user.toString, tsUs, id,
+      Map("event_id" -> id.toDouble, "user_id" -> user.toDouble,
+        "ts_us" -> tsUs.toDouble, "value" -> v),
+      Map("event_type" -> typ))
+
   /** Empty iterative-condition context for exercising simple (context-
    * blind) predicates directly. */
-  private val noCtx = new Cep.MatchCtx[Ev] {
-    def eventsFor(step: String): Seq[Ev] = Nil
-    def prev(offset: Int): Option[Ev] = None
+  private val noCtx = new Cep.MatchCtx[MrEv] {
+    def eventsFor(step: String): Seq[MrEv] = Nil
+    def prev(offset: Int): Option[MrEv] = None
   }
 
   test("parse compiles pattern, quantifiers, within, skip and defines") {
@@ -37,9 +44,33 @@ class MatchRecognizeSpec extends SparkSuite {
     assert(spec.pattern.steps(1).quant == Cep.OneOrMore)
     assert(spec.pattern.steps(2).quant == Cep.Optional && spec.pattern.steps(2).strict)
     val defB = spec.pattern.steps(1).pred
-    assert(defB(ev(1, "x", 0, 5.0), noCtx) && !defB(ev(1, "x", 0, 11.0), noCtx))
+    assert(defB(mrev(1, "x", 0, 5.0), noCtx) && !defB(mrev(1, "x", 0, 11.0), noCtx))
     // undefined symbol C matches any row
-    assert(spec.pattern.steps(2).pred(ev(1, "anything", 0), noCtx))
+    assert(spec.pattern.steps(2).pred(mrev(1, "anything", 0), noCtx))
+  }
+
+  test("DEFINE supports cross-symbol references and PREV navigation") {
+    val spec = MatchRecognize.parse("""
+      SELECT * FROM events MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts
+        MEASURES B.event_id AS b_id
+        ONE ROW PER MATCH
+        PATTERN (A B)
+        DEFINE A AS A.event_type = 'a',
+               B AS B.value > LAST(A.value) AND B.value > PREV(B.value, 2)
+      )""")
+    val defB = spec.pattern.steps(1).pred
+    val a = mrev(1, "a", 0, 5.0)
+    val p0 = mrev(0, "x", -10, 7.0)
+    val ctx = new Cep.MatchCtx[MrEv] {
+      def eventsFor(step: String): Seq[MrEv] = if (step == "A") Seq(a) else Nil
+      def prev(offset: Int): Option[MrEv] = if (offset == 2) Some(p0) else Some(a)
+    }
+    assert(defB(mrev(2, "b", 10, 8.0), ctx))   // beats A (5.0) and prev2 (7.0)
+    assert(!defB(mrev(2, "b", 10, 6.0), ctx))  // beats A but not prev2
+    // missing operand (no bound A rows / no prev) → condition is false
+    assert(!defB(mrev(2, "b", 10, 8.0), noCtx))
   }
 
   test("end-to-end: measures project FIRST/LAST of a one-or-more step") {
@@ -105,12 +136,12 @@ class MatchRecognizeSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       MatchRecognize.parse("""
         SELECT * FROM t MATCH_RECOGNIZE (
-          PARTITION BY other_col
+          PARTITION BY a, b
           ORDER BY ts
           MEASURES A.event_id AS x
           PATTERN (A)
           DEFINE A AS A.value > 0
-        )""") // partition col outside the subset
+        )""") // composite partition key outside the subset
     }
     // unsupported quantifier spellings raise instead of silently
     // becoming a never-defined symbol that matches anything
