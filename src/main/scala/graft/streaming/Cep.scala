@@ -552,7 +552,8 @@ object Cep {
    */
   def runBoundBy[T <: Product : TypeTag](ds: Dataset[T], pattern: Pattern[T],
       keyField: String, timeField: String, idField: String,
-      watermarkDelay: String = "1 hour"): Dataset[CepBoundG[T]] = {
+      watermarkDelay: String = "1 hour",
+      ttl: Option[String] = None): Dataset[CepBoundG[T]] = {
     validate(pattern) // fail fast on the driver
     implicit val tEnc: org.apache.spark.sql.Encoder[T] = Encoders.product[T]
     implicit val stEnc: org.apache.spark.sql.Encoder[CepStateG[T]] =
@@ -574,7 +575,7 @@ object Cep {
       .withWatermark("__event_ts", watermarkDelay)
       .as[T]
     withWm.groupByKey(key)
-      .flatMapGroupsWithState[CepStateG[T], CepBoundG[T]](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[CepStateG[T], CepBoundG[T]](OutputMode.Append, Ttl.timeoutConf(ttl))(Ttl.wrap(ttl) {
         (k, it, state: GroupState[CepStateG[T]]) =>
           val st = state.getOption.getOrElse(CepStateG[T](Nil, Nil))
           val wmUs = state.getCurrentWatermarkMs() * 1000L
@@ -637,6 +638,6 @@ object Cep {
           state.update(CepStateG(buffer.filter(e => live(time(e))),
             emitted.filter(p => live(p._1))))
           fresh.iterator.map(m => CepBoundG(k, m.start_us, m.end_us, m.binds))
-      }
+      })
   }
 }

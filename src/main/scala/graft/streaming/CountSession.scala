@@ -52,7 +52,8 @@ object CountSession {
   private def cents(e: Ev): Long = math.floor(e.value * 100).toLong
 
   def countWindow(ds: Dataset[Ev], n: Int,
-      watermarkDelay: String = "0 seconds"): Dataset[CountWindowRow] = {
+      watermarkDelay: String = "0 seconds",
+      ttl: Option[String] = None): Dataset[CountWindowRow] = {
     import ds.sparkSession.implicits._
     val withWm = ds.toDF()
       .withColumn("__event_ts", timestamp_micros(col("ts_us")))
@@ -60,7 +61,7 @@ object CountSession {
       .as[Ev]
     withWm.groupByKey(_.user_id)
       .flatMapGroupsWithState[CountWindowState, CountWindowRow](
-          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          OutputMode.Append, Ttl.timeoutConf(ttl))(Ttl.wrap(ttl) {
         (key, it, state: GroupState[CountWindowState]) =>
           val st = state.getOption.getOrElse(CountWindowState(Nil, 0L, 0L))
           val wmUs = state.getCurrentWatermarkMs() * 1000L
@@ -80,11 +81,12 @@ object CountSession {
           }
           state.update(CountWindowState(pending, released, acc))
           out.result().iterator
-      }
+      })
   }
 
   def sessionDynamic(ds: Dataset[Ev], gapUs: Ev => Long,
-      watermarkDelay: String = "0 seconds"): Dataset[DynSessionRow] = {
+      watermarkDelay: String = "0 seconds",
+      ttl: Option[String] = None): Dataset[DynSessionRow] = {
     import ds.sparkSession.implicits._
     val withWm = ds.toDF()
       .withColumn("__event_ts", timestamp_micros(col("ts_us")))
@@ -92,7 +94,7 @@ object CountSession {
       .as[Ev]
     withWm.groupByKey(_.user_id)
       .flatMapGroupsWithState[DynSessionState, DynSessionRow](
-          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          OutputMode.Append, Ttl.timeoutConf(ttl))(Ttl.wrap(ttl) {
         (key, it, state: GroupState[DynSessionState]) =>
           val st = state.getOption.getOrElse(DynSessionState(Nil, None))
           val wmUs = state.getCurrentWatermarkMs() * 1000L
@@ -126,6 +128,6 @@ object CountSession {
           }
           state.update(DynSessionState(pending, open))
           out.result().iterator
-      }
+      })
   }
 }

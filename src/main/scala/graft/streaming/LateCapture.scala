@@ -38,7 +38,8 @@ case class LateCapState(windows: List[(Long, Long, Long)])
 object LateCapture {
 
   def tumble(ds: Dataset[Ev], sizeUs: Long,
-      watermarkDelay: String = "0 seconds"): Dataset[LateWinRow] = {
+      watermarkDelay: String = "0 seconds",
+      ttl: Option[String] = None): Dataset[LateWinRow] = {
     import ds.sparkSession.implicits._
     val withWm = ds.toDF()
       .withColumn("__event_ts", timestamp_micros(col("ts_us")))
@@ -46,7 +47,7 @@ object LateCapture {
       .as[Ev]
     withWm.groupByKey(_.user_id)
       .flatMapGroupsWithState[LateCapState, LateWinRow](
-          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          OutputMode.Append, Ttl.timeoutConf(ttl))(Ttl.wrap(ttl) {
         (key, it, state: GroupState[LateCapState]) =>
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           var wins = state.getOption.fold(Map.empty[Long, (Long, Long)])(
@@ -68,6 +69,6 @@ object LateCapture {
           }
           state.update(LateCapState(open.toList.map(w => (w._1, w._2._1, w._2._2))))
           out.result().iterator
-      }
+      })
   }
 }

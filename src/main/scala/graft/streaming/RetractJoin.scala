@@ -39,11 +39,11 @@ case class RjState(leftSeq: Option[Long], leftPayload: Option[Double],
  */
 object RetractJoin {
 
-  def run(in: Dataset[RjInput]): Dataset[RjChange] = {
+  def run(in: Dataset[RjInput], ttl: Option[String] = None): Dataset[RjChange] = {
     import in.sparkSession.implicits._
     in.groupByKey(_.key)
       .flatMapGroupsWithState[RjState, RjChange](
-          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          OutputMode.Append, Ttl.timeoutConf(ttl))(Ttl.wrap(ttl) {
         (key, it, state: GroupState[RjState]) =>
           var st = state.getOption.getOrElse(RjState(None, None, None, 0L))
           val out = List.newBuilder[RjChange]
@@ -61,6 +61,6 @@ object RetractJoin {
           }
           state.update(st)
           out.result().iterator
-      }
+      })
   }
 }

@@ -63,18 +63,19 @@ object StatefulOps {
    * `dropDuplicates` covers keep-first natively; this covers the
    * keep-last half Spark lacks. */
   def keepLastBy[T <: Product : TypeTag](ds: Dataset[T],
-      keyField: String, timeField: String, idField: String): Dataset[T] = {
+      keyField: String, timeField: String, idField: String,
+      ttl: Option[String] = None): Dataset[T] = {
     implicit val tEnc: Encoder[T] = Encoders.product[T]
     implicit val keyEnc: Encoder[String] = Encoders.STRING
     val (key, time, id) = fieldGetters[T](tEnc.schema, keyField, timeField, idField)
     ds.groupByKey(key)
-      .flatMapGroupsWithState[T, T](OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[T, T](OutputMode.Update, Ttl.timeoutConf(ttl))(Ttl.wrap(ttl) {
         (_, it, state: GroupState[T]) =>
           val cand = (state.getOption.iterator ++ it).maxBy(e => (time(e), id(e)))
           val changed = state.getOption.forall(o => (time(o), id(o)) != (time(cand), id(cand)))
           state.update(cand)
           if (changed) Iterator.single(cand) else Iterator.empty
-      }
+      })
   }
 
   /** Ev-fixture shim over [[keepLastBy]] (the original entry). */
@@ -88,7 +89,8 @@ object StatefulOps {
    * the final Top-N is recoverable by re-ranking the distinct emitted
    * candidates, as the gates do). `valueField` must be numeric. */
   def topNBy[T <: Product : TypeTag](ds: Dataset[T], keyField: String,
-      valueField: String, idField: String, n: Int): Dataset[T] = {
+      valueField: String, idField: String, n: Int,
+      ttl: Option[String] = None): Dataset[T] = {
     implicit val tEnc: Encoder[T] = Encoders.product[T]
     implicit val stEnc: Encoder[TopNStateG[T]] = Encoders.product[TopNStateG[T]]
     implicit val keyEnc: Encoder[String] = Encoders.STRING
@@ -99,7 +101,7 @@ object StatefulOps {
     val value: T => Double = t => t.productElement(vi).asInstanceOf[Number].doubleValue
     val id: T => Long = t => t.productElement(ii).asInstanceOf[Number].longValue
     ds.groupByKey(key)
-      .flatMapGroupsWithState[TopNStateG[T], T](OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[TopNStateG[T], T](OutputMode.Update, Ttl.timeoutConf(ttl))(Ttl.wrap(ttl) {
         (_, it, state: GroupState[TopNStateG[T]]) =>
           val old = state.getOption.fold(List.empty[T])(_.rows)
           val merged = (old.iterator ++ it).toList.distinct
@@ -107,7 +109,7 @@ object StatefulOps {
             .take(n)
           state.update(TopNStateG(merged))
           if (merged != old) merged.iterator else Iterator.empty
-      }
+      })
   }
 
   /** Streaming Top-N per event_type by (value desc, event_id asc):
@@ -137,10 +139,10 @@ object StatefulOps {
    * The input must carry `withWatermark` on `ts`;
    * `GroupState.getCurrentWatermarkMs` is the release trigger the
    * reference drives with watermark timers. */
-  def sortedEmit(ds: Dataset[TimedRow]): Dataset[TimedRow] = {
+  def sortedEmit(ds: Dataset[TimedRow], ttl: Option[String] = None): Dataset[TimedRow] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.key)
-      .flatMapGroupsWithState[List[(Long, Long)], TimedRow](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[List[(Long, Long)], TimedRow](OutputMode.Append, Ttl.timeoutConf(ttl))(Ttl.wrap(ttl) {
         (k, it, state: GroupState[List[(Long, Long)]]) =>
           val buf = state.getOption.getOrElse(Nil) ++
             it.map(r => (r.ts.getTime, r.id))
@@ -151,7 +153,7 @@ object StatefulOps {
           val (ready, pending) = buf.partition(_._1 < wm)
           state.update(pending)
           ready.sorted.map { case (t, id) => TimedRow(k, id, new java.sql.Timestamp(t)) }.iterator
-      }
+      })
   }
 
   /** One watermark-released row of the indexed event-time sort: `idx`
@@ -166,7 +168,8 @@ object StatefulOps {
    * (event_id < 0, from the keyed-sentinel harness) advance the
    * watermark and invoke the key but are never buffered. */
   def sortedEmitIndexed(ds: Dataset[Ev],
-      watermarkDelay: String = "0 seconds"): Dataset[SortedRow] = {
+      watermarkDelay: String = "0 seconds",
+      ttl: Option[String] = None): Dataset[SortedRow] = {
     import ds.sparkSession.implicits._
     import org.apache.spark.sql.functions.{col, timestamp_micros}
     val withWm = ds.toDF()
@@ -175,7 +178,7 @@ object StatefulOps {
       .as[Ev]
     withWm.groupByKey(_.user_id)
       .flatMapGroupsWithState[(List[(Long, Long)], Long), SortedRow](
-          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          OutputMode.Append, Ttl.timeoutConf(ttl))(Ttl.wrap(ttl) {
         (k, it, state: GroupState[(List[(Long, Long)], Long)]) =>
           val (buf0, idx0) = state.getOption.getOrElse((List.empty[(Long, Long)], 0L))
           val buf = buf0 ++ it.filter(_.event_id >= 0).map(e => (e.ts_us, e.event_id))
@@ -188,7 +191,7 @@ object StatefulOps {
           }
           state.update((pending, idx))
           out.iterator
-      }
+      })
   }
 
   /** Control/data streams into one keyed state op (the reference's
@@ -198,10 +201,10 @@ object StatefulOps {
    * (SURVEY §2.9's documented emulation). Control rows update the
    * per-event_type threshold kept in state; data rows pass iff
    * value >= the threshold current at their (ts, id) position. */
-  def thresholdFilter(ds: Dataset[Tagged]): Dataset[Ev] = {
+  def thresholdFilter(ds: Dataset[Tagged], ttl: Option[String] = None): Dataset[Ev] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.event_type)
-      .flatMapGroupsWithState[Double, Ev](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[Double, Ev](OutputMode.Append, Ttl.timeoutConf(ttl))(Ttl.wrap(ttl) {
         (k, it, state: GroupState[Double]) =>
           var thr = state.getOption.getOrElse(Double.NegativeInfinity)
           // controls sort before data at the same instant
@@ -212,7 +215,7 @@ object StatefulOps {
           }
           state.update(thr)
           out.iterator
-      }
+      })
   }
 
   /** Streaming Top-N as a CHANGELOG (reference
@@ -222,10 +225,10 @@ object StatefulOps {
    * emits -D for evicted rows and +I for entrants, with a per-key
    * monotone out_seq. `ChangelogOps.normalize` over (event_type,
    * event_id) materializes the exact final Top-N membership. */
-  def topNChangelog(ds: Dataset[Ev], n: Int): Dataset[TopNChange] = {
+  def topNChangelog(ds: Dataset[Ev], n: Int, ttl: Option[String] = None): Dataset[TopNChange] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.event_type)
-      .flatMapGroupsWithState[(List[TopNRow], Long), TopNChange](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[(List[TopNRow], Long), TopNChange](OutputMode.Append, Ttl.timeoutConf(ttl))(Ttl.wrap(ttl) {
         (k, it, state: GroupState[(List[TopNRow], Long)]) =>
           val (old, seq0) = state.getOption.getOrElse((Nil, 0L))
           val merged = (old.iterator ++ it.map(e => TopNRow(k, e.event_id, e.value)))
@@ -244,7 +247,7 @@ object StatefulOps {
           }
           state.update((merged, seq))
           out.result().iterator
-      }
+      })
   }
 
   /** Count-trigger analog (reference
@@ -253,10 +256,10 @@ object StatefulOps {
    * `every`-th row, in (ts, id) order. Composes the trigger surface
    * Spark lacks onto keyed state; the purging variant is `state
    * .remove()` at fire time (documented, not needed here). */
-  def countTriggered(ds: Dataset[Ev], every: Int): Dataset[RunningRow] = {
+  def countTriggered(ds: Dataset[Ev], every: Int, ttl: Option[String] = None): Dataset[RunningRow] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.user_id)
-      .flatMapGroupsWithState[(Long, Long), RunningRow](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[(Long, Long), RunningRow](OutputMode.Append, Ttl.timeoutConf(ttl))(Ttl.wrap(ttl) {
         (k, it, state: GroupState[(Long, Long)]) =>
           var (n, cents) = state.getOption.getOrElse((0L, 0L))
           val out = List.newBuilder[RunningRow]
@@ -267,7 +270,7 @@ object StatefulOps {
           }
           state.update((n, cents))
           out.result().iterator
-      }
+      })
   }
 
   /** Per-key running aggregate in event order — the proc-time OVER
@@ -278,10 +281,10 @@ object StatefulOps {
    * batches the fold continues from state (arrival order across
    * batches is the stream order, as in the reference's proc-time
    * variant). */
-  def runningByUser(ds: Dataset[Ev]): Dataset[RunningRow] = {
+  def runningByUser(ds: Dataset[Ev], ttl: Option[String] = None): Dataset[RunningRow] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.user_id)
-      .flatMapGroupsWithState[(Long, Long), RunningRow](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[(Long, Long), RunningRow](OutputMode.Append, Ttl.timeoutConf(ttl))(Ttl.wrap(ttl) {
         (k, it, state: GroupState[(Long, Long)]) =>
           var (n, cents) = state.getOption.getOrElse((0L, 0L))
           val out = it.toList.sortBy(e => (e.ts_us, e.event_id)).map { e =>
@@ -291,6 +294,6 @@ object StatefulOps {
           }
           state.update((n, cents))
           out.iterator
-      }
+      })
   }
 }

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Idle-key state TTL (the `StateTtlConfig` analog): a key that stops
+ * receiving traffic has its state dropped after the TTL, while active
+ * keys keep theirs — checked by reading the state store itself.
+ *
+ * NOTE: a query containing a ProcessingTimeTimeout operator never
+ * reports `noNewData` (`shouldRunAnotherBatch` is always true, so the
+ * engine keeps constructing timer-check batches) — so these tests POLL
+ * for the expected state instead of `processAllAvailable()`, which
+ * would block forever. */
+class TtlSpec extends SparkSuite {
+
+  private def ev(id: Long, user: Long, tsUs: Long) =
+    Ev(id, user, "click", tsUs, 1.0)
+
+  /** Retry `f` until it stops throwing or the deadline passes. */
+  private def eventually[A](what: String, deadlineMs: Long = 60000)(f: => A): A = {
+    val end = System.currentTimeMillis() + deadlineMs
+    var last: Throwable = null
+    while (System.currentTimeMillis() < end) {
+      try return f
+      catch { case t: org.scalatest.exceptions.TestFailedException => last = t; Thread.sleep(100) }
+    }
+    throw new AssertionError(s"timed out waiting for $what", last)
+  }
+
+  test("idle keys are dropped from the state store after the TTL") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Ev]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ttl").toString
+    val q = StatefulOps.keepLastBy(ms.toDS(), "user_id", "ts_us", "event_id",
+        ttl = Some("100 milliseconds")).toDF()
+      .writeStream.format("memory").queryName("t_ttl").outputMode("update")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      ms.addData(ev(1, 1, 1000), ev(2, 2, 2000))
+      eventually("both rows emitted") {
+        assert(spark.table("t_ttl").count() == 2)
+      }
+      Thread.sleep(300) // let both keys' TTL timers expire
+      // key 2 stays active (its new row re-arms the timer); key 1 stays
+      // idle and is timed out by a subsequent timer-check batch
+      ms.addData(ev(3, 2, 3000))
+      eventually("idle key 1 TTL-dropped, active key 2 retained") {
+        val keys = spark.read.format("statestore").load(ckpt)
+          .select($"key.value".cast("string")).as[String].collect().toSet
+        assert(keys == Set("2"), s"got $keys")
+      }
+      // the op still works for re-appearing keys: state was dropped, so
+      // the next row for key 1 is a fresh winner and is re-emitted
+      ms.addData(ev(4, 1, 4000))
+      eventually("key 1 re-emitted after re-appearing") {
+        assert(spark.table("t_ttl").as[Ev].collect().map(_.event_id).toSet
+          == Set(1L, 2L, 3L, 4L))
+      }
+    } finally q.stop()
+  }
+
+  test("without a TTL the behavior is unchanged (NoTimeout, keys retained)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Ev]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ttl_off").toString
+    val q = StatefulOps.keepLastBy(ms.toDS(), "user_id", "ts_us", "event_id").toDF()
+      .writeStream.format("memory").queryName("t_ttl_off").outputMode("update")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      ms.addData(ev(1, 1, 1000))
+      q.processAllAvailable() // NoTimeout: terminates normally
+      Thread.sleep(200)
+      ms.addData(ev(2, 2, 2000))
+      q.processAllAvailable()
+      val keys = spark.read.format("statestore").load(ckpt)
+        .select($"key.value".cast("string")).as[String].collect().toSet
+      assert(keys == Set("1", "2"))
+    } finally q.stop()
+  }
+}
