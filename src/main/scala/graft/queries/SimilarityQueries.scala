@@ -121,21 +121,35 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("q_id"), col("rn"))
     }),
 
-    // Near-dup pair mining: same-label pairs with cosine >= 0.3.
-    // SCALE BOUND: this is all-pairs WITHIN a label cell — O(Σ|cell|²)
-    // pair scorings. Safe only while cells are bounded (here: coarse
-    // cluster assignments, ~|corpus|/|cells| each); at 100 TB the cell
-    // id must come from a quantizer sized so cells stay ≤ ~10⁴ rows, or
-    // route candidates through MinHashLSH banding first (same plan
-    // shape as dedup_minhash_lsh).
+    // Near-dup pair mining through BANDED LSH candidates (the same
+    // plan shape as dedup_minhash_lsh): 4 bands × 3 hyperplane sign
+    // bits; a pair is a candidate iff some band's signatures collide
+    // (OR-of-bands), then exact cosine >= 0.3 verifies. The banding is
+    // part of the CONTRACT (standard LSH recall trade-off — here
+    // ~0.6 recall at cos 0.3, rising steeply with similarity), and the
+    // oracle replicates the deterministic LCG hyperplanes bit-for-bit.
+    // Scale: candidate generation is an equi-join on (label, band,
+    // sig) — O(collisions), never all-pairs within a cell; pair dedup
+    // is one shuffle on the pair id.
     "sim_neardup_pairs" -> ((s, dir) => {
       val e = withNorm(Tables.load(s, dir, "embeddings"))
-      val a = e.select(col("label"), col("vec_id").as("id_a"),
+        .withColumn("band", explode(expr("sequence(0, 3)")))
+        .withColumn("sig", expr("""
+          aggregate(sequence(0, 2), CAST(0 AS BIGINT), (acc, p) ->
+            acc + CASE WHEN aggregate(sequence(1, size(qe)), CAST(0 AS BIGINT),
+                         (s2, d) -> s2 + element_at(qe, d) *
+                           (CASE WHEN ((CAST(1103515245 AS BIGINT) *
+                                        ((CAST(band AS BIGINT) * 3 + CAST(p AS BIGINT)) * 1000 + d)
+                                        + 12345) div 65536) % 2 = 0
+                                 THEN 1 ELSE -1 END)) >= 0
+                       THEN CAST(shiftleft(1, p) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""))
+      val a = e.select(col("label"), col("band"), col("sig"), col("vec_id").as("id_a"),
                        col("qe").as("qv"), col("nrm").as("qn"))
-      val b = e.select(col("label"), col("vec_id").as("id_b"),
+      val b = e.select(col("label"), col("band"), col("sig"), col("vec_id").as("id_b"),
                        col("qe"), col("nrm").as("cn"))
-      a.join(b, Seq("label"))
+      a.join(b, Seq("label", "band", "sig"))
         .filter(col("id_a") < col("id_b"))
+        .dropDuplicates("id_a", "id_b")
         .withColumn("dot", decDot("qv", "qe"))
         .withColumn("cos", cosine)
         .filter(col("cos") >= 0.3)
@@ -208,10 +222,21 @@ object SimilarityQueries extends QueryPack {
       FROM r WHERE rn <= 3 ORDER BY q_id, rn""",
     "sim_neardup_pairs" -> s"""
       WITH $normCte,
-      p AS (SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
-                   ${dotSql("a.qe", "b.qe")} AS dot,
-                   a.nrm AS qn, b.nrm AS cn
-            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+      eb AS (SELECT vec_id, label, qe, nrm, band,
+               list_sum([CASE WHEN list_sum([qe[d] *
+                   (CASE WHEN ((1103515245 * ((band * 3 + p) * 1000 + d) + 12345) // 65536) % 2 = 0
+                         THEN 1 ELSE -1 END)
+                   for d in generate_series(1, len(qe))]) >= 0
+                 THEN (1 << p) ELSE 0 END
+                 for p in generate_series(0, 2)]) AS sig
+             FROM e, generate_series(0, 3) AS t(band)),
+      cand AS (SELECT DISTINCT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b
+               FROM eb a JOIN eb b ON a.label = b.label AND a.band = b.band
+                 AND a.sig = b.sig AND a.vec_id < b.vec_id),
+      p AS (SELECT c.label, c.id_a, c.id_b,
+              ${dotSql("a.qe", "b.qe")} AS dot,
+              a.nrm AS qn, b.nrm AS cn
+            FROM cand c JOIN e a ON a.vec_id = c.id_a JOIN e b ON b.vec_id = c.id_b),
       s AS (SELECT label, id_a, id_b,
                    CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS cos
             FROM p)

@@ -68,6 +68,15 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("WindowGroupLimit"), s"rank filter not pushed into WindowGroupLimit:\n$p")
   }
 
+  test("neardup pair mining joins on banded LSH signatures, never all-pairs per cell") {
+    val df = graft.queries.SimilarityQueries.queries("sim_neardup_pairs")(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"neardup plan fell back to all-pairs:\n$p")
+    // the candidate join must key on the band signature, not just label
+    assert(p.contains("sig"), s"banded signature not a join key:\n$p")
+  }
+
   test("entry query broadcasts the filtered customer dim before the lineitem shuffle") {
     val p = plan(SparkEntry.entry(spark))
     assert(p.contains("BroadcastHashJoin"), s"customer dim not broadcast:\n$p")
