@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -13,11 +13,46 @@ import org.apache.spark.storage.StorageLevel
  * shape.
  *
  * Scale notes: each round is two shuffles (message join + vertex
- * update); intermediate frames are persisted and lineage is cut with
- * localCheckpoint every few rounds so plans don't grow unboundedly —
- * the standard iterative-DataFrame discipline at cluster scale.
+ * update); every round's state is eagerly materialized with
+ * `localCheckpoint` so no round's joins are recomputed by later rounds
+ * and plans don't grow unboundedly — the standard iterative-DataFrame
+ * discipline at cluster scale.
  */
 object Pregel {
+
+  /**
+   * Generic Pregel / scatter-gather driver (reference Gelly
+   * `Graph.runScatterGatherIteration` / `runGatherSumApplyIteration`,
+   * `Graph.java:1901-2003`): per round,
+   *
+   *   messages  = sendMsg over (edges ⋈ source state)   — scatter
+   *   inbox     = merge(messages) grouped by dst        — sum
+   *   state'    = vprog(state, inbox)                   — apply
+   *
+   * `vertices` is (id, state); `edges` is (src, dst [, attrs]); inside
+   * `sendMsg` the source vertex's state is visible as `src_state` and
+   * the edge's columns by name. `vprog` sees (old state, merged inbox
+   * — null for vertices with no messages). Every concrete algorithm
+   * below is a one-line instantiation.
+   */
+  def pregel(vertices: DataFrame, edges: DataFrame, rounds: Int,
+      sendMsg: Column, merge: Column => Column,
+      vprog: (Column, Column) => Column): DataFrame = {
+    var state = vertices.select(col("id"), col("state"))
+    for (_ <- 1 to rounds) {
+      val msgs = edges
+        .join(state.select(col("id").as("src"), col("state").as("src_state")), Seq("src"))
+        .select(col("dst").as("id"), sendMsg.as("msg"))
+        .groupBy(col("id"))
+        .agg(merge(col("msg")).as("inbox"))
+      // eager per-round materialization: later rounds reuse this
+      // round's blocks instead of recomputing the whole join chain
+      state = state.join(msgs, Seq("id"), "left")
+        .select(col("id"), vprog(col("state"), col("inbox")).as("state"))
+        .localCheckpoint()
+    }
+    state
+  }
 
   /** Min-label propagation for `rounds` FIXED rounds over an undirected
    * edge list (src, dst): label := min(label, neighbors' labels).
@@ -30,20 +65,13 @@ object Pregel {
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = vertices.select(col("id"), col("id").as("label"))
-    for (round <- 1 to rounds) {
-      val msgs = undirected
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("label")).as("nbr_label"))
-      labels = labels.join(msgs, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-      if (round % 3 == 0) labels = labels.localCheckpoint() // cut lineage
-    }
-    // materialize the result (eager localCheckpoint), then release the
-    // cached edge blocks — they otherwise leak across repeated runs in
-    // one session (gate + bench share a JVM)
-    val out = labels.localCheckpoint()
+    val out = pregel(
+      vertices.select(col("id"), col("id").as("state")), undirected, rounds,
+      sendMsg = col("src_state"),
+      merge = min,
+      vprog = (s, m) => least(s, coalesce(m, s)))
+      .select(col("id"), col("state").as("label"))
+      .localCheckpoint() // materialize before freeing the edge blocks
     undirected.unpersist()
     out
   }
@@ -55,28 +83,20 @@ object Pregel {
    *
    *   rank₀ = 10⁹ div n
    *   rankₜ₊₁ = (0.15·10⁹) div n + (85 · Σ_{u→v} rankₜ(u) div deg(u)) div 100
-   *
-   * Same plan shape as [[pageRank]] (two shuffles per round,
-   * localCheckpoint lineage cuts). */
+   */
   def pageRankFixed(vertices: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     val n = vertices.count()
-    val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val degEdges = edges
+      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var ranks = vertices.select(col("id"), lit(1000000000L / n).as("rankq"))
-    for (i <- 1 to iters) {
-      val contribs = edges
-        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-        .join(outDeg.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(sum(expr("rankq div deg")).as("recv"))
-      ranks = vertices.select(col("id"))
-        .join(contribs, Seq("id"), "left")
-        .select(col("id"),
-          (lit(150000000L / n) + expr("(85 * coalesce(recv, 0L)) div 100")).as("rankq"))
-      if (i % 3 == 0) ranks = ranks.localCheckpoint()
-    }
-    val out = ranks.localCheckpoint() // materialize before freeing outDeg
-    outDeg.unpersist()
+    val out = pregel(
+      vertices.select(col("id"), lit(1000000000L / n).as("state")), degEdges, iters,
+      sendMsg = expr("src_state div deg"),
+      merge = sum,
+      vprog = (_, m) => lit(150000000L / n) + expr("(85 * coalesce(inbox, 0L)) div 100"))
+      .select(col("id"), col("state").as("rankq"))
+      .localCheckpoint() // materialize before freeing the edge blocks
+    degEdges.unpersist()
     out
   }
 
@@ -86,23 +106,43 @@ object Pregel {
    * graph (the fixed-point variant above is the hash-gated one). */
   def pageRank(vertices: DataFrame, edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
     val n = vertices.count().toDouble
-    val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val degEdges = edges
+      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var ranks = vertices.select(col("id"), lit(1.0 / n).as("rank"))
-    for (i <- 1 to iters) {
-      val contribs = edges
-        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-        .join(outDeg.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(sum(col("rank") / col("deg")).as("recv"))
-      ranks = vertices.select(col("id"))
-        .join(contribs, Seq("id"), "left")
-        .select(col("id"),
-          (lit((1 - damping) / n) + lit(damping) * coalesce(col("recv"), lit(0.0))).as("rank"))
-      if (i % 3 == 0) ranks = ranks.localCheckpoint()
-    }
-    val out = ranks.localCheckpoint() // materialize before freeing outDeg
-    outDeg.unpersist()
+    val out = pregel(
+      vertices.select(col("id"), lit(1.0 / n).as("state")), degEdges, iters,
+      sendMsg = col("src_state") / col("deg"),
+      merge = sum,
+      vprog = (_, m) => lit((1 - damping) / n) + lit(damping) * coalesce(m, lit(0.0)))
+      .select(col("id"), col("state").as("rank"))
+      .localCheckpoint()
+    degEdges.unpersist()
+    out
+  }
+
+  /** Triangle enumeration (reference
+   * `flink-gelly/.../library/TriangleEnumerator.java`): canonicalize
+   * each edge to (lo < hi), build wedges a<b<c by joining edge lists on
+   * the middle vertex, close each wedge against the third edge (a, c).
+   * Output one row per triangle, vertex ids ascending.
+   *
+   * Scale: two equi-joins on vertex ids; the wedge join's blow-up is
+   * Σ deg(b)² over middle vertices — the canonical a<b<c orientation
+   * halves every degree, the reference's degree-based orientation is
+   * the further refinement if hubs dominate. No all-pairs anywhere. */
+  def triangles(edges: DataFrame): DataFrame = {
+    val ed = edges
+      .select(least(col("src"), col("dst")).as("lo"), greatest(col("src"), col("dst")).as("hi"))
+      .filter(col("lo") < col("hi"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ab = ed.select(col("lo").as("a"), col("hi").as("b"))
+    val bc = ed.select(col("lo").as("b"), col("hi").as("c"))
+    val ac = ed.select(col("lo").as("a"), col("hi").as("c"))
+    val out = ab.join(bc, Seq("b")).join(ac, Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+      .localCheckpoint()
+    ed.unpersist()
     out
   }
 

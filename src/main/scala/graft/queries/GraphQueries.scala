@@ -51,6 +51,20 @@ object GraphQueries extends QueryPack {
         .limit(20)
     }),
 
+    // Triangle enumeration (reference Gelly TriangleEnumerator) over a
+    // deterministic general graph derived from events (the bipartite
+    // user–type graph is triangle-free): user → floor(value*100) % 150,
+    // every 20th event. 45 canonical (a < b < c) triangles at sf0.01.
+    "graph_triangles" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val edges = ev.filter(col("event_id") % 20 === 0)
+        .select(col("user_id").as("src"),
+          (floor(col("value") * 100).cast("bigint") % 150).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      Pregel.triangles(edges).orderBy(col("a"), col("b"), col("c"))
+    }),
+
     // Single-source BFS distances from the first type vertex (tid -1)
     // via DELTA iteration (reference DataSet.iterateDelta): solution
     // set + shrinking workset, early exit on convergence. Unit weights
@@ -137,6 +151,17 @@ object GraphQueries extends QueryPack {
                                             JOIN deg d ON e.src = d.id
                                GROUP BY e.dst) m ON v.id = m.id)
       SELECT id, rankq FROM r5 ORDER BY rankq DESC, id LIMIT 20""",
+    "graph_triangles" -> """
+      WITH raw AS (
+        SELECT DISTINCT user_id AS s, CAST(floor(value * 100) AS BIGINT) % 150 AS d
+        FROM events WHERE event_id % 20 = 0),
+      ed AS (SELECT DISTINCT least(s, d) AS lo, greatest(s, d) AS hi
+             FROM raw WHERE s <> d),
+      ab AS (SELECT lo AS a, hi AS b FROM ed),
+      bc AS (SELECT lo AS b, hi AS c FROM ed),
+      ac AS (SELECT lo AS a, hi AS c FROM ed)
+      SELECT a, b, c FROM ab JOIN bc USING (b) JOIN ac USING (a, c)
+      ORDER BY a, b, c""",
     "graph_sssp_delta" -> """
       WITH types AS (SELECT DISTINCT event_type FROM events),
       tmap AS (SELECT event_type,
