@@ -129,6 +129,12 @@ object Cep {
 
   private def lift[T](pred: T => Boolean): IterPred[T] = (e, _) => pred(e)
 
+  private def liftSub[T, S <: T](pred: S => Boolean)(
+      implicit ct: scala.reflect.ClassTag[S]): IterPred[T] = (e, _) => e match {
+    case s: S => pred(s)
+    case _ => false
+  }
+
   final case class Step[T](name: String, pred: IterPred[T], strict: Boolean,
       quant: Quant = Once, until: Option[IterPred[T]] = None)
 
@@ -146,6 +152,19 @@ object Cep {
     /** Relaxed step with an ITERATIVE condition. */
     def followedByIter(name: String, pred: IterPred[T]): Pattern[T] =
       copy(steps = steps :+ Step(name, pred, strict = false))
+    /** Strict step matching only events of SUBTYPE `S` (reference
+     * `Pattern.subtype`, `Pattern.java:196` — there `subtype()` narrows
+     * the current step's condition; here the narrowed step is appended
+     * with the chosen contiguity): a non-`S` event fails the step. */
+    def nextSubtype[S <: T : scala.reflect.ClassTag](name: String, pred: S => Boolean): Pattern[T] =
+      copy(steps = steps :+ Step(name, liftSub(pred), strict = true))
+    /** Relaxed step matching only events of SUBTYPE `S`. */
+    def followedBySubtype[S <: T : scala.reflect.ClassTag](name: String, pred: S => Boolean): Pattern[T] =
+      copy(steps = steps :+ Step(name, liftSub(pred), strict = false))
+    /** Relaxed-reluctant oneOrMore over events of SUBTYPE `S`
+     * (reference `Pattern.oneOrMore` after `subtype()`). */
+    def oneOrMoreSubtype[S <: T : scala.reflect.ClassTag](name: String, pred: S => Boolean): Pattern[T] =
+      copy(steps = steps :+ Step(name, liftSub(pred), strict = false, quant = OneOrMoreRelaxed))
     /** Relaxed-reluctant oneOrMore with an ITERATIVE condition — each
      * repetition sees the repetitions already consumed. */
     def oneOrMoreIter(name: String, pred: IterPred[T]): Pattern[T] =
@@ -575,7 +594,51 @@ object Cep {
       .withWatermark("__event_ts", watermarkDelay)
       .as[T]
     withWm.groupByKey(key)
-      .flatMapGroupsWithState[CepStateG[T], CepBoundG[T]](OutputMode.Append, Ttl.timeoutConf(ttl))(Ttl.wrap(ttl) {
+      .flatMapGroupsWithState[CepStateG[T], CepBoundG[T]](OutputMode.Append, Ttl.timeoutConf(ttl))(
+        Ttl.wrap(ttl)(cepFlatMap(pattern, time, id)))
+  }
+
+  /** [[runBoundBy]] for event types WITHOUT a product encoder — e.g. a
+   * sealed trait hierarchy matched with `nextSubtype`/`followedBySubtype`
+   * steps (reference `Pattern.java:196` subtype patterns are ADTs by
+   * nature): accessors are functions and the element encoder comes from
+   * the caller (typically `Encoders.kryo[T]`). The event time is
+   * materialized as a real column through a (time, event) envelope so
+   * the watermark machinery still applies; state and output encode via
+   * kryo. Semantics are identical to [[runBoundBy]]. */
+  def runBoundByF[T](ds: Dataset[T], pattern: Pattern[T], key: T => String,
+      time: T => Long, id: T => Long, watermarkDelay: String = "1 hour",
+      ttl: Option[String] = None)(
+      implicit tEnc: org.apache.spark.sql.Encoder[T]): Dataset[CepBoundG[T]] = {
+    validate(pattern) // fail fast on the driver
+    implicit val stEnc: org.apache.spark.sql.Encoder[CepStateG[T]] =
+      Encoders.kryo[CepStateG[T]]
+    implicit val outEnc: org.apache.spark.sql.Encoder[CepBoundG[T]] =
+      Encoders.kryo[CepBoundG[T]]
+    implicit val keyEnc: org.apache.spark.sql.Encoder[String] = Encoders.STRING
+    implicit val envLongEnc: org.apache.spark.sql.Encoder[(Long, T)] =
+      Encoders.tuple(Encoders.scalaLong, tEnc)
+    implicit val envEnc: org.apache.spark.sql.Encoder[(java.sql.Timestamp, T)] =
+      Encoders.tuple(Encoders.TIMESTAMP, tEnc)
+    // the envelope's _1 IS the watermarked event-time column (a tuple
+    // deserializer rejects extra columns, so the timestamp replaces the
+    // raw micros in place)
+    val withWm = ds.map(t => (time(t), t))
+      .toDF()
+      .select(timestamp_micros(col("_1")).as("_1"), col("_2"))
+      .withWatermark("_1", watermarkDelay)
+      .as[(java.sql.Timestamp, T)]
+    val body = cepFlatMap(pattern, time, id)
+    withWm.groupByKey(p => key(p._2))
+      .flatMapGroupsWithState[CepStateG[T], CepBoundG[T]](OutputMode.Append, Ttl.timeoutConf(ttl))(
+        Ttl.wrap(ttl)((k: String, it: Iterator[(java.sql.Timestamp, T)], st: GroupState[CepStateG[T]]) =>
+          body(k, it.map(_._2), st)))
+  }
+
+  /** The per-key micro-batch body shared by [[runBoundBy]] and
+   * [[runBoundByF]]: buffer + re-match + dedup + watermark eviction. */
+  private def cepFlatMap[T](pattern: Pattern[T], time: T => Long, id: T => Long)
+      : (String, Iterator[T], GroupState[CepStateG[T]]) => Iterator[CepBoundG[T]] = {
         (k, it, state: GroupState[CepStateG[T]]) =>
           val st = state.getOption.getOrElse(CepStateG[T](Nil, Nil))
           val wmUs = state.getCurrentWatermarkMs() * 1000L
@@ -638,6 +701,5 @@ object Cep {
           state.update(CepStateG(buffer.filter(e => live(time(e))),
             emitted.filter(p => live(p._1))))
           fresh.iterator.map(m => CepBoundG(k, m.start_us, m.end_us, m.binds))
-      })
   }
 }
