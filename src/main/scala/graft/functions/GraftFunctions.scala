@@ -65,5 +65,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // off unless spark.graft.distinctAggSplit.buckets > 0
     ext.injectOptimizerRule(_ => graft.rules.SplitDistinctAggRule())
+    // streaming ROW_NUMBER() <= N → keyed Top-N state op; must run in
+    // ANALYSIS, before the streaming unsupported-operation check sees
+    // the Window node (reference FlinkLogicalRankRule)
+    ext.injectPostHocResolutionRule(s => graft.rules.StreamRankToTopNRule(s))
   }
 }

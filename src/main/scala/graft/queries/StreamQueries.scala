@@ -238,6 +238,37 @@ object StreamQueries extends QueryPack {
         .orderBy(col("event_type"), col("rn"))
     }),
 
+    // SQL-TRANSPARENT streaming Top-N (reference FlinkLogicalRankRule +
+    // StreamExecRank): the SQL text is a plain ROW_NUMBER() <= 3 rank
+    // filter over a STREAMING view — which Spark cannot execute at all
+    // (non-time window on a stream) — rewritten by StreamRankToTopNRule
+    // into the keyed Top-N state operator. The gate asserts the Window
+    // is gone from the rewritten plan, runs the update stream, and
+    // re-ranks the distinct emitted candidates to the final image.
+    "stream_topn_sql" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val view = StreamOps.freshName("events_stream")
+      StreamOps.eventsTyped(s, dir).toDF().createOrReplaceTempView(view)
+      val analyzed = s.sql(s"""
+        SELECT event_type, event_id, value, rn FROM (
+          SELECT event_type, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY value DESC, event_id) AS rn
+          FROM $view) WHERE rn <= 3""").queryExecution.analyzed
+      val rewritten = graft.rules.StreamRankToTopNRule(s)(analyzed)
+      require(rewritten.collectFirst {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.isEmpty, "rank-to-TopN rewrite did not fire")
+      val df = org.apache.spark.sql.graft.SqlShim.ofRows(s, rewritten)
+      val updates = StreamOps.runToBatch(s, df, "update", "topn_sql")
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id"))
+      updates.select(col("event_type"), col("event_id"), col("value")).distinct()
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy(col("event_type"), col("rn"))
+    }),
+
     // Event-time stream sort (reference RowTimeSortOperator): rows
     // release in (ts, id) order as the watermark passes them, each
     // stamped with its per-key release index — the oracle checks the
@@ -623,6 +654,13 @@ object StreamQueries extends QueryPack {
                      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
             FROM events) t
       WHERE rn = 1 ORDER BY user_id""",
+    "stream_topn_sql" -> """
+      SELECT event_type, event_id, value, rn
+      FROM (SELECT event_type, event_id, value,
+                   row_number() OVER (PARTITION BY event_type
+                     ORDER BY value DESC, event_id) AS rn
+            FROM events)
+      WHERE rn <= 3 ORDER BY event_type, rn""",
     "stream_topn" -> """
       SELECT event_type, event_id, value, rn
       FROM (SELECT event_type, event_id, value,

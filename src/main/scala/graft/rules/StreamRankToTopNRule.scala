@@ -1,0 +1,133 @@
+package graft.rules
+
+import org.apache.spark.sql.{Encoder, Encoders, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/**
+ * SQL-transparent streaming Top-N: rewrite
+ *
+ *   Filter(rn <= N, ... Window(ROW_NUMBER() OVER (PARTITION BY k
+ *                                ORDER BY v [DESC], ...) AS rn, child))
+ *
+ * on a STREAMING child into the keyed Top-N state operator — the
+ * reference's `FlinkLogicalRankRule.scala:39` +
+ * `StreamExecRank.java:73`, which is how `ROW_NUMBER() <= N` becomes an
+ * incrementally-maintained rank in SQL. Spark cannot execute a
+ * non-time window on a stream at all, so without this rewrite the
+ * query is simply unsupported.
+ *
+ * The replacement is an UPDATE stream: whenever a key's Top-N set
+ * changes, the whole set re-emits with current ranks (an upsert sink
+ * keyed on (partition, rn) — or a dedup + re-rank — materializes the
+ * final image, as the reference's UpdateRank emits upserts).
+ *
+ * Shape requirements (anything else is left untouched): a single
+ * ROW_NUMBER window expression; one partition attribute; numeric order
+ * attributes (the caller should include a unique tiebreaker for
+ * deterministic output, as SQL ROW_NUMBER ties are arbitrary); a
+ * `rn <= N` / `rn < N` filter over exactly that rank.
+ *
+ * Registered via `GraftExtensions` as a post-hoc resolution rule — it
+ * must run during ANALYSIS, before the streaming
+ * UnsupportedOperationChecker sees the Window node.
+ *
+ * Scale: state per key is the N-row buffer (the reference's
+ * AppendOnlyTopNFunction state), input shuffles once on the partition
+ * key.
+ */
+case class StreamRankToTopNRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, sub) =>
+      unwrap(sub) match {
+        case Some(w) if w.child.isStreaming => rewrite(f, cond, w).getOrElse(f)
+        case _ => f
+      }
+  }
+
+  /** Strip SubqueryAlias / attribute-only Project layers above the
+   * Window (the analyzed shape of `... FROM (subquery) WHERE`). */
+  private def unwrap(p: LogicalPlan): Option[Window] = p match {
+    case w: Window => Some(w)
+    case SubqueryAlias(_, child) => unwrap(child)
+    case Project(projList, child) if projList.forall(_.isInstanceOf[Attribute]) =>
+      unwrap(child)
+    case _ => None
+  }
+
+  private def rewrite(f: Filter, cond: Expression, w: Window): Option[LogicalPlan] = {
+    val rnAlias = w.windowExpressions match {
+      case Seq(a @ Alias(WindowExpression(_: RowNumber, _), _)) => a
+      case _ => return None
+    }
+    val n: Int = cond match {
+      case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType))
+          if a.exprId == rnAlias.exprId => v
+      case LessThan(a: Attribute, Literal(v: Int, IntegerType))
+          if a.exprId == rnAlias.exprId => v - 1
+      case GreaterThanOrEqual(Literal(v: Int, IntegerType), a: Attribute)
+          if a.exprId == rnAlias.exprId => v
+      case _ => return None
+    }
+    if (n <= 0) return None
+    val partAttr = w.partitionSpec match {
+      case Seq(a: Attribute) => a
+      case _ => return None
+    }
+    val child = w.child
+    val ki = child.output.indexWhere(_.exprId == partAttr.exprId)
+    if (ki < 0) return None
+    // numeric order columns, each with its direction
+    val orderIdx: Seq[(Int, Boolean)] = w.orderSpec.map {
+      case SortOrder(a: Attribute, dir, _, _)
+          if child.output.exists(_.exprId == a.exprId) &&
+            a.dataType.isInstanceOf[NumericType] =>
+        (child.output.indexWhere(_.exprId == a.exprId), dir == Ascending)
+      case _ => return None
+    }
+
+    val df = org.apache.spark.sql.graft.SqlShim.ofRows(session, child)
+    val outSchema = StructType(child.schema.fields :+
+      StructField(rnAlias.name, IntegerType, nullable = false))
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val stEnc: Encoder[List[Row]] = Encoders.kryo[List[Row]]
+    implicit val outEnc: Encoder[Row] = Encoders.row(outSchema)
+    val ord: Ordering[Row] = (x: Row, y: Row) => {
+      var i = 0
+      var c = 0
+      while (c == 0 && i < orderIdx.length) {
+        val (idx, asc) = orderIdx(i)
+        c = java.lang.Double.compare(
+          x.get(idx).asInstanceOf[Number].doubleValue,
+          y.get(idx).asInstanceOf[Number].doubleValue)
+        if (!asc) c = -c
+        i += 1
+      }
+      c
+    }
+    val updates = df.groupByKey(r => String.valueOf(r.get(ki)))
+      .flatMapGroupsWithState[List[Row], Row](OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_, it, state) =>
+          val old = state.getOption.getOrElse(Nil)
+          val merged = (old ++ it.toList).distinct.sorted(ord).take(n)
+          state.update(merged)
+          if (merged != old)
+            merged.iterator.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1)) }
+          else Iterator.empty
+      }
+    // splice back with the ORIGINAL output attribute ids, so everything
+    // above the rewritten Filter still resolves
+    val newOut = updates.queryExecution.analyzed.output
+    val aliases: Seq[NamedExpression] = f.output.map { orig =>
+      val src =
+        if (orig.exprId == rnAlias.exprId) newOut.last
+        else newOut.find(_.name == orig.name).getOrElse(return None)
+      Alias(src, orig.name)(exprId = orig.exprId)
+    }
+    Some(Project(aliases, updates.queryExecution.analyzed))
+  }
+}
