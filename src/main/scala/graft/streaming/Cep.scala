@@ -117,9 +117,13 @@ object Cep {
     def eventsFor(step: String): Seq[T]
     /** The row `offset` >= 1 positions before the candidate row in the
      * key's time-ordered stream (MATCH_RECOGNIZE `PREV`): None before
-     * the start of the retained buffer — in streaming, history older
-     * than `watermark - within` is evicted, so PREV is exact within
-     * the pattern's own horizon. */
+     * the start of the retained buffer. In streaming, history older
+     * than `watermark - within` is evicted, so an in-horizon
+     * candidate's prev(k) DEGRADES TO None once it would reach below
+     * that boundary — a prev-using predicate evaluated near the
+     * horizon can therefore depend on which micro-batch first sees the
+     * candidate (documented batch-timing sensitivity; keep prev
+     * offsets small relative to the within window). */
     def prev(offset: Int): Option[T]
   }
 
@@ -127,13 +131,29 @@ object Cep {
    * context (simple conditions ignore the context). */
   type IterPred[T] = (T, MatchCtx[T]) => Boolean
 
-  private def lift[T](pred: T => Boolean): IterPred[T] = (e, _) => pred(e)
+  /** A context-blind condition (every non-`Iter` combinator): marked by
+   * class so the matcher can skip building a MatchCtx per evaluation —
+   * the scan loops evaluate predicates O(n²)-ish times per key. */
+  private final class CtxFreePred[T](f: T => Boolean)
+      extends ((T, MatchCtx[T]) => Boolean) with Serializable {
+    def apply(e: T, ctx: MatchCtx[T]): Boolean = f(e)
+  }
+
+  private def ctxFree(p: (_, _) => Boolean): Boolean = p.isInstanceOf[CtxFreePred[_]]
+
+  /** Shared no-op context passed to context-blind predicates. */
+  private object EmptyCtx extends MatchCtx[Any] {
+    def eventsFor(step: String): Seq[Any] = Nil
+    def prev(offset: Int): Option[Any] = None
+  }
+
+  private def lift[T](pred: T => Boolean): IterPred[T] = new CtxFreePred(pred)
 
   private def liftSub[T, S <: T](pred: S => Boolean)(
-      implicit ct: scala.reflect.ClassTag[S]): IterPred[T] = (e, _) => e match {
+      implicit ct: scala.reflect.ClassTag[S]): IterPred[T] = new CtxFreePred({
     case s: S => pred(s)
     case _ => false
-  }
+  })
 
   final case class Step[T](name: String, pred: IterPred[T], strict: Boolean,
       quant: Quant = Once, until: Option[IterPred[T]] = None)
@@ -346,14 +366,17 @@ object Cep {
         acc: Vector[(String, Int)]): LazyList[(Int, Vector[(String, Int)])] = steps match {
       case Nil => LazyList((pos, acc))
       case st :: rest =>
+        val noCtx = EmptyCtx.asInstanceOf[MatchCtx[T]]
+        val predFree = ctxFree(st.pred)
+        val untilFree = st.until.forall(ctxFree)
         def ok(binds: Vector[(String, Int)], j: Int): Boolean =
-          st.pred(events(j), ctxAt(binds, j))
+          st.pred(events(j), if (predFree) noCtx else ctxAt(binds, j))
         // until() stop condition (reference `Pattern.java:219`): the
         // loop stops accepting repetitions at the first row satisfying
         // it; the stop row is not consumed, and a stop row before the
         // first repetition fails the loop (>= 1 not met).
         def stopAt(binds: Vector[(String, Int)], j: Int): Boolean =
-          st.until.exists(u => u(events(j), ctxAt(binds, j)))
+          st.until.exists(u => u(events(j), if (untilFree) noCtx else ctxAt(binds, j)))
         def withEventAt(j: Int): LazyList[(Int, Vector[(String, Int)])] =
           matchSteps(start, j, rest, acc :+ ((st.name, j)))
         def firstQualifying(from: Int): Int = {
@@ -448,7 +471,9 @@ object Cep {
     while (i < events.length) {
       val start = events(i)
       var next = i + 1
-      if (p.steps.head.pred(start, ctxAt(Vector.empty, i))) {
+      if (p.steps.head.pred(start,
+          if (ctxFree(p.steps.head.pred)) EmptyCtx.asInstanceOf[MatchCtx[T]]
+          else ctxAt(Vector.empty, i))) {
         val alts = matchSteps(start, i, p.steps.tail.toList,
           Vector((p.steps.head.name, i)))
         // earliest-match subset takes the preferred alternative; Any
