@@ -146,6 +146,22 @@ object Pregel {
     out
   }
 
+  /** Graph summarization (reference
+   * `flink-gelly/.../library/Summarization.java`): condense a graph by
+   * a vertex attribute — every edge is rewritten to its endpoints'
+   * group values and counted. `vertices` is (id, value), `edges` is
+   * (src, dst). Output: (src_value, dst_value, n_edges).
+   *
+   * Scale: two equi-joins on vertex id + one aggregation — the same
+   * shape at any size; no grouping ever materializes a vertex list. */
+  def summarize(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    edges
+      .join(vertices.select(col("id").as("src"), col("value").as("src_value")), Seq("src"))
+      .join(vertices.select(col("id").as("dst"), col("value").as("dst_value")), Seq("dst"))
+      .groupBy(col("src_value"), col("dst_value"))
+      .agg(count(lit(1)).as("n_edges"))
+  }
+
   /** Single-source BFS distances via DELTA iteration (the reference's
    * `DataSet.iterateDelta`, `DataSet.java:1181` / Gelly
    * scatter-gather): a SOLUTION SET of settled (id, dist) pairs and a

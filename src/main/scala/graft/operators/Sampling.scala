@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling for training-data pipelines (SURVEY §7.4
+ * llmops): reproducible train/val assignment and per-stratum sampling
+ * that any engine recomputes identically — no RNG state, no seed
+ * plumbing, the split of a row is a pure function of its id.
+ *
+ * The hash is overflow-safe integer arithmetic on a BIGINT id
+ * (`(id mod 1000003) * 2654435761 mod 1000000007` — max intermediate
+ * ~2.7e15, well inside Int64), so Spark and the DuckDB oracle agree
+ * bit-for-bit. NOT a cryptographic or even particularly strong hash —
+ * it only needs to decorrelate the split from id order.
+ *
+ * Scale: both operators are one columnar expression (split) or one
+ * window rank per stratum (sample) — no shuffle beyond the rank's
+ * per-stratum sort, which AQE sizes like any Top-N.
+ */
+object Sampling {
+
+  /** The deterministic per-id hash both engines compute exactly. */
+  def detHash(id: Column): Column =
+    (id % 1000003L) * 2654435761L % 1000000007L
+
+  /** Add a `split` column: 'train' for ~`trainPct`% of rows, 'val' for
+   * the rest — stable across runs, engines, and partitionings. */
+  def trainValSplit(df: DataFrame, idCol: String, trainPct: Int): DataFrame = {
+    require(trainPct > 0 && trainPct < 100, "trainPct in (0, 100)")
+    df.withColumn("split",
+      when(detHash(col(idCol)) % 100 < trainPct, "train").otherwise("val"))
+  }
+
+  /** Keep `k` rows per stratum, chosen by deterministic hash order
+   * (ties by id): a reproducible stratified sample. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(detHash(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+}

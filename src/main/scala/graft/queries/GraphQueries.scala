@@ -65,6 +65,29 @@ object GraphQueries extends QueryPack {
       Pregel.triangles(edges).orderBy(col("a"), col("b"), col("c"))
     }),
 
+    // Graph summarization (reference Gelly Summarization): condense
+    // the triangle-gate graph by each user's dominant event type —
+    // edges rewrite to (src group, dst group) with counts.
+    "graph_summarize" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("cnt").desc, col("event_type"))
+      val vertices = ev.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id").as("id"), col("event_type").as("value"))
+      val raw = ev.filter(col("event_id") % 20 === 0)
+        .select(col("user_id").as("s"),
+          (floor(col("value") * 100).cast("bigint") % 150).as("d"))
+        .filter(col("s") =!= col("d"))
+        .distinct()
+      val edges = raw.select(least(col("s"), col("d")).as("src"),
+          greatest(col("s"), col("d")).as("dst")).distinct()
+      Pregel.summarize(vertices, edges)
+        .orderBy(col("src_value"), col("dst_value"))
+    }),
+
     // Single-source BFS distances from the first type vertex (tid -1)
     // via DELTA iteration (reference DataSet.iterateDelta): solution
     // set + shrinking workset, early exit on convergence. Unit weights
@@ -151,6 +174,22 @@ object GraphQueries extends QueryPack {
                                             JOIN deg d ON e.src = d.id
                                GROUP BY e.dst) m ON v.id = m.id)
       SELECT id, rankq FROM r5 ORDER BY rankq DESC, id LIMIT 20""",
+    "graph_summarize" -> """
+      WITH vt AS (
+        SELECT user_id, event_type AS grp FROM (
+          SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY count(*) DESC, event_type) AS rn
+          FROM events GROUP BY user_id, event_type)
+        WHERE rn = 1),
+      raw AS (
+        SELECT DISTINCT user_id AS s, CAST(floor(value * 100) AS BIGINT) % 150 AS d
+        FROM events WHERE event_id % 20 = 0),
+      ed AS (SELECT DISTINCT least(s, d) AS lo, greatest(s, d) AS hi
+             FROM raw WHERE s <> d)
+      SELECT a.grp AS src_value, b.grp AS dst_value, count(*) AS n_edges
+      FROM ed JOIN vt a ON ed.lo = a.user_id JOIN vt b ON ed.hi = b.user_id
+      GROUP BY 1, 2 ORDER BY 1, 2""",
     "graph_triangles" -> """
       WITH raw AS (
         SELECT DISTINCT user_id AS s, CAST(floor(value * 100) AS BIGINT) % 150 AS d

@@ -559,6 +559,24 @@ object StreamQueries extends QueryPack {
       }
     }),
 
+    // Window COUNT EVICTOR (reference CountEvictor via
+    // WindowedStream.evictor): per-user 30-minute tumbling windows
+    // whose aggregate applies to only the LAST 5 elements in event-time
+    // order — the state never buffers more than `keep` rows per open
+    // window. Keyed sentinels drive the end-of-input finalize.
+    "stream_evictor_count" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val out = graft.streaming.Evictors.tumbleCountEvictor(
+        StreamOps.eventsTypedWithKeyedSentinels(s, dir),
+        sizeUs = 30L * 60 * 1000 * 1000, keep = 5)
+      StreamOps.runToBatch(s, out.toDF(), "append", "stream_evict")
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"),
+          expr("cast(timestamp_micros(ws_us) as timestamp_ntz)").as("ws"),
+          col("n_kept"), col("kept_cents"))
+        .orderBy(col("user_id"), col("ws"))
+    }),
+
     // CEP absence detection (reference Pattern.notFollowedBy ending a
     // pattern, `cep/pattern/Pattern.java` notFollowedBy + within):
     // clicks with NO purchase in the next 10 minutes. Absence over a
@@ -835,6 +853,16 @@ object StreamQueries extends QueryPack {
       FROM events e JOIN thr USING (event_type)
       WHERE CAST(floor(e.value * 100) AS BIGINT) >= t
       ORDER BY event_id""",
+    "stream_evictor_count" -> """
+      WITH r AS (
+        SELECT user_id, time_bucket(INTERVAL 30 MINUTE, ts) AS ws, value,
+               row_number() OVER (PARTITION BY user_id, time_bucket(INTERVAL 30 MINUTE, ts)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT user_id, ws, count(*) AS n_kept,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS kept_cents
+      FROM r WHERE rn <= 5
+      GROUP BY user_id, ws ORDER BY user_id, ws""",
     "stream_cep_absence" -> """
       SELECT user_id, event_id AS click_id
       FROM events c

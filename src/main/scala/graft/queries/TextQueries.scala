@@ -25,6 +25,25 @@ object TextQueries extends QueryPack {
   private val stopSql = stopList.map(w => s"'$w'").mkString("(", ", ", ")")
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Deterministic train/val split (llmops): 90/10 assignment as a
+    // pure function of doc_id — stable across runs, engines, and
+    // partitionings (no RNG/seed plumbing).
+    "text_train_val_split" -> ((s, dir) => {
+      graft.operators.Sampling.trainValSplit(
+          Tables.load(s, dir, "documents"), "doc_id", trainPct = 90)
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic stratified sample: 20 docs per language, chosen by
+    // hash order — a reproducible per-stratum subsample.
+    "text_stratified_sample" -> ((s, dir) => {
+      graft.operators.Sampling.stratifiedSample(
+          Tables.load(s, dir, "documents"), "lang", "doc_id", k = 20)
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
     // Token counting: whitespace tokens vs regex word tokens vs uniques.
     "text_token_count" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -187,6 +206,17 @@ object TextQueries extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "text_train_val_split" -> """
+      SELECT doc_id, lang,
+             CASE WHEN (doc_id % 1000003) * 2654435761 % 1000000007 % 100 < 90
+                  THEN 'train' ELSE 'val' END AS split
+      FROM documents ORDER BY doc_id""",
+    "text_stratified_sample" -> """
+      SELECT lang, doc_id FROM (
+        SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+          ORDER BY (doc_id % 1000003) * 2654435761 % 1000000007, doc_id) AS rn
+        FROM documents)
+      WHERE rn <= 20 ORDER BY lang, doc_id""",
     "text_token_count" -> """
       SELECT doc_id,
              CAST(len(string_split(trim(lower(text)), ' ')) AS BIGINT) AS n_ws_tokens,
