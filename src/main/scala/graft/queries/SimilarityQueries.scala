@@ -131,32 +131,51 @@ object SimilarityQueries extends QueryPack {
     // Scale: candidate generation is an equi-join on (label, band,
     // sig) — O(collisions), never all-pairs within a cell; pair dedup
     // is one shuffle on the pair id.
-    "sim_neardup_pairs" -> ((s, dir) => {
-      val e = withNorm(Tables.load(s, dir, "embeddings"))
-        .withColumn("band", explode(expr("sequence(0, 3)")))
-        .withColumn("sig", expr("""
-          aggregate(sequence(0, 2), CAST(0 AS BIGINT), (acc, p) ->
-            acc + CASE WHEN aggregate(sequence(1, size(qe)), CAST(0 AS BIGINT),
-                         (s2, d) -> s2 + element_at(qe, d) *
-                           (CASE WHEN ((CAST(1103515245 AS BIGINT) *
-                                        ((CAST(band AS BIGINT) * 3 + CAST(p AS BIGINT)) * 1000 + d)
-                                        + 12345) div 65536) % 2 = 0
-                                 THEN 1 ELSE -1 END)) >= 0
-                       THEN CAST(shiftleft(1, p) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""))
-      val a = e.select(col("label"), col("band"), col("sig"), col("vec_id").as("id_a"),
-                       col("qe").as("qv"), col("nrm").as("qn"))
-      val b = e.select(col("label"), col("band"), col("sig"), col("vec_id").as("id_b"),
-                       col("qe"), col("nrm").as("cn"))
-      a.join(b, Seq("label", "band", "sig"))
-        .filter(col("id_a") < col("id_b"))
-        .dropDuplicates("id_a", "id_b")
-        .withColumn("dot", decDot("qv", "qe"))
-        .withColumn("cos", cosine)
-        .filter(col("cos") >= 0.3)
+    "sim_neardup_pairs" -> ((s, dir) =>
+      bandedNearDupPairs(s, dir)
         .select(col("label"), col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
-        .orderBy(col("label"), col("id_a"), col("id_b"))
+        .orderBy(col("label"), col("id_a"), col("id_b"))),
+
+    // Embedding-cosine near-dup DEDUP (the cluster-and-keep cascade
+    // over the banded pairs — same shape as dedup_lsh_clusters): pairs
+    // → undirected edges → 4 fixed min-label-propagation rounds → each
+    // vector mapped to its cluster's canonical keeper (min vec_id).
+    "dedup_embedding_cosine" -> ((s, dir) => {
+      val edges = bandedNearDupPairs(s, dir)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val vertices = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("id"))
+      graft.graph.Pregel.minLabelPropagation(vertices, edges, rounds = 4)
+        .select(col("id").as("vec_id"), col("label").as("canonical"))
+        .orderBy(col("vec_id"))
     })
   )
+
+  /** Banded near-dup candidate pairs with exact verified cosine: the
+   * shared core of `sim_neardup_pairs` and `dedup_embedding_cosine`. */
+  private def bandedNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.load(s, dir, "embeddings"))
+      .withColumn("band", explode(expr("sequence(0, 3)")))
+      .withColumn("sig", expr("""
+        aggregate(sequence(0, 2), CAST(0 AS BIGINT), (acc, p) ->
+          acc + CASE WHEN aggregate(sequence(1, size(qe)), CAST(0 AS BIGINT),
+                       (s2, d) -> s2 + element_at(qe, d) *
+                         (CASE WHEN ((CAST(1103515245 AS BIGINT) *
+                                      ((CAST(band AS BIGINT) * 3 + CAST(p AS BIGINT)) * 1000 + d)
+                                      + 12345) div 65536) % 2 = 0
+                               THEN 1 ELSE -1 END)) >= 0
+                     THEN CAST(shiftleft(1, p) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""))
+    val a = e.select(col("label"), col("band"), col("sig"), col("vec_id").as("id_a"),
+                     col("qe").as("qv"), col("nrm").as("qn"))
+    val b = e.select(col("label"), col("band"), col("sig"), col("vec_id").as("id_b"),
+                     col("qe"), col("nrm").as("cn"))
+    a.join(b, Seq("label", "band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("dot", decDot("qv", "qe"))
+      .withColumn("cos", cosine)
+      .filter(col("cos") >= 0.3)
+  }
 
   private val normCte = """
     e0 AS (SELECT vec_id, label,
@@ -220,6 +239,45 @@ object SimilarityQueries extends QueryPack {
             FROM s)
       SELECT q_id, CAST(bucket AS BIGINT) AS bucket, vec_id, rn, round(cos, 6) AS cosine
       FROM r WHERE rn <= 3 ORDER BY q_id, rn""",
+    "dedup_embedding_cosine" -> s"""
+      WITH $normCte,
+      eb AS (SELECT vec_id, label, qe, nrm, band,
+               list_sum([CASE WHEN list_sum([qe[d] *
+                   (CASE WHEN ((1103515245 * ((band * 3 + p) * 1000 + d) + 12345) // 65536) % 2 = 0
+                         THEN 1 ELSE -1 END)
+                   for d in generate_series(1, len(qe))]) >= 0
+                 THEN (1 << p) ELSE 0 END
+                 for p in generate_series(0, 2)]) AS sig
+             FROM e, generate_series(0, 3) AS t(band)),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM eb a JOIN eb b ON a.label = b.label AND a.band = b.band
+                 AND a.sig = b.sig AND a.vec_id < b.vec_id),
+      p AS (SELECT c.id_a, c.id_b, ${dotSql("a.qe", "b.qe")} AS dot,
+              a.nrm AS qn, b.nrm AS cn
+            FROM cand c JOIN e a ON a.vec_id = c.id_a JOIN e b ON b.vec_id = c.id_b),
+      pr AS (SELECT id_a, id_b FROM p
+             WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) >= 0.3),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+                UNION SELECT id_b, id_a FROM pr),
+      v AS (SELECT vec_id AS id FROM embeddings),
+      l0 AS (SELECT id, id AS lbl FROM v),
+      l1 AS (SELECT l.id, least(l.lbl, coalesce(m.nl, l.lbl)) AS lbl
+             FROM l0 l LEFT JOIN (SELECT e2.dst AS id, min(x.lbl) AS nl
+                                  FROM edges e2 JOIN l0 x ON e2.src = x.id
+                                  GROUP BY e2.dst) m ON l.id = m.id),
+      l2 AS (SELECT l.id, least(l.lbl, coalesce(m.nl, l.lbl)) AS lbl
+             FROM l1 l LEFT JOIN (SELECT e2.dst AS id, min(x.lbl) AS nl
+                                  FROM edges e2 JOIN l1 x ON e2.src = x.id
+                                  GROUP BY e2.dst) m ON l.id = m.id),
+      l3 AS (SELECT l.id, least(l.lbl, coalesce(m.nl, l.lbl)) AS lbl
+             FROM l2 l LEFT JOIN (SELECT e2.dst AS id, min(x.lbl) AS nl
+                                  FROM edges e2 JOIN l2 x ON e2.src = x.id
+                                  GROUP BY e2.dst) m ON l.id = m.id),
+      l4 AS (SELECT l.id, least(l.lbl, coalesce(m.nl, l.lbl)) AS lbl
+             FROM l3 l LEFT JOIN (SELECT e2.dst AS id, min(x.lbl) AS nl
+                                  FROM edges e2 JOIN l3 x ON e2.src = x.id
+                                  GROUP BY e2.dst) m ON l.id = m.id)
+      SELECT id AS vec_id, lbl AS canonical FROM l4 ORDER BY vec_id""",
     "sim_neardup_pairs" -> s"""
       WITH $normCte,
       eb AS (SELECT vec_id, label, qe, nrm, band,
