@@ -22,9 +22,12 @@ import org.apache.spark.sql.functions._
  */
 object Sampling {
 
-  /** The deterministic per-id hash both engines compute exactly. */
+  /** The deterministic per-id hash both engines compute exactly.
+   * `pmod` (not `%`) on the outer reduction: a truncating mod would
+   * map every negative id below the split threshold, collapsing the
+   * ~trainPct% contract for signed id spaces. */
   def detHash(id: Column): Column =
-    (id % 1000003L) * 2654435761L % 1000000007L
+    pmod((id % 1000003L) * 2654435761L, lit(1000000007L))
 
   /** Add a `split` column: 'train' for ~`trainPct`% of rows, 'val' for
    * the rest — stable across runs, engines, and partitionings. */

@@ -208,13 +208,13 @@ object TextQueries extends QueryPack {
   override def oracle: Map[String, String] = Map(
     "text_train_val_split" -> """
       SELECT doc_id, lang,
-             CASE WHEN (doc_id % 1000003) * 2654435761 % 1000000007 % 100 < 90
+             CASE WHEN ((doc_id % 1000003) * 2654435761 % 1000000007 + 1000000007) % 1000000007 % 100 < 90
                   THEN 'train' ELSE 'val' END AS split
       FROM documents ORDER BY doc_id""",
     "text_stratified_sample" -> """
       SELECT lang, doc_id FROM (
         SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
-          ORDER BY (doc_id % 1000003) * 2654435761 % 1000000007, doc_id) AS rn
+          ORDER BY ((doc_id % 1000003) * 2654435761 % 1000000007 + 1000000007) % 1000000007, doc_id) AS rn
         FROM documents)
       WHERE rn <= 20 ORDER BY lang, doc_id""",
     "text_token_count" -> """

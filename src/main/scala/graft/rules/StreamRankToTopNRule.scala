@@ -82,11 +82,12 @@ case class StreamRankToTopNRule(session: SparkSession) extends Rule[LogicalPlan]
     val ki = child.output.indexWhere(_.exprId == partAttr.exprId)
     if (ki < 0) return None
     // numeric order columns, each with its direction
-    val orderIdx: Seq[(Int, Boolean)] = w.orderSpec.map {
+    val orderIdx: Seq[(Int, Boolean, Boolean)] = w.orderSpec.map {
       case SortOrder(a: Attribute, dir, _, _)
           if child.output.exists(_.exprId == a.exprId) &&
             a.dataType.isInstanceOf[NumericType] =>
-        (child.output.indexWhere(_.exprId == a.exprId), dir == Ascending)
+        (child.output.indexWhere(_.exprId == a.exprId), dir == Ascending,
+          Seq(ByteType, ShortType, IntegerType, LongType).contains(a.dataType))
       case _ => return None
     }
 
@@ -100,10 +101,19 @@ case class StreamRankToTopNRule(session: SparkSession) extends Rule[LogicalPlan]
       var i = 0
       var c = 0
       while (c == 0 && i < orderIdx.length) {
-        val (idx, asc) = orderIdx(i)
-        c = java.lang.Double.compare(
-          x.get(idx).asInstanceOf[Number].doubleValue,
-          y.get(idx).asInstanceOf[Number].doubleValue)
+        val (idx, asc, integral) = orderIdx(i)
+        // 64-bit ids above 2^53 collapse under a double compare, which
+        // would break the unique-tiebreaker contract — compare integral
+        // columns exactly.
+        c =
+          if (integral)
+            java.lang.Long.compare(
+              x.get(idx).asInstanceOf[Number].longValue,
+              y.get(idx).asInstanceOf[Number].longValue)
+          else
+            java.lang.Double.compare(
+              x.get(idx).asInstanceOf[Number].doubleValue,
+              y.get(idx).asInstanceOf[Number].doubleValue)
         if (!asc) c = -c
         i += 1
       }

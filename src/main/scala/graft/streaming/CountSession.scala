@@ -55,6 +55,7 @@ object CountSession {
       watermarkDelay: String = "0 seconds",
       ttl: Option[String] = None): Dataset[CountWindowRow] = {
     import ds.sparkSession.implicits._
+    Ttl.guard(ttl, watermarkDelay)
     val withWm = ds.toDF()
       .withColumn("__event_ts", timestamp_micros(col("ts_us")))
       .withWatermark("__event_ts", watermarkDelay)
@@ -88,6 +89,7 @@ object CountSession {
       watermarkDelay: String = "0 seconds",
       ttl: Option[String] = None): Dataset[DynSessionRow] = {
     import ds.sparkSession.implicits._
+    Ttl.guard(ttl, watermarkDelay)
     val withWm = ds.toDF()
       .withColumn("__event_ts", timestamp_micros(col("ts_us")))
       .withWatermark("__event_ts", watermarkDelay)

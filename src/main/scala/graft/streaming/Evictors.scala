@@ -40,6 +40,7 @@ object Evictors {
       watermarkDelay: String = "0 seconds",
       ttl: Option[String] = None): Dataset[EvictWinRow] = {
     import ds.sparkSession.implicits._
+    Ttl.guard(ttl, watermarkDelay)
     require(keep >= 1, "need keep >= 1")
     val withWm = ds.toDF()
       .withColumn("__event_ts", timestamp_micros(col("ts_us")))

@@ -208,8 +208,21 @@ object StreamOps {
     (1 to rounds).foreach { r =>
       val cols = batch.schema.fields.map { f =>
         if (idCols.contains(f.name)) lit(-1L).cast(f.dataType).as(f.name)
-        else if (f.name == timeCol)
-          lit(s"2200-01-01 0$r:00:00").cast(f.dataType).as(f.name)
+        else if (f.name == timeCol) f.dataType match {
+          // Epoch-micros convention (the streaming layer's Long time
+          // columns): a string-cast would yield NULL and the watermark
+          // would never advance, so emit far-future micros directly.
+          case org.apache.spark.sql.types.LongType =>
+            lit(farFutureMicros + r * 3600L * 1000000L).as(f.name)
+          case _: org.apache.spark.sql.types.TimestampType |
+               _: org.apache.spark.sql.types.TimestampNTZType |
+               _: org.apache.spark.sql.types.DateType |
+               _: org.apache.spark.sql.types.StringType =>
+            lit(f"2200-01-${1 + r / 24}%02d ${r % 24}%02d:00:00")
+              .cast(f.dataType).as(f.name)
+          case dt => throw new IllegalArgumentException(
+            s"tableWithFinalWatermark: unsupported time column type $dt for '$timeCol'")
+        }
         else f.dataType match {
           case org.apache.spark.sql.types.StringType => lit("sentinel").as(f.name)
           case dt => lit(0).cast(dt).as(f.name)
@@ -225,6 +238,10 @@ object StreamOps {
     (if (rounds > 1) reader.option("maxFilesPerTrigger", "1") else reader)
       .parquet(s"$work/*.parquet")
   }
+
+  /** Epoch micros of 2200-01-01T00:00:00Z — far past any fixture row. */
+  private val farFutureMicros: Long =
+    java.time.Instant.parse("2200-01-01T00:00:00Z").getEpochSecond * 1000000L
 
   private def listParquets(work: java.nio.file.Path): Set[java.nio.file.Path] = {
     import scala.jdk.CollectionConverters._

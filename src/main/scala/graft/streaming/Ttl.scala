@@ -25,6 +25,30 @@ private[streaming] object Ttl {
     if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
     else GroupStateTimeout.NoTimeout
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  private val unitMicros: Map[String, Long] = Map(
+    "microsecond" -> 1L, "millisecond" -> 1000L, "second" -> 1000000L,
+    "minute" -> 60L * 1000000L, "hour" -> 3600L * 1000000L,
+    "day" -> 86400L * 1000000L)
+
+  private def micros(s: String): Option[Long] =
+    "^\\s*(\\d+)\\s*([a-zA-Z]+?)s?\\s*$".r.findFirstMatchIn(s).flatMap { m =>
+      unitMicros.get(m.group(2).toLowerCase).map(_ * m.group(1).toLong)
+    }
+
+  /** Validate a TTL against the operator's watermark delay: a TTL
+   * shorter than the watermark delay can expire a key while rows are
+   * still buffered awaiting watermark release, silently dropping
+   * matches/windows (the documented trade-off). Loudly warn so it
+   * cannot be hit by accident. */
+  def guard(ttl: Option[String], watermarkDelay: String): Unit =
+    for (t <- ttl; tm <- micros(t); wm <- micros(watermarkDelay))
+      if (tm < wm) log.warn(
+        s"state TTL '$t' is shorter than the watermark delay " +
+        s"'$watermarkDelay': idle keys may drop rows still buffered for " +
+        "watermark release; use a TTL >= the watermark delay")
+
   /** Wrap a state-op body with TTL expiry + per-invocation re-arm. */
   def wrap[K, T, S, O](ttl: Option[String])(
       body: (K, Iterator[T], GroupState[S]) => Iterator[O])

@@ -17,13 +17,17 @@ class TtlSpec extends SparkSuite {
   private def ev(id: Long, user: Long, tsUs: Long) =
     Ev(id, user, "click", tsUs, 1.0)
 
-  /** Retry `f` until it stops throwing or the deadline passes. */
-  private def eventually[A](what: String, deadlineMs: Long = 60000)(f: => A): A = {
+  /** Retry `f` until it stops throwing or the deadline passes. Retries
+   * on ANY non-fatal error, not just assertion failures: the statestore
+   * reader races with the running query's commits and can surface
+   * transient IO/IllegalState errors mid-commit, which must be polled
+   * through, not propagated (the cause of the old full-suite flake). */
+  private def eventually[A](what: String, deadlineMs: Long = 120000)(f: => A): A = {
     val end = System.currentTimeMillis() + deadlineMs
     var last: Throwable = null
     while (System.currentTimeMillis() < end) {
       try return f
-      catch { case t: org.scalatest.exceptions.TestFailedException => last = t; Thread.sleep(100) }
+      catch { case scala.util.control.NonFatal(t) => last = t; Thread.sleep(100) }
     }
     throw new AssertionError(s"timed out waiting for $what", last)
   }
