@@ -43,7 +43,10 @@ object GraftFunctions {
     "hash_code" -> (es => Murmur3Hash(es, 42)),
     "rand_integer" -> (es =>
       Cast(Floor(Multiply(new Rand(), Cast(es.head, org.apache.spark.sql.types.DoubleType))),
-        org.apache.spark.sql.types.IntegerType))
+        org.apache.spark.sql.types.IntegerType)),
+    // FOR SYSTEM_TIME AS OF marker (temporal join): resolvable but
+    // unevaluable — StreamTemporalJoinRule must plan it away
+    "system_time_as_of" -> (es => SystemTimeAsOf(es(0), es(1), es(2)))
   )
 
   /** Runtime registration on an existing session (idempotent). */
@@ -69,5 +72,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // ANALYSIS, before the streaming unsupported-operation check sees
     // the Window node (reference FlinkLogicalRankRule)
     ext.injectPostHocResolutionRule(s => graft.rules.StreamRankToTopNRule(s))
+    // FOR SYSTEM_TIME AS OF marked join → versioned-join state op
+    // (reference LogicalCorrelateToJoinFromTemporalTableRule)
+    ext.injectPostHocResolutionRule(s => graft.rules.StreamTemporalJoinRule(s))
   }
 }

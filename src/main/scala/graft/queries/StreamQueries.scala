@@ -335,6 +335,33 @@ object StreamQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // SQL-TRANSPARENT temporal join (reference
+    // LogicalCorrelateToJoinFromTemporalTableRule + StreamExecTemporalJoin):
+    // the SQL text carries FOR SYSTEM_TIME AS OF; TemporalSql desugars it
+    // to the marker-conjunct join, StreamTemporalJoinRule plans it into
+    // the versioned-join state op. Must equal stream_temporal_join.
+    "stream_temporal_join_sql" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val dimsView = StreamOps.freshName("orders_versioned")
+      val probesView = StreamOps.freshName("events_probes")
+      StreamOps.readStream(s, dir, "orders")
+        .select(col("o_custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("ver_us"),
+          col("o_orderkey"), col("o_totalprice"))
+        .createOrReplaceTempView(dimsView)
+      StreamOps.eventsTypedWithFinalWatermark(s, dir).toDF()
+        .createOrReplaceTempView(probesView)
+      graft.sqlx.TemporalSql.registerVersioned(dimsView, "ver_us", "o_orderkey")
+      val df = graft.sqlx.TemporalSql.sql(s, s"""
+        SELECT p.event_id, p.user_id, d.o_orderkey, d.o_totalprice
+        FROM $probesView p
+        LEFT JOIN $dimsView FOR SYSTEM_TIME AS OF p.ts_us AS d
+          ON p.user_id = d.o_custkey""")
+      StreamOps.runToBatch(s, df, "append", "stream_tjoin_sql")
+        .filter(col("event_id") >= 0)
+        .orderBy(col("event_id"))
+    }),
+
     // Event-time bounded streaming OVER, ROWS frame (reference
     // RowTimeRowsBoundedPrecedingFunction): per-user sliding 3-row
     // count/sum, rows released as the watermark passes them; the staged
@@ -709,6 +736,17 @@ object StreamQueries extends QueryPack {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       ORDER BY user_id, event_id""",
     "stream_temporal_join" -> """
+      SELECT event_id, user_id, o_orderkey, o_totalprice
+      FROM (
+        SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+               row_number() OVER (PARTITION BY e.event_id
+                 ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e
+        LEFT JOIN orders o
+          ON e.user_id = o.o_custkey AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+      ) t WHERE rn = 1
+      ORDER BY event_id""",
+    "stream_temporal_join_sql" -> """
       SELECT event_id, user_id, o_orderkey, o_totalprice
       FROM (
         SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,

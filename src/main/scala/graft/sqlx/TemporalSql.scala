@@ -1,0 +1,119 @@
+package graft.sqlx
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import scala.collection.concurrent.TrieMap
+
+/**
+ * `FOR SYSTEM_TIME AS OF` SQL surface (SURVEY §2.3 temporal join) — the
+ * parser half of the reference's temporal-join pipeline: Flink's parser
+ * turns the clause into a `LogicalSnapshot` under a correlate, then
+ * `LogicalCorrelateToJoinFromTemporalTableRule` rewrites it into the
+ * temporal join (`flink-table-planner/.../plan/rules/logical/LogicalCorrelateToJoinFromTemporalTableRule.scala`).
+ * Spark's parser rejects the clause outright, so this front-end
+ * desugars the SQL text instead:
+ *
+ * {{{
+ * FROM probes p JOIN dims FOR SYSTEM_TIME AS OF p.ts AS d ON p.k = d.k
+ *   -->
+ * FROM probes p JOIN dims AS d
+ *   ON p.k = d.k AND SYSTEM_TIME_AS_OF(d.<verTime>, d.<verSeq>, p.ts)
+ * }}}
+ *
+ * which Spark CAN parse+resolve (the marker is a registered, deliberately
+ * unevaluable function), and which
+ * `graft.rules.StreamTemporalJoinRule` then plans into the versioned-join
+ * state operator. An unrewritten marker fails at execution, as the
+ * reference errors on an unconverted snapshot — never silent fallback.
+ *
+ * The versioned side's (time, seq) columns come from [[registerVersioned]]
+ * — the analog of the reference's versioned-table metadata (event-time
+ * WATERMARK + PRIMARY KEY on the dim table's DDL), which Flink likewise
+ * resolves from the catalog rather than the query text.
+ */
+object TemporalSql {
+
+  private val versioned = TrieMap.empty[String, (String, String)]
+
+  /** Declare `view` as a versioned table: `timeCol` is its event-time
+   * version column, `seqCol` a monotonic tiebreaker (primary-key-ish)
+   * for same-instant versions. */
+  def registerVersioned(view: String, timeCol: String, seqCol: String): Unit =
+    versioned.put(view.toLowerCase, (timeCol, seqCol))
+
+  // ... <dim> FOR SYSTEM_TIME AS OF <probeTimeRef> [AS] <alias> ...
+  private val ForSystemTime =
+    """(?is)([A-Za-z_][A-Za-z0-9_]*)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+([A-Za-z_][A-Za-z0-9_.]*)\s+(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)""".r
+
+  /** Desugar every `FOR SYSTEM_TIME AS OF` clause in `query` into the
+   * marker-conjunct form above (pure text-to-text). */
+  def desugar(query: String): String = {
+    var out = query
+    var m = ForSystemTime.findFirstMatchIn(out)
+    while (m.isDefined) {
+      val mm = m.get
+      val (table, probeTs, alias) = (mm.group(1), mm.group(2), mm.group(3))
+      val (timeCol, seqCol) = versioned.getOrElse(table.toLowerCase,
+        throw new IllegalArgumentException(
+          s"'$table FOR SYSTEM_TIME AS OF': no versioned registration for " +
+          s"'$table' — call TemporalSql.registerVersioned(view, timeCol, seqCol) " +
+          "(the versioned-table DDL metadata)"))
+      // find this join's ON clause and append the marker conjunct
+      val after = out.substring(mm.end)
+      val onRe = """(?is)^\s*ON\s+""".r
+      val on = onRe.findFirstMatchIn(after).getOrElse(
+        throw new IllegalArgumentException(
+          s"'$table FOR SYSTEM_TIME AS OF' must be followed by ON <condition>"))
+      val condStart = mm.end + on.end
+      val condEnd = endOfCondition(out, condStart)
+      val marker =
+        s" AND SYSTEM_TIME_AS_OF($alias.$timeCol, $alias.$seqCol, $probeTs)"
+      out = out.substring(0, mm.start) + s"$table AS $alias" +
+        after.substring(0, on.end) +
+        "(" + out.substring(condStart, condEnd) + marker + ")" +
+        out.substring(condEnd)
+      m = ForSystemTime.findFirstMatchIn(out)
+    }
+    out
+  }
+
+  /** The ON condition extends to the next top-level clause keyword,
+   * unbalanced ')', or end of text. */
+  private def endOfCondition(s: String, start: Int): Int = {
+    val stop = """(?is)\b(WHERE|GROUP\s+BY|ORDER\s+BY|HAVING|LIMIT|UNION|JOIN|LEFT|RIGHT|FULL|INNER|CROSS|WINDOW)\b""".r
+    var depth = 0
+    var i = start
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' if depth == 0 => return i
+        case ')' => depth -= 1
+        case _ if depth == 0 =>
+          val rest = s.subSequence(i, s.length)
+          stop.findPrefixMatchOf(rest) match {
+            case Some(_) => return i
+            case None =>
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    s.length
+  }
+
+  /** Parse + analyze + temporal-join-rewrite + wrap: the full SQL entry
+   * point. Works whether or not `GraftExtensions` is installed on the
+   * session (the rule is applied post-hoc here if analysis left the
+   * marker in place). */
+  def sql(spark: SparkSession, query: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val analyzed = spark.sql(desugar(query)).queryExecution.analyzed
+    val rewritten = graft.rules.StreamTemporalJoinRule(spark)(analyzed)
+    val leftover = rewritten.collectFirst {
+      case p if p.expressions.exists(_.exists(_.isInstanceOf[graft.functions.SystemTimeAsOf])) => p
+    }
+    require(leftover.isEmpty,
+      s"FOR SYSTEM_TIME AS OF join was not planned (unsupported shape):\n$leftover")
+    org.apache.spark.sql.graft.SqlShim.ofRows(spark, rewritten)
+  }
+}

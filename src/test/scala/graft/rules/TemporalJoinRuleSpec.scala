@@ -1,0 +1,84 @@
+package graft.rules
+
+import graft.SparkSuite
+import graft.sqlx.TemporalSql
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.catalyst.plans.logical.Join
+
+/** FOR SYSTEM_TIME AS OF: the desugar produces the marker-conjunct
+ * join, the analysis rule plans the marked streaming join into the
+ * versioned-join state op, and the composed pipeline computes
+ * latest-version-at-or-before enrichment over MemoryStreams. */
+case class TjrDim(k: Long, ver_us: Long, seq: Long, price: Double)
+case class TjrProbe(id: Long, k: Long, ts_us: Long)
+
+class TemporalJoinRuleSpec extends SparkSuite {
+
+  test("desugar rewrites the clause and demands versioned registration") {
+    TemporalSql.registerVersioned("dims_v", "ver_us", "seq")
+    val out = TemporalSql.desugar(
+      """SELECT p.id, d.price FROM probes p
+         JOIN dims_v FOR SYSTEM_TIME AS OF p.ts_us AS d ON p.k = d.k
+         WHERE p.id > 0""")
+    assert(out.contains("dims_v AS d"))
+    assert(out.toUpperCase.contains("SYSTEM_TIME_AS_OF(D.VER_US, D.SEQ, P.TS_US)"))
+    assert(!out.toUpperCase.contains("FOR SYSTEM_TIME"))
+    intercept[IllegalArgumentException] {
+      TemporalSql.desugar("SELECT * FROM p JOIN unknown FOR SYSTEM_TIME AS OF p.ts AS u ON p.k = u.k")
+    }
+  }
+
+  test("marked streaming join plans into the state op and joins versions as-of") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dimS = MemoryStream[TjrDim]
+    val probeS = MemoryStream[TjrProbe]
+    // two versions for key 1 (at t=10 and t=30), one for key 2 (t=20)
+    dimS.addData(TjrDim(1, 10, 1, 1.0), TjrDim(1, 30, 2, 3.0), TjrDim(2, 20, 1, 2.0))
+    // probes at t=15 (sees v1), t=35 (sees v2), t=5 (before any → null),
+    // key2 at t=25 (sees its v1); far-future sentinel flushes the rest
+    probeS.addData(TjrProbe(1, 1, 15), TjrProbe(2, 1, 35), TjrProbe(3, 1, 5), TjrProbe(4, 2, 25),
+      TjrProbe(-1, -1, 7258118400000000L))
+    val dv = "dims_spec_v"
+    val pv = "probes_spec_v"
+    dimS.toDS().toDF().createOrReplaceTempView(dv)
+    probeS.toDS().toDF().createOrReplaceTempView(pv)
+    TemporalSql.registerVersioned(dv, "ver_us", "seq")
+    val df = TemporalSql.sql(spark, s"""
+      SELECT p.id, p.k, d.price
+      FROM $pv p
+      LEFT JOIN $dv FOR SYSTEM_TIME AS OF p.ts_us AS d ON p.k = d.k""")
+    // the Join node must be gone (a stream-stream join with this
+    // condition is otherwise unexecutable)
+    assert(df.queryExecution.analyzed.collectFirst { case j: Join => j }.isEmpty,
+      "temporal-join rewrite did not fire")
+    val q = df.writeStream.format("memory").queryName("tj_rule_spec")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("tj_rule_spec")
+        .filter($"id" > 0).orderBy($"id")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toList
+      assert(rows.length == 4, s"got $rows")
+      assert(rows(0) == ((1L, 1L, 1.0)), s"probe@15 must see v1: $rows")
+      assert(rows(1) == ((2L, 1L, 3.0)), s"probe@35 must see v2: $rows")
+      assert(rows(2)._3.isNaN, s"probe@5 precedes all versions: $rows")
+      assert(rows(3) == ((4L, 2L, 2.0)), s"key2 probe@25 must see its v1: $rows")
+    } finally q.stop()
+  }
+
+  test("non-streaming or out-of-shape joins are left untouched") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    Seq((1L, 2L)).toDF("k", "ts").createOrReplaceTempView("batch_probe")
+    Seq((1L, 1L, 1L)).toDF("k", "ver", "seq").createOrReplaceTempView("batch_dim")
+    val analyzed = spark.sql(
+      """SELECT * FROM batch_probe p JOIN batch_dim d
+         ON p.k = d.k AND SYSTEM_TIME_AS_OF(d.ver, d.seq, p.ts)""")
+      .queryExecution.analyzed
+    val after = StreamTemporalJoinRule(spark)(analyzed)
+    assert(after.collectFirst { case j: Join => j }.isDefined,
+      "rule must not fire on batch inputs")
+  }
+}
