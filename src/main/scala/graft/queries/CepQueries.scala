@@ -161,6 +161,33 @@ object CepQueries extends QueryPack {
         .orderBy(col("click_id"))
     }),
 
+    // MATCH_RECOGNIZE PATTERN alternation `(H | L)` (reference
+    // flink-sql-parser pattern grammar + StreamExecMatch): the row
+    // after each click binds to the FIRST alternative whose DEFINE
+    // holds (H: value >= 0.5, else L), preserving the classifier in
+    // MEASURES; SKIP TO NEXT ROW keeps overlapping matches (a click's
+    // alternation row can start the next match).
+    "match_recognize_alternation" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val mrSql = """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES C.event_id AS click_id, H.event_id AS h_id, L.event_id AS l_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (C (H | L))
+          WITHIN INTERVAL '30' MINUTE
+          DEFINE C AS C.event_type = 'click',
+                 H AS H.value >= 0.5,
+                 L AS L.value < 0.5
+        )"""
+      StreamOps.runToBatch(s,
+          graft.sqlx.MatchRecognize.run(StreamOps.eventsTyped(s, dir), mrSql),
+          "append", "mr_alt")
+        .orderBy(col("click_id"))
+    }),
+
     // MATCH_RECOGNIZE over a non-events schema (the DEFINE/PARTITION
     // whitelist is gone — any column set works): per customer, a
     // filled order directly followed by a pricier open one.
@@ -238,6 +265,19 @@ object CepQueries extends QueryPack {
       FROM o WHERE event_type = 'purchase' AND ptype = 'click'
         AND value > pval AND pval2 IS NOT NULL AND value > pval2
         AND ts <= pts + INTERVAL 60 MINUTE
+      ORDER BY click_id""",
+    "match_recognize_alternation" -> """
+      WITH o AS (
+        SELECT user_id, event_id, event_type, value, ts,
+               lead(event_id) OVER w AS nid, lead(value) OVER w AS nval,
+               lead(ts) OVER w AS nts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, event_id AS click_id,
+             CASE WHEN nval >= 0.5 THEN nid END AS h_id,
+             CASE WHEN nval < 0.5 THEN nid END AS l_id
+      FROM o WHERE event_type = 'click' AND nid IS NOT NULL
+        AND nts <= ts + INTERVAL 30 MINUTE
       ORDER BY click_id""",
     "match_recognize_generic" -> """
       WITH o AS (

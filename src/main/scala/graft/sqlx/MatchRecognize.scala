@@ -37,6 +37,10 @@ case class MrEv(key: String, ts_us: Long, id: Long,
  *    SKIP TO [FIRST|LAST] Sym    (default NO_SKIP, as the reference)
  *  - PATTERN (A B+ C? D{1,3} ...) with quantifiers +, ?, +?, ??, {m,n}
  *    on non-initial symbols; contiguity is strict, per MATCH_RECOGNIZE
+ *  - ALTERNATION groups `(A | B [| C ...])` of bare symbols (no
+ *    quantifier on the group or its alternatives): the consumed row
+ *    binds to the FIRST alternative whose DEFINE holds, in declared
+ *    order — SQL preference semantics on the single consumed row
  *  - WITHIN INTERVAL 'n' unit
  *  - DEFINE Sym AS <cmp> [AND ...] where each side of a comparison is
  *    `Sym.field` (the current row), `Other.field` / `LAST(Other.field)`
@@ -131,7 +135,9 @@ object MatchRecognize {
 
   private val PrevRe = """(?i)^PREV\s*\(\s*(\w+)\.(\w+)\s*(?:,\s*(\d+))?\s*\)$""".r
   private val NavRe = """(?i)^(FIRST|LAST)\s*\(\s*(\w+)\.(\w+)\s*\)$""".r
-  private val FieldRe = """^(\w+)\.(\w+)$""".r
+  // identifier-leading on both sides, so a decimal literal like `0.5`
+  // can never parse as a symbol.field reference
+  private val FieldRe = """^([A-Za-z_]\w*)\.([A-Za-z_]\w*)$""".r
   private val MeasureRe =
     """(?i)^(?:(RUNNING|FINAL)\s+)?(?:(FIRST|LAST|SUM|COUNT|MIN|MAX|AVG)\s*\(\s*)?(\w+)\.(\w+|\*)\s*\)?\s+AS\s+(\w+)$""".r
   private val IntervalRe = """(?i)INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)S?""".r
@@ -229,23 +235,45 @@ object MatchRecognize {
       .trim.stripPrefix("(").stripSuffix(")").trim
     val RangeQuant = """^([A-Za-z_][A-Za-z0-9_]*)\{(\d+),(\d+)\}$""".r
     val BareSym = """^[A-Za-z_][A-Za-z0-9_]*$""".r
-    val tokens = patternTxt.split("\\s+").toSeq.map {
-      case RangeQuant(sym, lo, hi) => (sym.toUpperCase, s"{${lo.toInt},${hi.toInt}}")
+    // a token is either (symbol, quant) or an ALTERNATION group's
+    // alternative list — `(A | B)`, unquantified (subset)
+    val rawTokens =
+      """\([^()]*\)[+?{},0-9]*|[^\s()]+""".r.findAllIn(patternTxt).toSeq
+    val tokens: Seq[Either[(String, String), Seq[String]]] = rawTokens.map {
+      case g if g.startsWith("(") =>
+        if (!g.endsWith(")")) fail(
+          s"quantified groups are not in the subset: '$g' (alternation must be unquantified)")
+        val alts = g.stripPrefix("(").stripSuffix(")").split("\\|").map(_.trim).toSeq
+        if (alts.length < 2) fail(s"group '$g' without '|' is not in the subset")
+        alts.foreach(a => if (!BareSym.matches(a)) fail(s"bad alternation symbol '$a' in '$g'"))
+        Right(alts.map(_.toUpperCase))
+      case RangeQuant(sym, lo, hi) => Left((sym.toUpperCase, s"{${lo.toInt},${hi.toInt}}"))
       case t =>
         val quant = Seq("+?", "??", "+", "?").find(q => t.endsWith(q)).getOrElse("")
         val sym = t.stripSuffix(quant)
         // reject unsupported quantifier spellings ({m}, {m,}, *) loudly
         // rather than treating them as a never-defined symbol name
         if (!BareSym.matches(sym)) fail(s"unsupported pattern token '$t'")
-        (sym.toUpperCase, quant)
+        Left((sym.toUpperCase, quant))
     }
     if (tokens.isEmpty) fail("empty PATTERN")
-    if (tokens.head._2.nonEmpty)
+    if (tokens.head.left.exists(_._2.nonEmpty))
       fail("subset: first pattern symbol must be unquantified")
     def pred(sym: String): Cep.IterPred[MrEv] = defines.getOrElse(sym, (_, _) => true)
+    def altsOf(syms: Seq[String]): Seq[(String, Cep.IterPred[MrEv])] =
+      syms.map(s => s -> pred(s))
     val Range = """\{(\d+),(\d+)\}""".r
-    var pat = Cep.Pattern(Vector(Cep.Step[MrEv](tokens.head._1, pred(tokens.head._1), strict = false)))
-    tokens.tail.foreach { case (sym, q) =>
+    var pat = tokens.head match {
+      case Left((sym, _)) =>
+        Cep.Pattern(Vector(Cep.Step[MrEv](sym, pred(sym), strict = false)))
+      case Right(syms) =>
+        val as = altsOf(syms)
+        Cep.Pattern(Vector(Cep.Step[MrEv](syms.mkString("|"),
+          (e, ctx) => as.exists(_._2(e, ctx)), strict = false, alts = as)))
+    }
+    tokens.tail.foreach {
+      case Right(syms) => pat = pat.nextAlt(altsOf(syms))
+      case Left((sym, q)) =>
       pat = q match {
         case "" => pat.stepIter(sym, pred(sym), strict = true)
         case "+" => pat.stepIter(sym, pred(sym), strict = true, Cep.OneOrMore)
@@ -363,7 +391,11 @@ object MatchRecognize {
         case Some("MAX") => srcCast(array_max(transform(arr, numOf(_))), m.field)
         case Some("AVG") => aggregate(arr, lit(0.0), (acc, b) => acc + numOf(b)) / size(arr)
         case fn =>
-          val pick = if (fn.contains("FIRST")) element_at(arr, 1) else element_at(arr, -1)
+          // try_element_at: a symbol with no bound rows (e.g. the
+          // other branch of an alternation) navigates to NULL, not an
+          // out-of-bounds error
+          val pick = if (fn.contains("FIRST")) try_element_at(arr, lit(1))
+            else try_element_at(arr, lit(-1))
           if (strSet.contains(m.field)) strOf(pick) else srcCast(numOf(pick), m.field)
       }
     }

@@ -156,7 +156,8 @@ object Cep {
   })
 
   final case class Step[T](name: String, pred: IterPred[T], strict: Boolean,
-      quant: Quant = Once, until: Option[IterPred[T]] = None)
+      quant: Quant = Once, until: Option[IterPred[T]] = None,
+      alts: Seq[(String, IterPred[T])] = Nil)
 
   final case class Pattern[T](steps: Vector[Step[T]], withinUs: Long = Long.MaxValue,
       skip: AfterMatch = NoSkip) {
@@ -268,6 +269,27 @@ object Cep {
         "until() applies to a oneOrMore-family step")
       copy(steps = steps.init :+ steps.last.copy(until = Some(stop)))
     }
+    /** ALTERNATION step, strict contiguity: the next event must
+     * satisfy at least one alternative's condition and binds under the
+     * FIRST qualifying alternative's name, in declared order — SQL
+     * MATCH_RECOGNIZE `(A | B)` preference (reference pattern grammar,
+     * `flink-sql-parser` codegen + `StreamExecMatch.java:90`; the
+     * reference NFA branches states, this engine resolves the branch
+     * at the single consumed row — the deterministic subset). Only
+     * unquantified alternation is supported. */
+    def nextAlt(alternatives: Seq[(String, IterPred[T])]): Pattern[T] =
+      altStep(alternatives, strictStep = true)
+    /** ALTERNATION step with relaxed contiguity (earliest event
+     * satisfying ANY alternative). */
+    def followedByAlt(alternatives: Seq[(String, IterPred[T])]): Pattern[T] =
+      altStep(alternatives, strictStep = false)
+    private def altStep(alternatives: Seq[(String, IterPred[T])],
+        strictStep: Boolean): Pattern[T] = {
+      require(alternatives.nonEmpty, "empty alternation")
+      val orPred: IterPred[T] = (e, ctx) => alternatives.exists(_._2(e, ctx))
+      copy(steps = steps :+ Step(alternatives.map(_._1).mkString("|"), orPred,
+        strictStep, Once, None, alternatives))
+    }
     /** Append a GROUP pattern with relaxed contiguity (reference
      * `GroupPattern.java:30`, `Pattern.followedBy(Pattern)`): the
      * group's steps splice into this pattern; the group's first step
@@ -377,8 +399,13 @@ object Cep {
         // first repetition fails the loop (>= 1 not met).
         def stopAt(binds: Vector[(String, Int)], j: Int): Boolean =
           st.until.exists(u => u(events(j), if (untilFree) noCtx else ctxAt(binds, j)))
+        // alternation: the consumed row binds under the FIRST
+        // alternative whose condition it satisfies (SQL preference)
+        def bindName(binds: Vector[(String, Int)], j: Int): String =
+          if (st.alts.isEmpty) st.name
+          else st.alts.find(_._2(events(j), ctxAt(binds, j))).map(_._1).getOrElse(st.name)
         def withEventAt(j: Int): LazyList[(Int, Vector[(String, Int)])] =
-          matchSteps(start, j, rest, acc :+ ((st.name, j)))
+          matchSteps(start, j, rest, acc :+ ((bindName(acc, j), j)))
         def firstQualifying(from: Int): Int = {
           var j = from
           while (inWindow(start, j) && !ok(acc, j)) j += 1
@@ -474,8 +501,13 @@ object Cep {
       if (p.steps.head.pred(start,
           if (ctxFree(p.steps.head.pred)) EmptyCtx.asInstanceOf[MatchCtx[T]]
           else ctxAt(Vector.empty, i))) {
+        val headStep = p.steps.head
+        val headName =
+          if (headStep.alts.isEmpty) headStep.name
+          else headStep.alts.find(_._2(start, ctxAt(Vector.empty, i)))
+            .map(_._1).getOrElse(headStep.name)
         val alts = matchSteps(start, i, p.steps.tail.toList,
-          Vector((p.steps.head.name, i)))
+          Vector((headName, i)))
         // earliest-match subset takes the preferred alternative; Any
         // patterns emit every distinct branch (reference followedByAny)
         val ms = if (hasAny) alts.toList.distinct else alts.headOption.toList
@@ -530,6 +562,8 @@ object Cep {
     }
     require(!p.steps.exists(_.quant == Any) || p.skip == NoSkip || p.skip == SkipToNext,
       "followedByAny emits overlapping matches; only NoSkip/SkipToNext compose with it")
+    require(p.steps.forall(s => s.alts.isEmpty || s.quant == Once),
+      "alternation steps must be unquantified (subset)")
     // ANY negative step — notFollowedBy anywhere, notNext anywhere —
     // asserts absence, which is only provable over a bounded window: a
     // gap/adjacency slot's falsifying event may arrive long after a

@@ -49,6 +49,45 @@ class MatchRecognizeSpec extends SparkSuite {
     assert(spec.pattern.steps(2).pred(mrev(1, "anything", 0), noCtx))
   }
 
+  test("PATTERN alternation (A | B) binds the first qualifying alternative") {
+    val spec = MatchRecognize.parse("""
+      SELECT * FROM events MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts
+        MEASURES C.event_id AS c_id, H.event_id AS h_id, L.event_id AS l_id
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (C (H | L))
+        WITHIN INTERVAL '30' MINUTE
+        DEFINE C AS C.event_type = 'click',
+               H AS H.value >= 0.5,
+               L AS L.value < 0.5
+      )""")
+    val altStep = spec.pattern.steps(1)
+    assert(altStep.alts.map(_._1) == Seq("H", "L"))
+    assert(altStep.quant == Cep.Once && altStep.strict)
+    // decimal literal must be a literal, not a symbol.field reference
+    assert(altStep.pred(mrev(2, "view", 0, 0.7), noCtx))
+    val evs = IndexedSeq(
+      mrev(1, "click", 0, 0.9), mrev(2, "view", 60000000L, 0.7),
+      mrev(3, "click", 120000000L, 0.1), mrev(4, "view", 180000000L, 0.2))
+    val ms = Cep.matchSortedG[MrEv](evs, spec.pattern, _.ts_us, _.id)
+    assert(ms.map(_.binds.map(b => (b.step, b.ev.id))) ==
+      List(List(("C", 1L), ("H", 2L)), List(("C", 3L), ("L", 4L))))
+    // a row satisfying BOTH alternatives binds the first (preference)
+    val both = IndexedSeq(mrev(1, "click", 0, 0.9), mrev(2, "view", 1000L, 0.5))
+    val ms2 = Cep.matchSortedG[MrEv](both, spec.pattern, _.ts_us, _.id)
+    assert(ms2.head.binds.map(_.step) == List("C", "H"))
+    // quantified alternation is rejected loudly
+    intercept[IllegalArgumentException] {
+      MatchRecognize.parse("""
+        SELECT * FROM x MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES A.event_id AS a ONE ROW PER MATCH
+          PATTERN (A (B | C)+) DEFINE A AS A.value > 0)""")
+    }
+  }
+
   test("DEFINE supports cross-symbol references and PREV navigation") {
     val spec = MatchRecognize.parse("""
       SELECT * FROM events MATCH_RECOGNIZE (
