@@ -16,9 +16,33 @@ import org.apache.spark.storage.StorageLevel
  * update); every round's state is eagerly materialized with
  * `localCheckpoint` so no round's joins are recomputed by later rounds
  * and plans don't grow unboundedly — the standard iterative-DataFrame
- * discipline at cluster scale.
+ * discipline at cluster scale. Round t-1's checkpoint blocks are freed
+ * EXPLICITLY once round t materializes (waiting for the ContextCleaner
+ * would let dead rounds pressure the block manager for the rest of the
+ * job).
+ *
+ * `localCheckpoint` is NOT fault-tolerant: it truncates lineage, so an
+ * executor loss mid-loop kills the job. For long loops on a real
+ * cluster set `spark.graft.pregel.reliableCheckpoint=true` (and
+ * `sparkContext.setCheckpointDir(...)`) to write rounds to reliable
+ * storage instead — slower per round, survives executor loss (the
+ * trade-off the reference resolves with its checkpointed iterative
+ * tasks).
  */
 object Pregel {
+
+  /** Round materialization: localCheckpoint by default; reliable
+   * checkpoint when `spark.graft.pregel.reliableCheckpoint=true`. */
+  private def ckpt(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.getOption("spark.graft.pregel.reliableCheckpoint")
+        .contains("true")) df.checkpoint()
+    else df.localCheckpoint()
+
+  /** Free a finished round's localCheckpoint blocks eagerly (no-op for
+   * reliable checkpoints — their cleanup is directory-based). */
+  private def free(df: DataFrame): Unit =
+    org.apache.spark.sql.graft.SqlShim.checkpointRdd(df)
+      .foreach(_.unpersist(blocking = false))
 
   /**
    * Generic Pregel / scatter-gather driver (reference Gelly
@@ -39,6 +63,7 @@ object Pregel {
       sendMsg: Column, merge: Column => Column,
       vprog: (Column, Column) => Column): DataFrame = {
     var state = vertices.select(col("id"), col("state"))
+    var prevRound: Option[DataFrame] = None
     for (_ <- 1 to rounds) {
       val msgs = edges
         .join(state.select(col("id").as("src"), col("state").as("src_state")), Seq("src"))
@@ -47,9 +72,11 @@ object Pregel {
         .agg(merge(col("msg")).as("inbox"))
       // eager per-round materialization: later rounds reuse this
       // round's blocks instead of recomputing the whole join chain
-      state = state.join(msgs, Seq("id"), "left")
-        .select(col("id"), vprog(col("state"), col("inbox")).as("state"))
-        .localCheckpoint()
+      state = ckpt(state.join(msgs, Seq("id"), "left")
+        .select(col("id"), vprog(col("state"), col("inbox")).as("state")))
+      // round t materialized -> round t-1's blocks are dead; free them
+      prevRound.foreach(free)
+      prevRound = Some(state)
     }
     state
   }
@@ -65,13 +92,15 @@ object Pregel {
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val out = pregel(
+    val st = pregel(
       vertices.select(col("id"), col("id").as("state")), undirected, rounds,
       sendMsg = col("src_state"),
       merge = min,
       vprog = (s, m) => least(s, coalesce(m, s)))
-      .select(col("id"), col("state").as("label"))
-      .localCheckpoint() // materialize before freeing the edge blocks
+    // materialize the projection before freeing the loop's final round
+    // and the edge blocks
+    val out = ckpt(st.select(col("id"), col("state").as("label")))
+    free(st)
     undirected.unpersist()
     out
   }
@@ -89,13 +118,13 @@ object Pregel {
     val degEdges = edges
       .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val out = pregel(
+    val st = pregel(
       vertices.select(col("id"), lit(1000000000L / n).as("state")), degEdges, iters,
       sendMsg = expr("src_state div deg"),
       merge = sum,
       vprog = (_, m) => lit(150000000L / n) + expr("(85 * coalesce(inbox, 0L)) div 100"))
-      .select(col("id"), col("state").as("rankq"))
-      .localCheckpoint() // materialize before freeing the edge blocks
+    val out = ckpt(st.select(col("id"), col("state").as("rankq")))
+    free(st)
     degEdges.unpersist()
     out
   }
@@ -109,13 +138,13 @@ object Pregel {
     val degEdges = edges
       .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val out = pregel(
+    val st = pregel(
       vertices.select(col("id"), lit(1.0 / n).as("state")), degEdges, iters,
       sendMsg = col("src_state") / col("deg"),
       merge = sum,
       vprog = (_, m) => lit((1 - damping) / n) + lit(damping) * coalesce(m, lit(0.0)))
-      .select(col("id"), col("state").as("rank"))
-      .localCheckpoint()
+    val out = ckpt(st.select(col("id"), col("state").as("rank")))
+    free(st)
     degEdges.unpersist()
     out
   }
@@ -199,16 +228,21 @@ object Pregel {
         .where(col("dist").isNull || col("nd") < col("dist"))
         .select(col("id"), col("nd").as("dist"))
         .localCheckpoint() // materialize: reused as workset AND merged
-      if (improved.isEmpty) done = true
+      // last round's workset fed `candidates`, now materialized — free
+      if (round > 1) free(workset)
+      if (improved.isEmpty) { free(improved); done = true }
       else {
-        solution = solution.join(improved, Seq("id"), "left_anti")
-          .unionAll(improved)
-          .localCheckpoint()
+        val prevSolution = solution
+        solution = ckpt(solution.join(improved, Seq("id"), "left_anti")
+          .unionAll(improved))
+        if (round > 1) free(prevSolution) // round 1's seed is a tiny local DF
         workset = improved
       }
     }
-    // solution is already localCheckpoint-materialized per round; free
-    // the cached edge blocks before returning
+    // solution is already checkpoint-materialized per round; the last
+    // workset was merged into it, so its blocks are dead too — free
+    // both it and the cached edge blocks before returning
+    if (round > 0) free(workset)
     undirected.unpersist()
     solution
   }

@@ -61,4 +61,24 @@ class PregelSpec extends SparkSuite {
       .as[(Long, Long)].collect().toMap
     assert(d2 == Map(1L -> 0L, 2L -> 1L, 4L -> 1L))
   }
+
+  test("iteration rounds free their checkpoint blocks eagerly") {
+    import spark.implicits._
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val v = (1L to 50L).toDF("id")
+    val e = (1L until 50L).map(i => (i, i + 1)).toDF("src", "dst")
+    val labels = Pregel.minLabelPropagation(v, e, rounds = 8)
+    assert(labels.count() == 50)
+    // 8 rounds ran; all dead rounds' blocks and the edge cache are
+    // freed — only the RESULT's checkpoint RDD may stay resident
+    val resident = spark.sparkContext.getPersistentRDDs
+    assert(resident.size <= 1,
+      s"dead iteration rounds still resident: ${resident.keys.toList.sorted}")
+    val dist = Pregel.ssspDelta(e, sourceId = 1L, maxRounds = 60)
+    assert(dist.count() == 50)
+    val resident2 = spark.sparkContext.getPersistentRDDs
+    assert(resident2.size <= 2, // labels result + dist result
+      s"dead ssspDelta rounds still resident: ${resident2.keys.toList.sorted}")
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+  }
 }
