@@ -50,6 +50,29 @@ object ChangelogOps {
       .drop("__rn")
   }
 
+  /** Retraction-aware DOWNSTREAM aggregate (reference
+   * `FlinkChangelogModeInferenceProgram` planning retract mode into
+   * downstream aggregates, and the retract() path of its aggregate
+   * functions): consume a +I/-U/+U/-D changelog with a GROUP BY and
+   * produce per-group COUNT + SUMs equal to aggregating every key's
+   * LATEST image — the CDC → aggregate shape. Each change applies
+   * SIGNED (+1 for +I/+U, -1 for -U/-D), so an update that MOVES a row
+   * between groups retracts it from the old group and adds it to the
+   * new one; groups whose rows are all retracted disappear (count 0),
+   * as the reference's retractable agg state does.
+   *
+   * Scale: one hash shuffle on the group key with map-side partial
+   * aggregation — retraction costs nothing extra. */
+  def aggregateChangelog(changelog: DataFrame, groupCols: Seq[String],
+      sumCols: Seq[String]): DataFrame = {
+    val sign = when(col("row_kind").isin(RowKind.UpdateBefore, RowKind.Delete), lit(-1L))
+      .otherwise(lit(1L))
+    changelog.groupBy(groupCols.map(col): _*)
+      .agg(sum(sign).as("n_rows"),
+        sumCols.map(c => sum(sign * col(c)).as(s"sum_$c")): _*)
+      .filter(col("n_rows") > 0)
+  }
+
   /** ChangelogNormalize: final table image of a changelog — the
    * highest-version +I/+U per key, unless the key's latest change is a
    * -D (then the key is gone). `seqCol` orders changes within a key;

@@ -32,6 +32,25 @@ object ChangelogQueries extends QueryPack {
       val cl = ChangelogOps.toChangelog(versioned(s, dir), Seq("user_id"), "event_id")
       ChangelogOps.normalize(cl, keys = Seq("user_id"), seqCol = "event_id")
         .orderBy(col("user_id"))
+    }),
+
+    // CDC → AGGREGATE: the retract changelog feeds a downstream GROUP
+    // BY (reference FlinkChangelogModeInferenceProgram retract mode) —
+    // per event_type, count + cents-sum over each user's LATEST
+    // version only; -U rows retract superseded images out of their old
+    // group, so updates that change a user's event_type move the row
+    // between groups.
+    "changelog_agg_downstream" -> ((s, dir) => {
+      val cl = ChangelogOps.toChangelog(
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            floor(col("value") * 100).as("cents")),
+        keys = Seq("user_id"), versionCol = "event_id")
+      ChangelogOps.aggregateChangelog(cl, groupCols = Seq("event_type"),
+          sumCols = Seq("cents"))
+        .select(col("event_type"), col("n_rows"),
+          col("sum_cents").cast("long").as("sum_cents"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -55,6 +74,14 @@ object ChangelogQueries extends QueryPack {
         SELECT user_id, event_id, CAST(floor(value * 100) AS BIGINT) AS cents,
                row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         FROM events) t
-      WHERE rn = 1 ORDER BY user_id"""
+      WHERE rn = 1 ORDER BY user_id""",
+    "changelog_agg_downstream" -> """
+      SELECT event_type, count(*) AS n_rows,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM (
+        SELECT user_id, event_type, CAST(floor(value * 100) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events) t
+      WHERE rn = 1 GROUP BY event_type ORDER BY event_type"""
   )
 }

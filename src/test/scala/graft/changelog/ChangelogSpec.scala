@@ -41,4 +41,19 @@ class ChangelogSpec extends SparkSuite {
       .select("k", "v", "x").as[(Long, Long, Long)].collect().toSet
     assert(img == Set((1L, 3L, 30L), (2L, 9L, 90L)))
   }
+
+  test("downstream aggregate retracts updates out of their old group") {
+    import spark.implicits._
+    // key 1 moves group a -> b (with a value change); key 2 stays in a;
+    // key 3 is inserted into c then deleted
+    val cl = Seq(
+      (1L, "a", 10L, "+I"), (1L, "a", 10L, "-U"), (1L, "b", 25L, "+U"),
+      (2L, "a", 7L, "+I"),
+      (3L, "c", 99L, "+I"), (3L, "c", 99L, "-D"))
+      .toDF("k", "grp", "x", "row_kind")
+    val agg = ChangelogOps.aggregateChangelog(cl, Seq("grp"), Seq("x"))
+      .select("grp", "n_rows", "sum_x").as[(String, Long, Long)].collect().toSet
+    // group a: only key 2 remains; group b: key 1's latest; group c: gone
+    assert(agg == Set(("a", 1L, 7L), ("b", 1L, 25L)))
+  }
 }
