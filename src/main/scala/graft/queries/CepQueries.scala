@@ -188,6 +188,30 @@ object CepQueries extends QueryPack {
         .orderBy(col("click_id"))
     }),
 
+    // AFTER MATCH SKIP PAST LAST ROW, overlap-sensitive (reference
+    // cep/nfa/aftermatch/AfterMatchSkipStrategy.java): each click
+    // pairs with its next row, and the CONSUMED row cannot start the
+    // next match — so within a run of consecutive clicks only the odd
+    // positions start matches (NO_SKIP would match every click; the
+    // spec asserts the two differ on exactly this fixture shape).
+    "stream_cep_skip_past_last" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val mrSql = """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES A.event_id AS a_id, B.event_id AS b_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B)
+          DEFINE A AS A.event_type = 'click'
+        )"""
+      StreamOps.runToBatch(s,
+          graft.sqlx.MatchRecognize.run(StreamOps.eventsTyped(s, dir), mrSql),
+          "append", "cep_skip")
+        .orderBy(col("a_id"))
+    }),
+
     // MATCH_RECOGNIZE over a non-events schema (the DEFINE/PARTITION
     // whitelist is gone — any column set works): per customer, a
     // filled order directly followed by a pricier open one.
@@ -279,6 +303,24 @@ object CepQueries extends QueryPack {
       FROM o WHERE event_type = 'click' AND nid IS NOT NULL
         AND nts <= ts + INTERVAL 30 MINUTE
       ORDER BY click_id""",
+    "stream_cep_skip_past_last" -> """
+      WITH o AS (
+        SELECT user_id, event_id, event_type, ts,
+               row_number() OVER w AS rn,
+               lead(event_id) OVER w AS nid
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      c AS (
+        SELECT user_id, event_id, nid, rn,
+               rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS island
+        FROM o WHERE event_type = 'click'),
+      s AS (
+        SELECT user_id, event_id, nid,
+               row_number() OVER (PARTITION BY user_id, island ORDER BY rn) AS p
+        FROM c)
+      SELECT user_id, event_id AS a_id, nid AS b_id
+      FROM s WHERE p % 2 = 1 AND nid IS NOT NULL
+      ORDER BY a_id""",
     "match_recognize_generic" -> """
       WITH o AS (
         SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice, o_orderdate,

@@ -88,6 +88,31 @@ class MatchRecognizeSpec extends SparkSuite {
     }
   }
 
+  test("SKIP PAST LAST ROW consumes matched rows; NO_SKIP overlaps") {
+    // four consecutive clicks: NO_SKIP matches every click with a
+    // successor (3 matches); SKIP PAST LAST pairs disjointly (2)
+    def sql(skip: String) = s"""
+      SELECT * FROM events MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts
+        MEASURES A.event_id AS a_id, B.event_id AS b_id
+        ONE ROW PER MATCH
+        $skip
+        PATTERN (A B)
+        DEFINE A AS A.event_type = 'click'
+      )"""
+    val evs = IndexedSeq(
+      mrev(1, "click", 0), mrev(2, "click", 1000), mrev(3, "click", 2000),
+      mrev(4, "click", 3000))
+    def pairs(q: String) = {
+      val spec = MatchRecognize.parse(q)
+      Cep.matchSortedG[MrEv](evs, spec.pattern, _.ts_us, _.id)
+        .map(m => (m.binds.head.ev.id, m.binds.last.ev.id))
+    }
+    assert(pairs(sql("")) == List((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(pairs(sql("AFTER MATCH SKIP PAST LAST ROW")) == List((1L, 2L), (3L, 4L)))
+  }
+
   test("DEFINE supports cross-symbol references and PREV navigation") {
     val spec = MatchRecognize.parse("""
       SELECT * FROM events MATCH_RECOGNIZE (
