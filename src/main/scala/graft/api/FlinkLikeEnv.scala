@@ -1,0 +1,113 @@
+package graft.api
+
+import graft.streaming.{Cep, CepBoundG, StatefulOps, StreamOps}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+
+import scala.reflect.runtime.universe.TypeTag
+
+/**
+ * FlinkLike fluent facade (SURVEY §7.1 `api/`) — the entry surface a
+ * user of the reference reaches for first:
+ * `env.fromDataset(...).keyBy(...).keepLast(...)` /
+ * `.topN(...)` / `.cep(pattern)`, mirroring
+ * `StreamExecutionEnvironment`, `DataStream.java:128` and
+ * `KeyedStream.java`. Deliberately THIN: every method routes to the
+ * operator objects (`streaming/StatefulOps`, `streaming/Cep`,
+ * `sqlx/Ddl`, `sqlx/TemporalSql`, `sqlx/MatchRecognize`) — the facade
+ * adds naming, not behavior, so the Catalyst plan is identical to
+ * calling the operator directly. Batch `Dataset`s flow through the
+ * same surface (the reference's DataSet/DataStream unification).
+ */
+final class StreamEnv private (val spark: SparkSession) {
+
+  /** Wrap any typed Dataset — batch or streaming. */
+  def fromDataset[T](ds: Dataset[T]): Stream[T] = new Stream(ds)
+
+  /** Batch table from a testdata dir (reference `env.createInput`). */
+  def fromTable(dir: String, name: String): DataFrame =
+    graft.Tables.load(spark, dir, name)
+
+  /** Unbounded file source over a testdata table (reference
+   * `env.fromSource(FileSource...)`). */
+  def fromFileSource(dir: String, name: String): DataFrame =
+    StreamOps.readStream(spark, dir, name)
+
+  /** The SQL/Table half (reference `StreamTableEnvironment.create`). */
+  def tableEnv: TableEnv = new TableEnv(spark)
+}
+
+object StreamEnv {
+  /** Reference `StreamExecutionEnvironment.getExecutionEnvironment`. */
+  def get(spark: SparkSession): StreamEnv = new StreamEnv(spark)
+}
+
+/** Reference `DataStream<T>`: typed transforms; `keyBy` is available
+ * for any case-class element type (see [[Stream.KeyedOps]]). */
+final class Stream[T](val ds: Dataset[T]) {
+  def map[U: Encoder](f: T => U): Stream[U] = new Stream(ds.map(f))
+  def filter(p: T => Boolean): Stream[T] = new Stream(ds.filter(p))
+  def flatMap[U: Encoder](f: T => IterableOnce[U]): Stream[U] =
+    new Stream(ds.flatMap(f))
+  def mapPartitions[U: Encoder](f: Iterator[T] => Iterator[U]): Stream[U] =
+    new Stream(ds.mapPartitions(f))
+  def union(other: Stream[T]): Stream[T] = new Stream(ds.union(other.ds))
+  def toDF(): DataFrame = ds.toDF()
+}
+
+object Stream {
+  /** Keyed entry (reference `DataStream.keyBy`): field-name keying
+   * over any case-class stream, matching the schema-generic state
+   * layer (`StatefulOps.scala:50`). */
+  implicit final class KeyedOps[T <: Product : TypeTag](private val s: Stream[T]) {
+    def keyBy(field: String): KeyedStream[T] = new KeyedStream[T](s.ds, field)
+  }
+}
+
+/** Reference `KeyedStream<T, K>`: keyed stateful operators, all routed
+ * to the schema-generic state ops. */
+final class KeyedStream[T <: Product : TypeTag](val ds: Dataset[T], val keyField: String) {
+
+  /** Keep-last dedup per key (reference
+   * ProcTimeDeduplicateKeepLastRowFunction): update stream of the
+   * per-key winner by (time, id). */
+  def keepLast(timeField: String, idField: String,
+      ttl: Option[String] = None): Stream[T] =
+    new Stream(StatefulOps.keepLastBy(ds, keyField, timeField, idField, ttl))
+
+  /** Streaming Top-N per key (reference AppendOnlyTopNFunction):
+   * update stream of the per-key N best by (value desc, id asc). */
+  def topN(valueField: String, idField: String, n: Int,
+      ttl: Option[String] = None): Stream[T] =
+    new Stream(StatefulOps.topNBy(ds, keyField, valueField, idField, n, ttl))
+
+  /** CEP over this keyed stream (reference `CEP.pattern(keyedStream,
+   * pattern)`): full step→event bindings per match. */
+  def cep(pattern: Cep.Pattern[T], timeField: String, idField: String,
+      watermarkDelay: String = "1 hour"): Dataset[CepBoundG[T]] =
+    Cep.runBoundBy(ds, pattern, keyField, timeField, idField, watermarkDelay)
+}
+
+/** Reference `StreamTableEnvironment`: DDL + SQL, including the
+ * extended surfaces Spark's parser lacks. */
+final class TableEnv(val spark: SparkSession) {
+
+  /** `CREATE TABLE … WITH (…)` connector DDL (reference
+   * `TableEnvironment.executeSql`) → registered temp view. */
+  def executeSql(ddl: String): DataFrame = graft.sqlx.Ddl.execute(spark, ddl)
+
+  /** SQL query; `FOR SYSTEM_TIME AS OF` routes through the temporal
+   * join desugar+rule, everything else straight to Catalyst. */
+  def sqlQuery(query: String): DataFrame =
+    if ("""(?i)FOR\s+SYSTEM_TIME\s+AS\s+OF""".r.findFirstIn(query).isDefined)
+      graft.sqlx.TemporalSql.sql(spark, query)
+    else spark.sql(query)
+
+  /** MATCH_RECOGNIZE over any input frame (reference
+   * `StreamExecMatch`). */
+  def matchRecognize(input: DataFrame, sql: String,
+      idCol: String = "event_id"): DataFrame =
+    graft.sqlx.MatchRecognize.run(input, sql, idCol)
+
+  def createTemporaryView(name: String, df: DataFrame): Unit =
+    df.createOrReplaceTempView(name)
+}

@@ -20,15 +20,17 @@ object DataSetQueries extends QueryPack {
     // Typed pipeline: map → filter → flatMap → mapPartitions, then agg.
     "dset_typed_pipeline" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-        .as[(Long, String, Double)]
+      graft.api.StreamEnv.get(s)
+        .fromDataset(Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .as[(Long, String, Double)])
         .map { case (k, st, p) => (k, st, math.floor(p * 100).toLong) }    // map
         .filter(_._3 > 1000000L)                                           // filter
         .flatMap { case (k, st, c) =>                                      // flatMap: 2 rows out
           Iterator((k, st, c, "full"), (k, st, c / 2, "half"))
         }
         .mapPartitions(it => it.map { case (k, st, c, tag) => (st, tag, c) }) // mapPartitions
+        .toDF()
         .toDF("status", "tag", "cents")
         .groupBy(col("status"), col("tag"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))

@@ -210,7 +210,8 @@ object StreamQueries extends QueryPack {
     "stream_dedup_keeplast" -> ((s0, dir) => {
       val s = StreamOps.tuned(s0)
       val updates = StreamOps.runToBatch(
-        s, StatefulOps.keepLastByUser(StreamOps.eventsTyped(s, dir)).toDF(),
+        s, graft.api.StreamEnv.get(s).fromDataset(StreamOps.eventsTyped(s, dir))
+          .keyBy("user_id").keepLast("ts_us", "event_id").toDF(),
         "update", "stream_keeplast")
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts_us").desc, col("event_id").desc)
@@ -227,7 +228,8 @@ object StreamQueries extends QueryPack {
     "stream_topn" -> ((s0, dir) => {
       val s = StreamOps.tuned(s0)
       val updates = StreamOps.runToBatch(
-        s, StatefulOps.topNByType(StreamOps.eventsTyped(s, dir), 3).toDF(),
+        s, graft.api.StreamEnv.get(s).fromDataset(StreamOps.eventsTyped(s, dir))
+          .keyBy("event_type").topN("value", "event_id", n = 3).toDF(),
         "update", "stream_topn")
       val w = Window.partitionBy(col("event_type"))
         .orderBy(col("value").desc, col("event_id"))
@@ -491,12 +493,14 @@ object StreamQueries extends QueryPack {
         .begin("click", _.event_type == "click")
         .next("buy", _.event_type == "purchase")
         .within(TenMinUs)
-      StreamOps.runToBatch(
-        s, Cep.run(StreamOps.eventsTyped(s, dir), pattern).toDF(),
-        "append", "stream_cep")
-        .select(col("user_id"),
-          col("event_ids").getItem(0).as("click_id"),
-          col("event_ids").getItem(1).as("buy_id"))
+      import s.implicits._
+      val matches = graft.api.StreamEnv.get(s)
+        .fromDataset(StreamOps.eventsTyped(s, dir))
+        .keyBy("user_id").cep(pattern, "ts_us", "event_id")
+        .map(b => (b.binds.head.ev.user_id,
+          b.binds.head.ev.event_id, b.binds.last.ev.event_id))
+        .toDF("user_id", "click_id", "buy_id")
+      StreamOps.runToBatch(s, matches, "append", "stream_cep")
         .orderBy(col("click_id"))
     }),
 

@@ -1,0 +1,100 @@
+package graft.api
+
+import graft.SparkSuite
+import graft.streaming.{Cep, Ev}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** The SURVEY §7.1 fluent facade: env → stream → keyed → state op, and
+ * the TableEnv SQL routing — thin wrappers whose results must equal the
+ * operator objects they route to. */
+class FlinkLikeEnvSpec extends SparkSuite {
+
+  private def ev(id: Long, user: Long, typ: String, tsUs: Long, v: Double) =
+    Ev(id, user, typ, tsUs, v)
+
+  test("typed transforms compose and equal the direct Dataset chain") {
+    import spark.implicits._
+    val env = StreamEnv.get(spark)
+    val out = env.fromDataset(Seq(1, 2, 3, 4, 5).toDS())
+      .map(_ * 2)
+      .filter(_ > 4)
+      .flatMap(x => Seq(x, x + 1))
+      .mapPartitions(it => it.map(_.toLong))
+      .ds.collect().sorted.toList
+    assert(out == List(6L, 7L, 8L, 9L, 10L, 11L))
+  }
+
+  test("keyBy.keepLast and keyBy.topN route to the state ops") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val env = StreamEnv.get(spark)
+    val ms = MemoryStream[Ev]
+    ms.addData(
+      ev(1, 1, "a", 1000, 0.3), ev(2, 1, "a", 2000, 0.9),
+      ev(3, 2, "b", 1500, 0.7), ev(4, 2, "b", 1400, 0.95))
+    val q = env.fromDataset(ms.toDS()).keyBy("user_id")
+      .keepLast("ts_us", "event_id").toDF()
+      .writeStream.format("memory").queryName("fl_keeplast").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val winners = spark.table("fl_keeplast").as[Ev].collect()
+        .groupBy(_.user_id).map { case (u, rows) => u -> rows.maxBy(_.ts_us).event_id }
+      assert(winners == Map(1L -> 2L, 2L -> 3L))
+    } finally q.stop()
+
+    val ms2 = MemoryStream[Ev]
+    ms2.addData(
+      ev(1, 1, "a", 1000, 0.1), ev(2, 1, "a", 2000, 0.9),
+      ev(3, 1, "a", 3000, 0.5), ev(4, 1, "a", 4000, 0.7))
+    val q2 = env.fromDataset(ms2.toDS()).keyBy("event_type")
+      .topN("value", "event_id", n = 2).toDF()
+      .writeStream.format("memory").queryName("fl_topn").outputMode("update").start()
+    try {
+      q2.processAllAvailable()
+      val emitted = spark.table("fl_topn").as[Ev].collect().map(_.event_id).toSet
+      // the final top-2 (ids 2, 4) is always in the update stream
+      assert(Set(2L, 4L).subsetOf(emitted))
+    } finally q2.stop()
+  }
+
+  test("keyBy.cep routes to the NFA with full bindings") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val env = StreamEnv.get(spark)
+    val ms = MemoryStream[Ev]
+    ms.addData(
+      ev(1, 1, "click", 1000, 1.0), ev(2, 1, "purchase", 2000, 1.0),
+      ev(3, 2, "click", 1000, 1.0), ev(4, 2, "view", 2000, 1.0))
+    val pattern = Cep.Pattern.of[Ev]("c", _.event_type == "click")
+      .next("b", _.event_type == "purchase")
+      .within(60L * 1000000)
+    val q = env.fromDataset(ms.toDS()).keyBy("user_id")
+      .cep(pattern, "ts_us", "event_id")
+      .map(b => (b.key, b.binds.head.ev.event_id, b.binds.last.ev.event_id))
+      .toDF("k", "c_id", "b_id")
+      .writeStream.format("memory").queryName("fl_cep").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("fl_cep").as[(String, Long, Long)].collect().toSet
+      assert(rows == Set(("1", 1L, 2L)))
+    } finally q.stop()
+  }
+
+  test("TableEnv: DDL registers a view; sqlQuery routes FOR SYSTEM_TIME") {
+    import spark.implicits._
+    val te = StreamEnv.get(spark).tableEnv
+    val csv = java.nio.file.Files.createTempDirectory("fl_te").resolve("t.csv")
+    java.nio.file.Files.writeString(csv, "7,x\n8,y\n")
+    te.executeSql(s"""
+      CREATE TABLE fl_te_t (id BIGINT, name STRING)
+      WITH ('connector' = 'filesystem', 'path' = '$csv', 'format' = 'csv')""")
+    assert(te.sqlQuery("SELECT sum(id) FROM fl_te_t").as[Long].head() == 15L)
+    // FOR SYSTEM_TIME routes through the temporal-join pipeline — on an
+    // unregistered versioned table it must fail with ITS error, not a
+    // Spark parse error
+    val err = intercept[IllegalArgumentException] {
+      te.sqlQuery("SELECT * FROM p JOIN dims_unreg FOR SYSTEM_TIME AS OF p.ts AS d ON p.k = d.k")
+    }
+    assert(err.getMessage.contains("registerVersioned"))
+  }
+}
