@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
  */
 object DedupQueries extends QueryPack {
 
+  /** LSH-verified near-dup pairs — the shared core of
+   * `dedup_minhash_lsh` and `dedup_lsh_clusters`, computed once per
+   * session (see [[graft.FrameCache]]). */
+  private def verifiedLshPairs(s: SparkSession, dir: String): DataFrame =
+    graft.FrameCache.cached(s, s"lsh_pairs:$dir")(
+      MinHashLSH(Tables.load(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.5))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: canonical doc per normalized-content hash.
     "dedup_exact_text" -> ((s, dir) => {
@@ -29,10 +37,10 @@ object DedupQueries extends QueryPack {
     }),
 
     // MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
+    // The verified-pair core is session-cached: dedup_lsh_clusters
+    // consumes the SAME frame (one computation, two projections).
     "dedup_minhash_lsh" -> ((s, dir) => {
-      MinHashLSH(Tables.load(s, dir, "documents"), "doc_id", "text",
-          shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.5)
-        .orderBy(col("doc_a"), col("doc_b"))
+      verifiedLshPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // SimHash fingerprints (16-bit, word-frequency weighted).
@@ -75,8 +83,7 @@ object DedupQueries extends QueryPack {
     // before convergence.
     "dedup_lsh_clusters" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val pairs = MinHashLSH(docs, "doc_id", "text",
-          shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.5)
+      val pairs = verifiedLshPairs(s, dir)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val vertices = docs.select(col("doc_id").as("id"))
       val labels = graft.graph.Pregel.minLabelPropagation(vertices, pairs, rounds = 4)

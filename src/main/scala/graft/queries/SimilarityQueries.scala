@@ -46,6 +46,13 @@ object SimilarityQueries extends QueryPack {
         expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000.0D) AS BIGINT))"))
       .withColumn("nrm", decDot("qe", "qe"))
 
+  /** Quantized-embedding frame shared by every sim_* gate — computed
+   * once per session (see [[graft.FrameCache]]); the per-element
+   * quantize + self-dot runs once, not once per query. */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    graft.FrameCache.cached(s, s"qembed:$dir")(
+      withNorm(Tables.load(s, dir, "embeddings")).drop("embedding"))
+
   /** cos = dot / (sqrt(na) * sqrt(nb)) with the exact same op sequence
    * as the oracle SQL. */
   private val cosine: Column =
@@ -55,7 +62,7 @@ object SimilarityQueries extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 per query (queries broadcast).
     "sim_cosine_topk" -> ((s, dir) => {
-      val e = withNorm(Tables.load(s, dir, "embeddings"))
+      val e = quantized(s, dir)
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("qe").as("qv"), col("nrm").as("qn"))
       val c = e.filter(col("vec_id") >= 10)
@@ -72,7 +79,7 @@ object SimilarityQueries extends QueryPack {
 
     // IVF-style: only candidates in the query's coarse cell (label).
     "sim_ivf_topk" -> ((s, dir) => {
-      val e = withNorm(Tables.load(s, dir, "embeddings"))
+      val e = quantized(s, dir)
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("label"),
                 col("qe").as("qv"), col("nrm").as("qn"))
@@ -96,7 +103,7 @@ object SimilarityQueries extends QueryPack {
     // coefficients from an integer LCG, so both engines compute
     // bit-identical signatures).
     "sim_lsh_topk" -> ((s, dir) => {
-      val e = withNorm(Tables.load(s, dir, "embeddings"))
+      val e = quantized(s, dir)
         .withColumn("bucket", expr("""
           aggregate(sequence(0, 3), CAST(0 AS BIGINT), (acc, p) ->
             acc + CASE WHEN aggregate(sequence(1, size(qe)), CAST(0 AS BIGINT),
@@ -154,7 +161,10 @@ object SimilarityQueries extends QueryPack {
   /** Banded near-dup candidate pairs with exact verified cosine: the
    * shared core of `sim_neardup_pairs` and `dedup_embedding_cosine`. */
   private def bandedNearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(Tables.load(s, dir, "embeddings"))
+    // the banded-signature frame is itself session-cached: it feeds
+    // BOTH sides of the candidate join, and both sim_neardup_pairs and
+    // dedup_embedding_cosine consume the same pairs
+    val e = graft.FrameCache.cached(s, s"banded:$dir")(quantized(s, dir)
       .withColumn("band", explode(expr("sequence(0, 3)")))
       .withColumn("sig", expr("""
         aggregate(sequence(0, 2), CAST(0 AS BIGINT), (acc, p) ->
@@ -164,7 +174,7 @@ object SimilarityQueries extends QueryPack {
                                       ((CAST(band AS BIGINT) * 3 + CAST(p AS BIGINT)) * 1000 + d)
                                       + 12345) div 65536) % 2 = 0
                                THEN 1 ELSE -1 END)) >= 0
-                     THEN CAST(shiftleft(1, p) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""))
+                     THEN CAST(shiftleft(1, p) AS BIGINT) ELSE CAST(0 AS BIGINT) END)""")))
     val a = e.select(col("label"), col("band"), col("sig"), col("vec_id").as("id_a"),
                      col("qe").as("qv"), col("nrm").as("qn"))
     val b = e.select(col("label"), col("band"), col("sig"), col("vec_id").as("id_b"),
