@@ -8,13 +8,44 @@ import org.apache.spark.sql.types._
 /**
  * Dynamic event row for the schema-generic MATCH_RECOGNIZE surface:
  * any input schema maps onto (partition key, event-time micros, unique
- * id, numeric fields, string fields). The reference code-generates
- * typed accessors per query (`MatchCodeGenerator.scala:61`); here the
- * dynamic maps carry the fields and the output projection casts them
- * back to the input schema's types.
+ * id, integral fields, fractional fields, string fields) — three flat
+ * ARRAYS addressed by a driver-compiled [[MrLayout]], the
+ * field-getter recipe of the stateful layer (`StatefulOps.scala:50`).
+ * The reference code-generates typed accessors per query
+ * (`MatchCodeGenerator.scala:61`); arrays + precompiled indices are
+ * the closure-world equivalent — no per-row map allocation, no boxing
+ * of the whole row, and integral fields keep 64-bit precision through
+ * DEFINE comparisons (a `Map[String, Double]` would corrupt ids above
+ * 2^53).
  */
 case class MrEv(key: String, ts_us: Long, id: Long,
-    num: Map[String, Double], str: Map[String, String])
+    longs: Array[Long], nums: Array[Double], strs: Array[String])
+
+/** Field-name → (array, index) layout compiled ONCE per query from the
+ * input schema (driver-side), captured by the DEFINE/MEASURES
+ * closures. */
+final case class MrLayout(longFields: Seq[String], numFields: Seq[String],
+    strFields: Seq[String]) {
+  /** 'l' = longs, 'd' = nums, 's' = strs. */
+  val kind: Map[String, (Char, Int)] =
+    longFields.zipWithIndex.map { case (f, i) => f -> (('l', i)) }.toMap ++
+      numFields.zipWithIndex.map { case (f, i) => f -> (('d', i)) }.toMap ++
+      strFields.zipWithIndex.map { case (f, i) => f -> (('s', i)) }.toMap
+}
+
+object MrLayout {
+  private val integralTypes: Set[DataType] =
+    Set(ByteType, ShortType, IntegerType, LongType)
+
+  def of(schema: StructType): MrLayout = MrLayout(
+    schema.fields.filter(f => integralTypes(f.dataType)).map(_.name).toSeq,
+    schema.fields.filter(f => f.dataType.isInstanceOf[NumericType] &&
+      !integralTypes(f.dataType)).map(_.name).toSeq,
+    schema.fields.filter(_.dataType == StringType).map(_.name).toSeq)
+
+  /** The Ev-fixture layout — default for standalone `parse` calls. */
+  val events: MrLayout = of(Encoders.product[Ev].schema)
+}
 
 /**
  * MATCH_RECOGNIZE SQL surface over the CEP engine — the reference's
@@ -48,19 +79,23 @@ case class MrEv(key: String, ts_us: Long, id: Long,
  *    cross-symbol conditions, compiled onto the NFA's iterative-
  *    condition context), `PREV(Sym.field[, n])` (the row n positions
  *    before the current one in the partition's time-ordered stream),
- *    or a literal. A comparison with a missing operand (no bound row,
- *    PREV before start of stream) is FALSE, mirroring SQL null
- *    comparison semantics. Undefined symbols match any row.
+ *    or a literal. Integral fields and integer literals compare with
+ *    full 64-bit precision; a comparison with a missing operand (no
+ *    bound row, PREV before start of stream) is FALSE, mirroring SQL
+ *    null comparison semantics. Undefined symbols match any row.
  *
  * Scale: parsing is driver-side trivia; execution is `Cep.runBoundBy`
  * (keyed state, watermark-evicted buffer) and a columnar projection —
- * nothing new materializes.
+ * nothing new materializes. SUM/MIN/MAX/AVG measures fold through
+ * doubles (2^53 bound on aggregated integral magnitudes); DEFINE
+ * comparisons are exact.
  */
 object MatchRecognize {
 
   // ---- DEFINE condition AST ----
   private sealed trait Operand
   private final case class NumLit(v: Double) extends Operand
+  private final case class LongLit(v: Long) extends Operand
   private final case class StrLit(v: String) extends Operand
   /** Field of the row being tested (the defining symbol's current row). */
   private final case class CurField(field: String) extends Operand
@@ -143,6 +178,7 @@ object MatchRecognize {
   private val IntervalRe = """(?i)INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)S?""".r
   // longest-first so `<=` is not consumed as `<`
   private val CmpSplit = """(<=|>=|<>|=|<|>)"""
+  private val IntLit = """^-?\d+$""".r
 
   private def parseOperand(sym: String, txt0: String): Operand = {
     val txt = txt0.trim
@@ -158,27 +194,49 @@ object MatchRecognize {
         else NavField(first = false, s.toUpperCase, field) // bare other-symbol ref = LAST
       case t if t.startsWith("'") && t.endsWith("'") && t.length >= 2 =>
         StrLit(t.substring(1, t.length - 1))
+      case t if IntLit.matches(t) => LongLit(t.toLong) // exact 64-bit literal
       case t =>
         try NumLit(t.toDouble)
         catch { case _: NumberFormatException => fail(s"cannot parse operand '$t'") }
     }
   }
 
-  private def fieldOf(e: MrEv, f: String): Option[Any] =
-    e.num.get(f).orElse(e.str.get(f))
+  /** Compile a field name to its typed array getter (None = the field
+   * does not exist in the layout — its comparisons are FALSE, the SQL
+   * null-comparison behavior). */
+  private def fieldGetter(layout: MrLayout, f: String): Option[MrEv => Any] =
+    layout.kind.get(f).map {
+      case ('l', i) => (e: MrEv) => e.longs(i)
+      case ('d', i) => (e: MrEv) => e.nums(i)
+      case _ => { val i = layout.kind(f)._2; (e: MrEv) => e.strs(i) }
+    }
 
-  private def evalOperand(o: Operand, e: MrEv, ctx: Cep.MatchCtx[MrEv]): Option[Any] = o match {
-    case NumLit(v) => Some(v)
-    case StrLit(v) => Some(v)
-    case CurField(f) => fieldOf(e, f)
-    case NavField(first, s, f) =>
-      val rows = ctx.eventsFor(s)
-      (if (first) rows.headOption else rows.lastOption).flatMap(fieldOf(_, f))
-    case PrevField(f, n) => ctx.prev(n).flatMap(fieldOf(_, f))
+  /** Compile an operand to its evaluator against the layout. */
+  private def compileOperand(layout: MrLayout, o: Operand)
+      : (MrEv, Cep.MatchCtx[MrEv]) => Option[Any] = o match {
+    case NumLit(v) => (_, _) => Some(v)
+    case LongLit(v) => (_, _) => Some(v)
+    case StrLit(v) => (_, _) => Some(v)
+    case CurField(f) => fieldGetter(layout, f) match {
+      case Some(get) => (e, _) => Some(get(e))
+      case None => (_, _) => None
+    }
+    case NavField(first, s, f) => fieldGetter(layout, f) match {
+      case Some(get) => (_, ctx) => {
+        val rows = ctx.eventsFor(s)
+        (if (first) rows.headOption else rows.lastOption).map(get)
+      }
+      case None => (_, _) => None
+    }
+    case PrevField(f, n) => fieldGetter(layout, f) match {
+      case Some(get) => (_, ctx) => ctx.prev(n).map(get)
+      case None => (_, _) => None
+    }
   }
 
   private def compare(a: Any, b: Any, op: String): Boolean = (a, b) match {
-    case (x: Double, y: Double) => op match {
+    // integral/integral first: exact 64-bit compare (no 2^53 collapse)
+    case (x: Long, y: Long) => op match {
       case "=" => x == y
       case "<>" => x != y
       case "<" => x < y
@@ -186,6 +244,16 @@ object MatchRecognize {
       case ">" => x > y
       case ">=" => x >= y
     }
+    case (x: Number, y: Number) =>
+      val (xd, yd) = (x.doubleValue, y.doubleValue)
+      op match {
+        case "=" => xd == yd
+        case "<>" => xd != yd
+        case "<" => xd < yd
+        case "<=" => xd <= yd
+        case ">" => xd > yd
+        case ">=" => xd >= yd
+      }
     case (x: String, y: String) => op match {
       case "=" => x == y
       case "<>" => x != y
@@ -197,23 +265,25 @@ object MatchRecognize {
     case _ => false // mixed types never compare true
   }
 
-  private def parseDefine(sym: String, cond: String): Cep.IterPred[MrEv] = {
-    val conjs: Array[(Operand, String, Operand)] =
+  private def parseDefine(sym: String, cond: String, layout: MrLayout): Cep.IterPred[MrEv] = {
+    val conjs: Array[((MrEv, Cep.MatchCtx[MrEv]) => Option[Any], String,
+        (MrEv, Cep.MatchCtx[MrEv]) => Option[Any])] =
       cond.split("(?i)\\s+AND\\s+").map(_.trim).map { c =>
         val parts = c.split(CmpSplit, 2)
         if (parts.length != 2) fail(s"cannot parse DEFINE condition '$c'")
         val op = c.substring(parts(0).length, c.length - parts(1).length)
-        (parseOperand(sym, parts(0)), op, parseOperand(sym, parts(1)))
+        (compileOperand(layout, parseOperand(sym, parts(0))), op,
+          compileOperand(layout, parseOperand(sym, parts(1))))
       }
     (e, ctx) => conjs.forall { case (l, op, r) =>
-      (evalOperand(l, e, ctx), evalOperand(r, e, ctx)) match {
+      (l(e, ctx), r(e, ctx)) match {
         case (Some(a), Some(b)) => compare(a, b, op)
         case _ => false // missing operand (no bound row / PREV off-stream)
       }
     }
   }
 
-  def parse(sql: String): Spec = {
+  def parse(sql: String, layout: MrLayout = MrLayout.events): Spec = {
     val sec = sections(body(sql))
     val part = sec.getOrElse("PARTITION BY", fail("PARTITION BY required")).trim
     if (!part.matches("""\w+""")) fail(s"subset: PARTITION BY one column, got '$part'")
@@ -225,7 +295,7 @@ object MatchRecognize {
         d.split(",(?![^()]*\\))").map(_.trim).filter(_.nonEmpty).map { entry =>
           val m = """(?is)(\w+)\s+AS\s+(.+)""".r
           entry match {
-            case m(sym, cond) => sym.toUpperCase -> parseDefine(sym, cond)
+            case m(sym, cond) => sym.toUpperCase -> parseDefine(sym, cond, layout)
             case _ => fail(s"cannot parse DEFINE entry '$entry'")
           }
         }.toMap
@@ -342,8 +412,9 @@ object MatchRecognize {
    */
   def run(df: DataFrame, sql: String, idCol: String,
       watermarkDelay: String = "1 hour"): DataFrame = {
-    val spec = parse(sql)
     val schema = df.schema
+    val layout = MrLayout.of(schema)
+    val spec = parse(sql, layout)
     val names = schema.fieldNames.toSet
     if (!names.contains(spec.partitionBy)) fail(s"PARTITION BY ${spec.partitionBy}: no such column")
     if (!names.contains(idCol)) fail(s"id column $idCol: no such column")
@@ -358,45 +429,52 @@ object MatchRecognize {
       case LongType | IntegerType | ShortType | ByteType => col(ordName).cast("long")
       case t => fail(s"ORDER BY $ordName: unsupported type $t")
     }
-    val numFields = schema.fields.filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
-    val strFields = schema.fields.filter(_.dataType == StringType).map(_.name).toSeq
-    val numMap =
-      if (numFields.isEmpty) map().cast(MapType(StringType, DoubleType))
-      else map(numFields.flatMap(n => Seq(lit(n), col(n).cast("double"))): _*)
-    val strMap =
-      if (strFields.isEmpty) map().cast(MapType(StringType, StringType))
-      else map(strFields.flatMap(n => Seq(lit(n), col(n))): _*)
+    def arrOf(fields: Seq[String], cast: String, elem: DataType): Column =
+      if (fields.isEmpty) array().cast(ArrayType(elem))
+      else array(fields.map(f => col(f).cast(cast)): _*)
     implicit val mrEnc: Encoder[MrEv] = Encoders.product[MrEv]
     val evs = df.select(col(spec.partitionBy).cast("string").as("key"),
       ordExpr.as("ts_us"), col(idCol).cast("long").as("id"),
-      numMap.as("num"), strMap.as("str")).as[MrEv]
+      arrOf(layout.longFields, "long", LongType).as("longs"),
+      arrOf(layout.numFields, "double", DoubleType).as("nums"),
+      arrOf(layout.strFields, "string", StringType).as("strs")).as[MrEv]
     val bound = Cep.runBoundBy(evs, spec.pattern, "key", "ts_us", "id", watermarkDelay).toDF()
 
-    val strSet = strFields.toSet
-    // cast a measure back to the input column's type (dynamic nums are
-    // doubles; integral sources surface as their integral type)
+    // cast a measure back to the input column's type (aggregates fold
+    // through doubles; integral sources surface as their integral type)
     def srcCast(c: Column, field: String): Column = schema.fields.find(_.name == field) match {
       case Some(f) if Set[DataType](LongType, IntegerType, ShortType, ByteType)(f.dataType) => c.cast(f.dataType)
       case _ => c
     }
+    // typed array accessors per the compiled layout (1-based element_at)
+    def kindIdx(f: String): (Char, Int) = layout.kind.getOrElse(f,
+      fail(s"measure field '$f': no such numeric/string column"))
+    def numOf(b: Column, f: String): Column = kindIdx(f) match {
+      case ('l', i) => element_at(b.getField("ev").getField("longs"), i + 1).cast("double")
+      case ('d', i) => element_at(b.getField("ev").getField("nums"), i + 1)
+      case _ => fail(s"measure field '$f' is a string (numeric aggregate)")
+    }
+    def strOf(b: Column, f: String): Column = kindIdx(f) match {
+      case ('s', i) => element_at(b.getField("ev").getField("strs"), i + 1)
+      case _ => fail(s"measure field '$f' is not a string")
+    }
+    def isStr(f: String): Boolean = layout.kind.get(f).exists(_._1 == 's')
     def measureCol(m: Measure, binds: Column): Column = {
       val arr = filter(binds, b =>
         b.getField("step") === m.sym || b.getField("step").startsWith(m.sym + "#"))
-      def numOf(b: Column) = b.getField("ev").getField("num").getItem(m.field)
-      def strOf(b: Column) = b.getField("ev").getField("str").getItem(m.field)
       m.fn match {
         case Some("COUNT") => size(arr).cast("long")
-        case Some("SUM") => srcCast(aggregate(arr, lit(0.0), (acc, b) => acc + numOf(b)), m.field)
-        case Some("MIN") => srcCast(array_min(transform(arr, numOf(_))), m.field)
-        case Some("MAX") => srcCast(array_max(transform(arr, numOf(_))), m.field)
-        case Some("AVG") => aggregate(arr, lit(0.0), (acc, b) => acc + numOf(b)) / size(arr)
+        case Some("SUM") => srcCast(aggregate(arr, lit(0.0), (acc, b) => acc + numOf(b, m.field)), m.field)
+        case Some("MIN") => srcCast(array_min(transform(arr, numOf(_, m.field))), m.field)
+        case Some("MAX") => srcCast(array_max(transform(arr, numOf(_, m.field))), m.field)
+        case Some("AVG") => aggregate(arr, lit(0.0), (acc, b) => acc + numOf(b, m.field)) / size(arr)
         case fn =>
           // try_element_at: a symbol with no bound rows (e.g. the
           // other branch of an alternation) navigates to NULL, not an
           // out-of-bounds error
           val pick = if (fn.contains("FIRST")) try_element_at(arr, lit(1))
             else try_element_at(arr, lit(-1))
-          if (strSet.contains(m.field)) strOf(pick) else srcCast(numOf(pick), m.field)
+          if (isStr(m.field)) strOf(pick, m.field) else srcCast(numOf(pick, m.field), m.field)
       }
     }
     val partCol = col("key").cast(schema(spec.partitionBy).dataType).as(spec.partitionBy)
@@ -408,12 +486,13 @@ object MatchRecognize {
       val exploded = bound.select(Seq(col("key"), col("binds"),
         posexplode(col("binds")).as(Seq("__pos", "__b"))): _*)
       val rowCols = schema.fields.toSeq
-        .filter(f => f.name != spec.partitionBy &&
-          (f.dataType.isInstanceOf[NumericType] || f.dataType == StringType))
+        .filter(f => f.name != spec.partitionBy && layout.kind.contains(f.name))
         .map { f =>
-          val c =
-            if (f.dataType == StringType) col("__b.ev.str").getItem(f.name)
-            else col("__b.ev.num").getItem(f.name).cast(f.dataType)
+          val c = layout.kind(f.name) match {
+            case ('l', i) => element_at(col("__b.ev.longs"), i + 1).cast(f.dataType)
+            case ('d', i) => element_at(col("__b.ev.nums"), i + 1).cast(f.dataType)
+            case (_, i) => element_at(col("__b.ev.strs"), i + 1)
+          }
           c.as(f.name)
         }
       val mCols = spec.measures.map { m =>

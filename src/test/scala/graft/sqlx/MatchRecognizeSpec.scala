@@ -12,12 +12,11 @@ class MatchRecognizeSpec extends SparkSuite {
   private def ev(id: Long, typ: String, tsUs: Long, v: Double = 1.0, user: Long = 1) =
     Ev(id, user, typ, tsUs, v)
 
-  /** Dynamic-row fixture matching what `run` builds from an Ev frame. */
+  /** Dynamic-row fixture matching what `run` builds from an Ev frame
+   * (the MrLayout.events array layout: longs = [event_id, user_id,
+   * ts_us], nums = [value], strs = [event_type]). */
   private def mrev(id: Long, typ: String, tsUs: Long, v: Double = 1.0, user: Long = 1) =
-    MrEv(user.toString, tsUs, id,
-      Map("event_id" -> id.toDouble, "user_id" -> user.toDouble,
-        "ts_us" -> tsUs.toDouble, "value" -> v),
-      Map("event_type" -> typ))
+    MrEv(user.toString, tsUs, id, Array(id, user, tsUs), Array(v), Array(typ))
 
   /** Empty iterative-condition context for exercising simple (context-
    * blind) predicates directly. */
