@@ -24,7 +24,17 @@ object Bench {
         .groupBy("l_returnflag").count()
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
+    // self-diagnosing runs: per-query GC time and block-manager storage
+    // residency ride along with the timings, so an environmental
+    // outlier (cold page cache, memory pressure inflating late-alphabet
+    // queries) is visible IN the artifact instead of a cross-run dispute
+    import scala.jdk.CollectionConverters._
+    def gcMillis: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+    def storageBytes: Long =
+      spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val gc0 = gcMillis
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -33,14 +43,18 @@ object Bench {
           false
         }
       val sec = (System.nanoTime() - t0) / 1e9
-      (name, if (ok) sec else -1.0, ok)
+      (name, if (ok) sec else -1.0, ok, (gcMillis - gc0) / 1000.0, storageBytes)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val gcs = results.map { case (k, _, _, g, _) => "\"" + k + "\":" + g }
+      .mkString("{", ",", "}")
+    val resid = results.map { case (k, _, _, _, r) => "\"" + k + "\":" + r }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    val total = results.collect { case (_, v, true, _, _) => v }.sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","gc_sec":$gcs,"storage_bytes":$resid}"""
     println(line)
     // the driver artifact preserves only the log tail, which truncates
     // ~50 of the per-query timings — persist the full JSON for audit
