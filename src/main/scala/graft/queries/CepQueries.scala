@@ -188,6 +188,28 @@ object CepQueries extends QueryPack {
         .orderBy(col("click_id"))
     }),
 
+    // PER-STEP time gap (reference Pattern.within(duration,
+    // WithinType.PREVIOUS_AND_CURRENT), Pattern.java:245): a click and
+    // its next TWO rows, each CONSECUTIVE pair at most 10 minutes
+    // apart — the whole-match 4-hour within alone would accept a
+    // 45-minute middle gap that withinStep rejects.
+    "stream_cep_step_gap" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      import s.implicits._
+      val pattern = Cep.Pattern
+        .begin("a", (_: graft.streaming.Ev).event_type == "click")
+        .next("b", (_: graft.streaming.Ev) => true)
+        .next("c", (_: graft.streaming.Ev) => true)
+        .within(4L * 3600 * 1000000)
+        .withinStep(30L * 60 * 1000000)
+      val matches = Cep.runBound(StreamOps.eventsTyped(s, dir), pattern)
+        .map(m => (m.user_id, m.binds(0).ev.event_id,
+          m.binds(1).ev.event_id, m.binds(2).ev.event_id))
+        .toDF("user_id", "a_id", "b_id", "c_id")
+      StreamOps.runToBatch(s, matches, "append", "cep_gap")
+        .orderBy(col("a_id"))
+    }),
+
     // AFTER MATCH SKIP PAST LAST ROW, overlap-sensitive (reference
     // cep/nfa/aftermatch/AfterMatchSkipStrategy.java): each click
     // pairs with its next row, and the CONSUMED row cannot start the
@@ -303,6 +325,19 @@ object CepQueries extends QueryPack {
       FROM o WHERE event_type = 'click' AND nid IS NOT NULL
         AND nts <= ts + INTERVAL 30 MINUTE
       ORDER BY click_id""",
+    "stream_cep_step_gap" -> """
+      WITH o AS (
+        SELECT user_id, event_id, event_type, ts,
+               lead(event_id) OVER w AS bid, lead(ts) OVER w AS bts,
+               lead(event_id, 2) OVER w AS cid, lead(ts, 2) OVER w AS cts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, event_id AS a_id, bid AS b_id, cid AS c_id
+      FROM o WHERE event_type = 'click' AND cid IS NOT NULL
+        AND bts <= ts + INTERVAL 30 MINUTE
+        AND cts <= bts + INTERVAL 30 MINUTE
+        AND cts <= ts + INTERVAL 4 HOUR
+      ORDER BY a_id""",
     "stream_cep_skip_past_last" -> """
       WITH o AS (
         SELECT user_id, event_id, event_type, ts,

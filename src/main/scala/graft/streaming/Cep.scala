@@ -160,7 +160,7 @@ object Cep {
       alts: Seq[(String, IterPred[T])] = Nil)
 
   final case class Pattern[T](steps: Vector[Step[T]], withinUs: Long = Long.MaxValue,
-      skip: AfterMatch = NoSkip) {
+      skip: AfterMatch = NoSkip, stepGapUs: Long = Long.MaxValue) {
     def next(name: String, pred: T => Boolean): Pattern[T] =
       copy(steps = steps :+ Step(name, lift(pred), strict = true))
     def followedBy(name: String, pred: T => Boolean): Pattern[T] =
@@ -311,7 +311,8 @@ object Cep {
     }
     private def splice(group: Pattern[T], strictHead: Boolean): Pattern[T] = {
       require(group.steps.nonEmpty, "empty group pattern")
-      require(group.withinUs == Long.MaxValue && group.skip == NoSkip,
+      require(group.withinUs == Long.MaxValue && group.skip == NoSkip &&
+          group.stepGapUs == Long.MaxValue,
         "group patterns may not carry within()/afterMatchSkip (set them on the outer pattern)")
       require(group.steps.head.quant == Once,
         "a group's first step must be unquantified (its contiguity comes from the outer combinator)")
@@ -319,6 +320,14 @@ object Cep {
       copy(steps = steps ++ (head +: group.steps.tail))
     }
     def within(us: Long): Pattern[T] = copy(withinUs = us)
+    /** PER-STEP time gap (reference `Pattern.within(duration,
+     * WithinType.PREVIOUS_AND_CURRENT)`, `Pattern.java:245`): every
+     * pair of CONSECUTIVELY CONSUMED events in a match must be at most
+     * `us` apart — vs [[within]], which bounds the whole match span.
+     * Negative (notNext/notFollowedBy) slots are not gap-constrained.
+     * Requires [[within]] too (state eviction is keyed off the overall
+     * horizon). */
+    def withinStep(us: Long): Pattern[T] = copy(stepGapUs = us)
   }
 
   private def isLooping(q: Quant): Boolean =
@@ -364,6 +373,12 @@ object Cep {
     def inWindow(start: T, j: Int): Boolean =
       j < events.length && time(events(j)) - time(start) <= p.withinUs
 
+    // per-step gap (withinStep): candidate j measured against the
+    // previously CONSUMED event's position
+    def gapOk(prev: Int, j: Int): Boolean =
+      p.stepGapUs == Long.MaxValue ||
+        (j < events.length && time(events(j)) - time(events(prev)) <= p.stepGapUs)
+
     /** Iterative-condition context for the candidate at index `cand`
      * given the bindings accumulated so far: the context sees only the
      * CURRENT partial match (reference `IterativeCondition.java:59`),
@@ -408,35 +423,36 @@ object Cep {
           matchSteps(start, j, rest, acc :+ ((bindName(acc, j), j)))
         def firstQualifying(from: Int): Int = {
           var j = from
-          while (inWindow(start, j) && !ok(acc, j)) j += 1
+          while (inWindow(start, j) && gapOk(from - 1, j) && !ok(acc, j)) j += 1
           j
         }
+        def reachable(j: Int): Boolean = inWindow(start, j) && gapOk(pos, j)
         st.quant match {
           case Once if st.strict =>
             val j = pos + 1
-            if (inWindow(start, j) && ok(acc, j)) withEventAt(j) else LazyList.empty
+            if (reachable(j) && ok(acc, j)) withEventAt(j) else LazyList.empty
           case Once => // relaxed: earliest qualifying event
             val j = firstQualifying(pos + 1)
-            if (inWindow(start, j)) withEventAt(j) else LazyList.empty
+            if (reachable(j)) withEventAt(j) else LazyList.empty
           case Any => // relaxed: EVERY qualifying later event is a branch
             LazyList.from(pos + 1)
-              .takeWhile(j => inWindow(start, j))
+              .takeWhile(j => reachable(j))
               .filter(j => ok(acc, j))
               .flatMap(withEventAt)
           case Optional => // greedy include-first, fall back to skipping
             val included =
               if (st.strict) { // MATCH_RECOGNIZE contiguity: next event only
                 val j = pos + 1
-                if (inWindow(start, j) && ok(acc, j)) withEventAt(j) else LazyList.empty
+                if (reachable(j) && ok(acc, j)) withEventAt(j) else LazyList.empty
               } else {
                 val j = firstQualifying(pos + 1)
-                if (inWindow(start, j)) withEventAt(j) else LazyList.empty
+                if (reachable(j)) withEventAt(j) else LazyList.empty
               }
             included #::: matchSteps(start, pos, rest, acc)
           case OptionalReluctant => // skip-first, include on failure
             matchSteps(start, pos, rest, acc) #::: {
               val j = firstQualifying(pos + 1)
-              if (inWindow(start, j)) withEventAt(j) else LazyList.empty
+              if (reachable(j)) withEventAt(j) else LazyList.empty
             }
           case NotNext => // negative lookahead; end-of-buffer satisfies
             // it — safe in streaming because the caller holds negated
@@ -458,18 +474,18 @@ object Cep {
             }
           case OneOrMore => // maximal strict run, no backtracking
             val j0 = pos + 1
-            if (!inWindow(start, j0) || stopAt(acc, j0) || !ok(acc, j0)) LazyList.empty
+            if (!reachable(j0) || stopAt(acc, j0) || !ok(acc, j0)) LazyList.empty
             else {
               var j = j0
               var binds = acc
-              while (inWindow(start, j) && !stopAt(binds, j) && ok(binds, j)) {
+              while (inWindow(start, j) && gapOk(j - 1, j) && !stopAt(binds, j) && ok(binds, j)) {
                 binds :+= ((st.name, j)); j += 1
               }
               matchSteps(start, j - 1, rest, binds)
             }
           case OneOrMoreReluctant => // minimal strict run, extend on failure
             def runs(j: Int, binds: Vector[(String, Int)]): LazyList[(Int, Vector[(String, Int)])] =
-              if (!inWindow(start, j) || stopAt(binds, j) || !ok(binds, j)) LazyList.empty
+              if (!inWindow(start, j) || !gapOk(j - 1, j) || stopAt(binds, j) || !ok(binds, j)) LazyList.empty
               else {
                 val b = binds :+ ((st.name, j))
                 matchSteps(start, j, rest, b) #::: runs(j + 1, b)
@@ -480,8 +496,8 @@ object Cep {
             // but a stop row reached first ends the loop unconsumed
             def relaxedRuns(from: Int, binds: Vector[(String, Int)]): LazyList[(Int, Vector[(String, Int)])] = {
               var k = from
-              while (inWindow(start, k) && !stopAt(binds, k) && !ok(binds, k)) k += 1
-              if (!inWindow(start, k) || stopAt(binds, k)) LazyList.empty
+              while (inWindow(start, k) && gapOk(from - 1, k) && !stopAt(binds, k) && !ok(binds, k)) k += 1
+              if (!inWindow(start, k) || !gapOk(from - 1, k) || stopAt(binds, k)) LazyList.empty
               else {
                 val b = binds :+ ((st.name, k))
                 matchSteps(start, k, rest, b) #::: relaxedRuns(k + 1, b)
@@ -564,6 +580,8 @@ object Cep {
       "followedByAny emits overlapping matches; only NoSkip/SkipToNext compose with it")
     require(p.steps.forall(s => s.alts.isEmpty || s.quant == Once),
       "alternation steps must be unquantified (subset)")
+    require(p.stepGapUs == Long.MaxValue || p.withinUs != Long.MaxValue,
+      "withinStep() requires within() (the overall horizon drives state eviction)")
     // ANY negative step — notFollowedBy anywhere, notNext anywhere —
     // asserts absence, which is only provable over a bounded window: a
     // gap/adjacency slot's falsifying event may arrive long after a

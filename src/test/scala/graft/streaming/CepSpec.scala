@@ -439,6 +439,30 @@ class CepSpec extends SparkSuite {
     assert(bound.head.binds.map(_.step) == List("a", "v#1", "p#1", "v#2", "p#2"))
   }
 
+  test("withinStep bounds each consecutive gap; within alone does not") {
+    val min = 60L * 1000000
+    // a(click) → b → c: gaps 20min then 40min; total 60min
+    val events = IndexedSeq(
+      ev(1, "click", 0), ev(2, "view", 20 * min), ev(3, "view", 60 * min))
+    val base = Cep.Pattern.begin("a", _.event_type == "click")
+      .next("b", _ => true).next("c", _ => true)
+      .within(4 * 60 * min)
+    // overall within accepts the 40-min middle gap…
+    assert(Cep.matchSorted(events, base).map(_.event_ids) == List(Seq(1L, 2L, 3L)))
+    // …per-step 30-min gap rejects it
+    assert(Cep.matchSorted(events, base.withinStep(30 * min)).isEmpty)
+    // both gaps under the bound → match again
+    val tight = IndexedSeq(
+      ev(1, "click", 0), ev(2, "view", 20 * min), ev(3, "view", 45 * min))
+    assert(Cep.matchSorted(events = tight, base.withinStep(30 * min))
+      .map(_.event_ids) == List(Seq(1L, 2L, 3L)))
+    // withinStep without within is rejected (state eviction contract)
+    intercept[IllegalArgumentException] {
+      Cep.matchSorted(tight, Cep.Pattern.begin("a", _.event_type == "click")
+        .next("b", _ => true).withinStep(30 * min))
+    }
+  }
+
   test("streaming: end-negated match held until the watermark closes its window") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
