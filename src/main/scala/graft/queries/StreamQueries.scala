@@ -136,6 +136,40 @@ object StreamQueries extends QueryPack {
         .orderBy(col("ws"), col("we"))
     }),
 
+    // MULTI-SINK subplan reuse (reference
+    // StreamCommonSubGraphBasedOptimizer statement sets): ONE streaming
+    // query computes the shared filtered/enriched prefix once per
+    // micro-batch and fans it out to TWO sinks via foreachBatch; the
+    // gate result is the tagged union of both sinks' aggregates, so
+    // both fan-out legs are oracle-checked.
+    "multi_sink_fanout" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val outA = java.nio.file.Files.createTempDirectory("graft_msink_a").toString
+      val outB = java.nio.file.Files.createTempDirectory("graft_msink_b").toString
+      val shared = StreamOps.readStream(s, dir, "events")
+        .filter(col("value") >= 0.1)
+        .select(col("event_type"), col("user_id"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val q = shared.writeStream
+        .foreachBatch(graft.streaming.MultiSink.foreachBatchFanout(Seq(
+          (df, _) => df.select(col("event_type"), col("cents"))
+            .write.mode("append").parquet(outA),
+          (df, _) => df.select(col("user_id"), col("cents"))
+            .write.mode("append").parquet(outB))) _)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val a = s.read.parquet(outA).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .select(lit("by_type").as("sink"), col("event_type").as("k"),
+          col("n"), col("cents"))
+      val b = s.read.parquet(outB).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .select(lit("by_user").as("sink"), col("user_id").cast("string").as("k"),
+          col("n"), col("cents"))
+      a.unionByName(b).orderBy(col("sink"), col("k"))
+    }),
+
     // Streaming group aggregation in UPDATE mode (reference
     // StreamExecGroupAggregate's per-key update stream): the sink holds
     // every per-batch update; the final image is the max-count row per
@@ -670,6 +704,15 @@ object StreamQueries extends QueryPack {
         FROM events, generate_series(1, 3) AS t(k))
       WHERE we > ts
       GROUP BY ws, we ORDER BY ws, we""",
+    "multi_sink_fanout" -> """
+      SELECT 'by_type' AS sink, event_type AS k, count(*) AS n,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE value >= 0.1 GROUP BY event_type
+      UNION ALL
+      SELECT 'by_user', CAST(user_id AS VARCHAR), count(*),
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+      FROM events WHERE value >= 0.1 GROUP BY user_id
+      ORDER BY sink, k""",
     "stream_group_agg_update" -> """
       SELECT event_type, count(*) AS n,
              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
