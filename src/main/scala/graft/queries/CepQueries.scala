@@ -188,6 +188,29 @@ object CepQueries extends QueryPack {
         .orderBy(col("click_id"))
     }),
 
+    // MATCH_RECOGNIZE EXCLUSION `{- B -}` (SQL:2016 row pattern
+    // exclusion; reference flink-sql-parser pattern grammar): the
+    // middle symbol matches (and is visible to DEFINE/MEASURES via
+    // COUNT(B.*)) but its rows are omitted from ALL ROWS output.
+    "match_recognize_exclusion" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val mrSql = """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES A.event_id AS a_id, COUNT(B.*) AS n_b
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (A {- B -} C)
+          WITHIN INTERVAL '6' HOUR
+          DEFINE A AS A.event_type = 'click', C AS C.event_type = 'purchase'
+        )"""
+      StreamOps.runToBatch(s,
+          graft.sqlx.MatchRecognize.run(StreamOps.eventsTyped(s, dir), mrSql),
+          "append", "mr_excl")
+        .orderBy(col("a_id"), col("classifier"))
+    }),
+
     // PER-STEP time gap (reference Pattern.within(duration,
     // WithinType.PREVIOUS_AND_CURRENT), Pattern.java:245): a click and
     // its next TWO rows, each CONSECUTIVE pair at most 10 minutes
@@ -325,6 +348,27 @@ object CepQueries extends QueryPack {
       FROM o WHERE event_type = 'click' AND nid IS NOT NULL
         AND nts <= ts + INTERVAL 30 MINUTE
       ORDER BY click_id""",
+    "match_recognize_exclusion" -> """
+      WITH o AS (
+        SELECT user_id, event_id, event_type, value, CAST(ts AS TIMESTAMP) AS uts,
+               lead(event_id, 2) OVER w AS cid, lead(event_type, 2) OVER w AS ctype,
+               lead(value, 2) OVER w AS cval,
+               lead(CAST(ts AS TIMESTAMP), 2) OVER w AS cts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+      m AS (
+        SELECT * FROM o
+        WHERE event_type = 'click' AND ctype = 'purchase'
+          AND cts - uts <= INTERVAL 6 HOUR)
+      SELECT user_id, 'A' AS classifier, event_id, event_type,
+             CAST(epoch_us(uts) AS BIGINT) AS ts_us, value, event_id AS a_id,
+             CAST(0 AS BIGINT) AS n_b
+      FROM m
+      UNION ALL
+      SELECT user_id, 'C', cid, ctype, CAST(epoch_us(cts) AS BIGINT), cval,
+             event_id, CAST(1 AS BIGINT)
+      FROM m
+      ORDER BY a_id, classifier""",
     "stream_cep_step_gap" -> """
       WITH o AS (
         SELECT user_id, event_id, event_type, ts,

@@ -72,6 +72,9 @@ object MrLayout {
  *    quantifier on the group or its alternatives): the consumed row
  *    binds to the FIRST alternative whose DEFINE holds, in declared
  *    order — SQL preference semantics on the single consumed row
+ *  - EXCLUSION `{- B -}` (one symbol, quantifiers allowed): B matches
+ *    and is visible to measures/DEFINE, but its rows are omitted from
+ *    ALL ROWS PER MATCH output, per SQL:2016 (no effect on ONE ROW)
  *  - WITHIN INTERVAL 'n' unit
  *  - DEFINE Sym AS <cmp> [AND ...] where each side of a comparison is
  *    `Sym.field` (the current row), `Other.field` / `LAST(Other.field)`
@@ -109,7 +112,8 @@ object MatchRecognize {
   final case class Measure(running: Option[Boolean], fn: Option[String],
       sym: String, field: String, alias: String)
   final case class Spec(partitionBy: String, orderBy: String, measures: Seq[Measure],
-      skip: Cep.AfterMatch, pattern: Cep.Pattern[MrEv], allRows: Boolean = false)
+      skip: Cep.AfterMatch, pattern: Cep.Pattern[MrEv], allRows: Boolean = false,
+      excluded: Set[String] = Set.empty)
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"MATCH_RECOGNIZE: $msg")
@@ -308,8 +312,18 @@ object MatchRecognize {
     // a token is either (symbol, quant) or an ALTERNATION group's
     // alternative list — `(A | B)`, unquantified (subset)
     val rawTokens =
-      """\([^()]*\)[+?{},0-9]*|[^\s()]+""".r.findAllIn(patternTxt).toSeq
+      """\{-[^}]*-\}|\([^()]*\)[+?{},0-9]*|[^\s()]+""".r.findAllIn(patternTxt).toSeq
+    var excluded = Set.empty[String]
     val tokens: Seq[Either[(String, String), Seq[String]]] = rawTokens.map {
+      case x if x.startsWith("{-") =>
+        // SQL:2016 exclusion: the symbol matches normally but its rows
+        // are dropped from ALL ROWS output
+        val inner = x.stripPrefix("{-").stripSuffix("-}").trim
+        val quant = Seq("+?", "??", "+", "?").find(q => inner.endsWith(q)).getOrElse("")
+        val sym = inner.stripSuffix(quant)
+        if (!BareSym.matches(sym)) fail(s"exclusion '$x' must wrap one symbol")
+        excluded += sym.toUpperCase
+        Left((sym.toUpperCase, quant))
       case g if g.startsWith("(") =>
         if (!g.endsWith(")")) fail(
           s"quantified groups are not in the subset: '$g' (alternation must be unquantified)")
@@ -391,7 +405,8 @@ object MatchRecognize {
             sym.toUpperCase, field, alias)
         case m => fail(s"cannot parse measure '$m'")
       }
-    Spec(part, ord, measures, skip, pat, allRows = sec.contains("ALL ROWS PER MATCH"))
+    Spec(part, ord, measures, skip, pat,
+      allRows = sec.contains("ALL ROWS PER MATCH"), excluded = excluded)
   }
 
   /** Ev-fixture shim (the original entry): events stream, id column
@@ -504,8 +519,11 @@ object MatchRecognize {
         val binds = if (running) slice(col("binds"), lit(1), col("__pos") + 1) else col("binds")
         measureCol(m, binds).as(m.alias)
       }
-      exploded.select(Seq(partCol,
+      val rows = exploded.select(Seq(partCol,
         expr("split(__b.step, '#')[0]").as("classifier")) ++ rowCols ++ mCols: _*)
+      // {- X -}: excluded symbols' rows are dropped from ALL ROWS output
+      if (spec.excluded.isEmpty) rows
+      else rows.filter(!col("classifier").isin(spec.excluded.toSeq: _*))
     }
   }
 }

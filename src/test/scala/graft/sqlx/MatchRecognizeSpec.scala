@@ -87,6 +87,36 @@ class MatchRecognizeSpec extends SparkSuite {
     }
   }
 
+  test("exclusion {- B -} matches normally but is marked excluded") {
+    val spec = MatchRecognize.parse("""
+      SELECT * FROM events MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts
+        MEASURES A.event_id AS a_id, COUNT(B.*) AS n_b
+        ALL ROWS PER MATCH
+        PATTERN (A {- B -} C)
+        WITHIN INTERVAL '10' MINUTE
+        DEFINE A AS A.event_type = 'click', C AS C.event_type = 'purchase'
+      )""")
+    assert(spec.excluded == Set("B"))
+    assert(spec.pattern.steps.map(_.name) == Vector("A", "B", "C"))
+    // B still CONSUMES its row (it is excluded from output, not from
+    // matching): click, view, purchase matches as A, B, C
+    val evs = IndexedSeq(
+      mrev(1, "click", 0), mrev(2, "view", 1000), mrev(3, "purchase", 2000))
+    val ms = Cep.matchSortedG[MrEv](evs, spec.pattern, _.ts_us, _.id)
+    assert(ms.map(_.binds.map(b => (b.step, b.ev.id))) ==
+      List(List(("A", 1L), ("B", 2L), ("C", 3L))))
+    // a non-symbol exclusion is rejected loudly
+    intercept[IllegalArgumentException] {
+      MatchRecognize.parse("""
+        SELECT * FROM x MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES A.event_id AS a ONE ROW PER MATCH
+          PATTERN (A {- B C -}) DEFINE A AS A.value > 0)""")
+    }
+  }
+
   test("SKIP PAST LAST ROW consumes matched rows; NO_SKIP overlaps") {
     // four consecutive clicks: NO_SKIP matches every click with a
     // successor (3 matches); SKIP PAST LAST pairs disjointly (2)
