@@ -68,6 +68,41 @@ class TemporalJoinRuleSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("held probe joins a dim version that arrives in a LATER batch") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dimS = MemoryStream[TjrDim]
+    val probeS = MemoryStream[TjrProbe]
+    val dv = "dims_late_v"
+    val pv = "probes_late_v"
+    dimS.toDS().toDF().createOrReplaceTempView(dv)
+    probeS.toDS().toDF().createOrReplaceTempView(pv)
+    TemporalSql.registerVersioned(dv, "ver_us", "seq")
+    val df = TemporalSql.sql(spark, s"""
+      SELECT p.id, d.price FROM $pv p
+      LEFT JOIN $dv FOR SYSTEM_TIME AS OF p.ts_us AS d ON p.k = d.k""")
+    val q = df.writeStream.format("memory").queryName("tj_late_spec")
+      .outputMode("append").start()
+    try {
+      // batch 1: one version and the probe — watermark (1h delay) has
+      // not passed t=50, so the probe is HELD, not joined to v1 yet
+      dimS.addData(TjrDim(1, 10, 1, 1.0))
+      probeS.addData(TjrProbe(1, 1, 50))
+      q.processAllAvailable()
+      assert(spark.table("tj_late_spec").filter($"id" === 1).isEmpty,
+        "probe released before the watermark passed it")
+      // batch 2: a LATER version still at-or-before the probe's time,
+      // plus the far-future sentinel that flushes the release — the
+      // probe must see v2 (t=40), not the v1 it was buffered alongside
+      dimS.addData(TjrDim(1, 40, 2, 2.0))
+      probeS.addData(TjrProbe(-1, -1, 7258118400000000L))
+      q.processAllAvailable()
+      val rows = spark.table("tj_late_spec").filter($"id" === 1)
+        .select($"price").as[Double].collect().toList
+      assert(rows == List(2.0), s"expected the late v2, got $rows")
+    } finally q.stop()
+  }
+
   test("non-streaming or out-of-shape joins are left untouched") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
