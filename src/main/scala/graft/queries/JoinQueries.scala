@@ -162,6 +162,27 @@ object JoinQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // BATCH `FOR SYSTEM_TIME AS OF` SQL surface: the same desugar +
+    // rule as the streaming gate, planned into the as-of window
+    // formulation (union + ordered window — linear, never the
+    // |left|x|right| pre-rank explosion). Must equal join_asof.
+    "join_asof_sql" -> ((s, dir) => {
+      val evView = graft.streaming.StreamOps.freshName("asof_events")
+      val ordView = graft.streaming.StreamOps.freshName("asof_orders")
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .createOrReplaceTempView(evView)
+      Tables.load(s, dir, "orders").createOrReplaceTempView(ordView)
+      graft.sqlx.TemporalSql.registerVersioned(ordView, "o_orderdate", "o_orderkey")
+      graft.sqlx.TemporalSql.sql(s, s"""
+        SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+               d.o_orderkey, d.o_totalprice
+        FROM $evView p
+        LEFT JOIN $ordView FOR SYSTEM_TIME AS OF p.ts AS d
+          ON p.user_id = d.o_custkey""")
+        .orderBy(col("event_id"))
+    }),
+
     // Salted skew join: the hot-key widening technique — probe rows
     // hashed across 8 salts, build side replicated per salt, join on
     // (key, salt). Must equal the plain join exactly (the salt only
@@ -265,6 +286,18 @@ object JoinQueries extends QueryPack {
        AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 10 MINUTE
       ORDER BY click_id, buy_id""",
     "join_asof" -> """
+      SELECT event_id, user_id, ts, o_orderkey, o_totalprice
+      FROM (
+        SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+               o.o_orderkey, o.o_totalprice,
+               row_number() OVER (PARTITION BY e.event_id
+                 ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e
+        LEFT JOIN orders o
+          ON e.user_id = o.o_custkey AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+      ) t WHERE rn = 1
+      ORDER BY event_id""",
+    "join_asof_sql" -> """
       SELECT event_id, user_id, ts, o_orderkey, o_totalprice
       FROM (
         SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,

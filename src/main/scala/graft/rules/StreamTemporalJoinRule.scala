@@ -44,8 +44,12 @@ import graft.functions.SystemTimeAsOf
 case class StreamTemporalJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // streaming×streaming → versioned-join state op; batch×batch → the
+    // as-of window formulation (the reference's batch temporal join).
+    // Mixed boundedness is left untouched (and then fails loudly on
+    // the unevaluable marker).
     case j @ Join(_, _, _, Some(cond), _)
-        if j.left.isStreaming && j.right.isStreaming &&
+        if j.left.isStreaming == j.right.isStreaming &&
           cond.exists(_.isInstanceOf[SystemTimeAsOf]) =>
       rewrite(j, cond).getOrElse(j)
   }
@@ -81,14 +85,23 @@ case class StreamTemporalJoinRule(session: SparkSession) extends Rule[LogicalPla
 
     val probeDf = org.apache.spark.sql.graft.SqlShim.ofRows(session, j.left)
     val dimDf = org.apache.spark.sql.graft.SqlShim.ofRows(session, j.right)
-    val delay = session.conf.getOption("spark.graft.temporalJoin.watermarkDelay")
-      .getOrElse("1 hour")
-    val joined = graft.streaming.TemporalJoinRows.run(
-      probeDf, dimDf,
-      probeKeyIdx = idx(j.left, probeKey), probeTimeIdx = idx(j.left, probeTime),
-      dimKeyIdx = idx(j.right, dimKey), dimTimeIdx = idx(j.right, dimTime),
-      dimSeqIdx = idx(j.right, dimSeq),
-      leftOuter = j.joinType == LeftOuter, watermarkDelay = delay)
+    val joined =
+      if (j.left.isStreaming) {
+        val delay = session.conf.getOption("spark.graft.temporalJoin.watermarkDelay")
+          .getOrElse("1 hour")
+        graft.streaming.TemporalJoinRows.run(
+          probeDf, dimDf,
+          probeKeyIdx = idx(j.left, probeKey), probeTimeIdx = idx(j.left, probeTime),
+          dimKeyIdx = idx(j.right, dimKey), dimTimeIdx = idx(j.right, dimTime),
+          dimSeqIdx = idx(j.right, dimSeq),
+          leftOuter = j.joinType == LeftOuter, watermarkDelay = delay)
+      } else
+        graft.operators.AsOfJoinRows.run(
+          probeDf, dimDf,
+          probeKeyIdx = idx(j.left, probeKey), probeTimeIdx = idx(j.left, probeTime),
+          dimKeyIdx = idx(j.right, dimKey), dimTimeIdx = idx(j.right, dimTime),
+          dimSeqIdx = idx(j.right, dimSeq),
+          leftOuter = j.joinType == LeftOuter)
 
     // splice back under the ORIGINAL join output attribute ids, so
     // everything above the rewritten Join still resolves

@@ -77,6 +77,16 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("sig"), s"banded signature not a join key:\n$p")
   }
 
+  test("batch FOR SYSTEM_TIME AS OF plans as union+window, not a range join") {
+    val df = graft.queries.JoinQueries.queries("join_asof_sql")(spark, dir)
+    val p = plan(df)
+    // the as-of rewrite must produce the linear window formulation —
+    // no join operator at all (a naive range join would explode to
+    // |left|x|right| per key before ranking)
+    assert(!p.contains("Join"), s"as-of SQL fell back to a join:\n$p")
+    assert(p.contains("Window"), s"window formulation missing:\n$p")
+  }
+
   test("entry query broadcasts the filtered customer dim before the lineitem shuffle") {
     val p = plan(SparkEntry.entry(spark))
     assert(p.contains("BroadcastHashJoin"), s"customer dim not broadcast:\n$p")

@@ -103,17 +103,47 @@ class TemporalJoinRuleSpec extends SparkSuite {
     } finally q.stop()
   }
 
-  test("non-streaming or out-of-shape joins are left untouched") {
+  test("batch inputs plan into the as-of window formulation") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
-    Seq((1L, 2L)).toDF("k", "ts").createOrReplaceTempView("batch_probe")
-    Seq((1L, 1L, 1L)).toDF("k", "ver", "seq").createOrReplaceTempView("batch_dim")
+    // key 1: versions at t=10 (seq 1, price 1.0), t=10 (seq 2, 1.5 —
+    // same-instant ties resolve to the higher seq), t=30 (seq 3, 3.0)
+    Seq((1L, 10L, 1L, 1.0), (1L, 10L, 2L, 1.5), (1L, 30L, 3L, 3.0))
+      .toDF("k", "ver_us", "seq", "price").createOrReplaceTempView("b_asof_dim")
+    Seq((1L, 1L, 15L), (2L, 1L, 35L), (3L, 1L, 5L), (4L, 9L, 50L))
+      .toDF("id", "k", "ts_us").createOrReplaceTempView("b_asof_probe")
+    TemporalSql.registerVersioned("b_asof_dim", "ver_us", "seq")
+    val df = TemporalSql.sql(spark, """
+      SELECT p.id, d.price FROM b_asof_probe p
+      LEFT JOIN b_asof_dim FOR SYSTEM_TIME AS OF p.ts_us AS d ON p.k = d.k""")
+    assert(df.queryExecution.analyzed.collectFirst { case j: Join => j }.isEmpty,
+      "batch as-of rewrite did not fire")
+    val rows = df.orderBy($"id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toList
+    assert(rows == List(
+      (1L, Some(1.5)),  // at t=15: same-instant tie at t=10 → seq 2
+      (2L, Some(3.0)),  // at t=35: v3
+      (3L, None),       // before any version
+      (4L, None)))      // key with no versions at all
+    // INNER drops the unmatched probes
+    val inner = TemporalSql.sql(spark, """
+      SELECT p.id, d.price FROM b_asof_probe p
+      JOIN b_asof_dim FOR SYSTEM_TIME AS OF p.ts_us AS d ON p.k = d.k""")
+    assert(inner.select("id").as[Long].collect().sorted.toList == List(1L, 2L))
+  }
+
+  test("mixed-boundedness or out-of-shape joins are left untouched") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // extra non-equi conjunct → out of shape, rule must not fire
+    Seq((1L, 2L)).toDF("k", "ts").createOrReplaceTempView("oos_probe")
+    Seq((1L, 1L, 1L)).toDF("k", "ver", "seq").createOrReplaceTempView("oos_dim")
     val analyzed = spark.sql(
-      """SELECT * FROM batch_probe p JOIN batch_dim d
-         ON p.k = d.k AND SYSTEM_TIME_AS_OF(d.ver, d.seq, p.ts)""")
+      """SELECT * FROM oos_probe p JOIN oos_dim d
+         ON p.k = d.k AND p.k > 0 AND SYSTEM_TIME_AS_OF(d.ver, d.seq, p.ts)""")
       .queryExecution.analyzed
     val after = StreamTemporalJoinRule(spark)(analyzed)
     assert(after.collectFirst { case j: Join => j }.isDefined,
-      "rule must not fire on batch inputs")
+      "rule must not fire on an out-of-shape condition")
   }
 }
