@@ -47,20 +47,32 @@ class TtlSpec extends SparkSuite {
         assert(spark.table("t_ttl").count() == 2)
       }
       Thread.sleep(300) // let both keys' TTL timers expire
-      // key 2 stays active (its new row re-arms the timer); key 1 stays
-      // idle and is timed out by a subsequent timer-check batch
+      // key 2 stays active (every nudge row re-arms its timer); key 1
+      // stays idle and is timed out. The nudges also make the check
+      // independent of empty-batch scheduling: timeouts are processed
+      // in DATA batches too, so each poll iteration forces a batch that
+      // must evaluate key 1's expired timer even when the engine's
+      // continuous no-data batches are starved (the old full-suite
+      // flake mode).
       ms.addData(ev(3, 2, 3000))
+      var nudge = 1000L
       eventually("idle key 1 TTL-dropped, active key 2 retained") {
+        q.exception.foreach(e => throw new AssertionError("query died", e))
+        nudge += 1
+        ms.addData(ev(nudge, 2, nudge * 10))
         val keys = spark.read.format("statestore").load(ckpt)
           .select($"key.value".cast("string")).as[String].collect().toSet
-        assert(keys == Set("2"), s"got $keys")
+        assert(keys == Set("2"), s"got $keys; query status ${q.status}")
       }
       // the op still works for re-appearing keys: state was dropped, so
       // the next row for key 1 is a fresh winner and is re-emitted
+      // (id 3 is NOT asserted: a nudge row landing in its batch wins
+      // key 2's update slot, so its emission is schedule-dependent)
       ms.addData(ev(4, 1, 4000))
       eventually("key 1 re-emitted after re-appearing") {
-        assert(spark.table("t_ttl").as[Ev].collect().map(_.event_id).toSet
-          == Set(1L, 2L, 3L, 4L))
+        q.exception.foreach(e => throw new AssertionError("query died", e))
+        assert(Set(1L, 2L, 4L).subsetOf(
+          spark.table("t_ttl").as[Ev].collect().map(_.event_id).toSet))
       }
     } finally q.stop()
   }
