@@ -211,6 +211,33 @@ object CepQueries extends QueryPack {
         .orderBy(col("a_id"), col("classifier"))
     }),
 
+    // MATCH_RECOGNIZE PATTERN PERMUTE(A, B) (SQL:2016 row-pattern
+    // PERMUTE; reference flink-sql-parser grammar expands it to the
+    // lexicographic alternation ((A B) | (B A))): two contiguous rows
+    // bind A and B in EITHER order, and the matcher backtracks across
+    // alternatives — a first row satisfying both A and B re-binds to B
+    // when the A-first assignment strands the second row. SKIP TO NEXT
+    // ROW keeps overlapping pairs.
+    "match_recognize_permute" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val mrSql = """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES A.event_id AS a_id, B.event_id AS b_id, A.value AS a_value
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (PERMUTE(A, B))
+          WITHIN INTERVAL '30' MINUTE
+          DEFINE A AS A.value >= 0.3,
+                 B AS B.event_type = 'click'
+        )"""
+      StreamOps.runToBatch(s,
+          graft.sqlx.MatchRecognize.run(StreamOps.eventsTyped(s, dir), mrSql),
+          "append", "mr_perm")
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // PER-STEP time gap (reference Pattern.within(duration,
     // WithinType.PREVIOUS_AND_CURRENT), Pattern.java:245): a click and
     // its next TWO rows, each CONSECUTIVE pair at most 10 minutes
@@ -348,6 +375,22 @@ object CepQueries extends QueryPack {
       FROM o WHERE event_type = 'click' AND nid IS NOT NULL
         AND nts <= ts + INTERVAL 30 MINUTE
       ORDER BY click_id""",
+    "match_recognize_permute" -> """
+      WITH o AS (
+        SELECT user_id, event_id, event_type, value, ts,
+               lead(event_id) OVER w AS nid, lead(event_type) OVER w AS ntype,
+               lead(value) OVER w AS nval, lead(ts) OVER w AS nts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id,
+             CASE WHEN value >= 0.3 AND ntype = 'click' THEN event_id ELSE nid END AS a_id,
+             CASE WHEN value >= 0.3 AND ntype = 'click' THEN nid ELSE event_id END AS b_id,
+             CASE WHEN value >= 0.3 AND ntype = 'click' THEN value ELSE nval END AS a_value
+      FROM o
+      WHERE nid IS NOT NULL AND nts <= ts + INTERVAL 30 MINUTE
+        AND ((value >= 0.3 AND ntype = 'click')
+             OR (event_type = 'click' AND nval >= 0.3))
+      ORDER BY a_id, b_id""",
     "match_recognize_exclusion" -> """
       WITH o AS (
         SELECT user_id, event_id, event_type, value, CAST(ts AS TIMESTAMP) AS uts,

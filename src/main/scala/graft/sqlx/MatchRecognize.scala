@@ -309,12 +309,23 @@ object MatchRecognize {
       .trim.stripPrefix("(").stripSuffix(")").trim
     val RangeQuant = """^([A-Za-z_][A-Za-z0-9_]*)\{(\d+),(\d+)\}$""".r
     val BareSym = """^[A-Za-z_][A-Za-z0-9_]*$""".r
-    // a token is either (symbol, quant) or an ALTERNATION group's
-    // alternative list — `(A | B)`, unquantified (subset)
+    // a token is (symbol, quant), an ALTERNATION group's alternative
+    // list — `(A | B)`, unquantified (subset) — or a PERMUTE group's
+    // variable list; Right's flag is true for PERMUTE
     val rawTokens =
-      """\{-[^}]*-\}|\([^()]*\)[+?{},0-9]*|[^\s()]+""".r.findAllIn(patternTxt).toSeq
+      """(?i:PERMUTE\s*\([^()]*\))|\{-[^}]*-\}|\([^()]*\)[+?{},0-9]*|[^\s()]+"""
+        .r.findAllIn(patternTxt).toSeq
     var excluded = Set.empty[String]
-    val tokens: Seq[Either[(String, String), Seq[String]]] = rawTokens.map {
+    val tokens: Seq[Either[(String, String), (Boolean, Seq[String])]] = rawTokens.map {
+      case p0 if p0.length >= 8 && p0.take(7).equalsIgnoreCase("PERMUTE") =>
+        // SQL:2016 PERMUTE(A, B, …) — matches the variables in every
+        // order (reference sql-parser grammar expands to the
+        // lexicographic alternation ((A B) | (B A) | …))
+        val syms = p0.drop(p0.indexOf('(') + 1).stripSuffix(")")
+          .split(",").map(_.trim).toSeq
+        if (syms.length < 2) fail(s"PERMUTE needs at least two variables: '$p0'")
+        syms.foreach(s => if (!BareSym.matches(s)) fail(s"bad PERMUTE variable '$s' in '$p0'"))
+        Right((true, syms.map(_.toUpperCase)))
       case x if x.startsWith("{-") =>
         // SQL:2016 exclusion: the symbol matches normally but its rows
         // are dropped from ALL ROWS output
@@ -330,7 +341,7 @@ object MatchRecognize {
         val alts = g.stripPrefix("(").stripSuffix(")").split("\\|").map(_.trim).toSeq
         if (alts.length < 2) fail(s"group '$g' without '|' is not in the subset")
         alts.foreach(a => if (!BareSym.matches(a)) fail(s"bad alternation symbol '$a' in '$g'"))
-        Right(alts.map(_.toUpperCase))
+        Right((false, alts.map(_.toUpperCase)))
       case RangeQuant(sym, lo, hi) => Left((sym.toUpperCase, s"{${lo.toInt},${hi.toInt}}"))
       case t =>
         val quant = Seq("+?", "??", "+", "?").find(q => t.endsWith(q)).getOrElse("")
@@ -346,17 +357,29 @@ object MatchRecognize {
     def pred(sym: String): Cep.IterPred[MrEv] = defines.getOrElse(sym, (_, _) => true)
     def altsOf(syms: Seq[String]): Seq[(String, Cep.IterPred[MrEv])] =
       syms.map(s => s -> pred(s))
+    // PERMUTE: each variable binds at most once per match; the
+    // matcher's per-alternative branching enumerates the permutations
+    def guardedAltsOf(syms: Seq[String]): Seq[(String, Cep.IterPred[MrEv])] =
+      syms.map { s =>
+        val base = pred(s)
+        val g: Cep.IterPred[MrEv] = (e, ctx) => ctx.eventsFor(s).isEmpty && base(e, ctx)
+        s -> g
+      }
     val Range = """\{(\d+),(\d+)\}""".r
     var pat = tokens.head match {
       case Left((sym, _)) =>
         Cep.Pattern(Vector(Cep.Step[MrEv](sym, pred(sym), strict = false)))
-      case Right(syms) =>
-        val as = altsOf(syms)
-        Cep.Pattern(Vector(Cep.Step[MrEv](syms.mkString("|"),
+      case Right((isPerm, syms)) =>
+        val as = if (isPerm) guardedAltsOf(syms) else altsOf(syms)
+        var p = Cep.Pattern(Vector(Cep.Step[MrEv](syms.mkString("|"),
           (e, ctx) => as.exists(_._2(e, ctx)), strict = false, alts = as)))
+        // a PERMUTE group spans n contiguous rows: n-1 further steps
+        if (isPerm) (2 to syms.size).foreach(_ => p = p.nextAlt(as))
+        p
     }
     tokens.tail.foreach {
-      case Right(syms) => pat = pat.nextAlt(altsOf(syms))
+      case Right((true, syms)) => pat = pat.nextPermute(altsOf(syms))
+      case Right((false, syms)) => pat = pat.nextAlt(altsOf(syms))
       case Left((sym, q)) =>
       pat = q match {
         case "" => pat.stepIter(sym, pred(sym), strict = true)

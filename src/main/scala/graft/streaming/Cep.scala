@@ -290,6 +290,24 @@ object Cep {
       copy(steps = steps :+ Step(alternatives.map(_._1).mkString("|"), orPred,
         strictStep, Once, None, alternatives))
     }
+    /** PERMUTE group, strict contiguity (SQL:2016 row-pattern
+     * PERMUTE; the reference sql-parser grammar expands
+     * `PERMUTE(A, B)` to the alternation `((A B) | (B A))` in
+     * lexicographic order): appends one alternation step per
+     * variable, every alternative guarded to bind AT MOST ONCE per
+     * match (`ctx.eventsFor(name).isEmpty`). The matcher's lazy
+     * per-alternative branching then enumerates exactly the
+     * permutations of the variables over the next `n` contiguous
+     * rows, preferring earlier-listed variables at each position —
+     * the reference's expansion order. */
+    def nextPermute(vars: Seq[(String, IterPred[T])]): Pattern[T] = {
+      require(vars.size >= 2, "PERMUTE needs at least two variables")
+      val guarded = vars.map { case (n, pr) =>
+        val g: IterPred[T] = (e, ctx) => ctx.eventsFor(n).isEmpty && pr(e, ctx)
+        n -> g
+      }
+      vars.indices.foldLeft(this)((p, _) => p.altStep(guarded, strictStep = true))
+    }
     /** Append a GROUP pattern with relaxed contiguity (reference
      * `GroupPattern.java:30`, `Pattern.followedBy(Pattern)`): the
      * group's steps splice into this pattern; the group's first step
@@ -414,13 +432,19 @@ object Cep {
         // first repetition fails the loop (>= 1 not met).
         def stopAt(binds: Vector[(String, Int)], j: Int): Boolean =
           st.until.exists(u => u(events(j), if (untilFree) noCtx else ctxAt(binds, j)))
-        // alternation: the consumed row binds under the FIRST
-        // alternative whose condition it satisfies (SQL preference)
-        def bindName(binds: Vector[(String, Int)], j: Int): String =
-          if (st.alts.isEmpty) st.name
-          else st.alts.find(_._2(events(j), ctxAt(binds, j))).map(_._1).getOrElse(st.name)
+        // alternation: one lazy branch per alternative the consumed
+        // row satisfies, in declared order — the head of the overall
+        // LazyList still prefers the FIRST alternative (SQL (A | B)
+        // preference), but a branch whose CONTINUATION fails falls
+        // back to the next alternative instead of killing the match.
+        // PERMUTE compiles to alternatives guarded on "not yet bound
+        // in this match" (nextPermute), which needs exactly this
+        // backtracking to enumerate permutations.
         def withEventAt(j: Int): LazyList[(Int, Vector[(String, Int)])] =
-          matchSteps(start, j, rest, acc :+ ((bindName(acc, j), j)))
+          if (st.alts.isEmpty) matchSteps(start, j, rest, acc :+ ((st.name, j)))
+          else LazyList.from(st.alts)
+            .collect { case (n, pr) if pr(events(j), ctxAt(acc, j)) => n }
+            .flatMap(n => matchSteps(start, j, rest, acc :+ ((n, j))))
         def firstQualifying(from: Int): Int = {
           var j = from
           while (inWindow(start, j) && gapOk(from - 1, j) && !ok(acc, j)) j += 1
@@ -518,12 +542,14 @@ object Cep {
           if (ctxFree(p.steps.head.pred)) EmptyCtx.asInstanceOf[MatchCtx[T]]
           else ctxAt(Vector.empty, i))) {
         val headStep = p.steps.head
-        val headName =
-          if (headStep.alts.isEmpty) headStep.name
-          else headStep.alts.find(_._2(start, ctxAt(Vector.empty, i)))
-            .map(_._1).getOrElse(headStep.name)
-        val alts = matchSteps(start, i, p.steps.tail.toList,
-          Vector((headName, i)))
+        // same per-alternative branching as matchSteps for the head:
+        // each satisfying alternative (declared order) is a branch
+        val headNames: LazyList[String] =
+          if (headStep.alts.isEmpty) LazyList(headStep.name)
+          else LazyList.from(headStep.alts)
+            .collect { case (n, pr) if pr(start, ctxAt(Vector.empty, i)) => n }
+        val alts = headNames.flatMap(hn =>
+          matchSteps(start, i, p.steps.tail.toList, Vector((hn, i))))
         // earliest-match subset takes the preferred alternative; Any
         // patterns emit every distinct branch (reference followedByAny)
         val ms = if (hasAny) alts.toList.distinct else alts.headOption.toList

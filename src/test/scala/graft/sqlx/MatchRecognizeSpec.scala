@@ -87,6 +87,62 @@ class MatchRecognizeSpec extends SparkSuite {
     }
   }
 
+  test("PATTERN PERMUTE matches every order, backtracks, prefers listed order") {
+    val spec = MatchRecognize.parse("""
+      SELECT * FROM events MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts
+        MEASURES A.event_id AS a_id, B.event_id AS b_id
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (PERMUTE(A, B))
+        WITHIN INTERVAL '30' MINUTE
+        DEFINE A AS A.value >= 0.3,
+               B AS B.event_type = 'click'
+      )""")
+    assert(spec.pattern.steps.length == 2)
+    assert(spec.pattern.steps.forall(_.alts.map(_._1) == Seq("A", "B")))
+    // backtracking: row 1 (click, 0.7) satisfies A and B; row 2 (view,
+    // 0.5) satisfies only A. The A-first binding of row 1 strands row
+    // 2, so the matcher falls back to row1=B, row2=A.
+    val back = IndexedSeq(mrev(1, "click", 0, 0.7), mrev(2, "view", 1000L, 0.5))
+    assert(Cep.matchSortedG[MrEv](back, spec.pattern, _.ts_us, _.id)
+      .map(_.binds.map(b => (b.step, b.ev.id))) ==
+      List(List(("B", 1L), ("A", 2L))))
+    // preference: when both orders qualify, (A B) wins — the
+    // lexicographic-expansion order of the reference grammar
+    val both = IndexedSeq(mrev(3, "click", 0, 0.8), mrev(4, "click", 1000L, 0.9))
+    assert(Cep.matchSortedG[MrEv](both, spec.pattern, _.ts_us, _.id)
+      .map(_.binds.map(b => (b.step, b.ev.id))) ==
+      List(List(("A", 3L), ("B", 4L))))
+    // three variables, two fallbacks deep: only the C,B,A assignment of
+    // (view 0.2)(click 0.9)(view 0.7) is consistent
+    val spec3 = MatchRecognize.parse("""
+      SELECT * FROM events MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES A.event_id AS a_id ONE ROW PER MATCH
+        PATTERN (PERMUTE(A, B, C))
+        WITHIN INTERVAL '30' MINUTE
+        DEFINE A AS A.value >= 0.6, B AS B.event_type = 'click'
+      )""")
+    val three = IndexedSeq(mrev(1, "view", 0, 0.2),
+      mrev(2, "click", 1000L, 0.9), mrev(3, "view", 2000L, 0.7))
+    assert(Cep.matchSortedG[MrEv](three, spec3.pattern, _.ts_us, _.id)
+      .map(_.binds.map(b => (b.step, b.ev.id))) ==
+      List(List(("C", 1L), ("B", 2L), ("A", 3L))))
+    // a variable cannot bind twice even when its DEFINE re-qualifies
+    val dup = IndexedSeq(mrev(5, "view", 0, 0.9), mrev(6, "view", 1000L, 0.8))
+    assert(Cep.matchSortedG[MrEv](dup, spec.pattern, _.ts_us, _.id).isEmpty)
+    // single-variable PERMUTE is rejected loudly
+    intercept[IllegalArgumentException] {
+      MatchRecognize.parse("""
+        SELECT * FROM x MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES A.event_id AS a ONE ROW PER MATCH
+          PATTERN (PERMUTE(A)) DEFINE A AS A.value > 0)""")
+    }
+  }
+
   test("exclusion {- B -} matches normally but is marked excluded") {
     val spec = MatchRecognize.parse("""
       SELECT * FROM events MATCH_RECOGNIZE (
