@@ -211,6 +211,36 @@ object CepQueries extends QueryPack {
         .orderBy(col("a_id"), col("classifier"))
     }),
 
+    // MATCH_RECOGNIZE SUBSET union variables (SQL:2016 SUBSET clause;
+    // reference flink-sql-parser SUBSET + MatchCodeGenerator union
+    // variables): U = (B, C) is navigable in MEASURES as the
+    // time-ordered union of its members' rows — COUNT spans the B run
+    // plus the C row, FIRST lands on the first B, LAST on C. The B+
+    // run is maximal (value < 40), C is the run-ending row iff it
+    // clears 80, and the whole match sits inside the 6-hour horizon.
+    "match_recognize_subset" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val mrSql = """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES A.event_id AS a_id, COUNT(U.*) AS n_u,
+                   FIRST(U.event_id) AS first_u, LAST(U.event_id) AS last_u
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (A B+ C)
+          SUBSET U = (B, C)
+          WITHIN INTERVAL '6' HOUR
+          DEFINE A AS A.event_type = 'click',
+                 B AS B.value < 40,
+                 C AS C.value >= 80
+        )"""
+      StreamOps.runToBatch(s,
+          graft.sqlx.MatchRecognize.run(StreamOps.eventsTyped(s, dir), mrSql),
+          "append", "mr_sub")
+        .orderBy(col("a_id"))
+    }),
+
     // MATCH_RECOGNIZE PATTERN PERMUTE(A, B) (SQL:2016 row-pattern
     // PERMUTE; reference flink-sql-parser grammar expands it to the
     // lexicographic alternation ((A B) | (B A))): two contiguous rows
@@ -375,6 +405,28 @@ object CepQueries extends QueryPack {
       FROM o WHERE event_type = 'click' AND nid IS NOT NULL
         AND nts <= ts + INTERVAL 30 MINUTE
       ORDER BY click_id""",
+    "match_recognize_subset" -> """
+      WITH o AS (
+        SELECT user_id, event_id, event_type, value, ts,
+               row_number() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      k AS (
+        SELECT c.user_id, c.rn, c.event_id AS a_id, c.ts AS a_ts,
+               min(s.rn) AS krn
+        FROM o c JOIN o s
+          ON s.user_id = c.user_id AND s.rn > c.rn AND s.value >= 40
+        WHERE c.event_type = 'click'
+        GROUP BY c.user_id, c.rn, c.event_id, c.ts)
+      SELECT k.user_id, k.a_id,
+             CAST(k.krn - k.rn AS BIGINT) AS n_u,
+             fb.event_id AS first_u, cr.event_id AS last_u
+      FROM k
+      JOIN o cr ON cr.user_id = k.user_id AND cr.rn = k.krn
+      JOIN o fb ON fb.user_id = k.user_id AND fb.rn = k.rn + 1
+      WHERE k.krn >= k.rn + 2 AND cr.value >= 80
+        AND cr.ts <= k.a_ts + INTERVAL 6 HOUR
+      ORDER BY a_id""",
     "match_recognize_permute" -> """
       WITH o AS (
         SELECT user_id, event_id, event_type, value, ts,

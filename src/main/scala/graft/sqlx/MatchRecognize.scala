@@ -113,7 +113,8 @@ object MatchRecognize {
       sym: String, field: String, alias: String)
   final case class Spec(partitionBy: String, orderBy: String, measures: Seq[Measure],
       skip: Cep.AfterMatch, pattern: Cep.Pattern[MrEv], allRows: Boolean = false,
-      excluded: Set[String] = Set.empty)
+      excluded: Set[String] = Set.empty,
+      subsets: Map[String, Seq[String]] = Map.empty)
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"MATCH_RECOGNIZE: $msg")
@@ -161,6 +162,7 @@ object MatchRecognize {
       "ALL ROWS PER MATCH" -> """(?i)\bALL\s+ROWS\s+PER\s+MATCH\b""",
       "AFTER MATCH" -> """(?i)\bAFTER\s+MATCH\b""",
       "PATTERN" -> """(?i)\bPATTERN\b""",
+      "SUBSET" -> """(?i)\bSUBSET\b""",
       "WITHIN" -> """(?i)\bWITHIN\b""",
       "DEFINE" -> """(?i)\bDEFINE\b""")
     val hits = markers.flatMap { case (m, re) =>
@@ -215,8 +217,11 @@ object MatchRecognize {
       case _ => { val i = layout.kind(f)._2; (e: MrEv) => e.strs(i) }
     }
 
-  /** Compile an operand to its evaluator against the layout. */
-  private def compileOperand(layout: MrLayout, o: Operand)
+  /** Compile an operand to its evaluator against the layout. A
+   * NavField whose symbol is a SUBSET union variable navigates the
+   * time-ordered union of the members' bound rows. */
+  private def compileOperand(layout: MrLayout, o: Operand,
+      subsets: Map[String, Seq[String]] = Map.empty)
       : (MrEv, Cep.MatchCtx[MrEv]) => Option[Any] = o match {
     case NumLit(v) => (_, _) => Some(v)
     case LongLit(v) => (_, _) => Some(v)
@@ -226,10 +231,14 @@ object MatchRecognize {
       case None => (_, _) => None
     }
     case NavField(first, s, f) => fieldGetter(layout, f) match {
-      case Some(get) => (_, ctx) => {
-        val rows = ctx.eventsFor(s)
-        (if (first) rows.headOption else rows.lastOption).map(get)
-      }
+      case Some(get) =>
+        val members = subsets.getOrElse(s, Seq(s))
+        (_, ctx) => {
+          val rows =
+            if (members.lengthCompare(1) == 0) ctx.eventsFor(members.head)
+            else members.flatMap(ctx.eventsFor).sortBy(e => (e.ts_us, e.id))
+          (if (first) rows.headOption else rows.lastOption).map(get)
+        }
       case None => (_, _) => None
     }
     case PrevField(f, n) => fieldGetter(layout, f) match {
@@ -269,15 +278,16 @@ object MatchRecognize {
     case _ => false // mixed types never compare true
   }
 
-  private def parseDefine(sym: String, cond: String, layout: MrLayout): Cep.IterPred[MrEv] = {
+  private def parseDefine(sym: String, cond: String, layout: MrLayout,
+      subsets: Map[String, Seq[String]] = Map.empty): Cep.IterPred[MrEv] = {
     val conjs: Array[((MrEv, Cep.MatchCtx[MrEv]) => Option[Any], String,
         (MrEv, Cep.MatchCtx[MrEv]) => Option[Any])] =
       cond.split("(?i)\\s+AND\\s+").map(_.trim).map { c =>
         val parts = c.split(CmpSplit, 2)
         if (parts.length != 2) fail(s"cannot parse DEFINE condition '$c'")
         val op = c.substring(parts(0).length, c.length - parts(1).length)
-        (compileOperand(layout, parseOperand(sym, parts(0))), op,
-          compileOperand(layout, parseOperand(sym, parts(1))))
+        (compileOperand(layout, parseOperand(sym, parts(0)), subsets), op,
+          compileOperand(layout, parseOperand(sym, parts(1)), subsets))
       }
     (e, ctx) => conjs.forall { case (l, op, r) =>
       (l(e, ctx), r(e, ctx)) match {
@@ -294,12 +304,32 @@ object MatchRecognize {
     val ord = sec.getOrElse("ORDER BY", fail("ORDER BY required")).trim
     if (!ord.matches("""\w+""")) fail(s"subset: ORDER BY one column, got '$ord'")
 
+    // SQL:2016 SUBSET: union pattern variables — `SUBSET U = (A, B)`
+    // makes U navigable in MEASURES and DEFINE as the time-ordered
+    // union of its members' bound rows (reference sql-parser SUBSET
+    // clause + MatchCodeGenerator's union-variable handling)
+    val subsets: Map[String, Seq[String]] =
+      sec.get("SUBSET").map { s =>
+        val SubsetRe = """(?s)(\w+)\s*=\s*\(([^()]*)\)""".r
+        s.split(",(?![^()]*\\))").map(_.trim).filter(_.nonEmpty).map {
+          case SubsetRe(name, members) =>
+            val ms = members.split(",").map(_.trim).toSeq
+            if (ms.isEmpty || ms.exists(x => !x.matches("""\w+""")))
+              fail(s"bad SUBSET member list '($members)'")
+            name.toUpperCase -> ms.map(_.toUpperCase)
+          case entry => fail(s"cannot parse SUBSET entry '$entry'")
+        }.toMap
+      }.getOrElse(Map.empty)
+
     val defines: Map[String, Cep.IterPred[MrEv]] =
       sec.get("DEFINE").map { d =>
         d.split(",(?![^()]*\\))").map(_.trim).filter(_.nonEmpty).map { entry =>
           val m = """(?is)(\w+)\s+AS\s+(.+)""".r
           entry match {
-            case m(sym, cond) => sym.toUpperCase -> parseDefine(sym, cond, layout)
+            case m(sym, cond) =>
+              if (subsets.contains(sym.toUpperCase))
+                fail(s"DEFINE $sym: a SUBSET union variable cannot be defined")
+              sym.toUpperCase -> parseDefine(sym, cond, layout, subsets)
             case _ => fail(s"cannot parse DEFINE entry '$entry'")
           }
         }.toMap
@@ -352,6 +382,18 @@ object MatchRecognize {
         Left((sym.toUpperCase, quant))
     }
     if (tokens.isEmpty) fail("empty PATTERN")
+    locally {
+      val patSyms = tokens.flatMap {
+        case Left((sym, _)) => Seq(sym)
+        case Right((_, syms)) => syms
+      }.toSet
+      subsets.foreach { case (name, members) =>
+        if (patSyms.contains(name))
+          fail(s"SUBSET $name collides with a pattern variable")
+        members.filterNot(patSyms.contains).foreach(m =>
+          fail(s"SUBSET $name member '$m' is not a pattern variable"))
+      }
+    }
     if (tokens.head.left.exists(_._2.nonEmpty))
       fail("subset: first pattern symbol must be unquantified")
     def pred(sym: String): Cep.IterPred[MrEv] = defines.getOrElse(sym, (_, _) => true)
@@ -429,7 +471,8 @@ object MatchRecognize {
         case m => fail(s"cannot parse measure '$m'")
       }
     Spec(part, ord, measures, skip, pat,
-      allRows = sec.contains("ALL ROWS PER MATCH"), excluded = excluded)
+      allRows = sec.contains("ALL ROWS PER MATCH"), excluded = excluded,
+      subsets = subsets)
   }
 
   /** Ev-fixture shim (the original entry): events stream, id column
@@ -498,8 +541,13 @@ object MatchRecognize {
     }
     def isStr(f: String): Boolean = layout.kind.get(f).exists(_._1 == 's')
     def measureCol(m: Measure, binds: Column): Column = {
-      val arr = filter(binds, b =>
-        b.getField("step") === m.sym || b.getField("step").startsWith(m.sym + "#"))
+      // a SUBSET union variable gathers every member's rows; binds are
+      // already in consumption (time) order, so FIRST/LAST and the
+      // running-prefix slices navigate the union correctly
+      val symsOf = spec.subsets.getOrElse(m.sym, Seq(m.sym))
+      val arr = filter(binds, b => symsOf.map(s =>
+        b.getField("step") === s || b.getField("step").startsWith(s + "#"))
+        .reduce(_ || _))
       m.fn match {
         case Some("COUNT") => size(arr).cast("long")
         case Some("SUM") => srcCast(aggregate(arr, lit(0.0), (acc, b) => acc + numOf(b, m.field)), m.field)

@@ -249,6 +249,59 @@ class MatchRecognizeSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("SUBSET union variable navigates members' rows in MEASURES and DEFINE") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mrSql = """
+      SELECT * FROM events MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts
+        MEASURES A.event_id AS a_id, COUNT(U.*) AS n_u,
+                 SUM(U.value) AS sum_u, LAST(U.event_id) AS last_u
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B+ C)
+        SUBSET U = (B, C)
+        WITHIN INTERVAL '10' MINUTE
+        DEFINE A AS A.event_type = 'a',
+               B AS B.value < 4,
+               C AS C.value > LAST(U.value)
+      )"""
+    // parse: subset registered, DEFINE C navigates U (only B rows are
+    // bound while C is being tested — RUNNING semantics of the union)
+    val spec = MatchRecognize.parse(mrSql)
+    assert(spec.subsets == Map("U" -> Seq("B", "C")))
+    val ms = MemoryStream[Ev]
+    val out = MatchRecognize.run(ms.toDS(), mrSql)
+    val q = out.writeStream.format("memory").queryName("t_mr_sub")
+      .outputMode("append").start()
+    try {
+      // C (v=6) > LAST(U.value) = last B = 3; U in measures spans B,B,C
+      ms.addData(ev(1, "a", 0, 1.0), ev(2, "b", 10, 2.0),
+        ev(3, "b", 20, 3.0), ev(4, "c", 30, 6.0))
+      q.processAllAvailable()
+      val rows = spark.table("t_mr_sub")
+        .as[(Long, Long, Long, Double, Long)].collect().toList
+      assert(rows == List((1L, 1L, 3L, 11.0, 4L)))
+    } finally q.stop()
+    // subset name colliding with a pattern variable is rejected
+    intercept[IllegalArgumentException] {
+      MatchRecognize.parse("""
+        SELECT * FROM x MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES A.event_id AS a ONE ROW PER MATCH
+          PATTERN (A B) SUBSET B = (A) DEFINE A AS A.value > 0)""")
+    }
+    // a member that is not a pattern variable is rejected
+    intercept[IllegalArgumentException] {
+      MatchRecognize.parse("""
+        SELECT * FROM x MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES A.event_id AS a ONE ROW PER MATCH
+          PATTERN (A B) SUBSET U = (A, Z) DEFINE A AS A.value > 0)""")
+    }
+  }
+
   test("range quantifier {m,n}: greedy to max, min enforced, measures span the expansion") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
