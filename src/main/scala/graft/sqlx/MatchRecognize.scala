@@ -338,6 +338,8 @@ object MatchRecognize {
     val patternTxt = sec.getOrElse("PATTERN", fail("PATTERN required"))
       .trim.stripPrefix("(").stripSuffix(")").trim
     val RangeQuant = """^([A-Za-z_][A-Za-z0-9_]*)\{(\d+),(\d+)\}$""".r
+    val ExactQuant = """^([A-Za-z_][A-Za-z0-9_]*)\{(\d+)\}$""".r
+    val MinQuant = """^([A-Za-z_][A-Za-z0-9_]*)\{(\d+),\}$""".r
     val BareSym = """^[A-Za-z_][A-Za-z0-9_]*$""".r
     // a token is (symbol, quant), an ALTERNATION group's alternative
     // list — `(A | B)`, unquantified (subset) — or a PERMUTE group's
@@ -373,6 +375,9 @@ object MatchRecognize {
         alts.foreach(a => if (!BareSym.matches(a)) fail(s"bad alternation symbol '$a' in '$g'"))
         Right((false, alts.map(_.toUpperCase)))
       case RangeQuant(sym, lo, hi) => Left((sym.toUpperCase, s"{${lo.toInt},${hi.toInt}}"))
+      case ExactQuant(sym, n) => // SQL {n} = {n,n}
+        Left((sym.toUpperCase, s"{${n.toInt},${n.toInt}}"))
+      case MinQuant(sym, lo) => Left((sym.toUpperCase, s"{${lo.toInt},}"))
       case t =>
         val quant = Seq("+?", "??", "+", "?").find(q => t.endsWith(q)).getOrElse("")
         val sym = t.stripSuffix(quant)
@@ -408,6 +413,7 @@ object MatchRecognize {
         s -> g
       }
     val Range = """\{(\d+),(\d+)\}""".r
+    val MinRange = """\{(\d+),\}""".r
     var pat = tokens.head match {
       case Left((sym, _)) =>
         Cep.Pattern(Vector(Cep.Step[MrEv](sym, pred(sym), strict = false)))
@@ -437,6 +443,14 @@ object MatchRecognize {
           (1 to m).foreach(i => p = p.stepIter(s"$sym#$i", pred(sym), strict = true))
           (m + 1 to n).foreach(i => p = p.stepIter(s"$sym#$i", pred(sym), strict = true, Cep.Optional))
           p
+        case MinRange(lo) =>
+          // SQL {m,}: (m-1) required + a maximal one-or-more tail —
+          // A{2,} is A A+ with every repetition under the A# prefix
+          val m = lo.toInt
+          if (m < 1) fail(s"bad range quantifier {$lo,}")
+          var p = pat
+          (1 until m).foreach(i => p = p.stepIter(s"$sym#$i", pred(sym), strict = true))
+          p.stepIter(s"$sym#$m", pred(sym), strict = true, Cep.OneOrMore)
       }
     }
     sec.get("WITHIN").foreach {

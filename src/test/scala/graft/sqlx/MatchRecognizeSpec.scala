@@ -331,6 +331,39 @@ class MatchRecognizeSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("exact {n} and min {n,} quantifiers expand onto the step chain") {
+    def parseWith(patTxt: String) = MatchRecognize.parse(s"""
+      SELECT * FROM events MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES FIRST(B.event_id) AS fb, LAST(B.event_id) AS lb
+        ONE ROW PER MATCH
+        PATTERN ($patTxt)
+        WITHIN INTERVAL '10' MINUTE
+        DEFINE A AS A.event_type = 'a', B AS B.event_type = 'b')""")
+    // {2} = exactly two required strict steps
+    val ex = parseWith("A B{2}")
+    assert(ex.pattern.steps.map(_.name) == Vector("A", "B#1", "B#2"))
+    assert(ex.pattern.steps.drop(1).forall(s => s.quant == Cep.Once && s.strict))
+    // {2,} = one required step + a maximal one-or-more tail
+    val mn = parseWith("A B{2,}")
+    assert(mn.pattern.steps.map(_.name) == Vector("A", "B#1", "B#2"))
+    assert(mn.pattern.steps(1).quant == Cep.Once)
+    assert(mn.pattern.steps(2).quant == Cep.OneOrMore)
+    // over a-b-b-b: {2} consumes exactly two b rows, {2,} all three
+    val evs = IndexedSeq(mrev(1, "a", 0), mrev(2, "b", 10),
+      mrev(3, "b", 20), mrev(4, "b", 30))
+    assert(Cep.matchSortedG[MrEv](evs, ex.pattern, _.ts_us, _.id)
+      .head.binds.map(_.ev.id) == List(1L, 2L, 3L))
+    assert(Cep.matchSortedG[MrEv](evs, mn.pattern, _.ts_us, _.id)
+      .head.binds.map(_.ev.id) == List(1L, 2L, 3L, 4L))
+    // a single b fails both ({2} and {2,} need two)
+    val one = IndexedSeq(mrev(1, "a", 0), mrev(2, "b", 10), mrev(3, "a", 20))
+    assert(Cep.matchSortedG[MrEv](one, ex.pattern, _.ts_us, _.id).isEmpty)
+    assert(Cep.matchSortedG[MrEv](one, mn.pattern, _.ts_us, _.id).isEmpty)
+    intercept[IllegalArgumentException] { parseWith("A B{0}") }
+    intercept[IllegalArgumentException] { parseWith("A B{0,}") }
+  }
+
   test("unsupported clauses raise, not silently misparse") {
     intercept[IllegalArgumentException] {
       MatchRecognize.parse("SELECT 1") // no clause
@@ -347,7 +380,7 @@ class MatchRecognizeSpec extends SparkSuite {
     }
     // unsupported quantifier spellings raise instead of silently
     // becoming a never-defined symbol that matches anything
-    for (bad <- Seq("B{2}", "B{2,}", "B*")) {
+    for (bad <- Seq("B*", "B{,3}", "B{2}?")) {
       intercept[IllegalArgumentException] {
         MatchRecognize.parse(s"""
           SELECT * FROM t MATCH_RECOGNIZE (
