@@ -241,6 +241,33 @@ object CepQueries extends QueryPack {
         .orderBy(col("a_id"))
     }),
 
+    // MATCH_RECOGNIZE zero-or-more quantifier B* (SQL row-pattern
+    // grammar; reference Quantifier.looping + optional, i.e.
+    // oneOrMore().optional()): a click, a maximal POSSIBLY-EMPTY
+    // low-value run, then the run-ending row clearing 80 — an empty
+    // run leaves FIRST/LAST(B.*) NULL in the measures.
+    "match_recognize_star" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val mrSql = """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES A.event_id AS a_id, COUNT(B.*) AS n_b,
+                   FIRST(B.event_id) AS first_b, LAST(B.event_id) AS last_b
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (A B* C)
+          WITHIN INTERVAL '24' HOUR
+          DEFINE A AS A.event_type = 'click',
+                 B AS B.value < 50,
+                 C AS C.value >= 80
+        )"""
+      StreamOps.runToBatch(s,
+          graft.sqlx.MatchRecognize.run(StreamOps.eventsTyped(s, dir), mrSql),
+          "append", "mr_star")
+        .orderBy(col("a_id"))
+    }),
+
     // MATCH_RECOGNIZE min-unbounded quantifier B{2,} (SQL row-pattern
     // quantifier grammar; reference flink-sql-parser): one required
     // step plus a MAXIMAL one-or-more tail — a click, a low-value run
@@ -432,6 +459,31 @@ object CepQueries extends QueryPack {
       FROM o WHERE event_type = 'click' AND nid IS NOT NULL
         AND nts <= ts + INTERVAL 30 MINUTE
       ORDER BY click_id""",
+    "match_recognize_star" -> """
+      WITH o AS (
+        SELECT user_id, event_id, event_type, value, ts,
+               row_number() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      k AS (
+        SELECT c.user_id, c.rn, c.event_id AS a_id, c.ts AS a_ts,
+               min(s.rn) AS krn
+        FROM o c JOIN o s
+          ON s.user_id = c.user_id AND s.rn > c.rn AND s.value >= 50
+        WHERE c.event_type = 'click'
+        GROUP BY c.user_id, c.rn, c.event_id, c.ts)
+      SELECT k.user_id, k.a_id,
+             CAST(k.krn - k.rn - 1 AS BIGINT) AS n_b,
+             fb.event_id AS first_b, lb.event_id AS last_b
+      FROM k
+      JOIN o cr ON cr.user_id = k.user_id AND cr.rn = k.krn
+      LEFT JOIN o fb ON fb.user_id = k.user_id AND fb.rn = k.rn + 1
+        AND k.krn >= k.rn + 2
+      LEFT JOIN o lb ON lb.user_id = k.user_id AND lb.rn = k.krn - 1
+        AND k.krn >= k.rn + 2
+      WHERE cr.value >= 80
+        AND cr.ts <= k.a_ts + INTERVAL 24 HOUR
+      ORDER BY a_id""",
     "match_recognize_min_quant" -> """
       WITH o AS (
         SELECT user_id, event_id, event_type, value, ts,

@@ -66,12 +66,19 @@ object MrLayout {
  *    and the row's numeric/string input columns)
  *  - AFTER MATCH SKIP TO NEXT ROW | SKIP PAST LAST ROW |
  *    SKIP TO [FIRST|LAST] Sym    (default NO_SKIP, as the reference)
- *  - PATTERN (A B+ C? D{1,3} ...) with quantifiers +, ?, +?, ??, {m,n}
- *    on non-initial symbols; contiguity is strict, per MATCH_RECOGNIZE
+ *  - PATTERN (A B+ C? D{1,3} ...) with quantifiers +, ?, *, +?, ??,
+ *    *?, {m,n} (m >= 0), {n}, {n,} on non-initial symbols; contiguity
+ *    is strict, per MATCH_RECOGNIZE
  *  - ALTERNATION groups `(A | B [| C ...])` of bare symbols (no
  *    quantifier on the group or its alternatives): the consumed row
- *    binds to the FIRST alternative whose DEFINE holds, in declared
- *    order — SQL preference semantics on the single consumed row
+ *    binds to the first alternative whose DEFINE holds AND whose
+ *    continuation completes — declared-order preference with lazy
+ *    backtracking across the alternatives
+ *  - PERMUTE(A, B, ...): the variables in every order over the next n
+ *    contiguous rows (lexicographic-expansion preference), via
+ *    once-per-match guarded alternation steps
+ *  - SUBSET U = (A, B): union variables navigable in MEASURES and
+ *    DEFINE as the time-ordered union of the members' rows
  *  - EXCLUSION `{- B -}` (one symbol, quantifiers allowed): B matches
  *    and is visible to measures/DEFINE, but its rows are omitted from
  *    ALL ROWS PER MATCH output, per SQL:2016 (no effect on ONE ROW)
@@ -362,7 +369,7 @@ object MatchRecognize {
         // SQL:2016 exclusion: the symbol matches normally but its rows
         // are dropped from ALL ROWS output
         val inner = x.stripPrefix("{-").stripSuffix("-}").trim
-        val quant = Seq("+?", "??", "+", "?").find(q => inner.endsWith(q)).getOrElse("")
+        val quant = Seq("+?", "??", "*?", "+", "?", "*").find(q => inner.endsWith(q)).getOrElse("")
         val sym = inner.stripSuffix(quant)
         if (!BareSym.matches(sym)) fail(s"exclusion '$x' must wrap one symbol")
         excluded += sym.toUpperCase
@@ -379,7 +386,7 @@ object MatchRecognize {
         Left((sym.toUpperCase, s"{${n.toInt},${n.toInt}}"))
       case MinQuant(sym, lo) => Left((sym.toUpperCase, s"{${lo.toInt},}"))
       case t =>
-        val quant = Seq("+?", "??", "+", "?").find(q => t.endsWith(q)).getOrElse("")
+        val quant = Seq("+?", "??", "*?", "+", "?", "*").find(q => t.endsWith(q)).getOrElse("")
         val sym = t.stripSuffix(quant)
         // reject unsupported quantifier spellings ({m}, {m,}, *) loudly
         // rather than treating them as a never-defined symbol name
@@ -435,10 +442,12 @@ object MatchRecognize {
         case "+?" => pat.stepIter(sym, pred(sym), strict = true, Cep.OneOrMoreReluctant)
         case "?" => pat.stepIter(sym, pred(sym), strict = true, Cep.Optional)
         case "??" => pat.stepIter(sym, pred(sym), strict = false, Cep.OptionalReluctant)
+        case "*" => pat.stepIter(sym, pred(sym), strict = true, Cep.ZeroOrMore)
+        case "*?" => pat.stepIter(sym, pred(sym), strict = true, Cep.ZeroOrMoreReluctant)
         case Range(lo, hi) =>
           // SQL {m,n}: m required + (n-m) optional, strict contiguity
           val (m, n) = (lo.toInt, hi.toInt)
-          if (m < 1 || n < m) fail(s"bad range quantifier {$lo,$hi}")
+          if (m < 0 || n < m || n < 1) fail(s"bad range quantifier {$lo,$hi}")
           var p = pat
           (1 to m).foreach(i => p = p.stepIter(s"$sym#$i", pred(sym), strict = true))
           (m + 1 to n).foreach(i => p = p.stepIter(s"$sym#$i", pred(sym), strict = true, Cep.Optional))

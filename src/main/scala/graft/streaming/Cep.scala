@@ -73,6 +73,16 @@ object Cep {
    * between repetitions): repetitions may skip non-matching events,
    * and the run extends only when the remaining steps fail. */
   case object OneOrMoreRelaxed extends Quant
+  /** Greedy zero-or-more: the maximal strict run (possibly EMPTY) is
+   * consumed, no backtracking — SQL row-pattern `B*` (reference
+   * `Quantifier.looping` + `optional`, i.e. `oneOrMore().optional()`
+   * in the fluent API, restricted to this engine's strict greedy
+   * subset). */
+  case object ZeroOrMore extends Quant
+  /** Reluctant zero-or-more (`B*?`): try the remaining steps with an
+   * empty run first, extend one strict repetition at a time only on
+   * downstream failure. */
+  case object ZeroOrMoreReluctant extends Quant
   /** Negative lookahead on the next event (not consumed). */
   case object NotNext extends Quant
   /** Relaxed contiguity with ALL alternatives (reference
@@ -226,6 +236,14 @@ object Cep {
      * rest of the pattern allows. */
     def oneOrMoreNextReluctant(name: String, pred: T => Boolean): Pattern[T] =
       copy(steps = steps :+ Step(name, lift(pred), strict = true, quant = OneOrMoreReluctant))
+    /** Greedy maximal consecutive run, >= 0 (SQL `B*`; the reference
+     * spells it `oneOrMore().optional()`). */
+    def zeroOrMoreNext(name: String, pred: T => Boolean): Pattern[T] =
+      copy(steps = steps :+ Step(name, lift(pred), strict = true, quant = ZeroOrMore))
+    /** Reluctant consecutive run, >= 0 (SQL `B*?`): empty first,
+     * extended only when the remaining steps fail. */
+    def zeroOrMoreNextReluctant(name: String, pred: T => Boolean): Pattern[T] =
+      copy(steps = steps :+ Step(name, lift(pred), strict = true, quant = ZeroOrMoreReluctant))
     /** Append a step with an explicit quantifier and an ITERATIVE
      * condition — the generic constructor the MATCH_RECOGNIZE surface
      * compiles onto (every named combinator is a special case). */
@@ -349,7 +367,8 @@ object Cep {
   }
 
   private def isLooping(q: Quant): Boolean =
-    q == OneOrMore || q == OneOrMoreReluctant || q == OneOrMoreRelaxed
+    q == OneOrMore || q == OneOrMoreReluctant || q == OneOrMoreRelaxed ||
+      q == ZeroOrMore || q == ZeroOrMoreReluctant
 
   object Pattern {
     /** Generic entry over any event type (reference
@@ -507,6 +526,18 @@ object Cep {
               }
               matchSteps(start, j - 1, rest, binds)
             }
+          case ZeroOrMore => // maximal strict run, possibly empty
+            val j0 = pos + 1
+            if (!reachable(j0) || stopAt(acc, j0) || !ok(acc, j0))
+              matchSteps(start, pos, rest, acc)
+            else {
+              var j = j0
+              var binds = acc
+              while (inWindow(start, j) && gapOk(j - 1, j) && !stopAt(binds, j) && ok(binds, j)) {
+                binds :+= ((st.name, j)); j += 1
+              }
+              matchSteps(start, j - 1, rest, binds)
+            }
           case OneOrMoreReluctant => // minimal strict run, extend on failure
             def runs(j: Int, binds: Vector[(String, Int)]): LazyList[(Int, Vector[(String, Int)])] =
               if (!inWindow(start, j) || !gapOk(j - 1, j) || stopAt(binds, j) || !ok(binds, j)) LazyList.empty
@@ -515,6 +546,14 @@ object Cep {
                 matchSteps(start, j, rest, b) #::: runs(j + 1, b)
               }
             runs(pos + 1, acc)
+          case ZeroOrMoreReluctant => // empty-first, extend on failure
+            def runs0(j: Int, binds: Vector[(String, Int)]): LazyList[(Int, Vector[(String, Int)])] =
+              if (!inWindow(start, j) || !gapOk(j - 1, j) || stopAt(binds, j) || !ok(binds, j)) LazyList.empty
+              else {
+                val b = binds :+ ((st.name, j))
+                matchSteps(start, j, rest, b) #::: runs0(j + 1, b)
+              }
+            matchSteps(start, pos, rest, acc) #::: runs0(pos + 1, acc)
           case OneOrMoreRelaxed => // minimal relaxed run: each further
             // repetition jumps to the next qualifying event (gaps OK),
             // but a stop row reached first ends the loop unconsumed

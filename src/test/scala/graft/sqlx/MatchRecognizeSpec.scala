@@ -362,6 +362,41 @@ class MatchRecognizeSpec extends SparkSuite {
     assert(Cep.matchSortedG[MrEv](one, mn.pattern, _.ts_us, _.id).isEmpty)
     intercept[IllegalArgumentException] { parseWith("A B{0}") }
     intercept[IllegalArgumentException] { parseWith("A B{0,}") }
+    // zero-or-more: B* consumes the maximal (possibly empty) run
+    val star = parseWith("A B* C")
+    assert(star.pattern.steps(1).quant == Cep.ZeroOrMore)
+    val evs2 = IndexedSeq(mrev(1, "a", 0), mrev(2, "b", 10),
+      mrev(3, "b", 20), mrev(4, "c", 30))
+    assert(Cep.matchSortedG[MrEv](evs2, star.pattern, _.ts_us, _.id)
+      .head.binds.map(b => (b.step, b.ev.id)) ==
+      List(("A", 1L), ("B", 2L), ("B", 3L), ("C", 4L)))
+    // empty run: a directly followed by c still matches, B binds nothing
+    val empty = IndexedSeq(mrev(1, "a", 0), mrev(2, "c", 10))
+    assert(Cep.matchSortedG[MrEv](empty, star.pattern, _.ts_us, _.id)
+      .head.binds.map(b => (b.step, b.ev.id)) ==
+      List(("A", 1L), ("C", 2L)))
+    // {0,2}: zero required, bounded optional expansion
+    val z2 = parseWith("A B{0,2} C")
+    assert(z2.pattern.steps.map(_.name) == Vector("A", "B#1", "B#2", "C"))
+    assert(z2.pattern.steps(1).quant == Cep.Optional)
+    assert(Cep.matchSortedG[MrEv](empty, z2.pattern, _.ts_us, _.id)
+      .head.binds.map(_.ev.id) == List(1L, 2L))
+    // reluctant star: minimal run — empty when C can match immediately
+    val lazyStar = parseWith("A B*? C")
+    assert(lazyStar.pattern.steps(1).quant == Cep.ZeroOrMoreReluctant)
+    // b-rows satisfy undefined C?? no: C undefined matches ANY row, so
+    // the reluctant star stops at the first row after A
+    val undef = MatchRecognize.parse("""
+      SELECT * FROM events MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES A.event_id AS a_id, C.event_id AS c_id ONE ROW PER MATCH
+        PATTERN (A B*? C)
+        WITHIN INTERVAL '10' MINUTE
+        DEFINE A AS A.event_type = 'a', B AS B.event_type = 'b',
+               C AS C.event_type = 'c')""")
+    assert(Cep.matchSortedG[MrEv](evs2, undef.pattern, _.ts_us, _.id)
+      .head.binds.map(b => (b.step, b.ev.id)) ==
+      List(("A", 1L), ("B", 2L), ("B", 3L), ("C", 4L)))
   }
 
   test("unsupported clauses raise, not silently misparse") {
@@ -380,7 +415,7 @@ class MatchRecognizeSpec extends SparkSuite {
     }
     // unsupported quantifier spellings raise instead of silently
     // becoming a never-defined symbol that matches anything
-    for (bad <- Seq("B*", "B{,3}", "B{2}?")) {
+    for (bad <- Seq("B**", "B{,3}", "B{2}?")) {
       intercept[IllegalArgumentException] {
         MatchRecognize.parse(s"""
           SELECT * FROM t MATCH_RECOGNIZE (
