@@ -16,18 +16,31 @@ import scala.collection.concurrent.TrieMap
  * scan up; with it the first query materializes the frame and the rest
  * read blocks.
  *
- * Keys include the session identity, so separate driver sessions
- * (Verify vs Bench runs) never cross-share. Entries persist
- * MEMORY_AND_DISK and live for the session — these cores are
- * pair-lists/signatures, orders of magnitude smaller than their
- * inputs.
+ * Keys are the session's `sessionUUID` (identityHashCode can be
+ * REUSED after a stopped session is collected, which would hand a new
+ * session a plan bound to a dead one), so separate driver sessions
+ * (Verify vs Bench runs) never cross-share. A driver that cycles
+ * sessions evicts dead sessions' entries on the next `cached` call —
+ * entries persist MEMORY_AND_DISK and must not outlive their session.
  */
 object FrameCache {
 
-  private val cache = TrieMap.empty[String, DataFrame]
+  private val cache = TrieMap.empty[String, (SparkSession, DataFrame)]
+
+  /** Minted per-session UUID (weak keys: a collected session's id
+   * mapping disappears with it, and a NEW session always mints a fresh
+   * id — unlike identityHashCode, which the JVM may reuse). */
+  private val ids = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  private def idOf(s: SparkSession): String =
+    ids.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
 
   /** Memoized `build`, persisted on first use. */
-  def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    cache.getOrElseUpdate(s"${System.identityHashCode(s)}#$key",
-      build.persist(StorageLevel.MEMORY_AND_DISK))
+  def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    // drop entries whose owning session has been stopped: their plans
+    // are unusable and their persisted blocks are already gone
+    cache.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
+    cache.getOrElseUpdate(s"${idOf(s)}#$key",
+      (s, build.persist(StorageLevel.MEMORY_AND_DISK)))._2
+  }
 }

@@ -324,9 +324,9 @@ object CepQueries extends QueryPack {
 
     // PER-STEP time gap (reference Pattern.within(duration,
     // WithinType.PREVIOUS_AND_CURRENT), Pattern.java:245): a click and
-    // its next TWO rows, each CONSECUTIVE pair at most 10 minutes
+    // its next TWO rows, each CONSECUTIVE pair at most 30 minutes
     // apart — the whole-match 4-hour within alone would accept a
-    // 45-minute middle gap that withinStep rejects.
+    // 2-hour middle gap that withinStep rejects.
     "stream_cep_step_gap" -> ((s0, dir) => {
       val s = StreamOps.tuned(s0)
       import s.implicits._

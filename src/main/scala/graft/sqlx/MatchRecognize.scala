@@ -405,6 +405,16 @@ object MatchRecognize {
         members.filterNot(patSyms.contains).foreach(m =>
           fail(s"SUBSET $name member '$m' is not a pattern variable"))
       }
+      // exclusion is applied by classifier NAME at output time, so a
+      // symbol both inside and outside {- -} would silently drop the
+      // non-excluded occurrence's rows — reject it (SQL's positional
+      // exclusion is outside the subset)
+      val occurrences = tokens.flatMap {
+        case Left((sym, _)) => Seq(sym)
+        case Right((_, syms)) => syms
+      }
+      excluded.foreach(e => if (occurrences.count(_ == e) > 1)
+        fail(s"excluded symbol '$e' is reused outside {- -}"))
     }
     if (tokens.head.left.exists(_._2.nonEmpty))
       fail("subset: first pattern symbol must be unquantified")
@@ -558,11 +568,6 @@ object MatchRecognize {
       case ('d', i) => element_at(b.getField("ev").getField("nums"), i + 1)
       case _ => fail(s"measure field '$f' is a string (numeric aggregate)")
     }
-    def strOf(b: Column, f: String): Column = kindIdx(f) match {
-      case ('s', i) => element_at(b.getField("ev").getField("strs"), i + 1)
-      case _ => fail(s"measure field '$f' is not a string")
-    }
-    def isStr(f: String): Boolean = layout.kind.get(f).exists(_._1 == 's')
     def measureCol(m: Measure, binds: Column): Column = {
       // a SUBSET union variable gathers every member's rows; binds are
       // already in consumption (time) order, so FIRST/LAST and the
@@ -583,7 +588,16 @@ object MatchRecognize {
           // out-of-bounds error
           val pick = if (fn.contains("FIRST")) try_element_at(arr, lit(1))
             else try_element_at(arr, lit(-1))
-          if (isStr(m.field)) strOf(pick, m.field) else srcCast(numOf(pick, m.field), m.field)
+          // navigation projects a SINGLE row's field: integral fields
+          // stay on the longs array end-to-end (no double round-trip —
+          // ids above 2^53 must survive; only the SUM/MIN/MAX/AVG
+          // folds above carry the documented double-fold caveat)
+          kindIdx(m.field) match {
+            case ('s', i) => element_at(pick.getField("ev").getField("strs"), i + 1)
+            case ('l', i) => srcCast(
+              element_at(pick.getField("ev").getField("longs"), i + 1), m.field)
+            case (_, i) => element_at(pick.getField("ev").getField("nums"), i + 1)
+          }
       }
     }
     val partCol = col("key").cast(schema(spec.partitionBy).dataType).as(spec.partitionBy)

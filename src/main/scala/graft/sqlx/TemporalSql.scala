@@ -78,22 +78,29 @@ object TemporalSql {
   }
 
   /** The ON condition extends to the next top-level clause keyword,
-   * unbalanced ')', or end of text. */
+   * unbalanced ')', or end of text. Keyword hits inside single-quoted
+   * literals are ignored, and a hit counts only at a genuine word
+   * boundary — `\b` matches at the scan-region start unconditionally,
+   * so an identifier like `cleft` must not surface `LEFT`. */
   private def endOfCondition(s: String, start: Int): Int = {
     val stop = """(?is)\b(WHERE|GROUP\s+BY|ORDER\s+BY|HAVING|LIMIT|UNION|JOIN|LEFT|RIGHT|FULL|INNER|CROSS|WINDOW)\b""".r
     var depth = 0
+    var inQuote = false
     var i = start
     while (i < s.length) {
-      s.charAt(i) match {
+      val c = s.charAt(i)
+      if (inQuote) { if (c == '\'') inQuote = false }
+      else c match {
+        case '\'' => inQuote = true
         case '(' => depth += 1
         case ')' if depth == 0 => return i
         case ')' => depth -= 1
         case _ if depth == 0 =>
-          val rest = s.subSequence(i, s.length)
-          stop.findPrefixMatchOf(rest) match {
-            case Some(_) => return i
-            case None =>
-          }
+          val prevIsWord = i > start &&
+            (s.charAt(i - 1).isLetterOrDigit || s.charAt(i - 1) == '_')
+          if (!prevIsWord &&
+              stop.findPrefixMatchOf(s.subSequence(i, s.length)).isDefined)
+            return i
         case _ =>
       }
       i += 1

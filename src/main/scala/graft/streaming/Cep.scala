@@ -73,11 +73,11 @@ object Cep {
    * between repetitions): repetitions may skip non-matching events,
    * and the run extends only when the remaining steps fail. */
   case object OneOrMoreRelaxed extends Quant
-  /** Greedy zero-or-more: the maximal strict run (possibly EMPTY) is
-   * consumed, no backtracking — SQL row-pattern `B*` (reference
+  /** Greedy zero-or-more — SQL row-pattern `B*` (reference
    * `Quantifier.looping` + `optional`, i.e. `oneOrMore().optional()`
-   * in the fluent API, restricted to this engine's strict greedy
-   * subset). */
+   * in the fluent API): the maximal strict run is preferred, and a
+   * failing continuation backtracks to shorter runs down to the empty
+   * run. */
   case object ZeroOrMore extends Quant
   /** Reluctant zero-or-more (`B*?`): try the remaining steps with an
    * empty run first, extend one strict repetition at a time only on
@@ -526,17 +526,19 @@ object Cep {
               }
               matchSteps(start, j - 1, rest, binds)
             }
-          case ZeroOrMore => // maximal strict run, possibly empty
-            val j0 = pos + 1
-            if (!reachable(j0) || stopAt(acc, j0) || !ok(acc, j0))
-              matchSteps(start, pos, rest, acc)
-            else {
-              var j = j0
-              var binds = acc
-              while (inWindow(start, j) && gapOk(j - 1, j) && !stopAt(binds, j) && ok(binds, j)) {
-                binds :+= ((st.name, j)); j += 1
-              }
-              matchSteps(start, j - 1, rest, binds)
+          case ZeroOrMore => // greedy WITH backtracking: the longest
+            // strict run is preferred, but a failing continuation
+            // falls back to shorter runs and finally the EMPTY run —
+            // without this, `A B* C` would lose the valid empty-B
+            // match whenever B's and C's conditions overlap
+            var snaps: List[(Int, Vector[(String, Int)])] = List((pos, acc))
+            var j = pos + 1
+            var binds = acc
+            while (inWindow(start, j) && gapOk(j - 1, j) && !stopAt(binds, j) && ok(binds, j)) {
+              binds :+= ((st.name, j)); snaps ::= ((j, binds)); j += 1
+            }
+            LazyList.from(snaps).flatMap { case (p0, b) =>
+              matchSteps(start, p0, rest, b)
             }
           case OneOrMoreReluctant => // minimal strict run, extend on failure
             def runs(j: Int, binds: Vector[(String, Int)]): LazyList[(Int, Vector[(String, Int)])] =

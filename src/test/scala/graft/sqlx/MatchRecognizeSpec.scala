@@ -397,6 +397,21 @@ class MatchRecognizeSpec extends SparkSuite {
     assert(Cep.matchSortedG[MrEv](evs2, undef.pattern, _.ts_us, _.id)
       .head.binds.map(b => (b.step, b.ev.id)) ==
       List(("A", 1L), ("B", 2L), ("B", 3L), ("C", 4L)))
+    // greedy star BACKTRACKS to the empty run when B and C overlap:
+    // x(0.6) satisfies B, but consuming it strands C — so the match
+    // is A,C with B binding nothing
+    val overlap = MatchRecognize.parse("""
+      SELECT * FROM events MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES A.event_id AS a_id, C.event_id AS c_id ONE ROW PER MATCH
+        PATTERN (A B* C)
+        WITHIN INTERVAL '10' MINUTE
+        DEFINE A AS A.event_type = 'a', B AS B.value < 0.9,
+               C AS C.value >= 0.5)""")
+    val ov = IndexedSeq(mrev(1, "a", 0, 0.1), mrev(2, "x", 10, 0.6))
+    assert(Cep.matchSortedG[MrEv](ov, overlap.pattern, _.ts_us, _.id)
+      .head.binds.map(b => (b.step, b.ev.id)) ==
+      List(("A", 1L), ("C", 2L)))
   }
 
   test("unsupported clauses raise, not silently misparse") {

@@ -27,10 +27,20 @@ class TtlSpec extends SparkSuite {
     var last: Throwable = null
     while (System.currentTimeMillis() < end) {
       try return f
-      catch { case scala.util.control.NonFatal(t) => last = t; Thread.sleep(100) }
+      catch {
+        // NonFatal matches AssertionError too, so the deliberate
+        // fail-fast below must ride a marker that is rethrown here
+        case t: PollAbort => throw t
+        case scala.util.control.NonFatal(t) => last = t; Thread.sleep(100)
+      }
     }
     throw new AssertionError(s"timed out waiting for $what", last)
   }
+
+  /** Aborts an `eventually` poll immediately (query death is not a
+   * transient condition to poll through). */
+  private final class PollAbort(msg: String, cause: Throwable)
+    extends RuntimeException(msg, cause)
 
   test("idle keys are dropped from the state store after the TTL") {
     implicit val sql = spark.sqlContext
@@ -57,7 +67,7 @@ class TtlSpec extends SparkSuite {
       ms.addData(ev(3, 2, 3000))
       var nudge = 1000L
       eventually("idle key 1 TTL-dropped, active key 2 retained") {
-        q.exception.foreach(e => throw new AssertionError("query died", e))
+        q.exception.foreach(e => throw new PollAbort("query died", e))
         nudge += 1
         ms.addData(ev(nudge, 2, nudge * 10))
         val keys = spark.read.format("statestore").load(ckpt)
@@ -70,7 +80,7 @@ class TtlSpec extends SparkSuite {
       // key 2's update slot, so its emission is schedule-dependent)
       ms.addData(ev(4, 1, 4000))
       eventually("key 1 re-emitted after re-appearing") {
-        q.exception.foreach(e => throw new AssertionError("query died", e))
+        q.exception.foreach(e => throw new PollAbort("query died", e))
         assert(Set(1L, 2L, 4L).subsetOf(
           spark.table("t_ttl").as[Ev].collect().map(_.event_id).toSet))
       }

@@ -44,10 +44,16 @@ def main() -> None:
     if len(runs) < 2:
         sys.exit(f"expected >=3 total bench lines (>=2 after warm-up drop), found {len(runs) + 1}")
     queries = {}
-    for name in runs[0]["queries"]:
-        vals = [r["queries"].get(name, -1.0) for r in runs]
+    # union across runs: a query present in only SOME runs (added
+    # between recording sessions) must not silently vanish from the
+    # baseline — it gets the worst of the runs that did execute it
+    names = sorted({n for r in runs for n in r["queries"]})
+    for name in names:
+        vals = [r["queries"][name] for r in runs if name in r["queries"]]
         if any(v < 0 for v in vals):
             sys.exit(f"query {name} failed in at least one run: {vals}")
+        if len(vals) < len(runs):
+            print(f"note: {name} present in only {len(vals)}/{len(runs)} runs")
         queries[name] = max(vals)
     merged = {
         "metric": "total",
