@@ -241,6 +241,31 @@ object CepQueries extends QueryPack {
         .orderBy(col("a_id"))
     }),
 
+    // MATCH_RECOGNIZE CLASSIFIER() measure (SQL:2016; reference
+    // StreamExecMatch classifier output): under ONE ROW PER MATCH it
+    // names the LAST matched row's pattern variable — here the
+    // alternation branch (H or L) the row after each click bound to.
+    "match_recognize_classifier" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val mrSql = """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES C.event_id AS click_id, CLASSIFIER() AS cls
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (C (H | L))
+          WITHIN INTERVAL '30' MINUTE
+          DEFINE C AS C.event_type = 'click',
+                 H AS H.value >= 50,
+                 L AS L.value < 50
+        )"""
+      StreamOps.runToBatch(s,
+          graft.sqlx.MatchRecognize.run(StreamOps.eventsTyped(s, dir), mrSql),
+          "append", "mr_cls")
+        .orderBy(col("click_id"))
+    }),
+
     // MATCH_RECOGNIZE zero-or-more quantifier B* (SQL row-pattern
     // grammar; reference Quantifier.looping + optional, i.e.
     // oneOrMore().optional()): a click, a maximal POSSIBLY-EMPTY
@@ -456,6 +481,18 @@ object CepQueries extends QueryPack {
       SELECT user_id, event_id AS click_id,
              CASE WHEN nval >= 0.5 THEN nid END AS h_id,
              CASE WHEN nval < 0.5 THEN nid END AS l_id
+      FROM o WHERE event_type = 'click' AND nid IS NOT NULL
+        AND nts <= ts + INTERVAL 30 MINUTE
+      ORDER BY click_id""",
+    "match_recognize_classifier" -> """
+      WITH o AS (
+        SELECT user_id, event_id, event_type, value, ts,
+               lead(event_id) OVER w AS nid, lead(value) OVER w AS nval,
+               lead(ts) OVER w AS nts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, event_id AS click_id,
+             CASE WHEN nval >= 50 THEN 'H' ELSE 'L' END AS cls
       FROM o WHERE event_type = 'click' AND nid IS NOT NULL
         AND nts <= ts + INTERVAL 30 MINUTE
       ORDER BY click_id""",

@@ -186,6 +186,8 @@ object MatchRecognize {
   // identifier-leading on both sides, so a decimal literal like `0.5`
   // can never parse as a symbol.field reference
   private val FieldRe = """^([A-Za-z_]\w*)\.([A-Za-z_]\w*)$""".r
+  private val ClassifierRe =
+    """(?i)^CLASSIFIER\s*\(\s*\)\s+AS\s+(\w+)$""".r
   private val MeasureRe =
     """(?i)^(?:(RUNNING|FINAL)\s+)?(?:(FIRST|LAST|SUM|COUNT|MIN|MAX|AVG)\s*\(\s*)?(\w+)\.(\w+|\*)\s*\)?\s+AS\s+(\w+)$""".r
   private val IntervalRe = """(?i)INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)S?""".r
@@ -496,6 +498,13 @@ object MatchRecognize {
 
     val measures = sec.getOrElse("MEASURES", fail("MEASURES required"))
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq.map {
+        // CLASSIFIER(): the matched symbol — last row's under ONE ROW
+        // PER MATCH, the current row's under ALL ROWS (SQL:2016).
+        // MATCH_NUMBER() is deliberately absent: per-key match
+        // numbering needs a non-time window over an append-mode
+        // stream, which Spark (correctly) rejects — and the reference
+        // does not support it either.
+        case ClassifierRe(alias) => Measure(None, Some("CLASSIFIER"), "", "", alias)
         case MeasureRe(rf, fn, sym, field, alias) =>
           val f = Option(fn).map(_.toUpperCase)
           if (field == "*" && !f.contains("COUNT")) fail(s"only COUNT accepts ${sym}.*")
@@ -577,6 +586,9 @@ object MatchRecognize {
         b.getField("step") === s || b.getField("step").startsWith(s + "#"))
         .reduce(_ || _))
       m.fn match {
+        case Some("CLASSIFIER") => // last matched row's symbol ('#'
+          // range expansions collapse to the declared variable)
+          split(element_at(binds, -1).getField("step"), "#").getItem(0)
         case Some("COUNT") => size(arr).cast("long")
         case Some("SUM") => srcCast(aggregate(arr, lit(0.0), (acc, b) => acc + numOf(b, m.field)), m.field)
         case Some("MIN") => srcCast(array_min(transform(arr, numOf(_, m.field))), m.field)
@@ -621,11 +633,16 @@ object MatchRecognize {
       val mCols = spec.measures.map { m =>
         // SQL:2016 ALL ROWS default: aggregates are RUNNING (prefix up
         // to the current row); navigation (FIRST/LAST/bare) is FINAL
-        // unless RUNNING is requested explicitly
-        val isAgg = m.fn.exists(Set("SUM", "COUNT", "MIN", "MAX", "AVG"))
-        val running = m.running.getOrElse(isAgg)
-        val binds = if (running) slice(col("binds"), lit(1), col("__pos") + 1) else col("binds")
-        measureCol(m, binds).as(m.alias)
+        // unless RUNNING is requested explicitly; CLASSIFIER() is the
+        // CURRENT row's symbol
+        if (m.fn.contains("CLASSIFIER"))
+          expr("split(__b.step, '#')[0]").as(m.alias)
+        else {
+          val isAgg = m.fn.exists(Set("SUM", "COUNT", "MIN", "MAX", "AVG"))
+          val running = m.running.getOrElse(isAgg)
+          val binds = if (running) slice(col("binds"), lit(1), col("__pos") + 1) else col("binds")
+          measureCol(m, binds).as(m.alias)
+        }
       }
       val rows = exploded.select(Seq(partCol,
         expr("split(__b.step, '#')[0]").as("classifier")) ++ rowCols ++ mCols: _*)

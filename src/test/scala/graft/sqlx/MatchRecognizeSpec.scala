@@ -77,6 +77,17 @@ class MatchRecognizeSpec extends SparkSuite {
     val both = IndexedSeq(mrev(1, "click", 0, 0.9), mrev(2, "view", 1000L, 0.5))
     val ms2 = Cep.matchSortedG[MrEv](both, spec.pattern, _.ts_us, _.id)
     assert(ms2.head.binds.map(_.step) == List("C", "H"))
+    // CLASSIFIER() parses as a symbol-less measure
+    val cls = MatchRecognize.parse("""
+      SELECT * FROM events MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES C.event_id AS c_id, CLASSIFIER() AS cls
+        ONE ROW PER MATCH
+        PATTERN (C (H | L))
+        WITHIN INTERVAL '30' MINUTE
+        DEFINE C AS C.event_type = 'click', H AS H.value >= 0.5,
+               L AS L.value < 0.5)""")
+    assert(cls.measures.exists(m => m.fn.contains("CLASSIFIER") && m.alias == "cls"))
     // quantified alternation is rejected loudly
     intercept[IllegalArgumentException] {
       MatchRecognize.parse("""
