@@ -241,6 +241,34 @@ object CepQueries extends QueryPack {
         .orderBy(col("a_id"))
     }),
 
+    // MATCH_RECOGNIZE QUANTIFIED alternation group (H | L)+ (reference
+    // pattern grammar allows quantifiers on groups): after each click,
+    // the maximal contiguous run inside the 30-minute horizon — every
+    // row satisfies H (value >= 50) or L — with each repetition
+    // binding its first qualifying alternative, so COUNT and LAST per
+    // variable split the run by branch.
+    "match_recognize_alt_quant" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val mrSql = """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES C.event_id AS click_id, COUNT(H.*) AS n_h,
+                   COUNT(L.*) AS n_l, LAST(H.event_id) AS last_h
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (C (H | L)+)
+          WITHIN INTERVAL '30' MINUTE
+          DEFINE C AS C.event_type = 'click',
+                 H AS H.value >= 50,
+                 L AS L.value < 50
+        )"""
+      StreamOps.runToBatch(s,
+          graft.sqlx.MatchRecognize.run(StreamOps.eventsTyped(s, dir), mrSql),
+          "append", "mr_altq")
+        .orderBy(col("click_id"))
+    }),
+
     // MATCH_RECOGNIZE CLASSIFIER() measure (SQL:2016; reference
     // StreamExecMatch classifier output): under ONE ROW PER MATCH it
     // names the LAST matched row's pattern variable — here the
@@ -483,6 +511,30 @@ object CepQueries extends QueryPack {
              CASE WHEN nval < 0.5 THEN nid END AS l_id
       FROM o WHERE event_type = 'click' AND nid IS NOT NULL
         AND nts <= ts + INTERVAL 30 MINUTE
+      ORDER BY click_id""",
+    "match_recognize_alt_quant" -> """
+      WITH o0 AS (
+        SELECT user_id, event_id, value, event_type, ts,
+               row_number() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      o AS (
+        SELECT *, max(rn) OVER (PARTITION BY user_id) AS mx FROM o0),
+      b AS (
+        SELECT c.user_id, c.rn, c.event_id AS click_id,
+               coalesce(min(s.rn), any_value(c.mx) + 1) AS brn
+        FROM o c LEFT JOIN o s
+          ON s.user_id = c.user_id AND s.rn > c.rn
+          AND s.ts > c.ts + INTERVAL 30 MINUTE
+        WHERE c.event_type = 'click'
+        GROUP BY c.user_id, c.rn, c.event_id)
+      SELECT b.user_id, b.click_id,
+             CAST(count(CASE WHEN r.value >= 50 THEN 1 END) AS BIGINT) AS n_h,
+             CAST(count(CASE WHEN r.value < 50 THEN 1 END) AS BIGINT) AS n_l,
+             arg_max(r.event_id, r.rn) FILTER (WHERE r.value >= 50) AS last_h
+      FROM b JOIN o r
+        ON r.user_id = b.user_id AND r.rn > b.rn AND r.rn < b.brn
+      GROUP BY b.user_id, b.click_id
       ORDER BY click_id""",
     "match_recognize_classifier" -> """
       WITH o AS (

@@ -69,11 +69,14 @@ object MrLayout {
  *  - PATTERN (A B+ C? D{1,3} ...) with quantifiers +, ?, *, +?, ??,
  *    *?, {m,n} (m >= 0), {n}, {n,} on non-initial symbols; contiguity
  *    is strict, per MATCH_RECOGNIZE
- *  - ALTERNATION groups `(A | B [| C ...])` of bare symbols (no
- *    quantifier on the group or its alternatives): the consumed row
- *    binds to the first alternative whose DEFINE holds AND whose
- *    continuation completes — declared-order preference with lazy
- *    backtracking across the alternatives
+ *  - ALTERNATION groups `(A | B [| C ...])` of bare symbols: the
+ *    consumed row binds to the first alternative whose DEFINE holds
+ *    AND whose continuation completes — declared-order preference
+ *    with lazy backtracking across the alternatives. The group may
+ *    carry a quantifier (`(A | B)+`, `?`, `*` and reluctant forms):
+ *    run/optional consumption accepts rows satisfying ANY
+ *    alternative, each consumed repetition binding the first
+ *    alternative it satisfies (no per-row backtracking inside runs)
  *  - PERMUTE(A, B, ...): the variables in every order over the next n
  *    contiguous rows (lexicographic-expansion preference), via
  *    once-per-match guarded alternation steps
@@ -357,7 +360,9 @@ object MatchRecognize {
       """(?i:PERMUTE\s*\([^()]*\))|\{-[^}]*-\}|\([^()]*\)[+?{},0-9]*|[^\s()]+"""
         .r.findAllIn(patternTxt).toSeq
     var excluded = Set.empty[String]
-    val tokens: Seq[Either[(String, String), (Boolean, Seq[String])]] = rawTokens.map {
+    // Right carries (isPermute, alternatives, groupQuant) — groupQuant
+    // is the quantifier on an alternation GROUP, "" when absent
+    val tokens: Seq[Either[(String, String), (Boolean, Seq[String], String)]] = rawTokens.map {
       case p0 if p0.length >= 8 && p0.take(7).equalsIgnoreCase("PERMUTE") =>
         // SQL:2016 PERMUTE(A, B, …) — matches the variables in every
         // order (reference sql-parser grammar expands to the
@@ -366,7 +371,7 @@ object MatchRecognize {
           .split(",").map(_.trim).toSeq
         if (syms.length < 2) fail(s"PERMUTE needs at least two variables: '$p0'")
         syms.foreach(s => if (!BareSym.matches(s)) fail(s"bad PERMUTE variable '$s' in '$p0'"))
-        Right((true, syms.map(_.toUpperCase)))
+        Right((true, syms.map(_.toUpperCase), ""))
       case x if x.startsWith("{-") =>
         // SQL:2016 exclusion: the symbol matches normally but its rows
         // are dropped from ALL ROWS output
@@ -377,12 +382,14 @@ object MatchRecognize {
         excluded += sym.toUpperCase
         Left((sym.toUpperCase, quant))
       case g if g.startsWith("(") =>
-        if (!g.endsWith(")")) fail(
-          s"quantified groups are not in the subset: '$g' (alternation must be unquantified)")
-        val alts = g.stripPrefix("(").stripSuffix(")").split("\\|").map(_.trim).toSeq
+        val close = g.lastIndexOf(')')
+        val gq = g.substring(close + 1)
+        if (!Set("", "+", "?", "*", "+?", "??", "*?")(gq)) fail(
+          s"group quantifier '$gq' is not in the subset (use +, ?, *, +?, ??, *?)")
+        val alts = g.substring(1, close).split("\\|").map(_.trim).toSeq
         if (alts.length < 2) fail(s"group '$g' without '|' is not in the subset")
         alts.foreach(a => if (!BareSym.matches(a)) fail(s"bad alternation symbol '$a' in '$g'"))
-        Right((false, alts.map(_.toUpperCase)))
+        Right((false, alts.map(_.toUpperCase), gq))
       case RangeQuant(sym, lo, hi) => Left((sym.toUpperCase, s"{${lo.toInt},${hi.toInt}}"))
       case ExactQuant(sym, n) => // SQL {n} = {n,n}
         Left((sym.toUpperCase, s"{${n.toInt},${n.toInt}}"))
@@ -399,7 +406,7 @@ object MatchRecognize {
     locally {
       val patSyms = tokens.flatMap {
         case Left((sym, _)) => Seq(sym)
-        case Right((_, syms)) => syms
+        case Right((_, syms, _)) => syms
       }.toSet
       subsets.foreach { case (name, members) =>
         if (patSyms.contains(name))
@@ -413,12 +420,13 @@ object MatchRecognize {
       // exclusion is outside the subset)
       val occurrences = tokens.flatMap {
         case Left((sym, _)) => Seq(sym)
-        case Right((_, syms)) => syms
+        case Right((_, syms, _)) => syms
       }
       excluded.foreach(e => if (occurrences.count(_ == e) > 1)
         fail(s"excluded symbol '$e' is reused outside {- -}"))
     }
-    if (tokens.head.left.exists(_._2.nonEmpty))
+    if (tokens.head.left.exists(_._2.nonEmpty) ||
+        tokens.head.exists { case (_, _, gq) => gq.nonEmpty })
       fail("subset: first pattern symbol must be unquantified")
     def pred(sym: String): Cep.IterPred[MrEv] = defines.getOrElse(sym, (_, _) => true)
     def altsOf(syms: Seq[String]): Seq[(String, Cep.IterPred[MrEv])] =
@@ -436,7 +444,7 @@ object MatchRecognize {
     var pat = tokens.head match {
       case Left((sym, _)) =>
         Cep.Pattern(Vector(Cep.Step[MrEv](sym, pred(sym), strict = false)))
-      case Right((isPerm, syms)) =>
+      case Right((isPerm, syms, _)) =>
         val as = if (isPerm) guardedAltsOf(syms) else altsOf(syms)
         var p = Cep.Pattern(Vector(Cep.Step[MrEv](syms.mkString("|"),
           (e, ctx) => as.exists(_._2(e, ctx)), strict = false, alts = as)))
@@ -445,8 +453,20 @@ object MatchRecognize {
         p
     }
     tokens.tail.foreach {
-      case Right((true, syms)) => pat = pat.nextPermute(altsOf(syms))
-      case Right((false, syms)) => pat = pat.nextAlt(altsOf(syms))
+      case Right((true, syms, _)) => pat = pat.nextPermute(altsOf(syms))
+      case Right((false, syms, "")) => pat = pat.nextAlt(altsOf(syms))
+      case Right((false, syms, gq)) =>
+        // quantified alternation group: one run/optional step whose
+        // repetitions each bind the first alternative they satisfy
+        val q = gq match {
+          case "+" => Cep.OneOrMore
+          case "+?" => Cep.OneOrMoreReluctant
+          case "?" => Cep.Optional
+          case "??" => Cep.OptionalReluctant
+          case "*" => Cep.ZeroOrMore
+          case "*?" => Cep.ZeroOrMoreReluctant
+        }
+        pat = pat.nextAltQuant(altsOf(syms), q)
       case Left((sym, q)) =>
       pat = q match {
         case "" => pat.stepIter(sym, pred(sym), strict = true)

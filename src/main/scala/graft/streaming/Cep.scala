@@ -308,6 +308,17 @@ object Cep {
       copy(steps = steps :+ Step(alternatives.map(_._1).mkString("|"), orPred,
         strictStep, Once, None, alternatives))
     }
+    /** QUANTIFIED alternation group — `(A | B)+`, `(A | B)?`,
+     * `(A | B)*` and the reluctant forms (reference pattern grammar
+     * allows quantifiers on groups): one step whose run/optional
+     * consumption accepts rows satisfying ANY alternative, each
+     * consumed row binding under the first alternative it satisfies. */
+    def nextAltQuant(alternatives: Seq[(String, IterPred[T])], quant: Quant): Pattern[T] = {
+      require(alternatives.nonEmpty, "empty alternation")
+      val orPred: IterPred[T] = (e, ctx) => alternatives.exists(_._2(e, ctx))
+      copy(steps = steps :+ Step(alternatives.map(_._1).mkString("|"), orPred,
+        strict = true, quant, None, alternatives))
+    }
     /** PERMUTE group, strict contiguity (SQL:2016 row-pattern
      * PERMUTE; the reference sql-parser grammar expands
      * `PERMUTE(A, B)` to the alternation `((A B) | (B A))` in
@@ -464,6 +475,14 @@ object Cep {
           else LazyList.from(st.alts)
             .collect { case (n, pr) if pr(events(j), ctxAt(acc, j)) => n }
             .flatMap(n => matchSteps(start, j, rest, acc :+ ((n, j))))
+        // loop-step binding for QUANTIFIED alternation groups
+        // ((A | B)+ etc.): each consumed repetition binds under the
+        // first alternative it satisfies — declared-order preference
+        // per row, no per-row alternative backtracking inside runs
+        // (documented subset; the run membership itself is the OR)
+        def bindAs(binds: Vector[(String, Int)], j: Int): String =
+          if (st.alts.isEmpty) st.name
+          else st.alts.find(_._2(events(j), ctxAt(binds, j))).map(_._1).getOrElse(st.name)
         def firstQualifying(from: Int): Int = {
           var j = from
           while (inWindow(start, j) && gapOk(from - 1, j) && !ok(acc, j)) j += 1
@@ -522,7 +541,7 @@ object Cep {
               var j = j0
               var binds = acc
               while (inWindow(start, j) && gapOk(j - 1, j) && !stopAt(binds, j) && ok(binds, j)) {
-                binds :+= ((st.name, j)); j += 1
+                binds :+= ((bindAs(binds, j), j)); j += 1
               }
               matchSteps(start, j - 1, rest, binds)
             }
@@ -535,7 +554,7 @@ object Cep {
             var j = pos + 1
             var binds = acc
             while (inWindow(start, j) && gapOk(j - 1, j) && !stopAt(binds, j) && ok(binds, j)) {
-              binds :+= ((st.name, j)); snaps ::= ((j, binds)); j += 1
+              binds :+= ((bindAs(binds, j), j)); snaps ::= ((j, binds)); j += 1
             }
             LazyList.from(snaps).flatMap { case (p0, b) =>
               matchSteps(start, p0, rest, b)
@@ -544,7 +563,7 @@ object Cep {
             def runs(j: Int, binds: Vector[(String, Int)]): LazyList[(Int, Vector[(String, Int)])] =
               if (!inWindow(start, j) || !gapOk(j - 1, j) || stopAt(binds, j) || !ok(binds, j)) LazyList.empty
               else {
-                val b = binds :+ ((st.name, j))
+                val b = binds :+ ((bindAs(binds, j), j))
                 matchSteps(start, j, rest, b) #::: runs(j + 1, b)
               }
             runs(pos + 1, acc)
@@ -552,7 +571,7 @@ object Cep {
             def runs0(j: Int, binds: Vector[(String, Int)]): LazyList[(Int, Vector[(String, Int)])] =
               if (!inWindow(start, j) || !gapOk(j - 1, j) || stopAt(binds, j) || !ok(binds, j)) LazyList.empty
               else {
-                val b = binds :+ ((st.name, j))
+                val b = binds :+ ((bindAs(binds, j), j))
                 matchSteps(start, j, rest, b) #::: runs0(j + 1, b)
               }
             matchSteps(start, pos, rest, acc) #::: runs0(pos + 1, acc)
@@ -645,8 +664,10 @@ object Cep {
     }
     require(!p.steps.exists(_.quant == Any) || p.skip == NoSkip || p.skip == SkipToNext,
       "followedByAny emits overlapping matches; only NoSkip/SkipToNext compose with it")
-    require(p.steps.forall(s => s.alts.isEmpty || s.quant == Once),
-      "alternation steps must be unquantified (subset)")
+    require(p.steps.forall(s => s.alts.isEmpty || Set[Quant](Once, Optional,
+        OptionalReluctant, OneOrMore, OneOrMoreReluctant, ZeroOrMore,
+        ZeroOrMoreReluctant)(s.quant)),
+      "alternation composes with once/optional/strict-looping quantifiers only")
     require(p.stepGapUs == Long.MaxValue || p.withinUs != Long.MaxValue,
       "withinStep() requires within() (the overall horizon drives state eviction)")
     // ANY negative step — notFollowedBy anywhere, notNext anywhere —

@@ -88,13 +88,34 @@ class MatchRecognizeSpec extends SparkSuite {
         DEFINE C AS C.event_type = 'click', H AS H.value >= 0.5,
                L AS L.value < 0.5)""")
     assert(cls.measures.exists(m => m.fn.contains("CLASSIFIER") && m.alias == "cls"))
-    // quantified alternation is rejected loudly
+    // QUANTIFIED alternation group: (H | L)+ consumes the maximal run
+    // of rows satisfying either, each repetition binding its first
+    // qualifying alternative — COUNT/LAST per variable span the run
+    val quant = MatchRecognize.parse("""
+      SELECT * FROM events MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES C.event_id AS c_id, COUNT(H.*) AS n_h, COUNT(L.*) AS n_l
+        ONE ROW PER MATCH
+        PATTERN (C (H | L)+)
+        WITHIN INTERVAL '30' MINUTE
+        DEFINE C AS C.event_type = 'click',
+               H AS H.value >= 0.5, L AS L.value < 0.5
+      )""")
+    val qs = quant.pattern.steps(1)
+    assert(qs.quant == Cep.OneOrMore && qs.alts.map(_._1) == Seq("H", "L"))
+    val run = IndexedSeq(
+      mrev(1, "click", 0, 0.9), mrev(2, "view", 1000L, 0.7),
+      mrev(3, "view", 2000L, 0.2), mrev(4, "view", 3000L, 0.8))
+    assert(Cep.matchSortedG[MrEv](run, quant.pattern, _.ts_us, _.id)
+      .head.binds.map(b => (b.step, b.ev.id)) ==
+      List(("C", 1L), ("H", 2L), ("L", 3L), ("H", 4L)))
+    // a RANGE quantifier on a group is still rejected loudly
     intercept[IllegalArgumentException] {
       MatchRecognize.parse("""
         SELECT * FROM x MATCH_RECOGNIZE (
           PARTITION BY user_id ORDER BY ts
           MEASURES A.event_id AS a ONE ROW PER MATCH
-          PATTERN (A (B | C)+) DEFINE A AS A.value > 0)""")
+          PATTERN (A (B | C){1,3}) DEFINE A AS A.value > 0)""")
     }
   }
 
