@@ -25,7 +25,16 @@ import scala.collection.concurrent.TrieMap
  */
 object FrameCache {
 
-  private val cache = TrieMap.empty[String, (SparkSession, DataFrame)]
+  /** Lazy holder so racing first-access callers can insert CHEAP
+   * entries via putIfAbsent and only the winner's `frame` ever runs
+   * `build` + `persist` (lazy-val init is synchronized) — a plain
+   * getOrElseUpdate evaluates the by-name default non-atomically and
+   * the losing DataFrame's persisted blocks would leak. */
+  private final class Entry(val session: SparkSession, build: () => DataFrame) {
+    lazy val frame: DataFrame = build().persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  private val cache = TrieMap.empty[String, Entry]
 
   /** Minted per-session UUID (weak keys: a collected session's id
    * mapping disappears with it, and a NEW session always mints a fresh
@@ -39,8 +48,8 @@ object FrameCache {
   def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     // drop entries whose owning session has been stopped: their plans
     // are unusable and their persisted blocks are already gone
-    cache.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
-    cache.getOrElseUpdate(s"${idOf(s)}#$key",
-      (s, build.persist(StorageLevel.MEMORY_AND_DISK)))._2
+    cache.filterInPlace((_, e) => !e.session.sparkContext.isStopped)
+    val fresh = new Entry(s, () => build)
+    cache.putIfAbsent(s"${idOf(s)}#$key", fresh).getOrElse(fresh).frame
   }
 }

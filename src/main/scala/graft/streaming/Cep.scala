@@ -513,8 +513,13 @@ object Cep {
             included #::: matchSteps(start, pos, rest, acc)
           case OptionalReluctant => // skip-first, include on failure
             matchSteps(start, pos, rest, acc) #::: {
-              val j = firstQualifying(pos + 1)
-              if (reachable(j)) withEventAt(j) else LazyList.empty
+              if (st.strict) { // MATCH_RECOGNIZE contiguity: next event only
+                val j = pos + 1
+                if (reachable(j) && ok(acc, j)) withEventAt(j) else LazyList.empty
+              } else {
+                val j = firstQualifying(pos + 1)
+                if (reachable(j)) withEventAt(j) else LazyList.empty
+              }
             }
           case NotNext => // negative lookahead; end-of-buffer satisfies
             // it — safe in streaming because the caller holds negated

@@ -113,7 +113,11 @@ object TemporalJoin {
             val (newer, older) = versions.span(_._1 > wmUs)
             versions = newer ::: older.take(1)
           }
-          state.update(TjStateG(versions, still))
+          // drop the key entirely once nothing is held for it — a key
+          // whose probes have all been released would otherwise pin an
+          // empty record in the state store forever
+          if (versions.isEmpty && still.isEmpty) state.remove()
+          else state.update(TjStateG(versions, still))
           if (still.nonEmpty) {
             // ceil to ms (timer API is ms); must land above the current
             // watermark or Spark rejects the registration

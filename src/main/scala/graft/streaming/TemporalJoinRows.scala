@@ -118,7 +118,11 @@ object TemporalJoinRows {
             val (newer, older) = versions.span(_._1 > wmUs)
             versions = newer ::: older.take(1)
           }
-          state.update(TjRowState(versions, still))
+          // drop the key entirely once nothing is held for it — a key
+          // whose probes have all been released would otherwise pin one
+          // dim version (or an empty record) in state forever
+          if (versions.isEmpty && still.isEmpty) state.remove()
+          else state.update(TjRowState(versions, still))
           if (still.nonEmpty) {
             val nextMs = (still.map(_._1).min + 999) / 1000
             state.setTimeoutTimestamp(math.max(nextMs, state.getCurrentWatermarkMs() + 1))
