@@ -17,6 +17,7 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     qp.AggregateQueries,
     qp.TpchQueries,
+    qp.TpcdsShapeQueries,
     qp.SubqueryQueries,
     qp.JoinQueries,
     qp.SetOpQueries,

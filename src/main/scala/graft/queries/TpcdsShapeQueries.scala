@@ -1,0 +1,284 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * TPC-DS-shaped query-depth gates. The reference's hard correctness
+ * bar is 103/103 TPC-DS variants at SF=1
+ * (`flink-end-to-end-tests/flink-tpcds-test/.../TpcdsTestProgram.java:76-85`,
+ * tolerance `utils/TpcdsResultComparator.java:53`); these gates mirror
+ * the planner-stressing PATTERNS of that corpus — channel-UNION
+ * rollups, WITH-chain double semi-joins, windows over aggregates,
+ * grouping-sets ranking, EXISTS-disjunctions, multi-WITH cross
+ * filters, scalar-scan cross products — on the driver's star schema
+ * (lineitem `l_linestatus`/`l_returnflag` slices stand in for the
+ * store/web/catalog channels; `part` for `item`).
+ *
+ * All queries run through `spark.sql` so the semi/anti/existence-join
+ * rewrites, Expand placement, and window-group-limit pushdown come
+ * from Catalyst exactly as the reference planner's rule set produces
+ * its exec nodes. PlanAuditSpec pins the intended shapes (semi joins
+ * on Q95/Q23, Expand + two-phase agg on the rollups, WindowGroupLimit
+ * on Q67).
+ *
+ * Scale notes:
+ *  - channel UNIONs scan the fact once per channel with pushed
+ *    filters — no shuffle until the grouped aggregate;
+ *  - the Q95 lineitem self-join is an equi-join on l_orderkey
+ *    (bounded fan-out per order), then two LEFT SEMI probes of orders;
+ *  - Q23's WITH frames are grouped-HAVING aggregates far smaller than
+ *    the fact, so Catalyst broadcasts them into the semi joins;
+ *  - money stays on the integer-cent grid per the repo convention, and
+ *    the Q4 ratio compare is cross-multiplied in BIGINT (no float
+ *    boundary).
+ *
+ * Shared template per query: `@TS '...'` expands to `TIMESTAMP_NTZ`
+ * for Spark and `TIMESTAMP` for the DuckDB oracle — one text, two
+ * dialects, no drift.
+ */
+object TpcdsShapeQueries extends QueryPack {
+
+  private def sql(s: SparkSession, dir: String, tables: Seq[String], q: String): DataFrame = {
+    tables.foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+    s.sql(q)
+  }
+
+  private def spark(t: String): String = t.replace("@TS", "TIMESTAMP_NTZ")
+  private def duck(t: String): String = t.replace("@TS", "TIMESTAMP")
+
+  // Q5/Q71 family: per-channel SELECTs with channel-specific filters
+  // and a returns leg, UNION ALL'd, then ROLLUP over (channel, flag)
+  // with GROUPING() marking subtotal levels.
+  private val q5 = """
+      WITH channels AS (
+        SELECT 'store' AS channel, l_returnflag AS flag,
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS sales_cents,
+               CASE WHEN l_returnflag = 'R' THEN CAST(floor(l_extendedprice * 100) AS BIGINT) ELSE 0 END AS returns_cents
+        FROM lineitem WHERE l_linestatus = 'F'
+        UNION ALL
+        SELECT 'web', l_returnflag,
+               CAST(floor(l_extendedprice * 100) AS BIGINT),
+               CASE WHEN l_returnflag = 'R' THEN CAST(floor(l_extendedprice * 100) AS BIGINT) ELSE 0 END
+        FROM lineitem WHERE l_linestatus = 'O' AND l_shipdate < @TS'1999-01-01 00:00:00'
+        UNION ALL
+        SELECT 'catalog', l_returnflag,
+               CAST(floor(l_extendedprice * 100) AS BIGINT),
+               CASE WHEN l_returnflag = 'R' THEN CAST(floor(l_extendedprice * 100) AS BIGINT) ELSE 0 END
+        FROM lineitem WHERE l_linestatus = 'O' AND l_shipdate >= @TS'1999-01-01 00:00:00')
+      SELECT channel, flag,
+             CAST(grouping(channel) + grouping(flag) AS INT) AS lvl,
+             CAST(sum(sales_cents) AS BIGINT) AS sales_cents,
+             CAST(sum(returns_cents) AS BIGINT) AS returns_cents
+      FROM channels
+      GROUP BY ROLLUP(channel, flag)
+      ORDER BY channel NULLS FIRST, flag NULLS FIRST"""
+
+  // Q95: WITH-chain — a DISTINCT self-join frame (orders shipped by
+  // more than one supplier, the ws_wh analog) consumed twice as IN
+  // (LEFT SEMI) probes of the filtered orders scan.
+  private val q95 = """
+      WITH multi_supp AS (
+        SELECT DISTINCT ws1.l_orderkey AS okey
+        FROM lineitem ws1, lineitem ws2
+        WHERE ws1.l_orderkey = ws2.l_orderkey AND ws1.l_suppkey <> ws2.l_suppkey),
+      returned AS (
+        SELECT DISTINCT l_orderkey AS okey FROM lineitem WHERE l_returnflag = 'R')
+      SELECT count(DISTINCT o_orderkey) AS order_count,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      FROM orders
+      WHERE o_orderdate >= @TS'1997-01-01 00:00:00'
+        AND o_orderdate < @TS'1997-07-01 00:00:00'
+        AND o_orderstatus = 'F'
+        AND o_orderkey IN (SELECT okey FROM multi_supp)
+        AND o_orderkey IN (SELECT okey FROM returned)"""
+
+  // Q51: window over aggregate — per-channel monthly aggregates FULL
+  // OUTER joined, cumulative sums per supplier, cross-channel compare.
+  private val q51 = """
+      WITH store_m AS (
+        SELECT l_suppkey AS sk, CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT) AS ym,
+               sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sales
+        FROM lineitem WHERE l_linestatus = 'F' GROUP BY 1, 2),
+      web_m AS (
+        SELECT l_suppkey AS sk, CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT) AS ym,
+               sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sales
+        FROM lineitem WHERE l_linestatus = 'O' GROUP BY 1, 2)
+      SELECT sk, ym, store_cum, web_cum
+      FROM (
+        SELECT COALESCE(s.sk, w.sk) AS sk, COALESCE(s.ym, w.ym) AS ym,
+               CAST(sum(s.sales) OVER (PARTITION BY COALESCE(s.sk, w.sk) ORDER BY COALESCE(s.ym, w.ym)
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS store_cum,
+               CAST(sum(w.sales) OVER (PARTITION BY COALESCE(s.sk, w.sk) ORDER BY COALESCE(s.ym, w.ym)
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS web_cum
+        FROM store_m s FULL OUTER JOIN web_m w ON s.sk = w.sk AND s.ym = w.ym) t
+      WHERE web_cum > store_cum
+      ORDER BY sk, ym"""
+
+  // Q67: 3-dim ROLLUP then top-k per brand partition via rank() —
+  // Catalyst plans the rank filter as WindowGroupLimit above Expand.
+  private val q67 = """
+      SELECT p_brand, p_type, p_size, sumsales, CAST(rk AS INT) AS rk
+      FROM (
+        SELECT p_brand, p_type, p_size,
+               CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sumsales,
+               rank() OVER (PARTITION BY p_brand
+                            ORDER BY sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) DESC,
+                                     p_type NULLS FIRST, p_size NULLS FIRST) AS rk
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= @TS'1997-01-01 00:00:00'
+          AND l_shipdate < @TS'1998-01-01 00:00:00'
+        GROUP BY ROLLUP(p_brand, p_type, p_size)) t
+      WHERE rk <= 5
+      ORDER BY p_brand NULLS FIRST, rk, p_type NULLS FIRST, p_size NULLS FIRST"""
+
+  // Q10: EXISTS-chain — a required channel EXISTS AND a DISJUNCTION of
+  // two more (ExistenceJoin output, not plain semi, for the OR arms).
+  private val q10 = """
+      SELECT c_mktsegment, count(*) AS cnt
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= @TS'1997-01-01 00:00:00'
+                      AND o.o_orderdate < @TS'1998-01-01 00:00:00')
+        AND (EXISTS (SELECT 1 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                     WHERE o.o_custkey = c.c_custkey AND l.l_linestatus = 'F'
+                       AND l.l_shipdate >= @TS'1997-06-01 00:00:00'
+                       AND l.l_shipdate < @TS'1997-09-01 00:00:00')
+          OR EXISTS (SELECT 1 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                     WHERE o.o_custkey = c.c_custkey AND l.l_linestatus = 'O'
+                       AND l.l_shipdate >= @TS'1997-06-01 00:00:00'
+                       AND l.l_shipdate < @TS'1997-09-01 00:00:00'))
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""
+
+  // Q23: multi-WITH cross filter — two independent grouped-HAVING
+  // frames (frequent items, best customers) both semi-join the fact.
+  private val q23 = """
+      WITH frequent_parts AS (
+        SELECT l_partkey AS pk FROM lineitem GROUP BY l_partkey HAVING count(*) > 40),
+      best_customers AS (
+        SELECT o_custkey AS ck FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_custkey HAVING sum(l_quantity) > 1200)
+      SELECT CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sales_cents,
+             count(*) AS n
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderdate >= @TS'1998-01-01 00:00:00'
+        AND o_orderdate < @TS'1998-07-01 00:00:00'
+        AND l_partkey IN (SELECT pk FROM frequent_parts)
+        AND o_custkey IN (SELECT ck FROM best_customers)"""
+
+  // Q71: channel UNION joined to the item dim, grouped by brand and
+  // time bucket, revenue-ordered.
+  private val q71 = """
+      WITH sales AS (
+        SELECT l_partkey AS pk, CAST(month(l_shipdate) AS INT) AS m,
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem WHERE l_linestatus = 'F'
+          AND l_shipdate >= @TS'1997-01-01 00:00:00' AND l_shipdate < @TS'1998-01-01 00:00:00'
+        UNION ALL
+        SELECT l_partkey, CAST(month(l_shipdate) AS INT),
+               CAST(floor(l_extendedprice * 100) AS BIGINT)
+        FROM lineitem WHERE l_linestatus = 'O'
+          AND l_shipdate >= @TS'1997-01-01 00:00:00' AND l_shipdate < @TS'1998-01-01 00:00:00'
+        UNION ALL
+        SELECT l_partkey, CAST(month(l_shipdate) AS INT),
+               CAST(floor(l_extendedprice * 100) AS BIGINT)
+        FROM lineitem WHERE l_returnflag = 'R'
+          AND l_shipdate >= @TS'1997-01-01 00:00:00' AND l_shipdate < @TS'1998-01-01 00:00:00')
+      SELECT p_brand, m, CAST(sum(cents) AS BIGINT) AS ext_cents
+      FROM sales JOIN part ON pk = p_partkey
+      WHERE p_type IN ('ECONOMY', 'STANDARD')
+      GROUP BY p_brand, m
+      ORDER BY ext_cents DESC, p_brand, m"""
+
+  // Q4/Q11: year-over-year growth — one WITH frame self-joined four
+  // ways; the ratio compare is cross-multiplied in BIGINT so both
+  // engines decide the inequality exactly.
+  private val q4 = """
+      WITH year_total AS (
+        SELECT o_custkey AS ck, CAST(year(o_orderdate) AS INT) AS yr, l_linestatus AS channel,
+               CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2, 3)
+      SELECT ss2.ck AS c_custkey, ss2.total AS store_97, ws2.total AS web_97
+      FROM year_total ss1, year_total ss2, year_total ws1, year_total ws2
+      WHERE ss1.ck = ss2.ck AND ss1.ck = ws1.ck AND ss1.ck = ws2.ck
+        AND ss1.channel = 'F' AND ss1.yr = 1996
+        AND ss2.channel = 'F' AND ss2.yr = 1997
+        AND ws1.channel = 'O' AND ws1.yr = 1996
+        AND ws2.channel = 'O' AND ws2.yr = 1997
+        AND ss1.total > 0 AND ws1.total > 0
+        AND ws2.total * ss1.total > ss2.total * ws1.total
+      ORDER BY c_custkey"""
+
+  // Q88: cross product of independent single-row count scans — the
+  // planner must broadcast each 1-row aggregate (BNLJ, no shuffle).
+  private val q88 = """
+      SELECT h1, h2, h3, h4
+      FROM (SELECT count(*) AS h1 FROM lineitem WHERE l_quantity BETWEEN 1 AND 10 AND l_discount < 0.03) s1,
+           (SELECT count(*) AS h2 FROM lineitem WHERE l_quantity BETWEEN 11 AND 20 AND l_discount < 0.03) s2,
+           (SELECT count(*) AS h3 FROM lineitem WHERE l_quantity BETWEEN 21 AND 30 AND l_discount < 0.03) s3,
+           (SELECT count(*) AS h4 FROM lineitem WHERE l_quantity BETWEEN 31 AND 50 AND l_discount < 0.03) s4"""
+
+  // Q36: grouping-level hierarchy rank — GROUPING() marks compose the
+  // lochierarchy, and rank partitions collapse to brand only on detail
+  // rows (the CASE WHEN gt = 0 trick from the published query).
+  private val q36 = """
+      SELECT CAST(lochierarchy AS INT) AS lochierarchy, p_brand, p_type, gross_cents, CAST(rk AS INT) AS rk
+      FROM (
+        SELECT p_brand, p_type, lochierarchy, gross_cents,
+               rank() OVER (PARTITION BY lochierarchy, CASE WHEN gt = 0 THEN p_brand END
+                            ORDER BY gross_cents DESC, p_type NULLS FIRST, p_brand NULLS FIRST) AS rk
+        FROM (
+          SELECT p_brand, p_type,
+                 CAST(grouping(p_brand) + grouping(p_type) AS INT) AS lochierarchy,
+                 CAST(grouping(p_type) AS INT) AS gt,
+                 CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS gross_cents
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= @TS'1997-01-01 00:00:00'
+            AND l_shipdate < @TS'1998-01-01 00:00:00'
+          GROUP BY ROLLUP(p_brand, p_type)) g) t
+      ORDER BY lochierarchy DESC, p_brand NULLS FIRST, rk"""
+
+  // Q33/Q56: aggregate OVER a union of per-channel AGGREGATES (not a
+  // union of raw scans) — partials are grouped per channel first.
+  private val q33 = """
+      WITH ss AS (
+        SELECT p_brand, sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS total
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_linestatus = 'F' AND p_type = 'ECONOMY' GROUP BY p_brand),
+      cs AS (
+        SELECT p_brand, sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS total
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_linestatus = 'O' AND p_type = 'ECONOMY' GROUP BY p_brand),
+      ws AS (
+        SELECT p_brand, sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS total
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_returnflag = 'R' AND p_type = 'ECONOMY' GROUP BY p_brand)
+      SELECT p_brand, CAST(sum(total) AS BIGINT) AS total_cents
+      FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs UNION ALL SELECT * FROM ws) u
+      GROUP BY p_brand
+      ORDER BY total_cents, p_brand"""
+
+  private val texts: Map[String, (Seq[String], String)] = Map(
+    "tpcds_q5_channel_rollup" -> (Seq("lineitem") -> q5),
+    "tpcds_q95_with_chain_semi" -> (Seq("lineitem", "orders") -> q95),
+    "tpcds_q51_window_over_agg" -> (Seq("lineitem") -> q51),
+    "tpcds_q67_grouping_sets_topk" -> (Seq("lineitem", "part") -> q67),
+    "tpcds_q10_exists_chain" -> (Seq("customer", "orders", "lineitem") -> q10),
+    "tpcds_q23_multi_with_cross" -> (Seq("lineitem", "orders") -> q23),
+    "tpcds_q71_channel_brand_month" -> (Seq("lineitem", "part") -> q71),
+    "tpcds_q4_yoy_growth" -> (Seq("orders", "lineitem") -> q4),
+    "tpcds_q88_multi_scan_counts" -> (Seq("lineitem") -> q88),
+    "tpcds_q36_lochierarchy_rank" -> (Seq("lineitem", "part") -> q36),
+    "tpcds_q33_agg_over_union_agg" -> (Seq("lineitem", "part") -> q33))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    texts.map { case (name, (tables, text)) =>
+      name -> ((s: SparkSession, dir: String) => sql(s, dir, tables, spark(text)))
+    }
+
+  override def oracle: Map[String, String] =
+    texts.map { case (name, (_, text)) => name -> duck(text) }
+}

@@ -159,6 +159,43 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("TPC-DS Q95 shape: both IN probes plan as semi joins, self-join stays equi") {
+    val p = plan(graft.queries.TpcdsShapeQueries.queries("tpcds_q95_with_chain_semi")(spark, dir))
+    // the two WITH-frame IN filters must become LeftSemi joins, not
+    // inner joins + dedup (which would multiply the fact) and never a
+    // cartesian; the multi_supp self-join must remain an equi-join
+    assert("LeftSemi".r.findAllIn(p).size >= 2,
+      s"expected two semi joins for the IN chain:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"lineitem self-join fell to all-pairs:\n$p")
+  }
+
+  test("TPC-DS Q23 shape: grouped-HAVING frames broadcast into semi joins over the fact") {
+    val p = plan(graft.queries.TpcdsShapeQueries.queries("tpcds_q23_multi_with_cross")(spark, dir))
+    assert("LeftSemi".r.findAllIn(p).size >= 2,
+      s"expected two semi joins for the WITH cross-filter:\n$p")
+    // the aggregated WITH frames are far smaller than the fact — the
+    // planner must broadcast them rather than shuffling lineitem twice
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"WITH frames not broadcast into the fact probes:\n$p")
+  }
+
+  test("TPC-DS Q67 shape: rollup rank-filter plans Expand with WindowGroupLimit above it") {
+    val p = plan(graft.queries.TpcdsShapeQueries.queries("tpcds_q67_grouping_sets_topk")(spark, dir))
+    assert(p.contains("Expand"), s"rollup lost its Expand node:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=5 filter not pushed into WindowGroupLimit:\n$p")
+  }
+
+  test("TPC-DS Q88 shape: single-row count scans cross via broadcast, no shuffle join") {
+    val p = plan(graft.queries.TpcdsShapeQueries.queries("tpcds_q88_multi_scan_counts")(spark, dir))
+    // each arm aggregates to one row; the cross product must be
+    // broadcast nested loop (1-row sides), never SortMergeJoin
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast cross of 1-row aggregates:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"scalar cross product shuffled:\n$p")
+  }
+
   test("gap expressions stay inside WholeStageCodegen") {
     graft.functions.GraftFunctions.register(spark)
     Tables.load(spark, dir, "part").createOrReplaceTempView("part_audit")
