@@ -136,6 +136,24 @@ object StreamQueries extends QueryPack {
         .orderBy(col("ws"), col("we"))
     }),
 
+    // Streaming CUMULATE from SQL TEXT: the TVF desugar is a stateless
+    // text rewrite onto the slice-explode formulation, so the same
+    // query text a reference user writes drives the streaming windowed
+    // agg (StreamExecWindowTableFunction on a stream). Hash-identical
+    // to stream_cumulate_agg.
+    "stream_cumulate_sql" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      StreamOps.readStream(s, dir, "events")
+        .createOrReplaceTempView("events_stream")
+      val agg = graft.sqlx.WindowTvfSql.sql(s, """
+        SELECT window_start AS ws, window_end AS we,
+               count(*) AS n, sum(floor(value * 100)) AS sum_value
+        FROM TABLE(CUMULATE(TABLE events_stream, DESCRIPTOR(ts), INTERVAL '20' MINUTE, INTERVAL '60' MINUTE))
+        GROUP BY window_start, window_end""")
+      StreamOps.runToBatch(s, agg, "complete", "stream_cumulate_sql")
+        .orderBy(col("ws"), col("we"))
+    }),
+
     // MULTI-SINK subplan reuse (reference
     // StreamCommonSubGraphBasedOptimizer statement sets): ONE streaming
     // query computes the shared filtered/enriched prefix once per
@@ -695,6 +713,16 @@ object StreamQueries extends QueryPack {
              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
       FROM sessions GROUP BY user_id, sid ORDER BY user_id, ws""",
     "stream_cumulate_agg" -> """
+      SELECT ws, we, count(*) AS n,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
+      FROM (
+        SELECT time_bucket(INTERVAL 60 MINUTE, ts) AS ws,
+               time_bucket(INTERVAL 60 MINUTE, ts) + k * INTERVAL 20 MINUTE AS we,
+               ts, value
+        FROM events, generate_series(1, 3) AS t(k))
+      WHERE we > ts
+      GROUP BY ws, we ORDER BY ws, we""",
+    "stream_cumulate_sql" -> """
       SELECT ws, we, count(*) AS n,
              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
       FROM (

@@ -120,6 +120,40 @@ object TimeWindowQueries extends QueryPack {
         .orderBy(col("ws"), col("event_type"), col("rn"))
     }),
 
+    // SQL-TEXT window TVFs (reference FlinkSqlOperatorTable TUMBLE/HOP/
+    // CUMULATE): the same aggregations as win_tumble/win_hop/
+    // win_cumulate, but driven by TVF query text through
+    // sqlx.WindowTvfSql.desugar — a user can paste reference SQL.
+    "win_tumble_tvf_sql" -> ((s, dir) => {
+      Tables.load(s, dir, "events").createOrReplaceTempView("events")
+      graft.sqlx.WindowTvfSql.sql(s, """
+        SELECT window_start AS ws, window_end AS we, event_type,
+               count(*) AS n, sum(floor(value * 100)) AS sum_value
+        FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '15' MINUTE))
+        GROUP BY window_start, window_end, event_type
+        ORDER BY ws, event_type""")
+    }),
+
+    "win_hop_tvf_sql" -> ((s, dir) => {
+      Tables.load(s, dir, "events").createOrReplaceTempView("events")
+      graft.sqlx.WindowTvfSql.sql(s, """
+        SELECT window_start AS ws, window_end AS we,
+               count(*) AS n, count(DISTINCT user_id) AS n_users
+        FROM TABLE(HOP(TABLE events, DESCRIPTOR(ts), INTERVAL '10' MINUTE, INTERVAL '30' MINUTE))
+        GROUP BY window_start, window_end
+        ORDER BY ws""")
+    }),
+
+    "win_cumulate_tvf_sql" -> ((s, dir) => {
+      Tables.load(s, dir, "events").createOrReplaceTempView("events")
+      graft.sqlx.WindowTvfSql.sql(s, """
+        SELECT window_start AS ws, window_end AS we,
+               count(*) AS n, sum(floor(value * 100)) AS sum_value
+        FROM TABLE(CUMULATE(TABLE events, DESCRIPTOR(ts), INTERVAL '20' MINUTE, INTERVAL '60' MINUTE))
+        GROUP BY window_start, window_end
+        ORDER BY ws, we""")
+    }),
+
     // CUMULATE size 1h step 20min: expanding windows per hour.
     "win_cumulate" -> ((s, dir) => {
       CumulateWindow(Tables.load(s, dir, "events"), "ts", stepMinutes = 20, sizeMinutes = 60)
@@ -212,6 +246,33 @@ object TimeWindowQueries extends QueryPack {
         FROM events) t
       WHERE rn <= 2 ORDER BY ws, event_type, rn""",
     "win_cumulate" -> """
+      SELECT ws, we, count(*) AS n,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
+      FROM (
+        SELECT time_bucket(INTERVAL 60 MINUTE, ts) AS ws,
+               time_bucket(INTERVAL 60 MINUTE, ts) + k * INTERVAL 20 MINUTE AS we,
+               ts, value
+        FROM events, generate_series(1, 3) AS t(k))
+      WHERE we > ts
+      GROUP BY ws, we ORDER BY ws, we""",
+    // the TVF-SQL gates must hash-match the DataFrame-API gates, so
+    // they share those gates' oracle texts verbatim
+    "win_tumble_tvf_sql" -> """
+      SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS ws,
+             time_bucket(INTERVAL 15 MINUTE, ts) + INTERVAL 15 MINUTE AS we,
+             event_type, count(*) AS n,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
+      FROM events
+      GROUP BY 1, 2, 3 ORDER BY ws, event_type""",
+    "win_hop_tvf_sql" -> """
+      SELECT ws, ws + INTERVAL 30 MINUTE AS we, count(*) AS n,
+             count(DISTINCT user_id) AS n_users
+      FROM (
+        SELECT time_bucket(INTERVAL 10 MINUTE, ts) - k * INTERVAL 10 MINUTE AS ws,
+               user_id
+        FROM events, generate_series(0, 2) AS t(k))
+      GROUP BY ws ORDER BY ws""",
+    "win_cumulate_tvf_sql" -> """
       SELECT ws, we, count(*) AS n,
              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
       FROM (
