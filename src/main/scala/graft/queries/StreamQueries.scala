@@ -578,6 +578,34 @@ object StreamQueries extends QueryPack {
         .orderBy(col("a_id"), col("classifier"))
     }),
 
+    // MATCH_RECOGNIZE ALL ROWS PER MATCH WITH UNMATCHED ROWS
+    // (SQL:2016 output-mode matrix; reference MatchCodeGenerator
+    // unmatched-row emission): rows participating in NO match surface
+    // with NULL classifier and NULL measures. Emission is
+    // eviction-driven (a row is provably unmatched only once the
+    // watermark passes its within horizon), so the fixture needs the
+    // per-key sentinel harness to flush the tail.
+    "match_recognize_unmatched" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val mrSql = """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES A.event_id AS a_id
+          ALL ROWS PER MATCH WITH UNMATCHED ROWS
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B)
+          WITHIN INTERVAL '30' MINUTE
+          DEFINE A AS A.event_type = 'click', B AS B.event_type = 'purchase'
+        )"""
+      StreamOps.runToBatch(s,
+          graft.sqlx.MatchRecognize.run(
+            StreamOps.eventsTypedWithKeyedSentinels(s, dir), mrSql),
+          "append", "mr_unmatched")
+        .filter(col("event_id") >= 0) // sentinel rows are harness plumbing
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+
     // Broadcast state / connected streams (reference
     // KeyedBroadcastProcessFunction): a control stream of per-type
     // thresholds (batch-computed mean cents, the broadcast side) and
@@ -956,6 +984,30 @@ object StreamQueries extends QueryPack {
              CAST(epoch_us(nts) AS BIGINT) AS ts_us, nval AS value, event_id AS a_id
       FROM m
       ORDER BY a_id, classifier""",
+    "match_recognize_unmatched" -> """
+      WITH o AS (
+        SELECT user_id, event_id, event_type, value, CAST(ts AS TIMESTAMP) AS uts,
+               lead(event_type) OVER w AS ntype,
+               lead(CAST(ts AS TIMESTAMP)) OVER w AS nts,
+               lag(event_id) OVER w AS pid,
+               lag(event_type) OVER w AS ptype,
+               lag(CAST(ts AS TIMESTAMP)) OVER w AS pts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+      c AS (
+        SELECT *,
+               (event_type = 'click' AND ntype = 'purchase'
+                  AND nts - uts <= INTERVAL 30 MINUTE) AS is_a,
+               (event_type = 'purchase' AND ptype = 'click'
+                  AND uts - pts <= INTERVAL 30 MINUTE) AS is_b
+        FROM o)
+      SELECT user_id,
+             CASE WHEN is_a THEN 'A' WHEN is_b THEN 'B' END AS classifier,
+             event_id, event_type,
+             CAST(epoch_us(uts) AS BIGINT) AS ts_us, value,
+             CASE WHEN is_a THEN event_id WHEN is_b THEN pid END AS a_id
+      FROM c
+      ORDER BY user_id, ts_us, event_id""",
     "stream_broadcast_threshold" -> """
       WITH thr AS (
         SELECT event_type,

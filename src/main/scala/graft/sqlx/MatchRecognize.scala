@@ -63,7 +63,12 @@ object MrLayout {
  *    mode measures default to RUNNING per SQL:2016 (prefix of the
  *    match up to the current row), FIRST/LAST stay navigation
  *  - ONE ROW PER MATCH | ALL ROWS PER MATCH (ALL ROWS adds CLASSIFIER
- *    and the row's numeric/string input columns)
+ *    and the row's numeric/string input columns), with the ALL ROWS
+ *    options WITH UNMATCHED ROWS (rows in no match surface with NULL
+ *    classifier and measures, emitted once the watermark finalizes
+ *    them) and SHOW|OMIT EMPTY MATCHES (identical here — the pattern
+ *    grammar requires an unquantified first symbol, so a match always
+ *    consumes at least one row and wholly-empty matches cannot arise)
  *  - AFTER MATCH SKIP TO NEXT ROW | SKIP PAST LAST ROW |
  *    SKIP TO [FIRST|LAST] Sym    (default NO_SKIP, as the reference)
  *  - PATTERN (A B+ C? D{1,3} ...) with quantifiers +, ?, *, +?, ??,
@@ -124,7 +129,8 @@ object MatchRecognize {
   final case class Spec(partitionBy: String, orderBy: String, measures: Seq[Measure],
       skip: Cep.AfterMatch, pattern: Cep.Pattern[MrEv], allRows: Boolean = false,
       excluded: Set[String] = Set.empty,
-      subsets: Map[String, Seq[String]] = Map.empty)
+      subsets: Map[String, Seq[String]] = Map.empty,
+      withUnmatched: Boolean = false)
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"MATCH_RECOGNIZE: $msg")
@@ -532,9 +538,27 @@ object MatchRecognize {
             sym.toUpperCase, field, alias)
         case m => fail(s"cannot parse measure '$m'")
       }
+    // ALL ROWS PER MATCH output-mode options (SQL:2016; reference
+    // MatchCodeGenerator RowsPerMatch handling): WITH UNMATCHED ROWS
+    // emits never-matched rows with NULL classifier/measures.
+    // SHOW EMPTY MATCHES (the standard's default) and OMIT EMPTY
+    // MATCHES are both accepted and behave identically: the pattern
+    // grammar requires an unquantified first symbol, so a match always
+    // consumes at least one row and wholly-empty matches cannot arise.
+    val allRowsOpts = sec.get("ALL ROWS PER MATCH").map(_.trim.toUpperCase).getOrElse("")
+    val withUnmatched = """\bWITH\s+UNMATCHED\s+ROWS\b""".r.findFirstIn(allRowsOpts).isDefined
+    val showEmpty = """\bSHOW\s+EMPTY\s+MATCHES\b""".r.findFirstIn(allRowsOpts).isDefined
+    val omitEmpty = """\bOMIT\s+EMPTY\s+MATCHES\b""".r.findFirstIn(allRowsOpts).isDefined
+    val leftover = allRowsOpts
+      .replaceAll("""(?i)\bWITH\s+UNMATCHED\s+ROWS\b""", "")
+      .replaceAll("""(?i)\b(SHOW|OMIT)\s+EMPTY\s+MATCHES\b""", "").trim
+    if (leftover.nonEmpty) fail(s"cannot parse ALL ROWS PER MATCH options '$leftover'")
+    if (showEmpty && omitEmpty) fail("SHOW and OMIT EMPTY MATCHES are mutually exclusive")
+    sec.get("ONE ROW PER MATCH").filter(_.trim.nonEmpty).foreach(o =>
+      fail(s"ONE ROW PER MATCH takes no options, got '${o.trim}'"))
     Spec(part, ord, measures, skip, pat,
       allRows = sec.contains("ALL ROWS PER MATCH"), excluded = excluded,
-      subsets = subsets)
+      subsets = subsets, withUnmatched = withUnmatched)
   }
 
   /** Ev-fixture shim (the original entry): events stream, id column
@@ -581,7 +605,13 @@ object MatchRecognize {
       arrOf(layout.longFields, "long", LongType).as("longs"),
       arrOf(layout.numFields, "double", DoubleType).as("nums"),
       arrOf(layout.strFields, "string", StringType).as("strs")).as[MrEv]
-    val bound = Cep.runBoundBy(evs, spec.pattern, "key", "ts_us", "id", watermarkDelay).toDF()
+    if (spec.withUnmatched && !spec.allRows)
+      fail("WITH UNMATCHED ROWS requires ALL ROWS PER MATCH")
+    if (spec.withUnmatched && spec.pattern.withinUs == Long.MaxValue)
+      fail("WITH UNMATCHED ROWS requires WITHIN (watermark eviction of the " +
+        "within horizon is what makes 'participates in no match' final)")
+    val bound = Cep.runBoundBy(evs, spec.pattern, "key", "ts_us", "id",
+      watermarkDelay, unmatched = spec.withUnmatched).toDF()
 
     // cast a measure back to the input column's type (aggregates fold
     // through doubles; integral sources surface as their integral type)
@@ -650,25 +680,36 @@ object MatchRecognize {
           }
           c.as(f.name)
         }
+      // WITH UNMATCHED ROWS: the engine surfaces never-matched rows as
+      // one-bind pseudo-matches named Cep.UnmatchedStep — their
+      // classifier and every measure are NULL per SQL:2016
+      val clsRaw = expr("split(__b.step, '#')[0]")
+      val isUnmatched = clsRaw === Cep.UnmatchedStep
       val mCols = spec.measures.map { m =>
         // SQL:2016 ALL ROWS default: aggregates are RUNNING (prefix up
         // to the current row); navigation (FIRST/LAST/bare) is FINAL
         // unless RUNNING is requested explicitly; CLASSIFIER() is the
         // CURRENT row's symbol
-        if (m.fn.contains("CLASSIFIER"))
-          expr("split(__b.step, '#')[0]").as(m.alias)
-        else {
-          val isAgg = m.fn.exists(Set("SUM", "COUNT", "MIN", "MAX", "AVG"))
-          val running = m.running.getOrElse(isAgg)
-          val binds = if (running) slice(col("binds"), lit(1), col("__pos") + 1) else col("binds")
-          measureCol(m, binds).as(m.alias)
-        }
+        val c =
+          if (m.fn.contains("CLASSIFIER")) clsRaw
+          else {
+            val isAgg = m.fn.exists(Set("SUM", "COUNT", "MIN", "MAX", "AVG"))
+            val running = m.running.getOrElse(isAgg)
+            val binds = if (running) slice(col("binds"), lit(1), col("__pos") + 1) else col("binds")
+            measureCol(m, binds)
+          }
+        (if (spec.withUnmatched) when(isUnmatched, lit(null)).otherwise(c) else c).as(m.alias)
       }
+      val clsCol =
+        if (spec.withUnmatched) when(isUnmatched, lit(null).cast("string")).otherwise(clsRaw)
+        else clsRaw
       val rows = exploded.select(Seq(partCol,
-        expr("split(__b.step, '#')[0]").as("classifier")) ++ rowCols ++ mCols: _*)
+        clsCol.as("classifier")) ++ rowCols ++ mCols: _*)
       // {- X -}: excluded symbols' rows are dropped from ALL ROWS output
+      // (NULL-classifier unmatched rows must survive the filter)
       if (spec.excluded.isEmpty) rows
-      else rows.filter(!col("classifier").isin(spec.excluded.toSeq: _*))
+      else rows.filter(col("classifier").isNull ||
+        !col("classifier").isin(spec.excluded.toSeq: _*))
     }
   }
 }

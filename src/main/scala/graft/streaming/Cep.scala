@@ -30,8 +30,11 @@ case class CepBoundG[T](key: String, start_us: Long, end_us: Long, binds: List[B
 
 /** Buffered per-key state: events still inside the pattern's `within`
  * horizon (ts-ordered on use) plus (start_ts, start_sig) of matches
- * already emitted — both pruned on watermark advance. */
-case class CepStateG[T](buffer: List[T], emitted: List[(Long, Long)])
+ * already emitted — both pruned on watermark advance. `matchedIds`
+ * (ids of still-buffered events that participated in an emitted match)
+ * is tracked only when unmatched-row emission is on. */
+case class CepStateG[T](buffer: List[T], emitted: List[(Long, Long)],
+    matchedIds: List[Long] = Nil)
 
 /**
  * A linear CEP pattern over an arbitrary event type `T`: ordered steps,
@@ -739,10 +742,16 @@ object Cep {
    * without `within` keep everything (documented: unbounded patterns
    * need a horizon for bounded state, as in the reference).
    */
+  /** Step name of the pseudo-bindings emitted for unmatched rows
+   * (MATCH_RECOGNIZE `ALL ROWS PER MATCH WITH UNMATCHED ROWS`):
+   * a one-element match whose single bind carries the row. */
+  val UnmatchedStep = "__unmatched"
+
   def runBoundBy[T <: Product : TypeTag](ds: Dataset[T], pattern: Pattern[T],
       keyField: String, timeField: String, idField: String,
       watermarkDelay: String = "1 hour",
-      ttl: Option[String] = None): Dataset[CepBoundG[T]] = {
+      ttl: Option[String] = None,
+      unmatched: Boolean = false): Dataset[CepBoundG[T]] = {
     validate(pattern) // fail fast on the driver
     implicit val tEnc: org.apache.spark.sql.Encoder[T] = Encoders.product[T]
     implicit val stEnc: org.apache.spark.sql.Encoder[CepStateG[T]] =
@@ -765,7 +774,7 @@ object Cep {
       .as[T]
     withWm.groupByKey(key)
       .flatMapGroupsWithState[CepStateG[T], CepBoundG[T]](OutputMode.Append, Ttl.timeoutConf(ttl))(
-        Ttl.wrap(ttl)(cepFlatMap(pattern, time, id)))
+        Ttl.wrap(ttl)(cepFlatMap(pattern, time, id, unmatched)))
   }
 
   /** [[runBoundBy]] for event types WITHOUT a product encoder — e.g. a
@@ -806,8 +815,15 @@ object Cep {
   }
 
   /** The per-key micro-batch body shared by [[runBoundBy]] and
-   * [[runBoundByF]]: buffer + re-match + dedup + watermark eviction. */
-  private def cepFlatMap[T](pattern: Pattern[T], time: T => Long, id: T => Long)
+   * [[runBoundByF]]: buffer + re-match + dedup + watermark eviction.
+   * With `unmatched` on, a row leaving the buffer that never
+   * participated in an emitted match is emitted as a one-bind
+   * [[UnmatchedStep]] pseudo-match (the reference's
+   * `ALL ROWS PER MATCH WITH UNMATCHED ROWS` codegen emits unmatched
+   * rows from the same operator) — emission happens at eviction time
+   * because only then is "participates in no match" final. */
+  private def cepFlatMap[T](pattern: Pattern[T], time: T => Long, id: T => Long,
+      unmatched: Boolean = false)
       : (String, Iterator[T], GroupState[CepStateG[T]]) => Iterator[CepBoundG[T]] = {
         (k, it, state: GroupState[CepStateG[T]]) =>
           val st = state.getOption.getOrElse(CepStateG[T](Nil, Nil))
@@ -868,8 +884,27 @@ object Cep {
           val seen = st.emitted.map(p => (p._1, p._2)).toSet
           val fresh = confirmed.filterNot(m => seen.contains((m.start_us, sig(m))))
           val emitted = st.emitted ++ fresh.map(m => (m.start_us, sig(m)))
-          state.update(CepStateG(buffer.filter(e => live(time(e))),
-            emitted.filter(p => live(p._1))))
-          fresh.iterator.map(m => CepBoundG(k, m.start_us, m.end_us, m.binds))
+          val (kept, evicted) = buffer.partition(e => live(time(e)))
+          val unmatchedOut =
+            if (!unmatched) Nil
+            else {
+              // participation = membership in ANY emitted match's binds
+              // (held/unconfirmed matches keep their rows in the buffer,
+              // so an evicted row's verdict is final)
+              val matchedAll = st.matchedIds.toSet ++
+                fresh.iterator.flatMap(_.binds.iterator.map(b => id(b.ev)))
+              evicted.filterNot(e => matchedAll(id(e))).map(e =>
+                CepBoundG(k, time(e), time(e), List(BoundG(UnmatchedStep, e))))
+            }
+          val keptMatched =
+            if (!unmatched) Nil
+            else {
+              val keptIds = kept.iterator.map(id).toSet
+              (st.matchedIds ++ fresh.flatMap(_.binds.map(b => id(b.ev))))
+                .distinct.filter(keptIds)
+            }
+          state.update(CepStateG(kept, emitted.filter(p => live(p._1)), keptMatched))
+          (fresh.iterator.map(m => CepBoundG(k, m.start_us, m.end_us, m.binds))
+            ++ unmatchedOut.iterator)
   }
 }

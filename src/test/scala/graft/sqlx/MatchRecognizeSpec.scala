@@ -446,6 +446,82 @@ class MatchRecognizeSpec extends SparkSuite {
       List(("A", 1L), ("C", 2L)))
   }
 
+  test("ALL ROWS output-mode options: UNMATCHED parses, invalid combos raise") {
+    def spec(mode: String, pattern: String = "(A B)", within: String = "WITHIN INTERVAL '10' MINUTE") =
+      MatchRecognize.parse(s"""
+        SELECT * FROM t MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES A.event_id AS x
+          $mode
+          PATTERN $pattern
+          $within
+          DEFINE A AS A.event_type = 'click', B AS B.event_type = 'purchase'
+        )""")
+    assert(spec("ALL ROWS PER MATCH WITH UNMATCHED ROWS").withUnmatched)
+    assert(!spec("ALL ROWS PER MATCH").withUnmatched)
+    // SHOW (the standard default) and OMIT EMPTY MATCHES both parse
+    // and behave identically: the unquantified-first-symbol rule means
+    // a match always consumes a row, so empty matches cannot arise
+    assert(!spec("ALL ROWS PER MATCH OMIT EMPTY MATCHES").withUnmatched)
+    assert(!spec("ALL ROWS PER MATCH SHOW EMPTY MATCHES").withUnmatched)
+    assert(spec("ALL ROWS PER MATCH SHOW EMPTY MATCHES WITH UNMATCHED ROWS").withUnmatched)
+    // SHOW and OMIT together are contradictory
+    intercept[IllegalArgumentException] {
+      spec("ALL ROWS PER MATCH SHOW EMPTY MATCHES OMIT EMPTY MATCHES")
+    }
+    // unknown option text raises
+    intercept[IllegalArgumentException] { spec("ALL ROWS PER MATCH WITH EXTRA NONSENSE") }
+    // ONE ROW PER MATCH takes no options
+    intercept[IllegalArgumentException] { spec("ONE ROW PER MATCH WITH UNMATCHED ROWS") }
+  }
+
+  test("WITH UNMATCHED ROWS emits non-participating rows with NULL measures") {
+    import org.apache.spark.sql.functions.col
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Ev]
+    val out = MatchRecognize.run(ms.toDS(), """
+      SELECT * FROM t MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts
+        MEASURES A.event_id AS a_id
+        ALL ROWS PER MATCH WITH UNMATCHED ROWS
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B)
+        WITHIN INTERVAL '10' MINUTE
+        DEFINE A AS A.event_type = 'click', B AS B.event_type = 'purchase'
+      )""", watermarkDelay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("t_mr_unm")
+      .outputMode("append").start()
+    try {
+      // user 1: click->purchase pair then a lone view; user 2: lone click
+      ms.addData(ev(1, "click", 1000000), ev(2, "purchase", 2000000),
+        ev(3, "view", 3000000), ev(4, "click", 1000000, user = 2))
+      q.processAllAvailable()
+      // two per-key sentinel rounds: round 1 advances the watermark past
+      // the data, round 2 invokes each key under it so eviction (and
+      // with it the unmatched verdict) happens
+      val far = 100L * 86400000000L
+      ms.addData(ev(-1, "sentinel", far), ev(-1, "sentinel", far, user = 2))
+      q.processAllAvailable()
+      ms.addData(ev(-2, "sentinel", far + 1000000),
+        ev(-2, "sentinel", far + 1000000, user = 2))
+      q.processAllAvailable()
+      val rows = spark.table("t_mr_unm").filter(col("event_id") >= 0)
+        .orderBy(col("user_id"), col("ts_us"))
+        .select("user_id", "classifier", "event_id", "a_id").collect()
+      // matched pair with classifiers and the A measure
+      val matched = rows.filter(r => !r.isNullAt(1))
+      assert(matched.map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq ==
+        Seq((1L, "A", 1L, 1L), (1L, "B", 2L, 1L)))
+      // the lone view and lone click surface with NULL classifier + measure
+      val unmatched = rows.filter(_.isNullAt(1))
+      assert(unmatched.map(_.getLong(2)).toSeq == Seq(3L, 4L))
+      assert(unmatched.forall(_.isNullAt(3)))
+    } finally q.stop()
+  }
+
   test("unsupported clauses raise, not silently misparse") {
     intercept[IllegalArgumentException] {
       MatchRecognize.parse("SELECT 1") // no clause
