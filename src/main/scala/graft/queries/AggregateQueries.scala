@@ -166,6 +166,24 @@ object AggregateQueries extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // COLLECT → MULTISET count-map convention (reference COLLECT
+    // aggregate, BuiltInFunctionDefinitions.java:290-386): per order,
+    // COLLECT(l_linestatus) builds a map<status, int>; CARDINALITY
+    // sums multiplicities, element_at looks up one status's count, and
+    // ELEMENT projects the sole member of singleton multisets.
+    "agg_collect_multiset" -> ((s, dir) => {
+      import graft.functions.{Multiset => M}
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(M.collect(col("l_linestatus")).as("ms"))
+        .select(col("l_orderkey"),
+          M.cardinality(col("ms")).as("card"),
+          coalesce(element_at(col("ms"), "O"), lit(0)).as("n_o"),
+          coalesce(element_at(col("ms"), "F"), lit(0)).as("n_f"),
+          M.element(col("ms")).as("sole"))
+        .orderBy(col("l_orderkey"))
+    }),
+
     // SUM0 (Flink: sum defaulting to 0 on empty) — coalesce(sum(..),0).
     "agg_sum0_empty" -> ((s, dir) => {
       Tables.load(s, dir, "lineitem")
@@ -247,6 +265,15 @@ object AggregateQueries extends QueryPack {
       SELECT n_regionkey,
              string_agg(n_name, ',' ORDER BY n_name) AS nations
       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "agg_collect_multiset" -> """
+      SELECT l_orderkey,
+             count(*) AS card,
+             CAST(count(*) FILTER (l_linestatus = 'O') AS INT) AS n_o,
+             CAST(count(*) FILTER (l_linestatus = 'F') AS INT) AS n_f,
+             CASE WHEN count(*) = 1 THEN min(l_linestatus) END AS sole
+      FROM lineitem
+      GROUP BY l_orderkey
+      ORDER BY l_orderkey""",
     "agg_collect_set" -> """
       SELECT l_returnflag,
              array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,

@@ -58,6 +58,38 @@ object DdlQueries extends QueryPack {
         FROM urgent_orders GROUP BY o_custkey ORDER BY o_custkey""")
     }),
 
+    // CHAR(n) padding semantics at the DDL layer (SURVEY §7.5;
+    // reference planner CHAR handling): a CHAR(12) declaration pads
+    // short values with spaces, a CHAR(6) declaration truncates long
+    // ones — both normalized on read so every downstream expression
+    // sees fixed-width values.
+    "ddl_char_padding" -> ((s, dir) => {
+      Ddl.execute(s,
+        s"""CREATE TABLE nation_pad (
+              n_nationkey INT,
+              n_name CHAR(12)
+            ) WITH (
+              'connector' = 'filesystem',
+              'path' = '$dir/nation.parquet',
+              'format' = 'parquet'
+            )""")
+      Ddl.execute(s,
+        s"""CREATE TABLE nation_cut (
+              n_nationkey INT,
+              n_name CHAR(6)
+            ) WITH (
+              'connector' = 'filesystem',
+              'path' = '$dir/nation.parquet',
+              'format' = 'parquet'
+            )""")
+      s.sql("""
+        SELECT p.n_nationkey, p.n_name AS name_pad,
+               length(p.n_name) AS len_pad,
+               c.n_name AS name_cut, length(c.n_name) AS len_cut
+        FROM nation_pad p JOIN nation_cut c ON p.n_nationkey = c.n_nationkey
+        ORDER BY p.n_nationkey""")
+    }),
+
     // CSV connector through DDL: write a CSV staging copy, declare it
     // with a schema (reference CSV formats never infer — §1.3), query.
     "ddl_csv_source" -> ((s, dir) => {
@@ -95,6 +127,12 @@ object DdlQueries extends QueryPack {
       GROUP BY o_custkey ORDER BY o_custkey""",
     "ddl_csv_source" -> """
       SELECT s_nationkey, count(*) AS n, min(s_name) AS first_name
-      FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""
+      FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "ddl_char_padding" -> """
+      SELECT n_nationkey, rpad(n_name, 12, ' ') AS name_pad,
+             CAST(length(rpad(n_name, 12, ' ')) AS INT) AS len_pad,
+             rpad(n_name, 6, ' ') AS name_cut,
+             CAST(length(rpad(n_name, 6, ' ')) AS INT) AS len_cut
+      FROM nation ORDER BY n_nationkey"""
   )
 }

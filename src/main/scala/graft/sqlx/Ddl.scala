@@ -1,7 +1,7 @@
 package graft.sqlx
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr, rpad}
 import org.apache.spark.sql.types.StructType
 
 /**
@@ -47,6 +47,7 @@ object Ddl {
   private val ComputedRe = """(?is)([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.+)""".r
   private val PhysicalRe = """(?is)([A-Za-z_][A-Za-z0-9_]*)\s+([A-Za-z0-9_<>,() ]+)""".r
   private val OptionRe = """'([^']*)'\s*=\s*'([^']*)'""".r
+  private val CharRe = """(?i)^\s*CHAR(?:ACTER)?\s*\(\s*(\d+)\s*\)\s*$""".r
 
   /** Split on commas not nested inside parentheses. */
   private def splitTop(s: String): Seq[String] = {
@@ -101,7 +102,17 @@ object Ddl {
     val path = t.options.getOrElse("path",
       throw new IllegalArgumentException(s"table ${t.name}: missing 'path' option"))
     val streaming = t.options.get("scan.streaming").contains("true")
-    val schema = StructType.fromDDL(t.physical.map(c => s"${c.name} ${c.typ}").mkString(", "))
+    // CHAR(n) physical columns (SURVEY §7.5): the reference's planner
+    // space-pads CHAR values to their declared length; Spark's CHAR
+    // handling is config-dependent, so normalize explicitly — read as
+    // STRING, then rpad (which also truncates overlong values) so every
+    // downstream comparison and projection sees fixed-width semantics.
+    val charCols: Seq[(String, Int)] = t.physical.collect {
+      case ColumnDef(n, CharRe(len)) => n -> len.toInt
+    }
+    val readCols = t.physical.map(c =>
+      if (CharRe.matches(c.typ)) ColumnDef(c.name, "STRING") else c)
+    val schema = StructType.fromDDL(readCols.map(c => s"${c.name} ${c.typ}").mkString(", "))
 
     var df =
       if (streaming) {
@@ -123,6 +134,9 @@ object Ddl {
         case other => throw new IllegalArgumentException(s"unsupported format $other")
       }
 
+    // CHAR normalization precedes computed columns, so expressions over
+    // a CHAR column see its padded form (as the reference's would)
+    charCols.foreach { case (n, len) => df = df.withColumn(n, rpad(col(n), len, " ")) }
     t.computed.foreach(c => df = df.withColumn(c.name, expr(c.sqlExpr)))
     t.watermark.foreach { w => if (streaming) df = df.withWatermark(w.column, w.delay) }
     df.createOrReplaceTempView(t.name)
