@@ -49,21 +49,10 @@ object Ddl {
   private val OptionRe = """'([^']*)'\s*=\s*'([^']*)'""".r
   private val CharRe = """(?i)^\s*CHAR(?:ACTER)?\s*\(\s*(\d+)\s*\)\s*$""".r
 
-  /** Split on commas not nested inside parentheses. */
-  private def splitTop(s: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    var depth = 0
-    val cur = new StringBuilder
-    s.foreach {
-      case ',' if depth == 0 => out += cur.toString; cur.clear()
-      case c =>
-        if (c == '(') depth += 1
-        if (c == ')') depth -= 1
-        cur += c
-    }
-    if (cur.nonEmpty) out += cur.toString
-    out.result().map(_.trim).filter(_.nonEmpty)
-  }
+  /** Split on commas not nested inside parentheses — and not inside
+   * string literals ([[SqlLexer.splitTop]]), so a computed-column
+   * expression like `concat(a, 'x,y')` cannot mis-split. */
+  private def splitTop(s: String): Seq[String] = SqlLexer.splitTop(s)
 
   def parse(ddl: String): TableDef = ddl match {
     case CreateRe(name, body, opts) =>

@@ -157,34 +157,14 @@ object MatchRecognize {
   /** Slice the body into its ordered sections. Markers match only as
    * whole words (so an alias like `pattern_total` cannot hit `PATTERN`)
    * and only outside single-quoted literals (so a DEFINE literal
-   * 'WITHIN' cannot mis-slice the spec). */
+   * 'WITHIN' cannot mis-slice the spec) — both via [[SqlLexer]]. */
   private def sections(b: String): Map[String, String] = {
-    // spans of '...' literals — marker hits inside them are ignored
-    val quoted = {
-      val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-      var i = 0; var start = -1
-      while (i < b.length) {
-        if (b(i) == '\'') { if (start < 0) start = i else { spans += ((start, i)); start = -1 } }
-        i += 1
-      }
-      spans.toList
-    }
-    def inQuote(i: Int) = quoted.exists { case (s, e) => i > s && i < e }
-    val markers = Seq(
-      "PARTITION BY" -> """(?i)\bPARTITION\s+BY\b""",
-      "ORDER BY" -> """(?i)\bORDER\s+BY\b""",
-      "MEASURES" -> """(?i)\bMEASURES\b""",
-      "ONE ROW PER MATCH" -> """(?i)\bONE\s+ROW\s+PER\s+MATCH\b""",
-      "ALL ROWS PER MATCH" -> """(?i)\bALL\s+ROWS\s+PER\s+MATCH\b""",
-      "AFTER MATCH" -> """(?i)\bAFTER\s+MATCH\b""",
-      "PATTERN" -> """(?i)\bPATTERN\b""",
-      "SUBSET" -> """(?i)\bSUBSET\b""",
-      "WITHIN" -> """(?i)\bWITHIN\b""",
-      "DEFINE" -> """(?i)\bDEFINE\b""")
-    val hits = markers.flatMap { case (m, re) =>
-      re.r.findAllMatchIn(b).find(h => !inQuote(h.start)).map(h => (m, h.start, h.end))
-    }.sortBy(_._2)
-    hits.zipWithIndex.map { case ((m, i, e), k) =>
+    val markers = Seq("PARTITION BY", "ORDER BY", "MEASURES",
+      "ONE ROW PER MATCH", "ALL ROWS PER MATCH", "AFTER MATCH",
+      "PATTERN", "SUBSET", "WITHIN", "DEFINE")
+    val hits = markers.flatMap(m =>
+      SqlLexer.findKeyword(b, m).map { case (s, e) => (m, s, e) }).sortBy(_._2)
+    hits.zipWithIndex.map { case ((m, _, e), k) =>
       val end = if (k + 1 < hits.size) hits(k + 1)._2 else b.length
       m -> b.substring(e, end).trim.stripSuffix(",").trim
     }.toMap

@@ -78,35 +78,13 @@ object TemporalSql {
   }
 
   /** The ON condition extends to the next top-level clause keyword,
-   * unbalanced ')', or end of text. Keyword hits inside single-quoted
-   * literals are ignored, and a hit counts only at a genuine word
-   * boundary — `\b` matches at the scan-region start unconditionally,
-   * so an identifier like `cleft` must not surface `LEFT`. */
-  private def endOfCondition(s: String, start: Int): Int = {
-    val stop = """(?is)\b(WHERE|GROUP\s+BY|ORDER\s+BY|HAVING|LIMIT|UNION|JOIN|LEFT|RIGHT|FULL|INNER|CROSS|WINDOW)\b""".r
-    var depth = 0
-    var inQuote = false
-    var i = start
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (inQuote) { if (c == '\'') inQuote = false }
-      else c match {
-        case '\'' => inQuote = true
-        case '(' => depth += 1
-        case ')' if depth == 0 => return i
-        case ')' => depth -= 1
-        case _ if depth == 0 =>
-          val prevIsWord = i > start &&
-            (s.charAt(i - 1).isLetterOrDigit || s.charAt(i - 1) == '_')
-          if (!prevIsWord &&
-              stop.findPrefixMatchOf(s.subSequence(i, s.length)).isDefined)
-            return i
-        case _ =>
-      }
-      i += 1
-    }
-    s.length
-  }
+   * unbalanced ')', or end of text — [[SqlLexer.regionEnd]] handles the
+   * quote-awareness and word boundaries (an identifier like `cleft`
+   * must not surface `LEFT`). */
+  private def endOfCondition(s: String, start: Int): Int =
+    SqlLexer.regionEnd(s, start, Seq("WHERE", "GROUP BY", "ORDER BY",
+      "HAVING", "LIMIT", "UNION", "JOIN", "LEFT", "RIGHT", "FULL",
+      "INNER", "CROSS", "WINDOW"))
 
   /** Parse + analyze + temporal-join-rewrite + wrap: the full SQL entry
    * point. Works whether or not `GraftExtensions` is installed on the

@@ -56,14 +56,10 @@ object WindowTvfSql {
 
   private def dur(secs: Long): String = s"'$secs seconds'"
 
-  /** True when position `i` in `s` is inside a single-quoted literal. */
-  private def inQuote(s: String, i: Int): Boolean =
-    s.substring(0, i).count(_ == '\'') % 2 == 1
-
   /** Rewrite every window-TVF call in `query` (pure text-to-text). */
   def desugar(query: String): String = {
     var out = query
-    var m = Tvf.findAllMatchIn(out).find(mm => !inQuote(out, mm.start))
+    var m = Tvf.findAllMatchIn(out).find(mm => !SqlLexer.inQuote(out, mm.start))
     while (m.isDefined) {
       val mm = m.get
       val (fn, table, ts, args) =
@@ -102,7 +98,7 @@ object WindowTvfSql {
           close + 1
         } else mm.end
       out = out.substring(0, mm.start) + inner + " " + out.substring(end)
-      m = Tvf.findAllMatchIn(out).find(x => !inQuote(out, x.start))
+      m = Tvf.findAllMatchIn(out).find(x => !SqlLexer.inQuote(out, x.start))
     }
     out
   }
