@@ -30,8 +30,15 @@ object FrameCache {
    * `build` + `persist` (lazy-val init is synchronized) — a plain
    * getOrElseUpdate evaluates the by-name default non-atomically and
    * the losing DataFrame's persisted blocks would leak. */
-  private final class Entry(val session: SparkSession, build: () => DataFrame) {
-    lazy val frame: DataFrame = build().persist(StorageLevel.MEMORY_AND_DISK)
+  private final class Entry(val session: SparkSession, build0: () => DataFrame) {
+    // the thunk (and everything its closure pins) is dropped once the
+    // frame materializes — entries live for the whole session
+    private var build: () => DataFrame = build0
+    lazy val frame: DataFrame = {
+      val df = build().persist(StorageLevel.MEMORY_AND_DISK)
+      build = null
+      df
+    }
   }
 
   private val cache = TrieMap.empty[String, Entry]

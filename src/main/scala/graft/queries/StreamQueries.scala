@@ -740,26 +740,10 @@ object StreamQueries extends QueryPack {
              count(*) AS n,
              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
       FROM sessions GROUP BY user_id, sid ORDER BY user_id, ws""",
-    "stream_cumulate_agg" -> """
-      SELECT ws, we, count(*) AS n,
-             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
-      FROM (
-        SELECT time_bucket(INTERVAL 60 MINUTE, ts) AS ws,
-               time_bucket(INTERVAL 60 MINUTE, ts) + k * INTERVAL 20 MINUTE AS we,
-               ts, value
-        FROM events, generate_series(1, 3) AS t(k))
-      WHERE we > ts
-      GROUP BY ws, we ORDER BY ws, we""",
-    "stream_cumulate_sql" -> """
-      SELECT ws, we, count(*) AS n,
-             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
-      FROM (
-        SELECT time_bucket(INTERVAL 60 MINUTE, ts) AS ws,
-               time_bucket(INTERVAL 60 MINUTE, ts) + k * INTERVAL 20 MINUTE AS we,
-               ts, value
-        FROM events, generate_series(1, 3) AS t(k))
-      WHERE we > ts
-      GROUP BY ws, we ORDER BY ws, we""",
+    // one shared constant per window shape (TimeWindowQueries) keeps
+    // the streaming gates' oracles identical to the batch ones
+    "stream_cumulate_agg" -> TimeWindowQueries.cumulateOracleSql,
+    "stream_cumulate_sql" -> TimeWindowQueries.cumulateOracleSql,
     "multi_sink_fanout" -> """
       SELECT 'by_type' AS sink, event_type AS k, count(*) AS n,
              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents

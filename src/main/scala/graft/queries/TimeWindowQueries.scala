@@ -166,14 +166,37 @@ object TimeWindowQueries extends QueryPack {
     })
   )
 
-  override def oracle: Map[String, String] = Map(
-    "win_tumble" -> """
+  // oracle texts shared by a DataFrame-API gate and its TVF-SQL twin —
+  // ONE constant per window shape, so the hash-identical invariant is
+  // enforced by construction rather than copy-paste discipline
+  private[queries] val tumbleOracleSql = """
       SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS ws,
              time_bucket(INTERVAL 15 MINUTE, ts) + INTERVAL 15 MINUTE AS we,
              event_type, count(*) AS n,
              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
       FROM events
-      GROUP BY 1, 2, 3 ORDER BY ws, event_type""",
+      GROUP BY 1, 2, 3 ORDER BY ws, event_type"""
+  private[queries] val hopOracleSql = """
+      SELECT ws, ws + INTERVAL 30 MINUTE AS we, count(*) AS n,
+             count(DISTINCT user_id) AS n_users
+      FROM (
+        SELECT time_bucket(INTERVAL 10 MINUTE, ts) - k * INTERVAL 10 MINUTE AS ws,
+               user_id
+        FROM events, generate_series(0, 2) AS t(k))
+      GROUP BY ws ORDER BY ws"""
+  private[queries] val cumulateOracleSql = """
+      SELECT ws, we, count(*) AS n,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
+      FROM (
+        SELECT time_bucket(INTERVAL 60 MINUTE, ts) AS ws,
+               time_bucket(INTERVAL 60 MINUTE, ts) + k * INTERVAL 20 MINUTE AS we,
+               ts, value
+        FROM events, generate_series(1, 3) AS t(k))
+      WHERE we > ts
+      GROUP BY ws, we ORDER BY ws, we"""
+
+  override def oracle: Map[String, String] = Map(
+    "win_tumble" -> tumbleOracleSql,
     "win_tumble_offset" -> """
       SELECT time_bucket(INTERVAL 15 MINUTE, ts,
                          TIMESTAMP '2000-01-01 00:05:00') AS ws,
@@ -181,14 +204,7 @@ object TimeWindowQueries extends QueryPack {
              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
       FROM events
       GROUP BY 1 ORDER BY ws""",
-    "win_hop" -> """
-      SELECT ws, ws + INTERVAL 30 MINUTE AS we, count(*) AS n,
-             count(DISTINCT user_id) AS n_users
-      FROM (
-        SELECT time_bucket(INTERVAL 10 MINUTE, ts) - k * INTERVAL 10 MINUTE AS ws,
-               user_id
-        FROM events, generate_series(0, 2) AS t(k))
-      GROUP BY ws ORDER BY ws""",
+    "win_hop" -> hopOracleSql,
     "win_session" -> """
       WITH flagged AS (
         SELECT user_id, ts, value,
@@ -245,42 +261,9 @@ object TimeWindowQueries extends QueryPack {
                                   ORDER BY value DESC, event_id) AS rn
         FROM events) t
       WHERE rn <= 2 ORDER BY ws, event_type, rn""",
-    "win_cumulate" -> """
-      SELECT ws, we, count(*) AS n,
-             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
-      FROM (
-        SELECT time_bucket(INTERVAL 60 MINUTE, ts) AS ws,
-               time_bucket(INTERVAL 60 MINUTE, ts) + k * INTERVAL 20 MINUTE AS we,
-               ts, value
-        FROM events, generate_series(1, 3) AS t(k))
-      WHERE we > ts
-      GROUP BY ws, we ORDER BY ws, we""",
-    // the TVF-SQL gates must hash-match the DataFrame-API gates, so
-    // they share those gates' oracle texts verbatim
-    "win_tumble_tvf_sql" -> """
-      SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS ws,
-             time_bucket(INTERVAL 15 MINUTE, ts) + INTERVAL 15 MINUTE AS we,
-             event_type, count(*) AS n,
-             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
-      FROM events
-      GROUP BY 1, 2, 3 ORDER BY ws, event_type""",
-    "win_hop_tvf_sql" -> """
-      SELECT ws, ws + INTERVAL 30 MINUTE AS we, count(*) AS n,
-             count(DISTINCT user_id) AS n_users
-      FROM (
-        SELECT time_bucket(INTERVAL 10 MINUTE, ts) - k * INTERVAL 10 MINUTE AS ws,
-               user_id
-        FROM events, generate_series(0, 2) AS t(k))
-      GROUP BY ws ORDER BY ws""",
-    "win_cumulate_tvf_sql" -> """
-      SELECT ws, we, count(*) AS n,
-             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
-      FROM (
-        SELECT time_bucket(INTERVAL 60 MINUTE, ts) AS ws,
-               time_bucket(INTERVAL 60 MINUTE, ts) + k * INTERVAL 20 MINUTE AS we,
-               ts, value
-        FROM events, generate_series(1, 3) AS t(k))
-      WHERE we > ts
-      GROUP BY ws, we ORDER BY ws, we"""
+    "win_cumulate" -> cumulateOracleSql,
+    "win_tumble_tvf_sql" -> tumbleOracleSql,
+    "win_hop_tvf_sql" -> hopOracleSql,
+    "win_cumulate_tvf_sql" -> cumulateOracleSql
   )
 }

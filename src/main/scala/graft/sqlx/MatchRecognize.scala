@@ -459,7 +459,10 @@ object MatchRecognize {
         case "+" => pat.stepIter(sym, pred(sym), strict = true, Cep.OneOrMore)
         case "+?" => pat.stepIter(sym, pred(sym), strict = true, Cep.OneOrMoreReluctant)
         case "?" => pat.stepIter(sym, pred(sym), strict = true, Cep.Optional)
-        case "??" => pat.stepIter(sym, pred(sym), strict = false, Cep.OptionalReluctant)
+        // strict = true: MATCH_RECOGNIZE contiguity — B?? may only
+        // consume the row immediately after the previous step (same
+        // as B?; reluctance only flips the skip/include preference)
+        case "??" => pat.stepIter(sym, pred(sym), strict = true, Cep.OptionalReluctant)
         case "*" => pat.stepIter(sym, pred(sym), strict = true, Cep.ZeroOrMore)
         case "*?" => pat.stepIter(sym, pred(sym), strict = true, Cep.ZeroOrMoreReluctant)
         case Range(lo, hi) =>

@@ -46,11 +46,18 @@ object WindowTvfSql {
   private val unitSecs =
     Map("SECOND" -> 1L, "MINUTE" -> 60L, "HOUR" -> 3600L, "DAY" -> 86400L)
 
-  /** Parse the TVF's trailing `INTERVAL 'n' UNIT` arguments → seconds. */
+  /** Parse the TVF's trailing `INTERVAL 'n' UNIT` arguments → seconds.
+   * The tail must consist of NOTHING but interval literals and commas —
+   * named arguments (`SIZE => ...`) or expression offsets would
+   * otherwise be discarded silently, changing query semantics. */
   private def intervals(args: String, fn: String): List[Long] = {
     val found = IntervalLit.findAllMatchIn(args)
       .map(m => m.group(1).toLong * unitSecs(m.group(2).toUpperCase)).toList
     require(found.nonEmpty, s"$fn: expected INTERVAL 'n' UNIT arguments, got: $args")
+    val leftover = IntervalLit.replaceAllIn(args, "").replace(",", "").trim
+    require(leftover.isEmpty,
+      s"$fn: unsupported argument text '$leftover' (positional INTERVAL " +
+      s"'n' UNIT literals only), in: $args")
     found
   }
 
@@ -90,11 +97,16 @@ object WindowTvfSql {
              |              explode(sequence(1, ${size / step})) AS __k FROM $table) __tvf
              | WHERE $wEnd > $ts)""".stripMargin
       }
-      // the optional TABLE( wrapper swallows its closing paren
+      // the optional TABLE( wrapper swallows its closing paren — only
+      // whitespace may sit between the TVF and that close, anything
+      // else would be deleted silently
       val end =
         if (mm.group(1) != null) {
           val close = out.indexOf(')', mm.end)
           require(close >= 0, s"unclosed TABLE( around $fn")
+          require(out.substring(mm.end, close).isBlank,
+            s"unexpected text '${out.substring(mm.end, close).trim}' " +
+            s"between $fn(...) and the TABLE( close")
           close + 1
         } else mm.end
       out = out.substring(0, mm.start) + inner + " " + out.substring(end)
@@ -103,10 +115,13 @@ object WindowTvfSql {
     out
   }
 
-  /** Desugar + run. Rejects any TVF the rewriter could not handle. */
+  /** Desugar + run. Rejects any TVF the rewriter could not handle
+   * (quote-aware: a DESCRIPTOR( inside a string literal is fine). */
   def sql(spark: SparkSession, query: String): DataFrame = {
     val q = desugar(query)
-    require(!"""(?i)DESCRIPTOR\s*\(""".r.findFirstIn(q).isDefined,
+    val undesugared = """(?i)DESCRIPTOR\s*\(""".r.findAllMatchIn(q)
+      .exists(m => !SqlLexer.inQuote(q, m.start))
+    require(!undesugared,
       s"window TVF not desugared (unsupported form — positional args and " +
       s"literal intervals only):\n$q")
     spark.sql(q)

@@ -753,6 +753,10 @@ object Cep {
       ttl: Option[String] = None,
       unmatched: Boolean = false): Dataset[CepBoundG[T]] = {
     validate(pattern) // fail fast on the driver
+    require(!unmatched || pattern.withinUs != Long.MaxValue,
+      "unmatched-row emission requires within(): eviction of the within " +
+      "horizon is what makes 'participates in no match' final — without " +
+      "it nothing is ever evicted and unmatched rows would never emit")
     implicit val tEnc: org.apache.spark.sql.Encoder[T] = Encoders.product[T]
     implicit val stEnc: org.apache.spark.sql.Encoder[CepStateG[T]] =
       Encoders.product[CepStateG[T]]

@@ -522,6 +522,22 @@ class MatchRecognizeSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("bare reluctant-optional B?? compiles strict (MATCH_RECOGNIZE contiguity)") {
+    val spec = MatchRecognize.parse("""
+      SELECT * FROM t MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts
+        MEASURES A.event_id AS x
+        PATTERN (A B?? C)
+        WITHIN INTERVAL '5' MINUTE
+        DEFINE A AS A.event_type = 'a', B AS B.event_type = 'b',
+               C AS C.event_type = 'c'
+      )""")
+    val b = spec.pattern.steps(1)
+    assert(b.quant == Cep.OptionalReluctant && b.strict,
+      "B?? must only consume the immediately-next row, like B?")
+  }
+
   test("unsupported clauses raise, not silently misparse") {
     intercept[IllegalArgumentException] {
       MatchRecognize.parse("SELECT 1") // no clause

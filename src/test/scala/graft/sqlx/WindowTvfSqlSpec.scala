@@ -55,6 +55,27 @@ class WindowTvfSqlSpec extends SparkSuite {
         "SELECT 1 FROM TABLE(TUMBLE(DATA => TABLE ev, TIMECOL => DESCRIPTOR(ts), SIZE => INTERVAL '15' MINUTE))")
     }
     assert(e.getMessage.contains("not desugared"), e.getMessage)
+    // but a DESCRIPTOR( inside a string literal is NOT a leftover TVF
+    assert(WindowTvfSql.sql(spark,
+      "SELECT 'TUMBLE(TABLE t, DESCRIPTOR(ts), x)' AS doc").collect().length == 1)
+  }
+
+  test("junk in the argument tail or after the TVF raises, never silently drops") {
+    // named interval argument would otherwise be discarded
+    intercept[IllegalArgumentException] {
+      WindowTvfSql.desugar(
+        "FROM TUMBLE(TABLE ev, DESCRIPTOR(ts), SIZE => INTERVAL '15' MINUTE)")
+    }
+    // non-literal offset expression
+    intercept[IllegalArgumentException] {
+      WindowTvfSql.desugar(
+        "FROM TUMBLE(TABLE ev, DESCRIPTOR(ts), INTERVAL '15' MINUTE, some_col)")
+    }
+    // text between the TVF close and the TABLE( close
+    intercept[IllegalArgumentException] {
+      WindowTvfSql.desugar(
+        "FROM TABLE(TUMBLE(TABLE ev, DESCRIPTOR(ts), INTERVAL '15' MINUTE) garbage)")
+    }
   }
 
   test("end-to-end: TVF SQL equals the DataFrame window() aggregation") {
