@@ -688,6 +688,77 @@ object StreamQueries extends QueryPack {
         .orderBy(col("user_id"), col("ws"))
     }),
 
+    // Window TIME EVICTOR (reference TimeEvictor via
+    // WindowedStream.evictor): per-type 6-hour tumbling windows whose
+    // aggregate sees only the trailing hour of event time — elements
+    // at ts <= max_ts − 1h are evicted. Eviction is eager (the cutoff
+    // is monotone), so state stays bounded by one keep-span of data.
+    "stream_evictor_time" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val out = graft.streaming.Evictors.tumbleTimeEvictor(
+        StreamOps.eventsTypedWithFinalWatermark(s, dir),
+        sizeUs = 6L * 3600 * 1000 * 1000, keepUs = 3600L * 1000 * 1000)
+      StreamOps.runToBatch(s, out.toDF(), "append", "stream_evict_time")
+        .filter(col("event_type") =!= "sentinel")
+        .select(col("event_type"),
+          expr("cast(timestamp_micros(ws_us) as timestamp_ntz)").as("ws"),
+          col("n_kept"), col("kept_cents"))
+        .orderBy(col("event_type"), col("ws"))
+    }),
+
+    // Window DELTA EVICTOR (reference DeltaEvictor): the aggregate
+    // sees only elements within 10000 integer cents of the window's
+    // LAST element — the rest evict at firing time.
+    "stream_evictor_delta" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val out = graft.streaming.Evictors.tumbleDeltaEvictor(
+        StreamOps.eventsTypedWithFinalWatermark(s, dir),
+        sizeUs = 6L * 3600 * 1000 * 1000, thresholdCents = 10000L)
+      StreamOps.runToBatch(s, out.toDF(), "append", "stream_evict_delta")
+        .filter(col("event_type") =!= "sentinel")
+        .select(col("event_type"),
+          expr("cast(timestamp_micros(ws_us) as timestamp_ntz)").as("ws"),
+          col("n_kept"), col("kept_cents"))
+        .orderBy(col("event_type"), col("ws"))
+    }),
+
+    // DELTA TRIGGER (reference DeltaTrigger): within a 6-hour window
+    // the first element arms a baseline; an element whose cents jump
+    // from the baseline exceeds 15000 FIRES the window's current
+    // accumulation and becomes the new baseline. No end-of-window
+    // firing — the trigger replaces the default, as in the reference.
+    "stream_trigger_delta" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val out = graft.streaming.Triggers.tumbleDeltaTrigger(
+        StreamOps.eventsTypedWithFinalWatermark(s, dir),
+        sizeUs = 6L * 3600 * 1000 * 1000, thresholdCents = 15000L)
+      StreamOps.runToBatch(s, out.toDF(), "append", "stream_trig_delta")
+        .filter(col("event_type") =!= "sentinel")
+        .select(col("event_type"),
+          expr("cast(timestamp_micros(ws_us) as timestamp_ntz)").as("ws"),
+          col("fire_id"), col("n_at_fire"), col("cents_at_fire"))
+        .orderBy(col("event_type"), col("ws"), col("n_at_fire"))
+    }),
+
+    // CONTINUOUS EVENT-TIME TRIGGER (reference
+    // ContinuousEventTimeTrigger): a 6-hour window fires every hour of
+    // event time while open — each firing emits the accumulation over
+    // events strictly before the interval boundary — plus the final
+    // full-window pane at the window end.
+    "stream_trigger_continuous" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val out = graft.streaming.Triggers.tumbleContinuousTrigger(
+        StreamOps.eventsTypedWithFinalWatermark(s, dir),
+        sizeUs = 6L * 3600 * 1000 * 1000, intervalUs = 3600L * 1000 * 1000)
+      StreamOps.runToBatch(s, out.toDF(), "append", "stream_trig_cont")
+        .filter(col("event_type") =!= "sentinel")
+        .select(col("event_type"),
+          expr("cast(timestamp_micros(ws_us) as timestamp_ntz)").as("ws"),
+          expr("cast(timestamp_micros(fire_us) as timestamp_ntz)").as("fire"),
+          col("n_so_far"), col("cents_so_far"))
+        .orderBy(col("event_type"), col("ws"), col("fire"))
+    }),
+
     // CEP absence detection (reference Pattern.notFollowedBy ending a
     // pattern, `cep/pattern/Pattern.java` notFollowedBy + within):
     // clicks with NO purchase in the next 10 minutes. Absence over a
@@ -1012,6 +1083,68 @@ object StreamQueries extends QueryPack {
              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS kept_cents
       FROM r WHERE rn <= 5
       GROUP BY user_id, ws ORDER BY user_id, ws""",
+    "stream_evictor_time" -> """
+      WITH r AS (
+        SELECT event_type, time_bucket(INTERVAL 6 HOUR, ts) AS ws, ts, value,
+               max(ts) OVER (PARTITION BY event_type, time_bucket(INTERVAL 6 HOUR, ts)) AS mx
+        FROM events)
+      SELECT event_type, ws, count(*) AS n_kept,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS kept_cents
+      FROM r WHERE ts > mx - INTERVAL 1 HOUR
+      GROUP BY event_type, ws ORDER BY event_type, ws""",
+    "stream_evictor_delta" -> """
+      WITH r AS (
+        SELECT event_type, time_bucket(INTERVAL 6 HOUR, ts) AS ws,
+               CAST(floor(value * 100) AS BIGINT) AS cents,
+               last_value(CAST(floor(value * 100) AS BIGINT)) OVER (
+                 PARTITION BY event_type, time_bucket(INTERVAL 6 HOUR, ts)
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_cents
+        FROM events)
+      SELECT event_type, ws, count(*) AS n_kept, CAST(sum(cents) AS BIGINT) AS kept_cents
+      FROM r WHERE abs(cents - last_cents) < 10000
+      GROUP BY event_type, ws ORDER BY event_type, ws""",
+    "stream_trigger_delta" -> """
+      WITH RECURSIVE r AS (
+        SELECT event_type, time_bucket(INTERVAL 6 HOUR, ts) AS ws, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS cents,
+               row_number() OVER w AS rn,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT) AS run_cents
+        FROM events
+        WINDOW w AS (PARTITION BY event_type, time_bucket(INTERVAL 6 HOUR, ts)
+                     ORDER BY ts, event_id)),
+      walk AS (
+        SELECT event_type, ws, rn, cents AS baseline, FALSE AS fired, event_id, run_cents
+        FROM r WHERE rn = 1
+        UNION ALL
+        SELECT n.event_type, n.ws, n.rn,
+               CASE WHEN abs(n.cents - w.baseline) > 15000 THEN n.cents ELSE w.baseline END,
+               abs(n.cents - w.baseline) > 15000, n.event_id, n.run_cents
+        FROM walk w JOIN r n
+          ON n.event_type = w.event_type AND n.ws = w.ws AND n.rn = w.rn + 1)
+      SELECT event_type, ws, event_id AS fire_id, CAST(rn AS BIGINT) AS n_at_fire,
+             run_cents AS cents_at_fire
+      FROM walk WHERE fired ORDER BY event_type, ws, rn""",
+    "stream_trigger_continuous" -> """
+      WITH w AS (
+        SELECT event_type, time_bucket(INTERVAL 6 HOUR, ts) AS ws, min(ts) AS mn
+        FROM events GROUP BY 1, 2),
+      b AS (
+        SELECT event_type, ws, fire FROM (
+          SELECT event_type, ws,
+                 unnest(generate_series(time_bucket(INTERVAL 1 HOUR, mn) + INTERVAL 1 HOUR,
+                                        ws + INTERVAL 6 HOUR, INTERVAL 1 HOUR)) AS fire
+          FROM w) WHERE fire < ws + INTERVAL 6 HOUR
+        UNION ALL
+        SELECT event_type, ws, ws + INTERVAL 6 HOUR AS fire FROM w)
+      SELECT b.event_type, b.ws, b.fire, count(*) AS n_so_far,
+             CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT) AS cents_so_far
+      FROM b JOIN events e
+        ON e.event_type = b.event_type
+       AND time_bucket(INTERVAL 6 HOUR, e.ts) = b.ws
+       AND e.ts < b.fire
+      GROUP BY b.event_type, b.ws, b.fire
+      ORDER BY b.event_type, b.ws, b.fire""",
     "stream_cep_absence" -> """
       SELECT user_id, event_id AS click_id
       FROM events c

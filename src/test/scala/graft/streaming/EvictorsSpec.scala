@@ -41,4 +41,50 @@ class EvictorsSpec extends SparkSuite {
         s"late row re-opened a finalized window: ${windows()}")
     } finally q.stop()
   }
+
+  test("time evictor keeps the trailing span of the window's max ts") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val minUs = 60L * 1000000
+    val ms = MemoryStream[Ev]
+    val q = Evictors.tumbleTimeEvictor(ms.toDS(), sizeUs = 10 * minUs, keepUs = 3 * minUs).toDF()
+      .writeStream.format("memory").queryName("t_tevict").outputMode("append").start()
+    def windows() = spark.table("t_tevict").as[EvictTypeWinRow].collect()
+      .map(r => r.ws_us / minUs -> (r.n_kept, r.kept_cents)).toMap
+    try {
+      // [0, 10min): rows at 1, 5, 7, 9 min — max 9, cutoff 9-3=6,
+      // kept = {7, 9} (ts <= cutoff evicted, reference TimeEvictor)
+      ms.addData(ev(1, 1, 1 * minUs, 1.0), ev(2, 1, 5 * minUs, 2.0),
+        ev(3, 1, 7 * minUs, 4.0), ev(4, 1, 9 * minUs, 8.0))
+      q.processAllAvailable()
+      ms.addData(ev(-1, 1, 100 * minUs, 0.0)) // advance wm beyond the window
+      q.processAllAvailable()
+      ms.addData(ev(-1, 1, 101 * minUs, 0.0)) // invoke under the new wm
+      q.processAllAvailable()
+      assert(windows() == Map(0L -> (2L, 1200L)), s"trailing-span keep wrong: ${windows()}")
+    } finally q.stop()
+  }
+
+  test("delta evictor keeps elements within the threshold of the last element") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val minUs = 60L * 1000000
+    val ms = MemoryStream[Ev]
+    val q = Evictors.tumbleDeltaEvictor(ms.toDS(), sizeUs = 10 * minUs, thresholdCents = 100L).toDF()
+      .writeStream.format("memory").queryName("t_devict").outputMode("append").start()
+    def windows() = spark.table("t_devict").as[EvictTypeWinRow].collect()
+      .map(r => r.ws_us / minUs -> (r.n_kept, r.kept_cents)).toMap
+    try {
+      // cents 100, 450, 420, 400; last = 400 → kept |c-400| < 100:
+      // {450, 420, 400} (reference DeltaEvictor evicts delta >= t)
+      ms.addData(ev(1, 1, 1 * minUs, 1.0), ev(2, 1, 2 * minUs, 4.5),
+        ev(3, 1, 3 * minUs, 4.2), ev(4, 1, 4 * minUs, 4.0))
+      q.processAllAvailable()
+      ms.addData(ev(-1, 1, 100 * minUs, 0.0))
+      q.processAllAvailable()
+      ms.addData(ev(-1, 1, 101 * minUs, 0.0))
+      q.processAllAvailable()
+      assert(windows() == Map(0L -> (3L, 1270L)), s"delta keep wrong: ${windows()}")
+    } finally q.stop()
+  }
 }
