@@ -326,6 +326,33 @@ object CepQueries extends QueryPack {
     // step plus a MAXIMAL one-or-more tail — a click, a low-value run
     // of at least TWO rows, then the run-ending row clearing 80, all
     // inside a 24-hour horizon.
+    // MATCH_RECOGNIZE with a QUANTIFIED FIRST symbol (`H+ L`): the
+    // reference allows any head quantifier as long as the whole
+    // pattern cannot match empty (StreamExecMatch.java:143-145); the
+    // engine anchors the greedy head run at each candidate row. SKIP
+    // PAST LAST makes matches the maximal high-value runs that an
+    // under-5 row terminates.
+    "match_recognize_quant_head" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val mrSql = """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES FIRST(H.event_id) AS start_id, COUNT(H.*) AS n_h,
+                   L.event_id AS l_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (H+ L)
+          WITHIN INTERVAL '90' DAY
+          DEFINE H AS H.value >= 20,
+                 L AS L.value < 5
+        )"""
+      StreamOps.runToBatch(s,
+          graft.sqlx.MatchRecognize.run(StreamOps.eventsTyped(s, dir), mrSql),
+          "append", "mr_qhead")
+        .orderBy(col("user_id"), col("start_id"))
+    }),
+
     "match_recognize_min_quant" -> ((s0, dir) => {
       val s = StreamOps.tuned(s0)
       val mrSql = """
@@ -573,6 +600,25 @@ object CepQueries extends QueryPack {
       WHERE cr.value >= 80
         AND cr.ts <= k.a_ts + INTERVAL 24 HOUR
       ORDER BY a_id""",
+    "match_recognize_quant_head" -> """
+      WITH o AS (
+        SELECT user_id, event_id, value, ts,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events),
+      isl AS (
+        SELECT user_id, rn,
+               rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        FROM o WHERE value >= 20),
+      runs AS (
+        SELECT user_id, grp, min(rn) AS rn0, max(rn) AS rn1,
+               CAST(count(*) AS BIGINT) AS n_h
+        FROM isl GROUP BY user_id, grp)
+      SELECT r.user_id, fh.event_id AS start_id, r.n_h, l.event_id AS l_id
+      FROM runs r
+      JOIN o fh ON fh.user_id = r.user_id AND fh.rn = r.rn0
+      JOIN o l  ON l.user_id = r.user_id AND l.rn = r.rn1 + 1
+      WHERE l.value < 5 AND l.ts <= fh.ts + INTERVAL 90 DAY
+      ORDER BY r.user_id, start_id""",
     "match_recognize_min_quant" -> """
       WITH o AS (
         SELECT user_id, event_id, event_type, value, ts,

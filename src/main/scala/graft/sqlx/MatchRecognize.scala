@@ -411,9 +411,8 @@ object MatchRecognize {
       excluded.foreach(e => if (occurrences.count(_ == e) > 1)
         fail(s"excluded symbol '$e' is reused outside {- -}"))
     }
-    if (tokens.head.left.exists(_._2.nonEmpty) ||
-        tokens.head.exists { case (_, _, gq) => gq.nonEmpty })
-      fail("subset: first pattern symbol must be unquantified")
+    if (tokens.head.exists { case (_, _, gq) => gq.nonEmpty })
+      fail("subset: first pattern group must be unquantified")
     def pred(sym: String): Cep.IterPred[MrEv] = defines.getOrElse(sym, (_, _) => true)
     def altsOf(syms: Seq[String]): Seq[(String, Cep.IterPred[MrEv])] =
       syms.map(s => s -> pred(s))
@@ -428,8 +427,45 @@ object MatchRecognize {
     val Range = """\{(\d+),(\d+)\}""".r
     val MinRange = """\{(\d+),\}""".r
     var pat = tokens.head match {
-      case Left((sym, _)) =>
+      case Left((sym, "")) =>
         Cep.Pattern(Vector(Cep.Step[MrEv](sym, pred(sym), strict = false)))
+      case Left((sym, q)) =>
+        // QUANTIFIED first symbol (`A+ B`, `A? B`, `A* B` …): the
+        // reference allows these as long as the pattern as a whole
+        // cannot match empty (StreamExecMatch.java:143-145 — that
+        // check runs in Cep.validate over the full compiled pattern).
+        // The head anchors at each candidate row; strict contiguity
+        // makes every branch bind (or fall through) from that row.
+        def headQ(qn: Cep.Quant) =
+          Cep.Pattern(Vector(Cep.Step[MrEv](sym, pred(sym), strict = true, quant = qn)))
+        q match {
+          case "+" => headQ(Cep.OneOrMore)
+          case "+?" => headQ(Cep.OneOrMoreReluctant)
+          case "?" => headQ(Cep.Optional)
+          case "??" => headQ(Cep.OptionalReluctant)
+          case "*" => headQ(Cep.ZeroOrMore)
+          case "*?" => headQ(Cep.ZeroOrMoreReluctant)
+          case Range(lo, hi) =>
+            val (m, n) = (lo.toInt, hi.toInt)
+            if (m < 0 || n < m || n < 1) fail(s"bad range quantifier {$lo,$hi}")
+            var p =
+              if (m >= 1) Cep.Pattern(Vector(Cep.Step[MrEv](s"$sym#1", pred(sym), strict = false)))
+              else Cep.Pattern(Vector(Cep.Step[MrEv](s"$sym#1", pred(sym), strict = true, quant = Cep.Optional)))
+            (2 to m).foreach(i => p = p.stepIter(s"$sym#$i", pred(sym), strict = true))
+            (math.max(m, 1) + 1 to n).foreach(i =>
+              p = p.stepIter(s"$sym#$i", pred(sym), strict = true, Cep.Optional))
+            p
+          case MinRange(lo) =>
+            val m = lo.toInt
+            if (m < 1) fail(s"bad range quantifier {$lo,}")
+            if (m == 1) Cep.Pattern(Vector(Cep.Step[MrEv](s"$sym#1", pred(sym), strict = true, quant = Cep.OneOrMore)))
+            else {
+              var p = Cep.Pattern(Vector(Cep.Step[MrEv](s"$sym#1", pred(sym), strict = false)))
+              (2 until m).foreach(i => p = p.stepIter(s"$sym#$i", pred(sym), strict = true))
+              p.stepIter(s"$sym#$m", pred(sym), strict = true, Cep.OneOrMore)
+            }
+          case other => fail(s"cannot parse quantifier '$other' on first pattern symbol")
+        }
       case Right((isPerm, syms, _)) =>
         val as = if (isPerm) guardedAltsOf(syms) else altsOf(syms)
         var p = Cep.Pattern(Vector(Cep.Step[MrEv](syms.mkString("|"),

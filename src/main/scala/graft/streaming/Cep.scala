@@ -425,9 +425,10 @@ object Cep {
       j < events.length && time(events(j)) - time(start) <= p.withinUs
 
     // per-step gap (withinStep): candidate j measured against the
-    // previously CONSUMED event's position
+    // previously CONSUMED event's position; the head step has no
+    // predecessor (prev < 0), so no gap constrains it
     def gapOk(prev: Int, j: Int): Boolean =
-      p.stepGapUs == Long.MaxValue ||
+      p.stepGapUs == Long.MaxValue || prev < 0 ||
         (j < events.length && time(events(j)) - time(events(prev)) <= p.stepGapUs)
 
     /** Iterative-condition context for the candidate at index `cand`
@@ -601,23 +602,35 @@ object Cep {
 
     validate(p) // direct batch callers (specs) get the same checks
     val hasAny = p.steps.exists(_.quant == Any)
+    val headStep = p.steps.head
     val out = List.newBuilder[MatchG[T]]
     var i = 0
     while (i < events.length) {
       val start = events(i)
       var next = i + 1
-      if (p.steps.head.pred(start,
-          if (ctxFree(p.steps.head.pred)) EmptyCtx.asInstanceOf[MatchCtx[T]]
-          else ctxAt(Vector.empty, i))) {
-        val headStep = p.steps.head
-        // same per-alternative branching as matchSteps for the head:
-        // each satisfying alternative (declared order) is a branch
-        val headNames: LazyList[String] =
-          if (headStep.alts.isEmpty) LazyList(headStep.name)
-          else LazyList.from(headStep.alts)
-            .collect { case (n, pr) if pr(start, ctxAt(Vector.empty, i)) => n }
-        val alts = headNames.flatMap(hn =>
-          matchSteps(start, i, p.steps.tail.toList, Vector((hn, i))))
+      val alts: LazyList[(Int, Vector[(String, Int)])] =
+        if (headStep.quant != Once) {
+          // QUANTIFIED head (MATCH_RECOGNIZE `A+ …`, `A? …`, `A* …`):
+          // the whole pattern runs through the step matcher anchored
+          // at i — strict steps bind from i upward, a possibly-empty
+          // head run falls through to the next step still at i. A
+          // branch that consumed nothing is not a match (the
+          // empty-match rejection in validate() guarantees at least
+          // one step is required, so this filter is belt-and-braces).
+          matchSteps(start, i - 1, p.steps.toList, Vector.empty).filter(_._2.nonEmpty)
+        } else if (p.steps.head.pred(start,
+            if (ctxFree(p.steps.head.pred)) EmptyCtx.asInstanceOf[MatchCtx[T]]
+            else ctxAt(Vector.empty, i))) {
+          // same per-alternative branching as matchSteps for the head:
+          // each satisfying alternative (declared order) is a branch
+          val headNames: LazyList[String] =
+            if (headStep.alts.isEmpty) LazyList(headStep.name)
+            else LazyList.from(headStep.alts)
+              .collect { case (n, pr) if pr(start, ctxAt(Vector.empty, i)) => n }
+          headNames.flatMap(hn =>
+            matchSteps(start, i, p.steps.tail.toList, Vector((hn, i))))
+        } else LazyList.empty
+      locally {
         // earliest-match subset takes the preferred alternative; Any
         // patterns emit every distinct branch (reference followedByAny)
         val ms = if (hasAny) alts.toList.distinct else alts.headOption.toList
@@ -693,6 +706,23 @@ object Cep {
       "a pattern containing notFollowedBy/notNext requires within() " +
         "(this engine holds negative-assertion matches until the watermark " +
         "closes the within window)")
+    // Reference parity (StreamExecMatch.java:143-145 via
+    // NFACompiler.canProduceEmptyMatches): a pattern in which EVERY
+    // step can consume zero rows could match empty at any position —
+    // rejected loudly, same as the reference.
+    val possiblyEmpty: Set[Quant] = Set(Optional, OptionalReluctant,
+      ZeroOrMore, ZeroOrMoreReluctant, NotNext, NotFollowed)
+    require(p.steps.exists(s => !possiblyEmpty(s.quant)),
+      "Patterns that can produce empty matches are not supported. " +
+        "There must be at least one non-optional state.")
+    // a quantified head is anchored per start row, which presumes
+    // strict contiguity (the MATCH_RECOGNIZE compilation); relaxed
+    // quantified heads would re-find one run from many anchors
+    require(p.steps.head.quant == Once || p.steps.head.strict,
+      "a quantified first step requires strict contiguity")
+    require(p.steps.head.quant == Once || p.stepGapUs == Long.MaxValue,
+      "withinStep() does not compose with a quantified first step " +
+        "(the head's first binding has no predecessor to measure against)")
   }
 
   /** `run` with full step→event bindings preserved per match (Ev

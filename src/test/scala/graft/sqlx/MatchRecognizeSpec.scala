@@ -567,4 +567,65 @@ class MatchRecognizeSpec extends SparkSuite {
       }
     }
   }
+
+  test("quantified first symbol: H+ L anchors the greedy head run") {
+    val spec = MatchRecognize.parse("""
+      SELECT * FROM events MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts
+        MEASURES FIRST(H.event_id) AS start_id, COUNT(H.*) AS n_h
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (H+ L)
+        WITHIN INTERVAL '1' HOUR
+        DEFINE H AS H.value >= 20, L AS L.value < 5
+      )""")
+    assert(spec.pattern.steps.head.quant == Cep.OneOrMore && spec.pattern.steps.head.strict)
+    val m = 60L * 1000000
+    val evs = IndexedSeq(
+      mrev(1, "x", 1 * m, 30.0), mrev(2, "x", 2 * m, 25.0), mrev(3, "x", 3 * m, 40.0),
+      mrev(4, "x", 4 * m, 1.0), // L: closes the 3-H run
+      mrev(5, "x", 5 * m, 22.0), mrev(6, "x", 6 * m, 2.0)) // second run
+    val ms = Cep.matchSortedG[MrEv](evs, spec.pattern, _.ts_us, _.id)
+    assert(ms.map(_.binds.map(b => (b.step, b.ev.id))) ==
+      List(List(("H", 1L), ("H", 2L), ("H", 3L), ("L", 4L)),
+           List(("H", 5L), ("L", 6L))), s"got $ms")
+  }
+
+  test("optional first symbol binds when present and falls through when absent") {
+    val spec = MatchRecognize.parse("""
+      SELECT * FROM events MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts
+        MEASURES B.event_id AS b_id
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A? B)
+        WITHIN INTERVAL '1' HOUR
+        DEFINE A AS A.event_type = 'a', B AS B.event_type = 'b'
+      )""")
+    assert(spec.pattern.steps.head.quant == Cep.Optional && spec.pattern.steps.head.strict)
+    val m = 60L * 1000000
+    val evs = IndexedSeq(mrev(1, "a", 1 * m), mrev(2, "b", 2 * m), mrev(3, "b", 3 * m))
+    val ms = Cep.matchSortedG[MrEv](evs, spec.pattern, _.ts_us, _.id)
+    assert(ms.map(_.binds.map(b => (b.step, b.ev.id))) ==
+      List(List(("A", 1L), ("B", 2L)), List(("B", 3L))), s"got $ms")
+  }
+
+  test("patterns that can produce empty matches are rejected, as the reference") {
+    val spec = MatchRecognize.parse("""
+      SELECT * FROM events MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts
+        MEASURES COUNT(A.*) AS n_a
+        ONE ROW PER MATCH
+        PATTERN (A? B*)
+        WITHIN INTERVAL '1' HOUR
+        DEFINE A AS A.event_type = 'a', B AS B.event_type = 'b'
+      )""")
+    val e = intercept[IllegalArgumentException] {
+      Cep.matchSortedG[MrEv](IndexedSeq(mrev(1, "a", 0)), spec.pattern, _.ts_us, _.id)
+    }
+    assert(e.getMessage.contains("empty matches"), e.getMessage)
+  }
 }
