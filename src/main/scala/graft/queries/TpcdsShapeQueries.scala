@@ -261,7 +261,78 @@ object TpcdsShapeQueries extends QueryPack {
       GROUP BY p_brand
       ORDER BY total_cents, p_brand"""
 
+  // Q14: cross-channel INTERSECT — the item set present in ALL three
+  // channels (INTERSECT chain inside a WITH frame) restricts the
+  // grouped sales aggregate. Catalyst plans INTERSECT as left-semi
+  // joins over DISTINCT scans; the IN probe is one more semi join.
+  private val q14 = """
+      WITH cross_items AS (
+        SELECT l_partkey AS pk FROM lineitem WHERE l_linestatus = 'F'
+        INTERSECT
+        SELECT l_partkey FROM lineitem WHERE l_linestatus = 'O' AND l_returnflag <> 'R'
+        INTERSECT
+        SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n_sales,
+             CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sales_cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_partkey IN (SELECT pk FROM cross_items)
+        AND l_shipdate >= @TS'1998-01-01 00:00:00' AND l_shipdate < @TS'1999-01-01 00:00:00'
+      GROUP BY p_brand ORDER BY p_brand"""
+
+  // Q39: per-period stats with a coefficient-of-variation filter,
+  // self-joined on CONSECUTIVE periods (both periods must be
+  // high-variance). The CoV^2 >= 1/3 test is integer cross-multiplied
+  // from the raw (n, sum q, sum q^2) moments — n(n*Sq2 - Sq^2) is
+  // n(n-1)var — so the flag is bit-identical across engines with no
+  // stddev float boundary.
+  private val q39 = """
+      WITH stats AS (
+        SELECT l_suppkey AS sk, CAST(month(l_shipdate) AS INT) AS mn,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+               CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq2
+        FROM lineitem
+        WHERE l_shipdate >= @TS'1997-01-01 00:00:00' AND l_shipdate < @TS'1998-01-01 00:00:00'
+        GROUP BY l_suppkey, month(l_shipdate)),
+      flagged AS (
+        SELECT * FROM stats
+        WHERE n > 1 AND 3 * n * (n * sq2 - sq * sq) >= (n - 1) * sq * sq)
+      SELECT f1.sk AS suppkey, f1.mn AS mn1, f1.n AS n1, f1.sq AS q1,
+             f2.n AS n2, f2.sq AS q2
+      FROM flagged f1 JOIN flagged f2 ON f1.sk = f2.sk AND f2.mn = f1.mn + 1
+      ORDER BY suppkey, mn1"""
+
+  // Q78: sales WITHOUT a matching return (null-filtered LEFT JOIN =
+  // anti join) per channel, channels joined on item with an integer
+  // cross-multiplied ratio filter — the returns-exclusion + channel
+  // -ratio pattern.
+  private val q78 = """
+      WITH returned AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem WHERE l_returnflag = 'R'),
+      ss AS (
+        SELECT s.l_partkey AS pk,
+               CAST(sum(CAST(s.l_quantity AS BIGINT)) AS BIGINT) AS qty,
+               CAST(sum(CAST(floor(s.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem s LEFT JOIN returned r ON s.l_orderkey = r.ok AND s.l_partkey = r.pk
+        WHERE r.ok IS NULL AND s.l_linestatus = 'F'
+        GROUP BY s.l_partkey),
+      ws AS (
+        SELECT s.l_partkey AS pk,
+               CAST(sum(CAST(s.l_quantity AS BIGINT)) AS BIGINT) AS qty,
+               CAST(sum(CAST(floor(s.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem s LEFT JOIN returned r ON s.l_orderkey = r.ok AND s.l_partkey = r.pk
+        WHERE r.ok IS NULL AND s.l_linestatus = 'O'
+        GROUP BY s.l_partkey)
+      SELECT ss.pk AS partkey, ss.qty AS store_qty, ws.qty AS other_qty,
+             ss.cents AS store_cents, ws.cents AS other_cents
+      FROM ss JOIN ws ON ss.pk = ws.pk
+      WHERE 2 * ws.qty <= 3 * ss.qty
+      ORDER BY partkey"""
+
   private val texts: Map[String, (Seq[String], String)] = Map(
+    "tpcds_q14_cross_channel_intersect" -> (Seq("lineitem", "part") -> q14),
+    "tpcds_q39_stdev_pairs" -> (Seq("lineitem") -> q39),
+    "tpcds_q78_channel_ratio_anti" -> (Seq("lineitem") -> q78),
     "tpcds_q5_channel_rollup" -> (Seq("lineitem") -> q5),
     "tpcds_q95_with_chain_semi" -> (Seq("lineitem", "orders") -> q95),
     "tpcds_q51_window_over_agg" -> (Seq("lineitem") -> q51),

@@ -196,6 +196,28 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), s"scalar cross product shuffled:\n$p")
   }
 
+  test("TPC-DS Q14 shape: INTERSECT chain and IN probe plan as semi joins, no cartesian") {
+    val p = plan(graft.queries.TpcdsShapeQueries.queries("tpcds_q14_cross_channel_intersect")(spark, dir))
+    // two INTERSECTs + the IN probe: three LeftSemi joins over
+    // deduplicated channel scans — never inner joins that multiply
+    assert("LeftSemi".r.findAllIn(p).size >= 3,
+      s"expected three semi joins (2 INTERSECT + IN):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"INTERSECT fell to all-pairs:\n$p")
+  }
+
+  test("TPC-DS Q39 shape: one fact scan feeds the stats; the pair join is equi on (supp, month)") {
+    val p = plan(graft.queries.TpcdsShapeQueries.queries("tpcds_q39_stdev_pairs")(spark, dir))
+    // the flagged frame self-joins on sk + consecutive month — an
+    // equi-join (mn2 = mn1 + 1 is an equi key after rewrite), never
+    // a cartesian or theta-only nested loop
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"consecutive-month pair join fell to all-pairs:\n$p")
+    // the date filter must reach the parquet scan
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"shipdate band not pushed to the scan:\n$p")
+  }
+
   test("gap expressions stay inside WholeStageCodegen") {
     graft.functions.GraftFunctions.register(spark)
     Tables.load(spark, dir, "part").createOrReplaceTempView("part_audit")
