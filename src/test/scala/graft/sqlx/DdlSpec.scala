@@ -33,13 +33,21 @@ class DdlSpec extends SparkSuite {
 
   test("streaming DDL with watermark: windowed agg equals batch twin") {
     val dir = "/root/testdata/sf0.001"
-    // events.parquet stores ts as int64 nanos; the computed column turns
-    // it into the event-time timestamp the watermark rides on
+    // events.parquet has stored ts as int64 nanos in some driver
+    // generations and as parquet TIMESTAMP in others (StreamOps.readStream
+    // carries the same guard); declare the physical type the file
+    // actually has, and let the computed column turn it into the
+    // event-time timestamp the watermark rides on
+    val tsIsLong = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val (tsType, evExpr) =
+      if (tsIsLong) ("BIGINT", "cast(timestamp_micros(ts div 1000) as timestamp)")
+      else ("TIMESTAMP", "cast(ts as timestamp)")
     Ddl.execute(spark,
       s"""CREATE TABLE events_stream (
             event_id BIGINT, user_id BIGINT, event_type STRING,
-            ts BIGINT, value DOUBLE,
-            event_time AS cast(timestamp_micros(ts div 1000) as timestamp),
+            ts $tsType, value DOUBLE,
+            event_time AS $evExpr,
             WATERMARK FOR event_time AS event_time - INTERVAL '60' SECOND
           ) WITH ('connector' = 'filesystem',
                   'path' = '$dir/events.parquet',
