@@ -329,7 +329,122 @@ object TpcdsShapeQueries extends QueryPack {
       WHERE 2 * ws.qty <= 3 * ss.qty
       ORDER BY partkey"""
 
+  // Q47/Q57: several window functions over ONE monthly aggregate —
+  // per-partition sum/count (the year average, kept as raw integer
+  // moments), lag and lead of the monthly sales — then a deviation
+  // filter. The avg compare is cross-multiplied in BIGINT (sales >
+  // 1.1 * avg  ⇔  10 * n * sales > 11 * yr_sum), so no float boundary.
+  // Catalyst must evaluate all four window functions in one Window
+  // over the aggregate's output (single sort per supplier).
+  private val q47 = """
+      WITH monthly AS (
+        SELECT l_suppkey AS sk, CAST(month(l_shipdate) AS INT) AS mn,
+               CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sales
+        FROM lineitem
+        WHERE l_shipdate >= @TS'1997-01-01 00:00:00'
+          AND l_shipdate < @TS'1998-01-01 00:00:00'
+        GROUP BY l_suppkey, month(l_shipdate)),
+      v AS (
+        SELECT sk, mn, sales,
+               CAST(sum(sales) OVER (PARTITION BY sk) AS BIGINT) AS yr_sum,
+               CAST(count(*) OVER (PARTITION BY sk) AS BIGINT) AS yr_n,
+               lag(sales) OVER (PARTITION BY sk ORDER BY mn) AS prev_sales,
+               lead(sales) OVER (PARTITION BY sk ORDER BY mn) AS next_sales
+        FROM monthly)
+      SELECT sk AS suppkey, mn, sales, prev_sales, next_sales
+      FROM v
+      WHERE prev_sales IS NOT NULL AND next_sales IS NOT NULL
+        AND 10 * yr_n * sales > 11 * yr_sum
+      ORDER BY suppkey, mn"""
+
+  // Q1: correlated scalar aggregates over a grouped WITH frame — each
+  // customer's returns total compared against 1.2× the average of its
+  // OWN nation's group (avg decorrelated into count/sum scalar
+  // subqueries, integer cross-multiplied: 5·ret·n > 6·Σret). Catalyst
+  // must decorrelate both subqueries into aggregate+join.
+  private val q1 = """
+      WITH ctr AS (
+        SELECT o_custkey AS ck, c_nationkey AS nk,
+               CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS ret
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'
+        GROUP BY o_custkey, c_nationkey)
+      SELECT c1.ck AS custkey, c1.nk AS nationkey, c1.ret AS ret_cents
+      FROM ctr c1
+      WHERE 5 * c1.ret * (SELECT count(*) FROM ctr c2 WHERE c2.nk = c1.nk)
+            > 6 * (SELECT sum(c2.ret) FROM ctr c2 WHERE c2.nk = c1.nk)
+      ORDER BY custkey"""
+
+  // Q17/Q25/Q29: a three-fact chain — sale → return → repurchase in
+  // date order, two equi-joins with a date inequality, never a
+  // cartesian. The published queries chain on (customer, item); this
+  // synthetic data has no ticket identity linking a sale to its
+  // return, so the chain key is relaxed to the customer (Q25's
+  // customer-journey semantics). Fan-out is bounded per customer —
+  // per-customer activity is constant in SF, so the chain stays
+  // linear at scale; the first leg's quarter filter prunes the probe
+  // side before either join.
+  private val q17 = """
+      WITH s AS (
+        SELECT o_custkey AS ck, CAST(l_quantity AS BIGINT) AS q, o_orderdate AS d
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_linestatus = 'F' AND l_returnflag <> 'R'
+          AND o_orderdate >= @TS'1997-01-01 00:00:00' AND o_orderdate < @TS'1997-04-01 00:00:00'),
+      r AS (
+        SELECT o_custkey AS ck, CAST(l_quantity AS BIGINT) AS q, o_orderdate AS d
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= @TS'1997-01-01 00:00:00' AND o_orderdate < @TS'1997-10-01 00:00:00'),
+      c AS (
+        SELECT o_custkey AS ck, CAST(l_quantity AS BIGINT) AS q, o_orderdate AS d
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_linestatus = 'O'
+          AND o_orderdate >= @TS'1997-01-01 00:00:00' AND o_orderdate < @TS'1998-01-01 00:00:00')
+      SELECT s.ck AS custkey, CAST(count(*) AS BIGINT) AS n_chains,
+             CAST(sum(s.q) AS BIGINT) AS sold_qty,
+             CAST(sum(r.q) AS BIGINT) AS ret_qty,
+             CAST(sum(c.q) AS BIGINT) AS rebuy_qty
+      FROM s JOIN r ON s.ck = r.ck AND r.d >= s.d
+             JOIN c ON r.ck = c.ck AND c.d >= r.d
+      GROUP BY s.ck
+      ORDER BY custkey"""
+
+  // Q49: per-channel return ratios ranked under TWO different
+  // orderings over the same frame (return rate and currency ratio),
+  // kept when EITHER rank ≤ 10, channels UNION ALL'd. Rank orderings
+  // divide BIGINTs as doubles — exact for these magnitudes (< 2^53),
+  // so both engines sort identical doubles; pk breaks all ties.
+  private val q49 = """
+      WITH by_part AS (
+        SELECT l_linestatus AS ch, l_partkey AS pk,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS ret_qty,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(floor(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS ret_cents,
+               CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem
+        WHERE l_shipdate >= @TS'1997-01-01 00:00:00'
+          AND l_shipdate < @TS'1997-07-01 00:00:00'
+        GROUP BY l_linestatus, l_partkey),
+      ranked AS (
+        SELECT ch, pk, ret_qty, qty,
+               rank() OVER (PARTITION BY ch
+                            ORDER BY CAST(ret_qty AS DOUBLE) / qty DESC, pk) AS rnk_qty,
+               rank() OVER (PARTITION BY ch
+                            ORDER BY CAST(ret_cents AS DOUBLE) / cents DESC, pk) AS rnk_amt
+        FROM by_part
+        WHERE qty > 0 AND cents > 0)
+      SELECT ch AS channel, pk AS partkey, ret_qty, qty,
+             CAST(rnk_qty AS INT) AS rnk_qty, CAST(rnk_amt AS INT) AS rnk_amt
+      FROM ranked
+      WHERE rnk_qty <= 10 OR rnk_amt <= 10
+      ORDER BY channel, rnk_qty, rnk_amt, partkey"""
+
   private val texts: Map[String, (Seq[String], String)] = Map(
+    "tpcds_q47_window_family_dev" -> (Seq("lineitem") -> q47),
+    "tpcds_q1_correlated_group_avg" -> (Seq("orders", "lineitem", "customer") -> q1),
+    "tpcds_q17_three_fact_chain" -> (Seq("lineitem", "orders") -> q17),
+    "tpcds_q49_dual_rank_union" -> (Seq("lineitem") -> q49),
     "tpcds_q14_cross_channel_intersect" -> (Seq("lineitem", "part") -> q14),
     "tpcds_q39_stdev_pairs" -> (Seq("lineitem") -> q39),
     "tpcds_q78_channel_ratio_anti" -> (Seq("lineitem") -> q78),

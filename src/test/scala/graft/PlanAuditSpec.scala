@@ -218,6 +218,41 @@ class PlanAuditSpec extends SparkSuite {
       s"shipdate band not pushed to the scan:\n$p")
   }
 
+  test("TPC-DS Q47 shape: all four window functions share one Window over the aggregate") {
+    val p = plan(graft.queries.TpcdsShapeQueries.queries("tpcds_q47_window_family_dev")(spark, dir))
+    // sum/count over (sk) and lag/lead over (sk ORDER BY mn) are
+    // compatible partitions — at most two Window nodes over ONE
+    // exchange of the monthly aggregate; a per-function window chain
+    // would re-sort the frame four times
+    assert("\\(\\d+\\) Window".r.findAllIn(p).size <= 2,
+      s"window family split into per-function Window nodes:\n$p")
+    assert("Exchange hashpartitioning\\(sk".r.findAllIn(p).size <= 1,
+      s"window family re-shuffled the aggregate more than once:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"shipdate band not pushed to the scan:\n$p")
+  }
+
+  test("TPC-DS Q1 shape: correlated group-average subqueries decorrelate to aggregate joins") {
+    val p = plan(graft.queries.TpcdsShapeQueries.queries("tpcds_q1_correlated_group_avg")(spark, dir))
+    // both correlated scalar aggregates over the WITH frame must
+    // decorrelate into grouped aggregates joined back on nk — never a
+    // per-row re-execution (no nested-loop/cartesian in the plan)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"correlated subqueries fell to per-row evaluation:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected decorrelated grouped aggregates:\n$p")
+  }
+
+  test("TPC-DS Q17 shape: three-fact chain joins stay equi with date-inequality residuals") {
+    val p = plan(graft.queries.TpcdsShapeQueries.queries("tpcds_q17_three_fact_chain")(spark, dir))
+    // both chain hops are equi-joins on ck with the date bound as a
+    // residual condition — never a pure-theta nested loop
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"chain joins fell to all-pairs:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      s"order-date windows not pushed to the orders scans:\n$p")
+  }
+
   test("gap expressions stay inside WholeStageCodegen") {
     graft.functions.GraftFunctions.register(spark)
     Tables.load(spark, dir, "part").createOrReplaceTempView("part_audit")
