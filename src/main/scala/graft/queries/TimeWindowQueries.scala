@@ -120,6 +120,56 @@ object TimeWindowQueries extends QueryPack {
         .orderBy(col("ws"), col("event_type"), col("rn"))
     }),
 
+    // Window join in TVF SQL text (reference StreamExecWindowJoin SQL
+    // form: two windowed tables joined on window_start/window_end +
+    // key). Hash-identical to win_window_join — the desugared plan is
+    // the same equi-join on (window, user) because window_end is
+    // functionally determined by window_start for a fixed TUMBLE size.
+    "win_window_join_tvf_sql" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      ev.filter(col("event_type") === "click").createOrReplaceTempView("clicks")
+      ev.filter(col("event_type") === "purchase").createOrReplaceTempView("buys")
+      graft.sqlx.WindowTvfSql.sql(s, """
+        SELECT c.window_start AS ws, c.user_id, c.event_id AS click_id,
+               b.event_id AS buy_id
+        FROM TABLE(TUMBLE(TABLE clicks, DESCRIPTOR(ts), INTERVAL '30' MINUTE)) c
+        JOIN TABLE(TUMBLE(TABLE buys, DESCRIPTOR(ts), INTERVAL '30' MINUTE)) b
+          ON c.window_start = b.window_start AND c.window_end = b.window_end
+         AND c.user_id = b.user_id
+        ORDER BY click_id, buy_id""")
+    }),
+
+    // Window rank in TVF SQL text (reference StreamExecWindowRank SQL
+    // form: ROW_NUMBER over (window_start, key) with a rank filter).
+    // Hash-identical to win_window_rank.
+    "win_window_rank_tvf_sql" -> ((s, dir) => {
+      Tables.load(s, dir, "events").createOrReplaceTempView("events")
+      graft.sqlx.WindowTvfSql.sql(s, """
+        SELECT ws, event_type, event_id, value, rn FROM (
+          SELECT window_start AS ws, event_type, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY window_start, event_type
+                                    ORDER BY value DESC, event_id) AS rn
+          FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR))) t
+        WHERE rn <= 2
+        ORDER BY ws, event_type, rn""")
+    }),
+
+    // Window deduplication in TVF SQL text (reference
+    // StreamExecWindowDeduplicate: ROW_NUMBER ordered by the time
+    // attribute, rank = 1 — keep the FIRST event per window × user).
+    // Same WindowGroupLimit shape as streaming dedup, scoped per pane.
+    "win_window_dedup_tvf_sql" -> ((s, dir) => {
+      Tables.load(s, dir, "events").createOrReplaceTempView("events")
+      graft.sqlx.WindowTvfSql.sql(s, """
+        SELECT ws, user_id, event_id, event_type FROM (
+          SELECT window_start AS ws, user_id, event_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY window_start, user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '30' MINUTE))) t
+        WHERE rn = 1
+        ORDER BY ws, user_id""")
+    }),
+
     // SQL-TEXT window TVFs (reference FlinkSqlOperatorTable TUMBLE/HOP/
     // CUMULATE): the same aggregations as win_tumble/win_hop/
     // win_cumulate, but driven by TVF query text through
@@ -195,6 +245,25 @@ object TimeWindowQueries extends QueryPack {
       WHERE we > ts
       GROUP BY ws, we ORDER BY ws, we"""
 
+  private[queries] val windowJoinOracleSql = """
+      SELECT c.ws, c.user_id, c.click_id, b.buy_id
+      FROM (SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, user_id,
+                   event_id AS click_id
+            FROM events WHERE event_type = 'click') c
+      JOIN (SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, user_id,
+                   event_id AS buy_id
+            FROM events WHERE event_type = 'purchase') b
+        ON c.ws = b.ws AND c.user_id = b.user_id
+      ORDER BY click_id, buy_id"""
+  private[queries] val windowRankOracleSql = """
+      SELECT ws, event_type, event_id, value, rn FROM (
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
+               event_id, value,
+               row_number() OVER (PARTITION BY time_bucket(INTERVAL 1 HOUR, ts), event_type
+                                  ORDER BY value DESC, event_id) AS rn
+        FROM events) t
+      WHERE rn <= 2 ORDER BY ws, event_type, rn"""
+
   override def oracle: Map[String, String] = Map(
     "win_tumble" -> tumbleOracleSql,
     "win_tumble_offset" -> """
@@ -243,27 +312,21 @@ object TimeWindowQueries extends QueryPack {
       SELECT user_id, min(ts) AS ws, max(ts + gap) AS we, count(*) AS n,
              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
       FROM sessions GROUP BY user_id, sid ORDER BY user_id, ws""",
-    "win_window_join" -> """
-      SELECT c.ws, c.user_id, c.click_id, b.buy_id
-      FROM (SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, user_id,
-                   event_id AS click_id
-            FROM events WHERE event_type = 'click') c
-      JOIN (SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, user_id,
-                   event_id AS buy_id
-            FROM events WHERE event_type = 'purchase') b
-        ON c.ws = b.ws AND c.user_id = b.user_id
-      ORDER BY click_id, buy_id""",
-    "win_window_rank" -> """
-      SELECT ws, event_type, event_id, value, rn FROM (
-        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
-               event_id, value,
-               row_number() OVER (PARTITION BY time_bucket(INTERVAL 1 HOUR, ts), event_type
-                                  ORDER BY value DESC, event_id) AS rn
-        FROM events) t
-      WHERE rn <= 2 ORDER BY ws, event_type, rn""",
+    "win_window_join" -> windowJoinOracleSql,
+    "win_window_rank" -> windowRankOracleSql,
     "win_cumulate" -> cumulateOracleSql,
     "win_tumble_tvf_sql" -> tumbleOracleSql,
     "win_hop_tvf_sql" -> hopOracleSql,
-    "win_cumulate_tvf_sql" -> cumulateOracleSql
+    "win_cumulate_tvf_sql" -> cumulateOracleSql,
+    "win_window_join_tvf_sql" -> windowJoinOracleSql,
+    "win_window_rank_tvf_sql" -> windowRankOracleSql,
+    "win_window_dedup_tvf_sql" -> """
+      SELECT ws, user_id, event_id, event_type FROM (
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, user_id,
+               event_id, event_type,
+               row_number() OVER (PARTITION BY time_bucket(INTERVAL 30 MINUTE, ts), user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events) t
+      WHERE rn = 1 ORDER BY ws, user_id"""
   )
 }
