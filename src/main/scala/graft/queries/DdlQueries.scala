@@ -92,6 +92,44 @@ object DdlQueries extends QueryPack {
 
     // CSV connector through DDL: write a CSV staging copy, declare it
     // with a schema (reference CSV formats never infer — §1.3), query.
+    // EXECUTE STATEMENT SET (reference SqlStatementSet /
+    // TableEnvironment.createStatementSet): one source declared via
+    // DDL fans out into two declared parquet sinks in a single
+    // statement; the refreshed sink views are then queried back. The
+    // gate output is the union of both sink aggregates, so both
+    // INSERTs are oracle-checked.
+    "ddl_statement_set" -> ((s, dir) => {
+      val outA = java.nio.file.Files.createTempDirectory("graft_sset_a").toString
+      val outB = java.nio.file.Files.createTempDirectory("graft_sset_b").toString
+      Ddl.execute(s,
+        s"""CREATE TABLE sset_events (
+              event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE
+            ) WITH ('connector' = 'filesystem',
+                    'path' = '$dir/events.parquet', 'format' = 'parquet')""")
+      Ddl.execute(s,
+        s"""CREATE TABLE sset_by_type (event_type STRING, n BIGINT, cents BIGINT)
+            WITH ('connector' = 'filesystem', 'path' = '$outA', 'format' = 'parquet')""")
+      Ddl.execute(s,
+        s"""CREATE TABLE sset_by_user (user_id BIGINT, n BIGINT, cents BIGINT)
+            WITH ('connector' = 'filesystem', 'path' = '$outB', 'format' = 'parquet')""")
+      Ddl.execute(s, """
+        EXECUTE STATEMENT SET BEGIN
+          INSERT INTO sset_by_type
+            SELECT event_type, count(*) AS n,
+                   sum(cast(floor(value * 100) as bigint)) AS cents
+            FROM sset_events WHERE value >= 0.1 GROUP BY event_type;
+          INSERT INTO sset_by_user
+            SELECT user_id, count(*) AS n,
+                   sum(cast(floor(value * 100) as bigint)) AS cents
+            FROM sset_events WHERE value >= 0.1 GROUP BY user_id;
+        END""")
+      s.sql("""
+        SELECT 'by_type' AS sink, event_type AS k, n, cents FROM sset_by_type
+        UNION ALL
+        SELECT 'by_user', cast(user_id AS string), n, cents FROM sset_by_user
+        ORDER BY sink, k""")
+    }),
+
     "ddl_csv_source" -> ((s, dir) => {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_fmt/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/ddl_supplier_csv"
       graft.Tables.load(s, dir, "supplier")
@@ -128,6 +166,15 @@ object DdlQueries extends QueryPack {
     "ddl_csv_source" -> """
       SELECT s_nationkey, count(*) AS n, min(s_name) AS first_name
       FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "ddl_statement_set" -> """
+      SELECT 'by_type' AS sink, event_type AS k, count(*) AS n,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE value >= 0.1 GROUP BY event_type
+      UNION ALL
+      SELECT 'by_user', CAST(user_id AS VARCHAR), count(*),
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+      FROM events WHERE value >= 0.1 GROUP BY user_id
+      ORDER BY sink, k""",
     "ddl_char_padding" -> """
       SELECT n_nationkey, rpad(n_name, 12, ' ') AS name_pad,
              CAST(length(rpad(n_name, 12, ' ')) AS INT) AS len_pad,

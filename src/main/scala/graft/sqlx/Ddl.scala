@@ -72,21 +72,85 @@ object Ddl {
 
   private val CreateViewRe =
     """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.*)""".r
+  private val StatementSetRe =
+    """(?is)\s*EXECUTE\s+STATEMENT\s+SET\s+BEGIN\s+(.*)\bEND\s*;?\s*""".r
+  private val InsertRe =
+    """(?is)\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+(.*)""".r
+
+  /** Connector tables declared this session, so `INSERT INTO` can
+   * resolve a target's path/format. Keyed by session identity — two
+   * sessions declaring the same name never collide. */
+  private val declared =
+    new scala.collection.concurrent.TrieMap[(String, String), TableDef]
 
   /** Execute the DDL: build the (possibly streaming) DataFrame, apply
    * computed columns and watermark, register the temp view; returns the
    * frame. `CREATE [OR REPLACE] [TEMPORARY] VIEW name AS query`
    * (reference `SqlCreateView`, `parserImpls.ftl`) registers the query
-   * as a temp view over previously declared tables. */
+   * as a temp view over previously declared tables.
+   *
+   * `EXECUTE STATEMENT SET BEGIN INSERT INTO t1 …; INSERT INTO t2 …; END`
+   * (reference `SqlStatementSet` in `parserImpls.ftl` /
+   * `TableEnvironment.createStatementSet`) runs every INSERT against
+   * declared connector tables and returns a (sink, rows) summary —
+   * batch only; streaming fan-out is `streaming/MultiSink` (the batch
+   * common-subplan analog is `FrameCache`). Each target view is
+   * re-registered after its insert so subsequent queries see the new
+   * files, like the reference's catalog tables always reflecting
+   * storage. */
   def execute(spark: SparkSession, ddl: String): DataFrame = {
     ddl match {
       case CreateViewRe(name, query) =>
         val df = spark.sql(query)
         df.createOrReplaceTempView(name)
         return df
+      case StatementSetRe(body) =>
+        return statementSet(spark, body)
       case _ => ()
     }
     val t = parse(ddl)
+    declared.put((System.identityHashCode(spark).toString, t.name), t)
+    register(spark, t)
+  }
+
+  private def statementSet(spark: SparkSession, body: String): DataFrame = {
+    val stmts = SqlLexer.splitTopOn(body, ';')
+    require(stmts.nonEmpty, "empty statement set")
+    val rows = stmts.map {
+      case InsertRe(target, select) =>
+        val t = declared.getOrElse((System.identityHashCode(spark).toString, target),
+          throw new IllegalArgumentException(
+            s"INSERT INTO $target: not a declared connector table"))
+        val path = t.options("path")
+        val fmt = t.options.getOrElse("format", "parquet")
+        val df = spark.sql(select)
+        require(!df.isStreaming,
+          s"INSERT INTO $target: streaming statement sets are not supported " +
+          "— use streaming/MultiSink.foreachBatchFanout")
+        val w = df.write.mode("append")
+        fmt match {
+          case "parquet" => w.parquet(path)
+          case "csv" => w.option("header",
+            t.options.getOrElse("csv.header", "false")).csv(path)
+          case "json" => w.json(path)
+          case other =>
+            throw new IllegalArgumentException(s"unsupported sink format $other")
+        }
+        val refreshed = register(spark, t)
+        (target, refreshed.count())
+      case other =>
+        throw new IllegalArgumentException(
+          s"statement set supports INSERT INTO <table> <query> only, got: $other")
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.map { case (t, n) => org.apache.spark.sql.Row(t, n) }.asJava,
+      StructType.fromDDL("sink STRING, rows BIGINT"))
+  }
+
+  /** Build the table's frame from its definition and (re-)register the
+   * temp view. */
+  private def register(spark: SparkSession, t: TableDef): DataFrame = {
     val fmt = t.options.getOrElse("format", "parquet")
     val path = t.options.getOrElse("path",
       throw new IllegalArgumentException(s"table ${t.name}: missing 'path' option"))
@@ -116,7 +180,13 @@ object Ddl {
           case other => throw new IllegalArgumentException(s"unsupported format $other")
         }
       } else fmt match {
-        case "parquet" => spark.read.parquet(path).selectExpr(t.physical.map(_.name): _*)
+        // a declared-but-not-yet-written sink directory has no files to
+        // infer from — fall back to the declared schema (empty scan),
+        // as the reference's catalog tables resolve before first write
+        case "parquet" =>
+          try spark.read.parquet(path).selectExpr(t.physical.map(_.name): _*)
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            spark.read.schema(schema).parquet(path) }
         case "csv" => spark.read.schema(schema)
           .option("header", t.options.getOrElse("csv.header", "false")).csv(path)
         case "json" => spark.read.schema(schema).json(path)

@@ -59,7 +59,11 @@ object SqlLexer {
 
   /** Split on commas at paren depth 0 and outside quoted literals;
    * segments are trimmed, empties dropped. */
-  def splitTop(s: String): Seq[String] = {
+  def splitTop(s: String): Seq[String] = splitTopOn(s, ',')
+
+  /** [[splitTop]] generalized to any single-char separator (e.g. ';'
+   * between the statements of a statement set). */
+  def splitTopOn(s: String, sep: Char): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0; var inQ = false
@@ -69,7 +73,7 @@ object SqlLexer {
         case '\'' => inQ = true; cur += c
         case '(' => depth += 1; cur += c
         case ')' => depth -= 1; cur += c
-        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case `sep` if depth == 0 => out += cur.toString; cur.clear()
         case _ => cur += c
       }
     }

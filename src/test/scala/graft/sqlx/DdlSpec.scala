@@ -31,6 +31,13 @@ class DdlSpec extends SparkSuite {
       Ddl.execute(spark, "CREATE TABLE t (a BIGINT) WITH ('format' = 'parquet')"))
   }
 
+  test("statement set rejects unknown targets and non-INSERT statements") {
+    intercept[IllegalArgumentException](Ddl.execute(spark,
+      "EXECUTE STATEMENT SET BEGIN INSERT INTO never_declared SELECT 1; END"))
+    intercept[IllegalArgumentException](Ddl.execute(spark,
+      "EXECUTE STATEMENT SET BEGIN SELECT 1; END"))
+  }
+
   test("streaming DDL with watermark: windowed agg equals batch twin") {
     val dir = "/root/testdata/sf0.001"
     // events.parquet has stored ts as int64 nanos in some driver
