@@ -181,6 +181,19 @@ object CalcQueries extends QueryPack {
         .orderBy(col("doc_id"), col("word"))
     }),
 
+    // UNNEST WITH ORDINALITY (reference FlinkSqlOperatorTable UNNEST /
+    // `CROSS JOIN UNNEST(arr) WITH ORDINALITY AS t(elem, ord)`):
+    // posexplode is Spark's positional unnest — pos is 0-based, the
+    // SQL-standard ordinality is 1-based.
+    "calc_unnest_ordinality" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .filter(col("doc_id") <= 20)
+        .select(col("doc_id"),
+          posexplode(split(trim(col("text")), " ")).as(Seq("pos", "word")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("ord"), col("word"))
+        .orderBy(col("doc_id"), col("ord"))
+    }),
+
     // Literal VALUES relation (reference BatchExecValues).
     "calc_values" -> ((s, dir) => {
       import s.implicits._
@@ -304,6 +317,13 @@ object CalcQueries extends QueryPack {
       FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
             FROM documents WHERE doc_id <= 50) t
       GROUP BY doc_id, word ORDER BY doc_id, word""",
+    "calc_unnest_ordinality" -> """
+      SELECT doc_id, CAST(ord AS BIGINT) AS ord, word
+      FROM (SELECT doc_id,
+                   unnest(string_split(trim(text), ' ')) AS word,
+                   unnest(range(1, len(string_split(trim(text), ' ')) + 1)) AS ord
+            FROM documents WHERE doc_id <= 20) t
+      ORDER BY doc_id, ord""",
     "calc_values" -> """
       SELECT id, tag, x * 2 AS x2
       FROM (VALUES (CAST(1 AS BIGINT), 'a', CAST(1.5 AS DOUBLE)),
