@@ -228,6 +228,32 @@ object StreamQueries extends QueryPack {
         .orderBy(col("click_id"), col("buy_id"))
     }),
 
+    // Streaming window join (reference StreamExecWindowJoin): both
+    // sides bucketed into the same 30-min tumbling pane, equi-join on
+    // (window, user). Unlike the interval join's per-row time-range
+    // state, pane state is dropped wholesale once the watermark passes
+    // the window end — the state bound is panes-in-flight × keys.
+    // Hash-identical to the batch win_window_join gate.
+    "stream_window_join" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val ev = StreamOps.readStream(s, dir, "events")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .withWatermark("ts", "1 hour")
+        .select(window(col("ts"), "30 minutes").as("cw"),
+          col("user_id").as("cu"), col("event_id").as("click_id"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(window(col("ts"), "30 minutes").as("bw"),
+          col("user_id").as("bu"), col("event_id").as("buy_id"))
+      val joined = clicks
+        .join(buys, col("cw") === col("bw") && col("cu") === col("bu"))
+        .select(col("cw.start").as("ws"), col("cu").as("user_id"),
+          col("click_id"), col("buy_id"))
+      StreamOps.runToBatch(s, joined, "append", "stream_wjoin")
+        .orderBy(col("click_id"), col("buy_id"))
+    }),
+
     // Stream-stream interval LEFT OUTER join: clicks keep their row
     // even without a purchase in the window (reference IntervalJoin
     // outer emission on watermark close); null side fills once both
@@ -835,6 +861,7 @@ object StreamQueries extends QueryPack {
         ON c.user_id = b.user_id
        AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 10 MINUTE
       ORDER BY click_id, buy_id""",
+    "stream_window_join" -> TimeWindowQueries.windowJoinOracleSql,
     "stream_interval_join_outer" -> """
       SELECT c.event_id AS click_id, b.event_id AS buy_id, c.user_id
       FROM (SELECT * FROM events WHERE event_type = 'click') c

@@ -103,9 +103,14 @@ object StreamOps {
         (f.name, f.dataType) match {
           case ("user_id", _) => col("user_id")
           case ("event_id", _) => lit(-1L).as("event_id")
-          case ("ts", _) =>
+          case ("ts", dt) =>
+            // string-cast serves TIMESTAMP and TIMESTAMP_NTZ alike
+            // (the driver has generated events.ts as both, plus int64
+            // nanos — session tz is UTC so the instant is identical)
             (if (tsIsLong) lit(tsNs)
-             else lit(new java.sql.Timestamp(tsNs / 1000000L))).as("ts")
+             else lit(java.time.LocalDateTime.ofEpochSecond(
+                 tsNs / 1000000000L, 0, java.time.ZoneOffset.UTC).toString
+                   .replace('T', ' ')).cast(dt)).as("ts")
           case (n, org.apache.spark.sql.types.StringType) => lit("sentinel").as(n)
           case (n, org.apache.spark.sql.types.LongType) => lit(0L).as(n)
           case (n, _) => lit(0.0).as(n)
@@ -155,9 +160,15 @@ object StreamOps {
     val tsIsLong = batch.schema("ts").dataType == org.apache.spark.sql.types.LongType
     (1 to rounds).foreach { r =>
       val tsNs = 7258118400000000000L + r * 3600000000000L // ~2200 + r hours
-      val sentinelTs: Any =
-        if (tsIsLong) Long.box(tsNs)
-        else new java.sql.Timestamp(tsNs / 1000000L)
+      val sentinelTs: Any = batch.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => Long.box(tsNs)
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // NTZ rows carry LocalDateTime, not java.sql.Timestamp —
+          // session tz is UTC so the instant is identical
+          java.time.LocalDateTime.ofEpochSecond(
+            tsNs / 1000000000L, 0, java.time.ZoneOffset.UTC)
+        case _ => new java.sql.Timestamp(tsNs / 1000000L)
+      }
       val values = batch.schema.fields.map { f =>
         (f.name, f.dataType) match {
           case ("event_id" | "user_id", _) => Long.box(-1L)
