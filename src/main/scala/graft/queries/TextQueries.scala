@@ -198,6 +198,26 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Benchmark decontamination (llmops): flag training documents
+    // sharing any 3-gram word shingle with a held-out benchmark slice
+    // (doc_id % 97 == 0 stands in for the eval set). The benchmark
+    // shingle set is distinct-aggregated (tiny — ~1% of docs) and
+    // BROADCAST into the train-side probe, so the train shingles never
+    // shuffle; the only shuffle is the final per-doc hit count. At
+    // 100 TB the eval set stays constant-size, so this shape holds.
+    "text_decontaminate" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val w = docs.select(col("doc_id"), words.as("ws")).filter(size(col("ws")) >= 3)
+      val sh = w.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', slice(ws, i, 3)))")).as("sh"))
+      val bench = sh.filter(col("doc_id") % 97 === 0).select(col("sh")).distinct()
+      sh.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), "sh")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("sh")).as("n_hits"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus stats rollup: per (lang, source) aggregate quality profile.
     "text_corpus_stats" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -221,6 +241,19 @@ object TextQueries extends QueryPack {
           ORDER BY ((doc_id % 1000003) * 2654435761 % 1000000007 + 1000000007) % 1000000007, doc_id) AS rn
         FROM documents)
       WHERE rn <= 20 ORDER BY lang, doc_id""",
+    "text_decontaminate" -> """
+      WITH w AS (
+        SELECT doc_id, string_split(trim(lower(text)), ' ') AS ws
+        FROM documents WHERE len(string_split(trim(lower(text)), ' ')) >= 3),
+      sh AS (
+        SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS sh
+        FROM w, unnest(range(1, len(ws) - 1)) AS t(i)),
+      bench AS (
+        SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0)
+      SELECT s.doc_id, CAST(count(DISTINCT s.sh) AS BIGINT) AS n_hits
+      FROM sh s JOIN bench b ON s.sh = b.sh
+      WHERE s.doc_id % 97 <> 0
+      GROUP BY s.doc_id ORDER BY s.doc_id""",
     "text_token_count" -> """
       SELECT doc_id,
              CAST(len(string_split(trim(lower(text)), ' ')) AS BIGINT) AS n_ws_tokens,

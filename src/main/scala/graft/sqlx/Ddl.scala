@@ -106,6 +106,10 @@ object Ddl {
         return df
       case StatementSetRe(body) =>
         return statementSet(spark, body)
+      // a bare INSERT INTO is a one-statement set (reference: plain
+      // `tEnv.executeSql("INSERT INTO …")` outside a statement set)
+      case InsertRe(_, _) =>
+        return statementSet(spark, ddl)
       case _ => ()
     }
     val t = parse(ddl)

@@ -38,6 +38,24 @@ class DdlSpec extends SparkSuite {
       "EXECUTE STATEMENT SET BEGIN SELECT 1; END"))
   }
 
+  test("bare INSERT INTO writes a declared sink and refreshes its view") {
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft_ins").toString
+    Ddl.execute(spark,
+      s"""CREATE TABLE ins_src (event_id BIGINT, event_type STRING)
+          WITH ('connector' = 'filesystem', 'path' = '$dir/events.parquet',
+                'format' = 'parquet')""")
+    Ddl.execute(spark,
+      s"""CREATE TABLE ins_sink (event_type STRING, n BIGINT)
+          WITH ('connector' = 'filesystem', 'path' = '$out', 'format' = 'parquet')""")
+    val summary = Ddl.execute(spark,
+      "INSERT INTO ins_sink SELECT event_type, count(*) AS n FROM ins_src GROUP BY event_type")
+    val sinkRows = spark.table("ins_sink").count()
+    assert(sinkRows > 0)
+    assert(summary.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      == Seq(("ins_sink", sinkRows)))
+  }
+
   test("streaming DDL with watermark: windowed agg equals batch twin") {
     val dir = "/root/testdata/sf0.001"
     // events.parquet has stored ts as int64 nanos in some driver
