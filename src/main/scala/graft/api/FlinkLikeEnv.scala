@@ -91,16 +91,35 @@ final class KeyedStream[T <: Product : TypeTag](val ds: Dataset[T], val keyField
  * extended surfaces Spark's parser lacks. */
 final class TableEnv(val spark: SparkSession) {
 
-  /** `CREATE TABLE … WITH (…)` connector DDL (reference
-   * `TableEnvironment.executeSql`) → registered temp view. */
-  def executeSql(ddl: String): DataFrame = graft.sqlx.Ddl.execute(spark, ddl)
+  private val DdlShaped =
+    """(?is)\s*(CREATE\s+(TABLE|(OR\s+REPLACE\s+)?(TEMPORARY\s+)?VIEW)|INSERT\s+INTO|EXECUTE\s+STATEMENT\s+SET)\b.*""".r
 
-  /** SQL query; `FOR SYSTEM_TIME AS OF` routes through the temporal
-   * join desugar+rule, everything else straight to Catalyst. */
-  def sqlQuery(query: String): DataFrame =
-    if ("""(?i)FOR\s+SYSTEM_TIME\s+AS\s+OF""".r.findFirstIn(query).isDefined)
-      graft.sqlx.TemporalSql.sql(spark, query)
-    else spark.sql(query)
+  /** The reference's single SQL door (`TableEnvironment.executeSql`):
+   * DDL, INSERT, and statement sets route to the connector-DDL layer;
+   * anything else is a query and routes through [[sqlQuery]]'s
+   * desugar chain. */
+  def executeSql(sql: String): DataFrame = sql match {
+    case DdlShaped(_*) => graft.sqlx.Ddl.execute(spark, sql)
+    case _ => sqlQuery(sql)
+  }
+
+  /** SQL query with the extended surfaces Spark's parser lacks:
+   * window TVFs (`TUMBLE/HOP/CUMULATE(TABLE …, DESCRIPTOR(…))`)
+   * desugar first, then `FOR SYSTEM_TIME AS OF` routes through the
+   * temporal join desugar+rule; everything else straight to Catalyst.
+   * The two compose — a temporal join over a windowed TVF table works
+   * because both rewrites are text-to-text. */
+  def sqlQuery(query: String): DataFrame = {
+    val tvf = """(?i)\bDESCRIPTOR\s*\(""".r.findFirstIn(query).isDefined
+    val temporal = """(?i)FOR\s+SYSTEM_TIME\s+AS\s+OF""".r.findFirstIn(query).isDefined
+    (tvf, temporal) match {
+      case (true, false) => graft.sqlx.WindowTvfSql.sql(spark, query)
+      case (true, true) =>
+        graft.sqlx.TemporalSql.sql(spark, graft.sqlx.WindowTvfSql.desugar(query))
+      case (false, true) => graft.sqlx.TemporalSql.sql(spark, query)
+      case (false, false) => spark.sql(query)
+    }
+  }
 
   /** MATCH_RECOGNIZE over any input frame (reference
    * `StreamExecMatch`). */

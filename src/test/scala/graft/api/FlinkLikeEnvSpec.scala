@@ -97,4 +97,26 @@ class FlinkLikeEnvSpec extends SparkSuite {
     }
     assert(err.getMessage.contains("registerVersioned"))
   }
+
+  test("TableEnv: executeSql is the single door — queries, TVF text, and DDL dispatch") {
+    import spark.implicits._
+    val te = StreamEnv.get(spark).tableEnv
+    // plain query through executeSql (not just DDL)
+    assert(te.executeSql("SELECT 1 + 1 AS two").as[Int].head() == 2)
+    // window TVF text through the same door
+    Seq(("2024-01-01 00:05:00", 1L), ("2024-01-01 00:20:00", 2L))
+      .toDF("ts_s", "v")
+      .selectExpr("cast(ts_s as timestamp) AS ts", "v")
+      .createOrReplaceTempView("fl_tvf_in")
+    val win = te.executeSql("""
+      SELECT window_start, count(*) AS n
+      FROM TABLE(TUMBLE(TABLE fl_tvf_in, DESCRIPTOR(ts), INTERVAL '15' MINUTE))
+      GROUP BY window_start ORDER BY window_start""")
+    assert(win.select("n").as[Long].collect().toSeq == Seq(1L, 1L))
+    // INSERT INTO dispatches to the DDL layer, not spark.sql
+    val errIns = intercept[IllegalArgumentException] {
+      te.executeSql("INSERT INTO fl_never_declared SELECT 1")
+    }
+    assert(errIns.getMessage.contains("not a declared connector table"))
+  }
 }
