@@ -253,6 +253,15 @@ class PlanAuditSpec extends SparkSuite {
       s"order-date windows not pushed to the orders scans:\n$p")
   }
 
+  test("window dedup TVF: rn=1 filter plans WindowGroupLimit below and above the shuffle") {
+    val p = plan(graft.queries.TimeWindowQueries.queries("win_window_dedup_tvf_sql")(spark, dir))
+    // keep-first per (pane, user) must push into WindowGroupLimit —
+    // partial before the exchange, final after — never materializing
+    // the full window sort
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"window dedup not planned as partial+final WindowGroupLimit:\n$p")
+  }
+
   test("gap expressions stay inside WholeStageCodegen") {
     graft.functions.GraftFunctions.register(spark)
     Tables.load(spark, dir, "part").createOrReplaceTempView("part_audit")
