@@ -27,6 +27,11 @@ import org.apache.spark.sql.functions._
  * state is bounded by the join's time range + watermark. The memory
  * sink is only the test harness — any DSv2 streaming sink swaps in.
  */
+/** Pane-scoped row for the streaming window rank: pk is the composite
+ * (window start, type) state key the bounded Top-N op shards on. */
+case class PaneEv(pk: String, ws_us: Long, event_type: String,
+    event_id: Long, value: Double)
+
 object StreamQueries extends QueryPack {
 
   private val TenMinUs = 10L * 60 * 1000 * 1000
@@ -252,6 +257,56 @@ object StreamQueries extends QueryPack {
           col("click_id"), col("buy_id"))
       StreamOps.runToBatch(s, joined, "append", "stream_wjoin")
         .orderBy(col("click_id"), col("buy_id"))
+    }),
+
+    // Streaming window deduplication (reference
+    // StreamExecWindowDeduplicate): keep-FIRST row per (30-min pane,
+    // user), expressed as a windowed min_by aggregate — partial
+    // aggregation runs map-side, per-pane state is one winner row, and
+    // with a watermark + append sink the pane state evicts at close
+    // (the gate runs complete mode to flush final panes without the
+    // sentinel harness). Hash-identical to win_window_dedup_tvf_sql.
+    "stream_window_dedup" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val agg = StreamOps.readStream(s, dir, "events")
+        .groupBy(window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(min_by(struct(col("event_id"), col("event_type")),
+          struct(col("ts"), col("event_id"))).as("first"))
+        .select(col("w.start").as("ws"), col("user_id"),
+          col("first.event_id").as("event_id"),
+          col("first.event_type").as("event_type"))
+      StreamOps.runToBatch(s, agg, "complete", "stream_wdedup")
+        .orderBy(col("ws"), col("user_id"))
+    }),
+
+    // Streaming window rank (reference StreamExecWindowRank): top-2
+    // per (1-hour pane, type) through the bounded Top-N state op
+    // keyed by the composite pane key — state per pane is N rows, the
+    // reference's AppendOnlyTopNFunction-per-window design. Update
+    // stream re-ranked to the final image, as the other Top-N gates
+    // do. Hash-identical to win_window_rank.
+    "stream_window_rank" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      import s.implicits._
+      val typed = StreamOps.readStream(s, dir, "events")
+        .select(
+          unix_micros(window(col("ts"), "1 hour").getField("start")
+            .cast("timestamp")).as("ws_us"),
+          col("event_type"), col("event_id"), col("value"))
+        .withColumn("pk", concat_ws("|", col("ws_us"), col("event_type")))
+        .select(col("pk"), col("ws_us"), col("event_type"), col("event_id"), col("value"))
+        .as[PaneEv]
+      val updates = StreamOps.runToBatch(s,
+        StatefulOps.topNBy(typed, "pk", "value", "event_id", 2).toDF(),
+        "update", "stream_wrank")
+      val w = Window.partitionBy(col("ws_us"), col("event_type"))
+        .orderBy(col("value").desc, col("event_id"))
+      updates.distinct()
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(expr("cast(timestamp_micros(ws_us) as timestamp_ntz)").as("ws"),
+          col("event_type"), col("event_id"), col("value"), col("rn"))
+        .orderBy(col("ws"), col("event_type"), col("rn"))
     }),
 
     // Stream-stream interval LEFT OUTER join: clicks keep their row
@@ -862,6 +917,8 @@ object StreamQueries extends QueryPack {
        AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 10 MINUTE
       ORDER BY click_id, buy_id""",
     "stream_window_join" -> TimeWindowQueries.windowJoinOracleSql,
+    "stream_window_dedup" -> TimeWindowQueries.windowDedupOracleSql,
+    "stream_window_rank" -> TimeWindowQueries.windowRankOracleSql,
     "stream_interval_join_outer" -> """
       SELECT c.event_id AS click_id, b.event_id AS buy_id, c.user_id
       FROM (SELECT * FROM events WHERE event_type = 'click') c

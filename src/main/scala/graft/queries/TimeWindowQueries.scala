@@ -264,6 +264,15 @@ object TimeWindowQueries extends QueryPack {
         FROM events) t
       WHERE rn <= 2 ORDER BY ws, event_type, rn"""
 
+  private[queries] val windowDedupOracleSql = """
+      SELECT ws, user_id, event_id, event_type FROM (
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, user_id,
+               event_id, event_type,
+               row_number() OVER (PARTITION BY time_bucket(INTERVAL 30 MINUTE, ts), user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events) t
+      WHERE rn = 1 ORDER BY ws, user_id"""
+
   override def oracle: Map[String, String] = Map(
     "win_tumble" -> tumbleOracleSql,
     "win_tumble_offset" -> """
@@ -320,13 +329,6 @@ object TimeWindowQueries extends QueryPack {
     "win_cumulate_tvf_sql" -> cumulateOracleSql,
     "win_window_join_tvf_sql" -> windowJoinOracleSql,
     "win_window_rank_tvf_sql" -> windowRankOracleSql,
-    "win_window_dedup_tvf_sql" -> """
-      SELECT ws, user_id, event_id, event_type FROM (
-        SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, user_id,
-               event_id, event_type,
-               row_number() OVER (PARTITION BY time_bucket(INTERVAL 30 MINUTE, ts), user_id
-                                  ORDER BY ts, event_id) AS rn
-        FROM events) t
-      WHERE rn = 1 ORDER BY ws, user_id"""
+    "win_window_dedup_tvf_sql" -> windowDedupOracleSql
   )
 }
