@@ -104,12 +104,17 @@ final class TableEnv(val spark: SparkSession) {
   }
 
   /** SQL query with the extended surfaces Spark's parser lacks:
-   * window TVFs (`TUMBLE/HOP/CUMULATE(TABLE …, DESCRIPTOR(…))`)
-   * desugar first, then `FOR SYSTEM_TIME AS OF` routes through the
-   * temporal join desugar+rule; everything else straight to Catalyst.
-   * The two compose — a temporal join over a windowed TVF table works
-   * because both rewrites are text-to-text. */
-  def sqlQuery(query: String): DataFrame = {
+   * MATCH_RECOGNIZE clauses splice out first (each becomes a temp view
+   * over the CEP engine's output), then window TVFs
+   * (`TUMBLE/HOP/CUMULATE(TABLE …, DESCRIPTOR(…))`) desugar, then
+   * `FOR SYSTEM_TIME AS OF` routes through the temporal join
+   * desugar+rule; everything else straight to Catalyst. The three
+   * compose because every rewrite is text-to-text. */
+  def sqlQuery(query0: String): DataFrame = {
+    val query =
+      if (graft.sqlx.SqlLexer.findKeyword(query0, "MATCH_RECOGNIZE").isDefined)
+        graft.sqlx.MatchRecognizeSql.desugar(spark, query0)
+      else query0
     val tvf = """(?i)\bDESCRIPTOR\s*\(""".r.findFirstIn(query).isDefined
     val temporal = """(?i)FOR\s+SYSTEM_TIME\s+AS\s+OF""".r.findFirstIn(query).isDefined
     (tvf, temporal) match {

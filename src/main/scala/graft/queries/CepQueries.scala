@@ -492,6 +492,35 @@ object CepQueries extends QueryPack {
         .toDF("o_custkey", "f_key", "o_key")
       StreamOps.runToBatch(s, matches, "append", "stream_cep_gen")
         .orderBy(col("f_key"))
+    }),
+
+    // MATCH_RECOGNIZE as plain query text through the unified SQL door
+    // (reference `TableEnvironment.executeSql` planning the clause via
+    // StreamExecMatch): the clause splices into a temp view
+    // (`sqlx/MatchRecognizeSql`), the outer SELECT/WHERE run as
+    // ordinary SQL over it, and the ORDER BY second sort key names the
+    // unique-id tiebreaker in-text — no programmatic idCol anywhere.
+    "match_recognize_sql_door" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      StreamOps.eventsTyped(s, dir).toDF().createOrReplaceTempView("events_mr")
+      val out = new graft.api.TableEnv(s).executeSql("""
+        SELECT user_id, click_id, buy_id,
+               CAST(floor(buy_value * 100) AS BIGINT) AS cents
+        FROM events_mr MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES A.event_id AS click_id, B.event_id AS buy_id,
+                   B.value AS buy_value
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (A B)
+          WITHIN INTERVAL '30' MINUTE
+          DEFINE A AS A.event_type = 'click',
+                 B AS B.event_type = 'purchase'
+        ) AS m
+        WHERE floor(buy_value * 100) >= 50""")
+      StreamOps.runToBatch(s, out, "append", "mr_door")
+        .orderBy(col("click_id"))
     })
   )
 
@@ -795,6 +824,20 @@ object CepQueries extends QueryPack {
         AND e.o_orderdate <= f.o_orderdate + INTERVAL 90 DAY
         ORDER BY e.o_orderdate, e.o_orderkey LIMIT 1) o
       WHERE f.o_orderstatus = 'F'
-      ORDER BY f_key"""
+      ORDER BY f_key""",
+    "match_recognize_sql_door" -> """
+      WITH o AS (
+        SELECT user_id, event_id, event_type, value, ts,
+               lag(event_id) OVER w AS pid, lag(event_type) OVER w AS ptype,
+               lag(ts) OVER w AS pts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, pid AS click_id, event_id AS buy_id,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM o
+      WHERE event_type = 'purchase' AND ptype = 'click'
+        AND ts <= pts + INTERVAL 30 MINUTE
+        AND floor(value * 100) >= 50
+      ORDER BY click_id"""
   )
 }

@@ -130,7 +130,8 @@ object MatchRecognize {
       skip: Cep.AfterMatch, pattern: Cep.Pattern[MrEv], allRows: Boolean = false,
       excluded: Set[String] = Set.empty,
       subsets: Map[String, Seq[String]] = Map.empty,
-      withUnmatched: Boolean = false)
+      withUnmatched: Boolean = false,
+      orderId: Option[String] = None)
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"MATCH_RECOGNIZE: $msg")
@@ -299,8 +300,16 @@ object MatchRecognize {
     val sec = sections(body(sql))
     val part = sec.getOrElse("PARTITION BY", fail("PARTITION BY required")).trim
     if (!part.matches("""\w+""")) fail(s"subset: PARTITION BY one column, got '$part'")
-    val ord = sec.getOrElse("ORDER BY", fail("ORDER BY required")).trim
-    if (!ord.matches("""\w+""")) fail(s"subset: ORDER BY one column, got '$ord'")
+    // ORDER BY <time col>[, <unique id col>] — SQL:2016 requires the
+    // sort to be deterministic; the optional second key names the
+    // unique-id tiebreaker column explicitly in the query text (the
+    // programmatic entry points pass it as `idCol` instead)
+    val ordRaw = sec.getOrElse("ORDER BY", fail("ORDER BY required")).trim
+    val ordParts = ordRaw.split(",").map(_.trim).toSeq
+    if (ordParts.isEmpty || ordParts.size > 2 || ordParts.exists(!_.matches("""\w+""")))
+      fail(s"ORDER BY takes one time column plus an optional unique-id tiebreaker, got '$ordRaw'")
+    val ord = ordParts.head
+    val ordId = ordParts.lift(1)
 
     // SQL:2016 SUBSET: union pattern variables — `SUBSET U = (A, B)`
     // makes U navigable in MEASURES and DEFINE as the time-ordered
@@ -577,7 +586,7 @@ object MatchRecognize {
       fail(s"ONE ROW PER MATCH takes no options, got '${o.trim}'"))
     Spec(part, ord, measures, skip, pat,
       allRows = sec.contains("ALL ROWS PER MATCH"), excluded = excluded,
-      subsets = subsets, withUnmatched = withUnmatched)
+      subsets = subsets, withUnmatched = withUnmatched, orderId = ordId)
   }
 
   /** Ev-fixture shim (the original entry): events stream, id column
@@ -603,7 +612,12 @@ object MatchRecognize {
     val spec = parse(sql, layout)
     val names = schema.fieldNames.toSet
     if (!names.contains(spec.partitionBy)) fail(s"PARTITION BY ${spec.partitionBy}: no such column")
-    if (!names.contains(idCol)) fail(s"id column $idCol: no such column")
+    // the ORDER BY tiebreaker in the query text wins over the
+    // programmatic idCol parameter (the SQL is authoritative)
+    val effIdCol = spec.orderId.getOrElse(idCol)
+    if (effIdCol.isEmpty)
+      fail("no unique-id column: add a tiebreaker (ORDER BY ts, id) or pass idCol")
+    if (!names.contains(effIdCol)) fail(s"id column $effIdCol: no such column")
     // ORDER BY resolution: the column itself, else `<name>_us` (the
     // epoch-micros convention of the streaming layer)
     val ordName =
@@ -620,7 +634,7 @@ object MatchRecognize {
       else array(fields.map(f => col(f).cast(cast)): _*)
     implicit val mrEnc: Encoder[MrEv] = Encoders.product[MrEv]
     val evs = df.select(col(spec.partitionBy).cast("string").as("key"),
-      ordExpr.as("ts_us"), col(idCol).cast("long").as("id"),
+      ordExpr.as("ts_us"), col(effIdCol).cast("long").as("id"),
       arrOf(layout.longFields, "long", LongType).as("longs"),
       arrOf(layout.numFields, "double", DoubleType).as("nums"),
       arrOf(layout.strFields, "string", StringType).as("strs")).as[MrEv]

@@ -568,6 +568,44 @@ class MatchRecognizeSpec extends SparkSuite {
     }
   }
 
+  test("ORDER BY accepts an in-text unique-id tiebreaker, rejects 3+ keys") {
+    val spec = MatchRecognize.parse("""
+      SELECT * FROM events MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts, event_id
+        MEASURES A.event_id AS x
+        PATTERN (A)
+        DEFINE A AS A.value > 0
+      )""")
+    assert(spec.orderBy == "ts" && spec.orderId.contains("event_id"))
+    intercept[IllegalArgumentException] {
+      MatchRecognize.parse("""
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id, value
+          MEASURES A.event_id AS x
+          PATTERN (A)
+          DEFINE A AS A.value > 0
+        )""")
+    }
+  }
+
+  test("SQL-door desugar rejects subquery inputs and unbalanced specs loudly") {
+    // subquery input: the scan-back lands on ')' — not an identifier
+    val e1 = intercept[IllegalArgumentException] {
+      MatchRecognizeSql.desugar(spark,
+        "SELECT * FROM (SELECT 1 AS a) MATCH_RECOGNIZE (PARTITION BY a ORDER BY a PATTERN (X) DEFINE X AS X.a > 0)")
+    }
+    assert(e1.getMessage.contains("named table"))
+    intercept[IllegalArgumentException] {
+      MatchRecognizeSql.desugar(spark,
+        "SELECT * FROM t MATCH_RECOGNIZE (PARTITION BY a ORDER BY a PATTERN (X")
+    }
+    // no clause: text passes through untouched
+    val q = "SELECT 1 AS match_recognizer"
+    assert(MatchRecognizeSql.desugar(spark, q) == q)
+  }
+
   test("quantified first symbol: H+ L anchors the greedy head run") {
     val spec = MatchRecognize.parse("""
       SELECT * FROM events MATCH_RECOGNIZE (
