@@ -440,7 +440,109 @@ object TpcdsShapeQueries extends QueryPack {
       WHERE rnk_qty <= 10 OR rnk_amt <= 10
       ORDER BY channel, rnk_qty, rnk_amt, partkey"""
 
+  // Q97: channel-overlap counts — two DISTINCT (customer, item)
+  // frames FULL OUTER joined on the composite key, null-sides counted
+  // into exclusive/both buckets. The planner must keep the composite
+  // equi-key (a full outer join can never broadcast), and the DISTINCT
+  // frames shuffle once each on the same key the join reuses.
+  private val q97 = """
+      WITH ssci AS (
+        SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_linestatus = 'F'),
+      csci AS (
+        SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_linestatus = 'O')
+      SELECT CAST(sum(CASE WHEN s.ck IS NOT NULL AND c.ck IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS store_only,
+             CAST(sum(CASE WHEN s.ck IS NULL AND c.ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS catalog_only,
+             CAST(sum(CASE WHEN s.ck IS NOT NULL AND c.ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS both_channels
+      FROM ssci s FULL OUTER JOIN csci c ON s.ck = c.ck AND s.pk = c.pk"""
+
+  // Q31: ratio-of-growth chain — six quarterly aggregate frames (three
+  // per channel) equi-joined on the nation key, keeping nations where
+  // the web channel grew faster than the store channel in BOTH
+  // consecutive quarter pairs. The growth compare cross-multiplies as
+  // DOUBLE: each BIGINT cent sum is < 2^53 so the conversion is exact
+  // and the IEEE product compare is engine-identical (the q49
+  // precedent), while a BIGINT product could overflow at large SF.
+  private val q31 = """
+      WITH ss AS (
+        SELECT c_nationkey AS nk, CAST(quarter(o_orderdate) AS INT) AS q,
+               CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sales
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+        WHERE year(o_orderdate) = 1997 AND l_linestatus = 'F'
+        GROUP BY c_nationkey, quarter(o_orderdate)),
+      ws AS (
+        SELECT c_nationkey AS nk, CAST(quarter(o_orderdate) AS INT) AS q,
+               CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sales
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+        WHERE year(o_orderdate) = 1997 AND l_linestatus = 'O'
+        GROUP BY c_nationkey, quarter(o_orderdate))
+      SELECT ss1.nk AS nationkey,
+             ss1.sales AS ss_q1, ss2.sales AS ss_q2, ss3.sales AS ss_q3,
+             ws1.sales AS ws_q1, ws2.sales AS ws_q2, ws3.sales AS ws_q3
+      FROM ss ss1 JOIN ss ss2 ON ss1.nk = ss2.nk AND ss1.q = 1 AND ss2.q = 2
+           JOIN ss ss3 ON ss1.nk = ss3.nk AND ss3.q = 3
+           JOIN ws ws1 ON ss1.nk = ws1.nk AND ws1.q = 1
+           JOIN ws ws2 ON ss1.nk = ws2.nk AND ws2.q = 2
+           JOIN ws ws3 ON ss1.nk = ws3.nk AND ws3.q = 3
+      WHERE ss1.sales > 0 AND ss2.sales > 0 AND ws1.sales > 0 AND ws2.sales > 0
+        AND CAST(ws2.sales AS DOUBLE) * CAST(ss1.sales AS DOUBLE) >
+            CAST(ss2.sales AS DOUBLE) * CAST(ws1.sales AS DOUBLE)
+        AND CAST(ws3.sales AS DOUBLE) * CAST(ss2.sales AS DOUBLE) >
+            CAST(ss3.sales AS DOUBLE) * CAST(ws2.sales AS DOUBLE)
+      ORDER BY nationkey"""
+
+  // Q34/Q73: count-bucket HAVING frame joined back to the dimension —
+  // per-order item counts in a date window, kept when the count lands
+  // in a band, then a selective join back to customer. The HAVING
+  // frame is far smaller than the fact, so Catalyst broadcasts the
+  // customer dim into the final join (or the frame into customer);
+  // either way no full-fact second shuffle.
+  private val q34 = """
+      WITH per_order AS (
+        SELECT o_orderkey, o_custkey, count(*) AS cnt
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= @TS'1997-01-01 00:00:00'
+          AND o_orderdate < @TS'1998-01-01 00:00:00'
+        GROUP BY o_orderkey, o_custkey
+        HAVING count(*) BETWEEN 5 AND 7)
+      SELECT c_custkey AS custkey, c_name, o_orderkey AS orderkey,
+             CAST(cnt AS BIGINT) AS cnt
+      FROM per_order JOIN customer ON o_custkey = c_custkey
+      ORDER BY custkey, orderkey"""
+
+  // Q70: ranking WITHIN grouping level — a two-dim ROLLUP whose window
+  // partitions by the GROUPING() level (and the brand only at the
+  // detail level), top-5 per partition. Catalyst places the rank
+  // filter as WindowGroupLimit above the Expand-based rollup.
+  private val q70 = """
+      WITH rolled AS (
+        SELECT p_brand AS brand, p_type AS container,
+               CAST(grouping(p_brand) + grouping(p_type) AS INT) AS lvl,
+               CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= @TS'1997-01-01 00:00:00'
+          AND l_shipdate < @TS'1997-07-01 00:00:00'
+        GROUP BY ROLLUP(p_brand, p_type)),
+      ranked AS (
+        SELECT brand, container, lvl, cents,
+               rank() OVER (PARTITION BY lvl, CASE WHEN lvl = 0 THEN brand END
+                            ORDER BY cents DESC, brand, container) AS rnk
+        FROM rolled)
+      SELECT brand, container, lvl, cents, CAST(rnk AS INT) AS rnk
+      FROM ranked
+      WHERE rnk <= 5
+      ORDER BY lvl DESC, brand NULLS FIRST, rnk, container NULLS FIRST"""
+
   private val texts: Map[String, (Seq[String], String)] = Map(
+    "tpcds_q97_channel_overlap_full" -> (Seq("lineitem", "orders") -> q97),
+    "tpcds_q31_growth_ratio_chain" -> (Seq("lineitem", "orders", "customer") -> q31),
+    "tpcds_q34_count_buckets" -> (Seq("lineitem", "orders", "customer") -> q34),
+    "tpcds_q70_rollup_rank_partition" -> (Seq("lineitem", "part") -> q70),
     "tpcds_q47_window_family_dev" -> (Seq("lineitem") -> q47),
     "tpcds_q1_correlated_group_avg" -> (Seq("orders", "lineitem", "customer") -> q1),
     "tpcds_q17_three_fact_chain" -> (Seq("lineitem", "orders") -> q17),

@@ -253,6 +253,32 @@ class PlanAuditSpec extends SparkSuite {
       s"order-date windows not pushed to the orders scans:\n$p")
   }
 
+  test("TPC-DS Q97 shape: channel overlap keeps the composite-key full outer join") {
+    val p = plan(graft.queries.TpcdsShapeQueries.queries("tpcds_q97_channel_overlap_full")(spark, dir))
+    // full outer can never broadcast; it must stay a shuffled equi-join
+    // on (ck, pk) — and the DISTINCT frames must not fall to all-pairs
+    assert(p.contains("FullOuter"), s"overlap join lost FullOuter:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"overlap join fell to all-pairs:\n$p")
+  }
+
+  test("TPC-DS Q34 shape: count-bucket frame joins back to the dim via broadcast") {
+    val p = plan(graft.queries.TpcdsShapeQueries.queries("tpcds_q34_count_buckets")(spark, dir))
+    // the HAVING frame and customer dim are both tiny next to the
+    // fact: the join back must be broadcast, never a second full
+    // shuffle of the fact
+    assert(p.contains("BroadcastHashJoin"),
+      s"count-bucket join back to customer not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"all-pairs in count-bucket plan:\n$p")
+  }
+
+  test("TPC-DS Q70 shape: rank within grouping level plans WindowGroupLimit above Expand") {
+    val p = plan(graft.queries.TpcdsShapeQueries.queries("tpcds_q70_rollup_rank_partition")(spark, dir))
+    assert(p.contains("Expand"), s"rollup lost its Expand node:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=5 filter not pushed into WindowGroupLimit:\n$p")
+  }
+
   test("window dedup TVF: rn=1 filter plans WindowGroupLimit below and above the shuffle") {
     val p = plan(graft.queries.TimeWindowQueries.queries("win_window_dedup_tvf_sql")(spark, dir))
     // keep-first per (pane, user) must push into WindowGroupLimit —
