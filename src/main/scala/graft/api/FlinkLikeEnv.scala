@@ -111,10 +111,14 @@ final class TableEnv(val spark: SparkSession) {
    * desugar+rule; everything else straight to Catalyst. The three
    * compose because every rewrite is text-to-text. */
   def sqlQuery(query0: String): DataFrame = {
-    val query =
+    val query1 =
       if (graft.sqlx.SqlLexer.findKeyword(query0, "MATCH_RECOGNIZE").isDefined)
         graft.sqlx.MatchRecognizeSql.desugar(spark, query0)
       else query0
+    // legacy group windows (GROUP BY TUMBLE/HOP/SESSION(ts, INTERVAL …)
+    // + *_START/*_END): no-op when absent; TVF-form calls are skipped
+    // and handled below
+    val query = graft.sqlx.GroupWindowSql.desugar(query1)
     val tvf = """(?i)\bDESCRIPTOR\s*\(""".r.findFirstIn(query).isDefined
     val temporal = """(?i)FOR\s+SYSTEM_TIME\s+AS\s+OF""".r.findFirstIn(query).isDefined
     (tvf, temporal) match {

@@ -204,6 +204,45 @@ object TimeWindowQueries extends QueryPack {
         ORDER BY ws, we""")
     }),
 
+    // LEGACY group-window SQL (reference TUMBLE_OLD/HOP_OLD/SESSION_OLD
+    // + *_START/*_END auxiliaries — the pre-TVF syntax its docs and
+    // tests still lead with): the same aggregations as win_tumble/
+    // win_hop/win_session, driven by `GROUP BY TUMBLE(ts, INTERVAL …)`
+    // text through the unified SQL door (sqlx.GroupWindowSql). Shared
+    // oracle constants enforce hash-identity with the API twins.
+    "win_tumble_legacy_sql" -> ((s, dir) => {
+      Tables.load(s, dir, "events").createOrReplaceTempView("events")
+      new graft.api.TableEnv(s).sqlQuery("""
+        SELECT TUMBLE_START(ts, INTERVAL '15' MINUTE) AS ws,
+               TUMBLE_END(ts, INTERVAL '15' MINUTE) AS we,
+               event_type, count(*) AS n, sum(floor(value * 100)) AS sum_value
+        FROM events
+        GROUP BY TUMBLE(ts, INTERVAL '15' MINUTE), event_type
+        ORDER BY ws, event_type""")
+    }),
+
+    "win_hop_legacy_sql" -> ((s, dir) => {
+      Tables.load(s, dir, "events").createOrReplaceTempView("events")
+      new graft.api.TableEnv(s).sqlQuery("""
+        SELECT HOP_START(ts, INTERVAL '10' MINUTE, INTERVAL '30' MINUTE) AS ws,
+               HOP_END(ts, INTERVAL '10' MINUTE, INTERVAL '30' MINUTE) AS we,
+               count(*) AS n, count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY HOP(ts, INTERVAL '10' MINUTE, INTERVAL '30' MINUTE)
+        ORDER BY ws""")
+    }),
+
+    "win_session_legacy_sql" -> ((s, dir) => {
+      Tables.load(s, dir, "events").createOrReplaceTempView("events")
+      new graft.api.TableEnv(s).sqlQuery("""
+        SELECT user_id, SESSION_START(ts, INTERVAL '30' MINUTE) AS ws,
+               SESSION_END(ts, INTERVAL '30' MINUTE) AS we,
+               count(*) AS n, sum(floor(value * 100)) AS sum_value
+        FROM events
+        GROUP BY user_id, SESSION(ts, INTERVAL '30' MINUTE)
+        ORDER BY user_id, ws""")
+    }),
+
     // CUMULATE size 1h step 20min: expanding windows per hour.
     "win_cumulate" -> ((s, dir) => {
       CumulateWindow(Tables.load(s, dir, "events"), "ts", stepMinutes = 20, sizeMinutes = 60)
@@ -219,6 +258,23 @@ object TimeWindowQueries extends QueryPack {
   // oracle texts shared by a DataFrame-API gate and its TVF-SQL twin —
   // ONE constant per window shape, so the hash-identical invariant is
   // enforced by construction rather than copy-paste discipline
+  private[queries] val sessionOracleSql = """
+      WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+      sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged)
+      SELECT user_id, min(ts) AS ws, max(ts) + INTERVAL 30 MINUTE AS we,
+             count(*) AS n,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
+      FROM sessions GROUP BY user_id, sid ORDER BY user_id, ws"""
+
   private[queries] val tumbleOracleSql = """
       SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS ws,
              time_bucket(INTERVAL 15 MINUTE, ts) + INTERVAL 15 MINUTE AS we,
@@ -283,22 +339,7 @@ object TimeWindowQueries extends QueryPack {
       FROM events
       GROUP BY 1 ORDER BY ws""",
     "win_hop" -> hopOracleSql,
-    "win_session" -> """
-      WITH flagged AS (
-        SELECT user_id, ts, value,
-               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
-                    THEN 1 ELSE 0 END AS new_session
-        FROM events),
-      sessions AS (
-        SELECT user_id, ts, value,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        FROM flagged)
-      SELECT user_id, min(ts) AS ws, max(ts) + INTERVAL 30 MINUTE AS we,
-             count(*) AS n,
-             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
-      FROM sessions GROUP BY user_id, sid ORDER BY user_id, ws""",
+    "win_session" -> sessionOracleSql,
     "win_session_dynamic" -> """
       WITH g AS (
         SELECT user_id, ts, value,
@@ -327,6 +368,9 @@ object TimeWindowQueries extends QueryPack {
     "win_tumble_tvf_sql" -> tumbleOracleSql,
     "win_hop_tvf_sql" -> hopOracleSql,
     "win_cumulate_tvf_sql" -> cumulateOracleSql,
+    "win_tumble_legacy_sql" -> tumbleOracleSql,
+    "win_hop_legacy_sql" -> hopOracleSql,
+    "win_session_legacy_sql" -> sessionOracleSql,
     "win_window_join_tvf_sql" -> windowJoinOracleSql,
     "win_window_rank_tvf_sql" -> windowRankOracleSql,
     "win_window_dedup_tvf_sql" -> windowDedupOracleSql

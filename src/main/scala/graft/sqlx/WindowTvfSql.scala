@@ -40,17 +40,17 @@ object WindowTvfSql {
   private val Tvf =
     """(?is)(TABLE\s*\(\s*)?\b(TUMBLE|HOP|CUMULATE)\s*\(\s*TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s*,\s*DESCRIPTOR\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*,([^)]*)\)\s*""".r
 
-  private val IntervalLit =
+  private[sqlx] val IntervalLit =
     """(?is)INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)S?""".r
 
-  private val unitSecs =
+  private[sqlx] val unitSecs =
     Map("SECOND" -> 1L, "MINUTE" -> 60L, "HOUR" -> 3600L, "DAY" -> 86400L)
 
   /** Parse the TVF's trailing `INTERVAL 'n' UNIT` arguments → seconds.
    * The tail must consist of NOTHING but interval literals and commas —
    * named arguments (`SIZE => ...`) or expression offsets would
    * otherwise be discarded silently, changing query semantics. */
-  private def intervals(args: String, fn: String): List[Long] = {
+  private[sqlx] def intervals(args: String, fn: String): List[Long] = {
     val found = IntervalLit.findAllMatchIn(args)
       .map(m => m.group(1).toLong * unitSecs(m.group(2).toUpperCase)).toList
     require(found.nonEmpty, s"$fn: expected INTERVAL 'n' UNIT arguments, got: $args")
