@@ -538,7 +538,82 @@ object TpcdsShapeQueries extends QueryPack {
       WHERE rnk <= 5
       ORDER BY lvl DESC, brand NULLS FIRST, rnk, container NULLS FIRST"""
 
+  // Q64: one WITH frame consumed TWICE as a cross-period self-join on
+  // the item key (cs1 year-1996 vs cs2 year-1997, count-dominance
+  // residual). Stresses CTE reuse under self-join: both sides shuffle
+  // on pk once each; the join itself is a plain equi-join with the
+  // cnt inequality as residual — never all-pairs.
+  private val q64 = """
+      WITH cross_sales AS (
+        SELECT l_partkey AS pk, CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= @TS'1996-01-01 00:00:00'
+          AND o_orderdate < @TS'1998-01-01 00:00:00'
+        GROUP BY l_partkey, year(o_orderdate))
+      SELECT cs1.pk AS partkey, cs1.cnt AS cnt1, cs2.cnt AS cnt2,
+             cs1.cents AS cents1, cs2.cents AS cents2
+      FROM cross_sales cs1 JOIN cross_sales cs2
+        ON cs1.pk = cs2.pk AND cs1.yr = 1996 AND cs2.yr = 1997
+           AND cs2.cnt <= cs1.cnt
+      ORDER BY partkey"""
+
+  // Q58: three per-channel aggregate frames equi-joined on the item,
+  // kept when EVERY channel's sales sit within 10% of the three-way
+  // average — the band compare cross-multiplies on the BIGINT cent
+  // grid (30·x vs 9·sum and 33·sum bounds), no float boundary at all.
+  private val q58 = """
+      WITH ss AS (
+        SELECT l_partkey AS pk,
+               CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem WHERE l_linestatus = 'F' AND l_returnflag <> 'R'
+        GROUP BY l_partkey),
+      cs AS (
+        SELECT l_partkey AS pk,
+               CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem WHERE l_linestatus = 'O' AND l_shipdate < @TS'1998-01-01 00:00:00'
+        GROUP BY l_partkey),
+      ws AS (
+        SELECT l_partkey AS pk,
+               CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem WHERE l_linestatus = 'O' AND l_shipdate >= @TS'1998-01-01 00:00:00'
+        GROUP BY l_partkey)
+      SELECT ss.pk AS partkey, ss.cents AS store_cents,
+             cs.cents AS catalog_cents, ws.cents AS web_cents
+      FROM ss JOIN cs ON ss.pk = cs.pk JOIN ws ON ss.pk = ws.pk
+      WHERE 30 * ss.cents >= 9 * (ss.cents + cs.cents + ws.cents)
+        AND 30 * ss.cents <= 11 * (ss.cents + cs.cents + ws.cents)
+        AND 30 * cs.cents >= 9 * (ss.cents + cs.cents + ws.cents)
+        AND 30 * cs.cents <= 11 * (ss.cents + cs.cents + ws.cents)
+        AND 30 * ws.cents >= 9 * (ss.cents + cs.cents + ws.cents)
+        AND 30 * ws.cents <= 11 * (ss.cents + cs.cents + ws.cents)
+      ORDER BY partkey"""
+
+  // Q59: week-shifted self-comparison — weekly supplier sales for two
+  // adjacent half-years joined on (supplier, week-of-half), comparing
+  // the same week across halves. The join key is a computed modular
+  // week index; both sides come from one grouped frame.
+  private val q59 = """
+      WITH weekly AS (
+        SELECT l_suppkey AS sk,
+               CAST(floor((dayofyear(l_shipdate) - 1) / 7) AS INT) AS wk,
+               CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem
+        WHERE l_shipdate >= @TS'1997-01-01 00:00:00'
+          AND l_shipdate < @TS'1998-01-01 00:00:00'
+        GROUP BY 1, 2)
+      SELECT h1.sk AS suppkey, h1.wk AS wk1, h2.wk AS wk2,
+             h1.cents AS cents_h1, h2.cents AS cents_h2
+      FROM weekly h1 JOIN weekly h2
+        ON h1.sk = h2.sk AND h2.wk = h1.wk + 26
+      WHERE h1.wk < 26
+      ORDER BY suppkey, wk1"""
+
   private val texts: Map[String, (Seq[String], String)] = Map(
+    "tpcds_q64_cross_period_self" -> (Seq("lineitem", "orders") -> q64),
+    "tpcds_q58_channel_band" -> (Seq("lineitem") -> q58),
+    "tpcds_q59_week_shift" -> (Seq("lineitem") -> q59),
     "tpcds_q97_channel_overlap_full" -> (Seq("lineitem", "orders") -> q97),
     "tpcds_q31_growth_ratio_chain" -> (Seq("lineitem", "orders", "customer") -> q31),
     "tpcds_q34_count_buckets" -> (Seq("lineitem", "orders", "customer") -> q34),

@@ -279,6 +279,16 @@ class PlanAuditSpec extends SparkSuite {
       s"rank<=5 filter not pushed into WindowGroupLimit:\n$p")
   }
 
+  test("TPC-DS Q64 shape: cross-period CTE self-join stays an equi-join on the item") {
+    val p = plan(graft.queries.TpcdsShapeQueries.queries("tpcds_q64_cross_period_self")(spark, dir))
+    // the cnt-dominance predicate must ride as a residual on the pk
+    // equi-join, never demote it to an all-pairs nested loop
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cross-period self-join fell to all-pairs:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected grouped frames on both join sides:\n$p")
+  }
+
   test("window dedup TVF: rn=1 filter plans WindowGroupLimit below and above the shuffle") {
     val p = plan(graft.queries.TimeWindowQueries.queries("win_window_dedup_tvf_sql")(spark, dir))
     // keep-first per (pane, user) must push into WindowGroupLimit —
