@@ -159,6 +159,25 @@ object StreamQueries extends QueryPack {
         .orderBy(col("ws"), col("we"))
     }),
 
+    // Streaming LEGACY group-window SQL: `GROUP BY TUMBLE(ts, INTERVAL
+    // …)` + TUMBLE_START/_END text through the unified SQL door over a
+    // real stream — the desugar is a pure text rewrite onto window(),
+    // so the streaming windowed agg is byte-identical to
+    // stream_tumble_agg (shared oracle enforces it).
+    "stream_tumble_legacy_sql" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      StreamOps.readStream(s, dir, "events")
+        .createOrReplaceTempView("events_stream_legacy")
+      val agg = new graft.api.TableEnv(s).sqlQuery("""
+        SELECT TUMBLE_START(ts, INTERVAL '15' MINUTE) AS ws,
+               TUMBLE_END(ts, INTERVAL '15' MINUTE) AS we,
+               event_type, count(*) AS n, sum(floor(value * 100)) AS sum_value
+        FROM events_stream_legacy
+        GROUP BY TUMBLE(ts, INTERVAL '15' MINUTE), event_type""")
+      StreamOps.runToBatch(s, agg, "complete", "stream_tumble_legacy")
+        .orderBy(col("ws"), col("event_type"))
+    }),
+
     // MULTI-SINK subplan reuse (reference
     // StreamCommonSubGraphBasedOptimizer statement sets): ONE streaming
     // query computes the shared filtered/enriched prefix once per
@@ -896,6 +915,7 @@ object StreamQueries extends QueryPack {
     // the streaming gates' oracles identical to the batch ones
     "stream_cumulate_agg" -> TimeWindowQueries.cumulateOracleSql,
     "stream_cumulate_sql" -> TimeWindowQueries.cumulateOracleSql,
+    "stream_tumble_legacy_sql" -> TimeWindowQueries.tumbleOracleSql,
     "multi_sink_fanout" -> """
       SELECT 'by_type' AS sink, event_type AS k, count(*) AS n,
              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents

@@ -610,7 +610,69 @@ object TpcdsShapeQueries extends QueryPack {
       WHERE h1.wk < 26
       ORDER BY suppkey, wk1"""
 
+  // Q2: day-of-week CASE-pivot into seven wide columns per (year,
+  // week), then a year-shifted self-join comparing the same week —
+  // the wide-pivot + aligned self-join shape. The pivot key is
+  // (dayofyear-1) % 7, NOT dayofweek(): Spark's dayofweek is 1-based
+  // Sunday, DuckDB's 0-based — the modular day index is
+  // engine-identical and keeps the shape intact.
+  private val q2 = """
+      WITH wk AS (
+        SELECT CAST(year(l_shipdate) AS INT) AS yr,
+               CAST(floor((dayofyear(l_shipdate) - 1) / 7) AS INT) AS wk,
+               CAST(sum(CASE WHEN (dayofyear(l_shipdate) - 1) % 7 = 0 THEN CAST(floor(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS d0_cents,
+               CAST(sum(CASE WHEN (dayofyear(l_shipdate) - 1) % 7 = 1 THEN CAST(floor(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS d1_cents,
+               CAST(sum(CASE WHEN (dayofyear(l_shipdate) - 1) % 7 = 2 THEN CAST(floor(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS d2_cents,
+               CAST(sum(CASE WHEN (dayofyear(l_shipdate) - 1) % 7 = 3 THEN CAST(floor(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS d3_cents,
+               CAST(sum(CASE WHEN (dayofyear(l_shipdate) - 1) % 7 = 4 THEN CAST(floor(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS d4_cents,
+               CAST(sum(CASE WHEN (dayofyear(l_shipdate) - 1) % 7 = 5 THEN CAST(floor(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS d5_cents,
+               CAST(sum(CASE WHEN (dayofyear(l_shipdate) - 1) % 7 = 6 THEN CAST(floor(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS d6_cents
+        FROM lineitem
+        WHERE l_shipdate >= @TS'1996-01-01 00:00:00'
+          AND l_shipdate < @TS'1998-01-01 00:00:00'
+        GROUP BY 1, 2)
+      SELECT y1.wk AS wk,
+             y1.d0_cents AS d0_y1, y2.d0_cents AS d0_y2,
+             y1.d3_cents AS d3_y1, y2.d3_cents AS d3_y2,
+             y1.d6_cents AS d6_y1, y2.d6_cents AS d6_y2
+      FROM wk y1 JOIN wk y2 ON y1.wk = y2.wk AND y1.yr = 1996 AND y2.yr = 1997
+      ORDER BY wk"""
+
+  // Q35: customers gated by a required EXISTS and an OR of two channel
+  // INs, then multi-statistic aggregates (count/sum/min/max) grouped
+  // by (segment, nation) after joining a per-customer stats frame —
+  // Q10's gate with Q35's grouped-stats consumption on top.
+  private val q35 = """
+      WITH gated AS (
+        SELECT c_custkey, c_mktsegment, c_nationkey
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= @TS'1997-01-01 00:00:00'
+                        AND o.o_orderdate < @TS'1998-01-01 00:00:00')
+          AND (c_custkey IN (SELECT o_custkey FROM orders
+                             JOIN lineitem ON l_orderkey = o_orderkey
+                             WHERE l_linestatus = 'F')
+               OR c_custkey IN (SELECT o_custkey FROM orders
+                                JOIN lineitem ON l_orderkey = o_orderkey
+                                WHERE l_returnflag = 'R'))),
+      stats AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey)
+      SELECT g.c_mktsegment AS seg, g.c_nationkey AS nk,
+             CAST(count(*) AS BIGINT) AS n_cust,
+             CAST(sum(s.n_orders) AS BIGINT) AS n_orders,
+             CAST(min(s.cents) AS BIGINT) AS min_cents,
+             CAST(max(s.cents) AS BIGINT) AS max_cents,
+             CAST(sum(s.cents) AS BIGINT) AS sum_cents
+      FROM gated g JOIN stats s ON g.c_custkey = s.o_custkey
+      GROUP BY 1, 2
+      ORDER BY seg, nk"""
+
   private val texts: Map[String, (Seq[String], String)] = Map(
+    "tpcds_q2_dow_pivot_yoy" -> (Seq("lineitem") -> q2),
+    "tpcds_q35_gated_stats" -> (Seq("customer", "orders", "lineitem") -> q35),
     "tpcds_q64_cross_period_self" -> (Seq("lineitem", "orders") -> q64),
     "tpcds_q58_channel_band" -> (Seq("lineitem") -> q58),
     "tpcds_q59_week_shift" -> (Seq("lineitem") -> q59),
