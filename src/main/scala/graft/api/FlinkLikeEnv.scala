@@ -18,10 +18,43 @@ import scala.reflect.runtime.universe.TypeTag
  * calling the operator directly. Batch `Dataset`s flow through the
  * same surface (the reference's DataSet/DataStream unification).
  */
+/** Reference `SourceFunction<T>` (`flink-streaming-java/.../functions/
+ * source/SourceFunction.java`): a single-task push loop emitting via
+ * the context. The reference runs it at parallelism 1; here the
+ * emitted elements distribute as a Dataset afterwards, so downstream
+ * operators parallelize identically. Bounded sources only — unbounded
+ * custom sources map to the DSv2 path (`sources/DatagenSource`). */
+trait SourceFunction[T] {
+  def run(ctx: SourceFunction.SourceContext[T]): Unit
+}
+
+object SourceFunction {
+  trait SourceContext[T] { def collect(t: T): Unit }
+}
+
 final class StreamEnv private (val spark: SparkSession) {
 
   /** Wrap any typed Dataset — batch or streaming. */
   def fromDataset[T](ds: Dataset[T]): Stream[T] = new Stream(ds)
+
+  /** Reference `env.fromElements(...)`. */
+  def fromElements[T: Encoder](elems: T*): Stream[T] =
+    fromCollection(elems)
+
+  /** Reference `env.fromCollection(...)`. */
+  def fromCollection[T: Encoder](data: Seq[T]): Stream[T] =
+    new Stream(spark.createDataset(data))
+
+  /** Reference `env.addSource(new SourceFunction<T>() {...})`: runs
+   * the push loop (single-task, as the reference), then distributes
+   * the emitted elements. */
+  def addSource[T: Encoder](fn: SourceFunction[T]): Stream[T] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[T]
+    fn.run(new SourceFunction.SourceContext[T] {
+      def collect(t: T): Unit = buf += t
+    })
+    fromCollection(buf.toSeq)
+  }
 
   /** Batch table from a testdata dir (reference `env.createInput`). */
   def fromTable(dir: String, name: String): DataFrame =

@@ -24,6 +24,20 @@ class FlinkLikeEnvSpec extends SparkSuite {
     assert(out == List(6L, 7L, 8L, 9L, 10L, 11L))
   }
 
+  test("fromElements/fromCollection/addSource feed the typed surface") {
+    import spark.implicits._
+    val env = StreamEnv.get(spark)
+    assert(env.fromElements(3, 1, 2).ds.collect().sorted.toList == List(1, 2, 3))
+    assert(env.fromCollection(Seq("a", "b")).ds.count() == 2)
+    // SourceFunction: single-task push loop, elements distribute after
+    val src = new SourceFunction[Ev] {
+      def run(ctx: SourceFunction.SourceContext[Ev]): Unit =
+        (1L to 5L).foreach(i => ctx.collect(ev(i, i % 2, "click", i * 1000000, i.toDouble)))
+    }
+    val out = env.addSource(src).filter(_.user_id == 1).ds.collect()
+    assert(out.map(_.event_id).sorted.toList == List(1L, 3L, 5L))
+  }
+
   test("keyBy.keepLast and keyBy.topN route to the state ops") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
