@@ -54,6 +54,34 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // TF-IDF top terms per document (keyword extraction for corpus
+    // curation): tokenize → term frequencies → document frequencies →
+    // integer-grid idf → top-3 per doc. The idf is the INTEGER
+    // floor(n_docs * 1000 / df) — monotone in the real idf, and the
+    // per-doc ranking is then fully integer-deterministic across
+    // engines (a libm ln() could flip ties at rounding boundaries).
+    // Scale: tokens shuffle once per aggregate; the df frame is
+    // vocabulary-sized (<< corpus); the rn<=3 filter plans as
+    // WindowGroupLimit, never materializing the full per-doc sort.
+    "text_tfidf_top_terms" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+          explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
+        .filter(length(col("term")) > 2)
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      val scored = tf.join(dfreq, "term")
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+        .withColumn("score",
+          (col("tf") * floor(col("n_docs") * lit(1000.0) / col("df"))).cast("long"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("score"), col("rn").cast("int").as("rn"))
+        .orderBy(col("doc_id"), col("rn"))
+    }),
+
     // Quality scoring: length stats, stopword ratio, mean word length.
     "text_quality_score" -> ((s, dir) => {
       val stopArr = array(stopList.map(lit): _*)
@@ -260,6 +288,24 @@ object TextQueries extends QueryPack {
              CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS BIGINT) AS n_re_tokens,
              CAST(len(list_distinct(string_split(trim(lower(text)), ' '))) AS BIGINT) AS n_unique
       FROM documents ORDER BY doc_id""",
+    "text_tfidf_top_terms" -> """
+      WITH toks AS (
+        SELECT doc_id, t.term
+        FROM documents, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS t(term)
+        WHERE length(t.term) > 2),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(tf.tf * floor((SELECT n_docs FROM n) * 1000.0 / dfreq.df) AS BIGINT) AS score
+        FROM tf JOIN dfreq USING (term)),
+      ranked AS (
+        SELECT doc_id, term, score,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        FROM scored)
+      SELECT doc_id, term, score, CAST(rn AS INT) AS rn
+      FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""",
     "text_quality_score" -> s"""
       WITH t AS (
         SELECT doc_id, n_chars,
