@@ -45,6 +45,22 @@ object SubqueryQueries extends QueryPack {
                          WHERE s2.s_nationkey = s.s_nationkey)
       ORDER BY s_suppkey""")),
 
+    // Correlated LATERAL derived table with ORDER BY + LIMIT 1 (the
+    // reference plans Calcite LATERAL correlates; Spark decorrelates
+    // the per-row top-1 rather than executing it per outer row): each
+    // January-1997 order paired with its priciest line item.
+    "subq_lateral_topk" -> ((s, dir) => sql(s, dir, Seq("orders", "lineitem"), """
+      SELECT o.o_orderkey AS orderkey, l.top_part, l.cents
+      FROM orders o,
+      LATERAL (SELECT l_partkey AS top_part,
+                      CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+               FROM lineitem
+               WHERE l_orderkey = o.o_orderkey
+               ORDER BY cents DESC, l_partkey LIMIT 1) l
+      WHERE o.o_orderdate >= TIMESTAMP_NTZ'1997-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP_NTZ'1997-02-01 00:00:00'
+      ORDER BY orderkey""")),
+
     // Q17 shape: small-quantity-order revenue — correlated scalar AVG
     // subquery per part in the predicate.
     "subq_scalar_avg" -> ((s, dir) => sql(s, dir, Seq("lineitem", "part"), """
@@ -94,6 +110,17 @@ object SubqueryQueries extends QueryPack {
       WHERE s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier s2
                          WHERE s2.s_nationkey = s.s_nationkey)
       ORDER BY s_suppkey""",
+    "subq_lateral_topk" -> """
+      SELECT o.o_orderkey AS orderkey, l.top_part, l.cents
+      FROM orders o,
+      LATERAL (SELECT l_partkey AS top_part,
+                      CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+               FROM lineitem
+               WHERE l_orderkey = o.o_orderkey
+               ORDER BY cents DESC, l_partkey LIMIT 1) l
+      WHERE o.o_orderdate >= TIMESTAMP'1997-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP'1997-02-01 00:00:00'
+      ORDER BY orderkey""",
     "subq_scalar_avg" -> """
       SELECT CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
              count(*) AS n_items
