@@ -880,13 +880,10 @@ object StreamQueries extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
-    "stream_tumble_agg" -> """
-      SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS ws,
-             time_bucket(INTERVAL 15 MINUTE, ts) + INTERVAL 15 MINUTE AS we,
-             event_type, count(*) AS n,
-             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
-      FROM events
-      GROUP BY 1, 2, 3 ORDER BY ws, event_type""",
+    // shared constant — one text for the batch gate, the TVF twin,
+    // the legacy-SQL twin, and this streaming gate (hash-identity by
+    // construction)
+    "stream_tumble_agg" -> TimeWindowQueries.tumbleOracleSql,
     "stream_hop_agg" -> """
       SELECT ws, ws + INTERVAL 30 MINUTE AS we, count(*) AS n,
              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value

@@ -1,7 +1,5 @@
 package graft.sqlx
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-
 /**
  * Legacy group-window SQL syntax — the reference's pre-TVF window
  * surface, still primary in its docs and tests:
@@ -30,7 +28,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * `INTERVAL 'n' UNIT` durations, a bare column as the time attribute,
  * and `*_START`/`*_END` argument lists textually matching the GROUP BY
  * window's. TVF-form calls (`TUMBLE(TABLE t, DESCRIPTOR(...))`) are
- * left untouched for [[WindowTvfSql]].
+ * left untouched for [[WindowTvfSql]]. The rewrite projects the
+ * grouped struct by its generated name (`window` / `session_window`);
+ * a source table with a same-named column makes the reference
+ * ambiguous — Spark raises its ambiguity error rather than silently
+ * resolving, so rename such a column before using the legacy syntax.
  */
 object GroupWindowSql {
 
@@ -44,30 +46,14 @@ object GroupWindowSql {
     def canonicalArgs: String = args.map(_.replaceAll("\\s+", " ").trim.toUpperCase).mkString(",")
   }
 
-  /** Index of the ')' balancing the '(' at `open`, honoring quotes. */
-  private def closeOf(s: String, open: Int): Int = {
-    var depth = 0; var inQ = false; var i = open
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (inQ) { if (c == '\'') inQ = false }
-      else c match {
-        case '\'' => inQ = true
-        case '(' => depth += 1
-        case ')' => depth -= 1; if (depth == 0) return i
-        case _ => ()
-      }
-      i += 1
-    }
-    fail("unbalanced parens")
-  }
-
   private def calls(q: String): Seq[Call] =
     Head.findAllMatchIn(q).filter(m => !SqlLexer.inQuote(q, m.start))
       .filter(m => m.start == 0 || { val c = q.charAt(m.start - 1)
         !(c.isLetterOrDigit || c == '_') })
       .map { m =>
         val open = q.indexOf('(', m.start + m.group(1).length)
-        val close = closeOf(q, open)
+        val close = SqlLexer.closeOf(q, open)
+        if (close < 0) fail("unbalanced parens")
         Call(m.group(1).toUpperCase,
           Option(m.group(2)).getOrElse("").toUpperCase,
           m.start, close + 1,
@@ -116,13 +102,5 @@ object GroupWindowSql {
       }
       q.substring(0, c.start) + repl + q.substring(c.end)
     }
-  }
-
-  def sql(spark: SparkSession, query: String): DataFrame = {
-    val q = desugar(query)
-    val leftover = calls(q)
-    require(leftover.isEmpty,
-      s"group window not desugared (unsupported form):\n$q")
-    spark.sql(q)
   }
 }

@@ -136,23 +136,17 @@ object MatchRecognize {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"MATCH_RECOGNIZE: $msg")
 
-  /** Extract the balanced-paren body of the MATCH_RECOGNIZE clause. */
+  /** Extract the balanced-paren body of the MATCH_RECOGNIZE clause
+   * (quote-aware via [[SqlLexer.closeOf]], so a DEFINE literal
+   * containing ')' cannot truncate the spec). */
   private def body(sql: String): String = {
-    val up = sql.toUpperCase
-    val kw = up.indexOf("MATCH_RECOGNIZE")
+    val kw = sql.toUpperCase.indexOf("MATCH_RECOGNIZE")
     if (kw < 0) fail("no MATCH_RECOGNIZE clause")
     val open = sql.indexOf('(', kw)
-    var depth = 0
-    var i = open
-    while (i < sql.length) {
-      sql(i) match {
-        case '(' => depth += 1
-        case ')' => depth -= 1; if (depth == 0) return sql.substring(open + 1, i)
-        case _ => ()
-      }
-      i += 1
-    }
-    fail("unbalanced parens")
+    if (open < 0) fail("expected '(' after MATCH_RECOGNIZE")
+    val close = SqlLexer.closeOf(sql, open)
+    if (close < 0) fail("unbalanced parens")
+    sql.substring(open + 1, close)
   }
 
   /** Slice the body into its ordered sections. Markers match only as
@@ -618,6 +612,12 @@ object MatchRecognize {
     if (effIdCol.isEmpty)
       fail("no unique-id column: add a tiebreaker (ORDER BY ts, id) or pass idCol")
     if (!names.contains(effIdCol)) fail(s"id column $effIdCol: no such column")
+    // loud, not silent: a non-integral id would cast to all-NULL longs
+    // and corrupt tie ordering + match dedup
+    schema(effIdCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case t => fail(s"id column $effIdCol must be integral (unique Long), got $t")
+    }
     // ORDER BY resolution: the column itself, else `<name>_us` (the
     // epoch-micros convention of the streaming layer)
     val ordName =

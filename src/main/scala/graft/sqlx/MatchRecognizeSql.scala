@@ -1,6 +1,6 @@
 package graft.sqlx
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 
 /**
  * MATCH_RECOGNIZE as plain query text through the unified SQL door —
@@ -34,24 +34,6 @@ object MatchRecognizeSql {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"MATCH_RECOGNIZE SQL: $msg")
 
-  /** Index of the ')' balancing the '(' at `open`, honoring quoted
-   * literals. */
-  private def closeOf(s: String, open: Int): Int = {
-    var depth = 0; var inQ = false; var i = open
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (inQ) { if (c == '\'') inQ = false }
-      else c match {
-        case '\'' => inQ = true
-        case '(' => depth += 1
-        case ')' => depth -= 1; if (depth == 0) return i
-        case _ => ()
-      }
-      i += 1
-    }
-    fail("unbalanced parens in MATCH_RECOGNIZE spec")
-  }
-
   /** Rewrite every `<table> MATCH_RECOGNIZE (<spec>)` span in `query`
    * into a temp view over the engine's output, returning the rewritten
    * text (which no longer contains the keyword). */
@@ -76,7 +58,8 @@ object MatchRecognizeSql {
       while (open < out.length && out.charAt(open).isWhitespace) open += 1
       if (open >= out.length || out.charAt(open) != '(')
         fail("expected '(' after MATCH_RECOGNIZE")
-      val close = closeOf(out, open)
+      val close = SqlLexer.closeOf(out, open)
+      if (close < 0) fail("unbalanced parens in MATCH_RECOGNIZE spec")
       val block = out.substring(kwStart, close + 1)
       val df = spark.table(table)
       // fallback id column when the spec's ORDER BY has no tiebreaker;
@@ -91,7 +74,4 @@ object MatchRecognizeSql {
     }
     out
   }
-
-  def sql(spark: SparkSession, query: String): DataFrame =
-    spark.sql(desugar(spark, query))
 }

@@ -81,6 +81,24 @@ object SqlLexer {
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
+  /** Index of the ')' balancing the '(' at `open`, honoring quoted
+   * literals; -1 when unbalanced (callers raise their own error). */
+  def closeOf(s: String, open: Int): Int = {
+    var depth = 0; var inQ = false; var i = open
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else c match {
+        case '\'' => inQ = true
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ => ()
+      }
+      i += 1
+    }
+    -1
+  }
+
   /** End of the region starting at `start`: the first top-level (paren
    * depth 0, outside literals, word-bounded) occurrence of any stop
    * phrase, an unbalanced ')', or end of text. */

@@ -285,8 +285,10 @@ class PlanAuditSpec extends SparkSuite {
     // equi-join, never demote it to an all-pairs nested loop
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"cross-period self-join fell to all-pairs:\n$p")
-    assert("HashAggregate".r.findAllIn(p).size >= 2,
-      s"expected grouped frames on both join sides:\n$p")
+    // two grouped frames × partial+final = at least four aggregates; a
+    // collapsed side would drop below that
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected partial+final grouped frames on both join sides:\n$p")
   }
 
   test("window dedup TVF: rn=1 filter plans WindowGroupLimit below and above the shuffle") {

@@ -590,6 +590,38 @@ class MatchRecognizeSpec extends SparkSuite {
     }
   }
 
+  test("a DEFINE literal containing ')' does not truncate the spec") {
+    val spec = MatchRecognize.parse("""
+      SELECT * FROM events MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts
+        MEASURES A.event_id AS a_id, B.event_id AS b_id
+        PATTERN (A B)
+        DEFINE A AS A.event_type = 'a)b',
+               B AS B.value > 7
+      )""")
+    // both defines survived the quote-aware paren balance
+    assert(spec.pattern.steps.map(_.name) == Vector("A", "B"))
+    assert(spec.pattern.steps(0).pred(mrev(1, "a)b", 0), noCtx))
+    assert(!spec.pattern.steps(1).pred(mrev(2, "x", 0, 5.0), noCtx))
+  }
+
+  test("a non-integral id column fails loudly instead of casting to NULL") {
+    import spark.implicits._
+    val df = Seq(("u1", 1L, "k1")).toDF("user_id", "ts_us", "uuid")
+    val e = intercept[IllegalArgumentException] {
+      MatchRecognize.run(df, """
+        SELECT * FROM t MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts_us
+          MEASURES A.ts_us AS a_ts
+          PATTERN (A)
+          DEFINE A AS A.ts_us >= 0
+        )""", "uuid")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("SQL-door desugar rejects subquery inputs and unbalanced specs loudly") {
     // subquery input: the scan-back lands on ')' — not an identifier
     val e1 = intercept[IllegalArgumentException] {
