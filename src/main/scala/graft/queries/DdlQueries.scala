@@ -130,6 +130,30 @@ object DdlQueries extends QueryPack {
         ORDER BY sink, k""")
     }),
 
+    // INSERT OVERWRITE (reference SqlInsert's overwrite flag on batch
+    // filesystem tables): seed the sink with one INSERT INTO, then
+    // OVERWRITE it — the read-back must contain ONLY the second
+    // statement's rows, proving replace-not-append semantics.
+    "ddl_insert_overwrite" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_iow").toString
+      Ddl.execute(s,
+        s"""CREATE TABLE iow_events (
+              event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE
+            ) WITH ('connector' = 'filesystem',
+                    'path' = '$dir/events.parquet', 'format' = 'parquet')""")
+      Ddl.execute(s,
+        s"""CREATE TABLE iow_sink (event_type STRING, n BIGINT)
+            WITH ('connector' = 'filesystem', 'path' = '$out', 'format' = 'parquet')""")
+      Ddl.execute(s, """
+        INSERT INTO iow_sink
+          SELECT event_type, count(*) AS n FROM iow_events GROUP BY event_type""")
+      Ddl.execute(s, """
+        INSERT OVERWRITE iow_sink
+          SELECT event_type, count(*) AS n FROM iow_events
+          WHERE value >= 0.5 GROUP BY event_type""")
+      s.sql("SELECT event_type, n FROM iow_sink ORDER BY event_type")
+    }),
+
     "ddl_csv_source" -> ((s, dir) => {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_fmt/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/ddl_supplier_csv"
       graft.Tables.load(s, dir, "supplier")
@@ -166,6 +190,9 @@ object DdlQueries extends QueryPack {
     "ddl_csv_source" -> """
       SELECT s_nationkey, count(*) AS n, min(s_name) AS first_name
       FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "ddl_insert_overwrite" -> """
+      SELECT event_type, count(*) AS n FROM events
+      WHERE value >= 0.5 GROUP BY event_type ORDER BY event_type""",
     "ddl_statement_set" -> """
       SELECT 'by_type' AS sink, event_type AS k, count(*) AS n,
              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents

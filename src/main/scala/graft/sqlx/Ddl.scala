@@ -75,7 +75,7 @@ object Ddl {
   private val StatementSetRe =
     """(?is)\s*EXECUTE\s+STATEMENT\s+SET\s+BEGIN\s+(.*)\bEND\s*;?\s*""".r
   private val InsertRe =
-    """(?is)\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+(.*)""".r
+    """(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+([A-Za-z_][A-Za-z0-9_]*)\s+(.*)""".r
 
   /** Connector tables declared this session, so `INSERT INTO` can
    * resolve a target's path/format. Keyed by session identity — two
@@ -108,7 +108,7 @@ object Ddl {
         return statementSet(spark, body)
       // a bare INSERT INTO is a one-statement set (reference: plain
       // `tEnv.executeSql("INSERT INTO …")` outside a statement set)
-      case InsertRe(_, _) =>
+      case InsertRe(_, _, _) =>
         return statementSet(spark, ddl)
       case _ => ()
     }
@@ -121,7 +121,7 @@ object Ddl {
     val stmts = SqlLexer.splitTopOn(body, ';')
     require(stmts.nonEmpty, "empty statement set")
     val rows = stmts.map {
-      case InsertRe(target, select) =>
+      case InsertRe(verb, target, select) =>
         val t = declared.getOrElse((System.identityHashCode(spark).toString, target),
           throw new IllegalArgumentException(
             s"INSERT INTO $target: not a declared connector table"))
@@ -131,7 +131,10 @@ object Ddl {
         require(!df.isStreaming,
           s"INSERT INTO $target: streaming statement sets are not supported " +
           "— use streaming/MultiSink.foreachBatchFanout")
-        val w = df.write.mode("append")
+        // INSERT OVERWRITE (reference SqlInsert overwrite flag; batch
+        // filesystem tables): replace the sink's contents atomically
+        val w = df.write.mode(
+          if (verb.equalsIgnoreCase("OVERWRITE")) "overwrite" else "append")
         fmt match {
           case "parquet" => w.parquet(path)
           case "csv" => w.option("header",
