@@ -130,6 +130,40 @@ object DdlQueries extends QueryPack {
         ORDER BY sink, k""")
     }),
 
+    // STREAMING statement set (reference StreamStatementSet): the
+    // source table is declared with scan.streaming, both INSERTs run
+    // as bounded AvailableNow pipelines into declared parquet sinks,
+    // and the read-back checks both legs. Stateless append queries —
+    // the windowed-agg streaming paths are gated separately.
+    "ddl_statement_set_stream" -> ((s, dir) => {
+      val outA = java.nio.file.Files.createTempDirectory("graft_ssets_a").toString
+      val outB = java.nio.file.Files.createTempDirectory("graft_ssets_b").toString
+      Ddl.execute(s,
+        s"""CREATE TABLE ssets_events (
+              event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE
+            ) WITH ('connector' = 'filesystem', 'path' = '$dir/events.parquet',
+                    'format' = 'parquet', 'scan.streaming' = 'true')""")
+      Ddl.execute(s,
+        s"""CREATE TABLE ssets_clicks (event_id BIGINT, user_id BIGINT)
+            WITH ('connector' = 'filesystem', 'path' = '$outA', 'format' = 'parquet')""")
+      Ddl.execute(s,
+        s"""CREATE TABLE ssets_big (event_id BIGINT, cents BIGINT)
+            WITH ('connector' = 'filesystem', 'path' = '$outB', 'format' = 'parquet')""")
+      Ddl.execute(s, """
+        EXECUTE STATEMENT SET BEGIN
+          INSERT INTO ssets_clicks
+            SELECT event_id, user_id FROM ssets_events WHERE event_type = 'click';
+          INSERT INTO ssets_big
+            SELECT event_id, cast(floor(value * 100) as bigint) AS cents
+            FROM ssets_events WHERE value >= 0.9;
+        END""")
+      s.sql("""
+        SELECT 'clicks' AS sink, event_id, user_id AS v FROM ssets_clicks
+        UNION ALL
+        SELECT 'big', event_id, cents FROM ssets_big
+        ORDER BY sink, event_id""")
+    }),
+
     // INSERT OVERWRITE (reference SqlInsert's overwrite flag on batch
     // filesystem tables): seed the sink with one INSERT INTO, then
     // OVERWRITE it — the read-back must contain ONLY the second
@@ -190,6 +224,13 @@ object DdlQueries extends QueryPack {
     "ddl_csv_source" -> """
       SELECT s_nationkey, count(*) AS n, min(s_name) AS first_name
       FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "ddl_statement_set_stream" -> """
+      SELECT 'clicks' AS sink, event_id, user_id AS v FROM events
+      WHERE event_type = 'click'
+      UNION ALL
+      SELECT 'big', event_id, CAST(floor(value * 100) AS BIGINT)
+      FROM events WHERE value >= 0.9
+      ORDER BY sink, event_id""",
     "ddl_insert_overwrite" -> """
       SELECT event_type, count(*) AS n FROM events
       WHERE value >= 0.5 GROUP BY event_type ORDER BY event_type""",

@@ -127,21 +127,41 @@ object Ddl {
             s"INSERT INTO $target: not a declared connector table"))
         val path = t.options("path")
         val fmt = t.options.getOrElse("format", "parquet")
+        def write(b: DataFrame, mode: String): Unit = {
+          val w = b.write.mode(mode)
+          fmt match {
+            case "parquet" => w.parquet(path)
+            case "csv" => w.option("header",
+              t.options.getOrElse("csv.header", "false")).csv(path)
+            case "json" => w.json(path)
+            case other =>
+              throw new IllegalArgumentException(s"unsupported sink format $other")
+          }
+        }
         val df = spark.sql(select)
-        require(!df.isStreaming,
-          s"INSERT INTO $target: streaming statement sets are not supported " +
-          "— use streaming/MultiSink.foreachBatchFanout")
-        // INSERT OVERWRITE (reference SqlInsert overwrite flag; batch
-        // filesystem tables): replace the sink's contents atomically
-        val w = df.write.mode(
-          if (verb.equalsIgnoreCase("OVERWRITE")) "overwrite" else "append")
-        fmt match {
-          case "parquet" => w.parquet(path)
-          case "csv" => w.option("header",
-            t.options.getOrElse("csv.header", "false")).csv(path)
-          case "json" => w.json(path)
-          case other =>
-            throw new IllegalArgumentException(s"unsupported sink format $other")
+        if (df.isStreaming) {
+          // STREAMING statement set (reference StreamStatementSet /
+          // StreamTableEnvironment.createStatementSet): each INSERT is
+          // a bounded AvailableNow pipeline into the declared sink via
+          // foreachBatch. Append-shaped queries only (stateless, or
+          // watermark-finalized windowed aggregates) — a file-backed
+          // sink cannot retract; update-mode aggregates raise Spark's
+          // own loud append-mode error.
+          require(!verb.equalsIgnoreCase("OVERWRITE"),
+            s"INSERT OVERWRITE $target: streaming overwrite is not supported")
+          val ckpt = java.nio.file.Files.createTempDirectory("graft_sset_ck").toString
+          val q = df.writeStream
+            .outputMode("append")
+            .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                _: java.lang.Long) => write(b.toDF(), "append"))
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } else {
+          // INSERT OVERWRITE (reference SqlInsert overwrite flag; batch
+          // filesystem tables): replace the sink's contents atomically
+          write(df, if (verb.equalsIgnoreCase("OVERWRITE")) "overwrite" else "append")
         }
         val refreshed = register(spark, t)
         (target, refreshed.count())
