@@ -670,7 +670,171 @@ object TpcdsShapeQueries extends QueryPack {
       GROUP BY 1, 2
       ORDER BY seg, nk"""
 
+  // Q66: wide channel×month CASE-pivot — a two-channel UNION scanned
+  // once, then twelve conditional sums fan each (supplier, year) row
+  // out into per-channel per-month columns plus a cross-channel total.
+  // The planner sees one Expand-free hash aggregate with 13 aggregate
+  // expressions over a union scan: the "wide pivot over a channel
+  // union" shape (TPC-DS web_sales/catalog_sales by warehouse+month).
+  private val q66 = """
+      WITH chan AS (
+        SELECT 'store' AS channel, l_suppkey AS sk,
+               CAST(year(l_shipdate) AS INT) AS yr,
+               CAST(month(l_shipdate) AS INT) AS m,
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem WHERE l_linestatus = 'F'
+        UNION ALL
+        SELECT 'web', l_suppkey, CAST(year(l_shipdate) AS INT),
+               CAST(month(l_shipdate) AS INT),
+               CAST(floor(l_extendedprice * 100) AS BIGINT)
+        FROM lineitem WHERE l_linestatus = 'O')
+      SELECT sk, yr,
+             CAST(sum(CASE WHEN channel = 'store' AND m <= 2 THEN cents ELSE 0 END) AS BIGINT) AS st_q1a,
+             CAST(sum(CASE WHEN channel = 'store' AND m BETWEEN 3 AND 4 THEN cents ELSE 0 END) AS BIGINT) AS st_q1b,
+             CAST(sum(CASE WHEN channel = 'store' AND m BETWEEN 5 AND 6 THEN cents ELSE 0 END) AS BIGINT) AS st_q2a,
+             CAST(sum(CASE WHEN channel = 'store' AND m BETWEEN 7 AND 8 THEN cents ELSE 0 END) AS BIGINT) AS st_q3a,
+             CAST(sum(CASE WHEN channel = 'store' AND m BETWEEN 9 AND 10 THEN cents ELSE 0 END) AS BIGINT) AS st_q4a,
+             CAST(sum(CASE WHEN channel = 'store' AND m >= 11 THEN cents ELSE 0 END) AS BIGINT) AS st_q4b,
+             CAST(sum(CASE WHEN channel = 'web' AND m <= 2 THEN cents ELSE 0 END) AS BIGINT) AS wb_q1a,
+             CAST(sum(CASE WHEN channel = 'web' AND m BETWEEN 3 AND 4 THEN cents ELSE 0 END) AS BIGINT) AS wb_q1b,
+             CAST(sum(CASE WHEN channel = 'web' AND m BETWEEN 5 AND 6 THEN cents ELSE 0 END) AS BIGINT) AS wb_q2a,
+             CAST(sum(CASE WHEN channel = 'web' AND m BETWEEN 7 AND 8 THEN cents ELSE 0 END) AS BIGINT) AS wb_q3a,
+             CAST(sum(CASE WHEN channel = 'web' AND m BETWEEN 9 AND 10 THEN cents ELSE 0 END) AS BIGINT) AS wb_q4a,
+             CAST(sum(CASE WHEN channel = 'web' AND m >= 11 THEN cents ELSE 0 END) AS BIGINT) AS wb_q4b,
+             CAST(sum(cents) AS BIGINT) AS total_cents
+      FROM chan
+      WHERE yr BETWEEN 1996 AND 1997
+      GROUP BY sk, yr
+      ORDER BY sk, yr"""
+
+  // Q75: year-over-year DECLINE — a channel UNION grouped by
+  // (year, brand) is consumed twice (current and prior year) through a
+  // self-join on brand, keeping only brands whose quantity declined;
+  // the deltas are exact integer subtractions. The "grouped union
+  // frame self-joined across periods with an inequality residual"
+  // shape (TPC-DS catalog/store/web yearly sales decline).
+  private val q75 = """
+      WITH sales AS (
+        SELECT CAST(year(l_shipdate) AS INT) AS yr, p_brand AS brand,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+               CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM (
+          SELECT l_partkey, l_quantity, l_extendedprice, l_shipdate
+          FROM lineitem WHERE l_linestatus = 'F'
+          UNION ALL
+          SELECT l_partkey, l_quantity, l_extendedprice, l_shipdate
+          FROM lineitem WHERE l_linestatus = 'O' AND l_returnflag <> 'R') u
+        JOIN part ON p_partkey = l_partkey
+        WHERE year(l_shipdate) IN (1996, 1997)
+        GROUP BY 1, 2)
+      SELECT c.brand AS brand,
+             p.qty AS qty_prev, c.qty AS qty_cur,
+             CAST(c.qty - p.qty AS BIGINT) AS qty_delta,
+             CAST(c.cents - p.cents AS BIGINT) AS cents_delta
+      FROM sales c JOIN sales p ON c.brand = p.brand
+      WHERE c.yr = 1997 AND p.yr = 1996 AND c.qty < p.qty
+      ORDER BY brand"""
+
+  // Q93: returns-ADJUSTED sales — the fact LEFT JOINs its returns leg
+  // on the (order, part) business key; matched rows reduce the billed
+  // quantity by the returned quantity (floored at zero), unmatched
+  // rows pass through via the null-aware CASE. Summed per customer
+  // with a HAVING floor. The "left join + null-aware quantity
+  // adjustment" shape (TPC-DS store_sales ⟕ store_returns).
+  private val q93 = """
+      WITH returns AS (
+        SELECT l_orderkey AS okey, l_partkey AS pkey,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ret_qty
+        FROM lineitem WHERE l_returnflag = 'R'
+        GROUP BY 1, 2),
+      adjusted AS (
+        SELECT f.l_orderkey,
+               CASE WHEN r.okey IS NULL THEN CAST(l_quantity AS BIGINT)
+                    WHEN CAST(l_quantity AS BIGINT) > r.ret_qty
+                      THEN CAST(l_quantity AS BIGINT) - r.ret_qty
+                    ELSE 0 END AS act_qty,
+               CAST(floor(f.l_extendedprice * 100) AS BIGINT) AS unit_cents_x
+        FROM lineitem f LEFT JOIN returns r
+          ON f.l_orderkey = r.okey AND f.l_partkey = r.pkey
+        WHERE f.l_returnflag <> 'R')
+      SELECT o_custkey AS custkey,
+             CAST(sum(act_qty) AS BIGINT) AS act_qty,
+             CAST(sum(act_qty * unit_cents_x) AS BIGINT) AS act_cents
+      FROM adjusted JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY o_custkey
+      HAVING sum(act_qty) > 400
+      ORDER BY custkey"""
+
+  // Q99/Q62: shipping-lag BUCKET pivot — each order/line pair lands in
+  // one of five latency buckets via interval comparisons (no
+  // engine-specific datediff), counted per order priority. The
+  // "bucketed CASE counts over a fact-dim join" shape.
+  private val q99 = """
+      SELECT o_orderpriority AS priority,
+             CAST(sum(CASE WHEN l_shipdate < o_orderdate + INTERVAL '30' DAY THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+             CAST(sum(CASE WHEN l_shipdate >= o_orderdate + INTERVAL '30' DAY
+                            AND l_shipdate < o_orderdate + INTERVAL '60' DAY THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+             CAST(sum(CASE WHEN l_shipdate >= o_orderdate + INTERVAL '60' DAY
+                            AND l_shipdate < o_orderdate + INTERVAL '90' DAY THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+             CAST(sum(CASE WHEN l_shipdate >= o_orderdate + INTERVAL '90' DAY
+                            AND l_shipdate < o_orderdate + INTERVAL '120' DAY THEN 1 ELSE 0 END) AS BIGINT) AS d120,
+             CAST(sum(CASE WHEN l_shipdate >= o_orderdate + INTERVAL '120' DAY THEN 1 ELSE 0 END) AS BIGINT) AS d_more
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderdate >= @TS'1996-01-01 00:00:00'
+        AND o_orderdate < @TS'1998-01-01 00:00:00'
+      GROUP BY o_orderpriority
+      ORDER BY priority"""
+
+  // Q21: before/after PIVOT-DATE ratio — per-supplier quantity split
+  // around a pivot date by conditional sums, then a HAVING band keeps
+  // suppliers whose after/before ratio lies in [2/3, 3/2], compared by
+  // integer cross-multiplication (no float boundary). The
+  // "conditional split + ratio-band HAVING" shape (TPC-DS inventory
+  // before/after).
+  private val q21 = """
+      SELECT l_suppkey AS sk,
+             CAST(sum(CASE WHEN l_shipdate < @TS'1997-07-01 00:00:00'
+                           THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_before,
+             CAST(sum(CASE WHEN l_shipdate >= @TS'1997-07-01 00:00:00'
+                           THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_after
+      FROM lineitem
+      WHERE l_shipdate >= @TS'1997-01-01 00:00:00'
+        AND l_shipdate < @TS'1998-01-01 00:00:00'
+      GROUP BY l_suppkey
+      HAVING sum(CASE WHEN l_shipdate < @TS'1997-07-01 00:00:00'
+                      THEN CAST(l_quantity AS BIGINT) ELSE 0 END) > 0
+         AND 3 * sum(CASE WHEN l_shipdate >= @TS'1997-07-01 00:00:00'
+                          THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+             >= 2 * sum(CASE WHEN l_shipdate < @TS'1997-07-01 00:00:00'
+                             THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+         AND 3 * sum(CASE WHEN l_shipdate < @TS'1997-07-01 00:00:00'
+                          THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+             >= 2 * sum(CASE WHEN l_shipdate >= @TS'1997-07-01 00:00:00'
+                             THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+      ORDER BY sk"""
+
+  // Q54: HISTOGRAM over an aggregate — per-customer revenue is
+  // re-aggregated into fixed-width revenue buckets, counting customers
+  // per bucket: two stacked hash aggregates where the second's key is
+  // derived from the first's measure (the segment-count shape).
+  private val q54 = """
+      WITH rev AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey)
+      SELECT CAST(floor(cents / 5000000) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_cust
+      FROM rev
+      GROUP BY 1
+      ORDER BY bucket"""
+
   private val texts: Map[String, (Seq[String], String)] = Map(
+    "tpcds_q66_channel_month_pivot" -> (Seq("lineitem") -> q66),
+    "tpcds_q75_yoy_decline" -> (Seq("lineitem", "part") -> q75),
+    "tpcds_q93_returns_adjust" -> (Seq("lineitem", "orders") -> q93),
+    "tpcds_q99_lag_buckets" -> (Seq("lineitem", "orders") -> q99),
+    "tpcds_q21_before_after_ratio" -> (Seq("lineitem") -> q21),
+    "tpcds_q54_revenue_histogram" -> (Seq("orders") -> q54),
     "tpcds_q2_dow_pivot_yoy" -> (Seq("lineitem") -> q2),
     "tpcds_q35_gated_stats" -> (Seq("customer", "orders", "lineitem") -> q35),
     "tpcds_q64_cross_period_self" -> (Seq("lineitem", "orders") -> q64),

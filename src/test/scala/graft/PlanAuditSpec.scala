@@ -300,6 +300,29 @@ class PlanAuditSpec extends SparkSuite {
       s"window dedup not planned as partial+final WindowGroupLimit:\n$p")
   }
 
+  test("TPC-DS Q93 shape: returns adjustment stays an equi left join, grouped returns broadcast") {
+    val p = plan(graft.queries.TpcdsShapeQueries.queries("tpcds_q93_returns_adjust")(spark, dir))
+    // the fact ⟕ returns join is equi on (okey, pkey) — never all-pairs;
+    // the grouped returns frame is far smaller than the fact, so the
+    // planner must broadcast it rather than shuffling lineitem for it
+    assert(p.contains("LeftOuter"), s"returns adjustment lost its left join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"returns join fell to all-pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"grouped returns frame not broadcast into the fact:\n$p")
+  }
+
+  test("TPC-DS Q66 shape: twelve channel-month pivots stay in one two-phase aggregate") {
+    val p = plan(graft.queries.TpcdsShapeQueries.queries("tpcds_q66_channel_month_pivot")(spark, dir))
+    // the CASE pivot is 13 conditional sums inside ONE partial+final
+    // hash aggregate over the union scan — no Expand (it's not a
+    // grouping set) and no join
+    assert(!p.contains("Expand"), s"pivot planned as Expand instead of conditional sums:\n$p")
+    assert("""\(\d+\) HashAggregate""".r.findAllIn(p).size <= 2,
+      s"pivot split into more than partial+final aggregates:\n$p")
+    assert(!p.contains("Join"), s"pivot grew an unexpected join:\n$p")
+  }
+
   test("gap expressions stay inside WholeStageCodegen") {
     graft.functions.GraftFunctions.register(spark)
     Tables.load(spark, dir, "part").createOrReplaceTempView("part_audit")
