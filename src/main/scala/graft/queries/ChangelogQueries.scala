@@ -40,6 +40,54 @@ object ChangelogQueries extends QueryPack {
     // version only; -U rows retract superseded images out of their old
     // group, so updates that change a user's event_type move the row
     // between groups.
+    // UPSERT SINK (reference SinkUpsertMaterializer / upsert-kafka):
+    // the events changelog streams through two staged micro-batches —
+    // batch 1 the full +I/-U/+U history, batch 2 a -D per user_id%7==0
+    // key — each merged into a keyed parquet sink via per-batch
+    // snapshot commit. The gate reads the FINAL sink: latest image per
+    // surviving key, deleted keys gone.
+    "changelog_upsert_sink" -> ((s0, dir) => {
+      import java.nio.file.{Files, Paths}
+      import java.nio.file.attribute.FileTime
+      val s = graft.streaming.StreamOps.tuned(s0)
+      val base = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          floor(col("value") * 100).as("cents"))
+      val cl = ChangelogOps.toChangelog(base, Seq("user_id"), "event_id")
+        .select(col("user_id"), col("event_id"), col("cents"), col("row_kind"))
+      val dels = base.groupBy(col("user_id")).agg(max(col("event_id")))
+        .filter(col("user_id") % 7 === 0)
+        .select(col("user_id"), lit(999999999999L).as("event_id"),
+          lit(0L).as("cents"), lit(graft.changelog.RowKind.Delete).as("row_kind"))
+      // stage the two rounds as separately-timestamped files so the
+      // file source delivers them as ordered micro-batches
+      val work = Files.createTempDirectory("graft_upsert_src").toString
+      def stage(df: org.apache.spark.sql.DataFrame, mtimeMs: Long): Unit = {
+        import scala.jdk.CollectionConverters._
+        def parquets() = Files.list(Paths.get(work)).iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).toSet
+        val before = parquets()
+        df.coalesce(1).write.mode("append").parquet(work)
+        (parquets() -- before).foreach(p =>
+          Files.setLastModifiedTime(p, FileTime.fromMillis(mtimeMs)))
+      }
+      stage(cl, 10000L)
+      stage(dels, 20000L)
+      val sink = Files.createTempDirectory("graft_upsert_sink").toString
+      val sdf = s.readStream
+        .schema("user_id BIGINT, event_id BIGINT, cents BIGINT, row_kind STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$work/*.parquet")
+      val q = sdf.writeStream
+        .foreachBatch(graft.streaming.UpsertSink.foreachBatchUpsert(
+          sink, keys = Seq("user_id"), seqCol = "event_id") _)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.UpsertSink.read(s, sink, cl.drop("row_kind"))
+        .orderBy(col("user_id"))
+    }),
+
     "changelog_agg_downstream" -> ((s, dir) => {
       val cl = ChangelogOps.toChangelog(
         Tables.load(s, dir, "events")
@@ -75,6 +123,13 @@ object ChangelogQueries extends QueryPack {
                row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         FROM events) t
       WHERE rn = 1 ORDER BY user_id""",
+    "changelog_upsert_sink" -> """
+      SELECT user_id, event_id, cents FROM (
+        SELECT user_id, event_id, CAST(floor(value * 100) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events) t
+      WHERE rn = 1 AND user_id % 7 <> 0
+      ORDER BY user_id""",
     "changelog_agg_downstream" -> """
       SELECT event_type, count(*) AS n_rows,
              CAST(sum(cents) AS BIGINT) AS sum_cents
