@@ -188,6 +188,48 @@ object DdlQueries extends QueryPack {
       s.sql("SELECT event_type, n FROM iow_sink ORDER BY event_type")
     }),
 
+    // SHOW TABLES (reference ShowTablesOperation): lists everything the
+    // session declared through the front-end — connector tables AND
+    // views, sorted, as the reference's current-database listing. A
+    // fresh session isolates the catalog from other gates.
+    "ddl_show_tables" -> ((s0, dir) => {
+      val s = s0.newSession()
+      Ddl.execute(s,
+        s"""CREATE TABLE showt_nation (n_nationkey INT, n_name STRING)
+            WITH ('connector' = 'filesystem', 'path' = '$dir/nation.parquet',
+                  'format' = 'parquet')""")
+      Ddl.execute(s,
+        s"""CREATE TABLE showt_region (r_regionkey INT, r_name STRING)
+            WITH ('connector' = 'filesystem', 'path' = '$dir/region.parquet',
+                  'format' = 'parquet')""")
+      Ddl.execute(s,
+        """CREATE VIEW showt_names AS SELECT n_name FROM showt_nation""")
+      Ddl.execute(s, "SHOW TABLES")
+    }),
+
+    // DESCRIBE (reference DescribeTableOperation): the reference's
+    // name/type/null/key/extras/watermark output — computed columns
+    // show their RESOLVED type (BIGINT, derived by Catalyst from the
+    // expression, not declared text) plus their defining expression in
+    // extras; the watermark spec prints on its time column's row.
+    "ddl_describe_table" -> ((s0, dir) => {
+      val s = s0.newSession()
+      Ddl.execute(s,
+        s"""CREATE TABLE desc_orders (
+              o_orderkey BIGINT,
+              o_totalprice DOUBLE,
+              o_orderdate TIMESTAMP_NTZ,
+              total_cents AS CAST(floor(o_totalprice * 100) AS BIGINT),
+              WATERMARK FOR o_orderdate AS o_orderdate - INTERVAL '5' SECOND
+            ) WITH (
+              'connector' = 'filesystem',
+              'path' = '$dir/orders.parquet',
+              'format' = 'parquet'
+            )""")
+      Ddl.execute(s, "DESCRIBE desc_orders")
+        .orderBy(org.apache.spark.sql.functions.col("name"))
+    }),
+
     "ddl_csv_source" -> ((s, dir) => {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_fmt/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/ddl_supplier_csv"
       graft.Tables.load(s, dir, "supplier")
@@ -224,6 +266,21 @@ object DdlQueries extends QueryPack {
     "ddl_csv_source" -> """
       SELECT s_nationkey, count(*) AS n, min(s_name) AS first_name
       FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "ddl_show_tables" -> """
+      SELECT * FROM (VALUES ('showt_names'), ('showt_nation'), ('showt_region'))
+        AS t(table_name)""",
+    "ddl_describe_table" -> """
+      SELECT * FROM (VALUES
+        ('o_orderkey', 'BIGINT', true, CAST(NULL AS VARCHAR),
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+        ('o_totalprice', 'DOUBLE', true, CAST(NULL AS VARCHAR),
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+        ('o_orderdate', 'TIMESTAMP_NTZ', true, CAST(NULL AS VARCHAR),
+         CAST(NULL AS VARCHAR), 'o_orderdate - INTERVAL ''5'' SECOND'),
+        ('total_cents', 'BIGINT', true, CAST(NULL AS VARCHAR),
+         'AS CAST(floor(o_totalprice * 100) AS BIGINT)', CAST(NULL AS VARCHAR))
+      ) AS t(name, "type", "null", "key", extras, watermark)
+      ORDER BY name""",
     "ddl_statement_set_stream" -> """
       SELECT 'clicks' AS sink, event_id, user_id AS v FROM events
       WHERE event_type = 'click'

@@ -76,12 +76,24 @@ object Ddl {
     """(?is)\s*EXECUTE\s+STATEMENT\s+SET\s+BEGIN\s+(.*)\bEND\s*;?\s*""".r
   private val InsertRe =
     """(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+([A-Za-z_][A-Za-z0-9_]*)\s+(.*)""".r
+  private val ShowTablesRe = """(?is)\s*SHOW\s+TABLES\s*;?\s*""".r
+  private val ShowViewsRe = """(?is)\s*SHOW\s+VIEWS\s*;?\s*""".r
+  private val DescribeRe =
+    """(?is)\s*DESC(?:RIBE)?\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+  private val ExplainRe = """(?is)\s*EXPLAIN\s+(?:PLAN\s+FOR\s+)?(.+)""".r
 
   /** Connector tables declared this session, so `INSERT INTO` can
    * resolve a target's path/format. Keyed by session identity — two
    * sessions declaring the same name never collide. */
   private val declared =
     new scala.collection.concurrent.TrieMap[(String, String), TableDef]
+
+  /** Views created through this front-end, for SHOW TABLES/VIEWS. */
+  private val declaredViews =
+    new scala.collection.concurrent.TrieMap[(String, String), String]
+
+  private def sessionKey(spark: SparkSession): String =
+    System.identityHashCode(spark).toString
 
   /** Execute the DDL: build the (possibly streaming) DataFrame, apply
    * computed columns and watermark, register the temp view; returns the
@@ -103,6 +115,7 @@ object Ddl {
       case CreateViewRe(name, query) =>
         val df = spark.sql(query)
         df.createOrReplaceTempView(name)
+        declaredViews.put((sessionKey(spark), name), query.trim)
         return df
       case StatementSetRe(body) =>
         return statementSet(spark, body)
@@ -110,11 +123,69 @@ object Ddl {
       // `tEnv.executeSql("INSERT INTO …")` outside a statement set)
       case InsertRe(_, _, _) =>
         return statementSet(spark, ddl)
+      case ShowTablesRe() => return showTables(spark, viewsOnly = false)
+      case ShowViewsRe() => return showTables(spark, viewsOnly = true)
+      case DescribeRe(name) => return describe(spark, name)
+      case ExplainRe(stmt) => return explain(spark, stmt)
       case _ => ()
     }
     val t = parse(ddl)
-    declared.put((System.identityHashCode(spark).toString, t.name), t)
+    declared.put((sessionKey(spark), t.name), t)
     register(spark, t)
+  }
+
+  /** `SHOW TABLES` / `SHOW VIEWS` (reference ShowTablesOperation /
+   * ShowViewsOperation; SHOW TABLES lists tables AND views, as the
+   * reference's current-database listing does). Scoped to what THIS
+   * session declared through the front-end. */
+  private def showTables(spark: SparkSession, viewsOnly: Boolean): DataFrame = {
+    val k = sessionKey(spark)
+    val views = declaredViews.keysIterator.filter(_._1 == k).map(_._2).toSeq
+    val names = (if (viewsOnly) views
+      else views ++ declared.keysIterator.filter(_._1 == k).map(_._2)).sorted
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      names.map(org.apache.spark.sql.Row(_)).asJava,
+      StructType.fromDDL("table_name STRING"))
+  }
+
+  /** `DESCRIBE t` (reference DescribeTableOperation; output columns
+   * name/type/null/key/extras/watermark as the reference prints). The
+   * TYPE column is the RESOLVED type — computed columns show the type
+   * Catalyst derived for their expression, not the declared text. */
+  private def describe(spark: SparkSession, name: String): DataFrame = {
+    val t = declared.getOrElse((sessionKey(spark), name),
+      throw new IllegalArgumentException(
+        s"DESCRIBE $name: not a declared connector table"))
+    val resolved = spark.table(name).schema
+    def typeOf(c: String): String = resolved(c).dataType.sql
+    def wmOf(c: String): Option[String] =
+      t.watermark.filter(_.column == c).map { w =>
+        val Array(n, unit) = w.delay.split(" ", 2)
+        s"${w.column} - INTERVAL '$n' $unit"
+      }
+    val rows =
+      t.physical.map(c => org.apache.spark.sql.Row(
+        c.name, typeOf(c.name), true, null, null, wmOf(c.name).orNull)) ++
+      t.computed.map(c => org.apache.spark.sql.Row(
+        c.name, typeOf(c.name), true, null, s"AS ${c.sqlExpr}", null))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, StructType.fromDDL(
+      "name STRING, type STRING, null BOOLEAN, key STRING, extras STRING, watermark STRING"))
+  }
+
+  /** `EXPLAIN [PLAN FOR] <query>` (reference SqlRichExplain /
+   * ExplainOperation): one row carrying the optimized logical and
+   * physical plans of the statement, resolved through the same
+   * extended-SQL door queries use. */
+  private def explain(spark: SparkSession, stmt: String): DataFrame = {
+    val df = new graft.api.TableEnv(spark).sqlQuery(stmt)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExtendedMode))),
+      StructType.fromDDL("plan STRING"))
   }
 
   private def statementSet(spark: SparkSession, body: String): DataFrame = {

@@ -56,6 +56,38 @@ class DdlSpec extends SparkSuite {
       == Seq(("ins_sink", sinkRows)))
   }
 
+  test("SHOW VIEWS lists only views; DESCRIBE rejects undeclared tables") {
+    val s = spark.newSession()
+    val dir = "/root/testdata/sf0.001"
+    Ddl.execute(s,
+      s"""CREATE TABLE sv_nation (n_nationkey INT, n_name STRING)
+          WITH ('connector' = 'filesystem', 'path' = '$dir/nation.parquet',
+                'format' = 'parquet')""")
+    Ddl.execute(s, "CREATE VIEW sv_names AS SELECT n_name FROM sv_nation")
+    assert(Ddl.execute(s, "SHOW VIEWS").collect().map(_.getString(0)).toSeq
+      === Seq("sv_names"))
+    assert(Ddl.execute(s, "SHOW TABLES").collect().map(_.getString(0)).toSeq
+      === Seq("sv_names", "sv_nation"))
+    val e = intercept[IllegalArgumentException](Ddl.execute(s, "DESCRIBE nope"))
+    assert(e.getMessage.contains("not a declared connector table"))
+  }
+
+  test("EXPLAIN returns the optimized and physical plans of the statement") {
+    val s = spark.newSession()
+    val dir = "/root/testdata/sf0.001"
+    Ddl.execute(s,
+      s"""CREATE TABLE ex_nation (n_nationkey INT, n_name STRING)
+          WITH ('connector' = 'filesystem', 'path' = '$dir/nation.parquet',
+                'format' = 'parquet')""")
+    val plan = Ddl.execute(s,
+      "EXPLAIN PLAN FOR SELECT n_name FROM ex_nation WHERE n_nationkey > 3")
+      .collect()(0).getString(0)
+    assert(plan.contains("== Optimized Logical Plan =="), plan)
+    assert(plan.contains("== Physical Plan =="), plan)
+    // the filter must be visible as pushed work, not a bare table scan
+    assert(plan.contains("n_nationkey"), plan)
+  }
+
   test("streaming DDL with watermark: windowed agg equals batch twin") {
     val dir = "/root/testdata/sf0.001"
     // events.parquet has stored ts as int64 nanos in some driver
