@@ -19,6 +19,14 @@ import scala.reflect.runtime.universe.TypeTag
  * merge / getValue / emitValue) so a reference user's function body
  * ports mechanically, while execution is 100% Spark (no new runtime).
  */
+/** The reference's UNTYPED scalar-function base
+ * (`flink-table-common/.../functions/ScalarFunction.java:56`): the
+ * subclass declares one public `eval` method whose signature is
+ * discovered by reflection — the form `CREATE FUNCTION … AS 'class'`
+ * instantiates. Supported eval parameter/return types: String, Long,
+ * Int, Double, Boolean (the SQL-facing primitives). */
+abstract class ScalarFunction extends Serializable
+
 abstract class ScalarFunction1[I, O] extends Serializable { def eval(i: I): O }
 
 abstract class ScalarFunction2[I1, I2, O] extends Serializable { def eval(a: I1, b: I2): O }
@@ -79,4 +87,69 @@ object Udfs {
   def registerTable[I: TypeTag, T: TypeTag](spark: SparkSession, name: String,
       f: TableFunction1[I, T]): Unit =
     spark.udf.register(name, udf((i: I) => f.invoke(i)))
+
+  private def sparkTypeOf(c: Class[_]): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    c match {
+      case x if x == classOf[String] => StringType
+      case x if x == classOf[Long] || x == classOf[java.lang.Long] => LongType
+      case x if x == classOf[Int] || x == classOf[java.lang.Integer] => IntegerType
+      case x if x == classOf[Double] || x == classOf[java.lang.Double] => DoubleType
+      case x if x == classOf[Boolean] || x == classOf[java.lang.Boolean] => BooleanType
+      case other => throw new IllegalArgumentException(
+        s"unsupported eval type ${other.getName} (use String/Long/Int/Double/Boolean)")
+    }
+  }
+
+  /** Reflective registration for `CREATE FUNCTION name AS 'class'`
+   * (reference SqlCreateFunction → FunctionCatalog.registerFunction,
+   * with eval-method discovery as in
+   * `UserDefinedFunctionHelper.validateClass`): instantiate the class,
+   * find its single public `eval`, and register a Spark UDF of the
+   * matching arity with the return type mapped from the signature. */
+  def registerReflective(spark: SparkSession, name: String, className: String): Unit = {
+    val clazz =
+      try Class.forName(className)
+      catch { case _: ClassNotFoundException =>
+        throw new IllegalArgumentException(
+          s"CREATE FUNCTION $name: class $className not found") }
+    val evals = clazz.getMethods.filter(_.getName == "eval")
+    require(evals.length == 1,
+      s"CREATE FUNCTION $name: expected exactly one public eval method on $className, found ${evals.length}")
+    val m = evals.head
+    // instantiate once on the driver to fail fast on bad constructors
+    clazz.getDeclaredConstructor().newInstance()
+    val ret = sparkTypeOf(m.getReturnType)
+    // Method/instance are not serializable — the executor-side wrapper
+    // re-resolves them lazily from the class name (the class travels in
+    // the application jar, as a reference UDF jar would)
+    val callRef = new ReflectiveEval(className)
+    m.getParameterCount match {
+      case 1 => spark.udf.register(name,
+        new org.apache.spark.sql.api.java.UDF1[AnyRef, Any] {
+          def call(a: AnyRef): Any = callRef(a)
+        }, ret)
+      case 2 => spark.udf.register(name,
+        new org.apache.spark.sql.api.java.UDF2[AnyRef, AnyRef, Any] {
+          def call(a: AnyRef, b: AnyRef): Any = callRef(a, b)
+        }, ret)
+      case 3 => spark.udf.register(name,
+        new org.apache.spark.sql.api.java.UDF3[AnyRef, AnyRef, AnyRef, Any] {
+          def call(a: AnyRef, b: AnyRef, c: AnyRef): Any = callRef(a, b, c)
+        }, ret)
+      case n => throw new IllegalArgumentException(
+        s"CREATE FUNCTION $name: eval arity $n not supported (1-3)")
+    }
+  }
+}
+
+/** Serializable holder for a reflective eval call: only the class name
+ * crosses the wire; instance and Method re-resolve once per executor
+ * JVM. */
+private[api] final class ReflectiveEval(className: String) extends Serializable {
+  @transient private lazy val inst: AnyRef =
+    Class.forName(className).getDeclaredConstructor().newInstance().asInstanceOf[AnyRef]
+  @transient private lazy val m: java.lang.reflect.Method =
+    inst.getClass.getMethods.filter(_.getName == "eval").head
+  def apply(args: AnyRef*): Any = m.invoke(inst, args: _*)
 }

@@ -230,6 +230,26 @@ object DdlQueries extends QueryPack {
         .orderBy(org.apache.spark.sql.functions.col("name"))
     }),
 
+    // CREATE FUNCTION … AS 'class' (reference SqlCreateFunction +
+    // ScalarFunction eval-by-reflection): both example classes register
+    // through the DDL text and run inside a SQL query — a 1-arg
+    // String→String and a 2-arg (Double, Long)→Long eval.
+    "ddl_create_function" -> ((s0, dir) => {
+      val s = s0.newSession()
+      Ddl.execute(s,
+        s"""CREATE TABLE fn_part (p_partkey BIGINT, p_name STRING, p_retailprice DOUBLE)
+            WITH ('connector' = 'filesystem', 'path' = '$dir/part.parquet',
+                  'format' = 'parquet')""")
+      Ddl.execute(s,
+        "CREATE TEMPORARY FUNCTION vowel_strip AS 'graft.functions.udfx.VowelStrip'")
+      Ddl.execute(s,
+        "CREATE FUNCTION cents_band AS 'graft.functions.udfx.CentsBand'")
+      s.sql("""
+        SELECT p_partkey, vowel_strip(p_name) AS bare_name,
+               cents_band(p_retailprice, 50000L) AS band
+        FROM fn_part ORDER BY p_partkey""")
+    }),
+
     "ddl_csv_source" -> ((s, dir) => {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_fmt/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/ddl_supplier_csv"
       graft.Tables.load(s, dir, "supplier")
@@ -266,6 +286,11 @@ object DdlQueries extends QueryPack {
     "ddl_csv_source" -> """
       SELECT s_nationkey, count(*) AS n, min(s_name) AS first_name
       FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "ddl_create_function" -> """
+      SELECT p_partkey,
+             regexp_replace(p_name, '[aeiou]', '', 'g') AS bare_name,
+             CAST(floor(CAST(floor(p_retailprice * 100) AS BIGINT) / 50000) AS BIGINT) AS band
+      FROM part ORDER BY p_partkey""",
     "ddl_show_tables" -> """
       SELECT * FROM (VALUES ('showt_names'), ('showt_nation'), ('showt_region'))
         AS t(table_name)""",

@@ -81,6 +81,12 @@ object Ddl {
   private val DescribeRe =
     """(?is)\s*DESC(?:RIBE)?\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
   private val ExplainRe = """(?is)\s*EXPLAIN\s+(?:PLAN\s+FOR\s+)?(.+)""".r
+  private val DropTableRe =
+    """(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+  private val DropViewRe =
+    """(?is)\s*DROP\s+(?:TEMPORARY\s+)?VIEW\s+(IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+  private val CreateFunctionRe =
+    """(?is)\s*CREATE\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+'([^']+)'\s*;?\s*""".r
 
   /** Connector tables declared this session, so `INSERT INTO` can
    * resolve a target's path/format. Keyed by session identity — two
@@ -126,12 +132,41 @@ object Ddl {
       case ShowTablesRe() => return showTables(spark, viewsOnly = false)
       case ShowViewsRe() => return showTables(spark, viewsOnly = true)
       case DescribeRe(name) => return describe(spark, name)
+      // DROP TABLE / DROP VIEW (reference SqlDropTable/SqlDropView):
+      // remove from the front-end registry and the session catalog;
+      // loud on unknown names unless IF EXISTS
+      case DropTableRe(ifExists, name) =>
+        val existed = declared.remove((sessionKey(spark), name)).isDefined
+        if (!existed && ifExists == null) throw new IllegalArgumentException(
+          s"DROP TABLE $name: not a declared connector table")
+        if (existed) spark.catalog.dropTempView(name)
+        return ok(spark)
+      case DropViewRe(ifExists, name) =>
+        val existed = declaredViews.remove((sessionKey(spark), name)).isDefined
+        if (!existed && ifExists == null) throw new IllegalArgumentException(
+          s"DROP VIEW $name: not a view created through this front-end")
+        if (existed) spark.catalog.dropTempView(name)
+        return ok(spark)
+      // CREATE FUNCTION name AS 'class' (reference SqlCreateFunction):
+      // reflective eval discovery, registered for SQL use
+      case CreateFunctionRe(name, className) =>
+        graft.api.Udfs.registerReflective(spark, name, className)
+        return ok(spark)
       case ExplainRe(stmt) => return explain(spark, stmt)
       case _ => ()
     }
     val t = parse(ddl)
     declared.put((sessionKey(spark), t.name), t)
     register(spark, t)
+  }
+
+  /** The reference's "OK" TableResult for DDL statements with no
+   * result set. */
+  private def ok(spark: SparkSession): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      java.util.Collections.singletonList(org.apache.spark.sql.Row("OK")),
+      StructType.fromDDL("result STRING"))
   }
 
   /** `SHOW TABLES` / `SHOW VIEWS` (reference ShowTablesOperation /

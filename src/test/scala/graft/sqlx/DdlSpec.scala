@@ -72,6 +72,37 @@ class DdlSpec extends SparkSuite {
     assert(e.getMessage.contains("not a declared connector table"))
   }
 
+  test("DROP TABLE / DROP VIEW remove catalog entries; IF EXISTS is quiet") {
+    val s = spark.newSession()
+    val dir = "/root/testdata/sf0.001"
+    Ddl.execute(s,
+      s"""CREATE TABLE dropme (n_nationkey INT, n_name STRING)
+          WITH ('connector' = 'filesystem', 'path' = '$dir/nation.parquet',
+                'format' = 'parquet')""")
+    Ddl.execute(s, "CREATE VIEW dropme_v AS SELECT n_name FROM dropme")
+    assert(Ddl.execute(s, "SHOW TABLES").count() === 2)
+    assert(Ddl.execute(s, "DROP VIEW dropme_v").collect()(0).getString(0) === "OK")
+    Ddl.execute(s, "DROP TABLE dropme")
+    assert(Ddl.execute(s, "SHOW TABLES").count() === 0)
+    // the temp views are gone from the session catalog too
+    assert(!s.catalog.tableExists("dropme") && !s.catalog.tableExists("dropme_v"))
+    intercept[IllegalArgumentException](Ddl.execute(s, "DROP TABLE dropme"))
+    intercept[IllegalArgumentException](Ddl.execute(s, "DROP VIEW dropme_v"))
+    Ddl.execute(s, "DROP TABLE IF EXISTS dropme") // quiet
+    Ddl.execute(s, "DROP VIEW IF EXISTS dropme_v") // quiet
+  }
+
+  test("CREATE FUNCTION rejects unknown classes and wrong eval shapes") {
+    val s = spark.newSession()
+    val e1 = intercept[IllegalArgumentException](
+      Ddl.execute(s, "CREATE FUNCTION f AS 'no.such.Clazz'"))
+    assert(e1.getMessage.contains("not found"))
+    // a facade class with no public eval
+    val e2 = intercept[IllegalArgumentException](
+      Ddl.execute(s, "CREATE FUNCTION f AS 'graft.api.ScalarFunction'"))
+    assert(e2.getMessage.contains("eval"))
+  }
+
   test("EXPLAIN returns the optimized and physical plans of the statement") {
     val s = spark.newSession()
     val dir = "/root/testdata/sf0.001"
