@@ -171,4 +171,10 @@ final class TableEnv(val spark: SparkSession) {
 
   def createTemporaryView(name: String, df: DataFrame): Unit =
     df.createOrReplaceTempView(name)
+
+  /** Reference `TableEnvironment.from("name")`: entry into the fluent
+   * [[Table]] API over a registered table/view. */
+  def from(name: String): Table = new Table(spark.table(name))
+
+  def fromDataFrame(df: DataFrame): Table = new Table(df)
 }

@@ -70,6 +70,25 @@ object ExampleFns {
 object UdfQueries extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Fluent Table API (reference Table.java string-expression form):
+    // from → filter → join → select → groupBy().select() → orderBy —
+    // every step a veneer over the DataFrame API, so the plan is what
+    // Catalyst would build from the SQL twin the oracle runs.
+    "table_api_pipeline" -> ((s, dir) => {
+      val te = new TableEnv(s)
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders_tapi")
+      Tables.load(s, dir, "customer").createOrReplaceTempView("cust_tapi")
+      te.from("orders_tapi")
+        .filter("o_orderpriority = '1-URGENT'")
+        .join(te.from("cust_tapi").select("c_custkey, c_mktsegment"),
+          "o_custkey = c_custkey")
+        .select("c_mktsegment, floor(o_totalprice * 100) AS cents")
+        .groupBy("c_mktsegment")
+        .select("c_mktsegment, count(1) AS n, sum(cents) AS sum_cents")
+        .orderBy("c_mktsegment.asc")
+        .toDataFrame
+    }),
+
     // ScalarFunction through SQL.
     "udf_scalar_fn" -> ((s, dir) => {
       Udfs.register(s, "price_band", new ExampleFns.PriceBand)
@@ -145,6 +164,12 @@ object UdfQueries extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "table_api_pipeline" -> """
+      SELECT c_mktsegment, count(1) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "udf_scalar_fn" -> """
       SELECT o_orderkey,
              CASE WHEN o_totalprice > 200000 THEN 'high'
