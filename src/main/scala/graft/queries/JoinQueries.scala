@@ -183,6 +183,30 @@ object JoinQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // PROC-TIME `FOR SYSTEM_TIME AS OF PROCTIME()` SQL (reference
+    // TemporalProcessTimeJoinOperator): every probe joins the dim's
+    // CURRENT version — the latest (o_orderdate, o_orderkey) row per
+    // customer — regardless of the probe's own time. Desugars to a
+    // latest-version anti-join derived table; needs the dim's PRIMARY
+    // KEY from the keyed registration.
+    "join_temporal_proctime_sql" -> ((s, dir) => {
+      val evView = graft.streaming.StreamOps.freshName("ptj_events")
+      val ordView = graft.streaming.StreamOps.freshName("ptj_orders")
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"))
+        .createOrReplaceTempView(evView)
+      Tables.load(s, dir, "orders").createOrReplaceTempView(ordView)
+      graft.sqlx.TemporalSql.registerVersioned(
+        ordView, "o_orderdate", "o_orderkey", "o_custkey")
+      graft.sqlx.TemporalSql.sql(s, s"""
+        SELECT p.event_id, p.user_id, d.o_orderkey,
+               CAST(floor(d.o_totalprice * 100) AS BIGINT) AS cents
+        FROM $evView p
+        LEFT JOIN $ordView FOR SYSTEM_TIME AS OF PROCTIME() AS d
+          ON p.user_id = d.o_custkey""")
+        .orderBy(col("event_id"))
+    }),
+
     // Salted skew join: the hot-key widening technique — probe rows
     // hashed across 8 salts, build side replicated per salt, join on
     // (key, salt). Must equal the plain join exactly (the salt only
@@ -309,6 +333,20 @@ object JoinQueries extends QueryPack {
           ON e.user_id = o.o_custkey AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
       ) t WHERE rn = 1
       ORDER BY event_id""",
+    "join_temporal_proctime_sql" -> """
+      SELECT e.event_id, e.user_id, d.o_orderkey, d.cents
+      FROM events e
+      LEFT JOIN (
+        SELECT o_custkey, o_orderkey,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders) t
+        WHERE rn = 1) d
+        ON e.user_id = d.o_custkey
+      ORDER BY e.event_id""",
     "join_cogroup" -> """
       SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
              CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS spend

@@ -34,6 +34,7 @@ import scala.collection.concurrent.TrieMap
 object TemporalSql {
 
   private val versioned = TrieMap.empty[String, (String, String)]
+  private val versionedKey = TrieMap.empty[String, String]
 
   /** Declare `view` as a versioned table: `timeCol` is its event-time
    * version column, `seqCol` a monotonic tiebreaker (primary-key-ish)
@@ -41,14 +42,56 @@ object TemporalSql {
   def registerVersioned(view: String, timeCol: String, seqCol: String): Unit =
     versioned.put(view.toLowerCase, (timeCol, seqCol))
 
+  /** Keyed variant: also declares the PRIMARY KEY column, which the
+   * PROC-TIME form (`FOR SYSTEM_TIME AS OF PROCTIME()`) needs to
+   * resolve each key's latest version (the reference reads it from the
+   * dim table's `PRIMARY KEY` DDL clause). */
+  def registerVersioned(view: String, timeCol: String, seqCol: String,
+      keyCol: String): Unit = {
+    registerVersioned(view, timeCol, seqCol)
+    versionedKey.put(view.toLowerCase, keyCol)
+  }
+
   // ... <dim> FOR SYSTEM_TIME AS OF <probeTimeRef> [AS] <alias> ...
   private val ForSystemTime =
     """(?is)([A-Za-z_][A-Za-z0-9_]*)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+([A-Za-z_][A-Za-z0-9_.]*)\s+(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)""".r
 
+  // ... <dim> FOR SYSTEM_TIME AS OF PROCTIME() [AS] <alias> ...
+  private val ForSystemTimeProc =
+    """(?is)([A-Za-z_][A-Za-z0-9_]*)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+PROCTIME\s*\(\s*\)\s+(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)""".r
+
   /** Desugar every `FOR SYSTEM_TIME AS OF` clause in `query` into the
-   * marker-conjunct form above (pure text-to-text). */
+   * marker-conjunct form above (pure text-to-text).
+   *
+   * The PROC-TIME form (`AS OF PROCTIME()`, reference
+   * `TemporalProcessTimeJoinOperator` semantics: every probe joins the
+   * dim's CURRENT version) desugars first, into a latest-version
+   * derived table — a per-key NOT EXISTS that Catalyst plans as an
+   * anti join against the newer-version set; no probe-side time takes
+   * part, exactly the lookup-against-latest semantics. */
   def desugar(query: String): String = {
     var out = query
+    var pm = ForSystemTimeProc.findFirstMatchIn(out)
+    while (pm.isDefined) {
+      val mm = pm.get
+      val (table, alias) = (mm.group(1), mm.group(2))
+      val (timeCol, seqCol) = versioned.getOrElse(table.toLowerCase,
+        throw new IllegalArgumentException(
+          s"'$table FOR SYSTEM_TIME AS OF PROCTIME()': no versioned registration for '$table'"))
+      val keyCol = versionedKey.getOrElse(table.toLowerCase,
+        throw new IllegalArgumentException(
+          s"'$table FOR SYSTEM_TIME AS OF PROCTIME()': no PRIMARY KEY registered — " +
+          "use TemporalSql.registerVersioned(view, timeCol, seqCol, keyCol)"))
+      val latest =
+        s"""(SELECT * FROM $table __cur WHERE NOT EXISTS (
+           |  SELECT 1 FROM $table __newer
+           |  WHERE __newer.$keyCol = __cur.$keyCol
+           |    AND (__newer.$timeCol > __cur.$timeCol
+           |         OR (__newer.$timeCol = __cur.$timeCol
+           |             AND __newer.$seqCol > __cur.$seqCol)))) AS $alias""".stripMargin
+      out = out.substring(0, mm.start) + latest + out.substring(mm.end)
+      pm = ForSystemTimeProc.findFirstMatchIn(out)
+    }
     var m = ForSystemTime.findFirstMatchIn(out)
     while (m.isDefined) {
       val mm = m.get

@@ -28,6 +28,31 @@ class TemporalJoinRuleSpec extends SparkSuite {
     }
   }
 
+  test("PROCTIME() form joins every probe to the dim's latest version only") {
+    import spark.implicits._
+    Seq(TjrDim(1L, 100L, 1L, 1.0), TjrDim(1L, 200L, 2L, 2.0),
+        TjrDim(1L, 200L, 3L, 3.0), TjrDim(2L, 50L, 4L, 9.0))
+      .toDS().createOrReplaceTempView("ptj_dims_spec")
+    Seq(TjrProbe(10L, 1L, 1L), TjrProbe(11L, 2L, 999L))
+      .toDS().createOrReplaceTempView("ptj_probes_spec")
+    TemporalSql.registerVersioned("ptj_dims_spec", "ver_us", "seq", "k")
+    val out = TemporalSql.sql(spark,
+      """SELECT p.id, d.price FROM ptj_probes_spec p
+         JOIN ptj_dims_spec FOR SYSTEM_TIME AS OF PROCTIME() AS d ON p.k = d.k
+         ORDER BY p.id""")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // probe 10's own time (1) is BEFORE every version — proc-time still
+    // joins the latest (ver 200, seq 3); same-instant versions break by seq
+    assert(out === Seq((10L, 3.0), (11L, 9.0)))
+    // without a keyed registration the proc-time form fails loudly
+    TemporalSql.registerVersioned("ptj_nokey_spec", "ver_us", "seq")
+    val e = intercept[IllegalArgumentException] {
+      TemporalSql.desugar(
+        "SELECT * FROM p JOIN ptj_nokey_spec FOR SYSTEM_TIME AS OF PROCTIME() AS d ON p.k = d.k")
+    }
+    assert(e.getMessage.contains("PRIMARY KEY"))
+  }
+
   test("marked streaming join plans into the state op and joins versions as-of") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
