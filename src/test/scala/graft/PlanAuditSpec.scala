@@ -323,6 +323,33 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Join"), s"pivot grew an unexpected join:\n$p")
   }
 
+  test("SQL join hints steer the strategy: BROADCAST and MERGE (reference query hints)") {
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("li_hint")
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("ord_hint")
+    // BROADCAST hint forces a broadcast join even on the larger side
+    val pb = plan(spark.sql(
+      "SELECT /*+ BROADCAST(o) */ l_orderkey, o_orderpriority " +
+      "FROM li_hint l JOIN ord_hint o ON l_orderkey = o_orderkey"))
+    assert(pb.contains("BroadcastHashJoin"), s"BROADCAST hint ignored:\n$pb")
+    // MERGE hint forces sort-merge where broadcast would otherwise win
+    val pm = plan(spark.sql(
+      "SELECT /*+ MERGE(o) */ l_orderkey, o_orderpriority " +
+      "FROM li_hint l JOIN ord_hint o ON l_orderkey = o_orderkey"))
+    assert(pm.contains("SortMergeJoin"), s"MERGE hint ignored:\n$pm")
+  }
+
+  test("APPROX_COUNT_DISTINCT estimates within rsd bounds of the exact count") {
+    // reference BuiltInFunctionDefinitions APPROX_COUNT_DISTINCT
+    // (HyperLogLog++ on both engines); default rsd 5% — assert a
+    // generous 15% envelope so the test never flakes on a reseed
+    val li = Tables.load(spark, dir, "lineitem")
+    val exact = li.select(col("l_orderkey")).distinct().count()
+    val approx = li.select(approx_count_distinct(col("l_orderkey")).as("a"))
+      .collect()(0).getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.15,
+      s"approx=$approx exact=$exact")
+  }
+
   test("gap expressions stay inside WholeStageCodegen") {
     graft.functions.GraftFunctions.register(spark)
     Tables.load(spark, dir, "part").createOrReplaceTempView("part_audit")
