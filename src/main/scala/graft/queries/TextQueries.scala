@@ -44,6 +44,65 @@ object TextQueries extends QueryPack {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // BENCHMARK DECONTAMINATION (llmops): flag training documents whose
+    // distinct word 5-grams overlap a held-out "benchmark" set (doc_id %
+    // 50 == 0 stands in for the eval corpus) by >= 10%. The benchmark
+    // gram set is orders of magnitude smaller than the corpus, so
+    // Catalyst broadcasts it into the probe — one shuffle for the
+    // per-doc distinct, zero for the membership test. The 10% threshold
+    // compares as 10*hits >= grams: pure integers, engine-exact.
+    "text_contamination_ratio" -> ((s, dir) => {
+      val grams = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+        .filter(size(col("w")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(w) - 5), i -> concat_ws(' ', slice(w, i + 1, 5)))"))
+          .as("g"))
+        .distinct()
+      val bench = grams.filter(col("doc_id") % 50 === 0).select(col("g")).distinct()
+      grams.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(bench.withColumn("__hit", lit(1))), Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("__hit"), lit(0))).cast("bigint").as("n_hit"))
+        .withColumn("contaminated", lit(10) * col("n_hit") >= col("n_grams"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // CHUNK-LEVEL DEDUP (llmops; the C4/RefinedWeb "line-level" pass):
+    // documents split into consecutive 10-word chunks; chunks whose
+    // text occurs in more than 5 DISTINCT documents are boilerplate and
+    // drop from every document; surviving chunks reassemble in
+    // position order. Two shuffles (chunk doc-frequency, per-doc
+    // reassembly) — the df frame is chunk-vocabulary-sized, broadcast
+    // into the keep filter.
+    "text_chunk_dedup" -> ((s, dir) => {
+      val chunks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, cast(ceil(size(w) / 10.0) as int) - 1), " +
+          "c -> concat_ws(' ', slice(w, c * 10 + 1, 10)))")))
+        .withColumnRenamed("pos", "chunk_pos").withColumnRenamed("col", "chunk")
+      val hot = chunks.groupBy(col("chunk"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") > 5)
+        .select(col("chunk"))
+      val kept = chunks.join(broadcast(hot.withColumn("__hot", lit(1))),
+          Seq("chunk"), "left")
+        .filter(col("__hot").isNull)
+      chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+        .join(
+          kept.groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_kept"),
+              array_join(expr("transform(sort_array(collect_list(struct(chunk_pos, chunk))), x -> x.chunk)"),
+                " ").as("clean_text")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token counting: whitespace tokens vs regex word tokens vs uniques.
     "text_token_count" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -282,6 +341,43 @@ object TextQueries extends QueryPack {
       FROM sh s JOIN bench b ON s.sh = b.sh
       WHERE s.doc_id % 97 <> 0
       GROUP BY s.doc_id ORDER BY s.doc_id""",
+    "text_contamination_ratio" -> """
+      WITH words AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+      grams AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g
+        FROM words, unnest(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)
+        WHERE len(w) >= 5),
+      bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
+      SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+             (10 * sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) >= count(*)) AS contaminated
+      FROM grams d LEFT JOIN bench b ON d.g = b.g
+      WHERE d.doc_id % 50 <> 0
+      GROUP BY d.doc_id
+      ORDER BY d.doc_id""",
+    "text_chunk_dedup" -> """
+      WITH words AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+      chunks AS (
+        SELECT doc_id, c AS chunk_pos,
+               array_to_string(w[c * 10 + 1 : c * 10 + 10], ' ') AS chunk
+        FROM words, unnest(generate_series(0, CAST(ceil(len(w) / 10.0) AS INT) - 1)) AS t(c)),
+      hot AS (
+        SELECT chunk FROM chunks GROUP BY chunk HAVING count(DISTINCT doc_id) > 5),
+      kept AS (
+        SELECT c.doc_id, c.chunk_pos, c.chunk
+        FROM chunks c LEFT JOIN hot h ON c.chunk = h.chunk
+        WHERE h.chunk IS NULL)
+      SELECT a.doc_id, CAST(a.n_chunks AS BIGINT) AS n_chunks,
+             CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+             coalesce(k.clean_text, '') AS clean_text
+      FROM (SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY doc_id) a
+      LEFT JOIN (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(chunk, ' ' ORDER BY chunk_pos) AS clean_text
+        FROM kept GROUP BY doc_id) k ON a.doc_id = k.doc_id
+      ORDER BY a.doc_id""",
     "text_token_count" -> """
       SELECT doc_id,
              CAST(len(string_split(trim(lower(text)), ' ')) AS BIGINT) AS n_ws_tokens,
