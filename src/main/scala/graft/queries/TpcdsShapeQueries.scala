@@ -828,7 +828,93 @@ object TpcdsShapeQueries extends QueryPack {
       GROUP BY 1
       ORDER BY bucket"""
 
+  // Q9: scalar-subquery CASE ladder — five SELECT-list buckets, each
+  // choosing between two further scalar aggregates based on a count
+  // threshold; fifteen independent scalar subqueries over one fact
+  // that Catalyst plans as one-row aggregates joined in (never
+  // per-row re-execution). All-integer outputs.
+  private val q9 = """
+      SELECT
+        CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) > 2000
+             THEN (SELECT CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   FROM lineitem WHERE l_quantity BETWEEN 1 AND 10)
+             ELSE (SELECT CAST(count(*) AS BIGINT) FROM lineitem WHERE l_quantity BETWEEN 1 AND 10)
+        END AS bucket1,
+        CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 11 AND 20) > 2000
+             THEN (SELECT CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   FROM lineitem WHERE l_quantity BETWEEN 11 AND 20)
+             ELSE (SELECT CAST(count(*) AS BIGINT) FROM lineitem WHERE l_quantity BETWEEN 11 AND 20)
+        END AS bucket2,
+        CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 21 AND 30) > 2000
+             THEN (SELECT CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   FROM lineitem WHERE l_quantity BETWEEN 21 AND 30)
+             ELSE (SELECT CAST(count(*) AS BIGINT) FROM lineitem WHERE l_quantity BETWEEN 21 AND 30)
+        END AS bucket3,
+        CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 31 AND 40) > 2000
+             THEN (SELECT CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   FROM lineitem WHERE l_quantity BETWEEN 31 AND 40)
+             ELSE (SELECT CAST(count(*) AS BIGINT) FROM lineitem WHERE l_quantity BETWEEN 31 AND 40)
+        END AS bucket4,
+        CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 41 AND 50) > 2000
+             THEN (SELECT CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   FROM lineitem WHERE l_quantity BETWEEN 41 AND 50)
+             ELSE (SELECT CAST(count(*) AS BIGINT) FROM lineitem WHERE l_quantity BETWEEN 41 AND 50)
+        END AS bucket5
+      FROM region
+      WHERE r_regionkey = 0"""
+
+  // Q44: best/worst performers — one grouped frame ranked twice
+  // (ascending and descending), the two rankings equi-joined on rank
+  // index so row k pairs the k-th best with the k-th worst. Rank
+  // frames are WindowGroupLimit-prunable; the pair join is an
+  // equi-join on the rank ordinal.
+  private val q44 = """
+      WITH perf AS (
+        SELECT l_suppkey AS sk,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS net_cents
+        FROM lineitem WHERE l_returnflag <> 'R'
+        GROUP BY l_suppkey),
+      best AS (
+        SELECT sk, net_cents, row_number() OVER (ORDER BY net_cents DESC, sk) AS rnk
+        FROM perf),
+      worst AS (
+        SELECT sk, net_cents, row_number() OVER (ORDER BY net_cents ASC, sk) AS rnk
+        FROM perf)
+      SELECT b.rnk AS rnk, b.sk AS best_sk, b.net_cents AS best_cents,
+             w.sk AS worst_sk, w.net_cents AS worst_cents
+      FROM best b JOIN worst w ON b.rnk = w.rnk
+      WHERE b.rnk <= 10
+      ORDER BY rnk"""
+
+  // Q76: "null-attribute" channel union — each channel scan LEFT JOINs
+  // a restrictive dim slice so misses surface as NULLs, and the union
+  // counts rows + null-dim rows per (channel, flag): the
+  // null-producing-join-into-union-aggregate shape.
+  private val q76 = """
+      WITH chan AS (
+        SELECT 'store' AS channel, l_returnflag AS flag, p.p_brand AS brand,
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem LEFT JOIN part p
+          ON p.p_partkey = l_partkey AND p.p_size > 40
+        WHERE l_linestatus = 'F'
+        UNION ALL
+        SELECT 'web', l_returnflag, p.p_brand,
+               CAST(floor(l_extendedprice * 100) AS BIGINT)
+        FROM lineitem LEFT JOIN part p
+          ON p.p_partkey = l_partkey AND p.p_size <= 10
+        WHERE l_linestatus = 'O')
+      SELECT channel, flag,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN brand IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nullbrand,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM chan
+      GROUP BY channel, flag
+      ORDER BY channel, flag"""
+
   private val texts: Map[String, (Seq[String], String)] = Map(
+    "tpcds_q9_case_ladder" -> (Seq("lineitem", "region") -> q9),
+    "tpcds_q44_best_worst_rank" -> (Seq("lineitem") -> q44),
+    "tpcds_q76_null_channel" -> (Seq("lineitem", "part") -> q76),
     "tpcds_q66_channel_month_pivot" -> (Seq("lineitem") -> q66),
     "tpcds_q75_yoy_decline" -> (Seq("lineitem", "part") -> q75),
     "tpcds_q93_returns_adjust" -> (Seq("lineitem", "orders") -> q93),
