@@ -151,5 +151,17 @@ private[api] final class ReflectiveEval(className: String) extends Serializable 
     Class.forName(className).getDeclaredConstructor().newInstance().asInstanceOf[AnyRef]
   @transient private lazy val m: java.lang.reflect.Method =
     inst.getClass.getMethods.filter(_.getName == "eval").head
-  def apply(args: AnyRef*): Any = m.invoke(inst, args: _*)
+  @transient private lazy val primitiveParam: Array[Boolean] =
+    m.getParameterTypes.map(_.isPrimitive)
+  def apply(args: AnyRef*): Any = {
+    // SQL null-in → null-out when the eval parameter is a primitive
+    // (Method.invoke cannot unbox null; the reference's codegen applies
+    // the same strict-null short-circuit for primitive eval args)
+    var i = 0
+    while (i < args.length) {
+      if (args(i) == null && primitiveParam(i)) return null
+      i += 1
+    }
+    m.invoke(inst, args: _*)
+  }
 }

@@ -107,15 +107,17 @@ final class GroupedTable(df: DataFrame, keys: Seq[String]) {
 
   def select(exprs: String): Table = {
     val items = SqlLexer.splitTop(exprs).map(_.trim).filter(_.nonEmpty)
-    val aggs = items.filterNot(keys.contains)
+    // key references match case-insensitively, as Spark's resolver does
+    def isKey(i: String): Boolean = keys.exists(_.equalsIgnoreCase(i))
+    val aggs = items.filterNot(isKey)
     require(aggs.nonEmpty,
       "groupBy().select() needs at least one aggregate expression")
     val agged = df.groupBy(keys.map(col): _*).agg(expr(aggs.head), aggs.drop(1).map(expr): _*)
-    // re-project in the select list's order (keys keep their name,
-    // aggregates surface under their alias — Spark names the column by
-    // the alias when present, by the expression text otherwise)
+    // re-project in the select list's order (keys keep their declared
+    // name, aggregates surface under their alias — Spark names the
+    // column by the alias when present, by the expression text otherwise)
     val outNames = items.map { i =>
-      if (keys.contains(i)) i
+      if (isKey(i)) keys.find(_.equalsIgnoreCase(i)).get
       else """(?is)^.*\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
         .findFirstMatchIn(i).map(_.group(1)).getOrElse(i)
     }

@@ -55,7 +55,7 @@ object ChangelogQueries extends QueryPack {
           floor(col("value") * 100).as("cents"))
       val cl = ChangelogOps.toChangelog(base, Seq("user_id"), "event_id")
         .select(col("user_id"), col("event_id"), col("cents"), col("row_kind"))
-      val dels = base.groupBy(col("user_id")).agg(max(col("event_id")))
+      val dels = base.select(col("user_id")).distinct()
         .filter(col("user_id") % 7 === 0)
         .select(col("user_id"), lit(999999999999L).as("event_id"),
           lit(0L).as("cents"), lit(graft.changelog.RowKind.Delete).as("row_kind"))
@@ -63,9 +63,13 @@ object ChangelogQueries extends QueryPack {
       // file source delivers them as ordered micro-batches
       val work = Files.createTempDirectory("graft_upsert_src").toString
       def stage(df: org.apache.spark.sql.DataFrame, mtimeMs: Long): Unit = {
-        import scala.jdk.CollectionConverters._
-        def parquets() = Files.list(Paths.get(work)).iterator().asScala
-          .filter(_.toString.endsWith(".parquet")).toSet
+        def parquets(): Set[java.nio.file.Path] = {
+          val s = Files.list(Paths.get(work))
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSet
+          } finally s.close()
+        }
         val before = parquets()
         df.coalesce(1).write.mode("append").parquet(work)
         (parquets() -- before).foreach(p =>

@@ -87,6 +87,11 @@ object Ddl {
     """(?is)\s*DROP\s+(?:TEMPORARY\s+)?VIEW\s+(IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
   private val CreateFunctionRe =
     """(?is)\s*CREATE\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+'([^']+)'\s*;?\s*""".r
+  private val IntrospectionShaped =
+    """(?is)\s*(SHOW|DESC(?:RIBE)?|EXPLAIN|DROP)\b.*""".r
+
+  private def isDeclared(spark: SparkSession, name: String): Boolean =
+    declared.contains((sessionKey(spark), name))
 
   /** Connector tables declared this session, so `INSERT INTO` can
    * resolve a target's path/format. Keyed by session identity — two
@@ -131,28 +136,36 @@ object Ddl {
         return statementSet(spark, ddl)
       case ShowTablesRe() => return showTables(spark, viewsOnly = false)
       case ShowViewsRe() => return showTables(spark, viewsOnly = true)
-      case DescribeRe(name) => return describe(spark, name)
+      case DescribeRe(name) if isDeclared(spark, name) =>
+        return describe(spark, name)
       // DROP TABLE / DROP VIEW (reference SqlDropTable/SqlDropView):
-      // remove from the front-end registry and the session catalog;
-      // loud on unknown names unless IF EXISTS
-      case DropTableRe(ifExists, name) =>
-        val existed = declared.remove((sessionKey(spark), name)).isDefined
-        if (!existed && ifExists == null) throw new IllegalArgumentException(
-          s"DROP TABLE $name: not a declared connector table")
-        if (existed) spark.catalog.dropTempView(name)
+      // front-end-declared names leave both the registry and the
+      // session catalog; anything else (qualified names, temp views
+      // created outside this front-end) falls through to Spark's own
+      // DROP below, which also owns the IF EXISTS / unknown-name errors
+      case DropTableRe(_, name) if declared.contains((sessionKey(spark), name)) =>
+        declared.remove((sessionKey(spark), name))
+        spark.catalog.dropTempView(name)
         return ok(spark)
-      case DropViewRe(ifExists, name) =>
-        val existed = declaredViews.remove((sessionKey(spark), name)).isDefined
-        if (!existed && ifExists == null) throw new IllegalArgumentException(
-          s"DROP VIEW $name: not a view created through this front-end")
-        if (existed) spark.catalog.dropTempView(name)
+      case DropViewRe(_, name) if declaredViews.contains((sessionKey(spark), name)) =>
+        declaredViews.remove((sessionKey(spark), name))
+        spark.catalog.dropTempView(name)
         return ok(spark)
       // CREATE FUNCTION name AS 'class' (reference SqlCreateFunction):
       // reflective eval discovery, registered for SQL use
       case CreateFunctionRe(name, className) =>
         graft.api.Udfs.registerReflective(spark, name, className)
         return ok(spark)
-      case ExplainRe(stmt) => return explain(spark, stmt)
+      case ExplainRe(stmt) if !stmt.trim.toUpperCase.startsWith("FORMATTED") &&
+          !stmt.trim.toUpperCase.startsWith("EXTENDED") &&
+          !stmt.trim.toUpperCase.startsWith("CODEGEN") &&
+          !stmt.trim.toUpperCase.startsWith("COST") =>
+        return explain(spark, stmt)
+      // SHOW/DESCRIBE/DROP/EXPLAIN variants this front-end does not
+      // own (LIKE patterns, EXTENDED/FORMATTED, qualified names,
+      // DESCRIBE FUNCTION, undeclared drops) execute natively — the
+      // pre-existing behavior before introspection routing was added
+      case IntrospectionShaped(_*) => return spark.sql(ddl)
       case _ => ()
     }
     val t = parse(ddl)

@@ -96,8 +96,11 @@ object StreamOps {
     Files.setLastModifiedTime(dataFile, FileTime.fromMillis(10000L))
     val batch = spark.read.parquet(src.toString)
     val tsIsLong = batch.schema("ts").dataType == org.apache.spark.sql.types.LongType
-    def parquets() = Files.list(work).iterator().asScala
-      .filter(_.toString.endsWith(".parquet")).toSet
+    def parquets(): Set[java.nio.file.Path] = {
+      val s = Files.list(work)
+      try s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSet
+      finally s.close()
+    }
     def sentinelRound(tsNs: Long, mtimeMs: Long): Unit = {
       val cols = batch.schema.fields.map { f =>
         (f.name, f.dataType) match {
@@ -255,8 +258,10 @@ object StreamOps {
     java.time.Instant.parse("2200-01-01T00:00:00Z").getEpochSecond * 1000000L
 
   private def listParquets(work: java.nio.file.Path): Set[java.nio.file.Path] = {
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.list(work).iterator().asScala
-      .filter(_.toString.endsWith(".parquet")).toSet
+    val s = java.nio.file.Files.list(work)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSet
+    } finally s.close()
   }
 }

@@ -68,8 +68,9 @@ class DdlSpec extends SparkSuite {
       === Seq("sv_names"))
     assert(Ddl.execute(s, "SHOW TABLES").collect().map(_.getString(0)).toSeq
       === Seq("sv_names", "sv_nation"))
-    val e = intercept[IllegalArgumentException](Ddl.execute(s, "DESCRIBE nope"))
-    assert(e.getMessage.contains("not a declared connector table"))
+    // an unknown name falls to Spark's native DESCRIBE, which raises
+    // its own table-not-found error
+    intercept[org.apache.spark.sql.AnalysisException](Ddl.execute(s, "DESCRIBE nope"))
   }
 
   test("DROP TABLE / DROP VIEW remove catalog entries; IF EXISTS is quiet") {
@@ -86,10 +87,29 @@ class DdlSpec extends SparkSuite {
     assert(Ddl.execute(s, "SHOW TABLES").count() === 0)
     // the temp views are gone from the session catalog too
     assert(!s.catalog.tableExists("dropme") && !s.catalog.tableExists("dropme_v"))
-    intercept[IllegalArgumentException](Ddl.execute(s, "DROP TABLE dropme"))
-    intercept[IllegalArgumentException](Ddl.execute(s, "DROP VIEW dropme_v"))
+    // undeclared names fall through to Spark's native DROP — its own
+    // unknown-name error, and native IF EXISTS stays quiet
+    intercept[org.apache.spark.sql.AnalysisException](Ddl.execute(s, "DROP TABLE dropme"))
+    intercept[org.apache.spark.sql.AnalysisException](Ddl.execute(s, "DROP VIEW dropme_v"))
     Ddl.execute(s, "DROP TABLE IF EXISTS dropme") // quiet
     Ddl.execute(s, "DROP VIEW IF EXISTS dropme_v") // quiet
+    // a temp view created OUTSIDE the front-end still drops natively
+    s.sql("SELECT 1 AS one").createOrReplaceTempView("outside_v")
+    Ddl.execute(s, "DROP VIEW outside_v")
+    assert(!s.catalog.tableExists("outside_v"))
+  }
+
+  test("introspection variants the front-end does not own execute natively") {
+    val s = spark.newSession()
+    s.sql("SELECT 1 AS one").createOrReplaceTempView("nat_v")
+    // DESCRIBE of a non-declared view → Spark's native DESCRIBE output
+    val d = Ddl.execute(s, "DESCRIBE nat_v")
+    assert(d.columns.contains("col_name"))
+    // SHOW TABLES LIKE and EXPLAIN FORMATTED parse natively too
+    assert(Ddl.execute(s, "SHOW TABLES LIKE 'nat*'").count() === 1)
+    val ef = Ddl.execute(s, "EXPLAIN FORMATTED SELECT * FROM nat_v")
+      .collect()(0).getString(0)
+    assert(ef.contains("Physical Plan"))
   }
 
   test("CREATE FUNCTION rejects unknown classes and wrong eval shapes") {

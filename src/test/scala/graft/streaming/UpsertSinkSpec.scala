@@ -49,6 +49,31 @@ class UpsertSinkSpec extends SparkSuite {
     assert(sinkRows(root) === Set((7L, 5L, "new")))
   }
 
+  test("an EQUAL-sequence incoming change deterministically supersedes the stored image") {
+    // the reference's materializer applies messages in arrival order:
+    // a same-version message observed later wins
+    val root = Files.createTempDirectory("graft_upsert_spec4").toString
+    val apply = UpsertSink.foreachBatchUpsert(root, Seq("k"), "seq") _
+    apply(batchOf((1L, 5L, "a", RowKind.Insert), (2L, 5L, "x", RowKind.Insert)), 0L)
+    apply(batchOf((1L, 5L, "b", RowKind.UpdateAfter), (2L, 5L, "x", RowKind.Delete)), 1L)
+    assert(sinkRows(root) === Set((1L, 5L, "b")))
+  }
+
+  test("replaying an already-committed batch rebuilds the identical snapshot") {
+    // foreachBatch is at-least-once: a replay of batchId 1 must merge
+    // against snap=0 (not against its own half-written output) and
+    // converge to the same table
+    val root = Files.createTempDirectory("graft_upsert_spec5").toString
+    val apply = UpsertSink.foreachBatchUpsert(root, Seq("k"), "seq") _
+    apply(batchOf((1L, 1L, "a", RowKind.Insert)), 0L)
+    val b1 = batchOf((1L, 2L, "b", RowKind.UpdateAfter), (2L, 2L, "y", RowKind.Insert))
+    apply(b1, 1L)
+    val afterFirst = sinkRows(root)
+    apply(b1, 1L) // replay
+    assert(sinkRows(root) === afterFirst)
+    assert(afterFirst === Set((1L, 2L, "b"), (2L, 2L, "y")))
+  }
+
   test("empty batch commits a snapshot that preserves the table unchanged") {
     val root = Files.createTempDirectory("graft_upsert_spec3").toString
     val apply = UpsertSink.foreachBatchUpsert(root, Seq("k"), "seq") _
