@@ -149,6 +149,176 @@ object Pregel {
     out
   }
 
+  /** Community detection by most-frequent-label propagation (reference
+   * `flink-gelly/.../library/LabelPropagation.java:39-46`): each round
+   * every vertex adopts the label MOST FREQUENT among its neighbors'
+   * labels, ties broken by the GREATER label; vertices with no
+   * neighbors keep their label. Fixed `rounds` keep the result exactly
+   * reproducible by an unrolled SQL oracle (the reference's own caveat
+   * applies: convergence is initialization-dependent, so fixed rounds
+   * are the deterministic contract).
+   *
+   * Scale: per round one message shuffle + one (id, label) count + a
+   * per-vertex top-1 window — all key-partitioned; no vertex's
+   * neighbor list is ever collected. */
+  def labelPropagationMostFrequent(vertices: DataFrame, edges: DataFrame,
+      rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val undirected = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var state = vertices.select(col("id"), col("id").as("label"))
+    var prevRound: Option[DataFrame] = None
+    for (_ <- 1 to rounds) {
+      val freq = undirected
+        .join(state.select(col("id").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val pick = freq
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("cnt").desc, col("label").desc)))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("label").as("new_label"))
+      state = ckpt(state.join(pick, Seq("id"), "left")
+        .select(col("id"), coalesce(col("new_label"), col("label")).as("label")))
+      prevRound.foreach(free)
+      prevRound = Some(state)
+    }
+    undirected.unpersist()
+    state
+  }
+
+  /** HITS hubs-and-authorities (reference
+   * `flink-gelly/.../library/linkanalysis/HITS.java:55-60`, Kleinberg)
+   * in integer fixed-point over a DIRECTED edge list: per round
+   *
+   *   auth(v) = Σ_{u→v} hub(u), then auth := auth·10⁹ div max(auth)
+   *   hub(u)  = Σ_{u→v} auth(v), then hub := hub·10⁹ div max(hub)
+   *
+   * Normalization divergence, documented: the reference scales by the
+   * L2 norm (sum-of-squares, `HITS.java:166-199`); we scale by the
+   * MAX so every step stays in floored BIGINT arithmetic and two
+   * engines produce bit-identical longs. Rankings and score RATIOS are
+   * identical under either scaling (both are a positive scalar
+   * multiple per round).
+   *
+   * Scale: two key-partitioned shuffles per round plus a scalar max —
+   * the max is an AGGREGATE broadcast back into the plan (crossJoin of
+   * a 1-row frame), never a driver collect. */
+  def hitsFixed(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vertices = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+    var state = ckpt(vertices
+      .select(col("id"), lit(1000000000L).as("hubq"), lit(1000000000L).as("authq")))
+    var prevRound: Option[DataFrame] = None
+    for (_ <- 1 to rounds) {
+      val authRaw = e
+        .join(state.select(col("id").as("src"), col("hubq")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("hubq")).as("araw"))
+      val amax = authRaw.agg(max(col("araw")).as("amax"))
+      val auth = authRaw.crossJoin(amax)
+        .select(col("id"), expr("(araw * 1000000000L) div amax").as("authq"))
+      val hubRaw = e
+        .join(auth.select(col("id").as("dst"), col("authq").as("aq")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(sum(col("aq")).as("hraw"))
+      val hmax = hubRaw.agg(max(col("hraw")).as("hmax"))
+      val hub = hubRaw.crossJoin(hmax)
+        .select(col("id"), expr("(hraw * 1000000000L) div hmax").as("hubq"))
+      state = ckpt(vertices
+        .join(hub, Seq("id"), "left")
+        .join(auth.select(col("id"), col("authq")), Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("hubq"), lit(0L)).as("hubq"),
+          coalesce(col("authq"), lit(0L)).as("authq")))
+      prevRound.foreach(free)
+      prevRound = Some(state)
+    }
+    e.unpersist()
+    state
+  }
+
+  /** Jaccard index per vertex pair (reference
+   * `flink-gelly/.../library/similarity/JaccardIndex.java:50-53`): for
+   * every pair with at least one shared neighbor, the number of SHARED
+   * neighbors and the number of DISTINCT neighbors (union size) — the
+   * score is shared/union, emitted as the exact integer pair (the
+   * reference's Result also carries the two counts) so the gate needs
+   * no float trust.
+   *
+   * Scale: two-paths are generated by joining the adjacency list with
+   * itself ON THE COMMON NEIGHBOR — Σ deg(z)² pairs, the same bound as
+   * the reference's group-span approach; a degree cap (reference
+   * groupSize spans) is the refinement if hubs dominate. No all-pairs
+   * stage. */
+  def jaccardIndex(edges: DataFrame): DataFrame = {
+    val undirected = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = undirected.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val n1 = undirected.select(col("src").as("z"), col("dst").as("a"))
+    val n2 = undirected.select(col("src").as("z"), col("dst").as("b"))
+    val shared = n1.join(n2, Seq("z")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+    val out = shared
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+      .select(col("a"), col("b"), col("shared"),
+        (col("da") + col("db") - col("shared")).as("denom"))
+      .localCheckpoint()
+    undirected.unpersist()
+    out
+  }
+
+  /** Adamic-Adar similarity (reference
+   * `flink-gelly/.../library/similarity/AdamicAdar.java`): for each
+   * vertex pair, Σ over common neighbors z of 1/ln(deg(z)) — rarer
+   * shared neighbors count more. Each neighbor's weight is QUANTIZED
+   * to the 1e-7 grid (`floor(10⁷ / ln(deg))` as BIGINT) before the
+   * sum, so the pairwise stage is exact integer arithmetic and two
+   * engines hash-match (the same determinism trick as the
+   * embedding-cosine family). deg(z) ≥ 2 for every common neighbor by
+   * construction, so ln never hits zero. */
+  def adamicAdar(edges: DataFrame): DataFrame = {
+    val undirected = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val weighted = undirected
+      .groupBy(col("src").as("z")).agg(count(lit(1)).as("deg"))
+      // deg-1 vertices can never be a COMMON neighbor, and ln(1) = 0
+      // would divide by zero — drop them before the weight compute
+      .filter(col("deg") >= 2)
+      .select(col("z"), floor(lit(10000000L) / log(col("deg"))).cast("bigint").as("wq"))
+    val n1 = undirected.select(col("src").as("z"), col("dst").as("a"))
+    val n2 = undirected.select(col("src").as("z"), col("dst").as("b"))
+    val out = n1.join(n2, Seq("z")).filter(col("a") < col("b"))
+      .join(weighted, Seq("z"))
+      .groupBy(col("a"), col("b")).agg(sum(col("wq")).as("score_q"))
+      .localCheckpoint()
+    undirected.unpersist()
+    out
+  }
+
+  /** Undirected vertex/graph metrics (reference
+   * `flink-gelly/.../library/metric/undirected/VertexMetrics.java`):
+   * vertex count, edge count, triplet count Σ d(d−1)/2, and maximum
+   * degree — one aggregation over the degree frame, one output row. */
+  def vertexMetrics(edges: DataFrame): DataFrame = {
+    val undirected = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = undirected.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    deg.agg(
+      count(lit(1)).as("n_vertices"),
+      expr("sum(deg) div 2").as("n_edges"),
+      expr("sum(deg * (deg - 1)) div 2").as("n_triplets"),
+      max(col("deg")).as("max_degree"))
+  }
+
   /** Triangle enumeration (reference
    * `flink-gelly/.../library/TriangleEnumerator.java`): canonicalize
    * each edge to (lo < hi), build wedges a<b<c by joining edge lists on

@@ -31,6 +31,19 @@ object GraphQueries extends QueryPack {
     (vertices, edges)
   }
 
+  /** Canonical (lo < hi) undirected edge list of the derived general
+   * graph shared by the triangle / similarity / metric gates: user →
+   * floor(value·100) % 150 on every 20th event. */
+  private def generalEdges(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    ev.filter(col("event_id") % 20 === 0)
+      .select(col("user_id").as("s"),
+        (floor(col("value") * 100).cast("bigint") % 150).as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("src"), greatest(col("s"), col("d")).as("dst"))
+      .distinct()
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Connected-component labels after 4 fixed propagation rounds.
     "graph_cc_labels" -> ((s, dir) => {
@@ -86,6 +99,55 @@ object GraphQueries extends QueryPack {
           greatest(col("s"), col("d")).as("dst")).distinct()
       Pregel.summarize(vertices, edges)
         .orderBy(col("src_value"), col("dst_value"))
+    }),
+
+    // Most-frequent-label community detection, 3 fixed rounds
+    // (reference Gelly LabelPropagation: ties -> greater label) over
+    // the canonical undirected derived graph.
+    "graph_label_propagation" -> ((s, dir) => {
+      val e = generalEdges(s, dir)
+      val v = e.select(col("src").as("id"))
+        .unionAll(e.select(col("dst").as("id"))).distinct()
+      Pregel.labelPropagationMostFrequent(v, e, rounds = 3)
+        .orderBy(col("id"))
+    }),
+
+    // HITS hubs/authorities, 2 fixed rounds in integer fixed-point
+    // (max-normalized per half-round — see Pregel.hitsFixed scaladoc
+    // for the documented L2-vs-max divergence) over the DIRECTED
+    // user -> bucket graph. Top 20 authorities, full hash gate.
+    "graph_hits" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val e = ev.filter(col("event_id") % 20 === 0)
+        .select(col("user_id").as("src"),
+          (floor(col("value") * 100).cast("bigint") % 150).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      Pregel.hitsFixed(e, rounds = 2)
+        .orderBy(col("authq").desc, col("hubq").desc, col("id"))
+        .limit(20)
+    }),
+
+    // Jaccard index per vertex pair with >= 1 shared neighbor
+    // (reference Gelly JaccardIndex): exact integer (shared, union)
+    // counts, no float trust needed.
+    "graph_jaccard_index" -> ((s, dir) => {
+      Pregel.jaccardIndex(generalEdges(s, dir))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // Adamic-Adar similarity (reference Gelly AdamicAdar): per-pair
+    // sum of 1/ln(deg) over common neighbors, each weight quantized to
+    // the 1e-7 grid before the exact integer sum.
+    "graph_adamic_adar" -> ((s, dir) => {
+      Pregel.adamicAdar(generalEdges(s, dir))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // Undirected graph metrics (reference Gelly VertexMetrics):
+    // vertices, edges, triplets, max degree in one aggregate row.
+    "graph_vertex_metrics" -> ((s, dir) => {
+      Pregel.vertexMetrics(generalEdges(s, dir))
     }),
 
     // Single-source BFS distances from the first type vertex (tid -1)
@@ -201,6 +263,117 @@ object GraphQueries extends QueryPack {
       ac AS (SELECT lo AS a, hi AS c FROM ed)
       SELECT a, b, c FROM ab JOIN bc USING (b) JOIN ac USING (a, c)
       ORDER BY a, b, c""",
+    "graph_label_propagation" -> """
+      WITH raw AS (
+        SELECT DISTINCT user_id AS s, CAST(floor(value * 100) AS BIGINT) % 150 AS d
+        FROM events WHERE event_id % 20 = 0),
+      ed AS (SELECT DISTINCT least(s, d) AS lo, greatest(s, d) AS hi
+             FROM raw WHERE s <> d),
+      edges AS (SELECT lo AS src, hi AS dst FROM ed
+                UNION SELECT hi, lo FROM ed),
+      v AS (SELECT DISTINCT src AS id FROM edges),
+      l0 AS (SELECT id, id AS label FROM v),
+      f1 AS (SELECT e.dst AS id, x.label, count(*) AS cnt
+             FROM edges e JOIN l0 x ON e.src = x.id GROUP BY 1, 2),
+      w1 AS (SELECT id, label, row_number() OVER (PARTITION BY id
+               ORDER BY cnt DESC, label DESC) AS rn FROM f1),
+      l1 AS (SELECT l.id, coalesce(w.label, l.label) AS label
+             FROM l0 l LEFT JOIN (SELECT id, label FROM w1 WHERE rn = 1) w
+             ON l.id = w.id),
+      f2 AS (SELECT e.dst AS id, x.label, count(*) AS cnt
+             FROM edges e JOIN l1 x ON e.src = x.id GROUP BY 1, 2),
+      w2 AS (SELECT id, label, row_number() OVER (PARTITION BY id
+               ORDER BY cnt DESC, label DESC) AS rn FROM f2),
+      l2 AS (SELECT l.id, coalesce(w.label, l.label) AS label
+             FROM l1 l LEFT JOIN (SELECT id, label FROM w2 WHERE rn = 1) w
+             ON l.id = w.id),
+      f3 AS (SELECT e.dst AS id, x.label, count(*) AS cnt
+             FROM edges e JOIN l2 x ON e.src = x.id GROUP BY 1, 2),
+      w3 AS (SELECT id, label, row_number() OVER (PARTITION BY id
+               ORDER BY cnt DESC, label DESC) AS rn FROM f3),
+      l3 AS (SELECT l.id, coalesce(w.label, l.label) AS label
+             FROM l2 l LEFT JOIN (SELECT id, label FROM w3 WHERE rn = 1) w
+             ON l.id = w.id)
+      SELECT id, label FROM l3 ORDER BY id""",
+    "graph_hits" -> """
+      WITH raw AS (
+        SELECT DISTINCT user_id AS src, CAST(floor(value * 100) AS BIGINT) % 150 AS dst
+        FROM events WHERE event_id % 20 = 0),
+      e AS (SELECT src, dst FROM raw WHERE src <> dst),
+      v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      s0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS hubq,
+                        CAST(1000000000 AS BIGINT) AS authq FROM v),
+      ar1 AS (SELECT e.dst AS id, CAST(sum(x.hubq) AS BIGINT) AS araw
+              FROM e JOIN s0 x ON e.src = x.id GROUP BY 1),
+      a1 AS (SELECT id, (araw * 1000000000) // (SELECT max(araw) FROM ar1) AS authq
+             FROM ar1),
+      hr1 AS (SELECT e.src AS id, CAST(sum(a.authq) AS BIGINT) AS hraw
+              FROM e JOIN a1 a ON e.dst = a.id GROUP BY 1),
+      h1 AS (SELECT id, (hraw * 1000000000) // (SELECT max(hraw) FROM hr1) AS hubq
+             FROM hr1),
+      s1 AS (SELECT v.id, CAST(coalesce(h1.hubq, 0) AS BIGINT) AS hubq,
+                          CAST(coalesce(a1.authq, 0) AS BIGINT) AS authq
+             FROM v LEFT JOIN h1 ON v.id = h1.id LEFT JOIN a1 ON v.id = a1.id),
+      ar2 AS (SELECT e.dst AS id, CAST(sum(x.hubq) AS BIGINT) AS araw
+              FROM e JOIN s1 x ON e.src = x.id GROUP BY 1),
+      a2 AS (SELECT id, (araw * 1000000000) // (SELECT max(araw) FROM ar2) AS authq
+             FROM ar2),
+      hr2 AS (SELECT e.src AS id, CAST(sum(a.authq) AS BIGINT) AS hraw
+              FROM e JOIN a2 a ON e.dst = a.id GROUP BY 1),
+      h2 AS (SELECT id, (hraw * 1000000000) // (SELECT max(hraw) FROM hr2) AS hubq
+             FROM hr2),
+      s2 AS (SELECT v.id, CAST(coalesce(h2.hubq, 0) AS BIGINT) AS hubq,
+                          CAST(coalesce(a2.authq, 0) AS BIGINT) AS authq
+             FROM v LEFT JOIN h2 ON v.id = h2.id LEFT JOIN a2 ON v.id = a2.id)
+      SELECT id, hubq, authq FROM s2
+      ORDER BY authq DESC, hubq DESC, id LIMIT 20""",
+    "graph_jaccard_index" -> """
+      WITH raw AS (
+        SELECT DISTINCT user_id AS s, CAST(floor(value * 100) AS BIGINT) % 150 AS d
+        FROM events WHERE event_id % 20 = 0),
+      ed AS (SELECT DISTINCT least(s, d) AS lo, greatest(s, d) AS hi
+             FROM raw WHERE s <> d),
+      edges AS (SELECT lo AS src, hi AS dst FROM ed
+                UNION SELECT hi, lo FROM ed),
+      deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY 1),
+      shared AS (SELECT n1.dst AS a, n2.dst AS b, count(*) AS shared
+                 FROM edges n1 JOIN edges n2
+                   ON n1.src = n2.src AND n1.dst < n2.dst
+                 GROUP BY 1, 2)
+      SELECT a, b, shared, da.deg + db.deg - shared AS denom
+      FROM shared JOIN deg da ON shared.a = da.id
+                  JOIN deg db ON shared.b = db.id
+      ORDER BY a, b""",
+    "graph_adamic_adar" -> """
+      WITH raw AS (
+        SELECT DISTINCT user_id AS s, CAST(floor(value * 100) AS BIGINT) % 150 AS d
+        FROM events WHERE event_id % 20 = 0),
+      ed AS (SELECT DISTINCT least(s, d) AS lo, greatest(s, d) AS hi
+             FROM raw WHERE s <> d),
+      edges AS (SELECT lo AS src, hi AS dst FROM ed
+                UNION SELECT hi, lo FROM ed),
+      wq AS (SELECT src AS z, CAST(floor(10000000 / ln(count(*))) AS BIGINT) AS wq
+             FROM edges GROUP BY src HAVING count(*) >= 2),
+      tp AS (SELECT n1.src AS z, n1.dst AS a, n2.dst AS b
+             FROM edges n1 JOIN edges n2
+               ON n1.src = n2.src AND n1.dst < n2.dst)
+      SELECT a, b, CAST(sum(wq) AS BIGINT) AS score_q
+      FROM tp JOIN wq USING (z)
+      GROUP BY 1, 2 ORDER BY a, b""",
+    "graph_vertex_metrics" -> """
+      WITH raw AS (
+        SELECT DISTINCT user_id AS s, CAST(floor(value * 100) AS BIGINT) % 150 AS d
+        FROM events WHERE event_id % 20 = 0),
+      ed AS (SELECT DISTINCT least(s, d) AS lo, greatest(s, d) AS hi
+             FROM raw WHERE s <> d),
+      edges AS (SELECT lo AS src, hi AS dst FROM ed
+                UNION SELECT hi, lo FROM ed),
+      deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY 1)
+      SELECT count(*) AS n_vertices,
+             CAST(sum(deg) AS BIGINT) // 2 AS n_edges,
+             CAST(sum(deg * (deg - 1)) AS BIGINT) // 2 AS n_triplets,
+             max(deg) AS max_degree
+      FROM deg""",
     "graph_sssp_delta" -> """
       WITH types AS (SELECT DISTINCT event_type FROM events),
       tmap AS (SELECT event_type,

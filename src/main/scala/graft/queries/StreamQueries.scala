@@ -216,6 +216,34 @@ object StreamQueries extends QueryPack {
     // StreamExecGroupAggregate's per-key update stream): the sink holds
     // every per-batch update; the final image is the max-count row per
     // key (counts grow monotonically) — the upsert materialization.
+    // State bootstrap (reference flink-state-processing-api
+    // OperatorTransformation.bootstrapWith + WritableSavepoint): per-user
+    // historical totals from the ORDERS batch table seed keyed state,
+    // then the event stream folds on top. The sink holds per-batch
+    // updates; the final image per key is the max-n row (n grows
+    // monotonically from the seeded base). Oracle: orders totals +
+    // events totals for every user that appears in the stream.
+    "state_bootstrap_agg" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import s.implicits._
+      val initial = graft.Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey").as("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .as[graft.streaming.BootTotal]
+      val stream = StreamOps.eventsTyped(s, dir)
+      val updates = StreamOps.runToBatch(s,
+        graft.streaming.BootstrapOps.totalsWithBootstrap(stream, initial).toDF(),
+        "update", "state_bootstrap")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("n").desc)
+      updates.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("n"), col("cents"))
+        .orderBy(col("user_id"))
+    }),
+
     "stream_group_agg_update" -> ((s0, dir) => {
       val s = StreamOps.tuned(s0)
       val agg = StreamOps.readStream(s, dir, "events")
@@ -922,6 +950,20 @@ object StreamQueries extends QueryPack {
              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
       FROM events WHERE value >= 0.1 GROUP BY user_id
       ORDER BY sink, k""",
+    "state_bootstrap_agg" -> """
+      WITH boot AS (
+        SELECT o_custkey AS user_id, count(*) AS n0,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c0
+        FROM orders GROUP BY 1),
+      ev AS (
+        SELECT user_id, count(*) AS n1,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS c1
+        FROM events GROUP BY 1)
+      SELECT ev.user_id,
+             coalesce(b.n0, 0) + ev.n1 AS n,
+             coalesce(b.c0, 0) + ev.c1 AS cents
+      FROM ev LEFT JOIN boot b ON ev.user_id = b.user_id
+      ORDER BY ev.user_id""",
     "stream_group_agg_update" -> """
       SELECT event_type, count(*) AS n,
              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value

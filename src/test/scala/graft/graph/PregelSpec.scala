@@ -62,6 +62,81 @@ class PregelSpec extends SparkSuite {
     assert(d2 == Map(1L -> 0L, 2L -> 1L, 4L -> 1L))
   }
 
+  test("label propagation adopts the most frequent neighbor label, ties to greater") {
+    import spark.implicits._
+    // 4 is adjacent to 1, 2, 3 (labels 1,2,3 — all frequency 1): the
+    // reference breaks ties by the GREATER label, so 4 adopts 3.
+    val v = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val e = Seq((1L, 4L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val r1 = Pregel.labelPropagationMostFrequent(v, e, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1(4L) == 3L)
+    // leaves all see only the hub: they adopt 4's label
+    assert(r1(1L) == 4L && r1(2L) == 4L && r1(3L) == 4L)
+
+    // frequency beats magnitude. K(2,2) on {3,4}x{1,2} plus edge 1-2:
+    // round 1 gives 3 and 4 both label 2 (tie over {1,2}), and 1 and 2
+    // both label 4 (tie over {3,4,other-leaf}); round 2 vertex 1 sees
+    // labels {2, 2, 4} — frequency 2 beats the GREATER but rarer 4.
+    val v2 = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val e2 = Seq((3L, 1L), (3L, 2L), (4L, 1L), (4L, 2L), (1L, 2L)).toDF("src", "dst")
+    val r2 = Pregel.labelPropagationMostFrequent(v2, e2, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2(1L) == 2L)
+  }
+
+  test("HITS: authorities are pointed-to, hubs point at authorities, max scales to 1e9") {
+    import spark.implicits._
+    // 1 and 2 are hubs linking to authorities 3 and 4; 2 also links 5
+    val e = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (2L, 5L)).toDF("src", "dst")
+    val r = Pregel.hitsFixed(e, rounds = 2)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // 3 and 4 are the strongest authorities (pointed to by both hubs)
+    assert(r(3L)._2 == 1000000000L && r(4L)._2 == 1000000000L)
+    assert(r(5L)._2 < r(3L)._2 && r(5L)._2 > 0)
+    // 2 is the strongest hub (links 3 authorities)
+    assert(r(2L)._1 == 1000000000L && r(1L)._1 < r(2L)._1 && r(1L)._1 > 0)
+    // pure authorities have zero hubbiness; pure hubs zero authority
+    assert(r(3L)._1 == 0L && r(1L)._2 == 0L)
+  }
+
+  test("jaccard index counts shared and distinct neighbors exactly") {
+    import spark.implicits._
+    // square 1-2-3-4-1: opposite corners share BOTH neighbors
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val r = Pregel.jaccardIndex(e)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    // 1 and 3 share {2, 4}: shared=2, union=2 -> jaccard 1.0
+    assert(r((1L, 3L)) == ((2L, 2L)))
+    assert(r((2L, 4L)) == ((2L, 2L)))
+    // adjacent corners (e.g. 1,2) share nothing -> no row
+    assert(!r.contains((1L, 2L)))
+  }
+
+  test("adamic-adar weights common neighbors by 1/ln(degree), quantized") {
+    import spark.implicits._
+    // 1 and 2 share z=10 (degree 2) and z=20 (degree 3: also joins 3)
+    val e = Seq((1L, 10L), (2L, 10L), (1L, 20L), (2L, 20L), (3L, 20L))
+      .toDF("src", "dst")
+    val r = Pregel.adamicAdar(e)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val expected = math.floor(1e7 / math.log(2)).toLong +
+      math.floor(1e7 / math.log(3)).toLong
+    assert(r((1L, 2L)) == expected)
+    // 1,3 and 2,3 share only z=20
+    assert(r((1L, 3L)) == math.floor(1e7 / math.log(3)).toLong)
+  }
+
+  test("vertex metrics: counts, triplets, max degree on a known graph") {
+    import spark.implicits._
+    // star 0-{1,2,3} plus edge 1-2: degrees 0:3, 1:2, 2:2, 3:1
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L)).toDF("src", "dst")
+    val m = Pregel.vertexMetrics(e)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(m == ((4L, 4L, 5L, 3L))) // 4 vertices, 4 edges, 3+1+1+0 triplets, max deg 3
+  }
+
   test("iteration rounds free their checkpoint blocks eagerly") {
     import spark.implicits._
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))

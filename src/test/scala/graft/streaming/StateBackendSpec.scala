@@ -56,6 +56,38 @@ class StateBackendSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("state bootstrap: batch-seeded keyed state folds under the stream (state-processor analog)") {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sql = ss.sqlContext
+    import ss.implicits._
+    // user 1 seeded (2 rows, 500 cents); user 3 seeded but silent
+    val initial = Seq(BootTotal(1L, 2L, 500L), BootTotal(3L, 7L, 70L)).toDS()
+    val ms = MemoryStream[Ev]
+    val q = BootstrapOps.totalsWithBootstrap(ms.toDS(), initial).toDF()
+      .writeStream.format("memory").queryName("t_boot")
+      .outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("graft_boot").toString)
+      .start()
+    try {
+      ms.addData(Ev(1, 1, "a", 100, 1.0), Ev(2, 2, "b", 200, 2.0))
+      q.processAllAvailable()
+      val r1 = ss.table("t_boot").as[BootTotal].collect().map(b => b.user_id -> b).toMap
+      // seeded key folds on top of the bootstrap; unseeded key starts at zero
+      assert(r1(1L) == BootTotal(1L, 3L, 600L), s"got ${r1.get(1L)}")
+      assert(r1(2L) == BootTotal(2L, 1L, 200L))
+      // silent seeded key emits nothing (bootstrap writes state, not output)
+      assert(!r1.contains(3L))
+      // ...but its state is live: the next batch folds from the seed
+      ms.addData(Ev(3, 3, "c", 300, 3.0))
+      q.processAllAvailable()
+      val r2 = ss.table("t_boot").as[BootTotal].collect()
+        .filter(_.user_id == 3L).maxBy(_.n)
+      assert(r2 == BootTotal(3L, 8L, 370L), s"got $r2")
+    } finally q.stop()
+  }
+
   test("checkpoint restore: a restarted query resumes keyed state exactly once") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
