@@ -305,6 +305,81 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // SEQUENCE PACKING (llmops, concat-and-chunk): documents are
+    // concatenated in doc_id order WITHIN EACH SOURCE SHARD and cut
+    // into fixed 256-token training sequences; each doc reports the
+    // sequence span it lands in. Per-shard packing keeps the running
+    // sum a partitioned window (one shuffle on source) — a single
+    // global order would serialize at 100 TB, per-shard is how real
+    // pipelines pack. Pure integer cumsum: engine-exact.
+    "text_pack_sequences" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), size(words).cast("bigint").as("n_tokens"))
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs.withColumn("cb", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          expr("cb div 256").as("start_seq"),
+          expr("(cb + n_tokens - 1) div 256").as("end_seq"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
+    // GOPHER-STYLE QUALITY RULES (llmops; Rae et al. 2021 §A1.1 repetition
+    // & quality filters, public): word-count bounds [50, 100k], mean
+    // word length in [3, 10] chars (×100 fixed-point), and >= 2 stopword
+    // hits. All vectorized built-ins; the mean-word-length compare is
+    // integer (chars·100 div words) so the keep bit is engine-exact.
+    "text_gopher_quality" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(words).cast("bigint").as("n_words"),
+          length(translate(trim(lower(col("text"))), " ", "")).cast("bigint").as("wchars"),
+          expr(s"CAST(size(filter(split(trim(lower(text)), ' '), w -> w IN $stopSql)) AS BIGINT)")
+            .as("stop_hits"))
+        .select(col("doc_id"), col("n_words"),
+          expr("(wchars * 100) div n_words").as("mwl_x100"), col("stop_hits"),
+          (col("n_words").between(50, 100000) &&
+            expr("(wchars * 100) div n_words").between(300, 1000) &&
+            col("stop_hits") >= 2).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // URL CANONICALIZATION + DEDUP (llmops crawl curation): messy URL
+    // variants (scheme/host case, www., :443, utm_* params, fragments,
+    // trailing slash) canonicalize to one form; keep-first per
+    // canonical URL with a variant count. The URL is derived
+    // deterministically from (source, doc_id) so both engines see the
+    // identical messy input. One hash shuffle on the canonical key.
+    "text_url_canonical" -> ((s, dir) => {
+      val raw = Tables.load(s, dir, "documents").select(col("doc_id"), concat(
+        when(col("doc_id") % 2 === 0, lit("https")).otherwise(lit("HTTPS")),
+        lit("://"),
+        when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0, col("source")).otherwise(upper(col("source"))),
+        lit(".example.com"),
+        when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
+        lit("/docs/"), (col("doc_id") % 40).cast("string"),
+        when(col("doc_id") % 7 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+            concat(lit("?utm_source=feed&id="), (col("doc_id") % 2).cast("string")))
+          .otherwise(concat(lit("?id="), (col("doc_id") % 2).cast("string"))),
+        when(col("doc_id") % 3 === 0, lit("#sec0")).otherwise(lit(""))).as("url"))
+      val schemeHost = regexp_extract(col("u"), "^[^/]*//[^/?#]*", 0)
+      val canon = raw
+        .withColumn("u", regexp_replace(col("url"), "#.*", ""))
+        .withColumn("u", concat(lower(schemeHost),
+          expr("substring(u, length(regexp_extract(u, '^[^/]*//[^/?#]*', 0)) + 1)")))
+        .withColumn("u", regexp_replace(col("u"), ":443/", "/"))
+        .withColumn("u", regexp_replace(col("u"), "://www\\.", "://"))
+        .withColumn("u", regexp_replace(col("u"), "[?&]utm_[^&]*", ""))
+        .withColumn("u", regexp_replace(col("u"), "^([^?]*)&", "$1?"))
+        .withColumn("u", regexp_replace(col("u"), "/\\?", "?"))
+      canon.groupBy(col("u").as("canonical_url"))
+        .agg(min(col("doc_id")).as("first_doc"), count(lit(1)).as("n_variants"))
+        .orderBy(col("canonical_url"))
+    }),
+
     // Corpus stats rollup: per (lang, source) aggregate quality profile.
     "text_corpus_stats" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -499,6 +574,60 @@ object TextQueries extends QueryPack {
              md5(regexp_replace(regexp_replace(aug, '[a-z0-9]+@[a-z][a-z.]+[a-z]', '<EMAIL>', 'g'),
                  '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
       FROM t ORDER BY doc_id""",
+    "text_pack_sequences" -> """
+      WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(trim(lower(text)), ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+        FROM d)
+      SELECT doc_id, source, n_tokens,
+             cb // 256 AS start_seq,
+             (cb + n_tokens - 1) // 256 AS end_seq
+      FROM c ORDER BY source, doc_id""",
+    "text_gopher_quality" -> s"""
+      WITH d AS (
+        SELECT doc_id,
+               CAST(len(string_split(trim(lower(text)), ' ')) AS BIGINT) AS n_words,
+               CAST(length(translate(trim(lower(text)), ' ', '')) AS BIGINT) AS wchars,
+               CAST(len(list_filter(string_split(trim(lower(text)), ' '),
+                 w -> w IN $stopSql)) AS BIGINT) AS stop_hits
+        FROM documents)
+      SELECT doc_id, n_words, (wchars * 100) // n_words AS mwl_x100, stop_hits,
+             (n_words BETWEEN 50 AND 100000)
+               AND ((wchars * 100) // n_words BETWEEN 300 AND 1000)
+               AND (stop_hits >= 2) AS keep
+      FROM d ORDER BY doc_id""",
+    "text_url_canonical" -> """
+      WITH raw AS (
+        SELECT doc_id,
+          (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://'
+          || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+          || (CASE WHEN doc_id % 2 = 0 THEN source ELSE upper(source) END)
+          || '.example.com'
+          || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+          || '/docs/' || CAST(doc_id % 40 AS VARCHAR)
+          || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+          || (CASE WHEN doc_id % 4 = 0
+                THEN '?utm_source=feed&id=' || CAST(doc_id % 2 AS VARCHAR)
+                ELSE '?id=' || CAST(doc_id % 2 AS VARCHAR) END)
+          || (CASE WHEN doc_id % 3 = 0 THEN '#sec0' ELSE '' END) AS url
+        FROM documents),
+      c1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u FROM raw),
+      c2 AS (SELECT doc_id,
+               lower(regexp_extract(u, '^[^/]*//[^/?#]*'))
+                 || substring(u, length(regexp_extract(u, '^[^/]*//[^/?#]*')) + 1) AS u
+             FROM c1),
+      c3 AS (SELECT doc_id, regexp_replace(u, ':443/', '/') AS u FROM c2),
+      c4 AS (SELECT doc_id, regexp_replace(u, '://www\.', '://') AS u FROM c3),
+      c5 AS (SELECT doc_id, regexp_replace(u, '[?&]utm_[^&]*', '', 'g') AS u FROM c4),
+      c6 AS (SELECT doc_id, regexp_replace(u, '^([^?]*)&', '\1?') AS u FROM c5),
+      c7 AS (SELECT doc_id, regexp_replace(u, '/\?', '?') AS u FROM c6)
+      SELECT u AS canonical_url, min(doc_id) AS first_doc, count(*) AS n_variants
+      FROM c7 GROUP BY u ORDER BY u""",
     "text_corpus_stats" -> """
       SELECT lang, source, count(*) AS n_docs,
              CAST(sum(len(string_split(trim(lower(text)), ' '))) AS BIGINT) AS total_words,
