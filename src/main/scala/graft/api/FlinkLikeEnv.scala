@@ -151,7 +151,9 @@ final class TableEnv(val spark: SparkSession) {
     // legacy group windows (GROUP BY TUMBLE/HOP/SESSION(ts, INTERVAL …)
     // + *_START/*_END): no-op when absent; TVF-form calls are skipped
     // and handled below
-    val query = graft.sqlx.GroupWindowSql.desugar(query1)
+    // [NOT] SIMILAR TO → regexp_like with a translated pattern
+    val query2 = graft.sqlx.SimilarToSql.desugar(query1)
+    val query = graft.sqlx.GroupWindowSql.desugar(query2)
     val tvf = """(?i)\bDESCRIPTOR\s*\(""".r.findFirstIn(query).isDefined
     val temporal = """(?i)FOR\s+SYSTEM_TIME\s+AS\s+OF""".r.findFirstIn(query).isDefined
     (tvf, temporal) match {

@@ -46,7 +46,26 @@ object GraftFunctions {
         org.apache.spark.sql.types.IntegerType)),
     // FOR SYSTEM_TIME AS OF marker (temporal join): resolvable but
     // unevaluable — StreamTemporalJoinRule must plan it away
-    "system_time_as_of" -> (es => SystemTimeAsOf(es(0), es(1), es(2)))
+    "system_time_as_of" -> (es => SystemTimeAsOf(es(0), es(1), es(2))),
+    // SIMILAR TO (reference StringCallGen.scala:74): the SQL pattern
+    // translates to an anchored Java regex at plan time (the pattern
+    // must be a literal), then lowers onto codegen'd RLike
+    "similar_to" -> (es => {
+      def litStr(e: Expression, what: String): String = e match {
+        case l if l.foldable =>
+          Option(l.eval(null)).map(_.toString)
+            .getOrElse(throw new IllegalArgumentException(s"similar_to: $what must not be NULL"))
+        case _ =>
+          throw new IllegalArgumentException(s"similar_to: $what must be a literal")
+      }
+      val escape = es.drop(2).headOption.map { e =>
+        val s = litStr(e, "escape")
+        require(s.length == 1, "similar_to: escape must be one character")
+        s.charAt(0)
+      }
+      val regex = graft.sqlx.SimilarToSql.toJavaRegex(litStr(es(1), "pattern"), escape)
+      RLike(es(0), Literal(regex))
+    })
   )
 
   /** Runtime registration on an existing session (idempotent). */

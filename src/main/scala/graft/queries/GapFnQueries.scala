@@ -49,6 +49,26 @@ object GapFnQueries extends QueryPack {
       FROM events WHERE event_id <= 300
       ORDER BY event_id""") _),
 
+    // [NOT] SIMILAR TO through the unified SQL door (text desugar →
+    // regexp_like) plus the registered similar_to() function form; the
+    // oracle hand-translates each pattern to regexp_full_match, so the
+    // machine translation is checked against an independent encoding.
+    "calc_similar_to" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      Tables.registerAll(s, dir)
+      new graft.api.TableEnv(s).sqlQuery("""
+        SELECT event_id, event_type,
+               event_type SIMILAR TO '(cl|pu)%' AS m_alt,
+               event_type SIMILAR TO 'c____' AS m_under,
+               event_type SIMILAR TO '%e%' AS m_pct,
+               event_type NOT SIMILAR TO '[cp]%' AS m_not_class,
+               upper(event_type) SIMILAR TO '[A-Z]+' AS m_class_plus,
+               event_type SIMILAR TO 'x\_y' ESCAPE '\' AS m_escaped,
+               similar_to(event_type, '(view|error)') AS m_fn
+        FROM events WHERE event_id <= 400
+        ORDER BY event_id""")
+    }),
+
     "calc_json_predicates" -> (sqlq("""
       SELECT event_id,
              is_json_value(props) AS v,
@@ -62,6 +82,17 @@ object GapFnQueries extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "calc_similar_to" -> """
+      SELECT event_id, event_type,
+             regexp_full_match(event_type, '(cl|pu).*') AS m_alt,
+             regexp_full_match(event_type, 'c....') AS m_under,
+             regexp_full_match(event_type, '.*e.*') AS m_pct,
+             NOT regexp_full_match(event_type, '[cp].*') AS m_not_class,
+             regexp_full_match(upper(event_type), '[A-Z]+') AS m_class_plus,
+             regexp_full_match(event_type, 'x_y') AS m_escaped,
+             regexp_full_match(event_type, '(view|error)') AS m_fn
+      FROM events WHERE event_id <= 400
+      ORDER BY event_id""",
     "calc_gap_predicates" -> """
       SELECT p_partkey,
              string_split(p_name, ' ')[1] AS w0,
