@@ -189,6 +189,59 @@ object Pregel {
     state
   }
 
+  /** Community detection with hop attenuation (reference
+   * `flink-gelly/.../library/CommunityDetection.java:36-72`, after
+   * Leung et al., arXiv:0808.2633): vertex state is (label, score),
+   * initialized (id, 1.0). Per round each vertex sums the received
+   * scores per label, adopts the label with the HIGHEST SUM (ties →
+   * smallest label, the reference's ascending-TreeMap + strict-greater
+   * scan), takes that label's best single received score, and — when
+   * the label CHANGED — attenuates it by delta/superstep. Messageless
+   * vertices keep their state.
+   *
+   * Scores run in integer fixed-point at scale 10⁶ (delta 0.5 →
+   * 500 000; the per-round attenuation floors through `div t`), so the
+   * whole recurrence is exact integer arithmetic — the documented
+   * quantization of the reference's double scores, hash-reproducible
+   * by the unrolled SQL oracle.
+   *
+   * Scale: per round one message shuffle + one (id, label) aggregate +
+   * a per-vertex top-1 window, all key-partitioned. */
+  def communityDetection(vertices: DataFrame, edges: DataFrame, rounds: Int,
+      deltaQ: Long = 500000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val undirected = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var state = vertices.select(col("id"), col("id").as("label"),
+      lit(1000000L).as("scoreq"))
+    var prevRound: Option[DataFrame] = None
+    for (t <- 1 to rounds) {
+      val perLabel = undirected
+        .join(state.select(col("id").as("src"), col("label"), col("scoreq")), Seq("src"))
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(sum(col("scoreq")).as("total"), max(col("scoreq")).as("best"))
+      val pick = perLabel
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("total").desc, col("label"))))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("label").as("nl"), col("best"))
+      state = ckpt(state.join(pick, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("nl"), col("label")).as("new_label"),
+          when(col("nl").isNull, col("scoreq"))
+            .when(col("nl") === col("label"), col("best"))
+            .otherwise(col("best") - lit(deltaQ / t)).as("new_scoreq"),
+          col("label"), col("scoreq"))
+        .select(col("id"), col("new_label").as("label"), col("new_scoreq").as("scoreq")))
+      prevRound.foreach(free)
+      prevRound = Some(state)
+    }
+    undirected.unpersist()
+    state
+  }
+
   /** HITS hubs-and-authorities (reference
    * `flink-gelly/.../library/linkanalysis/HITS.java:55-60`, Kleinberg)
    * in integer fixed-point over a DIRECTED edge list: per round

@@ -112,6 +112,17 @@ object GraphQueries extends QueryPack {
         .orderBy(col("id"))
     }),
 
+    // Community detection with hop attenuation, 3 fixed rounds
+    // (reference Gelly CommunityDetection, delta = 0.5): scored labels
+    // in integer fixed-point at scale 1e6, exact across engines.
+    "graph_community_detection" -> ((s, dir) => {
+      val e = generalEdges(s, dir)
+      val v = e.select(col("src").as("id"))
+        .unionAll(e.select(col("dst").as("id"))).distinct()
+      Pregel.communityDetection(v, e, rounds = 3)
+        .orderBy(col("id"))
+    }),
+
     // HITS hubs/authorities, 2 fixed rounds in integer fixed-point
     // (max-normalized per half-round — see Pregel.hitsFixed scaladoc
     // for the documented L2-vs-max divergence) over the DIRECTED
@@ -295,6 +306,50 @@ object GraphQueries extends QueryPack {
              FROM l2 l LEFT JOIN (SELECT id, label FROM w3 WHERE rn = 1) w
              ON l.id = w.id)
       SELECT id, label FROM l3 ORDER BY id""",
+    "graph_community_detection" -> """
+      WITH raw AS (
+        SELECT DISTINCT user_id AS s, CAST(floor(value * 100) AS BIGINT) % 150 AS d
+        FROM events WHERE event_id % 20 = 0),
+      ed AS (SELECT DISTINCT least(s, d) AS lo, greatest(s, d) AS hi
+             FROM raw WHERE s <> d),
+      edges AS (SELECT lo AS src, hi AS dst FROM ed
+                UNION SELECT hi, lo FROM ed),
+      v AS (SELECT DISTINCT src AS id FROM edges),
+      s0 AS (SELECT id, id AS label, CAST(1000000 AS BIGINT) AS scoreq FROM v),
+      p1 AS (SELECT e.dst AS id, x.label, CAST(sum(x.scoreq) AS BIGINT) AS total,
+                    max(x.scoreq) AS best
+             FROM edges e JOIN s0 x ON e.src = x.id GROUP BY 1, 2),
+      w1 AS (SELECT id, label, best, row_number() OVER (PARTITION BY id
+               ORDER BY total DESC, label) AS rn FROM p1),
+      s1 AS (SELECT s.id, coalesce(w.label, s.label) AS label,
+                    CAST(CASE WHEN w.id IS NULL THEN s.scoreq
+                              WHEN w.label = s.label THEN w.best
+                              ELSE w.best - 500000 END AS BIGINT) AS scoreq
+             FROM s0 s LEFT JOIN (SELECT id, label, best FROM w1 WHERE rn = 1) w
+             ON s.id = w.id),
+      p2 AS (SELECT e.dst AS id, x.label, CAST(sum(x.scoreq) AS BIGINT) AS total,
+                    max(x.scoreq) AS best
+             FROM edges e JOIN s1 x ON e.src = x.id GROUP BY 1, 2),
+      w2 AS (SELECT id, label, best, row_number() OVER (PARTITION BY id
+               ORDER BY total DESC, label) AS rn FROM p2),
+      s2 AS (SELECT s.id, coalesce(w.label, s.label) AS label,
+                    CAST(CASE WHEN w.id IS NULL THEN s.scoreq
+                              WHEN w.label = s.label THEN w.best
+                              ELSE w.best - 250000 END AS BIGINT) AS scoreq
+             FROM s1 s LEFT JOIN (SELECT id, label, best FROM w2 WHERE rn = 1) w
+             ON s.id = w.id),
+      p3 AS (SELECT e.dst AS id, x.label, CAST(sum(x.scoreq) AS BIGINT) AS total,
+                    max(x.scoreq) AS best
+             FROM edges e JOIN s2 x ON e.src = x.id GROUP BY 1, 2),
+      w3 AS (SELECT id, label, best, row_number() OVER (PARTITION BY id
+               ORDER BY total DESC, label) AS rn FROM p3),
+      s3 AS (SELECT s.id, coalesce(w.label, s.label) AS label,
+                    CAST(CASE WHEN w.id IS NULL THEN s.scoreq
+                              WHEN w.label = s.label THEN w.best
+                              ELSE w.best - 166666 END AS BIGINT) AS scoreq
+             FROM s2 s LEFT JOIN (SELECT id, label, best FROM w3 WHERE rn = 1) w
+             ON s.id = w.id)
+      SELECT id, label, scoreq FROM s3 ORDER BY id""",
     "graph_hits" -> """
       WITH raw AS (
         SELECT DISTINCT user_id AS src, CAST(floor(value * 100) AS BIGINT) % 150 AS dst

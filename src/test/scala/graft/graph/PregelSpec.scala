@@ -85,6 +85,31 @@ class PregelSpec extends SparkSuite {
     assert(r2(1L) == 2L)
   }
 
+  test("community detection: summed label scores win, changed labels attenuate") {
+    import spark.implicits._
+    // hub 4 adjacent to 1, 2, 3 — all scores 1e6, all labels distinct:
+    // summed-score ties break to the SMALLEST label (reference TreeMap
+    // ascending + strict greater), so 4 adopts 1 (unlike plain label
+    // propagation, which ties to the GREATER label)
+    val v = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val e = Seq((1L, 4L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val r = Pregel.communityDetection(v, e, rounds = 1)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // 4 changed label -> score = best (1e6) minus delta/1 (5e5)
+    assert(r(4L) == ((1L, 500000L)))
+    // leaves adopt the hub's label with the same attenuation
+    assert(r(1L) == ((4L, 500000L)) && r(3L) == ((4L, 500000L)))
+
+    // keeping the label skips attenuation: 1-2 pair, round 2
+    val v2 = Seq(1L, 2L).toDF("id")
+    val e2 = Seq((1L, 2L)).toDF("src", "dst")
+    val r2 = Pregel.communityDetection(v2, e2, rounds = 2)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // round 1: 1 adopts 2 (-5e5), 2 adopts 1 (-5e5); round 2: they swap
+    // back to their OWN labels — a changed label again, minus 250000
+    assert(r2(1L) == ((1L, 250000L)) && r2(2L) == ((2L, 250000L)))
+  }
+
   test("HITS: authorities are pointed-to, hubs point at authorities, max scales to 1e9") {
     import spark.implicits._
     // 1 and 2 are hubs linking to authorities 3 and 4; 2 also links 5
