@@ -44,8 +44,10 @@ object TpcdsShapeQueries extends QueryPack {
     s.sql(q)
   }
 
-  private def spark(t: String): String = t.replace("@TS", "TIMESTAMP_NTZ")
-  private def duck(t: String): String = t.replace("@TS", "TIMESTAMP")
+  private def spark(t: String): String =
+    t.replace("@TS", "TIMESTAMP_NTZ").replace("@IDIV", "div")
+  private def duck(t: String): String =
+    t.replace("@TS", "TIMESTAMP").replace("@IDIV", "//")
 
   // Q5/Q71 family: per-channel SELECTs with channel-specific filters
   // and a returns leg, UNION ALL'd, then ROLLUP over (channel, flag)
@@ -911,7 +913,106 @@ object TpcdsShapeQueries extends QueryPack {
       GROUP BY channel, flag
       ORDER BY channel, flag"""
 
+  // Q38: customers present in ALL THREE channels — INTERSECT chain of
+  // three DISTINCT channel frames (Catalyst rewrites each INTERSECT to
+  // a left-semi join), collapsed to one audit row.
+  private val q38 = """
+      WITH store AS (SELECT DISTINCT o.o_custkey AS ck
+                     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                     WHERE l.l_returnflag = 'A'),
+      web AS (SELECT DISTINCT o.o_custkey AS ck
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE l.l_returnflag = 'N'),
+      cat AS (SELECT DISTINCT o.o_custkey AS ck
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE l.l_returnflag = 'R'),
+      common AS (SELECT ck FROM store INTERSECT SELECT ck FROM web
+                 INTERSECT SELECT ck FROM cat)
+      SELECT CAST(count(*) AS BIGINT) AS n_common,
+             CAST(sum(ck) AS BIGINT) AS ck_sum
+      FROM common"""
+
+  // Q87: customers in the store channel but in NEITHER other channel —
+  // an EXCEPT chain (anti-join rewrites), same channel frames as Q38.
+  private val q87 = """
+      WITH store AS (SELECT DISTINCT o.o_custkey AS ck
+                     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                     WHERE l.l_returnflag = 'A'),
+      web AS (SELECT DISTINCT o.o_custkey AS ck
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE l.l_returnflag = 'N'),
+      cat AS (SELECT DISTINCT o.o_custkey AS ck
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE l.l_returnflag = 'R'),
+      only_store AS (SELECT ck FROM store EXCEPT SELECT ck FROM web
+                     EXCEPT SELECT ck FROM cat)
+      SELECT CAST(count(*) AS BIGINT) AS n_only_store,
+             CAST(sum(ck) AS BIGINT) AS ck_sum
+      FROM only_store"""
+
+  // Q90: ratio of two disjoint time-band counts — two single-row
+  // aggregates cross-joined, division on the integer ppm grid.
+  private val q90 = """
+      WITH am AS (SELECT CAST(count(*) AS BIGINT) AS amc FROM events
+                  WHERE CAST(extract(hour FROM ts) AS INT) BETWEEN 6 AND 11),
+      pm AS (SELECT CAST(count(*) AS BIGINT) AS pmc FROM events
+             WHERE CAST(extract(hour FROM ts) AS INT) BETWEEN 18 AND 23)
+      SELECT amc, pmc, (amc * 1000000) @IDIV pmc AS ratio_ppm
+      FROM am, pm"""
+
+  // Q41: EXISTS over a deep OR-of-AND predicate tree — the planner
+  // must push the correlation key through the disjunction and plan ONE
+  // semi join, not one per branch.
+  private val q41 = """
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts
+      FROM part p
+      WHERE p_size BETWEEN 1 AND 20 AND EXISTS (
+        SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey AND (
+          (l.l_quantity BETWEEN 1 AND 10 AND l.l_returnflag = 'A'
+             AND l.l_discount BETWEEN 0.00 AND 0.04)
+          OR (l.l_quantity BETWEEN 20 AND 30 AND l.l_returnflag = 'R'
+             AND l.l_tax >= 0.04)
+          OR (l.l_quantity BETWEEN 40 AND 50 AND l.l_linestatus = 'O'
+             AND l.l_discount >= 0.06)))
+      GROUP BY p_brand ORDER BY p_brand"""
+
+  // Q94: orders fulfilled by MORE THAN ONE supplier (correlated scalar
+  // count-distinct, decorrelated to an aggregate join) with NO
+  // returned line (anti join) — the ship-confirmation shape.
+  private val q94 = """
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o
+      WHERE o.o_orderstatus = 'F'
+        AND (SELECT count(DISTINCT l1.l_suppkey) FROM lineitem l1
+             WHERE l1.l_orderkey = o.o_orderkey) > 1
+        AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                        WHERE l2.l_orderkey = o.o_orderkey
+                          AND l2.l_returnflag = 'R')
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  // Q72: date-offset theta condition INSIDE an equi join — lines
+  // shipped more than 60 days after their order, bucketed per month;
+  // the planner keeps the equi key for the shuffle and evaluates the
+  // interval comparison as a post-join filter.
+  private val q72 = """
+      SELECT CAST(extract(month FROM o.o_orderdate) AS INT) AS order_month,
+             CAST(count(*) AS BIGINT) AS n_late,
+             CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l JOIN orders o
+        ON l.l_orderkey = o.o_orderkey
+       AND l.l_shipdate > o.o_orderdate + INTERVAL '60' DAY
+      GROUP BY CAST(extract(month FROM o.o_orderdate) AS INT)
+      ORDER BY order_month"""
+
   private val texts: Map[String, (Seq[String], String)] = Map(
+    "tpcds_q38_triple_intersect" -> (Seq("lineitem", "orders") -> q38),
+    "tpcds_q87_triple_except" -> (Seq("lineitem", "orders") -> q87),
+    "tpcds_q90_time_band_ratio" -> (Seq("events") -> q90),
+    "tpcds_q41_or_tree_exists" -> (Seq("part", "lineitem") -> q41),
+    "tpcds_q94_ship_anti_semi" -> (Seq("orders", "lineitem") -> q94),
+    "tpcds_q72_date_offset_join" -> (Seq("lineitem", "orders") -> q72),
     "tpcds_q9_case_ladder" -> (Seq("lineitem", "region") -> q9),
     "tpcds_q44_best_worst_rank" -> (Seq("lineitem") -> q44),
     "tpcds_q76_null_channel" -> (Seq("lineitem", "part") -> q76),

@@ -206,6 +206,31 @@ class PlanAuditSpec extends SparkSuite {
       s"INTERSECT fell to all-pairs:\n$p")
   }
 
+  test("TPC-DS Q87 shape: EXCEPT chain plans anti joins over deduplicated channels") {
+    val p = plan(graft.queries.TpcdsShapeQueries.queries("tpcds_q87_triple_except")(spark, dir))
+    assert("LeftAnti".r.findAllIn(p).size >= 2,
+      s"expected two anti joins for the EXCEPT chain:\n$p")
+    assert(!p.contains("CartesianProduct"), s"EXCEPT fell to all-pairs:\n$p")
+  }
+
+  test("TPC-DS Q41 shape: the OR-of-AND EXISTS plans ONE semi join, not one per branch") {
+    val p = plan(graft.queries.TpcdsShapeQueries.queries("tpcds_q41_or_tree_exists")(spark, dir))
+    // count semi-join NODES (the tree line), not detail-section echoes
+    assert("Join LeftSemi".r.findAllIn(p).size == 1,
+      s"disjunctive EXISTS split into multiple probes:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"correlation key lost through the disjunction:\n$p")
+  }
+
+  test("TPC-DS Q94 shape: scalar count-distinct decorrelates to an aggregate join + anti join") {
+    val p = plan(graft.queries.TpcdsShapeQueries.queries("tpcds_q94_ship_anti_semi")(spark, dir))
+    assert(p.contains("LeftAnti"), s"NOT EXISTS returns leg lost its anti join:\n$p")
+    // the correlated count(DISTINCT) must become a grouped aggregate
+    // joined on the key — never a per-row subquery loop
+    assert(p.contains("HashAggregate") && !p.contains("CartesianProduct"),
+      s"correlated scalar subquery did not decorrelate:\n$p")
+  }
+
   test("TPC-DS Q39 shape: one fact scan feeds the stats; the pair join is equi on (supp, month)") {
     val p = plan(graft.queries.TpcdsShapeQueries.queries("tpcds_q39_stdev_pairs")(spark, dir))
     // the flagged frame self-joins on sk + consecutive month — an

@@ -38,6 +38,41 @@ class WatermarkSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("idle-source handling: multipleWatermarkPolicy max lets a stalled input advance") {
+    // Reference WatermarksWithIdleness (flink-core/.../eventtime/
+    // WatermarksWithIdleness.java): an idle source stops holding the
+    // combined watermark back. Spark's analog is a config swap —
+    // `multipleWatermarkPolicy=max` tracks the FASTEST input instead of
+    // the default min, so a union with one stalled leg still finalizes
+    // windows (the min policy would wedge them open forever).
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
+    implicit val sql = ss.sqlContext
+    import ss.implicits._
+    val live = MemoryStream[(Long, java.sql.Timestamp)]
+    val idle = MemoryStream[(Long, java.sql.Timestamp)]
+    def leg(ms: MemoryStream[(Long, java.sql.Timestamp)]) =
+      ms.toDS().toDF("id", "ts").withWatermark("ts", "5 seconds")
+    val agg = leg(live).union(leg(idle))
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("ws"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("t_idle").outputMode("append").start()
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    try {
+      live.addData((1L, t(10)))
+      idle.addData((2L, t(20)))   // idle leg's last row — watermark 15s
+      q.processAllAvailable()
+      live.addData((3L, t(200))) // live leg advances to 195s; idle stays 15s
+      q.processAllAvailable()
+      live.addData((4L, t(400))) // under max policy the [0,60) window closes
+      q.processAllAvailable()
+      val rows = ss.table("t_idle").as[(Long, Long)].collect().toMap
+      assert(rows.get(0L).contains(2L),
+        s"stalled leg blocked the combined watermark: $rows")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups within the event-time horizon") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
