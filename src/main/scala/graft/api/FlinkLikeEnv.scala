@@ -153,7 +153,12 @@ final class TableEnv(val spark: SparkSession) {
     // and handled below
     // [NOT] SIMILAR TO → regexp_like with a translated pattern
     val query2 = graft.sqlx.SimilarToSql.desugar(query1)
-    val query = graft.sqlx.GroupWindowSql.desugar(query2)
+    // LATERAL TABLE (temporalFn(ts)) → FOR SYSTEM_TIME AS OF join form
+    val query3 =
+      if ("""(?i)\bLATERAL\s+TABLE\b""".r.findFirstIn(query2).isDefined)
+        graft.sqlx.TemporalFnSql.desugar(query2)
+      else query2
+    val query = graft.sqlx.GroupWindowSql.desugar(query3)
     val tvf = """(?i)\bDESCRIPTOR\s*\(""".r.findFirstIn(query).isDefined
     val temporal = """(?i)FOR\s+SYSTEM_TIME\s+AS\s+OF""".r.findFirstIn(query).isDefined
     (tvf, temporal) match {

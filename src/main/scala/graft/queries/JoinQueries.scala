@@ -183,6 +183,29 @@ object JoinQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // Temporal TABLE FUNCTION SQL (reference TemporalTableFunction /
+    // `LATERAL TABLE (rates(o.rowtime))`): the function-shaped spelling
+    // of the versioned as-of join. The front-end lifts the WHERE key
+    // equality into an ON clause and lowers onto the same
+    // FOR SYSTEM_TIME AS OF pipeline — inner semantics (comma-join):
+    // probes with no version at their time drop out.
+    "join_temporal_fn_sql" -> ((s, dir) => {
+      val evView = graft.streaming.StreamOps.freshName("ttf_events")
+      val ordView = graft.streaming.StreamOps.freshName("ttf_orders")
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .createOrReplaceTempView(evView)
+      Tables.load(s, dir, "orders").createOrReplaceTempView(ordView)
+      graft.sqlx.TemporalFnSql.registerTemporalFunction(
+        "order_history", ordView, "o_orderdate", "o_orderkey", "o_custkey")
+      new graft.api.TableEnv(s).sqlQuery(s"""
+        SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+               r.o_orderkey, r.o_totalprice
+        FROM $evView p, LATERAL TABLE (order_history(p.ts)) AS r
+        WHERE p.user_id = r.o_custkey
+        ORDER BY p.event_id""")
+    }),
+
     // PROC-TIME `FOR SYSTEM_TIME AS OF PROCTIME()` SQL (reference
     // TemporalProcessTimeJoinOperator): every probe joins the dim's
     // CURRENT version — the latest (o_orderdate, o_orderkey) row per
@@ -330,6 +353,18 @@ object JoinQueries extends QueryPack {
                  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
         FROM events e
         LEFT JOIN orders o
+          ON e.user_id = o.o_custkey AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+      ) t WHERE rn = 1
+      ORDER BY event_id""",
+    "join_temporal_fn_sql" -> """
+      SELECT event_id, user_id, ts, o_orderkey, o_totalprice
+      FROM (
+        SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+               o.o_orderkey, o.o_totalprice,
+               row_number() OVER (PARTITION BY e.event_id
+                 ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e
+        JOIN orders o
           ON e.user_id = o.o_custkey AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
       ) t WHERE rn = 1
       ORDER BY event_id""",
