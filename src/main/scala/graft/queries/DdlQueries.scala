@@ -98,6 +98,33 @@ object DdlQueries extends QueryPack {
     // statement; the refreshed sink views are then queried back. The
     // gate output is the union of both sink aggregates, so both
     // INSERTs are oracle-checked.
+    // PARTITIONED BY sink (reference SqlCreateTable partition keys +
+    // filesystem connector): the INSERT lays one directory per
+    // event_type, the read-back query's type filter prunes partitions
+    // statically (plan-audited), and the aggregate matches the source.
+    "ddl_partitioned_sink" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_partsink").toString
+      Ddl.execute(s,
+        s"""CREATE TABLE psink_events (
+              event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE
+            ) WITH ('connector' = 'filesystem',
+                    'path' = '$dir/events.parquet', 'format' = 'parquet')""")
+      Ddl.execute(s,
+        s"""CREATE TABLE psink_by_type (
+              user_id BIGINT, cents BIGINT, event_type STRING
+            ) PARTITIONED BY (event_type)
+            WITH ('connector' = 'filesystem', 'path' = '$out', 'format' = 'parquet')""")
+      Ddl.execute(s, """
+        INSERT INTO psink_by_type
+          SELECT user_id, cast(floor(value * 100) as bigint) AS cents, event_type
+          FROM psink_events""")
+      s.sql("""
+        SELECT event_type, count(*) AS n, sum(cents) AS cents
+        FROM psink_by_type
+        WHERE event_type IN ('click', 'view')
+        GROUP BY event_type ORDER BY event_type""")
+    }),
+
     "ddl_statement_set" -> ((s, dir) => {
       val outA = java.nio.file.Files.createTempDirectory("graft_sset_a").toString
       val outB = java.nio.file.Files.createTempDirectory("graft_sset_b").toString
@@ -316,6 +343,12 @@ object DdlQueries extends QueryPack {
     "ddl_insert_overwrite" -> """
       SELECT event_type, count(*) AS n FROM events
       WHERE value >= 0.5 GROUP BY event_type ORDER BY event_type""",
+    "ddl_partitioned_sink" -> """
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events
+      WHERE event_type IN ('click', 'view')
+      GROUP BY event_type ORDER BY event_type""",
     "ddl_statement_set" -> """
       SELECT 'by_type' AS sink, event_type AS k, count(*) AS n,
              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents

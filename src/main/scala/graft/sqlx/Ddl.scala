@@ -38,10 +38,15 @@ object Ddl {
       physical: Seq[ColumnDef],
       computed: Seq[ComputedDef],
       watermark: Option[WatermarkDef],
-      options: Map[String, String])
+      options: Map[String, String],
+      partitionedBy: Seq[String] = Nil)
 
+  // body is non-greedy so the optional PARTITIONED BY clause between
+  // the column list and WITH is matched by ITS group, not swallowed
+  // into the columns (backtracking settles on the split whose tail
+  // parses; inner parens in column expressions still work)
   private val CreateRe =
-    """(?is)\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\)\s*WITH\s*\((.*)\)\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s*\((.*?)\)\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?WITH\s*\((.*)\)\s*""".r
   private val WatermarkRe =
     """(?is)WATERMARK\s+FOR\s+([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+\1\s*-\s*INTERVAL\s+'(\d+)'\s+(\w+)""".r
   private val ComputedRe = """(?is)([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.+)""".r
@@ -55,7 +60,7 @@ object Ddl {
   private def splitTop(s: String): Seq[String] = SqlLexer.splitTop(s)
 
   def parse(ddl: String): TableDef = ddl match {
-    case CreateRe(name, body, opts) =>
+    case CreateRe(name, body, partBy, opts) =>
       var physical = Vector.empty[ColumnDef]
       var computed = Vector.empty[ComputedDef]
       var watermark: Option[WatermarkDef] = None
@@ -66,7 +71,14 @@ object Ddl {
         case other => throw new IllegalArgumentException(s"cannot parse column clause: '$other'")
       }
       val options = OptionRe.findAllMatchIn(opts).map(m => m.group(1) -> m.group(2)).toMap
-      TableDef(name, physical, computed, watermark, options)
+      // PARTITIONED BY (reference `SqlCreateTable` partition-key list,
+      // `parserImpls.ftl`): keys must be declared physical columns
+      val parts = Option(partBy).toSeq.flatMap(splitTop(_)).map(_.trim)
+      parts.foreach { p =>
+        require(physical.exists(_.name.equalsIgnoreCase(p)),
+          s"PARTITIONED BY column '$p' is not a declared physical column")
+      }
+      TableDef(name, physical, computed, watermark, options, parts)
     case _ => throw new IllegalArgumentException("expected CREATE TABLE … ( … ) WITH ( … )")
   }
 
@@ -247,7 +259,11 @@ object Ddl {
         val path = t.options("path")
         val fmt = t.options.getOrElse("format", "parquet")
         def write(b: DataFrame, mode: String): Unit = {
-          val w = b.write.mode(mode)
+          // partitioned sink (reference filesystem-connector partition
+          // keys): one directory per key value — the scan side prunes
+          // them statically (see the partition-pruning plan audit)
+          val w0 = b.write.mode(mode)
+          val w = if (t.partitionedBy.nonEmpty) w0.partitionBy(t.partitionedBy: _*) else w0
           fmt match {
             case "parquet" => w.parquet(path)
             case "csv" => w.option("header",

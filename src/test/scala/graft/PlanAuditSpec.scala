@@ -206,6 +206,29 @@ class PlanAuditSpec extends SparkSuite {
       s"INTERSECT fell to all-pairs:\n$p")
   }
 
+  test("PARTITIONED BY sink: the type filter prunes partitions statically at the scan") {
+    val out = java.nio.file.Files.createTempDirectory("graft_partaudit").toString
+    graft.sqlx.Ddl.execute(spark,
+      s"""CREATE TABLE paudit_src (
+            event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE
+          ) WITH ('connector' = 'filesystem',
+                  'path' = '$dir/events.parquet', 'format' = 'parquet')""")
+    graft.sqlx.Ddl.execute(spark,
+      s"""CREATE TABLE paudit_sink (
+            user_id BIGINT, cents BIGINT, event_type STRING
+          ) PARTITIONED BY (event_type)
+          WITH ('connector' = 'filesystem', 'path' = '$out', 'format' = 'parquet')""")
+    graft.sqlx.Ddl.execute(spark, """
+      INSERT INTO paudit_sink
+        SELECT user_id, cast(floor(value * 100) as bigint), event_type
+        FROM paudit_src""")
+    val p = plan(spark.sql(
+      "SELECT count(*) FROM paudit_sink WHERE event_type = 'click'"))
+    assert(p.contains("PartitionFilters") && "PartitionFilters: \\[[^\\]]*event_type".r
+      .findFirstIn(p).isDefined,
+      s"partition filter not applied at the scan:\n$p")
+  }
+
   test("TPC-DS Q87 shape: EXCEPT chain plans anti joins over deduplicated channels") {
     val p = plan(graft.queries.TpcdsShapeQueries.queries("tpcds_q87_triple_except")(spark, dir))
     assert("LeftAnti".r.findAllIn(p).size >= 2,
