@@ -125,7 +125,7 @@ final class KeyedStream[T <: Product : TypeTag](val ds: Dataset[T], val keyField
 final class TableEnv(val spark: SparkSession) {
 
   private val DdlShaped =
-    """(?is)\s*(CREATE\s+(TABLE|(OR\s+REPLACE\s+)?(TEMPORARY\s+)?VIEW|(TEMPORARY\s+)?(SYSTEM\s+)?FUNCTION)|DROP\s+(TABLE|(TEMPORARY\s+)?VIEW)|INSERT\s+(INTO|OVERWRITE)|EXECUTE\s+STATEMENT\s+SET|SHOW\s+(TABLES|VIEWS)|DESC(RIBE)?\s|EXPLAIN\s)\b.*""".r
+    """(?is)\s*(CREATE\s+(TABLE|(OR\s+REPLACE\s+)?(TEMPORARY\s+)?VIEW|(TEMPORARY\s+)?(SYSTEM\s+)?FUNCTION)|DROP\s+(TABLE|(TEMPORARY\s+)?VIEW)|INSERT\s+(INTO|OVERWRITE)|EXECUTE\s+STATEMENT\s+SET|SHOW\s+(TABLES|VIEWS|CREATE\s+TABLE)|DESC(RIBE)?\s|EXPLAIN\s|ALTER\s+TABLE|SET\s+'|RESET\s+')\b.*""".r
 
   /** The reference's single SQL door (`TableEnvironment.executeSql`):
    * DDL, INSERT, and statement sets route to the connector-DDL layer;

@@ -98,6 +98,27 @@ object DdlQueries extends QueryPack {
     // statement; the refreshed sink views are then queried back. The
     // gate output is the union of both sink aggregates, so both
     // INSERTs are oracle-checked.
+    // CREATE TABLE ... LIKE (reference SqlTableLike, FLIP-110): the
+    // derived table inherits physical columns and options from the
+    // declared base and appends a computed column; querying it must
+    // equal querying the source directly.
+    "ddl_create_table_like" -> ((s, dir) => {
+      Ddl.execute(s,
+        s"""CREATE TABLE likeq_base (
+              o_orderkey BIGINT, o_custkey BIGINT,
+              o_orderpriority STRING, o_totalprice DOUBLE
+            ) WITH ('connector' = 'filesystem',
+                    'path' = '$dir/orders.parquet', 'format' = 'parquet')""")
+      Ddl.execute(s,
+        """CREATE TABLE likeq_rich (
+             cents AS cast(floor(o_totalprice * 100) as bigint)
+           ) LIKE likeq_base""")
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS n, sum(cents) AS cents
+        FROM likeq_rich
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }),
+
     // PARTITIONED BY sink (reference SqlCreateTable partition keys +
     // filesystem connector): the INSERT lays one directory per
     // event_type, the read-back query's type filter prunes partitions
@@ -343,6 +364,11 @@ object DdlQueries extends QueryPack {
     "ddl_insert_overwrite" -> """
       SELECT event_type, count(*) AS n FROM events
       WHERE value >= 0.5 GROUP BY event_type ORDER BY event_type""",
+    "ddl_create_table_like" -> """
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "ddl_partitioned_sink" -> """
       SELECT event_type, count(*) AS n,
              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents

@@ -59,18 +59,28 @@ object Ddl {
    * expression like `concat(a, 'x,y')` cannot mis-split. */
   private def splitTop(s: String): Seq[String] = SqlLexer.splitTop(s)
 
+  /** Parse a column-list body into (physical, computed, watermark). */
+  private def parseBody(body: String):
+      (Vector[ColumnDef], Vector[ComputedDef], Option[WatermarkDef]) = {
+    var physical = Vector.empty[ColumnDef]
+    var computed = Vector.empty[ComputedDef]
+    var watermark: Option[WatermarkDef] = None
+    splitTop(body).foreach {
+      case WatermarkRe(c, n, unit) => watermark = Some(WatermarkDef(c, s"$n $unit"))
+      case ComputedRe(n, e) => computed :+= ComputedDef(n, e.trim) // has AS → computed
+      case PhysicalRe(n, t) => physical :+= ColumnDef(n, t.trim)
+      case other => throw new IllegalArgumentException(s"cannot parse column clause: '$other'")
+    }
+    (physical, computed, watermark)
+  }
+
+  private def parseOptions(opts: String): Map[String, String] =
+    OptionRe.findAllMatchIn(opts).map(m => m.group(1) -> m.group(2)).toMap
+
   def parse(ddl: String): TableDef = ddl match {
     case CreateRe(name, body, partBy, opts) =>
-      var physical = Vector.empty[ColumnDef]
-      var computed = Vector.empty[ComputedDef]
-      var watermark: Option[WatermarkDef] = None
-      splitTop(body).foreach {
-        case WatermarkRe(c, n, unit) => watermark = Some(WatermarkDef(c, s"$n $unit"))
-        case ComputedRe(n, e) => computed :+= ComputedDef(n, e.trim) // has AS → computed
-        case PhysicalRe(n, t) => physical :+= ColumnDef(n, t.trim)
-        case other => throw new IllegalArgumentException(s"cannot parse column clause: '$other'")
-      }
-      val options = OptionRe.findAllMatchIn(opts).map(m => m.group(1) -> m.group(2)).toMap
+      val (physical, computed, watermark) = parseBody(body)
+      val options = parseOptions(opts)
       // PARTITIONED BY (reference `SqlCreateTable` partition-key list,
       // `parserImpls.ftl`): keys must be declared physical columns
       val parts = Option(partBy).toSeq.flatMap(splitTop(_)).map(_.trim)
@@ -101,6 +111,20 @@ object Ddl {
     """(?is)\s*CREATE\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+'([^']+)'\s*;?\s*""".r
   private val IntrospectionShaped =
     """(?is)\s*(SHOW|DESC(?:RIBE)?|EXPLAIN|DROP)\b.*""".r
+  // CREATE TABLE derived [(extra cols)] [WITH (opts)] LIKE base [(features)]
+  // (reference SqlTableLike, FLIP-110)
+  private val CreateLikeRe =
+    """(?is)\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s*(?:\((.*?)\)\s*)?(?:WITH\s*\((.*?)\)\s*)?LIKE\s+([A-Za-z_][A-Za-z0-9_]*)\s*(?:\(([^)]*)\))?\s*;?\s*""".r
+  private val SetRe = """(?is)\s*SET\s+'([^']+)'\s*=\s*'([^']*)'\s*;?\s*""".r
+  private val ResetRe = """(?is)\s*RESET\s+'([^']+)'\s*;?\s*""".r
+  private val ShowCreateRe =
+    """(?is)\s*SHOW\s+CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+  private val AlterRenameRe =
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+RENAME\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+  private val AlterSetRe =
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s*\((.*)\)\s*;?\s*""".r
+  private val AlterResetRe =
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+RESET\s*\(([^)]*)\)\s*;?\s*""".r
 
   private def isDeclared(spark: SparkSession, name: String): Boolean =
     declared.contains((sessionKey(spark), name))
@@ -168,6 +192,89 @@ object Ddl {
       case CreateFunctionRe(name, className) =>
         graft.api.Udfs.registerReflective(spark, name, className)
         return ok(spark)
+      // CREATE TABLE … LIKE base (reference SqlTableLike, FLIP-110):
+      // derive a definition from a declared base with merge strategies.
+      // Default INCLUDING ALL; duplicate options error unless
+      // OVERWRITING OPTIONS; EXCLUDING OPTIONS/WATERMARKS/GENERATED
+      // drop those base features; extra columns append.
+      case CreateLikeRe(name, colsOpt, optsOpt, base, features) =>
+        val b = declared.getOrElse((sessionKey(spark), base),
+          throw new IllegalArgumentException(
+            s"CREATE TABLE $name LIKE $base: '$base' is not a declared connector table"))
+        val feats = Option(features).toSeq.flatMap(splitTop(_))
+          .map(_.trim.toUpperCase.replaceAll("\\s+", " "))
+        feats.foreach { f =>
+          require(Set("INCLUDING ALL", "EXCLUDING OPTIONS", "EXCLUDING WATERMARKS",
+            "EXCLUDING GENERATED", "OVERWRITING OPTIONS", "OVERWRITING WATERMARKS",
+            "INCLUDING GENERATED", "INCLUDING OPTIONS", "INCLUDING WATERMARKS")(f),
+            s"unsupported LIKE feature: $f")
+        }
+        val baseOptions = if (feats.contains("EXCLUDING OPTIONS")) Map.empty[String, String]
+          else b.options
+        val baseComputed = if (feats.contains("EXCLUDING GENERATED")) Vector.empty[ComputedDef]
+          else b.computed.toVector
+        val baseWm = if (feats.contains("EXCLUDING WATERMARKS")) None else b.watermark
+        val (extraPhys, extraComp, extraWm) =
+          Option(colsOpt).map(parseBody).getOrElse((Vector.empty, Vector.empty, None))
+        extraPhys.foreach { c =>
+          require(!b.physical.exists(_.name.equalsIgnoreCase(c.name)),
+            s"LIKE: column '${c.name}' already exists in '$base'")
+        }
+        val newOpts = Option(optsOpt).map(parseOptions).getOrElse(Map.empty)
+        if (!feats.contains("OVERWRITING OPTIONS")) {
+          val dup = newOpts.keySet.intersect(baseOptions.keySet)
+          require(dup.isEmpty,
+            s"LIKE: duplicate options $dup — add (OVERWRITING OPTIONS) to override")
+        }
+        val wm = extraWm.orElse(baseWm)
+        if (extraWm.isDefined && baseWm.isDefined)
+          require(feats.contains("OVERWRITING WATERMARKS") ||
+            feats.contains("EXCLUDING WATERMARKS"),
+            "LIKE: base already defines a watermark — add (OVERWRITING WATERMARKS)")
+        val t = TableDef(name, b.physical ++ extraPhys, baseComputed ++ extraComp,
+          wm, baseOptions ++ newOpts, b.partitionedBy)
+        declared.put((sessionKey(spark), name), t)
+        return register(spark, t)
+      // SHOW CREATE TABLE (reference SqlShowCreateTable): reconstruct
+      // the declared DDL — Ddl.parse round-trips the emitted text.
+      case ShowCreateRe(name) if isDeclared(spark, name) =>
+        val t = declared((sessionKey(spark), name))
+        return spark.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(name, showCreate(t))),
+          StructType.fromDDL("table STRING, ddl STRING"))
+      // ALTER TABLE … RENAME TO (reference SqlAlterTableRename)
+      case AlterRenameRe(from, to) if isDeclared(spark, from) =>
+        val t = declared.remove((sessionKey(spark), from)).get
+        spark.catalog.dropTempView(from)
+        val renamed = t.copy(name = to)
+        declared.put((sessionKey(spark), to), renamed)
+        return register(spark, renamed)
+      // ALTER TABLE … SET ('k'='v') (reference SqlAlterTableOptions):
+      // merge-override options and re-register (a changed 'path'
+      // re-resolves storage, like the reference's catalog alteration)
+      case AlterSetRe(name, opts) if isDeclared(spark, name) =>
+        val t = declared((sessionKey(spark), name))
+        val altered = t.copy(options = t.options ++ parseOptions(opts))
+        declared.put((sessionKey(spark), name), altered)
+        return register(spark, altered)
+      // ALTER TABLE … RESET ('k') (reference SqlAlterTableReset)
+      case AlterResetRe(name, keys) if isDeclared(spark, name) =>
+        val t = declared((sessionKey(spark), name))
+        val drop = splitTop(keys).map(_.trim.stripPrefix("'").stripSuffix("'"))
+        require(!drop.exists(_.equalsIgnoreCase("path")),
+          "ALTER TABLE RESET: 'path' cannot be reset (the reference likewise " +
+          "forbids resetting the connector identity)")
+        val altered = t.copy(options = t.options -- drop)
+        declared.put((sessionKey(spark), name), altered)
+        return register(spark, altered)
+      // SET 'key' = 'value' / RESET 'key' (reference SqlSet/SqlReset,
+      // FLIP-163): session configuration through the SQL door
+      case SetRe(k, v) =>
+        spark.conf.set(k, v)
+        return ok(spark)
+      case ResetRe(k) =>
+        spark.conf.unset(k)
+        return ok(spark)
       case ExplainRe(stmt) if !stmt.trim.toUpperCase.startsWith("FORMATTED") &&
           !stmt.trim.toUpperCase.startsWith("EXTENDED") &&
           !stmt.trim.toUpperCase.startsWith("CODEGEN") &&
@@ -183,6 +290,23 @@ object Ddl {
     val t = parse(ddl)
     declared.put((sessionKey(spark), t.name), t)
     register(spark, t)
+  }
+
+  /** Reconstructed DDL for SHOW CREATE TABLE — parses back via
+   * [[parse]] to an identical [[TableDef]]. */
+  private def showCreate(t: TableDef): String = {
+    val cols = t.physical.map(c => s"  ${c.name} ${c.typ}") ++
+      t.computed.map(c => s"  ${c.name} AS ${c.sqlExpr}") ++
+      t.watermark.toSeq.map { w =>
+        val Array(n, unit) = w.delay.split(" ", 2)
+        s"  WATERMARK FOR ${w.column} AS ${w.column} - INTERVAL '$n' $unit"
+      }
+    val partClause =
+      if (t.partitionedBy.isEmpty) ""
+      else t.partitionedBy.mkString(" PARTITIONED BY (", ", ", ")")
+    val opts = t.options.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"  '$k' = '$v'" }.mkString(",\n")
+    s"CREATE TABLE ${t.name} (\n${cols.mkString(",\n")}\n)$partClause WITH (\n$opts\n)"
   }
 
   /** The reference's "OK" TableResult for DDL statements with no

@@ -99,6 +99,87 @@ class DdlSpec extends SparkSuite {
     assert(!s.catalog.tableExists("outside_v"))
   }
 
+  test("PARTITIONED BY parses, validates, and round-trips via SHOW CREATE TABLE") {
+    val t = Ddl.parse("""
+      CREATE TABLE p (a BIGINT, b STRING, cents AS floor(a * 100),
+        WATERMARK FOR ts AS ts - INTERVAL '5' SECOND, ts TIMESTAMP)
+      PARTITIONED BY (b) WITH ('path' = '/x', 'format' = 'parquet')""")
+    assert(t.partitionedBy == Seq("b"))
+    intercept[IllegalArgumentException](Ddl.parse(
+      "CREATE TABLE p (a BIGINT) PARTITIONED BY (nope) WITH ('path' = '/x')"))
+    // SHOW CREATE reconstruction parses back to the identical definition
+    val out = java.nio.file.Files.createTempDirectory("graft_showcreate").toString
+    Ddl.execute(spark, s"""CREATE TABLE sc_t (a BIGINT, b STRING, cents AS floor(a * 100))
+      PARTITIONED BY (b) WITH ('path' = '$out', 'format' = 'parquet')""")
+    val shown = Ddl.execute(spark, "SHOW CREATE TABLE sc_t")
+      .collect().head.getString(1)
+    assert(Ddl.parse(shown) == Ddl.parse(shown.trim)) // parses at all
+    val rt = Ddl.parse(shown)
+    assert(rt.physical.map(_.name) == Seq("a", "b") &&
+      rt.computed.head.name == "cents" && rt.partitionedBy == Seq("b") &&
+      rt.options("path") == out)
+  }
+
+  test("CREATE TABLE LIKE: inherit, append columns, option merge strategies") {
+    val out = java.nio.file.Files.createTempDirectory("graft_like").toString
+    import spark.implicits._
+    Seq((1L, 1.5), (2L, 2.5)).toDF("a", "b").write.parquet(s"$out/base")
+    Seq.empty[(Long, Double, String)].toDF("a", "b", "extra").write.parquet(s"$out/d")
+    Seq.empty[(Long, Double)].toDF("a", "b").write.parquet(s"$out/e")
+    Ddl.execute(spark, s"""CREATE TABLE like_base (a BIGINT, b DOUBLE, c2 AS floor(b * 10))
+      WITH ('path' = '$out/base', 'format' = 'parquet')""")
+    // duplicate option without OVERWRITING OPTIONS → loud
+    intercept[IllegalArgumentException](Ddl.execute(spark,
+      s"CREATE TABLE like_bad WITH ('path' = '$out/d') LIKE like_base"))
+    // overwriting path + extra column inherits the rest
+    Ddl.execute(spark, s"""CREATE TABLE like_d (extra STRING)
+      WITH ('path' = '$out/d') LIKE like_base (OVERWRITING OPTIONS)""")
+    val shown = Ddl.execute(spark, "SHOW CREATE TABLE like_d")
+      .collect().head.getString(1)
+    val d = Ddl.parse(shown)
+    assert(d.physical.map(_.name) == Seq("a", "b", "extra"))
+    assert(d.computed.map(_.name) == Seq("c2"))
+    assert(d.options("path") == s"$out/d" && d.options("format") == "parquet")
+    // EXCLUDING GENERATED drops the computed column
+    Ddl.execute(spark, s"""CREATE TABLE like_e WITH ('path' = '$out/e')
+      LIKE like_base (OVERWRITING OPTIONS, EXCLUDING GENERATED)""")
+    val e = Ddl.parse(Ddl.execute(spark, "SHOW CREATE TABLE like_e")
+      .collect().head.getString(1))
+    assert(e.computed.isEmpty && e.physical.map(_.name) == Seq("a", "b"))
+    // unknown base and unknown feature are loud
+    intercept[IllegalArgumentException](Ddl.execute(spark,
+      "CREATE TABLE x WITH ('p' = '1') LIKE never_declared"))
+    intercept[IllegalArgumentException](Ddl.execute(spark,
+      s"CREATE TABLE x WITH ('z' = '1') LIKE like_base (INCLUDING NONSENSE)"))
+  }
+
+  test("ALTER TABLE RENAME/SET/RESET and session SET/RESET") {
+    val out = java.nio.file.Files.createTempDirectory("graft_alter").toString
+    import spark.implicits._
+    Seq((1L, 2.0), (2L, 4.0)).toDF("a", "b").write.parquet(s"$out/t")
+    Ddl.execute(spark, s"""CREATE TABLE alt_a (a BIGINT, b DOUBLE)
+      WITH ('path' = '$out/t', 'format' = 'parquet', 'note' = 'x')""")
+    Ddl.execute(spark, "ALTER TABLE alt_a RENAME TO alt_b")
+    assert(spark.sql("SELECT count(*) FROM alt_b").collect().head.getLong(0) == 2)
+    intercept[Exception](spark.sql("SELECT * FROM alt_a")) // old name gone
+    // SET merges options (visible via SHOW CREATE); RESET removes
+    Ddl.execute(spark, "ALTER TABLE alt_b SET ('note' = 'y', 'extra' = 'z')")
+    val t1 = Ddl.parse(Ddl.execute(spark, "SHOW CREATE TABLE alt_b")
+      .collect().head.getString(1))
+    assert(t1.options("note") == "y" && t1.options("extra") == "z")
+    Ddl.execute(spark, "ALTER TABLE alt_b RESET ('extra')")
+    val t2 = Ddl.parse(Ddl.execute(spark, "SHOW CREATE TABLE alt_b")
+      .collect().head.getString(1))
+    assert(!t2.options.contains("extra"))
+    intercept[IllegalArgumentException](
+      Ddl.execute(spark, "ALTER TABLE alt_b RESET ('path')"))
+    // session config through the SQL door (SqlSet/SqlReset)
+    Ddl.execute(spark, "SET 'spark.graft.ddlspec.flag' = 'on'")
+    assert(spark.conf.get("spark.graft.ddlspec.flag") == "on")
+    Ddl.execute(spark, "RESET 'spark.graft.ddlspec.flag'")
+    assert(spark.conf.getOption("spark.graft.ddlspec.flag").isEmpty)
+  }
+
   test("introspection variants the front-end does not own execute natively") {
     val s = spark.newSession()
     s.sql("SELECT 1 AS one").createOrReplaceTempView("nat_v")
