@@ -96,6 +96,62 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("q_id"), col("rn"))
     }),
 
+    // K-MEANS TRAINING ROUND (the IVF coarse quantizer's Lloyd step):
+    // seeds = vectors 0..7, every other vector assigned to its nearest
+    // centroid by exact integer squared-L2 (nrm + cn − 2·dot, ties →
+    // smaller cid), then per-cell member count, total inertia, and the
+    // component sums the mean recompute divides (sums, not means — an
+    // integer div would floor vs truncate differently across engines
+    // on negative sums). One broadcast of 8 centroids, one shuffle on
+    // the assignment key: the exact plan a 100-TB IVF build runs per
+    // iteration.
+    "sim_kmeans_round" -> ((s, dir) => {
+      val e = quantized(s, dir)
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("qe").as("cv"), col("nrm").as("cn"))
+      val pts = e.filter(col("vec_id") >= 8)
+        .select(col("vec_id"), col("qe"), col("nrm"))
+      val scored = pts.crossJoin(broadcast(cent))
+        .withColumn("dist", col("nrm") + col("cn") - lit(2L) * decDot("cv", "qe"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("dist")).as("inertia_q"),
+          sum(expr("element_at(qe, 1)")).as("c1_sum"),
+          sum(expr("element_at(qe, 2)")).as("c2_sum"),
+          sum(expr("element_at(qe, 3)")).as("c3_sum"),
+          sum(expr("element_at(qe, 4)")).as("c4_sum"))
+        .orderBy(col("cid"))
+    }),
+
+    // IVF RECALL@3: how many of the EXACT top-3 the cell-restricted
+    // IVF search recovers per query — the standard ANN quality metric,
+    // exact-integer overlap counts (recall = n_overlap / 3).
+    "sim_ivf_recall" -> ((s, dir) => {
+      val e = quantized(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("label"),
+          col("qe").as("qv"), col("nrm").as("qn"))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id"), col("label"), col("qe"), col("nrm").as("cn"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      def top3(scored: DataFrame): DataFrame = scored
+        .withColumn("cos", cosine)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("vec_id"))
+      val exact = top3(c.crossJoin(broadcast(q.drop("label")))
+        .withColumn("dot", decDot("qv", "qe")))
+      val ivf = top3(c.join(broadcast(q), Seq("label"))
+        .withColumn("dot", decDot("qv", "qe")))
+        .withColumn("hit", lit(1L))
+      exact.join(ivf, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+        .orderBy(col("q_id"))
+    }),
+
     // LSH-bucketed ANN: 4 random-hyperplane sign bits → 16 buckets;
     // only same-signature candidates are scored (the other scale path
     // next to IVF — at 100 TB this is band-join LSH with trained
@@ -227,6 +283,48 @@ object SimilarityQueries extends QueryPack {
             FROM s)
       SELECT q_id, label, vec_id, rn, round(cos, 6) AS cosine
       FROM r WHERE rn <= 3 ORDER BY q_id, rn""",
+    "sim_kmeans_round" -> s"""
+      WITH $normCte,
+      cent AS (SELECT vec_id AS cid, qe AS cv, nrm AS cn FROM e WHERE vec_id < 8),
+      pts AS (SELECT vec_id, qe, nrm FROM e WHERE vec_id >= 8),
+      p AS (SELECT pts.vec_id, cid, qe,
+                   CAST(pts.nrm + cn - 2 * ${dotSql("cv", "qe")} AS BIGINT) AS dist
+            FROM pts, cent),
+      a AS (SELECT vec_id, cid, dist, qe,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM p)
+      SELECT cid, count(*) AS n_members,
+             CAST(sum(dist) AS BIGINT) AS inertia_q,
+             CAST(sum(qe[1]) AS BIGINT) AS c1_sum,
+             CAST(sum(qe[2]) AS BIGINT) AS c2_sum,
+             CAST(sum(qe[3]) AS BIGINT) AS c3_sum,
+             CAST(sum(qe[4]) AS BIGINT) AS c4_sum
+      FROM a WHERE rn = 1 GROUP BY cid ORDER BY cid""",
+    "sim_ivf_recall" -> s"""
+      WITH $normCte,
+      q AS (SELECT vec_id AS q_id, label, qe AS qv, nrm AS qn FROM e WHERE vec_id < 10),
+      c AS (SELECT vec_id, label, qe, nrm AS cn FROM e WHERE vec_id >= 10),
+      px AS (SELECT q_id, vec_id, ${dotSql("qv", "qe")} AS dot, qn, cn FROM q, c),
+      sx AS (SELECT q_id, vec_id,
+                    CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS cos
+             FROM px),
+      rx AS (SELECT q_id, vec_id,
+                    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+             FROM sx),
+      tx AS (SELECT q_id, vec_id FROM rx WHERE rn <= 3),
+      pi AS (SELECT q_id, vec_id, ${dotSql("qv", "qe")} AS dot, qn, cn
+             FROM q JOIN c ON q.label = c.label),
+      si AS (SELECT q_id, vec_id,
+                    CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS cos
+             FROM pi),
+      ri AS (SELECT q_id, vec_id,
+                    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+             FROM si),
+      ti AS (SELECT q_id, vec_id FROM ri WHERE rn <= 3)
+      SELECT tx.q_id,
+             CAST(sum(CASE WHEN ti.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+      FROM tx LEFT JOIN ti ON tx.q_id = ti.q_id AND tx.vec_id = ti.vec_id
+      GROUP BY tx.q_id ORDER BY tx.q_id""",
     "sim_lsh_topk" -> s"""
       WITH $normCte,
       eb AS (SELECT vec_id, qe, nrm,
