@@ -86,17 +86,63 @@ object AsyncLookup {
 
   /** `parallelism` futures in flight per partition; blocks on the
    * oldest future only when the window is full or input is drained —
-   * the reference's ordered AsyncWaitOperator queue. */
-  def mapAsyncOrdered[I, O: Encoder](ds: Dataset[I], parallelism: Int, timeout: Duration = 5.minutes)(
+   * the reference's ordered AsyncWaitOperator queue.
+   *
+   * Timeout semantics mirror `AsyncFunction#timeout`: by default an
+   * expired future FAILS THE JOB (the reference's default throws);
+   * pass `onTimeout` to emit a per-input fallback instead (the
+   * reference's overridable timeout callback completing the result
+   * future). */
+  def mapAsyncOrdered[I, O: Encoder](ds: Dataset[I], parallelism: Int,
+      timeout: Duration = 5.minutes, onTimeout: Option[I => O] = None)(
       f: I => Future[O]): Dataset[O] = {
     require(parallelism >= 1)
     ds.mapPartitions { it =>
-      val inFlight = scala.collection.mutable.Queue.empty[Future[O]]
+      val inFlight = scala.collection.mutable.Queue.empty[(I, Future[O])]
       new Iterator[O] {
         private def fill(): Unit =
-          while (inFlight.size < parallelism && it.hasNext) inFlight.enqueue(f(it.next()))
+          while (inFlight.size < parallelism && it.hasNext) {
+            val i = it.next(); inFlight.enqueue((i, f(i)))
+          }
         def hasNext: Boolean = { fill(); inFlight.nonEmpty }
-        def next(): O = { fill(); Await.result(inFlight.dequeue(), timeout) }
+        def next(): O = {
+          fill()
+          val (i, fut) = inFlight.dequeue()
+          try Await.result(fut, timeout)
+          catch { case e: java.util.concurrent.TimeoutException =>
+            onTimeout.map(_(i)).getOrElse(throw e)
+          }
+        }
+      }
+    }
+  }
+
+  /** UNORDERED mode (reference `AsyncDataStream.unorderedWait`):
+   * results emit in COMPLETION order per partition — lower latency
+   * when per-element service times vary, at the cost of input order.
+   * A timed-out window fails the job (no per-input fallback: the
+   * completion-order queue does not retain input attribution, and the
+   * reference's unordered timeout likewise fails by default). */
+  def mapAsyncUnordered[I, O: Encoder](ds: Dataset[I], parallelism: Int,
+      timeout: Duration = 5.minutes)(f: I => Future[O]): Dataset[O] = {
+    require(parallelism >= 1)
+    ds.mapPartitions { it =>
+      // resolved on the EXECUTOR — an ExecutionContext must not ride
+      // the task closure (it is not serializable)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val inFlight = scala.collection.mutable.ListBuffer.empty[Future[O]]
+      new Iterator[O] {
+        private def fill(): Unit =
+          while (inFlight.size < parallelism && it.hasNext) inFlight += f(it.next())
+        def hasNext: Boolean = { fill(); inFlight.nonEmpty }
+        def next(): O = {
+          fill()
+          Await.ready(Future.firstCompletedOf(inFlight.toList), timeout)
+          val done = inFlight.find(_.isCompleted).get
+          inFlight -= done
+          done.value.get.get
+        }
       }
     }
   }

@@ -18,6 +18,37 @@ class UdfSurfaceSpec extends SparkSuite {
     assert(out == (0L until 200L).map(_ * 10))
   }
 
+  test("AsyncLookup.mapAsyncUnordered emits every result; slow heads don't block") {
+    import spark.implicits._
+    val ds = spark.range(0, 100).coalesce(1).as[Long]
+    val out = AsyncLookup.mapAsyncUnordered(ds, parallelism = 8) { i =>
+      Future { if (i == 0) Thread.sleep(150); i * 10 } // head is the slowest
+    }.collect().toSeq
+    assert(out.toSet == (0L until 100L).map(_ * 10).toSet)
+    // unordered mode emitted faster completions ahead of the slow head
+    assert(out.head != 0L, "completion order should beat input order here")
+  }
+
+  test("async timeout: default fails the job, onTimeout emits the fallback") {
+    import spark.implicits._
+    import scala.concurrent.duration._
+    val ds = spark.range(0, 3).coalesce(1).as[Long]
+    // the never-completing promise is minted INSIDE the task (futures
+    // cannot ride the serialized closure)
+    def f(i: Long): Future[Long] =
+      if (i == 1) scala.concurrent.Promise[Long]().future // completes... never
+      else Future.successful(i * 10)
+    // reference AsyncFunction#timeout default: the job fails
+    val boom = intercept[org.apache.spark.SparkException] {
+      AsyncLookup.mapAsyncOrdered(ds, parallelism = 4, timeout = 200.millis)(f).collect()
+    }
+    assert(boom.getMessage != null)
+    // overridden timeout callback: per-input fallback, order preserved
+    val out = AsyncLookup.mapAsyncOrdered(ds, parallelism = 4,
+      timeout = 200.millis, onTimeout = Some((i: Long) => -i))(f).collect().toSeq
+    assert(out == Seq(0L, -1L, 20L))
+  }
+
   test("TableFunction collects 0..n rows per call with ordinal info") {
     val tf = new ExampleFns.WordsWithIdx
     assert(tf.invoke("a bb ccc") == Seq(("a", 0, 1), ("bb", 1, 2), ("ccc", 2, 3)))
