@@ -268,18 +268,27 @@ object Pregel {
       .select(col("id"), lit(1000000000L).as("hubq"), lit(1000000000L).as("authq")))
     var prevRound: Option[DataFrame] = None
     for (_ <- 1 to rounds) {
+      // Overflow-safe max-normalization: araw can be ~degree·10⁹, so
+      // `araw * 10⁹` would overflow BIGINT on high-degree graphs (it
+      // DID at sf0.1). Pre-scale both sides by s = ceil(amax / 10⁹)
+      // first — then the numerator is ≤ 10¹⁸ and the max vertex still
+      // lands exactly on 10⁹ ((amax div s)·10⁹ div (amax div s)).
       val authRaw = e
         .join(state.select(col("id").as("src"), col("hubq")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(sum(col("hubq")).as("araw"))
       val amax = authRaw.agg(max(col("araw")).as("amax"))
+        .withColumn("s", expr("1L + (amax - 1L) div 1000000000L"))
       val auth = authRaw.crossJoin(amax)
-        .select(col("id"), expr("(araw * 1000000000L) div amax").as("authq"))
+        .select(col("id"),
+          expr("((araw div s) * 1000000000L) div (amax div s)").as("authq"))
       val hubRaw = e
         .join(auth.select(col("id").as("dst"), col("authq").as("aq")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(sum(col("aq")).as("hraw"))
       val hmax = hubRaw.agg(max(col("hraw")).as("hmax"))
+        .withColumn("t", expr("1L + (hmax - 1L) div 1000000000L"))
       val hub = hubRaw.crossJoin(hmax)
-        .select(col("id"), expr("(hraw * 1000000000L) div hmax").as("hubq"))
+        .select(col("id"),
+          expr("((hraw div t) * 1000000000L) div (hmax div t)").as("hubq"))
       state = ckpt(vertices
         .join(hub, Seq("id"), "left")
         .join(auth.select(col("id"), col("authq")), Seq("id"), "left")

@@ -360,23 +360,27 @@ object GraphQueries extends QueryPack {
                         CAST(1000000000 AS BIGINT) AS authq FROM v),
       ar1 AS (SELECT e.dst AS id, CAST(sum(x.hubq) AS BIGINT) AS araw
               FROM e JOIN s0 x ON e.src = x.id GROUP BY 1),
-      a1 AS (SELECT id, (araw * 1000000000) // (SELECT max(araw) FROM ar1) AS authq
-             FROM ar1),
+      sc1 AS (SELECT max(araw) AS amax, 1 + (max(araw) - 1) // 1000000000 AS s FROM ar1),
+      a1 AS (SELECT id, ((araw // s) * 1000000000) // (amax // s) AS authq
+             FROM ar1, sc1),
       hr1 AS (SELECT e.src AS id, CAST(sum(a.authq) AS BIGINT) AS hraw
               FROM e JOIN a1 a ON e.dst = a.id GROUP BY 1),
-      h1 AS (SELECT id, (hraw * 1000000000) // (SELECT max(hraw) FROM hr1) AS hubq
-             FROM hr1),
+      hc1 AS (SELECT max(hraw) AS hmax, 1 + (max(hraw) - 1) // 1000000000 AS t FROM hr1),
+      h1 AS (SELECT id, ((hraw // t) * 1000000000) // (hmax // t) AS hubq
+             FROM hr1, hc1),
       s1 AS (SELECT v.id, CAST(coalesce(h1.hubq, 0) AS BIGINT) AS hubq,
                           CAST(coalesce(a1.authq, 0) AS BIGINT) AS authq
              FROM v LEFT JOIN h1 ON v.id = h1.id LEFT JOIN a1 ON v.id = a1.id),
       ar2 AS (SELECT e.dst AS id, CAST(sum(x.hubq) AS BIGINT) AS araw
               FROM e JOIN s1 x ON e.src = x.id GROUP BY 1),
-      a2 AS (SELECT id, (araw * 1000000000) // (SELECT max(araw) FROM ar2) AS authq
-             FROM ar2),
+      sc2 AS (SELECT max(araw) AS amax, 1 + (max(araw) - 1) // 1000000000 AS s FROM ar2),
+      a2 AS (SELECT id, ((araw // s) * 1000000000) // (amax // s) AS authq
+             FROM ar2, sc2),
       hr2 AS (SELECT e.src AS id, CAST(sum(a.authq) AS BIGINT) AS hraw
               FROM e JOIN a2 a ON e.dst = a.id GROUP BY 1),
-      h2 AS (SELECT id, (hraw * 1000000000) // (SELECT max(hraw) FROM hr2) AS hubq
-             FROM hr2),
+      hc2 AS (SELECT max(hraw) AS hmax, 1 + (max(hraw) - 1) // 1000000000 AS t FROM hr2),
+      h2 AS (SELECT id, ((hraw // t) * 1000000000) // (hmax // t) AS hubq
+             FROM hr2, hc2),
       s2 AS (SELECT v.id, CAST(coalesce(h2.hubq, 0) AS BIGINT) AS hubq,
                           CAST(coalesce(a2.authq, 0) AS BIGINT) AS authq
              FROM v LEFT JOIN h2 ON v.id = h2.id LEFT JOIN a2 ON v.id = a2.id)

@@ -116,8 +116,11 @@ object SimilarityQueries extends QueryPack {
       val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
       scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .groupBy(col("cid"))
+        // inertia accumulates at a 1e6-coarser grid: per-point dist is
+        // ~1e14-grid integers, and summing them raw would approach
+        // BIGINT range at ~50k members/cell (the 100x headroom rule)
         .agg(count(lit(1)).as("n_members"),
-          sum(col("dist")).as("inertia_q"),
+          sum(expr("dist div 1000000")).as("inertia_q"),
           sum(expr("element_at(qe, 1)")).as("c1_sum"),
           sum(expr("element_at(qe, 2)")).as("c2_sum"),
           sum(expr("element_at(qe, 3)")).as("c3_sum"),
@@ -294,7 +297,7 @@ object SimilarityQueries extends QueryPack {
                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
             FROM p)
       SELECT cid, count(*) AS n_members,
-             CAST(sum(dist) AS BIGINT) AS inertia_q,
+             CAST(sum(dist // 1000000) AS BIGINT) AS inertia_q,
              CAST(sum(qe[1]) AS BIGINT) AS c1_sum,
              CAST(sum(qe[2]) AS BIGINT) AS c2_sum,
              CAST(sum(qe[3]) AS BIGINT) AS c3_sum,
