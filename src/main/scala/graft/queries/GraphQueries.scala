@@ -161,6 +161,26 @@ object GraphQueries extends QueryPack {
       Pregel.vertexMetrics(generalEdges(s, dir))
     }),
 
+    // Local clustering coefficient (reference Gelly
+    // LocalClusteringCoefficient): per-vertex exact (degree,
+    // incident triangles, neighbor pairs) — score = n_tri / n_pairs.
+    "graph_local_clustering" -> ((s, dir) => {
+      Pregel.localClustering(generalEdges(s, dir)).orderBy(col("id"))
+    }),
+
+    // Global clustering coefficient inputs (reference Gelly
+    // GlobalClusteringCoefficient): (triplets, triangles), score 3T/W.
+    "graph_global_clustering" -> ((s, dir) => {
+      Pregel.globalClustering(generalEdges(s, dir))
+    }),
+
+    // Undirected triadic census (reference Gelly TriadicCensus):
+    // triple counts by class 03/12/21/30, closed-form from
+    // (n, m, wedges, triangles).
+    "graph_triad_census" -> ((s, dir) => {
+      Pregel.triadCensus(generalEdges(s, dir))
+    }),
+
     // Single-source BFS distances from the first type vertex (tid -1)
     // via DELTA iteration (reference DataSet.iterateDelta): solution
     // set + shrinking workset, early exit on convergence. Unit weights
@@ -419,6 +439,64 @@ object GraphQueries extends QueryPack {
       SELECT a, b, CAST(sum(wq) AS BIGINT) AS score_q
       FROM tp JOIN wq USING (z)
       GROUP BY 1, 2 ORDER BY a, b""",
+    "graph_local_clustering" -> """
+      WITH raw AS (
+        SELECT DISTINCT user_id AS s, CAST(floor(value * 100) AS BIGINT) % 150 AS d
+        FROM events WHERE event_id % 20 = 0),
+      ed AS (SELECT DISTINCT least(s, d) AS lo, greatest(s, d) AS hi
+             FROM raw WHERE s <> d),
+      deg AS (SELECT id, count(*) AS degree FROM (
+                SELECT lo AS id FROM ed UNION ALL SELECT hi FROM ed) GROUP BY id),
+      ab AS (SELECT lo AS a, hi AS b FROM ed),
+      bc AS (SELECT lo AS b, hi AS c FROM ed),
+      ac AS (SELECT lo AS a, hi AS c FROM ed),
+      tri AS (SELECT a, b, c FROM ab JOIN bc USING (b) JOIN ac USING (a, c)),
+      tpv AS (SELECT id, count(*) AS n_tri FROM (
+                SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri) GROUP BY id)
+      SELECT deg.id, degree,
+             CAST(coalesce(n_tri, 0) AS BIGINT) AS n_tri,
+             degree * (degree - 1) // 2 AS n_pairs
+      FROM deg LEFT JOIN tpv ON deg.id = tpv.id
+      ORDER BY deg.id""",
+    "graph_global_clustering" -> """
+      WITH raw AS (
+        SELECT DISTINCT user_id AS s, CAST(floor(value * 100) AS BIGINT) % 150 AS d
+        FROM events WHERE event_id % 20 = 0),
+      ed AS (SELECT DISTINCT least(s, d) AS lo, greatest(s, d) AS hi
+             FROM raw WHERE s <> d),
+      deg AS (SELECT id, count(*) AS deg FROM (
+                SELECT lo AS id FROM ed UNION ALL SELECT hi FROM ed) GROUP BY id),
+      ab AS (SELECT lo AS a, hi AS b FROM ed),
+      bc AS (SELECT lo AS b, hi AS c FROM ed),
+      ac AS (SELECT lo AS a, hi AS c FROM ed),
+      tri AS (SELECT a, b, c FROM ab JOIN bc USING (b) JOIN ac USING (a, c))
+      SELECT (SELECT CAST(sum(deg * (deg - 1)) AS BIGINT) // 2 FROM deg) AS n_triplets,
+             (SELECT count(*) FROM tri) AS n_triangles""",
+    "graph_triad_census" -> """
+      WITH raw AS (
+        SELECT DISTINCT user_id AS s, CAST(floor(value * 100) AS BIGINT) % 150 AS d
+        FROM events WHERE event_id % 20 = 0),
+      ed AS (SELECT DISTINCT least(s, d) AS lo, greatest(s, d) AS hi
+             FROM raw WHERE s <> d),
+      deg AS (SELECT id, count(*) AS deg FROM (
+                SELECT lo AS id FROM ed UNION ALL SELECT hi FROM ed) GROUP BY id),
+      ab AS (SELECT lo AS a, hi AS b FROM ed),
+      bc AS (SELECT lo AS b, hi AS c FROM ed),
+      ac AS (SELECT lo AS a, hi AS c FROM ed),
+      base AS (SELECT count(*) AS n,
+                      CAST(sum(deg) AS BIGINT) // 2 AS m,
+                      CAST(sum(deg * (deg - 1)) AS BIGINT) // 2 AS w
+               FROM deg),
+      tc AS (SELECT count(*) AS t
+             FROM (SELECT a, b, c FROM ab JOIN bc USING (b) JOIN ac USING (a, c)))
+      SELECT n * (n - 1) * (n - 2) // 6
+               - (m * (n - 2) - 2 * (w - 3 * t) - 3 * t)
+               - (w - 3 * t) - t AS c03,
+             m * (n - 2) - 2 * (w - 3 * t) - 3 * t AS c12,
+             w - 3 * t AS c21,
+             t AS c30
+      FROM base, tc""",
     "graph_vertex_metrics" -> """
       WITH raw AS (
         SELECT DISTINCT user_id AS s, CAST(floor(value * 100) AS BIGINT) % 150 AS d

@@ -153,6 +153,24 @@ class PregelSpec extends SparkSuite {
     assert(r((1L, 3L)) == math.floor(1e7 / math.log(3)).toLong)
   }
 
+  test("clustering coefficients and triad census on a known graph") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant 3-4: degrees 1:2, 2:2, 3:3, 4:1
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val local = Pregel.localClustering(e)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(local(1L) == ((2L, 1L, 1L))) // deg 2, 1 triangle, 1 pair -> cc 1.0
+    assert(local(3L) == ((3L, 1L, 3L))) // deg 3, 1 triangle, 3 pairs -> cc 1/3
+    assert(local(4L) == ((1L, 0L, 0L))) // pendant: no pairs
+    val g = Pregel.globalClustering(e).as[(Long, Long)].collect().head
+    assert(g == ((5L, 1L))) // W = 1+1+3+0 = 5 triplets, 1 triangle
+    val census = Pregel.triadCensus(e).as[(Long, Long, Long, Long)].collect().head
+    // n=4, m=4, W=5, T=1: c30=1, c21=5-3=2, c12=m(n-2)-2*2-3*1=8-7=1,
+    // c03=C(4,3)-1-2-1=0
+    assert(census == ((0L, 1L, 2L, 1L)))
+  }
+
   test("vertex metrics: counts, triplets, max degree on a known graph") {
     import spark.implicits._
     // star 0-{1,2,3} plus edge 1-2: degrees 0:3, 1:2, 2:2, 3:1
