@@ -18,6 +18,17 @@ object DataSetQueries extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Typed pipeline: map → filter → flatMap → mapPartitions, then agg.
+    // zipWithIndex (reference DataSetUtils.zipWithIndex — two-phase
+    // count-then-offset; Spark RDD.zipWithIndex is the same algorithm):
+    // contiguous 0..n-1 ids over a total order.
+    "dset_zip_with_index" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.operators.DataSetUtils.zipWithIndexOrdered(
+          Tables.load(s, dir, "events").select("event_id", "event_type"),
+          col("event_id"))
+        .orderBy(col("idx"))
+    }),
+
     "dset_typed_pipeline" -> ((s, dir) => {
       import s.implicits._
       graft.api.StreamEnv.get(s)
@@ -89,6 +100,10 @@ object DataSetQueries extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "dset_zip_with_index" -> """
+      SELECT row_number() OVER (ORDER BY event_id) - 1 AS idx,
+             event_id, event_type
+      FROM events ORDER BY idx""",
     "dset_typed_pipeline" -> """
       WITH m AS (SELECT o_orderstatus AS status,
                         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents

@@ -7,6 +7,18 @@ import org.apache.spark.sql.functions._
  * assignment, MinHashLSH end-to-end, SimHash determinism. */
 class OperatorSpec extends SparkSuite {
 
+  test("zipWithUniqueId: unique sparse ids, count preserved; ordered index contiguous") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(0, 1000).toDF("v").repartition(7)
+    val uid = DataSetUtils.zipWithUniqueId(df)
+    val ids = uid.select("uid").collect().map(_.getLong(0))
+    assert(ids.length == 1000 && ids.distinct.length == 1000)
+    val zi = DataSetUtils.zipWithIndexOrdered(df, col("v"))
+    val idx = zi.orderBy(col("idx")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(idx.map(_._1).toSeq == (0L until 1000L)) // contiguous 0..n-1
+    assert(idx.map(_._2).toSeq == (0L until 1000L)) // follows the order column
+  }
+
   test("AsOfJoin: most recent right row at-or-before left time; ties keep the largest tiebreak") {
     import spark.implicits._
     val left = Seq((1L, 10L, 100L), (2L, 20L, 105L), (3L, 30L, 95L))
