@@ -1006,7 +1006,49 @@ object TpcdsShapeQueries extends QueryPack {
       GROUP BY CAST(extract(month FROM o.o_orderdate) AS INT)
       ORDER BY order_month"""
 
+  // Q98/Q20: share-of-class revenue — a WINDOW SUM over the grouped
+  // aggregate (partition total), ratio on the integer ppm grid.
+  private val q98 = """
+      WITH rev AS (
+        SELECT l_returnflag AS class, l_linestatus AS item,
+               CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus)
+      SELECT class, item, cents,
+             (cents * 1000000) @IDIV CAST(sum(cents) OVER (PARTITION BY class) AS BIGINT)
+               AS share_ppm
+      FROM rev
+      ORDER BY class, item"""
+
+  // Q15: a top-level OR across unrelated predicate families (IN-list,
+  // string prefix, numeric threshold) — the planner must keep ONE scan
+  // with the disjunction, not a union of three.
+  private val q15 = """
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderstatus IN ('F', 'P')
+         OR substring(o_orderpriority, 1, 1) = '1'
+         OR o_totalprice > 250000
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""
+
+  // Q37/Q82: a dim sliced by a range filter drives a semi join into
+  // the fact; output the distinct surviving dim rows.
+  private val q37 = """
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts
+      FROM part p
+      WHERE p_size BETWEEN 25 AND 35
+        AND p_retailprice BETWEEN 900 AND 1500
+        AND EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 30)
+      GROUP BY p_brand
+      ORDER BY p_brand"""
+
   private val texts: Map[String, (Seq[String], String)] = Map(
+    "tpcds_q98_revenue_share" -> (Seq("lineitem") -> q98),
+    "tpcds_q15_or_disjunction" -> (Seq("orders") -> q15),
+    "tpcds_q37_range_dim_semi" -> (Seq("part", "lineitem") -> q37),
     "tpcds_q38_triple_intersect" -> (Seq("lineitem", "orders") -> q38),
     "tpcds_q87_triple_except" -> (Seq("lineitem", "orders") -> q87),
     "tpcds_q90_time_band_ratio" -> (Seq("events") -> q90),

@@ -229,6 +229,21 @@ class PlanAuditSpec extends SparkSuite {
       s"partition filter not applied at the scan:\n$p")
   }
 
+  test("TPC-DS Q15/Q98 shapes: OR-disjunction keeps one scan; share uses one Window over the agg") {
+    val p15 = plan(graft.queries.TpcdsShapeQueries.queries("tpcds_q15_or_disjunction")(spark, dir))
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p15).size == 1,
+      s"disjunction split into a union of scans:\n$p15")
+    val p98 = plan(graft.queries.TpcdsShapeQueries.queries("tpcds_q98_revenue_share")(spark, dir))
+    assert("\\(\\d+\\) Window".r.findAllIn(p98).size == 1,
+      s"expected exactly one Window for the partition share:\n$p98")
+    // the formatted tree prints parents first: the Window (consumer)
+    // must appear BEFORE the grouped aggregate it reads
+    val firstAgg = p98.indexOf("HashAggregate")
+    val firstWin = p98.indexOf("Window")
+    assert(firstAgg >= 0 && firstWin >= 0 && firstWin < firstAgg,
+      s"Window should sit above the grouped aggregate:\n$p98")
+  }
+
   test("TPC-DS Q87 shape: EXCEPT chain plans anti joins over deduplicated channels") {
     val p = plan(graft.queries.TpcdsShapeQueries.queries("tpcds_q87_triple_except")(spark, dir))
     assert("LeftAnti".r.findAllIn(p).size >= 2,
