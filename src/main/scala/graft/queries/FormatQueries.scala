@@ -58,6 +58,42 @@ object FormatQueries extends QueryPack {
         .orderBy(col("n_regionkey"))
     }),
 
+    // Compressed CSV round-trip (reference flink-formats/flink-compress
+    // + CSV): codec is a write option, the reader decompresses by file
+    // extension — behavior must match the uncompressed path exactly.
+    "fmt_csv_gzip_roundtrip" -> ((s, dir) => {
+      val path = scratch(dir, "nation_csv_gz")
+      Tables.load(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite").option("header", "true")
+        .option("compression", "gzip").csv(path)
+      s.read.schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+        .option("header", "true").csv(path)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"),
+          sum(col("n_nationkey")).as("key_sum"))
+        .orderBy(col("n_regionkey"))
+    }),
+
+    // Plain text lines (reference DataSet.writeAsText:1575 /
+    // readTextFile): one string column out, parse on the way back.
+    "fmt_text_roundtrip" -> ((s, dir) => {
+      val path = scratch(dir, "nation_text")
+      Tables.load(s, dir, "nation")
+        .select(concat_ws("|", col("n_nationkey"), col("n_name"),
+          col("n_regionkey")).as("value"))
+        .write.mode("overwrite").text(path)
+      s.read.text(path)
+        .select(split(col("value"), "\\|").as("f"))
+        .select(col("f").getItem(0).cast("bigint").as("n_nationkey"),
+          col("f").getItem(1).as("n_name"),
+          col("f").getItem(2).cast("bigint").as("n_regionkey"))
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"),
+          sum(col("n_nationkey")).as("key_sum"))
+        .orderBy(col("n_regionkey"))
+    }),
+
     // JSON-lines write → declared-schema read → aggregate.
     "fmt_json_roundtrip" -> ((s, dir) => {
       val path = scratch(dir, "orders_json")
@@ -138,6 +174,14 @@ object FormatQueries extends QueryPack {
       SELECT n_regionkey, count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum
       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
     "fmt_csv_roundtrip" -> """
+      SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name,
+             CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "fmt_csv_gzip_roundtrip" -> """
+      SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name,
+             CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "fmt_text_roundtrip" -> """
       SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name,
              CAST(sum(n_nationkey) AS BIGINT) AS key_sum
       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
