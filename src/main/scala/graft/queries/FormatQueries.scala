@@ -58,6 +58,35 @@ object FormatQueries extends QueryPack {
         .orderBy(col("n_regionkey"))
     }),
 
+    // JDBC connector round-trip (reference flink-connector-jdbc): write
+    // into an embedded Derby database, read back as a PARTITIONED jdbc
+    // scan (partitionColumn/bounds/numPartitions — the parallel-read
+    // shape a networked warehouse gets at scale; embedded Derby is
+    // single-JVM, which local mode satisfies) with a pushed predicate.
+    "jdbc_roundtrip" -> ((s, dir) => {
+      val db = s"${scratch(dir, "derby_db")}/nationdb"
+      val url = s"jdbc:derby:$db;create=true"
+      val props = Map(
+        "url" -> url, "dbtable" -> "NATION_T",
+        "driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+      Tables.load(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .write.format("jdbc").options(props)
+        .option("createTableColumnTypes",
+          "n_nationkey BIGINT, n_name VARCHAR(64), n_regionkey BIGINT")
+        .mode("overwrite").save()
+      s.read.format("jdbc").options(props)
+        .option("partitionColumn", "n_nationkey")
+        .option("lowerBound", "0").option("upperBound", "25")
+        .option("numPartitions", "4")
+        .load()
+        .filter(col("n_regionkey") >= 1)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"),
+          sum(col("n_nationkey")).as("key_sum"))
+        .orderBy(col("n_regionkey"))
+    }),
+
     // Compressed CSV round-trip (reference flink-formats/flink-compress
     // + CSV): codec is a write option, the reader decompresses by file
     // extension — behavior must match the uncompressed path exactly.
@@ -177,6 +206,11 @@ object FormatQueries extends QueryPack {
       SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name,
              CAST(sum(n_nationkey) AS BIGINT) AS key_sum
       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "jdbc_roundtrip" -> """
+      SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name,
+             CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+      FROM nation WHERE n_regionkey >= 1
+      GROUP BY n_regionkey ORDER BY n_regionkey""",
     "fmt_csv_gzip_roundtrip" -> """
       SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name,
              CAST(sum(n_nationkey) AS BIGINT) AS key_sum
