@@ -98,6 +98,38 @@ object DdlQueries extends QueryPack {
     // statement; the refreshed sink views are then queried back. The
     // gate output is the union of both sink aggregates, so both
     // INSERTs are oracle-checked.
+    // JDBC connector through DDL (reference flink-connector-jdbc
+    // JdbcDynamicTableFactory: 'connector'='jdbc', 'url',
+    // 'table-name'): declare source + jdbc sink, INSERT INTO runs the
+    // write, the read-back is a partitioned jdbc scan.
+    "ddl_jdbc_connector" -> ((s, dir) => {
+      val db = java.nio.file.Files.createTempDirectory("graft_jdbcddl").toString + "/db"
+      Ddl.execute(s,
+        s"""CREATE TABLE jsrc_nation (
+              n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT
+            ) WITH ('connector' = 'filesystem',
+                    'path' = '$dir/nation.parquet', 'format' = 'parquet')""")
+      Ddl.execute(s,
+        s"""CREATE TABLE jdb_nation (
+              n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT
+            ) WITH ('connector' = 'jdbc',
+                    'url' = 'jdbc:derby:$db;create=true',
+                    'table-name' = 'NATION_DDL',
+                    'driver' = 'org.apache.derby.jdbc.EmbeddedDriver',
+                    'sink.column-types' = 'n_nationkey BIGINT, n_name VARCHAR(64), n_regionkey BIGINT',
+                    'scan.partition.column' = 'n_nationkey',
+                    'scan.partition.lower-bound' = '0',
+                    'scan.partition.upper-bound' = '25',
+                    'scan.partition.num' = '4')""")
+      Ddl.execute(s,
+        "INSERT INTO jdb_nation SELECT n_nationkey, n_name, n_regionkey FROM jsrc_nation")
+      s.sql("""
+        SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name,
+               sum(n_nationkey) AS key_sum
+        FROM jdb_nation
+        GROUP BY n_regionkey ORDER BY n_regionkey""")
+    }),
+
     // CREATE TABLE ... LIKE (reference SqlTableLike, FLIP-110): the
     // derived table inherits physical columns and options from the
     // declared base and appends a computed column; querying it must
@@ -364,6 +396,10 @@ object DdlQueries extends QueryPack {
     "ddl_insert_overwrite" -> """
       SELECT event_type, count(*) AS n FROM events
       WHERE value >= 0.5 GROUP BY event_type ORDER BY event_type""",
+    "ddl_jdbc_connector" -> """
+      SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name,
+             CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
     "ddl_create_table_like" -> """
       SELECT o_orderpriority, count(*) AS n,
              CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents

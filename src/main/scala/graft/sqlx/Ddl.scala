@@ -380,23 +380,34 @@ object Ddl {
         val t = declared.getOrElse((System.identityHashCode(spark).toString, target),
           throw new IllegalArgumentException(
             s"INSERT INTO $target: not a declared connector table"))
-        val path = t.options("path")
-        val fmt = t.options.getOrElse("format", "parquet")
-        def write(b: DataFrame, mode: String): Unit = {
-          // partitioned sink (reference filesystem-connector partition
-          // keys): one directory per key value — the scan side prunes
-          // them statically (see the partition-pruning plan audit)
-          val w0 = b.write.mode(mode)
-          val w = if (t.partitionedBy.nonEmpty) w0.partitionBy(t.partitionedBy: _*) else w0
-          fmt match {
-            case "parquet" => w.parquet(path)
-            case "csv" => w.option("header",
-              t.options.getOrElse("csv.header", "false")).csv(path)
-            case "json" => w.json(path)
-            case other =>
-              throw new IllegalArgumentException(s"unsupported sink format $other")
+        def write(b: DataFrame, mode: String): Unit =
+          if (t.options.get("connector").contains("jdbc")) {
+            // JDBC sink (reference flink-connector-jdbc DDL:
+            // 'connector'='jdbc', 'url', 'table-name' [, 'driver'])
+            var w = b.write.mode(mode).format("jdbc")
+              .option("url", t.options("url"))
+              .option("dbtable", t.options("table-name"))
+            t.options.get("driver").foreach(d => w = w.option("driver", d))
+            t.options.get("sink.column-types")
+              .foreach(ct => w = w.option("createTableColumnTypes", ct))
+            w.save()
+          } else {
+            val path = t.options("path")
+            val fmt = t.options.getOrElse("format", "parquet")
+            // partitioned sink (reference filesystem-connector partition
+            // keys): one directory per key value — the scan side prunes
+            // them statically (see the partition-pruning plan audit)
+            val w0 = b.write.mode(mode)
+            val w = if (t.partitionedBy.nonEmpty) w0.partitionBy(t.partitionedBy: _*) else w0
+            fmt match {
+              case "parquet" => w.parquet(path)
+              case "csv" => w.option("header",
+                t.options.getOrElse("csv.header", "false")).csv(path)
+              case "json" => w.json(path)
+              case other =>
+                throw new IllegalArgumentException(s"unsupported sink format $other")
+            }
           }
-        }
         val df = spark.sql(select)
         if (df.isStreaming) {
           // STREAMING statement set (reference StreamStatementSet /
@@ -437,6 +448,33 @@ object Ddl {
   /** Build the table's frame from its definition and (re-)register the
    * temp view. */
   private def register(spark: SparkSession, t: TableDef): DataFrame = {
+    // JDBC source (reference flink-connector-jdbc DDL): bounded scan
+    // only — the reference's jdbc table is likewise a bounded/lookup
+    // source, not a changelog stream
+    if (t.options.get("connector").contains("jdbc")) {
+      require(!t.options.get("scan.streaming").contains("true"),
+        s"table ${t.name}: the jdbc connector is a bounded scan")
+      var r = spark.read.format("jdbc")
+        .option("url", t.options("url"))
+        .option("dbtable", t.options("table-name"))
+      t.options.get("driver").foreach(d => r = r.option("driver", d))
+      Seq("partitionColumn" -> "scan.partition.column",
+        "lowerBound" -> "scan.partition.lower-bound",
+        "upperBound" -> "scan.partition.upper-bound",
+        "numPartitions" -> "scan.partition.num").foreach { case (sparkKey, flinkKey) =>
+        t.options.get(flinkKey).foreach(v => r = r.option(sparkKey, v))
+      }
+      var df = try r.load() catch { case e: Throwable =>
+        // a declared-but-not-yet-written sink table resolves to its
+        // declared schema (empty), like the filesystem path below
+        val schema = StructType.fromDDL(
+          t.physical.map(c => s"${c.name} ${c.typ}").mkString(", "))
+        spark.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](), schema)
+      }
+      t.computed.foreach(c => df = df.withColumn(c.name, expr(c.sqlExpr)))
+      df.createOrReplaceTempView(t.name)
+      return df
+    }
     val fmt = t.options.getOrElse("format", "parquet")
     val path = t.options.getOrElse("path",
       throw new IllegalArgumentException(s"table ${t.name}: missing 'path' option"))
