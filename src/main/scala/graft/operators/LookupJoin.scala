@@ -77,6 +77,43 @@ class ParquetKvTable(path: String, keyCol: String, valCol: String)
 }
 
 /**
+ * JDBC point-read lookup client (reference
+ * `flink-connector-jdbc/.../table/JdbcRowDataLookupFunction`): one
+ * connection + prepared statement per task, a point SELECT per probe
+ * key — the real external-dimension shape (a production client adds a
+ * bounded LRU cache in front, the reference's `lookup.cache.*`
+ * options). */
+class JdbcKvTable(url: String, driver: String, table: String,
+    keyCol: String, valCol: String)
+    extends LookupJoin.LookupTable[Long, String] {
+  @transient private var conn: java.sql.Connection = _
+  @transient private var stmt: java.sql.PreparedStatement = _
+
+  override def open(): Unit = synchronized {
+    if (conn != null) return
+    Class.forName(driver)
+    conn = java.sql.DriverManager.getConnection(url)
+    // identifiers are quoted because Spark's JDBC writer creates them
+    // quoted (case-sensitive) — unquoted names would upcase in Derby
+    stmt = conn.prepareStatement(
+      s"""SELECT "$valCol" FROM $table WHERE "$keyCol" = ?""")
+  }
+
+  override def lookup(k: Long): Option[String] = {
+    open() // idempotent: first probe on this task connects
+    stmt.setLong(1, k)
+    val rs = stmt.executeQuery()
+    try { if (rs.next()) Option(rs.getString(1)) else None }
+    finally rs.close()
+  }
+
+  override def close(): Unit = synchronized {
+    if (stmt != null) { stmt.close(); stmt = null }
+    if (conn != null) { conn.close(); conn = null }
+  }
+}
+
+/**
  * Async I/O enrichment (reference `AsyncDataStream` /
  * `api/operators/async/AsyncWaitOperator.java:78`, ordered mode):
  * bounded in-flight futures per partition, results emitted in input

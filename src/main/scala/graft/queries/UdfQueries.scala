@@ -147,6 +147,29 @@ object UdfQueries extends QueryPack {
         .orderBy(col("c_custkey"))
     }),
 
+    // JDBC lookup join (reference JdbcRowDataLookupFunction): the dim
+    // is loaded into embedded Derby, then each partition's client does
+    // point SELECTs over a prepared statement — a real external-store
+    // probe, not a broadcast.
+    "lookup_join_jdbc" -> ((s, dir) => {
+      import s.implicits._
+      val db = java.nio.file.Files.createTempDirectory("graft_jlkp").toString + "/db"
+      val url = s"jdbc:derby:$db;create=true"
+      Tables.load(s, dir, "nation").select("n_nationkey", "n_name")
+        .write.format("jdbc")
+        .option("url", url).option("dbtable", "NATION_LKP")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .option("createTableColumnTypes", "n_nationkey BIGINT, n_name VARCHAR(64)")
+        .mode("overwrite").save()
+      val table = new graft.operators.JdbcKvTable(url,
+        "org.apache.derby.jdbc.EmbeddedDriver", "NATION_LKP", "n_nationkey", "n_name")
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")).as[(Long, Long)]
+      LookupJoin(cust, table)(_._2) { case ((ck, _), name) => (ck, name.getOrElse("?")) }
+        .toDF("c_custkey", "n_name")
+        .orderBy(col("c_custkey"))
+    }),
+
     // Async lookup join (ordered, bounded in-flight futures) probing
     // the same per-task KV client.
     "lookup_join_async" -> ((s, dir) => {
@@ -195,6 +218,10 @@ object UdfQueries extends QueryPack {
             FROM lineitem) t
       WHERE rn <= 2 ORDER BY flag, rank""",
     "lookup_join_sync" -> """
+      SELECT c_custkey, n_name
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      ORDER BY c_custkey""",
+    "lookup_join_jdbc" -> """
       SELECT c_custkey, n_name
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       ORDER BY c_custkey""",
