@@ -47,6 +47,22 @@ object GraftFunctions {
     // FOR SYSTEM_TIME AS OF marker (temporal join): resolvable but
     // unevaluable — StreamTemporalJoinRule must plan it away
     "system_time_as_of" -> (es => SystemTimeAsOf(es(0), es(1), es(2))),
+    // TRUNCATE(numeric[, n]) — reference BuiltInFunctionDefinitions
+    // TRUNCATE (SqlStdOperatorTable.TRUNCATE): toward-zero truncation
+    // at n decimal places. Composed from codegen'd built-ins:
+    // floor for non-negative, ceiling for negative (= trunc toward 0).
+    // All-double arithmetic is IEEE-identical across engines.
+    "truncate" -> (es => {
+      require(es.nonEmpty && es.length <= 2, "truncate(x[, n])")
+      import org.apache.spark.sql.types.DoubleType
+      val x = Cast(es.head, DoubleType)
+      val p = Pow(Literal(10.0),
+        Cast(es.drop(1).headOption.getOrElse(Literal(0)), DoubleType))
+      val y = Multiply(x, p)
+      Divide(
+        Cast(If(GreaterThanOrEqual(x, Literal(0.0)), Floor(y), Ceil(y)), DoubleType),
+        p)
+    }),
     // SIMILAR TO (reference StringCallGen.scala:74): the SQL pattern
     // translates to an anchored Java regex at plan time (the pattern
     // must be a literal), then lowers onto codegen'd RLike

@@ -210,6 +210,55 @@ object CalcQueries extends QueryPack {
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("bigint").as("prop_k"))
         .orderBy(col("event_id"))
+    }),
+
+    // String family part 3 (reference FlinkSqlOperatorTable BIN/HEX/
+    // LOCATE/PARSE_URL/STR_TO_MAP + BuiltInFunctionDefinitions sha2/
+    // levenshtein): the remaining string builtins without a gate.
+    "calc_string_fns3" -> ((s, dir) => {
+      Tables.load(s, dir, "part")
+        .filter(col("p_partkey") <= 400)
+        .withColumn("url", concat(lit("https://h"), (col("p_partkey") % 5).cast("string"),
+          lit(".example.com/p/"), col("p_partkey").cast("string"),
+          lit("?q="), (col("p_partkey") % 7).cast("string")))
+        .withColumn("kv", concat(lit("a="), (col("p_partkey") % 5).cast("string"),
+          lit(",b="), (col("p_partkey") % 3).cast("string")))
+        .select(col("p_partkey"),
+          bin(col("p_partkey")).as("bkey"),
+          hex(col("p_partkey")).as("hkey"),
+          locate("a", col("p_name")).cast("bigint").as("loc_a"),
+          expr("elt(1 + CAST(p_partkey % 3 AS INT), 'alpha', 'beta', 'gamma')").as("elt_pick"),
+          substring_index(col("p_type"), " ", 2).as("type2"),
+          levenshtein(col("p_brand"), lit("Brand#33")).cast("bigint").as("lev"),
+          sha2(col("p_name"), 256).as("sha"),
+          parse_url(col("url"), lit("HOST")).as("u_host"),
+          parse_url(col("url"), lit("PATH")).as("u_path"),
+          parse_url(col("url"), lit("QUERY"), lit("q")).as("u_q"),
+          expr("str_to_map(kv, ',', '=')['b']").as("m_b"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // Temporal family part 3 (reference DATE_FORMAT/TIMESTAMPDIFF/
+    // FROM_UNIXTIME/TO_TIMESTAMP/CONVERT_TZ + TYPEOF + numeric
+    // TRUNCATE via the registered gap function). Timezone conversion
+    // is rendered as a string so the comparison is tz-type-agnostic.
+    "calc_temporal_fns3" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.load(s, dir, "events")
+        .filter(col("event_id") <= 300)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm").as("fmt"),
+          expr("timestampdiff(HOUR, TIMESTAMP '2024-01-01 00:00:00', ts)").as("hrs_in"),
+          from_unixtime(unix_timestamp(col("ts"))).as("sec_str"),
+          to_timestamp(date_format(col("ts"), "yyyy-MM-dd HH:00:00")).as("hour_ts"),
+          date_format(expr("from_utc_timestamp(ts, 'America/New_York')"),
+            "yyyy-MM-dd HH:mm").as("nyc"),
+          expr("typeof(event_id)").as("t_id"),
+          expr("typeof(value)").as("t_val"),
+          expr("typeof(props)").as("t_props"),
+          expr("truncate(value, 2)").as("val_t2"),
+          expr("truncate(-value, 2)").as("neg_t2"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -333,6 +382,38 @@ object CalcQueries extends QueryPack {
     "calc_json_extract" -> """
       SELECT event_id,
              CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+      FROM events WHERE event_id <= 300 ORDER BY event_id""",
+    "calc_string_fns3" -> """
+      WITH base AS (
+        SELECT *,
+               'https://h' || CAST(p_partkey % 5 AS VARCHAR) || '.example.com/p/'
+                 || CAST(p_partkey AS VARCHAR) || '?q=' || CAST(p_partkey % 7 AS VARCHAR) AS url
+        FROM part WHERE p_partkey <= 400)
+      SELECT p_partkey,
+             bin(p_partkey) AS bkey,
+             hex(p_partkey) AS hkey,
+             CAST(strpos(p_name, 'a') AS BIGINT) AS loc_a,
+             CASE CAST(p_partkey % 3 AS INT) WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta' ELSE 'gamma' END AS elt_pick,
+             array_to_string(list_slice(string_split(p_type, ' '), 1, 2), ' ') AS type2,
+             CAST(levenshtein(p_brand, 'Brand#33') AS BIGINT) AS lev,
+             sha256(p_name) AS sha,
+             regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS u_host,
+             regexp_extract(url, '^[a-z]+://[^/?#]*(/[^?#]*)', 1) AS u_path,
+             regexp_extract(url, '[?&]q=([^&#]*)', 1) AS u_q,
+             CAST(p_partkey % 3 AS VARCHAR) AS m_b
+      FROM base ORDER BY p_partkey""",
+    "calc_temporal_fns3" -> """
+      SELECT event_id,
+             strftime(ts, '%Y-%m-%d %H:%M') AS fmt,
+             CAST(floor((epoch(ts) - epoch(TIMESTAMP '2024-01-01 00:00:00')) / 3600) AS BIGINT) AS hrs_in,
+             strftime(make_timestamp(CAST(floor(epoch(ts)) AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S') AS sec_str,
+             date_trunc('hour', ts) AS hour_ts,
+             strftime(timezone('America/New_York', timezone('UTC', ts)), '%Y-%m-%d %H:%M') AS nyc,
+             'bigint' AS t_id,
+             'double' AS t_val,
+             'string' AS t_props,
+             trunc(value * 100) / 100 AS val_t2,
+             trunc((-value) * 100) / 100 AS neg_t2
       FROM events WHERE event_id <= 300 ORDER BY event_id"""
   )
 }
