@@ -346,7 +346,7 @@ object MatchRecognize {
     // list — `(A | B)`, unquantified (subset) — or a PERMUTE group's
     // variable list; Right's flag is true for PERMUTE
     val rawTokens =
-      """(?i:PERMUTE\s*\([^()]*\))|\{-[^}]*-\}|\([^()]*\)[+?{},0-9]*|[^\s()]+"""
+      """(?i:PERMUTE\s*\([^()]*\))|\{-[^}]*-\}|\([^()]*\)[+?*{},0-9]*|[^\s()]+"""
         .r.findAllIn(patternTxt).toSeq
     var excluded = Set.empty[String]
     // Right carries (isPermute, alternatives, groupQuant) — groupQuant
@@ -414,8 +414,8 @@ object MatchRecognize {
       excluded.foreach(e => if (occurrences.count(_ == e) > 1)
         fail(s"excluded symbol '$e' is reused outside {- -}"))
     }
-    if (tokens.head.exists { case (_, _, gq) => gq.nonEmpty })
-      fail("subset: first pattern group must be unquantified")
+    if (tokens.head.exists { case (isPerm, _, gq) => isPerm && gq.nonEmpty })
+      fail("subset: a PERMUTE group must be unquantified")
     def pred(sym: String): Cep.IterPred[MrEv] = defines.getOrElse(sym, (_, _) => true)
     def altsOf(syms: Seq[String]): Seq[(String, Cep.IterPred[MrEv])] =
       syms.map(s => s -> pred(s))
@@ -469,10 +469,24 @@ object MatchRecognize {
             }
           case other => fail(s"cannot parse quantifier '$other' on first pattern symbol")
         }
-      case Right((isPerm, syms, _)) =>
+      case Right((isPerm, syms, gq)) =>
         val as = if (isPerm) guardedAltsOf(syms) else altsOf(syms)
+        // QUANTIFIED head group (`(A | B)+ C` …): same shape as a body
+        // nextAltQuant step — the matcher routes any non-Once head
+        // quant through the step matcher anchored at the start row
+        val headQuant = gq match {
+          case "" => Cep.Once
+          case "+" => Cep.OneOrMore
+          case "+?" => Cep.OneOrMoreReluctant
+          case "?" => Cep.Optional
+          case "??" => Cep.OptionalReluctant
+          case "*" => Cep.ZeroOrMore
+          case "*?" => Cep.ZeroOrMoreReluctant
+          case other => fail(s"cannot parse quantifier '$other' on first pattern group")
+        }
         var p = Cep.Pattern(Vector(Cep.Step[MrEv](syms.mkString("|"),
-          (e, ctx) => as.exists(_._2(e, ctx)), strict = false, alts = as)))
+          (e, ctx) => as.exists(_._2(e, ctx)),
+          strict = headQuant != Cep.Once, quant = headQuant, alts = as)))
         // a PERMUTE group spans n contiguous rows: n-1 further steps
         if (isPerm) (2 to syms.size).foreach(_ => p = p.nextAlt(as))
         p

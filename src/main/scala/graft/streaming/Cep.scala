@@ -543,16 +543,20 @@ object Cep {
                 else { var j = pos + 1; while (inWindow(start, j)) j += 1; j }
               !((pos + 1) until boundary).exists(j => ok(acc, j))
             }
-          case OneOrMore => // maximal strict run, no backtracking
-            val j0 = pos + 1
-            if (!reachable(j0) || stopAt(acc, j0) || !ok(acc, j0)) LazyList.empty
-            else {
-              var j = j0
-              var binds = acc
-              while (inWindow(start, j) && gapOk(j - 1, j) && !stopAt(binds, j) && ok(binds, j)) {
-                binds :+= ((bindAs(binds, j), j)); j += 1
-              }
-              matchSteps(start, j - 1, rest, binds)
+          case OneOrMore => // greedy WITH backtracking, minimum one:
+            // the longest strict run is preferred, but a failing
+            // continuation falls back rep by rep (never to empty) —
+            // without this, `B+ C` would lose valid matches whenever
+            // B's and C's conditions overlap (regex `+` semantics,
+            // same rationale as ZeroOrMore below)
+            var snaps: List[(Int, Vector[(String, Int)])] = Nil
+            var j = pos + 1
+            var binds = acc
+            while (inWindow(start, j) && gapOk(j - 1, j) && !stopAt(binds, j) && ok(binds, j)) {
+              binds :+= ((bindAs(binds, j), j)); snaps ::= ((j, binds)); j += 1
+            }
+            LazyList.from(snaps).flatMap { case (p0, b) =>
+              matchSteps(start, p0, rest, b)
             }
           case ZeroOrMore => // greedy WITH backtracking: the longest
             // strict run is preferred, but a failing continuation

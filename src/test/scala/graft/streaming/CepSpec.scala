@@ -134,19 +134,31 @@ class CepSpec extends SparkSuite {
     assert(matchesWith(Cep.SkipToLast("b")) == List(Seq(1L, 2L, 3L, 4L)))
   }
 
-  test("reluctant oneOrMore consumes minimally; greedy cannot backtrack") {
+  test("reluctant oneOrMore consumes minimally; greedy backtracks to free the tail") {
     val greedy = Cep.Pattern.begin("a", _.event_type == "a")
       .oneOrMoreNext("bs", _.event_type == "b")
       .next("end", _.event_type == "b")
     val reluctant = Cep.Pattern.begin("a", _.event_type == "a")
       .oneOrMoreNextReluctant("bs", _.event_type == "b")
       .next("end", _.event_type == "b")
+    // greedy prefers the longest `bs` run that still lets `end` bind
+    // (regex `+` semantics — the reference NFA branches take/proceed,
+    // so `a b+ b` on [a b b] matches rather than starving `end`)
     val events = IndexedSeq(ev(1, "a", 0), ev(2, "b", 10), ev(3, "b", 20))
-    // greedy swallows b1 b2, leaving nothing for `end`
-    assert(Cep.matchSorted(events, greedy).isEmpty)
+    assert(Cep.matchSorted(events, greedy).map(_.event_ids) ==
+      List(Seq(1L, 2L, 3L)))
     // reluctant stops after b1, so `end` takes b2
     assert(Cep.matchSorted(events, reluctant).map(_.event_ids) ==
       List(Seq(1L, 2L, 3L)))
+    // with a longer run the preference is visible in how many rows
+    // `bs` binds: greedy backtracks only one rep, reluctant takes one
+    val events4 = IndexedSeq(ev(1, "a", 0), ev(2, "b", 10), ev(3, "b", 20), ev(4, "b", 30))
+    assert(Cep.matchSortedBound(events4, greedy.afterMatchSkip(Cep.SkipPastLast))
+      .map(_.binds.map(b => (b.step, b.ev.event_id))) ==
+      List(List(("a", 1L), ("bs", 2L), ("bs", 3L), ("end", 4L))))
+    assert(Cep.matchSortedBound(events4, reluctant.afterMatchSkip(Cep.SkipPastLast))
+      .map(_.binds.map(b => (b.step, b.ev.event_id))) ==
+      List(List(("a", 1L), ("bs", 2L), ("end", 3L))))
   }
 
   test("reluctant optional excluded when the rest can match without it") {
