@@ -46,4 +46,27 @@ object Sampling {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Sample a corpus down to per-domain quotas (static mixture
+   * weights × token/doc budget, the DoReMi/static-mix recipe):
+   * each stratum keeps its `quotas(stratum)` lowest-hash rows, with
+   * the selection rank exposed as `rk`. Strata not in `quotas` are
+   * dropped. The constant `rn <= max(quota)` conjunct keeps the
+   * filter WindowGroupLimit-eligible (per-partition partial top-k
+   * before the full per-stratum sort), so the scan never sorts more
+   * than max-quota rows per partition at scale. */
+  def mixDomains(df: DataFrame, strataCol: String, idCol: String,
+      quotas: Map[String, Int]): DataFrame = {
+    require(quotas.nonEmpty, "mixDomains needs at least one quota")
+    val maxQ = quotas.values.max
+    val quotaCol = quotas.foldLeft(lit(0)) { case (acc, (stratum, q)) =>
+      when(col(strataCol) === stratum, lit(q)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(detHash(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxQ && col("__rn") <= quotaCol)
+      .withColumn("rk", col("__rn").cast("int"))
+      .drop("__rn")
+  }
 }

@@ -35,6 +35,51 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR importance weights (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): score each raw
+    // document by the hashed-feature log-likelihood ratio between a
+    // target corpus (here lang='en') and the raw corpus. Tokens hash
+    // into 64 buckets via exact integer arithmetic; each bucket's
+    // add-one-smoothed log ratio ln((ct+1)/(T+64) / ((cr+1)/(R+64)))
+    // is floor-quantized to a 1e-6 grid (ONE ln of one exact rational
+    // per bucket, so both engines log the identical double), and the
+    // per-doc score is the exact integer sum n_b * q_b. Scale: the
+    // bucket table is 64 rows (broadcast); two shuffles total (bucket
+    // agg + per-doc agg) regardless of corpus size.
+    "text_dsir_weights" -> ((s, dir) => {
+      val feats = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .filter(col("w").rlike("^[a-z0-9]+$"))
+        .select(col("doc_id"), col("lang"),
+          ((ascii(substring(col("w"), 1, 1)) * 31 + length(col("w")) * 7
+            + ascii(substring(col("w"), -1, 1))) % 64).as("b"))
+      val bc = feats.groupBy("b").agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+      val tot = bc.agg(sum("ct").as("t"), sum("cr").as("r"))
+      val q = bc.crossJoin(broadcast(tot)).select(col("b"),
+        floor(lit(1e6) * log(
+          ((col("ct") + 1) * (col("r") + 64)).cast("double") /
+          ((col("cr") + 1) * (col("t") + 64)).cast("double"))).cast("long").as("qb"))
+      feats.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+        .join(broadcast(q), "b")
+        .groupBy("doc_id")
+        .agg(sum(col("n") * col("qb")).as("dsir_score"), sum("n").as("n_toks"))
+        .orderBy("doc_id")
+    }),
+
+    // Static domain mixing (DoReMi-style fixed mixture weights): sample
+    // the corpus down to per-language quotas (en 80 / de 40 / es 40 /
+    // fr 20 / zh 20 of a 200-doc budget) by deterministic hash order.
+    "text_mix_domains" -> ((s, dir) => {
+      graft.operators.Sampling.mixDomains(
+          Tables.load(s, dir, "documents"), "lang", "doc_id",
+          Map("en" -> 80, "de" -> 40, "es" -> 40, "fr" -> 20, "zh" -> 20))
+        .select(col("lang"), col("rk"), col("doc_id"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
     // Deterministic stratified sample: 20 docs per language, chosen by
     // hash order — a reproducible per-stratum subsample.
     "text_stratified_sample" -> ((s, dir) => {
@@ -397,6 +442,43 @@ object TextQueries extends QueryPack {
              CASE WHEN ((doc_id % 1000003) * 2654435761 % 1000000007 + 1000000007) % 1000000007 % 100 < 90
                   THEN 'train' ELSE 'val' END AS split
       FROM documents ORDER BY doc_id""",
+    "text_dsir_weights" -> """
+      WITH feats AS (
+        SELECT doc_id, lang,
+               (ascii(substr(w, 1, 1)) * 31 + length(w) * 7 + ascii(substr(w, -1, 1))) % 64 AS b
+        FROM (
+          SELECT doc_id, lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+          FROM documents)
+        WHERE regexp_full_match(w, '[a-z0-9]+')),
+      bc AS (
+        SELECT b,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+               CAST(count(*) AS BIGINT) AS cr
+        FROM feats GROUP BY b),
+      tot AS (SELECT CAST(sum(ct) AS BIGINT) AS t, CAST(sum(cr) AS BIGINT) AS r FROM bc),
+      q AS (
+        SELECT b,
+               CAST(floor(1000000.0 * ln(
+                 CAST((ct + 1) * (r + 64) AS DOUBLE) /
+                 CAST((cr + 1) * (t + 64) AS DOUBLE))) AS BIGINT) AS qb
+        FROM bc, tot),
+      db AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n FROM feats GROUP BY 1, 2)
+      SELECT doc_id,
+             CAST(sum(n * qb) AS BIGINT) AS dsir_score,
+             CAST(sum(n) AS BIGINT) AS n_toks
+      FROM db JOIN q USING (b)
+      GROUP BY doc_id ORDER BY doc_id""",
+    "text_mix_domains" -> """
+      WITH ranked AS (
+        SELECT lang, doc_id,
+               CAST(row_number() OVER (
+                 PARTITION BY lang
+                 ORDER BY ((doc_id % 1000003) * 2654435761) % 1000000007, doc_id) AS INT) AS rk
+        FROM documents)
+      SELECT lang, rk, doc_id FROM ranked
+      WHERE rk <= CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 40 WHEN 'es' THEN 40
+                            WHEN 'fr' THEN 20 WHEN 'zh' THEN 20 ELSE 0 END
+      ORDER BY lang, rk""",
     "text_stratified_sample" -> """
       SELECT lang, doc_id FROM (
         SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
