@@ -92,10 +92,12 @@ class MatchRecognizeDifferentialSpec extends AnyFunSuite {
     (events, elems)
   }
 
-  private def parseSpec(elems: List[Elem], skip: String): MatchRecognize.Spec = {
+  private def parseSpec(elems: List[Elem], skip: String,
+      within: Option[Int] = None): MatchRecognize.Spec = {
     val defines = elems.flatMap(_.syms).flatMap(_.define)
     val defineSec =
       if (defines.isEmpty) "" else defines.mkString("DEFINE ", ", ", "")
+    val withinSec = within.map(k => s"WITHIN INTERVAL '$k' SECOND").getOrElse("")
     MatchRecognize.parse(s"""
       SELECT * FROM events MATCH_RECOGNIZE (
         PARTITION BY user_id
@@ -104,6 +106,7 @@ class MatchRecognizeDifferentialSpec extends AnyFunSuite {
         ONE ROW PER MATCH
         AFTER MATCH $skip
         PATTERN (${elems.map(_.sqlText).mkString(" ")})
+        $withinSec
         $defineSec
       )""")
   }
@@ -113,20 +116,26 @@ class MatchRecognizeDifferentialSpec extends AnyFunSuite {
     Cep.matchSortedG[MrEv](events, p, _.ts_us, _.id)
       .map(m => ((m.binds.head.ev.id - 1).toInt, (m.binds.last.ev.id - 1).toInt))
 
-  /** Regex oracle spans under the two skip disciplines. */
-  private def oracleSpans(s: String, regex: String, pastLast: Boolean): List[(Int, Int)] = {
+  /** Regex oracle spans under the two skip disciplines. A WITHIN of k
+   * seconds (events are 1 s apart) admits at most k+1 rows per match;
+   * truncating the region to `p + k + 1` enforces exactly the engine's
+   * in-window candidate pruning, preserving backtracking preference
+   * inside the window. */
+  private def oracleSpans(s: String, regex: String, pastLast: Boolean,
+      withinRows: Int = Int.MaxValue): List[(Int, Int)] = {
     val m = java.util.regex.Pattern.compile(regex).matcher(s)
+    def limit(p: Int): Int = math.min(s.length.toLong, p.toLong + withinRows).toInt
     val out = List.newBuilder[(Int, Int)]
     if (pastLast) {
       var p = 0
       while (p < s.length) {
-        m.region(p, s.length)
+        m.region(p, limit(p))
         if (m.lookingAt() && m.end() > m.start()) { out += ((p, m.end() - 1)); p = m.end() }
         else p += 1
       }
     } else {
       (0 until s.length).foreach { p =>
-        m.region(p, s.length)
+        m.region(p, limit(p))
         if (m.lookingAt() && m.end() > m.start()) out += ((p, m.end() - 1))
       }
     }
@@ -139,12 +148,15 @@ class MatchRecognizeDifferentialSpec extends AnyFunSuite {
       val events = bandSeq.zipWithIndex.map { case (b, i) => mrev(i, b) }
       val chars = bandSeq.map(b => ('a' + b).toChar).mkString
       val regex = elems.map(_.regexText).mkString
-      for ((skipSql, pastLast) <- List("SKIP PAST LAST ROW" -> true, "SKIP TO NEXT ROW" -> false)) {
-        val spec = parseSpec(elems, skipSql)
+      for ((skipSql, pastLast) <- List("SKIP PAST LAST ROW" -> true, "SKIP TO NEXT ROW" -> false);
+           within <- List(None, Some(3))) {
+        val spec = parseSpec(elems, skipSql, within)
         val got = engineSpans(events, spec.pattern)
-        val want = oracleSpans(chars, regex, pastLast)
+        val want = oracleSpans(chars, regex, pastLast,
+          within.map(_ + 1).getOrElse(Int.MaxValue))
         assert(got == want,
-          s"\nseed=$seed skip=$skipSql\nevents=$chars\npattern=${elems.map(_.sqlText).mkString(" ")}" +
+          s"\nseed=$seed skip=$skipSql within=$within\nevents=$chars" +
+            s"\npattern=${elems.map(_.sqlText).mkString(" ")}" +
             s"\nregex=$regex\nengine=$got\noracle=$want")
       }
     }
