@@ -484,6 +484,22 @@ object StreamQueries extends QueryPack {
 
     // Streaming OVER: per-user running count + integer-cent running sum
     // in (event time, id) order (append stream, one row out per row in).
+    // CURRENT_WATERMARK(rowtime) — reference FLIP-162: every row
+    // stamped with the watermark in force when its batch ran. Events
+    // are staged as two micro-batches (even ids, then odd), so the
+    // first batch sees no watermark (NULL — the reference contract)
+    // and the second sees exactly max(even ts) floored to ms minus the
+    // 10-minute delay. The watermark VALUE itself is oracle-checked.
+    "stream_current_watermark" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      StreamOps.runToBatch(
+        s, StatefulOps.currentWatermark(
+          StreamOps.eventsTypedHalves(s, dir), "10 minutes").toDF(),
+        "append", "stream_wm")
+        .select(col("event_id"), col("ts_us"), col("wm_us"))
+        .orderBy(col("event_id"))
+    }),
+
     "stream_over_running" -> ((s0, dir) => {
       val s = StreamOps.tuned(s0)
       StreamOps.runToBatch(
@@ -1027,6 +1043,13 @@ object StreamQueries extends QueryPack {
                      ORDER BY value DESC, event_id) AS rn
             FROM events) t
       WHERE rn <= 3 ORDER BY event_type, rn""",
+    "stream_current_watermark" -> """
+      SELECT event_id,
+             epoch_us(ts) AS ts_us,
+             CASE WHEN event_id % 2 = 0 THEN NULL
+                  ELSE (SELECT (CAST(floor(epoch_us(max(ts)) / 1000) AS BIGINT) - 600000) * 1000
+                        FROM events WHERE event_id % 2 = 0) END AS wm_us
+      FROM events ORDER BY event_id""",
     "stream_over_running" -> """
       SELECT user_id, event_id,
              count(*) OVER w AS running_n,

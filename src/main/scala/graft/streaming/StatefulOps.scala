@@ -194,6 +194,31 @@ object StatefulOps {
       })
   }
 
+  case class WmRow(event_id: Long, user_id: Long, ts_us: Long, wm_us: Option[Long])
+
+  /** CURRENT_WATERMARK(rowtime) analog (reference FLIP-162,
+   * `BuiltInFunctionDefinitions.CURRENT_WATERMARK`): stamp every row
+   * with the operator's current event-time watermark, NULL before the
+   * first watermark is emitted (the reference contract for a query
+   * that has produced no watermark yet). The keyed state op exists
+   * only to read the per-batch watermark — it holds no state, so the
+   * keyspace costs nothing at scale. */
+  def currentWatermark(ds: Dataset[Ev], watermarkDelay: String): Dataset[WmRow] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val withWm = ds.toDF()
+      .withColumn("__event_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("__event_ts", watermarkDelay)
+      .as[Ev]
+    withWm.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, WmRow](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, it, state: GroupState[Long]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val wm = if (wmMs > 0) Some(wmMs * 1000L) else None
+          it.filter(_.event_id >= 0).map(e => WmRow(e.event_id, e.user_id, e.ts_us, wm))
+      }
+  }
+
   /** Control/data streams into one keyed state op (the reference's
    * broadcast-state / connected-streams pattern,
    * `KeyedBroadcastProcessFunction`): Spark state operators are

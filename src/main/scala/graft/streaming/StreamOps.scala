@@ -75,6 +75,36 @@ object StreamOps {
       .as[Ev]
   }
 
+  /** The events stream staged as TWO parquet files (even event_ids,
+   * then odd) read with maxFilesPerTrigger=1: the second batch runs
+   * under the watermark the first batch advanced, so per-batch
+   * watermark VALUES are themselves deterministic and oracle-checkable
+   * — the harness for the CURRENT_WATERMARK surface (reference
+   * FLIP-162 `BuiltInFunctionDefinitions.CURRENT_WATERMARK`). */
+  def eventsTypedHalves(spark: SparkSession, dir: String): Dataset[Ev] = {
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_evhalves")
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val tsIsLong = batch.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    Seq(0, 1).foreach { par =>
+      val before = listParquets(work)
+      batch.filter(col("event_id") % 2 === par).coalesce(1)
+        .write.mode("append").parquet(work.toString)
+      (listParquets(work) -- before).foreach(p =>
+        Files.setLastModifiedTime(p, FileTime.fromMillis(10000L + par * 10000L)))
+    }
+    val sdf = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/*.parquet")
+    val norm =
+      if (tsIsLong) sdf.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      else sdf
+    norm.select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"))
+      .as[Ev]
+  }
+
   /** The events stream staged with TWO rounds of PER-KEY far-future
    * sentinel rows, each file its own micro-batch (maxFilesPerTrigger=1,
    * explicit mtime ordering): round 1 advances the watermark past all
