@@ -425,4 +425,21 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("BatchEvalPython") && !p.contains("CodegenFallback"),
       s"expression fell out of codegen:\n$p")
   }
+
+  test("DSIR weights: the 64-row bucket table broadcasts into the per-doc join") {
+    val p = plan(graft.queries.TextQueries.queries("text_dsir_weights")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"bucket join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"unexpected cartesian (the 1-row totals frame must broadcast):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no shuffle join should appear — both joins broadcast:\n$p")
+  }
+
+  test("domain mix: constant max-quota conjunct keeps WindowGroupLimit eligible") {
+    val p = plan(graft.operators.Sampling.mixDomains(
+      Tables.load(spark, dir, "documents"), "lang", "doc_id",
+      Map("en" -> 80, "de" -> 40, "es" -> 40, "fr" -> 20, "zh" -> 20)))
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter lost the per-partition group-limit optimization:\n$p")
+  }
 }
