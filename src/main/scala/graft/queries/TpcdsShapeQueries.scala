@@ -1045,7 +1045,47 @@ object TpcdsShapeQueries extends QueryPack {
       GROUP BY p_brand
       ORDER BY p_brand"""
 
+  // Q92/Q32 family: "excess discount" — rows priced above a multiple
+  // of the per-key average of the SAME fact, expressed as TWO
+  // correlated scalar aggregates (count and sum) so the threshold
+  // compare is cross-multiplied on the integer-cent grid (10*cents*n >
+  // 13*sum_cents ⟺ cents > 1.3*avg, no float boundary). The planner
+  // must decorrelate both scalars into aggregate self-joins of the
+  // fact — the distinctive stress of this query family.
+  private val q92 = """
+      SELECT CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS excess_cents,
+             CAST(count(*) AS BIGINT) AS n_excess
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_size BETWEEN 20 AND 30
+        AND 10 * CAST(floor(l.l_extendedprice * 100) AS BIGINT)
+              * (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+            > 13 * (SELECT sum(CAST(floor(l3.l_extendedprice * 100) AS BIGINT))
+                    FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)"""
+
+  // Q6 family: customers (per geography) who bought items priced at
+  // least 1.04x the average (the synthetic price spread tops out at 1.06x, so the classic 1.2 never fires; 26/25 keeps the compare integral) of the item's category, counted with a
+  // HAVING floor — category average again via paired correlated
+  // scalars on the dim, cross-multiplied in BIGINT.
+  private val q6 = """
+      SELECT n.n_name, CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_cust
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE o.o_orderdate >= @TS '1995-01-01 00:00:00'
+        AND o.o_orderdate < @TS '1997-01-01 00:00:00'
+        AND 25 * CAST(floor(p.p_retailprice * 100) AS BIGINT)
+              * (SELECT count(*) FROM part p2 WHERE p2.p_type = p.p_type)
+            > 26 * (SELECT sum(CAST(floor(p3.p_retailprice * 100) AS BIGINT))
+                    FROM part p3 WHERE p3.p_type = p.p_type)
+      GROUP BY n.n_name
+      HAVING count(DISTINCT c.c_custkey) >= 10
+      ORDER BY n.n_name"""
+
   private val texts: Map[String, (Seq[String], String)] = Map(
+    "tpcds_q92_excess_threshold" -> (Seq("lineitem", "part") -> q92),
+    "tpcds_q6_category_avg" -> (Seq("customer", "orders", "lineitem", "part", "nation") -> q6),
     "tpcds_q98_revenue_share" -> (Seq("lineitem") -> q98),
     "tpcds_q15_or_disjunction" -> (Seq("orders") -> q15),
     "tpcds_q37_range_dim_semi" -> (Seq("part", "lineitem") -> q37),
