@@ -184,3 +184,54 @@ object AsyncLookup {
     }
   }
 }
+
+/**
+ * Bounded lookup cache (reference `lookup.cache.max-rows` +
+ * `lookup.cache.ttl`, `flink-connector-jdbc/.../JdbcConnectorOptions.java`
+ * → the Guava cache in `JdbcRowDataLookupFunction`): wraps any
+ * LookupTable with an access-order LRU of at most `maxRows` entries,
+ * each expiring `ttlMs` after write. MISSES are cached too — the
+ * reference caches empty results, shielding the dimension store from
+ * hot missing keys.
+ *
+ * Scale: the cache is per serialized copy (per partition/task), which
+ * is exactly the reference's per-subtask cache scope — at 1000
+ * executors, 1000 independent caches, each bounded by `maxRows`.
+ * `clock` is injectable so TTL behavior is deterministically testable.
+ */
+class CachedLookupTable[K, V](inner: LookupJoin.LookupTable[K, V],
+    maxRows: Int, ttlMs: Long,
+    clock: () => Long = () => System.currentTimeMillis())
+  extends LookupJoin.LookupTable[K, V] {
+
+  require(maxRows > 0 && ttlMs > 0, "maxRows and ttlMs must be positive")
+
+  @transient private var cache: java.util.LinkedHashMap[K, (Long, Option[V])] = _
+  @transient private var innerCalls0 = 0L
+
+  /** Lookups that reached the wrapped table (spec instrumentation). */
+  def innerCalls: Long = innerCalls0
+
+  override def open(): Unit = {
+    inner.open()
+    cache = new java.util.LinkedHashMap[K, (Long, Option[V])](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[K, (Long, Option[V])]): Boolean =
+        size() > maxRows
+    }
+  }
+
+  override def lookup(k: K): Option[V] = {
+    if (cache == null) open() // wrapped opens are idempotent
+    val now = clock()
+    val hit = cache.get(k)
+    if (hit != null && now - hit._1 < ttlMs) hit._2
+    else {
+      innerCalls0 += 1
+      val v = inner.lookup(k)
+      cache.put(k, (now, v))
+      v
+    }
+  }
+
+  override def close(): Unit = { cache = null; inner.close() }
+}

@@ -170,6 +170,31 @@ object UdfQueries extends QueryPack {
         .orderBy(col("c_custkey"))
     }),
 
+    // Cached JDBC lookup join (reference lookup.cache.max-rows +
+    // lookup.cache.ttl): the per-partition point-read client sits
+    // behind a bounded LRU with TTL, so hot keys stop hitting the
+    // store — results identical to the uncached probe.
+    "lookup_join_cached" -> ((s, dir) => {
+      import s.implicits._
+      val db = java.nio.file.Files.createTempDirectory("graft_jlkc").toString + "/db"
+      val url = s"jdbc:derby:$db;create=true"
+      Tables.load(s, dir, "nation").select("n_nationkey", "n_name")
+        .write.format("jdbc")
+        .option("url", url).option("dbtable", "NATION_LKP")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .option("createTableColumnTypes", "n_nationkey BIGINT, n_name VARCHAR(64)")
+        .mode("overwrite").save()
+      val table = new graft.operators.CachedLookupTable(
+        new graft.operators.JdbcKvTable(url,
+          "org.apache.derby.jdbc.EmbeddedDriver", "NATION_LKP", "n_nationkey", "n_name"),
+        maxRows = 16, ttlMs = 600000L)
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")).as[(Long, Long)]
+      LookupJoin(cust, table)(_._2) { case ((ck, _), name) => (ck, name.getOrElse("?")) }
+        .toDF("c_custkey", "n_name")
+        .orderBy(col("c_custkey"))
+    }),
+
     // Async lookup join (ordered, bounded in-flight futures) probing
     // the same per-task KV client.
     "lookup_join_async" -> ((s, dir) => {
@@ -226,6 +251,10 @@ object UdfQueries extends QueryPack {
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       ORDER BY c_custkey""",
     "lookup_join_async" -> """
+      SELECT c_custkey, n_name
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      ORDER BY c_custkey""",
+    "lookup_join_cached" -> """
       SELECT c_custkey, n_name
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       ORDER BY c_custkey"""

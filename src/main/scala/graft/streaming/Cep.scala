@@ -34,7 +34,15 @@ case class CepBoundG[T](key: String, start_us: Long, end_us: Long, binds: List[B
  * (ids of still-buffered events that participated in an emitted match)
  * is tracked only when unmatched-row emission is on. */
 case class CepStateG[T](buffer: List[T], emitted: List[(Long, Long)],
-    matchedIds: List[Long] = Nil)
+    matchedIds: List[Long] = Nil,
+    // Cross-batch skip floor (SkipPastLast/SkipToFirst/SkipToLast):
+    // "the next match must start at an event with (ts, id) at least /
+    // strictly after this". Eviction can remove an emitted match's
+    // start while later events survive; without the floor the re-scan
+    // would surface a sub-match the skip had shadowed (per-start dedup
+    // cannot catch it — the shadowed start is a different event).
+    floorTs: Long = Long.MinValue, floorId: Long = Long.MinValue,
+    floorStrict: Boolean = false)
 
 /**
  * A linear CEP pattern over an arbitrary event type `T`: ordered steps,
@@ -920,8 +928,55 @@ object Cep {
             if (!anyPattern) id(m.binds.head.ev)
             else m.binds.foldLeft(m.binds.length.toLong)((h, b) => mix(h, id(b.ev)))
           val seen = st.emitted.map(p => (p._1, p._2)).toSet
-          val fresh = confirmed.filterNot(m => seen.contains((m.start_us, sig(m))))
+          // The after-match skip contract must survive eviction: a
+          // match may only start at or after the persisted floor (set
+          // below from every emitted match's skip jump target).
+          // NoSkip/SkipToNext never set a floor. Late out-of-order
+          // completions of a pre-floor start are suppressed too — the
+          // skip consumed that region and emitted matches cannot be
+          // retracted (same stance as the reference's non-retractable
+          // skip regions under late events).
+          def cmpFloor(ts: Long, eid: Long): Int = {
+            val c = java.lang.Long.compare(ts, st.floorTs)
+            if (c != 0) c else java.lang.Long.compare(eid, st.floorId)
+          }
+          def floorAllows(m: MatchG[T]): Boolean = {
+            val c = cmpFloor(m.start_us, id(m.binds.head.ev))
+            if (st.floorStrict) c > 0 else c >= 0
+          }
+          val fresh = confirmed
+            .filterNot(m => seen.contains((m.start_us, sig(m))))
+            .filter(floorAllows)
           val emitted = st.emitted ++ fresh.map(m => (m.start_us, sig(m)))
+          // advance the floor to each fresh match's skip jump target
+          def stepOf(n: String): String = n.takeWhile(_ != '#')
+          val (floorTs, floorId, floorStrict) =
+            fresh.foldLeft((st.floorTs, st.floorId, st.floorStrict)) { case (f @ (fts, fid, fst), m) =>
+              val startId = id(m.binds.head.ev)
+              val target: Option[(Long, Long, Boolean)] = pattern.skip match {
+                case SkipPastLast => // resume AFTER the last consumed event
+                  val e = m.binds.last.ev; Some((time(e), id(e), true))
+                case SkipToFirst(s0) => // resume AT the first event bound to s0
+                  m.binds.find(b => stepOf(b.step) == s0).map { b =>
+                    val (ts, eid) = (time(b.ev), id(b.ev))
+                    // jump to the start itself degenerates to start+1
+                    if (ts == m.start_us && eid == startId) (ts, eid, true) else (ts, eid, false)
+                  }.orElse(Some((m.start_us, startId, true)))
+                case SkipToLast(s0) =>
+                  m.binds.reverse.find(b => stepOf(b.step) == s0).map { b =>
+                    val (ts, eid) = (time(b.ev), id(b.ev))
+                    if (ts == m.start_us && eid == startId) (ts, eid, true) else (ts, eid, false)
+                  }.orElse(Some((m.start_us, startId, true)))
+                case _ => None // NoSkip / SkipToNext: no shadow to persist
+              }
+              target.fold(f) { case (ts, eid, strict) =>
+                val c = java.lang.Long.compare(ts, fts)
+                val c2 = if (c != 0) c else java.lang.Long.compare(eid, fid)
+                if (c2 > 0) (ts, eid, strict)
+                else if (c2 == 0) (fts, fid, fst || strict)
+                else f
+              }
+            }
           val (kept, evicted) = buffer.partition(e => live(time(e)))
           val unmatchedOut =
             if (!unmatched) Nil
@@ -941,7 +996,8 @@ object Cep {
               (st.matchedIds ++ fresh.flatMap(_.binds.map(b => id(b.ev))))
                 .distinct.filter(keptIds)
             }
-          state.update(CepStateG(kept, emitted.filter(p => live(p._1)), keptMatched))
+          state.update(CepStateG(kept, emitted.filter(p => live(p._1)), keptMatched,
+            floorTs, floorId, floorStrict))
           (fresh.iterator.map(m => CepBoundG(k, m.start_us, m.end_us, m.binds))
             ++ unmatchedOut.iterator)
   }

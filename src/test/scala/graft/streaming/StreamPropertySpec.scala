@@ -160,4 +160,68 @@ class StreamPropertySpec extends SparkSuite {
       } finally q.stop()
     }
   }
+
+  test("property: streaming CEP equals the batch matcher under random micro-batch splits") {
+    // Patterns whose FINAL step is mandatory with a predicate disjoint
+    // from the preceding quantifier's: a match is complete only when
+    // its true last event arrives, so the per-batch re-evaluation must
+    // reproduce the full-history matcher EXACTLY — this pins the
+    // cross-batch buffering, watermark eviction timing (an event
+    // needed by a future match must never evict early), and the
+    // once-only dedup markers. (Patterns with a quantified/optional
+    // TAIL are excluded by design: the engine emits the preferred
+    // match as of the completing batch and does not re-emit when a
+    // later batch would have extended it — documented subset.)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val W = 2000L // within horizon (us)
+    val patterns: List[(String, Cep.Pattern[Ev])] = List(
+      "next" -> Cep.Pattern.begin("a", _.event_type == "a")
+        .next("b", _.event_type == "b").within(W),
+      "followedBy_skip" -> Cep.Pattern.begin("a", _.event_type == "a")
+        .followedBy("b", _.event_type == "b").within(W)
+        .afterMatchSkip(Cep.SkipPastLast),
+      "plus_tail" -> Cep.Pattern.begin("a", _.event_type == "a")
+        .oneOrMoreNext("bs", _.event_type == "b")
+        .next("c", _.event_type == "c").within(W),
+      // STRICT v{1,3}: the optional reps are pinned by adjacency, so
+      // in-order arrival can never grow an emitted match's run. (The
+      // fluent relaxed timesRange is excluded by design: a relaxed run
+      // can extend AFTER a completion emits, and the engine's
+      // per-start dedup keeps the first completion — documented.)
+      "strict_range_tail" -> Cep.Pattern.begin("a", _.event_type == "a")
+        .next("v#1", _.event_type == "b")
+        .stepIter("v#2", (e, _) => e.event_type == "b", strict = true, Cep.Optional)
+        .stepIter("v#3", (e, _) => e.event_type == "b", strict = true, Cep.Optional)
+        .followedBy("c", _.event_type == "c").within(W)
+        .afterMatchSkip(Cep.SkipPastLast))
+    for (seed <- 40L to 41L; (pname, pat) <- patterns) {
+      val rnd = new scala.util.Random(seed * 1009 + pname.hashCode)
+      val events = (1 to 60).map(i =>
+        Ev(i.toLong, 1L + rnd.nextInt(2), Seq("a", "b", "c")(rnd.nextInt(3)), i * 100L, 1.0))
+      val want = events.groupBy(_.user_id).toList.flatMap { case (u, evs) =>
+        Cep.matchSorted(evs.sortBy(e => (e.ts_us, e.event_id)).toIndexedSeq, pat)
+          .map(m => (u, m.event_ids))
+      }.toSet
+      val ms = MemoryStream[Ev]
+      val name = StreamOps.freshName("cep_diff")
+      val q = Cep.run(ms.toDS(), pat, "0 seconds").toDF()
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        var i = 0
+        while (i < events.length) { // ts-ordered, random batch sizes
+          val n = 1 + rnd.nextInt(7)
+          ms.addData(events.slice(i, i + n): _*)
+          q.processAllAvailable()
+          i += n
+        }
+        val got = spark.table(name).as[CepMatch].collect()
+          .map(m => (m.user_id, m.event_ids)).toSet
+        assert(got == want,
+          s"seed=$seed pattern=$pname\nstreaming=$got\nbatch=$want\n" +
+            s"missing=${want -- got} extra=${got -- want}")
+      } finally q.stop()
+    }
+  }
 }
