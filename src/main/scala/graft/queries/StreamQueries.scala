@@ -599,6 +599,18 @@ object StreamQueries extends QueryPack {
         .orderBy(col("user_id"), col("win_idx"))
     }),
 
+    // SLIDING count window (reference countWindow(size, slide)):
+    // every 2nd released row fires an aggregate of the last up-to-5
+    // rows — GlobalWindow + CountEvictor(5) + CountTrigger(2).
+    "stream_count_window_sliding" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val out = graft.streaming.CountSession.countWindowSliding(
+        StreamOps.eventsTypedWithKeyedSentinels(s, dir), size = 5, slide = 2)
+      StreamOps.runToBatch(s, out.toDF(), "append", "stream_cwslide")
+        .filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("fire_idx"))
+    }),
+
     // Dynamic-gap session windows, streaming (reference
     // DynamicEventTimeSessionWindows + SessionWindowTimeGapExtractor):
     // clicks close after 10 minutes of quiet, other events after 30 —
@@ -1111,6 +1123,20 @@ object StreamQueries extends QueryPack {
       FROM ranked GROUP BY user_id, win_idx
       HAVING count(*) = 5
       ORDER BY user_id, win_idx""",
+    "stream_count_window_sliding" -> """
+      WITH ranked AS (
+        SELECT user_id, value, event_id,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events)
+      SELECT user_id, CAST(rn / 2 AS BIGINT) AS fire_idx,
+             CAST(least(rn, 5) AS BIGINT) AS n_rows,
+             CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS win_cents
+      FROM ranked
+      QUALIFY rn % 2 = 0
+      ORDER BY user_id, fire_idx""",
     "stream_session_dynamic" -> """
       WITH g AS (
         SELECT user_id, ts, value,

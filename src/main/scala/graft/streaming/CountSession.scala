@@ -7,6 +7,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** One closed count window: `win_idx` is the per-key 1-based window
  * number, `win_cents` the integer-cent sum of its `n_rows` rows. */
 case class CountWindowRow(user_id: Long, win_idx: Long, n_rows: Long, win_cents: Long)
+case class CountSlideRow(user_id: Long, fire_idx: Long, n_rows: Long, win_cents: Long)
+case class CountSlideState(pending: List[Ev], released: Long, ring: List[Long])
 
 /** One closed dynamic-gap session: [ws_us, we_us) where we_us is the
  * max over session rows of ts + gap(row). */
@@ -81,6 +83,45 @@ object CountSession {
             }
           }
           state.update(CountWindowState(pending, released, acc))
+          out.result().iterator
+      })
+  }
+
+  /** SLIDING count window (reference `countWindow(size, slide)` =
+   * GlobalWindow + CountEvictor(size) + CountTrigger(slide)): fires
+   * every `slide` released rows, each firing aggregating the last
+   * min(size, released) rows. Same strict watermark-ordered release
+   * discipline as [[countWindow]]; state adds only an O(size) ring of
+   * the most recent per-row values. */
+  def countWindowSliding(ds: Dataset[Ev], size: Int, slide: Int,
+      watermarkDelay: String = "0 seconds",
+      ttl: Option[String] = None): Dataset[CountSlideRow] = {
+    import ds.sparkSession.implicits._
+    require(size > 0 && slide > 0, "size and slide must be positive")
+    Ttl.guard(ttl, watermarkDelay)
+    val withWm = ds.toDF()
+      .withColumn("__event_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("__event_ts", watermarkDelay)
+      .as[Ev]
+    withWm.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CountSlideState, CountSlideRow](
+          OutputMode.Append, Ttl.timeoutConf(ttl))(Ttl.wrap(ttl) {
+        (key, it, state: GroupState[CountSlideState]) =>
+          val st = state.getOption.getOrElse(CountSlideState(Nil, 0L, Nil))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val all = (st.pending ++ it.filter(_.event_id >= 0))
+            .sortBy(e => (e.ts_us, e.event_id))
+          val (ready, pending) = all.partition(_.ts_us < wmUs)
+          var released = st.released
+          var ring = st.ring // newest last, at most `size` entries
+          val out = List.newBuilder[CountSlideRow]
+          ready.foreach { e =>
+            released += 1
+            ring = (ring :+ cents(e)).takeRight(size)
+            if (released % slide == 0)
+              out += CountSlideRow(key, released / slide, ring.length.toLong, ring.sum)
+          }
+          state.update(CountSlideState(pending, released, ring))
           out.result().iterator
       })
   }
