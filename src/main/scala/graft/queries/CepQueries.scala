@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.QueryPack
+import graft.{QueryPack, Tables}
 import graft.streaming.{Cep, StreamOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -185,6 +185,33 @@ object CepQueries extends QueryPack {
       StreamOps.runToBatch(s,
           graft.sqlx.MatchRecognize.run(StreamOps.eventsTyped(s, dir), mrSql),
           "append", "mr_alt")
+        .orderBy(col("click_id"))
+    }),
+
+    // BATCH-mode MATCH_RECOGNIZE (reference BatchExecMatch — the same
+    // SQL text runs in bounded queries): identical parse/compile/
+    // measures, but the matcher runs once per key over the sorted
+    // bounded input — no streaming machinery. Same query text and
+    // oracle as the streaming alternation gate, so the two modes are
+    // pinned result-identical.
+    "match_recognize_batch" -> ((s, dir) => {
+      val mrSql = """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES C.event_id AS click_id, H.event_id AS h_id, L.event_id AS l_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (C (H | L))
+          WITHIN INTERVAL '30' MINUTE
+          DEFINE C AS C.event_type = 'click',
+                 H AS H.value >= 0.5,
+                 L AS L.value < 0.5
+        )"""
+      val batch = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"))
+      graft.sqlx.MatchRecognize.runBatch(batch, mrSql, "event_id")
         .orderBy(col("click_id"))
     }),
 
@@ -556,6 +583,19 @@ object CepQueries extends QueryPack {
         AND ts <= pts + INTERVAL 60 MINUTE
       ORDER BY click_id""",
     "match_recognize_alternation" -> """
+      WITH o AS (
+        SELECT user_id, event_id, event_type, value, ts,
+               lead(event_id) OVER w AS nid, lead(value) OVER w AS nval,
+               lead(ts) OVER w AS nts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, event_id AS click_id,
+             CASE WHEN nval >= 0.5 THEN nid END AS h_id,
+             CASE WHEN nval < 0.5 THEN nid END AS l_id
+      FROM o WHERE event_type = 'click' AND nid IS NOT NULL
+        AND nts <= ts + INTERVAL 30 MINUTE
+      ORDER BY click_id""",
+    "match_recognize_batch" -> """
       WITH o AS (
         SELECT user_id, event_id, event_type, value, ts,
                lead(event_id) OVER w AS nid, lead(value) OVER w AS nval,

@@ -599,6 +599,21 @@ object StreamQueries extends QueryPack {
         .orderBy(col("user_id"), col("win_idx"))
     }),
 
+    // Streaming keep-FIRST dedup — Spark's NATIVE streaming
+    // dropDuplicates (reference DeduplicateKeepFirstRowFunction; the
+    // keep-last half needs the custom keepLastBy op, gated
+    // separately). Keys-only projection: WHICH keys exist is
+    // deterministic; which physical row represented a key first is
+    // partition-order-dependent, so the gate asserts the key set.
+    "stream_dedup_keepfirst" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val sdf = StreamOps.readStream(s, dir, "events")
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+      StreamOps.runToBatch(s, sdf, "append", "stream_keepfirst")
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     // SLIDING count window (reference countWindow(size, slide)):
     // every 2nd released row fires an aggregate of the last up-to-5
     // rows — GlobalWindow + CountEvictor(5) + CountTrigger(2).
@@ -1123,6 +1138,9 @@ object StreamQueries extends QueryPack {
       FROM ranked GROUP BY user_id, win_idx
       HAVING count(*) = 5
       ORDER BY user_id, win_idx""",
+    "stream_dedup_keepfirst" -> """
+      SELECT DISTINCT user_id, event_type FROM events
+      ORDER BY user_id, event_type""",
     "stream_count_window_sliding" -> """
       WITH ranked AS (
         SELECT user_id, value, event_id,

@@ -614,7 +614,20 @@ object MatchRecognize {
    * per SQL:2016; FIRST/LAST stay navigation).
    */
   def run(df: DataFrame, sql: String, idCol: String,
-      watermarkDelay: String = "1 hour"): DataFrame = {
+      watermarkDelay: String = "1 hour"): DataFrame =
+    exec(df, sql, idCol, Some(watermarkDelay))
+
+  /** BATCH-mode MATCH_RECOGNIZE (reference `BatchExecMatch` — the
+   * same SQL runs in bounded queries): identical parse, compile, and
+   * measure projection; the matcher runs once per key over the sorted
+   * bounded input via [[Cep.batchBoundBy]] — no watermark machinery,
+   * and WITH UNMATCHED ROWS needs no WITHIN (the full input makes
+   * 'participates in no match' exact). */
+  def runBatch(df: DataFrame, sql: String, idCol: String): DataFrame =
+    exec(df, sql, idCol, None)
+
+  private def exec(df: DataFrame, sql: String, idCol: String,
+      streamingDelay: Option[String]): DataFrame = {
     val schema = df.schema
     val layout = MrLayout.of(schema)
     val spec = parse(sql, layout)
@@ -654,11 +667,16 @@ object MatchRecognize {
       arrOf(layout.strFields, "string", StringType).as("strs")).as[MrEv]
     if (spec.withUnmatched && !spec.allRows)
       fail("WITH UNMATCHED ROWS requires ALL ROWS PER MATCH")
-    if (spec.withUnmatched && spec.pattern.withinUs == Long.MaxValue)
+    if (spec.withUnmatched && streamingDelay.isDefined &&
+        spec.pattern.withinUs == Long.MaxValue)
       fail("WITH UNMATCHED ROWS requires WITHIN (watermark eviction of the " +
         "within horizon is what makes 'participates in no match' final)")
-    val bound = Cep.runBoundBy(evs, spec.pattern, "key", "ts_us", "id",
-      watermarkDelay, unmatched = spec.withUnmatched).toDF()
+    val bound = streamingDelay match {
+      case Some(delay) => Cep.runBoundBy(evs, spec.pattern, "key", "ts_us", "id",
+        delay, unmatched = spec.withUnmatched).toDF()
+      case None => Cep.batchBoundBy(evs, spec.pattern, "key", "ts_us", "id",
+        unmatched = spec.withUnmatched).toDF()
+    }
 
     // cast a measure back to the input column's type (aggregates fold
     // through doubles; integral sources surface as their integral type)

@@ -789,6 +789,43 @@ object Cep {
    * a one-element match whose single bind carries the row. */
   val UnmatchedStep = "__unmatched"
 
+  /** BATCH-mode pattern matching over a bounded per-key dataset
+   * (reference `BatchExecMatch` — the batch planner runs the same
+   * MATCH_RECOGNIZE operator over sorted bounded input): per key,
+   * sort by (time, id) and run the matcher once. No watermark, no
+   * buffering state; `unmatched` emission is exact because the full
+   * input is known. Scale: flatMapGroups materializes one key's rows
+   * — the same per-key-sorted bound as the reference's batch match
+   * operator (keys are independent; the shuffle is by key). */
+  def batchBoundBy[T <: Product : TypeTag](ds: Dataset[T], pattern: Pattern[T],
+      keyField: String, timeField: String, idField: String,
+      unmatched: Boolean = false): Dataset[CepBoundG[T]] = {
+    validate(pattern)
+    implicit val tEnc: org.apache.spark.sql.Encoder[T] = Encoders.product[T]
+    implicit val outEnc: org.apache.spark.sql.Encoder[CepBoundG[T]] =
+      Encoders.product[CepBoundG[T]]
+    implicit val keyEnc: org.apache.spark.sql.Encoder[String] = Encoders.STRING
+    val schema = tEnc.schema
+    val (ki, ti, ii) = (schema.fieldIndex(keyField),
+      schema.fieldIndex(timeField), schema.fieldIndex(idField))
+    val key: T => String = t => String.valueOf(t.productElement(ki))
+    val time: T => Long = t => t.productElement(ti).asInstanceOf[Number].longValue
+    val id: T => Long = t => t.productElement(ii).asInstanceOf[Number].longValue
+    ds.groupByKey(key).flatMapGroups { (k: String, it: Iterator[T]) =>
+      val buf = it.toIndexedSeq.sortBy(e => (time(e), id(e)))
+      val ms = matchSortedG(buf, pattern, time, id)
+      val out = ms.map(m => CepBoundG(k, m.start_us, m.end_us, m.binds))
+      val un =
+        if (!unmatched) Nil
+        else {
+          val matched = ms.flatMap(_.binds.map(b => id(b.ev))).toSet
+          buf.filterNot(e => matched(id(e))).toList
+            .map(e => CepBoundG(k, time(e), time(e), List(BoundG(UnmatchedStep, e))))
+        }
+      (out ++ un).iterator
+    }
+  }
+
   def runBoundBy[T <: Product : TypeTag](ds: Dataset[T], pattern: Pattern[T],
       keyField: String, timeField: String, idField: String,
       watermarkDelay: String = "1 hour",
