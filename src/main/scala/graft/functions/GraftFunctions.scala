@@ -107,6 +107,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // ANALYSIS, before the streaming unsupported-operation check sees
     // the Window node (reference FlinkLogicalRankRule)
     ext.injectPostHocResolutionRule(s => graft.rules.StreamRankToTopNRule(s))
+    // streaming OVER aggregates (SUM/COUNT/MIN/MAX/AVG over bounded or
+    // unbounded preceding frames) → keyed watermark-released state op
+    // (reference StreamExecOverAggregate)
+    ext.injectPostHocResolutionRule(s => graft.rules.StreamOverAggRule(s))
     // FOR SYSTEM_TIME AS OF marked join → versioned-join state op
     // (reference LogicalCorrelateToJoinFromTemporalTableRule)
     ext.injectPostHocResolutionRule(s => graft.rules.StreamTemporalJoinRule(s))

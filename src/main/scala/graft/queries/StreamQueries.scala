@@ -427,6 +427,67 @@ object StreamQueries extends QueryPack {
     // into the keyed Top-N state operator. The gate asserts the Window
     // is gone from the rewritten plan, runs the update stream, and
     // re-ranks the distinct emitted candidates to the final image.
+    // SQL-transparent streaming OVER aggregation (reference
+    // StreamExecOverAggregate): plain window-function SQL on a
+    // streaming view plans into the keyed watermark-released state op
+    // via StreamOverAggRule — Spark alone cannot run a window function
+    // on a stream. Bounded ROWS frame, three aggregates in one window.
+    "stream_over_agg_sql" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val view = StreamOps.freshName("events_wm")
+      StreamOps.eventsTypedWithFinalWatermark(s, dir).toDF()
+        .withColumn("__event_ts", timestamp_micros(col("ts_us")))
+        .withWatermark("__event_ts", "0 seconds")
+        .createOrReplaceTempView(view)
+      val analyzed = s.sql(s"""
+        SELECT user_id, event_id, ts_us,
+               count(*) OVER w AS n_frame,
+               sum(cents) OVER w AS sum_frame,
+               max(cents) OVER w AS max_frame
+        FROM (SELECT user_id, event_id, ts_us, __event_ts,
+                     CAST(floor(value * 100) AS BIGINT) AS cents FROM $view)
+        WINDOW w AS (PARTITION BY user_id ORDER BY __event_ts
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""")
+        .queryExecution.analyzed
+      val rewritten = graft.rules.StreamOverAggRule(s)(analyzed)
+      require(rewritten.collectFirst {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.isEmpty, "streaming OVER rewrite did not fire")
+      StreamOps.runToBatch(s, org.apache.spark.sql.graft.SqlShim.ofRows(s, rewritten),
+          "append", "over_sql")
+        .filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Same rule, UNBOUNDED mode: the default ORDER BY frame (RANGE
+    // UNBOUNDED PRECEDING) becomes O(1) running accumulators per key —
+    // no row history at all (reference
+    // RowTimeRowsUnboundedPrecedingFunction).
+    "stream_over_running_sql" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val view = StreamOps.freshName("events_wm")
+      StreamOps.eventsTypedWithFinalWatermark(s, dir).toDF()
+        .withColumn("__event_ts", timestamp_micros(col("ts_us")))
+        .withWatermark("__event_ts", "0 seconds")
+        .createOrReplaceTempView(view)
+      val analyzed = s.sql(s"""
+        SELECT user_id, event_id, ts_us,
+               count(*) OVER w AS running_n,
+               sum(cents) OVER w AS running_cents
+        FROM (SELECT user_id, event_id, ts_us, __event_ts,
+                     CAST(floor(value * 100) AS BIGINT) AS cents FROM $view)
+        WINDOW w AS (PARTITION BY user_id ORDER BY __event_ts)""")
+        .queryExecution.analyzed
+      val rewritten = graft.rules.StreamOverAggRule(s)(analyzed)
+      require(rewritten.collectFirst {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.isEmpty, "streaming OVER rewrite did not fire")
+      StreamOps.runToBatch(s, org.apache.spark.sql.graft.SqlShim.ofRows(s, rewritten),
+          "append", "over_run_sql")
+        .filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     "stream_topn_sql" -> ((s0, dir) => {
       val s = StreamOps.tuned(s0)
       val view = StreamOps.freshName("events_stream")
@@ -1043,6 +1104,30 @@ object StreamQueries extends QueryPack {
                      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
             FROM events) t
       WHERE rn = 1 ORDER BY user_id""",
+    "stream_over_agg_sql" -> """
+      WITH src AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events)
+      SELECT user_id, event_id, ts_us,
+             CAST(count(*) OVER w AS BIGINT) AS n_frame,
+             CAST(sum(cents) OVER w AS BIGINT) AS sum_frame,
+             CAST(max(cents) OVER w AS BIGINT) AS max_frame
+      FROM src
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id""",
+    "stream_over_running_sql" -> """
+      WITH src AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events)
+      SELECT user_id, event_id, ts_us,
+             CAST(count(*) OVER w AS BIGINT) AS running_n,
+             CAST(sum(cents) OVER w AS BIGINT) AS running_cents
+      FROM src
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+      ORDER BY user_id, event_id""",
     "stream_topn_sql" -> """
       SELECT event_type, event_id, value, rn
       FROM (SELECT event_type, event_id, value,

@@ -1,0 +1,287 @@
+package graft.rules
+
+import org.apache.spark.sql.{Encoder, Encoders, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.CalendarInterval
+
+/**
+ * SQL-transparent streaming OVER aggregation: rewrite
+ *
+ *   Window(agg(x) OVER (PARTITION BY k ORDER BY ts
+ *            [ROWS|RANGE BETWEEN b PRECEDING AND CURRENT ROW]), child)
+ *
+ * on a STREAMING child into a keyed watermark-released state operator —
+ * the reference's `StreamExecOverAggregate` backed by
+ * `RowTimeRowsBoundedPrecedingFunction` / `RowTimeRangeBounded…` /
+ * the unbounded `RowTimeRowsUnboundedPrecedingFunction`. Spark cannot
+ * execute a window function on a stream at all, so without this
+ * rewrite the query is simply unsupported. Completes the
+ * SQL-transparency trio with `StreamRankToTopNRule` (ROW_NUMBER) and
+ * `StreamTemporalJoinRule` (FOR SYSTEM_TIME AS OF).
+ *
+ * Supported shape (anything else is left untouched): one partition
+ * attribute; ORDER BY one ascending time attribute (Timestamp[NTZ] or
+ * epoch-micros Long — rows release in that order once the watermark
+ * strictly passes them, so output is micro-batch-independent; ROWS
+ * ties release in arrival order — give unique order keys for
+ * deterministic output); SUM/COUNT/MIN/MAX/AVG over a direct numeric
+ * attribute (or COUNT(*)); every expression sharing one frame, which
+ * is ROWS n PRECEDING, RANGE interval PRECEDING, or UNBOUNDED
+ * PRECEDING — each ending at CURRENT ROW.
+ *
+ * Scale: state per key is the frame horizon — last n rows (ROWS),
+ * the range interval (RANGE), or O(#aggs) running accumulators
+ * (UNBOUNDED — no row history at all); input shuffles once on the
+ * partition key. Registered via `GraftExtensions` as a post-hoc
+ * resolution rule (must run before the streaming
+ * UnsupportedOperationChecker sees the Window node).
+ */
+case class StreamOverAggRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  private sealed trait Mode
+  private case class RowsMode(n: Int) extends Mode
+  private case class RangeMode(us: Long) extends Mode
+  private case object UnboundedMode extends Mode
+
+  // fn ∈ sum/count/min/max/avg; idx = input ordinal (-1 for COUNT(*))
+  private case class AggSpec(fn: String, idx: Int, in: DataType, out: DataType)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case w: Window if w.child.isStreaming => rewrite(w).getOrElse(w)
+  }
+
+  private def boundUs(e: Expression): Option[Long] = e match {
+    case lit if lit.foldable => lit.eval() match {
+      case i: Int => Some(-i.toLong)
+      case l: Long => Some(-l)
+      case ci: CalendarInterval if ci.months == 0 =>
+        Some(-(ci.days * 86400000000L + ci.microseconds))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def rewrite(w: Window): Option[LogicalPlan] = {
+    val child = w.child
+    val partAttr = w.partitionSpec match {
+      case Seq(a: Attribute) => a
+      case _ => return None
+    }
+    val ki = child.output.indexWhere(_.exprId == partAttr.exprId)
+    if (ki < 0) return None
+    val (ti, tsMicros) = w.orderSpec match {
+      case Seq(SortOrder(a: Attribute, Ascending, _, _)) =>
+        val i = child.output.indexWhere(_.exprId == a.exprId)
+        if (i < 0) return None
+        a.dataType match {
+          case TimestampType | TimestampNTZType => (i, false)
+          case LongType => (i, true)
+          case _ => return None
+        }
+      case _ => return None
+    }
+
+    var mode: Option[Mode] = None
+    def sameMode(m: Mode): Boolean = mode match {
+      case None => mode = Some(m); true
+      case Some(prev) => prev == m
+    }
+    val numericIn = Set[DataType](IntegerType, LongType, DoubleType)
+    val aggs: Seq[(Alias, AggSpec)] = w.windowExpressions.map {
+      case al @ Alias(WindowExpression(ae: AggregateExpression,
+          WindowSpecDefinition(_, _, frame)), _) if !ae.isDistinct =>
+        val m = frame match {
+          case SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) => UnboundedMode
+          case SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow) => UnboundedMode
+          case SpecifiedWindowFrame(RowFrame, lo, CurrentRow) =>
+            boundUs(lo) match {
+              case Some(n) if n >= 0 && n <= Int.MaxValue => RowsMode(n.toInt)
+              case _ => return None
+            }
+          case SpecifiedWindowFrame(RangeFrame, lo, CurrentRow) =>
+            boundUs(lo) match { case Some(us) if us >= 0 => RangeMode(us); case _ => return None }
+          case _ => return None
+        }
+        if (!sameMode(m)) return None
+        def ord(e: Expression): Int = e match {
+          case a: Attribute if numericIn(a.dataType) =>
+            val i = child.output.indexWhere(_.exprId == a.exprId)
+            if (i < 0) -2 else i // -2 = unsupported (never a valid ordinal)
+          case _ => -2
+        }
+        val spec = ae.aggregateFunction match {
+          case Count(Seq(Literal(1, _))) => AggSpec("count", -1, LongType, LongType)
+          case Count(Seq(e)) => AggSpec("count", ord(e), LongType, LongType)
+          case Sum(e, _) => AggSpec("sum", ord(e), e.dataType, ae.dataType)
+          case Min(e) => AggSpec("min", ord(e), e.dataType, ae.dataType)
+          case Max(e) => AggSpec("max", ord(e), e.dataType, ae.dataType)
+          case Average(e, _) => AggSpec("avg", ord(e), e.dataType, ae.dataType)
+          case _ => return None
+        }
+        // COUNT(*) legitimately carries idx -1; any other aggregate
+        // must reference a direct numeric child attribute
+        if (spec.idx < 0 && !(spec.fn == "count" && spec.idx == -1)) return None
+        // the spliced projection must reproduce the analyzed output
+        // type exactly; the evaluator below covers these combinations
+        if (!Set[DataType](LongType, DoubleType, IntegerType)(spec.out)) return None
+        (al, spec)
+      case _ => return None
+    }
+    if (aggs.isEmpty) return None
+    val theMode = mode.get
+
+    val df = org.apache.spark.sql.graft.SqlShim.ofRows(session, child)
+    val outSchema = StructType(child.schema.fields ++
+      aggs.map { case (al, s) => StructField(al.name, s.out, nullable = true) })
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val stEnc: Encoder[OverRuleState] = Encoders.kryo[OverRuleState]
+    implicit val outEnc: Encoder[Row] = Encoders.row(outSchema)
+
+    val tsOf: Row => Long =
+      if (tsMicros) r => r.get(ti).asInstanceOf[Number].longValue
+      else r => {
+        r.get(ti) match {
+          case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000) % 1000
+          case ldt: java.time.LocalDateTime =>
+            ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000
+          case inst: java.time.Instant => inst.getEpochSecond * 1000000L + inst.getNano / 1000
+          case n: Number => n.longValue
+        }
+      }
+    def numOf(r: Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.get(i).asInstanceOf[Number].doubleValue)
+    def longOf(r: Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.get(i).asInstanceOf[Number].longValue)
+
+    /** Fold one aggregate over the frame rows, shaped to `out`. */
+    def evalAgg(s: AggSpec, frame: Seq[Row]): Any = s.fn match {
+      case "count" =>
+        if (s.idx < 0) frame.size.toLong else frame.count(r => !r.isNullAt(s.idx))
+      case "avg" =>
+        val vs = frame.flatMap(r => numOf(r, s.idx))
+        if (vs.isEmpty) null else vs.sum / vs.size
+      case fn =>
+        val integral = s.in == IntegerType || s.in == LongType
+        if (integral) {
+          val vs = frame.flatMap(r => longOf(r, s.idx))
+          if (vs.isEmpty) null
+          else {
+            val v = fn match { case "sum" => vs.sum; case "min" => vs.min; case "max" => vs.max }
+            if (s.out == IntegerType) v.toInt else v
+          }
+        } else {
+          val vs = frame.flatMap(r => numOf(r, s.idx))
+          if (vs.isEmpty) null
+          else fn match { case "sum" => vs.sum; case "min" => vs.min; case "max" => vs.max }
+        }
+    }
+    def emit(r: Row, frame: Seq[Row]): Row =
+      Row.fromSeq(r.toSeq ++ aggs.map { case (_, s) => evalAgg(s, frame) })
+
+    val aggSpecs = aggs.map(_._2)
+    val updates = df.groupByKey(r => String.valueOf(r.get(ki)))
+      .flatMapGroupsWithState[OverRuleState, Row](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, it, state) =>
+          val st = state.getOption.getOrElse(OverRuleState(Nil, Nil, Nil))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // stable sort: ROWS ties keep arrival order (documented)
+          val all = (st.pending ++ it.toList).sortBy(tsOf)
+          // strict release — same peer-group-safety argument as the
+          // BoundedOver operator: a row at ts == watermark could still
+          // gain same-ts peers in a later batch
+          val (ready, pending) = all.partition(r => tsOf(r) < wmUs)
+          var hist = st.history
+          var accs = st.accs
+          val out = List.newBuilder[Row]
+          theMode match {
+            case UnboundedMode =>
+              // O(1) running accumulators; RANGE peers share the frame,
+              // which for sum/count/min/max/avg equals accumulate-then-
+              // emit-per-peer-group
+              if (accs.isEmpty) accs = aggSpecs.map(_ => OverAcc(0L, 0.0, 0L, None, None, None, None)).toList
+              ready.groupBy(tsOf).toList.sortBy(_._1).foreach { case (_, rows) =>
+                accs = accs.zip(aggSpecs).map { case (a, s) => rows.foldLeft(a)(accAdd(s)) }
+                rows.foreach { r =>
+                  out += Row.fromSeq(r.toSeq ++ accs.zip(aggSpecs).map { case (a, s) => accOut(s, a) })
+                }
+              }
+            case RowsMode(n) =>
+              ready.foreach { r =>
+                val fr = hist.takeRight(n) :+ r
+                out += emit(r, fr)
+                hist = (hist :+ r).takeRight(n)
+              }
+            case RangeMode(ru) =>
+              ready.groupBy(tsOf).toList.sortBy(_._1).foreach { case (t, rows) =>
+                hist = hist ++ rows
+                val fr = hist.filter(r => tsOf(r) >= t - ru)
+                rows.foreach(r => out += emit(r, fr))
+              }
+              hist = hist.filter(r => tsOf(r) >= wmUs - ru)
+          }
+          state.update(OverRuleState(pending, hist, accs))
+          if (pending.nonEmpty) {
+            val nextMs = (pending.map(tsOf).min + 999) / 1000
+            state.setTimeoutTimestamp(math.max(nextMs, state.getCurrentWatermarkMs() + 1))
+          }
+          out.result().iterator
+      }
+
+    // splice back with the ORIGINAL output attribute ids
+    val newOut = updates.queryExecution.analyzed.output
+    val aliases: Seq[NamedExpression] = w.output.map { orig =>
+      val src = aggs.indexWhere(_._1.exprId == orig.exprId) match {
+        case -1 => newOut.find(_.name == orig.name).getOrElse(return None)
+        case i => newOut(child.output.length + i)
+      }
+      Alias(src, orig.name)(exprId = orig.exprId)
+    }
+    Some(Project(aliases, updates.queryExecution.analyzed))
+  }
+
+  /** Accumulate one row into one aggregate's running state. */
+  private def accAdd(s: AggSpec)(a: OverAcc, r: Row): OverAcc = {
+    if (s.idx >= 0 && r.isNullAt(s.idx)) return if (s.fn == "count") a else a
+    s.fn match {
+      case "count" => a.copy(cnt = a.cnt + 1)
+      case _ =>
+        val num = r.get(s.idx).asInstanceOf[Number]
+        OverAcc(a.cnt + 1, a.sumD + num.doubleValue, a.sumL + num.longValue,
+          Some(a.minD.fold(num.doubleValue)(math.min(_, num.doubleValue))),
+          Some(a.maxD.fold(num.doubleValue)(math.max(_, num.doubleValue))),
+          Some(a.minL.fold(num.longValue)(math.min(_, num.longValue))),
+          Some(a.maxL.fold(num.longValue)(math.max(_, num.longValue))))
+    }
+  }
+
+  private def accOut(s: AggSpec, a: OverAcc): Any = s.fn match {
+    case "count" => a.cnt
+    case "avg" => if (a.cnt == 0) null else a.sumD / a.cnt
+    case "sum" =>
+      if (a.cnt == 0) null
+      else if (s.in == DoubleType) a.sumD
+      else if (s.out == IntegerType) a.sumL.toInt else a.sumL
+    case "min" =>
+      if (s.in == DoubleType) a.minD.orNull
+      else a.minL.map(v => if (s.out == IntegerType) v.toInt else v).orNull
+    case "max" =>
+      if (s.in == DoubleType) a.maxD.orNull
+      else a.maxL.map(v => if (s.out == IntegerType) v.toInt else v).orNull
+  }
+}
+
+/** Keyed state of [[StreamOverAggRule]]'s operator: unreleased rows,
+ * the released-row history a future frame can reference (empty in
+ * unbounded mode), and the running accumulators (unbounded mode). */
+case class OverRuleState(pending: List[Row], history: List[Row], accs: List[OverAcc])
+
+/** One aggregate's running accumulator (unbounded frames). */
+case class OverAcc(cnt: Long, sumD: Double, sumL: Long,
+    minD: Option[Double], maxD: Option[Double],
+    minL: Option[Long] = None, maxL: Option[Long] = None)
