@@ -181,7 +181,16 @@ object Cep {
       alts: Seq[(String, IterPred[T])] = Nil)
 
   final case class Pattern[T](steps: Vector[Step[T]], withinUs: Long = Long.MaxValue,
-      skip: AfterMatch = NoSkip, stepGapUs: Long = Long.MaxValue) {
+      skip: AfterMatch = NoSkip, stepGapUs: Long = Long.MaxValue,
+      holdToHorizon: Boolean = false) {
+    /** Opt-in EXACT-preference streaming emission: hold every match
+     * until the watermark closes its within window, so the emitted
+     * match is the preference over the COMPLETE horizon — identical
+     * to the batch matcher even when a relaxed/greedy quantifier
+     * could otherwise have grown past an early completion (default
+     * emission commits to the preferred match as of the completing
+     * batch). Costs `within` of latency; requires within(). */
+    def emitOnHorizon(): Pattern[T] = copy(holdToHorizon = true)
     def next(name: String, pred: T => Boolean): Pattern[T] =
       copy(steps = steps :+ Step(name, lift(pred), strict = true))
     def followedBy(name: String, pred: T => Boolean): Pattern[T] =
@@ -718,6 +727,9 @@ object Cep {
       "a pattern containing notFollowedBy/notNext requires within() " +
         "(this engine holds negative-assertion matches until the watermark " +
         "closes the within window)")
+    require(!p.holdToHorizon || p.withinUs != Long.MaxValue,
+      "emitOnHorizon() requires within() (the closed window is what makes " +
+        "the emitted preference final)")
     // Reference parity (StreamExecMatch.java:143-145 via
     // NFACompiler.canProduceEmptyMatches): a pattern in which EVERY
     // step can consume zero rows could match empty at any position —
@@ -932,7 +944,23 @@ object Cep {
             if (wmUs <= 0L) _ => true
             else if (negated) ts => ts >= wmUs
             else live
+          // Events at or before the persisted skip floor can never
+          // participate in a future match (a new match must START
+          // after the floor, and its content follows its start) — drop
+          // them BEFORE scanning, the analog of the reference
+          // releasing skip-consumed SharedBuffer entries. Without
+          // this, a re-scan after eviction could bind a pre-floor
+          // start whose (suppressed) match shadows a LEGITIMATE later
+          // start via the in-scan skip. Side effect (documented): PREV
+          // navigation cannot reach into a previous match's consumed
+          // region, same as the reference's pruned buffer.
+          def afterFloor(ts: Long, eid: Long, fTs: Long, fId: Long, fStrict: Boolean): Boolean = {
+            val c = java.lang.Long.compare(ts, fTs)
+            val c2 = if (c != 0) c else java.lang.Long.compare(eid, fId)
+            if (fStrict) c2 > 0 else c2 >= 0
+          }
           val buffer = (st.buffer ++ it.filter(e => admit(time(e))))
+            .filter(e => afterFloor(time(e), id(e), st.floorTs, st.floorId, st.floorStrict))
             .sortBy(e => (time(e), id(e)))
           val all = matchSortedG(buffer.toIndexedSeq, pattern, time, id)
           // A pattern containing a negative step asserts ABSENCE, which
@@ -942,8 +970,13 @@ object Cep {
           // the only point absence becomes provable). Unconfirmed
           // candidates stay unmarked and re-surface (their events
           // outlive them: start_us >= wm - within while open).
+          // `emitOnHorizon` holds EVERY match the same way: once the
+          // watermark closes the start's within window, no in-order
+          // arrival can still grow the preferred match — emission is
+          // then the preference over the complete horizon, identical
+          // to the batch matcher (exact greedy/relaxed parity).
           val confirmed =
-            if (!negated) all // validate() guarantees negated => within()
+            if (!negated && !pattern.holdToHorizon) all // validate(): negated => within()
             // subtraction form: start + within can overflow Long for
             // large within; wmUs >= 0 makes wmUs - within overflow-safe
             else all.filter(m => wmUs > 0L && m.start_us < wmUs - pattern.withinUs)
@@ -1014,7 +1047,11 @@ object Cep {
                 else f
               }
             }
-          val (kept, evicted) = buffer.partition(e => live(time(e)))
+          // end-of-batch trim: the watermark horizon AND the floor
+          // advanced by this batch's emissions (its consumed region is
+          // closed — next batch's scan must resume after it)
+          val (kept, evicted) = buffer.partition(e =>
+            live(time(e)) && afterFloor(time(e), id(e), floorTs, floorId, floorStrict))
           val unmatchedOut =
             if (!unmatched) Nil
             else {

@@ -195,12 +195,27 @@ class StreamPropertySpec extends SparkSuite {
         .stepIter("v#2", (e, _) => e.event_type == "b", strict = true, Cep.Optional)
         .stepIter("v#3", (e, _) => e.event_type == "b", strict = true, Cep.Optional)
         .followedBy("c", _.event_type == "c").within(W)
-        .afterMatchSkip(Cep.SkipPastLast))
+        .afterMatchSkip(Cep.SkipPastLast),
+      // RELAXED timesRange WITH emitOnHorizon(): matches hold until
+      // the watermark closes the start's within window, so the
+      // emitted preference is computed over the complete horizon —
+      // exact batch parity even for growable relaxed runs.
+      "relaxed_range_hold" -> Cep.Pattern.begin("a", _.event_type == "a")
+        .timesRange("v", _.event_type == "b", min = 1, max = 3)
+        .followedBy("c", _.event_type == "c").within(W)
+        .afterMatchSkip(Cep.SkipPastLast)
+        .emitOnHorizon())
     for (seed <- 40L to 41L; (pname, pat) <- patterns) {
       val rnd = new scala.util.Random(seed * 1009 + pname.hashCode)
       val events = (1 to 60).map(i =>
         Ev(i.toLong, 1L + rnd.nextInt(2), Seq("a", "b", "c")(rnd.nextInt(3)), i * 100L, 1.0))
-      val want = events.groupBy(_.user_id).toList.flatMap { case (u, evs) =>
+      // two far-future sentinel rounds per key ('z' matches no DEFINE):
+      // round 1 advances the watermark past every start's horizon,
+      // round 2 invokes the keys under it so HELD matches flush
+      val sentinels = List(1L, 2L).flatMap(u => List(
+        Ev(900 + u, u, "z", 100000L * 1000000, 0.0),
+        Ev(910 + u, u, "z", 200000L * 1000000, 0.0)))
+      val want = (events ++ sentinels).groupBy(_.user_id).toList.flatMap { case (u, evs) =>
         Cep.matchSorted(evs.sortBy(e => (e.ts_us, e.event_id)).toIndexedSeq, pat)
           .map(m => (u, m.event_ids))
       }.toSet
@@ -215,6 +230,10 @@ class StreamPropertySpec extends SparkSuite {
           ms.addData(events.slice(i, i + n): _*)
           q.processAllAvailable()
           i += n
+        }
+        sentinels.grouped(2).toList.transpose.foreach { round =>
+          ms.addData(round: _*)
+          q.processAllAvailable()
         }
         val got = spark.table(name).as[CepMatch].collect()
           .map(m => (m.user_id, m.event_ids)).toSet
