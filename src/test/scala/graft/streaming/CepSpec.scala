@@ -205,6 +205,42 @@ class CepSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming: eviction cannot resurrect a skip-shadowed start (floor regression)") {
+    // SKIP PAST LAST: a@0, a@10, b@20 → the a@0 match consumes b@20 and
+    // shadows a@10. After the a@0 row EVICTS (watermark - within passes
+    // it) while b@20 survives, a re-scan without the floor would bind
+    // the shadowed [a@10, b@20] as a fresh start. The persisted floor
+    // (trim to last consumed) must suppress it — and must ALSO deny the
+    // shadowed match's own skip side-effects, which would otherwise
+    // shadow LEGITIMATE later starts (second observed defect).
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val p = Cep.Pattern.begin("a", _.event_type == "a")
+      .followedBy("b", _.event_type == "b")
+      .within(50).afterMatchSkip(Cep.SkipPastLast)
+    val ms = MemoryStream[Ev]
+    val q = Cep.run(ms.toDS(), p, "0 seconds").toDF()
+      .writeStream.format("memory").queryName("t_cep_floor")
+      .outputMode("append").start()
+    try {
+      ms.addData(ev(1, "a", 0), ev(2, "a", 10), ev(3, "b", 20))
+      q.processAllAvailable() // wm 0: nothing released? matches emit immediately: [1,3]
+      // advance the watermark far enough to evict a@0 (wm - within > 0)
+      // while later rows survive, then offer a NEW legitimate match
+      ms.addData(ev(4, "x", 80))
+      q.processAllAvailable() // wm 20: a@0 at the horizon boundary
+      ms.addData(ev(5, "a", 140), ev(6, "b", 150))
+      q.processAllAvailable() // wm 80: a@0/a@10/b@20 evicted
+      ms.addData(ev(7, "x", 260))
+      q.processAllAvailable()
+      val got = spark.table("t_cep_floor").as[CepMatch].collect()
+        .map(_.event_ids).toList
+      // exactly [1,3] (the preferred match) and [5,6] (legitimately
+      // after the floor); the shadowed [2,3] must never surface
+      assert(got.sortBy(_.head) == List(Seq(1L, 3L), Seq(5L, 6L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming: a match straddling a micro-batch boundary is found exactly once") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
