@@ -59,6 +59,30 @@ object SimilarityQueries extends QueryPack {
     col("dot").cast("double") /
       (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double")))
 
+  /** PQ decomposition: every vector's 4 quantized 16-dim subspaces,
+   * plus the codebook (the seed vectors' subspaces, vec_id < 4). */
+  private def pqSubspaces(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val subs = quantized(s, dir).select(col("vec_id"),
+      posexplode(expr("transform(sequence(0, 3), m -> slice(qe, m * 16 + 1, 16))"))
+        .as(Seq("m", "sub")))
+    val seeds = subs.filter(col("vec_id") < 4)
+      .select(col("m").as("sm"), col("vec_id").as("k"), col("sub").as("cent"))
+    (subs, seeds)
+  }
+
+  /** Per-(vector, subspace) PQ code: nearest codeword by exact integer
+   * squared-L2, ties to the smaller codeword id. */
+  private def pqAssign(cand: DataFrame, seeds: DataFrame): DataFrame = {
+    val d2 = expr(
+      """aggregate(zip_with(sub, cent, (x, y) -> (x - y) * (x - y)),
+           CAST(0 AS BIGINT), (acc, v) -> acc + v)""")
+    val w = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d2"), col("k"))
+    cand.join(broadcast(seeds), col("m") === col("sm"))
+      .select(col("vec_id"), col("m"), col("k"), d2.as("d2"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 per query (queries broadcast).
     "sim_cosine_topk" -> ((s, dir) => {
@@ -105,6 +129,51 @@ object SimilarityQueries extends QueryPack {
     // on negative sums). One broadcast of 8 centroids, one shuffle on
     // the assignment key: the exact plan a 100-TB IVF build runs per
     // iteration.
+    // PRODUCT QUANTIZATION encode (Jégou et al. 2011 — the PQ half of
+    // IVF-PQ): 64-dim vectors split into M=4 16-dim subspaces, each
+    // assigned to the nearest of K=4 codewords by exact integer
+    // squared-L2 (ties → smaller codeword). The codebook is the seed
+    // vectors' subspaces (vec_id < 4) — a deterministic stand-in for a
+    // trained codebook (one k-means training round is gated
+    // separately). Scale: the codebook broadcasts (M*K tiny rows);
+    // encoding is one broadcast join + per-(vector, subspace) argmin —
+    // candidates never shuffle, and each vector compresses 64 floats
+    // to M small codes.
+    "sim_pq_encode" -> ((s, dir) => {
+      val (subs, seeds) = pqSubspaces(s, dir)
+      pqAssign(subs.filter(col("vec_id") >= 4), seeds)
+        .groupBy(col("vec_id")).agg(
+          max(when(col("m") === 0, col("k"))).cast("int").as("c0"),
+          max(when(col("m") === 1, col("k"))).cast("int").as("c1"),
+          max(when(col("m") === 2, col("k"))).cast("int").as("c2"),
+          max(when(col("m") === 3, col("k"))).cast("int").as("c3"),
+          sum(col("d2")).as("err"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // PQ ASYMMETRIC-DISTANCE top-k (ADC): the query stays full
+    // precision; per (query, subspace, codeword) partial distances
+    // form a tiny lookup table (4 queries x 4 x 4 = 64 rows,
+    // broadcast), and each candidate's distance is the SUM OF M TABLE
+    // LOOKUPS keyed by its codes — no per-pair vector arithmetic at
+    // all, the property that makes PQ scan billions of codes cheaply.
+    "sim_pq_adc_topk" -> ((s, dir) => {
+      val (subs, seeds) = pqSubspaces(s, dir)
+      val codes = pqAssign(subs.filter(col("vec_id") >= 8), seeds)
+      val lut = subs.filter(col("vec_id") >= 4 && col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("m").as("qm"), col("sub").as("qsub"))
+        .join(broadcast(seeds), col("qm") === col("sm"))
+        .select(col("q_id"), col("qm").as("m"), col("k"), expr(
+          """aggregate(zip_with(qsub, cent, (x, y) -> (x - y) * (x - y)),
+               CAST(0 AS BIGINT), (acc, v) -> acc + v)""").as("pdist"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+      codes.join(broadcast(lut), Seq("m", "k"))
+        .groupBy(col("q_id"), col("vec_id")).agg(sum(col("pdist")).as("adc"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("q_id"), col("vec_id"), col("rn"), col("adc"))
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
     "sim_kmeans_round" -> ((s, dir) => {
       val e = quantized(s, dir)
       val cent = e.filter(col("vec_id") < 8)
@@ -285,6 +354,50 @@ object SimilarityQueries extends QueryPack {
                    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
             FROM s)
       SELECT q_id, label, vec_id, rn, round(cos, 6) AS cosine
+      FROM r WHERE rn <= 3 ORDER BY q_id, rn""",
+    "sim_pq_encode" -> s"""
+      WITH $normCte,
+      subs AS (SELECT vec_id, m, qe[m * 16 + 1 : m * 16 + 16] AS sub
+               FROM e, (SELECT unnest([0, 1, 2, 3]) AS m)),
+      dist AS (SELECT c.vec_id, c.m, s.vec_id AS k,
+                      list_sum([(c.sub[i] - s.sub[i]) * (c.sub[i] - s.sub[i])
+                                for i in generate_series(1, 16)]) AS d2
+               FROM subs c JOIN subs s ON s.m = c.m AND s.vec_id < 4
+               WHERE c.vec_id >= 4),
+      codes AS (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+                FROM dist)
+      SELECT vec_id,
+             CAST(max(CASE WHEN m = 0 THEN k END) AS INT) AS c0,
+             CAST(max(CASE WHEN m = 1 THEN k END) AS INT) AS c1,
+             CAST(max(CASE WHEN m = 2 THEN k END) AS INT) AS c2,
+             CAST(max(CASE WHEN m = 3 THEN k END) AS INT) AS c3,
+             CAST(sum(d2) AS BIGINT) AS err
+      FROM codes WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""",
+    "sim_pq_adc_topk" -> s"""
+      WITH $normCte,
+      subs AS (SELECT vec_id, m, qe[m * 16 + 1 : m * 16 + 16] AS sub
+               FROM e, (SELECT unnest([0, 1, 2, 3]) AS m)),
+      dist AS (SELECT c.vec_id, c.m, s.vec_id AS k,
+                      list_sum([(c.sub[i] - s.sub[i]) * (c.sub[i] - s.sub[i])
+                                for i in generate_series(1, 16)]) AS d2
+               FROM subs c JOIN subs s ON s.m = c.m AND s.vec_id < 4
+               WHERE c.vec_id >= 8),
+      codes AS (SELECT vec_id, m, k, d2,
+                       row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+                FROM dist),
+      lut AS (SELECT q.vec_id AS q_id, q.m, s.vec_id AS k,
+                     list_sum([(q.sub[i] - s.sub[i]) * (q.sub[i] - s.sub[i])
+                               for i in generate_series(1, 16)]) AS pdist
+              FROM subs q JOIN subs s ON s.m = q.m AND s.vec_id < 4
+              WHERE q.vec_id >= 4 AND q.vec_id < 8),
+      adc AS (SELECT l.q_id, c.vec_id, CAST(sum(l.pdist) AS BIGINT) AS adc
+              FROM codes c JOIN lut l ON l.m = c.m AND l.k = c.k
+              WHERE c.rn = 1
+              GROUP BY l.q_id, c.vec_id),
+      r AS (SELECT q_id, vec_id, adc,
+                   row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rn
+            FROM adc)
+      SELECT q_id, vec_id, CAST(rn AS INT) AS rn, adc
       FROM r WHERE rn <= 3 ORDER BY q_id, rn""",
     "sim_kmeans_round" -> s"""
       WITH $normCte,

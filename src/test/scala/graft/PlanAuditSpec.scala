@@ -435,6 +435,13 @@ class PlanAuditSpec extends SparkSuite {
       s"no shuffle join should appear — both joins broadcast:\n$p")
   }
 
+  test("PQ ADC: codebook and lookup table broadcast; candidates never shuffle for scoring") {
+    val p = plan(graft.queries.SimilarityQueries.queries("sim_pq_adc_topk")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"LUT join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"PQ scoring must be table lookups, not pairwise products:\n$p")
+  }
+
   test("domain mix: constant max-quota conjunct keeps WindowGroupLimit eligible") {
     val p = plan(graft.operators.Sampling.mixDomains(
       Tables.load(spark, dir, "documents"), "lang", "doc_id",
