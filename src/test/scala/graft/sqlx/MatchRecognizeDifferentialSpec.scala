@@ -49,20 +49,26 @@ class MatchRecognizeDifferentialSpec extends AnyFunSuite {
       if (hi - lo == Bands) None // exercise the undefined-symbol path
       else Some(s"$name AS $name.value >= $lo.0 AND $name.value < $hi.0")
   }
-  private case class Elem(syms: List[Sym], quant: String) {
-    def mandatory: Boolean = quant match {
+  private case class Elem(syms: List[Sym], quant: String, permute: Boolean = false) {
+    def mandatory: Boolean = permute || (quant match {
       case "" | "+" | "+?" => true
       case q if q.startsWith("{") => !q.startsWith("{0")
       case _ => false
-    }
-    def sqlText: String = syms match {
-      case List(s) => s.name + quant
-      case ss => ss.map(_.name).mkString("(", " | ", ")") + quant
-    }
-    def regexText: String = syms match {
-      case List(s) => s.cls + quant
-      case ss => ss.map(_.cls).mkString("(?:", "|", ")") + quant
-    }
+    })
+    def sqlText: String =
+      if (permute) syms.map(_.name).mkString("PERMUTE(", ", ", ")")
+      else syms match {
+        case List(s) => s.name + quant
+        case ss => ss.map(_.name).mkString("(", " | ", ")") + quant
+      }
+    def regexText: String =
+      if (permute) // SQL:2016: lexicographic alternation of the permutations
+        syms.permutations.toList.map(_.map(_.cls).mkString)
+          .mkString("(?:", "|", ")")
+      else syms match {
+        case List(s) => s.cls + quant
+        case ss => ss.map(_.cls).mkString("(?:", "|", ")") + quant
+      }
   }
 
   private def genCase(seed: Long): (IndexedSeq[Int], List[Elem]) = {
@@ -77,7 +83,11 @@ class MatchRecognizeDifferentialSpec extends AnyFunSuite {
       "{2}", "{2,}", "{1,3}", "{2,4}")
     val groupQuants = List("", "?", "??", "+", "+?", "*", "*?")
     def elem(): Elem =
-      if (rnd.nextInt(3) == 0) { // alternation group
+      if (rnd.nextInt(6) == 5) { // PERMUTE group (always unquantified)
+        val s1 = { val (l, h) = bandRange(); Sym(names.next(), l, h) }
+        val s2 = { val (l, h) = bandRange(); Sym(names.next(), l, h) }
+        Elem(List(s1, s2), "", permute = true)
+      } else if (rnd.nextInt(3) == 0) { // alternation group
         val s1 = { val (l, h) = bandRange(); Sym(names.next(), l, h) }
         val s2 = { val (l, h) = bandRange(); Sym(names.next(), l, h) }
         Elem(List(s1, s2), groupQuants(rnd.nextInt(groupQuants.length)))
