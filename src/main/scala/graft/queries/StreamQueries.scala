@@ -459,6 +459,37 @@ object StreamQueries extends QueryPack {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Same rule, RANGE mode: interval-preceding frame over event time
+    // (reference RowTimeRangeBoundedPrecedingFunction), with MIN and
+    // AVG joining the aggregate set. AVG folds integral-valued doubles
+    // below 2^53, so the division is engine-exact.
+    "stream_over_range_sql" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val view = StreamOps.freshName("events_wm")
+      StreamOps.eventsTypedWithFinalWatermark(s, dir).toDF()
+        .withColumn("__event_ts", timestamp_micros(col("ts_us")))
+        .withWatermark("__event_ts", "0 seconds")
+        .createOrReplaceTempView(view)
+      val analyzed = s.sql(s"""
+        SELECT user_id, event_id, ts_us,
+               count(*) OVER w AS n_frame,
+               min(cents) OVER w AS min_frame,
+               avg(cents) OVER w AS avg_frame
+        FROM (SELECT user_id, event_id, ts_us, __event_ts,
+                     CAST(floor(value * 100) AS BIGINT) AS cents FROM $view)
+        WINDOW w AS (PARTITION BY user_id ORDER BY __event_ts
+                     RANGE BETWEEN INTERVAL '10' MINUTE PRECEDING AND CURRENT ROW)""")
+        .queryExecution.analyzed
+      val rewritten = graft.rules.StreamOverAggRule(s)(analyzed)
+      require(rewritten.collectFirst {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.isEmpty, "streaming OVER rewrite did not fire")
+      StreamOps.runToBatch(s, org.apache.spark.sql.graft.SqlShim.ofRows(s, rewritten),
+          "append", "over_range_sql")
+        .filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // Same rule, UNBOUNDED mode: the default ORDER BY frame (RANGE
     // UNBOUNDED PRECEDING) becomes O(1) running accumulators per key —
     // no row history at all (reference
@@ -1116,6 +1147,19 @@ object StreamQueries extends QueryPack {
       FROM src
       WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id""",
+    "stream_over_range_sql" -> """
+      WITH src AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events)
+      SELECT user_id, event_id, ts_us,
+             CAST(count(*) OVER w AS BIGINT) AS n_frame,
+             CAST(min(cents) OVER w AS BIGINT) AS min_frame,
+             CAST(sum(cents) OVER w AS DOUBLE) / CAST(count(*) OVER w AS DOUBLE) AS avg_frame
+      FROM src
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                   RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
       ORDER BY user_id, event_id""",
     "stream_over_running_sql" -> """
       WITH src AS (

@@ -24,8 +24,8 @@ import org.apache.spark.unsafe.types.CalendarInterval
  * SQL-transparency trio with `StreamRankToTopNRule` (ROW_NUMBER) and
  * `StreamTemporalJoinRule` (FOR SYSTEM_TIME AS OF).
  *
- * Supported shape (anything else is left untouched): one partition
- * attribute; ORDER BY one ascending time attribute (Timestamp[NTZ] or
+ * Supported shape (anything else is left untouched): one or more
+ * partition attributes; ORDER BY one ascending time attribute (Timestamp[NTZ] or
  * epoch-micros Long — rows release in that order once the watermark
  * strictly passes them, so output is micro-batch-independent; ROWS
  * ties release in arrival order — give unique order keys for
@@ -42,6 +42,9 @@ import org.apache.spark.unsafe.types.CalendarInterval
  * UnsupportedOperationChecker sees the Window node).
  */
 case class StreamOverAggRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  // composite-key separator: NUL never appears in attribute values
+  private val SepNul = 0.toChar.toString
 
   private sealed trait Mode
   private case class RowsMode(n: Int) extends Mode
@@ -68,12 +71,16 @@ case class StreamOverAggRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   private def rewrite(w: Window): Option[LogicalPlan] = {
     val child = w.child
-    val partAttr = w.partitionSpec match {
-      case Seq(a: Attribute) => a
+    // one or more partition attributes (composite keys group by the
+    // NUL-joined string form — NUL never appears in the driver data)
+    val partIdx: Seq[Int] = w.partitionSpec.map {
+      case a: Attribute =>
+        val i = child.output.indexWhere(_.exprId == a.exprId)
+        if (i < 0) return None
+        i
       case _ => return None
     }
-    val ki = child.output.indexWhere(_.exprId == partAttr.exprId)
-    if (ki < 0) return None
+    if (partIdx.isEmpty) return None
     val (ti, tsMicros) = w.orderSpec match {
       case Seq(SortOrder(a: Attribute, Ascending, _, _)) =>
         val i = child.output.indexWhere(_.exprId == a.exprId)
@@ -184,7 +191,8 @@ case class StreamOverAggRule(session: SparkSession) extends Rule[LogicalPlan] {
       Row.fromSeq(r.toSeq ++ aggs.map { case (_, s) => evalAgg(s, frame) })
 
     val aggSpecs = aggs.map(_._2)
-    val updates = df.groupByKey(r => String.valueOf(r.get(ki)))
+    val updates = df.groupByKey(r =>
+      partIdx.map(i => String.valueOf(r.get(i))).mkString(SepNul))
       .flatMapGroupsWithState[OverRuleState, Row](
           OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_, it, state) =>

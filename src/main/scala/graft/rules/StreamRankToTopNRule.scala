@@ -26,7 +26,7 @@ import org.apache.spark.sql.types._
  * final image, as the reference's UpdateRank emits upserts).
  *
  * Shape requirements (anything else is left untouched): a single
- * ROW_NUMBER window expression; one partition attribute; numeric order
+ * ROW_NUMBER window expression; one or more partition attributes; numeric order
  * attributes (the caller should include a unique tiebreaker for
  * deterministic output, as SQL ROW_NUMBER ties are arbitrary); a
  * `rn <= N` / `rn < N` filter over exactly that rank.
@@ -74,13 +74,17 @@ case class StreamRankToTopNRule(session: SparkSession) extends Rule[LogicalPlan]
       case _ => return None
     }
     if (n <= 0) return None
-    val partAttr = w.partitionSpec match {
-      case Seq(a: Attribute) => a
+    // one or more partition attributes (composite keys group by the
+    // NUL-joined string form)
+    val partIdx: Seq[Int] = w.partitionSpec.map {
+      case a: Attribute =>
+        val i = w.child.output.indexWhere(_.exprId == a.exprId)
+        if (i < 0) return None
+        i
       case _ => return None
     }
+    if (partIdx.isEmpty) return None
     val child = w.child
-    val ki = child.output.indexWhere(_.exprId == partAttr.exprId)
-    if (ki < 0) return None
     // numeric order columns, each with its direction
     val orderIdx: Seq[(Int, Boolean, Boolean)] = w.orderSpec.map {
       case SortOrder(a: Attribute, dir, _, _)
@@ -119,7 +123,9 @@ case class StreamRankToTopNRule(session: SparkSession) extends Rule[LogicalPlan]
       }
       c
     }
-    val updates = df.groupByKey(r => String.valueOf(r.get(ki)))
+    val sepNul = 0.toChar.toString
+    val updates = df.groupByKey(r =>
+      partIdx.map(i => String.valueOf(r.get(i))).mkString(sepNul))
       .flatMapGroupsWithState[List[Row], Row](OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (_, it, state) =>
           val old = state.getOption.getOrElse(Nil)

@@ -83,6 +83,36 @@ class StreamOverAggRuleSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("composite partition keys: (user_id, event_type) aggregate independently") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = stream("over_stream_comp")
+    val analyzed = spark.sql("""
+      SELECT user_id, event_type, event_id, sum(cents) OVER w AS s
+      FROM (SELECT user_id, event_type, event_id, __event_ts,
+                   CAST(floor(value * 100) AS BIGINT) AS cents FROM over_stream_comp)
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY __event_ts)""")
+      .queryExecution.analyzed
+    val rewritten = StreamOverAggRule(spark)(analyzed)
+    assert(rewritten.collectFirst { case w: Window => w }.isEmpty)
+    val q = org.apache.spark.sql.graft.SqlShim.ofRows(spark, rewritten)
+      .writeStream.format("memory").queryName("t_overcomp")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        Ev(1, 1, "a", 100L * 1000000, 1.0), Ev(2, 1, "b", 200L * 1000000, 2.0),
+        Ev(3, 1, "a", 300L * 1000000, 3.0))
+      q.processAllAvailable()
+      ms.addData(Ev(4, 1, "a", 999999L * 1000000, 0.0), Ev(5, 1, "b", 999999L * 1000000, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("t_overcomp").as[(Long, String, Long, Long)]
+        .collect().toList.sortBy(_._3).map { case (_, t, id, s) => (t, id, s) }
+      // the (1, b) running total must NOT include the (1, a) rows
+      assert(got == List(("a", 1L, 100L), ("b", 2L, 200L), ("a", 3L, 400L)),
+        s"composite keys leaked across: $got")
+    } finally q.stop()
+  }
+
   test("batch plans and non-aggregate windows are left untouched") {
     import spark.implicits._
     // batch: rule must not fire
