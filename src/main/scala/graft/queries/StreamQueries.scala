@@ -459,6 +459,35 @@ object StreamQueries extends QueryPack {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Same rule, navigation functions: FIRST_VALUE/LAST_VALUE over a
+    // bounded ROWS frame (reference FIRST_VALUE/LAST_VALUE aggregate
+    // functions in streaming OVER), string and integral outputs.
+    "stream_over_nav_sql" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val view = StreamOps.freshName("events_wm")
+      StreamOps.eventsTypedWithFinalWatermark(s, dir).toDF()
+        .withColumn("__event_ts", timestamp_micros(col("ts_us")))
+        .withWatermark("__event_ts", "0 seconds")
+        .createOrReplaceTempView(view)
+      val analyzed = s.sql(s"""
+        SELECT user_id, event_id,
+               first_value(cents) OVER w AS first_c,
+               last_value(event_type) OVER w AS last_t
+        FROM (SELECT user_id, event_id, event_type, __event_ts,
+                     CAST(floor(value * 100) AS BIGINT) AS cents FROM $view)
+        WINDOW w AS (PARTITION BY user_id ORDER BY __event_ts
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""")
+        .queryExecution.analyzed
+      val rewritten = graft.rules.StreamOverAggRule(s)(analyzed)
+      require(rewritten.collectFirst {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.isEmpty, "streaming OVER rewrite did not fire")
+      StreamOps.runToBatch(s, org.apache.spark.sql.graft.SqlShim.ofRows(s, rewritten),
+          "append", "over_nav_sql")
+        .filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // Same rule, RANGE mode: interval-preceding frame over event time
     // (reference RowTimeRangeBoundedPrecedingFunction), with MIN and
     // AVG joining the aggregate set. AVG folds integral-valued doubles
@@ -1144,6 +1173,18 @@ object StreamQueries extends QueryPack {
              CAST(count(*) OVER w AS BIGINT) AS n_frame,
              CAST(sum(cents) OVER w AS BIGINT) AS sum_frame,
              CAST(max(cents) OVER w AS BIGINT) AS max_frame
+      FROM src
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id""",
+    "stream_over_nav_sql" -> """
+      WITH src AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events)
+      SELECT user_id, event_id,
+             CAST(first_value(cents) OVER w AS BIGINT) AS first_c,
+             last_value(event_type) OVER w AS last_t
       FROM src
       WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)

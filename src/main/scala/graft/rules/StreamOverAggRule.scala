@@ -30,7 +30,8 @@ import org.apache.spark.unsafe.types.CalendarInterval
  * strictly passes them, so output is micro-batch-independent; ROWS
  * ties release in arrival order — give unique order keys for
  * deterministic output); SUM/COUNT/MIN/MAX/AVG over a direct numeric
- * attribute (or COUNT(*)); every expression sharing one frame, which
+ * attribute (or COUNT(*)), plus FIRST_VALUE/LAST_VALUE navigation over
+ * any scalar attribute; every expression sharing one frame, which
  * is ROWS n PRECEDING, RANGE interval PRECEDING, or UNBOUNDED
  * PRECEDING — each ending at CURRENT ROW.
  *
@@ -115,12 +116,14 @@ case class StreamOverAggRule(session: SparkSession) extends Rule[LogicalPlan] {
           case _ => return None
         }
         if (!sameMode(m)) return None
-        def ord(e: Expression): Int = e match {
-          case a: Attribute if numericIn(a.dataType) =>
+        def ordT(e: Expression, ok: Set[DataType]): Int = e match {
+          case a: Attribute if ok(a.dataType) =>
             val i = child.output.indexWhere(_.exprId == a.exprId)
             if (i < 0) -2 else i // -2 = unsupported (never a valid ordinal)
           case _ => -2
         }
+        def ord(e: Expression): Int = ordT(e, numericIn)
+        val navIn = numericIn + StringType // FIRST/LAST navigate any scalar
         val spec = ae.aggregateFunction match {
           case Count(Seq(Literal(1, _))) => AggSpec("count", -1, LongType, LongType)
           case Count(Seq(e)) => AggSpec("count", ord(e), LongType, LongType)
@@ -128,14 +131,20 @@ case class StreamOverAggRule(session: SparkSession) extends Rule[LogicalPlan] {
           case Min(e) => AggSpec("min", ord(e), e.dataType, ae.dataType)
           case Max(e) => AggSpec("max", ord(e), e.dataType, ae.dataType)
           case Average(e, _) => AggSpec("avg", ord(e), e.dataType, ae.dataType)
+          case First(e, false) => AggSpec("first", ordT(e, navIn), e.dataType, ae.dataType)
+          case Last(e, false) => AggSpec("last", ordT(e, navIn), e.dataType, ae.dataType)
           case _ => return None
         }
         // COUNT(*) legitimately carries idx -1; any other aggregate
-        // must reference a direct numeric child attribute
+        // must reference a direct scalar child attribute
         if (spec.idx < 0 && !(spec.fn == "count" && spec.idx == -1)) return None
         // the spliced projection must reproduce the analyzed output
         // type exactly; the evaluator below covers these combinations
-        if (!Set[DataType](LongType, DoubleType, IntegerType)(spec.out)) return None
+        val outOk = spec.fn match {
+          case "first" | "last" => Set[DataType](LongType, DoubleType, IntegerType, StringType)(spec.out)
+          case _ => Set[DataType](LongType, DoubleType, IntegerType)(spec.out)
+        }
+        if (!outOk) return None
         (al, spec)
       case _ => return None
     }
@@ -167,6 +176,8 @@ case class StreamOverAggRule(session: SparkSession) extends Rule[LogicalPlan] {
 
     /** Fold one aggregate over the frame rows, shaped to `out`. */
     def evalAgg(s: AggSpec, frame: Seq[Row]): Any = s.fn match {
+      case "first" => if (frame.isEmpty || frame.head.isNullAt(s.idx)) null else frame.head.get(s.idx)
+      case "last" => if (frame.isEmpty || frame.last.isNullAt(s.idx)) null else frame.last.get(s.idx)
       case "count" =>
         if (s.idx < 0) frame.size.toLong else frame.count(r => !r.isNullAt(s.idx))
       case "avg" =>
@@ -255,8 +266,11 @@ case class StreamOverAggRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   /** Accumulate one row into one aggregate's running state. */
   private def accAdd(s: AggSpec)(a: OverAcc, r: Row): OverAcc = {
-    if (s.idx >= 0 && r.isNullAt(s.idx)) return if (s.fn == "count") a else a
+    def valOrNull: Any = if (r.isNullAt(s.idx)) null else r.get(s.idx)
     s.fn match {
+      case "first" => if (a.firstSet) a else a.copy(firstSet = true, firstV = valOrNull)
+      case "last" => a.copy(lastV = valOrNull)
+      case _ if s.idx >= 0 && r.isNullAt(s.idx) => a // aggregates skip NULLs
       case "count" => a.copy(cnt = a.cnt + 1)
       case _ =>
         val num = r.get(s.idx).asInstanceOf[Number]
@@ -269,6 +283,8 @@ case class StreamOverAggRule(session: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def accOut(s: AggSpec, a: OverAcc): Any = s.fn match {
+    case "first" => a.firstV
+    case "last" => a.lastV
     case "count" => a.cnt
     case "avg" => if (a.cnt == 0) null else a.sumD / a.cnt
     case "sum" =>
@@ -292,4 +308,5 @@ case class OverRuleState(pending: List[Row], history: List[Row], accs: List[Over
 /** One aggregate's running accumulator (unbounded frames). */
 case class OverAcc(cnt: Long, sumD: Double, sumL: Long,
     minD: Option[Double], maxD: Option[Double],
-    minL: Option[Long] = None, maxL: Option[Long] = None)
+    minL: Option[Long] = None, maxL: Option[Long] = None,
+    firstSet: Boolean = false, firstV: Any = null, lastV: Any = null)
