@@ -435,6 +435,43 @@ class PlanAuditSpec extends SparkSuite {
       s"no shuffle join should appear — both joins broadcast:\n$p")
   }
 
+  test("AQE splits skewed join partitions at runtime (the conf-gated 100-TB skew path)") {
+    // The engine's skew story is salting (SkewJoin, gated) PLUS AQE's
+    // runtime skew-join split for skew discovered only at execution —
+    // this pins that the conf path actually re-plans: with thresholds
+    // forced low, the hot key's partition must be marked skew=true in
+    // the final adaptive SortMergeJoin.
+    import org.apache.spark.sql.functions.{col, lit}
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      // one hot key carries ~all rows; the other side is small but
+      // non-broadcastable (threshold disabled)
+      val left = spark.range(0, 60000).select(
+        (col("id") % 1000 * lit(0) + 7L).as("k"), col("id").as("payload"))
+      val right = (0L to 50L).toDF("k").withColumn("tag", col("k") * 2)
+      val joined = left.join(right.hint("merge"), "k")
+      // materialize through THIS QueryExecution (count() would build
+      // its own) so AQE finalizes the inspected plan
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the skewed join (is the conf path broken?):\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("PQ ADC: codebook and lookup table broadcast; candidates never shuffle for scoring") {
     val p = plan(graft.queries.SimilarityQueries.queries("sim_pq_adc_topk")(spark, dir))
     assert(p.contains("BroadcastHashJoin"), s"LUT join not broadcast:\n$p")
