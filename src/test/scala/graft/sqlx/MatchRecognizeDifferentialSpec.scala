@@ -152,8 +152,8 @@ class MatchRecognizeDifferentialSpec extends AnyFunSuite {
     out.result()
   }
 
-  test("differential: strict patterns agree with java.util.regex on 400 random cases") {
-    for (seed <- 1L to 400L) {
+  test("differential: strict patterns agree with java.util.regex on 800 random cases") {
+    for (seed <- 1L to 800L) {
       val (bandSeq, elems) = genCase(seed)
       val events = bandSeq.zipWithIndex.map { case (b, i) => mrev(i, b) }
       val chars = bandSeq.map(b => ('a' + b).toChar).mkString
