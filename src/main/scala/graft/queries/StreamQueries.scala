@@ -459,6 +459,36 @@ object StreamQueries extends QueryPack {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Same rule, LAG: frameless row offsets (reference LagAggFunction
+    // in streaming OVER) mixed with a running aggregate in ONE window
+    // — lag reads the n-back released row from a bounded ring while
+    // count accumulates, exercising the per-expression frame split.
+    "stream_over_lag_sql" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val view = StreamOps.freshName("events_wm")
+      StreamOps.eventsTypedWithFinalWatermark(s, dir).toDF()
+        .withColumn("__event_ts", timestamp_micros(col("ts_us")))
+        .withWatermark("__event_ts", "0 seconds")
+        .createOrReplaceTempView(view)
+      val analyzed = s.sql(s"""
+        SELECT user_id, event_id,
+               lag(cents, 2) OVER w AS lag2_c,
+               lag(event_type, 1) OVER w AS prev_t,
+               count(*) OVER w AS running_n
+        FROM (SELECT user_id, event_id, event_type, __event_ts,
+                     CAST(floor(value * 100) AS BIGINT) AS cents FROM $view)
+        WINDOW w AS (PARTITION BY user_id ORDER BY __event_ts)""")
+        .queryExecution.analyzed
+      val rewritten = graft.rules.StreamOverAggRule(s)(analyzed)
+      require(rewritten.collectFirst {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.isEmpty, "streaming OVER rewrite did not fire")
+      StreamOps.runToBatch(s, org.apache.spark.sql.graft.SqlShim.ofRows(s, rewritten),
+          "append", "over_lag_sql")
+        .filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // Same rule, navigation functions: FIRST_VALUE/LAST_VALUE over a
     // bounded ROWS frame (reference FIRST_VALUE/LAST_VALUE aggregate
     // functions in streaming OVER), string and integral outputs.
@@ -1176,6 +1206,18 @@ object StreamQueries extends QueryPack {
       FROM src
       WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id""",
+    "stream_over_lag_sql" -> """
+      WITH src AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events)
+      SELECT user_id, event_id,
+             CAST(lag(cents, 2) OVER w AS BIGINT) AS lag2_c,
+             lag(event_type, 1) OVER w AS prev_t,
+             CAST(count(*) OVER w AS BIGINT) AS running_n
+      FROM src
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
       ORDER BY user_id, event_id""",
     "stream_over_nav_sql" -> """
       WITH src AS (

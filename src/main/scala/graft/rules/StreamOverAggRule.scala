@@ -52,8 +52,10 @@ case class StreamOverAggRule(session: SparkSession) extends Rule[LogicalPlan] {
   private case class RangeMode(us: Long) extends Mode
   private case object UnboundedMode extends Mode
 
-  // fn ∈ sum/count/min/max/avg; idx = input ordinal (-1 for COUNT(*))
-  private case class AggSpec(fn: String, idx: Int, in: DataType, out: DataType)
+  // fn ∈ sum/count/min/max/avg/first/last/lag; idx = input ordinal
+  // (-1 for COUNT(*)); off = row offset (lag only)
+  private case class AggSpec(fn: String, idx: Int, in: DataType, out: DataType,
+      off: Int = 0)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case w: Window if w.child.isStreaming => rewrite(w).getOrElse(w)
@@ -101,6 +103,30 @@ case class StreamOverAggRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
     val numericIn = Set[DataType](IntegerType, LongType, DoubleType)
     val aggs: Seq[(Alias, AggSpec)] = w.windowExpressions.map {
+      // LAG(x, n): frameless row offset (reference LagAggFunction —
+      // streaming OVER supports LAG); computed from the last-n
+      // released rows, independent of the shared aggregate frame.
+      case al @ Alias(we @ WindowExpression(
+          Lag(input, offExpr, default, false), _), _) =>
+        val off = offExpr match {
+          case l if l.foldable => l.eval() match {
+            case i: Int if i > 0 => i
+            case _ => return None
+          }
+          case _ => return None
+        }
+        if (!default.foldable || default.eval() != null) return None
+        def ordNav(e: Expression): Int = e match {
+          case a: Attribute if (numericIn + StringType)(a.dataType) =>
+            val i = child.output.indexWhere(_.exprId == a.exprId)
+            if (i < 0) -2 else i
+          case _ => -2
+        }
+        val idx = ordNav(input)
+        if (idx < 0) return None
+        if (!Set[DataType](LongType, DoubleType, IntegerType, StringType)(we.dataType))
+          return None
+        (al, AggSpec("lag", idx, input.dataType, we.dataType, off))
       case al @ Alias(WindowExpression(ae: AggregateExpression,
           WindowSpecDefinition(_, _, frame)), _) if !ae.isDistinct =>
         val m = frame match {
@@ -149,7 +175,9 @@ case class StreamOverAggRule(session: SparkSession) extends Rule[LogicalPlan] {
       case _ => return None
     }
     if (aggs.isEmpty) return None
-    val theMode = mode.get
+    // a lag-only window constrains no aggregate frame
+    val theMode = mode.getOrElse(RowsMode(0))
+    val maxLag = aggs.map(_._2.off).max
 
     val df = org.apache.spark.sql.graft.SqlShim.ofRows(session, child)
     val outSchema = StructType(child.schema.fields ++
@@ -198,8 +226,12 @@ case class StreamOverAggRule(session: SparkSession) extends Rule[LogicalPlan] {
           else fn match { case "sum" => vs.sum; case "min" => vs.min; case "max" => vs.max }
         }
     }
-    def emit(r: Row, frame: Seq[Row]): Row =
-      Row.fromSeq(r.toSeq ++ aggs.map { case (_, s) => evalAgg(s, frame) })
+    // LAG(x, n) reads the n-back released row from the bounded ring
+    def lagVal(s: AggSpec, recent: List[Row]): Any = {
+      val nRec = recent.length
+      if (nRec < s.off) null
+      else { val rr = recent(nRec - s.off); if (rr.isNullAt(s.idx)) null else rr.get(s.idx) }
+    }
 
     val aggSpecs = aggs.map(_._2)
     val updates = df.groupByKey(r =>
@@ -207,7 +239,7 @@ case class StreamOverAggRule(session: SparkSession) extends Rule[LogicalPlan] {
       .flatMapGroupsWithState[OverRuleState, Row](
           OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_, it, state) =>
-          val st = state.getOption.getOrElse(OverRuleState(Nil, Nil, Nil))
+          val st = state.getOption.getOrElse(OverRuleState(Nil, Nil, Nil, Nil))
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           // stable sort: ROWS ties keep arrival order (documented)
           val all = (st.pending ++ it.toList).sortBy(tsOf)
@@ -217,34 +249,50 @@ case class StreamOverAggRule(session: SparkSession) extends Rule[LogicalPlan] {
           val (ready, pending) = all.partition(r => tsOf(r) < wmUs)
           var hist = st.history
           var accs = st.accs
+          var recent = st.recent // last maxLag released rows (lag ring)
           val out = List.newBuilder[Row]
+          def vals(r: Row, frame: Seq[Row], accd: Option[List[OverAcc]]): Seq[Any] =
+            aggSpecs.zipWithIndex.map { case (s, i) =>
+              if (s.fn == "lag") lagVal(s, recent)
+              else accd match {
+                case Some(as) => accOut(s, as(i))
+                case None => evalAgg(s, frame)
+              }
+            }
+          def pushRecent(r: Row): Unit =
+            if (maxLag > 0) recent = (recent :+ r).takeRight(maxLag)
           theMode match {
             case UnboundedMode =>
               // O(1) running accumulators; RANGE peers share the frame,
               // which for sum/count/min/max/avg equals accumulate-then-
-              // emit-per-peer-group
+              // emit-per-peer-group (lag stays ROW-based via the ring)
               if (accs.isEmpty) accs = aggSpecs.map(_ => OverAcc(0L, 0.0, 0L, None, None, None, None)).toList
               ready.groupBy(tsOf).toList.sortBy(_._1).foreach { case (_, rows) =>
                 accs = accs.zip(aggSpecs).map { case (a, s) => rows.foldLeft(a)(accAdd(s)) }
                 rows.foreach { r =>
-                  out += Row.fromSeq(r.toSeq ++ accs.zip(aggSpecs).map { case (a, s) => accOut(s, a) })
+                  out += Row.fromSeq(r.toSeq ++ vals(r, Nil, Some(accs)))
+                  pushRecent(r)
                 }
               }
             case RowsMode(n) =>
               ready.foreach { r =>
                 val fr = hist.takeRight(n) :+ r
-                out += emit(r, fr)
+                out += Row.fromSeq(r.toSeq ++ vals(r, fr, None))
+                pushRecent(r)
                 hist = (hist :+ r).takeRight(n)
               }
             case RangeMode(ru) =>
               ready.groupBy(tsOf).toList.sortBy(_._1).foreach { case (t, rows) =>
                 hist = hist ++ rows
                 val fr = hist.filter(r => tsOf(r) >= t - ru)
-                rows.foreach(r => out += emit(r, fr))
+                rows.foreach { r =>
+                  out += Row.fromSeq(r.toSeq ++ vals(r, fr, None))
+                  pushRecent(r)
+                }
               }
               hist = hist.filter(r => tsOf(r) >= wmUs - ru)
           }
-          state.update(OverRuleState(pending, hist, accs))
+          state.update(OverRuleState(pending, hist, accs, recent))
           if (pending.nonEmpty) {
             val nextMs = (pending.map(tsOf).min + 999) / 1000
             state.setTimeoutTimestamp(math.max(nextMs, state.getCurrentWatermarkMs() + 1))
@@ -270,6 +318,7 @@ case class StreamOverAggRule(session: SparkSession) extends Rule[LogicalPlan] {
     s.fn match {
       case "first" => if (a.firstSet) a else a.copy(firstSet = true, firstV = valOrNull)
       case "last" => a.copy(lastV = valOrNull)
+      case "lag" => a // computed from the released-row ring, not accumulators
       case _ if s.idx >= 0 && r.isNullAt(s.idx) => a // aggregates skip NULLs
       case "count" => a.copy(cnt = a.cnt + 1)
       case _ =>
@@ -303,7 +352,8 @@ case class StreamOverAggRule(session: SparkSession) extends Rule[LogicalPlan] {
 /** Keyed state of [[StreamOverAggRule]]'s operator: unreleased rows,
  * the released-row history a future frame can reference (empty in
  * unbounded mode), and the running accumulators (unbounded mode). */
-case class OverRuleState(pending: List[Row], history: List[Row], accs: List[OverAcc])
+case class OverRuleState(pending: List[Row], history: List[Row], accs: List[OverAcc],
+    recent: List[Row] = Nil)
 
 /** One aggregate's running accumulator (unbounded frames). */
 case class OverAcc(cnt: Long, sumD: Double, sumL: Long,
