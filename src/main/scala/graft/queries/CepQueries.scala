@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryPack, Tables}
-import graft.streaming.{Cep, StreamOps}
+import graft.streaming.{Cep, Ev, StreamOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -521,6 +521,61 @@ object CepQueries extends QueryPack {
         .orderBy(col("f_key"))
     }),
 
+    // Timed-out partial matches (reference `TimedOutPartialMatchHandler`
+    // via `PatternStream.flatSelect(timeoutTag, …)` —
+    // `cep/PatternStream.java:26`): click → view → purchase within 10
+    // minutes; a click whose window closes before the pattern completes
+    // surfaces on the timeout channel with its maximal partial binding
+    // ([click] or [click, view] — `steps_bound` counts it). Eviction is
+    // the timeout point (watermark > start + within, the reference's
+    // own condition), driven to completion by the per-key sentinel
+    // rounds.
+    "stream_cep_timeout" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val pattern = Cep.Pattern
+        .begin("click", (_: Ev).event_type == "click")
+        .followedBy("view", _.event_type == "view")
+        .followedBy("purchase", _.event_type == "purchase")
+        .within(TwelveHoursUs)
+      val out = Cep.runBoundBy(
+        StreamOps.eventsTypedWithKeyedSentinels(s, dir),
+        pattern, "user_id", "ts_us", "event_id", timedOut = true)
+      val head = col("binds").getItem(0)
+      StreamOps.runToBatch(s, out.toDF(), "append", "stream_cep_timeout")
+        .where(head.getField("step").startsWith(Cep.TimedOutStep))
+        .select(head.getField("ev").getField("user_id").as("user_id"),
+          head.getField("ev").getField("event_id").as("click_id"),
+          size(col("binds")).cast("long").as("steps_bound"))
+        .where(col("click_id") =!= -1L)
+        .orderBy(col("user_id"), col("click_id"))
+    }),
+
+    // Late-data side output (reference `PatternStream.sideOutputLateData`
+    // — `cep/PatternStream.java:76`): events staged so the first
+    // micro-batch carries everything at/after min(ts)+1h and the second
+    // the remainder, with a 10 s watermark delay — the second batch's
+    // rows below the admission horizon (watermark − within) surface on
+    // the tagged late channel instead of vanishing, checked by
+    // (user_id, event_id).
+    "stream_cep_late_capture" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val OneHourUs = 3600L * 1000 * 1000
+      val pattern = Cep.Pattern
+        .begin("click", (_: Ev).event_type == "click")
+        .followedBy("purchase", _.event_type == "purchase")
+        .within(TenMinUs)
+      val out = Cep.runBoundBy(
+        StreamOps.eventsTypedLateSplit(s, dir, OneHourUs),
+        pattern, "user_id", "ts_us", "event_id",
+        watermarkDelay = "10 seconds", lateCapture = true)
+      val head = col("binds").getItem(0)
+      StreamOps.runToBatch(s, out.toDF(), "append", "stream_cep_late")
+        .where(head.getField("step") === Cep.LateStep)
+        .select(head.getField("ev").getField("user_id").as("user_id"),
+          head.getField("ev").getField("event_id").as("event_id"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // MATCH_RECOGNIZE as plain query text through the unified SQL door
     // (reference `TableEnvironment.executeSql` planning the clause via
     // StreamExecMatch): the clause splices into a temp view
@@ -865,6 +920,40 @@ object CepQueries extends QueryPack {
         ORDER BY e.o_orderdate, e.o_orderkey LIMIT 1) o
       WHERE f.o_orderstatus = 'F'
       ORDER BY f_key""",
+    // Timed-out = click with NO completed match (earliest-match: bind
+    // the FIRST view after the click within the window; the purchase
+    // must follow THAT view — no backtracking to later views, the
+    // engine's documented SKIP_TILL_NEXT subset). steps_bound = how
+    // far the partial got (1 = click only, 2 = click+view).
+    "stream_cep_timeout" -> """
+      SELECT e.user_id, e.event_id AS click_id,
+             CASE WHEN v.vid IS NULL THEN 1 ELSE 2 END AS steps_bound
+      FROM events e
+      LEFT JOIN LATERAL (
+        SELECT v2.event_id AS vid, v2.ts AS vts
+        FROM events v2
+        WHERE v2.user_id = e.user_id AND v2.event_type = 'view'
+          AND (v2.ts > e.ts OR (v2.ts = e.ts AND v2.event_id > e.event_id))
+          AND v2.ts <= e.ts + INTERVAL 12 HOUR
+        ORDER BY v2.ts, v2.event_id LIMIT 1) v ON true
+      WHERE e.event_type = 'click'
+        AND (v.vid IS NULL OR NOT EXISTS (
+          SELECT 1 FROM events p
+          WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+            AND (p.ts > v.vts OR (p.ts = v.vts AND p.event_id > v.vid))
+            AND p.ts <= e.ts + INTERVAL 12 HOUR))
+      ORDER BY user_id, click_id""",
+    // Late = a second-batch row (ts < min+1h) below the admission
+    // horizon: watermark (ms-floored max event time − 10 s delay, the
+    // engine's watermark arithmetic) minus the 10-minute within.
+    "stream_cep_late_capture" -> """
+      WITH m AS (SELECT epoch_us(min(ts)) AS mn, epoch_us(max(ts)) AS mx
+                 FROM events)
+      SELECT e.user_id, e.event_id
+      FROM events e, m
+      WHERE epoch_us(e.ts) < m.mn + 3600000000
+        AND epoch_us(e.ts) < (m.mx // 1000 - 10000) * 1000 - 600000000
+      ORDER BY user_id, event_id""",
     "match_recognize_sql_door" -> """
       WITH o AS (
         SELECT user_id, event_id, event_type, value, ts,

@@ -801,6 +801,59 @@ object Cep {
    * a one-element match whose single bind carries the row. */
   val UnmatchedStep = "__unmatched"
 
+  /** Step-name PREFIX marking the binds of a timed-out partial match
+   * (reference `TimedOutPartialMatchHandler` /
+   * `PatternStream.flatSelect(timeoutTag, …)` —
+   * `cep/PatternStream.java:26`): a partial match whose `within`
+   * window closed before the pattern completed is emitted with each
+   * bind's step renamed to `"__timedout:" + step`, so the channel is
+   * detectable from `binds.head.step` and the original step names stay
+   * recoverable (the reference hands the handler the partial
+   * `Map<String, List<T>>` — same information). */
+  val TimedOutStep = "__timedout"
+
+  /** Step name of the pseudo-binding emitted for a too-late event
+   * (reference `PatternStream.sideOutputLateData` —
+   * `cep/PatternStream.java:76`): an event dropped at entry because it
+   * arrived below the operator's admission horizon is surfaced as a
+   * one-bind pseudo-match instead of vanishing. */
+  val LateStep = "__late"
+
+  /** Longest PROPER-prefix binding per requested start event: for each
+   * start id in `startIds`, the maximal `k < steps.length` such that
+   * `steps.take(k)` matches starting at that event. Implements the
+   * timed-out partial-match content (the reference NFA keeps partial
+   * computation states per run and hands the timed-out one to the
+   * handler; this re-scan engine reconstructs it at eviction time,
+   * once per event lifetime, with ≤ steps−1 truncated scans per
+   * batch). Truncations that cannot stand alone — a trailing
+   * non-consuming negative step, or no required consuming step — are
+   * skipped (their binding equals the next-shorter prefix anyway). */
+  private def partialPrefixMatches[T](events: IndexedSeq[T], p: Pattern[T],
+      time: T => Long, id: T => Long, startIds: Set[Long]): List[MatchG[T]] = {
+    val found = scala.collection.mutable.Map.empty[Long, MatchG[T]]
+    def mustConsume(q: Quant): Boolean = q match {
+      case Once | OneOrMore | OneOrMoreReluctant | OneOrMoreRelaxed | Any => true
+      case _ => false
+    }
+    var k = p.steps.length - 1
+    while (k >= 1 && found.size < startIds.size) {
+      val steps = p.steps.take(k)
+      val last = steps.last.quant
+      if (last != NotNext && last != NotFollowed && steps.exists(s => mustConsume(s.quant))) {
+        // NoSkip so every start is probed independently (a truncated
+        // skip region must not shadow another evicted start's probe)
+        val sub = p.copy(steps = steps, skip = NoSkip, holdToHorizon = false)
+        matchSortedG(events, sub, time, id).foreach { m =>
+          val sid = id(m.binds.head.ev)
+          if (startIds(sid) && !found.contains(sid)) found(sid) = m
+        }
+      }
+      k -= 1
+    }
+    found.values.toList.sortBy(m => (m.start_us, id(m.binds.head.ev)))
+  }
+
   /** BATCH-mode pattern matching over a bounded per-key dataset
    * (reference `BatchExecMatch` — the batch planner runs the same
    * MATCH_RECOGNIZE operator over sorted bounded input): per key,
@@ -842,8 +895,14 @@ object Cep {
       keyField: String, timeField: String, idField: String,
       watermarkDelay: String = "1 hour",
       ttl: Option[String] = None,
-      unmatched: Boolean = false): Dataset[CepBoundG[T]] = {
+      unmatched: Boolean = false,
+      timedOut: Boolean = false,
+      lateCapture: Boolean = false): Dataset[CepBoundG[T]] = {
     validate(pattern) // fail fast on the driver
+    require(!timedOut || pattern.withinUs != Long.MaxValue,
+      "timed-out partial emission requires within(): watermark eviction of " +
+      "the within horizon IS the timeout point (reference CepOperator times " +
+      "out a partial when the watermark passes start + within)")
     require(!unmatched || pattern.withinUs != Long.MaxValue,
       "unmatched-row emission requires within(): eviction of the within " +
       "horizon is what makes 'participates in no match' final — without " +
@@ -869,7 +928,7 @@ object Cep {
       .as[T]
     withWm.groupByKey(key)
       .flatMapGroupsWithState[CepStateG[T], CepBoundG[T]](OutputMode.Append, Ttl.timeoutConf(ttl))(
-        Ttl.wrap(ttl)(cepFlatMap(pattern, time, id, unmatched)))
+        Ttl.wrap(ttl)(cepFlatMap(pattern, time, id, unmatched, timedOut, lateCapture)))
   }
 
   /** [[runBoundBy]] for event types WITHOUT a product encoder — e.g. a
@@ -918,7 +977,8 @@ object Cep {
    * rows from the same operator) — emission happens at eviction time
    * because only then is "participates in no match" final. */
   private def cepFlatMap[T](pattern: Pattern[T], time: T => Long, id: T => Long,
-      unmatched: Boolean = false)
+      unmatched: Boolean = false, timedOut: Boolean = false,
+      lateCapture: Boolean = false)
       : (String, Iterator[T], GroupState[CepStateG[T]]) => Iterator[CepBoundG[T]] = {
         (k, it, state: GroupState[CepStateG[T]]) =>
           val st = state.getOption.getOrElse(CepStateG[T](Nil, Nil))
@@ -959,9 +1019,24 @@ object Cep {
             val c2 = if (c != 0) c else java.lang.Long.compare(eid, fId)
             if (fStrict) c2 > 0 else c2 >= 0
           }
-          val buffer = (st.buffer ++ it.filter(e => admit(time(e))))
-            .filter(e => afterFloor(time(e), id(e), st.floorTs, st.floorId, st.floorStrict))
-            .sortBy(e => (time(e), id(e)))
+          // late capture (reference PatternStream.sideOutputLateData):
+          // events below the admission horizon are surfaced on the
+          // tagged channel instead of silently vanishing
+          val (arrived, lateDropped) = it.toList.partition(e => admit(time(e)))
+          val lateOut =
+            if (!lateCapture) Nil
+            else lateDropped.map(e =>
+              CepBoundG(k, time(e), time(e), List(BoundG(LateStep, e))))
+          // Events at or before the persisted skip floor are dropped
+          // from the buffer BEFORE scanning (see above) — but with
+          // unmatched-row emission on, their verdict is already final
+          // (they provably cannot join any future match), so they are
+          // routed to the unmatched output rather than discarded: the
+          // SQL:2016 invariant is that every row appears either in a
+          // match or as unmatched.
+          val (admitted, floorDropped) = (st.buffer ++ arrived)
+            .partition(e => afterFloor(time(e), id(e), st.floorTs, st.floorId, st.floorStrict))
+          val buffer = admitted.sortBy(e => (time(e), id(e)))
           val all = matchSortedG(buffer.toIndexedSeq, pattern, time, id)
           // A pattern containing a negative step asserts ABSENCE, which
           // a later batch can falsify with a late in-horizon event — so
@@ -1052,19 +1127,38 @@ object Cep {
           // closed — next batch's scan must resume after it)
           val (kept, evicted) = buffer.partition(e =>
             live(time(e)) && afterFloor(time(e), id(e), floorTs, floorId, floorStrict))
+          // participation = membership in ANY emitted match's binds
+          // (held/unconfirmed matches keep their rows in the buffer,
+          // so an evicted row's verdict is final)
+          val matchedAll: Long => Boolean =
+            if (!unmatched && !timedOut) _ => false
+            else st.matchedIds.toSet ++
+              fresh.iterator.flatMap(_.binds.iterator.map(b => id(b.ev)))
           val unmatchedOut =
             if (!unmatched) Nil
+            else (evicted ++ floorDropped).filterNot(e => matchedAll(id(e))).map(e =>
+              CepBoundG(k, time(e), time(e), List(BoundG(UnmatchedStep, e))))
+          // Timed-out partial matches (TimedOutPartialMatchHandler
+          // analog): a watermark-evicted event whose within window
+          // closed without participating in any match, but at which a
+          // proper prefix of the pattern binds, is a pattern run that
+          // STARTED and never completed — emit its maximal partial
+          // binding with "__timedout:"-prefixed step names.
+          // Floor-dropped events are excluded: the after-match skip
+          // consumed their region, and the reference likewise discards
+          // skip-released partial runs rather than timing them out.
+          val timeoutOut =
+            if (!timedOut) Nil
             else {
-              // participation = membership in ANY emitted match's binds
-              // (held/unconfirmed matches keep their rows in the buffer,
-              // so an evicted row's verdict is final)
-              val matchedAll = st.matchedIds.toSet ++
-                fresh.iterator.flatMap(_.binds.iterator.map(b => id(b.ev)))
-              evicted.filterNot(e => matchedAll(id(e))).map(e =>
-                CepBoundG(k, time(e), time(e), List(BoundG(UnmatchedStep, e))))
+              val cands = evicted.filter(e => !live(time(e)) && !matchedAll(id(e)))
+              if (cands.isEmpty) Nil
+              else partialPrefixMatches(buffer.toIndexedSeq, pattern, time, id,
+                  cands.map(id).toSet)
+                .map(m => CepBoundG(k, m.start_us, m.end_us,
+                  m.binds.map(b => BoundG(TimedOutStep + ":" + b.step, b.ev))))
             }
           val keptMatched =
-            if (!unmatched) Nil
+            if (!unmatched && !timedOut) Nil
             else {
               val keptIds = kept.iterator.map(id).toSet
               (st.matchedIds ++ fresh.flatMap(_.binds.map(b => id(b.ev))))
@@ -1073,6 +1167,6 @@ object Cep {
           state.update(CepStateG(kept, emitted.filter(p => live(p._1)), keptMatched,
             floorTs, floorId, floorStrict))
           (fresh.iterator.map(m => CepBoundG(k, m.start_us, m.end_us, m.binds))
-            ++ unmatchedOut.iterator)
+            ++ unmatchedOut.iterator ++ timeoutOut.iterator ++ lateOut.iterator)
   }
 }

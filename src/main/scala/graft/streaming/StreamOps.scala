@@ -105,6 +105,41 @@ object StreamOps {
       .as[Ev]
   }
 
+  /** The events stream staged as two micro-batches by EVENT TIME:
+   * file 1 carries every event at/after `minTs + splitOffsetUs`,
+   * file 2 the rest — so file-2 rows arrive LATE relative to the
+   * watermark file 1 established (mirrors the reference's
+   * late-element path in `CepOperator`: elements below the current
+   * watermark). The split point is a pure function of the data
+   * (min ts + a literal offset), so an oracle can reproduce exactly
+   * which rows were late. */
+  def eventsTypedLateSplit(spark: SparkSession, dir: String,
+      splitOffsetUs: Long): Dataset[Ev] = {
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_evlate")
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val tsIsLong = batch.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val tsUs = if (tsIsLong) expr("ts div 1000") else unix_micros(col("ts").cast("timestamp"))
+    val minUs = batch.agg(min(tsUs)).head().getAs[Number](0).longValue
+    Seq(tsUs >= minUs + splitOffsetUs, tsUs < minUs + splitOffsetUs)
+      .zipWithIndex.foreach { case (pred, i) =>
+        val before = listParquets(work)
+        batch.filter(pred).coalesce(1).write.mode("append").parquet(work.toString)
+        (listParquets(work) -- before).foreach(p =>
+          Files.setLastModifiedTime(p, FileTime.fromMillis(10000L + i * 10000L)))
+      }
+    val sdf = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/*.parquet")
+    val norm =
+      if (tsIsLong) sdf.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      else sdf
+    norm.select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"))
+      .as[Ev]
+  }
+
   /** The events stream staged with TWO rounds of PER-KEY far-future
    * sentinel rows, each file its own micro-batch (maxFilesPerTrigger=1,
    * explicit mtime ordering): round 1 advances the watermark past all
