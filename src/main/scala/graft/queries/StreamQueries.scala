@@ -578,6 +578,52 @@ object StreamQueries extends QueryPack {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Same rule, MIXED frames: three different frames in ONE SELECT
+    // (ROWS 3 PRECEDING, RANGE 10 minutes, ROWS UNBOUNDED) — the
+    // reference StreamExecOverAggregate groups window aggregates by
+    // frame; here each expression evaluates over its own slice of one
+    // shared history — plus the VARIANCE family (VAR_SAMP over the
+    // ROWS frame, STDDEV_POP over the RANGE frame). Variance columns
+    // are compared through the exact integer moment identity
+    // n·(n−1)·var_samp = n·Σc² − S² (and n²·stddev_pop² likewise):
+    // the true value is an INTEGER for integer cents, so round() is
+    // engine-stable — any fixed decimal quantization of the raw
+    // variance sits knife-edge on the 2-decimal data's lattice.
+    "stream_over_mixed_frames_sql" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val view = StreamOps.freshName("events_wm")
+      StreamOps.eventsTypedWithFinalWatermark(s, dir).toDF()
+        .withColumn("__event_ts", timestamp_micros(col("ts_us")))
+        .withWatermark("__event_ts", "0 seconds")
+        .createOrReplaceTempView(view)
+      val analyzed = s.sql(s"""
+        SELECT user_id, event_id, ts_us,
+               sum(cents) OVER w3 AS sum_rows3,
+               count(*) OVER wr AS n_range,
+               count(*) OVER wu AS running_n,
+               CAST(round(var_samp(cents) OVER w3
+                    * (count(*) OVER w3) * (count(*) OVER w3 - 1)) AS BIGINT) AS var3_m2n,
+               CAST(round(stddev_pop(cents) OVER wr * stddev_pop(cents) OVER wr
+                    * (count(*) OVER wr) * (count(*) OVER wr)) AS BIGINT) AS stdp_m2n
+        FROM (SELECT user_id, event_id, ts_us, __event_ts,
+                     CAST(floor(value * 100) AS BIGINT) AS cents FROM $view)
+        WINDOW w3 AS (PARTITION BY user_id ORDER BY __event_ts
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+               wr AS (PARTITION BY user_id ORDER BY __event_ts
+                      RANGE BETWEEN INTERVAL '10' MINUTE PRECEDING AND CURRENT ROW),
+               wu AS (PARTITION BY user_id ORDER BY __event_ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")
+        .queryExecution.analyzed
+      val rewritten = graft.rules.StreamOverAggRule(s)(analyzed)
+      require(rewritten.collectFirst {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.isEmpty, "streaming OVER rewrite did not fire")
+      StreamOps.runToBatch(s, org.apache.spark.sql.graft.SqlShim.ofRows(s, rewritten),
+          "append", "over_mixed_sql")
+        .filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     "stream_topn_sql" -> ((s0, dir) => {
       val s = StreamOps.tuned(s0)
       val view = StreamOps.freshName("events_stream")
@@ -1254,6 +1300,27 @@ object StreamQueries extends QueryPack {
              CAST(sum(cents) OVER w AS BIGINT) AS running_cents
       FROM src
       WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+      ORDER BY user_id, event_id""",
+    "stream_over_mixed_frames_sql" -> """
+      WITH src AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events)
+      SELECT user_id, event_id, ts_us,
+             CAST(sum(cents) OVER w3 AS BIGINT) AS sum_rows3,
+             CAST(count(*) OVER wr AS BIGINT) AS n_range,
+             CAST(count(*) OVER wu AS BIGINT) AS running_n,
+             CAST(round(var_samp(cents) OVER w3
+                  * (count(*) OVER w3) * (count(*) OVER w3 - 1)) AS BIGINT) AS var3_m2n,
+             CAST(round(stddev_pop(cents) OVER wr * stddev_pop(cents) OVER wr
+                  * (count(*) OVER wr) * (count(*) OVER wr)) AS BIGINT) AS stdp_m2n
+      FROM src
+      WINDOW w3 AS (PARTITION BY user_id ORDER BY ts_us
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+             wr AS (PARTITION BY user_id ORDER BY ts_us
+                    RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW),
+             wu AS (PARTITION BY user_id ORDER BY ts_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       ORDER BY user_id, event_id""",
     "stream_topn_sql" -> """
       SELECT event_type, event_id, value, rn

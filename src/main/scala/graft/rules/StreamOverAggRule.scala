@@ -30,10 +30,15 @@ import org.apache.spark.unsafe.types.CalendarInterval
  * strictly passes them, so output is micro-batch-independent; ROWS
  * ties release in arrival order — give unique order keys for
  * deterministic output); SUM/COUNT/MIN/MAX/AVG over a direct numeric
- * attribute (or COUNT(*)), plus FIRST_VALUE/LAST_VALUE navigation over
- * any scalar attribute; every expression sharing one frame, which
- * is ROWS n PRECEDING, RANGE interval PRECEDING, or UNBOUNDED
- * PRECEDING — each ending at CURRENT ROW.
+ * attribute (or COUNT(*)), STDDEV/VARIANCE (pop and samp), plus
+ * FIRST_VALUE/LAST_VALUE navigation over any scalar attribute; each
+ * expression carries its OWN frame (the reference
+ * `StreamExecOverAggregate` groups window aggregates by frame) —
+ * ROWS n PRECEDING, RANGE interval PRECEDING, or UNBOUNDED
+ * PRECEDING, each ending at CURRENT ROW. ROWS UNBOUNDED PRECEDING
+ * emits per released row (ties see their running prefix), RANGE
+ * UNBOUNDED PRECEDING accumulates a full ts-peer group before
+ * emitting — the batch Window semantics for each frame type.
  *
  * Scale: state per key is the frame horizon — last n rows (ROWS),
  * the range interval (RANGE), or O(#aggs) running accumulators
@@ -44,18 +49,23 @@ import org.apache.spark.unsafe.types.CalendarInterval
  */
 case class StreamOverAggRule(session: SparkSession) extends Rule[LogicalPlan] {
 
-  // composite-key separator: NUL never appears in attribute values
-  private val SepNul = 0.toChar.toString
 
   private sealed trait Mode
   private case class RowsMode(n: Int) extends Mode
   private case class RangeMode(us: Long) extends Mode
-  private case object UnboundedMode extends Mode
+  /** ROWS UNBOUNDED PRECEDING: per-row running prefix (a ts-tie sees
+   * only rows released before it). */
+  private case object UnboundedRows extends Mode
+  /** RANGE UNBOUNDED PRECEDING: ts-peer groups share the frame. */
+  private case object UnboundedRange extends Mode
+  /** LAG: frameless row offset over the released-row ring. */
+  private case object LagMode extends Mode
 
-  // fn ∈ sum/count/min/max/avg/first/last/lag; idx = input ordinal
-  // (-1 for COUNT(*)); off = row offset (lag only)
+  // fn ∈ sum/count/min/max/avg/stddev·/var·/first/last/lag; idx =
+  // input ordinal (-1 for COUNT(*)); off = row offset (lag only);
+  // mode = this expression's own frame
   private case class AggSpec(fn: String, idx: Int, in: DataType, out: DataType,
-      off: Int = 0)
+      off: Int = 0, mode: Mode = LagMode)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case w: Window if w.child.isStreaming => rewrite(w).getOrElse(w)
@@ -96,11 +106,6 @@ case class StreamOverAggRule(session: SparkSession) extends Rule[LogicalPlan] {
       case _ => return None
     }
 
-    var mode: Option[Mode] = None
-    def sameMode(m: Mode): Boolean = mode match {
-      case None => mode = Some(m); true
-      case Some(prev) => prev == m
-    }
     val numericIn = Set[DataType](IntegerType, LongType, DoubleType)
     val aggs: Seq[(Alias, AggSpec)] = w.windowExpressions.map {
       // LAG(x, n): frameless row offset (reference LagAggFunction —
@@ -126,12 +131,12 @@ case class StreamOverAggRule(session: SparkSession) extends Rule[LogicalPlan] {
         if (idx < 0) return None
         if (!Set[DataType](LongType, DoubleType, IntegerType, StringType)(we.dataType))
           return None
-        (al, AggSpec("lag", idx, input.dataType, we.dataType, off))
+        (al, AggSpec("lag", idx, input.dataType, we.dataType, off, LagMode))
       case al @ Alias(WindowExpression(ae: AggregateExpression,
           WindowSpecDefinition(_, _, frame)), _) if !ae.isDistinct =>
         val m = frame match {
-          case SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) => UnboundedMode
-          case SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow) => UnboundedMode
+          case SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) => UnboundedRows
+          case SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow) => UnboundedRange
           case SpecifiedWindowFrame(RowFrame, lo, CurrentRow) =>
             boundUs(lo) match {
               case Some(n) if n >= 0 && n <= Int.MaxValue => RowsMode(n.toInt)
@@ -141,7 +146,6 @@ case class StreamOverAggRule(session: SparkSession) extends Rule[LogicalPlan] {
             boundUs(lo) match { case Some(us) if us >= 0 => RangeMode(us); case _ => return None }
           case _ => return None
         }
-        if (!sameMode(m)) return None
         def ordT(e: Expression, ok: Set[DataType]): Int = e match {
           case a: Attribute if ok(a.dataType) =>
             val i = child.output.indexWhere(_.exprId == a.exprId)
@@ -151,14 +155,18 @@ case class StreamOverAggRule(session: SparkSession) extends Rule[LogicalPlan] {
         def ord(e: Expression): Int = ordT(e, numericIn)
         val navIn = numericIn + StringType // FIRST/LAST navigate any scalar
         val spec = ae.aggregateFunction match {
-          case Count(Seq(Literal(1, _))) => AggSpec("count", -1, LongType, LongType)
-          case Count(Seq(e)) => AggSpec("count", ord(e), LongType, LongType)
-          case Sum(e, _) => AggSpec("sum", ord(e), e.dataType, ae.dataType)
-          case Min(e) => AggSpec("min", ord(e), e.dataType, ae.dataType)
-          case Max(e) => AggSpec("max", ord(e), e.dataType, ae.dataType)
-          case Average(e, _) => AggSpec("avg", ord(e), e.dataType, ae.dataType)
-          case First(e, false) => AggSpec("first", ordT(e, navIn), e.dataType, ae.dataType)
-          case Last(e, false) => AggSpec("last", ordT(e, navIn), e.dataType, ae.dataType)
+          case Count(Seq(Literal(1, _))) => AggSpec("count", -1, LongType, LongType, 0, m)
+          case Count(Seq(e)) => AggSpec("count", ord(e), LongType, LongType, 0, m)
+          case Sum(e, _) => AggSpec("sum", ord(e), e.dataType, ae.dataType, 0, m)
+          case Min(e) => AggSpec("min", ord(e), e.dataType, ae.dataType, 0, m)
+          case Max(e) => AggSpec("max", ord(e), e.dataType, ae.dataType, 0, m)
+          case Average(e, _) => AggSpec("avg", ord(e), e.dataType, ae.dataType, 0, m)
+          case StddevSamp(e, _) => AggSpec("stdsamp", ord(e), e.dataType, DoubleType, 0, m)
+          case StddevPop(e, _) => AggSpec("stdpop", ord(e), e.dataType, DoubleType, 0, m)
+          case VarianceSamp(e, _) => AggSpec("varsamp", ord(e), e.dataType, DoubleType, 0, m)
+          case VariancePop(e, _) => AggSpec("varpop", ord(e), e.dataType, DoubleType, 0, m)
+          case First(e, false) => AggSpec("first", ordT(e, navIn), e.dataType, ae.dataType, 0, m)
+          case Last(e, false) => AggSpec("last", ordT(e, navIn), e.dataType, ae.dataType, 0, m)
           case _ => return None
         }
         // COUNT(*) legitimately carries idx -1; any other aggregate
@@ -168,6 +176,7 @@ case class StreamOverAggRule(session: SparkSession) extends Rule[LogicalPlan] {
         // type exactly; the evaluator below covers these combinations
         val outOk = spec.fn match {
           case "first" | "last" => Set[DataType](LongType, DoubleType, IntegerType, StringType)(spec.out)
+          case "stdsamp" | "stdpop" | "varsamp" | "varpop" => ae.dataType == DoubleType
           case _ => Set[DataType](LongType, DoubleType, IntegerType)(spec.out)
         }
         if (!outOk) return None
@@ -175,8 +184,6 @@ case class StreamOverAggRule(session: SparkSession) extends Rule[LogicalPlan] {
       case _ => return None
     }
     if (aggs.isEmpty) return None
-    // a lag-only window constrains no aggregate frame
-    val theMode = mode.getOrElse(RowsMode(0))
     val maxLag = aggs.map(_._2.off).max
 
     val df = org.apache.spark.sql.graft.SqlShim.ofRows(session, child)
@@ -203,7 +210,7 @@ case class StreamOverAggRule(session: SparkSession) extends Rule[LogicalPlan] {
       if (r.isNullAt(i)) None else Some(r.get(i).asInstanceOf[Number].longValue)
 
     /** Fold one aggregate over the frame rows, shaped to `out`. */
-    def evalAgg(s: AggSpec, frame: Seq[Row]): Any = s.fn match {
+    def evalAgg(s: AggSpec, frame: scala.collection.Seq[Row]): Any = s.fn match {
       case "first" => if (frame.isEmpty || frame.head.isNullAt(s.idx)) null else frame.head.get(s.idx)
       case "last" => if (frame.isEmpty || frame.last.isNullAt(s.idx)) null else frame.last.get(s.idx)
       case "count" =>
@@ -211,6 +218,11 @@ case class StreamOverAggRule(session: SparkSession) extends Rule[LogicalPlan] {
       case "avg" =>
         val vs = frame.flatMap(r => numOf(r, s.idx))
         if (vs.isEmpty) null else vs.sum / vs.size
+      case "stdsamp" | "stdpop" | "varsamp" | "varpop" =>
+        val vs = frame.flatMap(r => numOf(r, s.idx))
+        varShape(s.fn, vs.size, vs.sum, { val n = vs.size
+          if (n == 0) 0.0 else { val m = vs.sum / n
+            vs.map(v => (v - m) * (v - m)).sum } })
       case fn =>
         val integral = s.in == IntegerType || s.in == LongType
         if (integral) {
@@ -234,8 +246,22 @@ case class StreamOverAggRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
 
     val aggSpecs = aggs.map(_._2)
-    val updates = df.groupByKey(r =>
-      partIdx.map(i => String.valueOf(r.get(i))).mkString(SepNul))
+    // retained released-row history must serve the LARGEST bounded
+    // frame of any expression (mixed frames: reference
+    // StreamExecOverAggregate groups aggregates by frame; here each
+    // spec reads its own slice of one shared history)
+    val maxRowsN = aggSpecs.collect { case AggSpec(_, _, _, _, _, RowsMode(n)) => n }
+      .maxOption.getOrElse(0)
+    val maxRangeUs = aggSpecs.collect { case AggSpec(_, _, _, _, _, RangeMode(us)) => us }
+      .maxOption.getOrElse(-1L)
+    // composite keys: length-prefixed parts (a NUL-joined form would
+    // collide when a part itself contains the separator, and a null
+    // part with the literal string "null")
+    val keyOf: Row => String = r => partIdx.map { i =>
+      val v = String.valueOf(r.get(i))
+      (if (r.isNullAt(i)) "n" else "v") + v.length + ":" + v
+    }.mkString
+    val updates = df.groupByKey(keyOf)
       .flatMapGroupsWithState[OverRuleState, Row](
           OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_, it, state) =>
@@ -247,51 +273,44 @@ case class StreamOverAggRule(session: SparkSession) extends Rule[LogicalPlan] {
           // BoundedOver operator: a row at ts == watermark could still
           // gain same-ts peers in a later batch
           val (ready, pending) = all.partition(r => tsOf(r) < wmUs)
-          var hist = st.history
           var accs = st.accs
           var recent = st.recent // last maxLag released rows (lag ring)
+          if (accs.isEmpty) accs =
+            aggSpecs.map(_ => OverAcc(0L, 0.0, 0L, None, None, None, None)).toList
           val out = List.newBuilder[Row]
-          def vals(r: Row, frame: Seq[Row], accd: Option[List[OverAcc]]): Seq[Any] =
-            aggSpecs.zipWithIndex.map { case (s, i) =>
-              if (s.fn == "lag") lagVal(s, recent)
-              else accd match {
-                case Some(as) => accOut(s, as(i))
-                case None => evalAgg(s, frame)
-              }
-            }
           def pushRecent(r: Row): Unit =
             if (maxLag > 0) recent = (recent :+ r).takeRight(maxLag)
-          theMode match {
-            case UnboundedMode =>
-              // O(1) running accumulators; RANGE peers share the frame,
-              // which for sum/count/min/max/avg equals accumulate-then-
-              // emit-per-peer-group (lag stays ROW-based via the ring)
-              if (accs.isEmpty) accs = aggSpecs.map(_ => OverAcc(0L, 0.0, 0L, None, None, None, None)).toList
-              ready.groupBy(tsOf).toList.sortBy(_._1).foreach { case (_, rows) =>
-                accs = accs.zip(aggSpecs).map { case (a, s) => rows.foldLeft(a)(accAdd(s)) }
-                rows.foreach { r =>
-                  out += Row.fromSeq(r.toSeq ++ vals(r, Nil, Some(accs)))
-                  pushRecent(r)
-                }
-              }
-            case RowsMode(n) =>
-              ready.foreach { r =>
-                val fr = hist.takeRight(n) :+ r
-                out += Row.fromSeq(r.toSeq ++ vals(r, fr, None))
-                pushRecent(r)
-                hist = (hist :+ r).takeRight(n)
-              }
-            case RangeMode(ru) =>
-              ready.groupBy(tsOf).toList.sortBy(_._1).foreach { case (t, rows) =>
-                hist = hist ++ rows
-                val fr = hist.filter(r => tsOf(r) >= t - ru)
-                rows.foreach { r =>
-                  out += Row.fromSeq(r.toSeq ++ vals(r, fr, None))
-                  pushRecent(r)
-                }
-              }
-              hist = hist.filter(r => tsOf(r) >= wmUs - ru)
+          // all retained released rows, in release order
+          val released = scala.collection.mutable.ArrayBuffer[Row](st.history: _*)
+          ready.groupBy(tsOf).toList.sortBy(_._1).foreach { case (t, rows) =>
+            // RANGE UNBOUNDED: the whole ts-peer group accumulates
+            // before any peer emits (peers share the frame)
+            accs = accs.zip(aggSpecs).map { case (a, s) =>
+              if (s.mode == UnboundedRange) rows.foldLeft(a)(accAdd(s)) else a }
+            // RANGE bounded frames see every peer of the current ts
+            val withPeers = released ++ rows
+            rows.foreach { r =>
+              // ROWS UNBOUNDED: strictly running — this row joins the
+              // accumulator before emission, ties see their prefix
+              accs = accs.zip(aggSpecs).map { case (a, s) =>
+                if (s.mode == UnboundedRows) accAdd(s)(a, r) else a }
+              val outVals = aggSpecs.zip(accs).map { case (s, a) => s.mode match {
+                case LagMode => lagVal(s, recent)
+                case UnboundedRows | UnboundedRange => accOut(s, a)
+                case RowsMode(n) => evalAgg(s, released.takeRight(n) :+ r)
+                case RangeMode(us) => evalAgg(s, withPeers.filter(x => tsOf(x) >= t - us))
+              }}
+              out += Row.fromSeq(r.toSeq ++ outVals)
+              pushRecent(r)
+              released += r
+            }
           }
+          // trim: keep the last maxRowsN rows plus everything a future
+          // RANGE frame can still reference (next release is >= wmUs)
+          val keepFrom = released.length - maxRowsN
+          val hist = released.zipWithIndex.collect {
+            case (r, i) if i >= keepFrom || (maxRangeUs >= 0L && tsOf(r) >= wmUs - maxRangeUs) => r
+          }.toList
           state.update(OverRuleState(pending, hist, accs, recent))
           if (pending.nonEmpty) {
             val nextMs = (pending.map(tsOf).min + 999) / 1000
@@ -300,16 +319,37 @@ case class StreamOverAggRule(session: SparkSession) extends Rule[LogicalPlan] {
           out.result().iterator
       }
 
-    // splice back with the ORIGINAL output attribute ids
+    // splice back with the ORIGINAL output attribute ids; pass-through
+    // columns bind POSITIONALLY via their ordinal in child.output
+    // (outSchema preserves child field order) — name lookup would bind
+    // the wrong attribute when the child output carries duplicate
+    // names, legal after self-joins
     val newOut = updates.queryExecution.analyzed.output
     val aliases: Seq[NamedExpression] = w.output.map { orig =>
       val src = aggs.indexWhere(_._1.exprId == orig.exprId) match {
-        case -1 => newOut.find(_.name == orig.name).getOrElse(return None)
+        case -1 =>
+          val ord = child.output.indexWhere(_.exprId == orig.exprId)
+          if (ord < 0) return None
+          newOut(ord)
         case i => newOut(child.output.length + i)
       }
       Alias(src, orig.name)(exprId = orig.exprId)
     }
     Some(Project(aliases, updates.queryExecution.analyzed))
+  }
+
+  /** Shape (n, Σx, m2) into the requested variance family member.
+   * m2 = Σ(x−mean)² — callers supply it two-pass (bounded frames) or
+   * via the sum-of-squares accumulator (unbounded frames). SQL: pop
+   * variants are NULL on n=0, samp variants on n<2. */
+  private def varShape(fn: String, n: Long, sum: Double, m2: Double): Any = {
+    if (n == 0) null
+    else fn match {
+      case "varpop" => m2 / n
+      case "stdpop" => math.sqrt(m2 / n)
+      case "varsamp" => if (n < 2) null else m2 / (n - 1)
+      case "stdsamp" => if (n < 2) null else math.sqrt(m2 / (n - 1))
+    }
   }
 
   /** Accumulate one row into one aggregate's running state. */
@@ -323,11 +363,18 @@ case class StreamOverAggRule(session: SparkSession) extends Rule[LogicalPlan] {
       case "count" => a.copy(cnt = a.cnt + 1)
       case _ =>
         val num = r.get(s.idx).asInstanceOf[Number]
-        OverAcc(a.cnt + 1, a.sumD + num.doubleValue, a.sumL + num.longValue,
+        // Welford update keeps m2 numerically stable over unbounded
+        // prefixes (the naive Σx² − (Σx)²/n cancels catastrophically)
+        val d = num.doubleValue - (if (a.cnt == 0) 0.0 else a.sumD / a.cnt)
+        val newCnt = a.cnt + 1
+        val newSumD = a.sumD + num.doubleValue
+        val d2 = num.doubleValue - newSumD / newCnt
+        OverAcc(newCnt, newSumD, a.sumL + num.longValue,
           Some(a.minD.fold(num.doubleValue)(math.min(_, num.doubleValue))),
           Some(a.maxD.fold(num.doubleValue)(math.max(_, num.doubleValue))),
           Some(a.minL.fold(num.longValue)(math.min(_, num.longValue))),
-          Some(a.maxL.fold(num.longValue)(math.max(_, num.longValue))))
+          Some(a.maxL.fold(num.longValue)(math.max(_, num.longValue))),
+          m2 = a.m2 + d * d2)
     }
   }
 
@@ -346,6 +393,8 @@ case class StreamOverAggRule(session: SparkSession) extends Rule[LogicalPlan] {
     case "max" =>
       if (s.in == DoubleType) a.maxD.orNull
       else a.maxL.map(v => if (s.out == IntegerType) v.toInt else v).orNull
+    case "stdsamp" | "stdpop" | "varsamp" | "varpop" =>
+      varShape(s.fn, a.cnt, a.sumD, a.m2)
   }
 }
 
@@ -359,4 +408,5 @@ case class OverRuleState(pending: List[Row], history: List[Row], accs: List[Over
 case class OverAcc(cnt: Long, sumD: Double, sumL: Long,
     minD: Option[Double], maxD: Option[Double],
     minL: Option[Long] = None, maxL: Option[Long] = None,
-    firstSet: Boolean = false, firstV: Any = null, lastV: Any = null)
+    firstSet: Boolean = false, firstV: Any = null, lastV: Any = null,
+    m2: Double = 0.0)

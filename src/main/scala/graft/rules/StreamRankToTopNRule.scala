@@ -123,9 +123,14 @@ case class StreamRankToTopNRule(session: SparkSession) extends Rule[LogicalPlan]
       }
       c
     }
-    val sepNul = 0.toChar.toString
+    // composite keys: length-prefixed parts (a separator-joined form
+    // would collide when a part itself contains the separator, and a
+    // null part with the literal string "null")
     val updates = df.groupByKey(r =>
-      partIdx.map(i => String.valueOf(r.get(i))).mkString(sepNul))
+      partIdx.map { i =>
+        val v = String.valueOf(r.get(i))
+        (if (r.isNullAt(i)) "n" else "v") + v.length + ":" + v
+      }.mkString)
       .flatMapGroupsWithState[List[Row], Row](OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (_, it, state) =>
           val old = state.getOption.getOrElse(Nil)

@@ -113,6 +113,79 @@ class StreamOverAggRuleSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("ROWS UNBOUNDED ties emit per-row; RANGE UNBOUNDED ties share the frame") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = stream("over_stream_ties")
+    val analyzed = spark.sql("""
+      SELECT user_id, event_id,
+             count(*) OVER (PARTITION BY user_id ORDER BY __event_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nrows,
+             count(*) OVER (PARTITION BY user_id ORDER BY __event_ts) AS npeer,
+             var_samp(cents) OVER (PARTITION BY user_id ORDER BY __event_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+      FROM (SELECT user_id, event_id, __event_ts,
+                   CAST(floor(value * 100) AS BIGINT) AS cents FROM over_stream_ties)""")
+      .queryExecution.analyzed
+    val rewritten = StreamOverAggRule(spark)(analyzed)
+    assert(rewritten.collectFirst { case w: Window => w }.isEmpty)
+    val q = org.apache.spark.sql.graft.SqlShim.ofRows(spark, rewritten)
+      .writeStream.format("memory").queryName("t_overties")
+      .outputMode("append").start()
+    try {
+      // two rows at the SAME event time: a ROWS UNBOUNDED frame is
+      // per-row (running 1, 2 — the ADVICE tie defect), a RANGE
+      // UNBOUNDED (default) frame is peer-inclusive (2, 2)
+      ms.addData(Ev(1, 1, "a", 100L * 1000000, 1.0), Ev(2, 1, "a", 100L * 1000000, 2.0))
+      q.processAllAvailable()
+      ms.addData(Ev(3, 1, "a", 999999L * 1000000, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("t_overties")
+        .as[(Long, Long, Long, Long, Option[Double])].collect().toList
+      assert(got.map(_._3).sorted == List(1L, 2L), s"ROWS ties not per-row: $got")
+      assert(got.map(_._4) == List(2L, 2L), s"RANGE ties not peer-shared: $got")
+      // running var_samp: NULL at n=1, then ((100-150)²+(200-150)²)/1
+      assert(got.map(_._5).toSet == Set(None, Some(5000.0)), s"var wrong: $got")
+    } finally q.stop()
+  }
+
+  test("mixed frames in one SELECT evaluate each expression over its own frame") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = stream("over_stream_mixed")
+    val analyzed = spark.sql("""
+      SELECT user_id, event_id,
+             sum(cents) OVER (PARTITION BY user_id ORDER BY __event_ts
+               ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s_rows,
+             count(*) OVER (PARTITION BY user_id ORDER BY __event_ts
+               RANGE BETWEEN INTERVAL '100' SECOND PRECEDING AND CURRENT ROW) AS n_range,
+             count(*) OVER (PARTITION BY user_id ORDER BY __event_ts) AS n_run
+      FROM (SELECT user_id, event_id, __event_ts,
+                   CAST(floor(value * 100) AS BIGINT) AS cents FROM over_stream_mixed)""")
+      .queryExecution.analyzed
+    val rewritten = StreamOverAggRule(spark)(analyzed)
+    assert(rewritten.collectFirst { case w: Window => w }.isEmpty,
+      s"Window survived:\n$rewritten")
+    val q = org.apache.spark.sql.graft.SqlShim.ofRows(spark, rewritten)
+      .writeStream.format("memory").queryName("t_overmixed")
+      .outputMode("append").start()
+    try {
+      // ts 100, 150, 300: ROWS 1 frame pairs adjacent rows; the
+      // 100-second RANGE frame holds {100,150}, then {300} alone;
+      // the running count ignores both bounds
+      ms.addData(Ev(1, 1, "a", 100L * 1000000, 1.0), Ev(2, 1, "a", 150L * 1000000, 2.0))
+      q.processAllAvailable()
+      ms.addData(Ev(3, 1, "a", 300L * 1000000, 4.0))
+      q.processAllAvailable()
+      ms.addData(Ev(4, 1, "a", 999999L * 1000000, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("t_overmixed").as[(Long, Long, Long, Long, Long)]
+        .collect().toList.sortBy(_._2).map { case (_, id, s, nr, ng) => (id, s, nr, ng) }
+      assert(got == List((1L, 100L, 1L, 1L), (2L, 300L, 2L, 2L), (3L, 600L, 1L, 3L)),
+        s"mixed frames wrong: $got")
+    } finally q.stop()
+  }
+
   test("batch plans and non-aggregate windows are left untouched") {
     import spark.implicits._
     // batch: rule must not fire
