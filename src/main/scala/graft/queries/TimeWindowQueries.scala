@@ -174,12 +174,18 @@ object TimeWindowQueries extends QueryPack {
     // CUMULATE): the same aggregations as win_tumble/win_hop/
     // win_cumulate, but driven by TVF query text through
     // sqlx.WindowTvfSql.desugar — a user can paste reference SQL.
+    // TUMBLE uses the NAMED-argument form, HOP the named form with the
+    // arguments deliberately out of order, CUMULATE a positional
+    // constant-expression duration — all three alternate syntaxes the
+    // reference grammar accepts (SqlWindowTableFunction named params),
+    // each hash-identical to its DataFrame twin.
     "win_tumble_tvf_sql" -> ((s, dir) => {
       Tables.load(s, dir, "events").createOrReplaceTempView("events")
       graft.sqlx.WindowTvfSql.sql(s, """
         SELECT window_start AS ws, window_end AS we, event_type,
                count(*) AS n, sum(floor(value * 100)) AS sum_value
-        FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '15' MINUTE))
+        FROM TABLE(TUMBLE(DATA => TABLE events, TIMECOL => DESCRIPTOR(ts),
+                          SIZE => INTERVAL '15' MINUTE))
         GROUP BY window_start, window_end, event_type
         ORDER BY ws, event_type""")
     }),
@@ -189,7 +195,8 @@ object TimeWindowQueries extends QueryPack {
       graft.sqlx.WindowTvfSql.sql(s, """
         SELECT window_start AS ws, window_end AS we,
                count(*) AS n, count(DISTINCT user_id) AS n_users
-        FROM TABLE(HOP(TABLE events, DESCRIPTOR(ts), INTERVAL '10' MINUTE, INTERVAL '30' MINUTE))
+        FROM TABLE(HOP(SIZE => INTERVAL '30' MINUTE, DATA => TABLE events,
+                       SLIDE => INTERVAL '10' MINUTE, TIMECOL => DESCRIPTOR(ts)))
         GROUP BY window_start, window_end
         ORDER BY ws""")
     }),
@@ -199,7 +206,8 @@ object TimeWindowQueries extends QueryPack {
       graft.sqlx.WindowTvfSql.sql(s, """
         SELECT window_start AS ws, window_end AS we,
                count(*) AS n, sum(floor(value * 100)) AS sum_value
-        FROM TABLE(CUMULATE(TABLE events, DESCRIPTOR(ts), INTERVAL '20' MINUTE, INTERVAL '60' MINUTE))
+        FROM TABLE(CUMULATE(TABLE events, DESCRIPTOR(ts), INTERVAL '20' MINUTE,
+                            INTERVAL '30' MINUTE + INTERVAL '30' MINUTE))
         GROUP BY window_start, window_end
         ORDER BY ws, we""")
     }),

@@ -28,11 +28,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * DataFrame-API path (one partial/final agg shuffle on the window
  * columns; streams compose unchanged because the fan-out is stateless).
  *
+ * Both argument forms of the reference are accepted
+ * (`FlinkSqlOperatorTable.java:1178-1181`): positional
+ * `(TABLE t, DESCRIPTOR(ts), INTERVAL ...)` and named
+ * `(DATA => TABLE t, TIMECOL => DESCRIPTOR(ts), SIZE => ...)` — named
+ * args may appear in any order and normalize to the positional form
+ * before the rewrite, so both produce hash-identical plans. Durations
+ * are literal `INTERVAL 'n' UNIT`, or (through [[sql]], which has a
+ * session to evaluate with) any paren-free constant interval
+ * expression, e.g. `INTERVAL '1' MINUTE + INTERVAL '30' SECOND`.
+ *
  * Documented subset (all failures are loud, never silent pass-through):
- * positional arguments only (no `DATA =>` named-argument form), literal
- * `INTERVAL 'n' UNIT` durations, and CUMULATE/HOP steps that divide
- * evenly. Any TVF occurrence the rewriter cannot desugar leaves a
- * `DESCRIPTOR(` in the text, which `sql()` rejects before parsing.
+ * paren-free duration expressions, whole-second resolution, and
+ * CUMULATE/HOP steps that divide evenly. Any TVF occurrence the
+ * rewriter cannot desugar leaves a `DESCRIPTOR(` in the text, which
+ * `sql()` rejects before parsing.
  */
 object WindowTvfSql {
 
@@ -46,32 +56,98 @@ object WindowTvfSql {
   private[sqlx] val unitSecs =
     Map("SECOND" -> 1L, "MINUTE" -> 60L, "HOUR" -> 3600L, "DAY" -> 86400L)
 
-  /** Parse the TVF's trailing `INTERVAL 'n' UNIT` arguments → seconds.
-   * The tail must consist of NOTHING but interval literals and commas —
-   * named arguments (`SIZE => ...`) or expression offsets would
-   * otherwise be discarded silently, changing query semantics. */
-  private[sqlx] def intervals(args: String, fn: String): List[Long] = {
+  /** Parse the TVF's trailing duration arguments → seconds. Fast path:
+   * nothing but `INTERVAL 'n' UNIT` literals and commas. Fallback:
+   * with an evaluator available (the [[sql]] entry), each top-level
+   * comma-split argument evaluates as a constant interval expression.
+   * Anything else fails loudly — silent discard would change query
+   * semantics. */
+  private[sqlx] def intervals(args: String, fn: String,
+      evalSecs: Option[String => Long] = None): List[Long] = {
     val found = IntervalLit.findAllMatchIn(args)
       .map(m => m.group(1).toLong * unitSecs(m.group(2).toUpperCase)).toList
-    require(found.nonEmpty, s"$fn: expected INTERVAL 'n' UNIT arguments, got: $args")
     val leftover = IntervalLit.replaceAllIn(args, "").replace(",", "").trim
-    require(leftover.isEmpty,
-      s"$fn: unsupported argument text '$leftover' (positional INTERVAL " +
-      s"'n' UNIT literals only), in: $args")
-    found
+    if (found.nonEmpty && leftover.isEmpty) found
+    else evalSecs match {
+      case Some(ev) =>
+        val parts = SqlLexer.splitTop(args).map(_.trim).filter(_.nonEmpty)
+        require(parts.nonEmpty, s"$fn: expected duration arguments, got: $args")
+        parts.map(ev).toList
+      case None =>
+        require(found.nonEmpty,
+          s"$fn: expected INTERVAL 'n' UNIT arguments, got: $args")
+        require(leftover.isEmpty,
+          s"$fn: unsupported argument text '$leftover' (INTERVAL 'n' UNIT " +
+          s"literals only in this entry; expressions need the sql() door), in: $args")
+        found
+    }
+  }
+
+  // FN( whose argument list contains a named argument (=>): normalized
+  // to the positional form before the main rewrite
+  private val FnOpen = """(?is)\b(TUMBLE|HOP|CUMULATE)\s*\(""".r
+
+  /** Rewrite ONE named-argument TVF call to positional form; None when
+   * no named-argument call remains. Named args may appear in any order
+   * (reference SqlWindowTableFunction named parameters). */
+  private def namedToPositional(out: String): Option[String] = {
+    FnOpen.findAllMatchIn(out)
+      .filter(m => !SqlLexer.inQuote(out, m.start))
+      .map { mm =>
+        val open = mm.end - 1
+        val close = SqlLexer.closeOf(out, open)
+        (mm, close, out.substring(open + 1, close))
+      }
+      .find { case (_, _, body) =>
+        SqlLexer.splitTop(body).exists(_.contains("=>")) }
+      .map { case (mm, close, body) =>
+        val fn = mm.group(1).toUpperCase
+        val parts = SqlLexer.splitTop(body).map(_.trim)
+        val named = parts.map { a =>
+          val i = a.indexOf("=>")
+          require(i > 0,
+            s"$fn: mixed positional and named arguments are unsupported: '$a'")
+          (a.take(i).trim.toUpperCase, a.drop(i + 2).trim)
+        }
+        require(named.map(_._1).distinct.size == named.size,
+          s"$fn: duplicate named argument in: $body")
+        val byName = named.toMap
+        val data = byName.getOrElse("DATA",
+          sys.error(s"$fn: named form requires DATA => TABLE t"))
+        require(data.toUpperCase.startsWith("TABLE"),
+          s"$fn: DATA must be 'TABLE t', got: $data")
+        val timecol = byName.getOrElse("TIMECOL",
+          sys.error(s"$fn: named form requires TIMECOL => DESCRIPTOR(col)"))
+        require(timecol.toUpperCase.startsWith("DESCRIPTOR"),
+          s"$fn: TIMECOL must be DESCRIPTOR(col), got: $timecol")
+        val durKeys = fn match {
+          case "TUMBLE" => Seq("SIZE") ++
+            (if (byName.contains("OFFSET")) Seq("OFFSET") else Nil)
+          case "HOP" => Seq("SLIDE", "SIZE")
+          case _ => Seq("STEP", "SIZE")
+        }
+        val extras = byName.keySet -- durKeys.toSet -- Set("DATA", "TIMECOL")
+        require(extras.isEmpty, s"$fn: unsupported named arguments $extras")
+        durKeys.foreach(k => require(byName.contains(k),
+          s"$fn: named form requires $k => <interval>"))
+        val repl = s"$fn($data, $timecol, ${durKeys.map(byName).mkString(", ")})"
+        out.substring(0, mm.start) + repl + out.substring(close + 1)
+      }
   }
 
   private def dur(secs: Long): String = s"'$secs seconds'"
 
   /** Rewrite every window-TVF call in `query` (pure text-to-text). */
-  def desugar(query: String): String = {
+  def desugar(query: String, evalSecs: Option[String => Long] = None): String = {
     var out = query
+    var named = namedToPositional(out)
+    while (named.isDefined) { out = named.get; named = namedToPositional(out) }
     var m = Tvf.findAllMatchIn(out).find(mm => !SqlLexer.inQuote(out, mm.start))
     while (m.isDefined) {
       val mm = m.get
       val (fn, table, ts, args) =
         (mm.group(2).toUpperCase, mm.group(3), mm.group(4), mm.group(5))
-      val iv = intervals(args, fn)
+      val iv = intervals(args, fn, evalSecs)
       val inner = fn match {
         case "TUMBLE" =>
           require(iv.size <= 2, s"TUMBLE takes (size[, offset]), got: $args")
@@ -118,12 +194,28 @@ object WindowTvfSql {
   /** Desugar + run. Rejects any TVF the rewriter could not handle
    * (quote-aware: a DESCRIPTOR( inside a string literal is fine). */
   def sql(spark: SparkSession, query: String): DataFrame = {
-    val q = desugar(query)
+    // constant-expression durations evaluate through the session
+    // (whole seconds only; months have no fixed length and are rejected)
+    val evalSecs: String => Long = { e =>
+      val v = spark.sql(s"SELECT ($e)").first().get(0)
+      v match {
+        case d: java.time.Duration =>
+          require(d.getNano == 0, s"sub-second interval unsupported: $e")
+          d.getSeconds
+        case ci: org.apache.spark.unsafe.types.CalendarInterval =>
+          require(ci.months == 0, s"month-based interval unsupported: $e")
+          require(ci.microseconds % 1000000L == 0,
+            s"sub-second interval unsupported: $e")
+          ci.days * 86400L + ci.microseconds / 1000000L
+        case other => sys.error(
+          s"window TVF duration must be a constant interval, got '$other' for: $e")
+      }
+    }
+    val q = desugar(query, Some(evalSecs))
     val undesugared = """(?i)DESCRIPTOR\s*\(""".r.findAllMatchIn(q)
       .exists(m => !SqlLexer.inQuote(q, m.start))
     require(!undesugared,
-      s"window TVF not desugared (unsupported form — positional args and " +
-      s"literal intervals only):\n$q")
+      s"window TVF not desugared (unsupported form):\n$q")
     spark.sql(q)
   }
 }

@@ -50,9 +50,11 @@ class WindowTvfSqlSpec extends SparkSuite {
   }
 
   test("sql() rejects an undesugared TVF form loudly") {
+    // arguments in a non-grammar order (DESCRIPTOR before TABLE) is not
+    // a form either syntax accepts — it must surface, not silently parse
     val e = intercept[IllegalArgumentException] {
       WindowTvfSql.sql(spark,
-        "SELECT 1 FROM TABLE(TUMBLE(DATA => TABLE ev, TIMECOL => DESCRIPTOR(ts), SIZE => INTERVAL '15' MINUTE))")
+        "SELECT 1 FROM TABLE(TUMBLE(DESCRIPTOR(ts), TABLE ev, INTERVAL '15' MINUTE))")
     }
     assert(e.getMessage.contains("not desugared"), e.getMessage)
     // but a DESCRIPTOR( inside a string literal is NOT a leftover TVF
@@ -76,6 +78,57 @@ class WindowTvfSqlSpec extends SparkSuite {
       WindowTvfSql.desugar(
         "FROM TABLE(TUMBLE(TABLE ev, DESCRIPTOR(ts), INTERVAL '15' MINUTE) garbage)")
     }
+  }
+
+  test("named-argument form desugars identically to the positional form") {
+    val pos = WindowTvfSql.desugar(
+      "FROM TABLE(TUMBLE(TABLE ev, DESCRIPTOR(ts), INTERVAL '15' MINUTE))")
+    val named = WindowTvfSql.desugar(
+      "FROM TABLE(TUMBLE(DATA => TABLE ev, TIMECOL => DESCRIPTOR(ts), " +
+        "SIZE => INTERVAL '15' MINUTE))")
+    assert(named == pos)
+    // named args in ANY order (reference SqlWindowTableFunction named
+    // parameters are order-free)
+    val hopPos = WindowTvfSql.desugar(
+      "FROM TABLE(HOP(TABLE ev, DESCRIPTOR(ts), INTERVAL '5' MINUTE, INTERVAL '15' MINUTE))")
+    val hopNamed = WindowTvfSql.desugar(
+      "FROM TABLE(HOP(SIZE => INTERVAL '15' MINUTE, TIMECOL => DESCRIPTOR(ts), " +
+        "DATA => TABLE ev, SLIDE => INTERVAL '5' MINUTE))")
+    assert(hopNamed == hopPos)
+    val cumPos = WindowTvfSql.desugar(
+      "FROM TABLE(CUMULATE(TABLE ev, DESCRIPTOR(ts), INTERVAL '5' MINUTE, INTERVAL '15' MINUTE))")
+    val cumNamed = WindowTvfSql.desugar(
+      "FROM TABLE(CUMULATE(DATA => TABLE ev, TIMECOL => DESCRIPTOR(ts), " +
+        "STEP => INTERVAL '5' MINUTE, SIZE => INTERVAL '15' MINUTE))")
+    assert(cumNamed == cumPos)
+    // named TUMBLE with OFFSET
+    val offPos = WindowTvfSql.desugar(
+      "FROM TABLE(TUMBLE(TABLE ev, DESCRIPTOR(ts), INTERVAL '15' MINUTE, INTERVAL '5' MINUTE))")
+    val offNamed = WindowTvfSql.desugar(
+      "FROM TABLE(TUMBLE(OFFSET => INTERVAL '5' MINUTE, DATA => TABLE ev, " +
+        "TIMECOL => DESCRIPTOR(ts), SIZE => INTERVAL '15' MINUTE))")
+    assert(offNamed == offPos)
+    // unknown named argument is loud
+    intercept[IllegalArgumentException] {
+      WindowTvfSql.desugar(
+        "FROM TABLE(TUMBLE(DATA => TABLE ev, TIMECOL => DESCRIPTOR(ts), " +
+          "SIZES => INTERVAL '15' MINUTE))")
+    }
+  }
+
+  test("constant interval expressions evaluate through the sql() door") {
+    val dir = "/root/testdata/sf0.001"
+    graft.Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    val viaExpr = WindowTvfSql.sql(spark, """
+      SELECT window_start AS ws, count(*) AS n
+      FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts),
+                        INTERVAL '30' MINUTE + INTERVAL '30' MINUTE))
+      GROUP BY window_start ORDER BY ws""").collect()
+    val viaLit = WindowTvfSql.sql(spark, """
+      SELECT window_start AS ws, count(*) AS n
+      FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+      GROUP BY window_start ORDER BY ws""").collect()
+    assert(viaExpr.toSeq == viaLit.toSeq)
   }
 
   test("end-to-end: TVF SQL equals the DataFrame window() aggregation") {
