@@ -92,6 +92,40 @@ object ChangelogQueries extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // CDC → JOIN → RETRACT AGGREGATE → TOP-N: the full downstream
+    // chain the reference's retraction machinery exists for
+    // (StreamExecChangelogNormalize feeding stateful nodes). The
+    // events changelog is enriched per-row with the user's nation
+    // (broadcast dims — kind-preserving 1:1 join), aggregated
+    // retract-aware per (nation, event_type) — event_type CHANGES
+    // across a user's versions, so -U/+U pairs move rows between
+    // groups — then ranked to the top-2 event types per nation. Oracle
+    // = the same chain batch-computed over each user's latest image.
+    "changelog_join_agg_topn" -> ((s, dir) => {
+      val cl = ChangelogOps.toChangelog(
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            floor(col("value") * 100).as("cents")),
+        keys = Seq("user_id"), versionCol = "event_id")
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val nation = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val enriched = cl
+        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      val agg = ChangelogOps.aggregateChangelog(enriched,
+        groupCols = Seq("n_name", "event_type"), sumCols = Seq("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("n_name"))
+        .orderBy(col("sum_cents").desc, col("event_type"))
+      agg.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("n_name"), col("event_type"), col("n_rows"),
+          col("sum_cents").cast("long").as("sum_cents"), col("rn"))
+        .orderBy(col("n_name"), col("rn"))
+    }),
+
     "changelog_agg_downstream" -> ((s, dir) => {
       val cl = ChangelogOps.toChangelog(
         Tables.load(s, dir, "events")
@@ -134,6 +168,25 @@ object ChangelogQueries extends QueryPack {
         FROM events) t
       WHERE rn = 1 AND user_id % 7 <> 0
       ORDER BY user_id""",
+    "changelog_join_agg_topn" -> """
+      WITH latest AS (
+        SELECT user_id, event_type, cents FROM (
+          SELECT user_id, event_type, CAST(floor(value * 100) AS BIGINT) AS cents,
+                 row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          FROM events) t WHERE rn = 1),
+      agg AS (
+        SELECT n.n_name, l.event_type, count(*) AS n_rows,
+               CAST(sum(l.cents) AS BIGINT) AS sum_cents
+        FROM latest l
+        JOIN customer c ON l.user_id = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, l.event_type)
+      SELECT n_name, event_type, n_rows, sum_cents, rn FROM (
+        SELECT agg.*, row_number() OVER (PARTITION BY n_name
+                 ORDER BY sum_cents DESC, event_type) AS rn
+        FROM agg) ranked
+      WHERE rn <= 2
+      ORDER BY n_name, rn""",
     "changelog_agg_downstream" -> """
       SELECT event_type, count(*) AS n_rows,
              CAST(sum(cents) AS BIGINT) AS sum_cents
