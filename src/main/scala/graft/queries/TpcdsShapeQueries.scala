@@ -1083,7 +1083,446 @@ object TpcdsShapeQueries extends QueryPack {
       HAVING count(DISTINCT c.c_custkey) >= 10
       ORDER BY n.n_name"""
 
+  // Q22 family: inventory-style ROLLUP over the item hierarchy
+  // (brand, type, size) of AVERAGE quantity across a two-year date
+  // bucket — integer-division average on the cent grid, GROUPING()
+  // marking subtotal levels.
+  private val nq_q22_rollup_avg_qty = """
+      SELECT p.p_brand, p.p_type, p.p_size,
+             CAST(grouping(p.p_brand) + grouping(p.p_type) + grouping(p.p_size) AS INT) AS lvl,
+             (100 * CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT))
+               @IDIV CAST(count(*) AS BIGINT) AS qty_avg_c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= @TS'1996-01-01 00:00:00'
+        AND l.l_shipdate < @TS'1998-01-01 00:00:00'
+      GROUP BY ROLLUP(p.p_brand, p.p_type, p.p_size)
+      ORDER BY lvl, p_brand NULLS FIRST, p_type NULLS FIRST, p_size NULLS FIRST"""
+
+  // Q11/Q74 family: two-channel year-over-year preference — per-
+  // (customer, year, channel) totals self-joined four ways, customers
+  // kept when the web growth ratio beats the store growth ratio
+  // (cross-multiplied in BIGINT, no float boundary).
+  private val nq_q11_yoy_preference = """
+      WITH yr AS (
+        SELECT o.o_custkey AS ck, CAST(year(o.o_orderdate) AS INT) AS y,
+               l.l_linestatus AS chan,
+               sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE year(o.o_orderdate) IN (1995, 1996)
+        GROUP BY 1, 2, 3)
+      SELECT s1.ck AS c_custkey,
+             CAST(s1.cents AS BIGINT) AS store_y1, CAST(s2.cents AS BIGINT) AS store_y2,
+             CAST(w1.cents AS BIGINT) AS web_y1, CAST(w2.cents AS BIGINT) AS web_y2
+      FROM yr s1 JOIN yr s2 ON s1.ck = s2.ck
+      JOIN yr w1 ON s1.ck = w1.ck
+      JOIN yr w2 ON s1.ck = w2.ck
+      WHERE s1.chan = 'F' AND s1.y = 1995 AND s2.chan = 'F' AND s2.y = 1996
+        AND w1.chan = 'O' AND w1.y = 1995 AND w2.chan = 'O' AND w2.y = 1996
+        AND s1.cents > 0 AND w1.cents > 0
+        AND w2.cents * s1.cents > s2.cents * w1.cents
+      ORDER BY c_custkey"""
+
+  // Q57 family (the call-center variant of Q47): monthly supplier
+  // sales whose deviation from the per-(supplier, year) average
+  // exceeds 30% — the |v − avg| > k·avg filter cross-multiplied to
+  // 10·|n·v − S| > 3·S over window sums — with lag/lead month
+  // neighbors riding along.
+  private val nq_q57_deviation_lag = """
+      WITH m AS (
+        SELECT s.s_nationkey AS nk, l.l_suppkey AS sk,
+               CAST(year(l.l_shipdate) AS INT) AS y, CAST(month(l.l_shipdate) AS INT) AS mo,
+               sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS v
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE year(l.l_shipdate) IN (1996, 1997)
+        GROUP BY 1, 2, 3, 4),
+      t AS (
+        SELECT nk, sk, y, mo, v,
+               CAST(sum(v) OVER (PARTITION BY sk, y) AS BIGINT) AS ytot,
+               CAST(count(*) OVER (PARTITION BY sk, y) AS BIGINT) AS nmo,
+               lag(v) OVER (PARTITION BY sk ORDER BY y, mo) AS prev_v,
+               lead(v) OVER (PARTITION BY sk ORDER BY y, mo) AS next_v
+        FROM m)
+      SELECT nk, sk, y, mo, CAST(v AS BIGINT) AS v,
+             CAST(prev_v AS BIGINT) AS prev_v, CAST(next_v AS BIGINT) AS next_v
+      FROM t
+      WHERE 10 * abs(nmo * v - ytot) > 3 * ytot AND y = 1996
+      ORDER BY nk, sk, y, mo"""
+
+  // Q25/Q29 family: three-fact chain — a store-channel sale joined
+  // to a later return by the same (customer, part), joined to a
+  // later web-channel re-purchase, quantity sums per brand.
+  private val nq_q29_three_fact_qty = """
+      WITH sales AS (
+        SELECT o.o_custkey AS ck, l.l_partkey AS pk, l.l_quantity AS q, o.o_orderdate AS d
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_linestatus = 'F' AND l.l_returnflag <> 'R'
+          AND o.o_orderdate >= @TS'1995-01-01 00:00:00'
+          AND o.o_orderdate < @TS'1996-01-01 00:00:00'),
+      ret AS (
+        SELECT o.o_custkey AS ck, l.l_partkey AS pk, l.l_quantity AS q, o.o_orderdate AS d
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_returnflag = 'R'),
+      rebuy AS (
+        SELECT o.o_custkey AS ck, l.l_partkey AS pk, l.l_quantity AS q, o.o_orderdate AS d
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_linestatus = 'O')
+      SELECT p.p_brand,
+             CAST(sum(CAST(s.q AS BIGINT)) AS BIGINT) AS qty_sold,
+             CAST(sum(CAST(r.q AS BIGINT)) AS BIGINT) AS qty_returned,
+             CAST(sum(CAST(b.q AS BIGINT)) AS BIGINT) AS qty_rebought
+      FROM sales s
+      JOIN ret r ON r.ck = s.ck AND r.pk = s.pk AND r.d >= s.d
+      JOIN rebuy b ON b.ck = r.ck AND b.pk = r.pk AND b.d >= r.d
+      JOIN part p ON p.p_partkey = s.pk
+      GROUP BY p.p_brand
+      ORDER BY p.p_brand"""
+
+  // Q16/Q69 family: EXISTS (store channel) AND NOT EXISTS (web
+  // channel) in the same period — LeftSemi + LeftAnti on the same
+  // fact — grouped by demographic (segment, balance band).
+  private val nq_q69_channel_anti_demo = """
+      SELECT c.c_mktsegment,
+             CAST(floor(c.c_acctbal / 1000) AS BIGINT) AS bal_band,
+             CAST(count(*) AS BIGINT) AS n_cust
+      FROM customer c
+      WHERE EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+                AND o.o_orderdate >= @TS'1996-01-01 00:00:00'
+                AND o.o_orderdate < @TS'1997-01-01 00:00:00')
+        AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+                AND o.o_orderdate >= @TS'1996-01-01 00:00:00'
+                AND o.o_orderdate < @TS'1997-01-01 00:00:00')
+      GROUP BY 1, 2
+      ORDER BY c_mktsegment, bal_band"""
+
+  // Q77/Q80 family: per-channel P&L — sales and returns aggregated
+  // separately per nation, FULL OUTER joined (a nation can have
+  // returns without sales in a channel), channels UNION ALL'd, then
+  // ROLLUP totals with profit netting.
+  private val nq_q77_pnl_rollup = """
+      WITH ss AS (
+        SELECT s.s_nationkey AS nk, sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS sales
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE l.l_linestatus = 'F' AND l.l_returnflag <> 'R' GROUP BY 1),
+      sr AS (
+        SELECT s.s_nationkey AS nk, sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS ret
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE l.l_linestatus = 'F' AND l.l_returnflag = 'R' GROUP BY 1),
+      ws AS (
+        SELECT s.s_nationkey AS nk, sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS sales
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE l.l_linestatus = 'O' AND l.l_returnflag <> 'R' GROUP BY 1),
+      wr AS (
+        SELECT s.s_nationkey AS nk, sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS ret
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE l.l_linestatus = 'O' AND l.l_returnflag = 'R' GROUP BY 1),
+      channels AS (
+        SELECT 'store' AS channel, COALESCE(ss.nk, sr.nk) AS nk,
+               COALESCE(ss.sales, 0) AS sales, COALESCE(sr.ret, 0) AS returns
+        FROM ss FULL OUTER JOIN sr ON ss.nk = sr.nk
+        UNION ALL
+        SELECT 'web', COALESCE(ws.nk, wr.nk),
+               COALESCE(ws.sales, 0), COALESCE(wr.ret, 0)
+        FROM ws FULL OUTER JOIN wr ON ws.nk = wr.nk)
+      SELECT channel, nk,
+             CAST(grouping(channel) + grouping(nk) AS INT) AS lvl,
+             CAST(sum(sales) AS BIGINT) AS sales,
+             CAST(sum(returns) AS BIGINT) AS returns,
+             CAST(sum(sales) - sum(returns) AS BIGINT) AS profit
+      FROM channels
+      GROUP BY ROLLUP(channel, nk)
+      ORDER BY lvl, channel NULLS FIRST, nk NULLS FIRST"""
+
+  // Q3/Q42/Q52/Q55 family: the canonical star — date-slice fact
+  // scan joined to the item dim, revenue per (year, brand).
+  private val nq_q3_brand_date_agg = """
+      SELECT CAST(year(l.l_shipdate) AS INT) AS y, p.p_brand,
+             CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE month(l.l_shipdate) = 12 AND p.p_type IN ('ECONOMY', 'PROMO')
+      GROUP BY 1, 2
+      ORDER BY y, rev_cents DESC, p_brand"""
+
+  // Q7/Q26 family: per-brand average quantity and price under
+  // customer-segment and order-priority demographic filters —
+  // integer-division averages.
+  private val nq_q7_demo_avg = """
+      SELECT p.p_brand,
+             (100 * CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT))
+               @IDIV CAST(count(*) AS BIGINT) AS qty_avg_c,
+             (CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT))
+               @IDIV CAST(count(*) AS BIGINT) AS price_avg_c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderpriority LIKE '1-%'
+      GROUP BY p.p_brand
+      ORDER BY p.p_brand"""
+
+  // Q13/Q48 family: one aggregate row over OR'd (segment, balance
+  // band, quantity band) triples — disjunctive band predicates that
+  // defeat static pruning.
+  private val nq_q13_or_banded_avg = """
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             (100 * CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT))
+               @IDIV CAST(count(*) AS BIGINT) AS qty_avg_c,
+             CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE (c.c_mktsegment = 'AUTOMOBILE' AND c.c_acctbal BETWEEN 0 AND 3000
+               AND l.l_quantity BETWEEN 1 AND 15)
+         OR (c.c_mktsegment = 'MACHINERY' AND c.c_acctbal BETWEEN 3000 AND 6000
+               AND l.l_quantity BETWEEN 16 AND 35)
+         OR (c.c_mktsegment = 'HOUSEHOLD' AND c.c_acctbal BETWEEN 6000 AND 10000
+               AND l.l_quantity BETWEEN 36 AND 50)"""
+
+  // Q19 family: brand revenue where the CUSTOMER's nation differs
+  // from the SUPPLIER's (the buyer-zip <> store-zip analog) — a
+  // five-table star with a cross-dim inequality.
+  private val nq_q19_brand_geo_mismatch = """
+      SELECT p.p_brand,
+             CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE c.c_nationkey <> s.s_nationkey
+        AND month(o.o_orderdate) = 11
+      GROUP BY p.p_brand
+      ORDER BY p.p_brand"""
+
+  // Q24 family: per-(customer, type) net paid, kept when above a
+  // scalar share of the overall average — the CTE consumed three
+  // times (rows, scalar count, scalar sum), cross-multiplied.
+  private val nq_q24_netpaid_above_avg = """
+      WITH paid AS (
+        SELECT c.c_custkey AS ck, p.p_type AS pt,
+               sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_returnflag <> 'R'
+        GROUP BY 1, 2)
+      SELECT ck AS c_custkey, pt AS p_type, CAST(cents AS BIGINT) AS cents
+      FROM paid
+      WHERE cents * (SELECT count(*) FROM paid) * 10
+            > (SELECT sum(cents) FROM paid) * 25
+      ORDER BY ck, pt"""
+
+  // Q28 family: disjoint quantity-band scans each computing
+  // (integer avg, count, COUNT DISTINCT on the cent grid),
+  // cross-joined into a single row — three scans, no join keys.
+  private val nq_q28_banded_distinct = """
+      SELECT b1.a1, b1.n1, b1.d1, b2.a2, b2.n2, b2.d2, b3.a3, b3.n3, b3.d3
+      FROM
+        (SELECT (CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT))
+                  @IDIV CAST(count(*) AS BIGINT) AS a1,
+                CAST(count(*) AS BIGINT) AS n1,
+                CAST(count(DISTINCT CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS d1
+         FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) b1,
+        (SELECT (CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT))
+                  @IDIV CAST(count(*) AS BIGINT) AS a2,
+                CAST(count(*) AS BIGINT) AS n2,
+                CAST(count(DISTINCT CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS d2
+         FROM lineitem WHERE l_quantity BETWEEN 11 AND 25) b2,
+        (SELECT (CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT))
+                  @IDIV CAST(count(*) AS BIGINT) AS a3,
+                CAST(count(*) AS BIGINT) AS n3,
+                CAST(count(DISTINCT CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS d3
+         FROM lineitem WHERE l_quantity BETWEEN 26 AND 50) b3"""
+
+  // Q30/Q81 family: customers whose return total exceeds 1.2x
+  // their nation's average — correlated scalar count and sum against
+  // the same returns CTE, cross-multiplied.
+  private val nq_q30_return_ratio_state = """
+      WITH cr AS (
+        SELECT c.c_custkey AS ck, c.c_nationkey AS nk,
+               sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS ret
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY 1, 2)
+      SELECT c1.ck AS c_custkey, CAST(c1.ret AS BIGINT) AS ret_cents
+      FROM cr c1
+      WHERE c1.ret * (SELECT count(*) FROM cr c2 WHERE c2.nk = c1.nk) * 10
+            > (SELECT sum(c2.ret) FROM cr c2 WHERE c2.nk = c1.nk) * 12
+      ORDER BY c_custkey"""
+
+  // Q45 family: geography list OR item-list semi-join — the
+  // disjunction of a dim-value filter and an IN-subquery, which
+  // forces an existence-join rather than a plain semi.
+  private val nq_q45_zip_or_itemlist = """
+      SELECT n.n_name, CAST(year(o.o_orderdate) AS INT) AS y,
+             CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE n.n_name IN ('FRANCE', 'GERMANY', 'JAPAN', 'BRAZIL')
+         OR l.l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 3)
+      GROUP BY 1, 2
+      ORDER BY n_name, y"""
+
+  // Q46/Q68/Q73/Q79 family: per-order item-count HAVING band
+  // (the store-ticket bucket), joined back to the customer dim.
+  private val nq_q46_ticket_buckets = """
+      WITH t AS (
+        SELECT o.o_orderkey AS okey, o.o_custkey AS ck,
+               count(*) AS n_items,
+               sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+        HAVING count(*) BETWEEN 5 AND 7)
+      SELECT c.c_name, t.okey AS o_orderkey, CAST(t.n_items AS BIGINT) AS n_items,
+             CAST(t.cents AS BIGINT) AS cents
+      FROM t JOIN customer c ON c.c_custkey = t.ck
+      ORDER BY c_name, o_orderkey"""
+
+  // Q61 family: promotional-to-total revenue ratio — two scalar
+  // aggregates cross-joined, basis points via integer division.
+  private val nq_q61_promo_ratio = """
+      SELECT CAST(promo.cents AS BIGINT) AS promo_cents,
+             CAST(total.cents AS BIGINT) AS total_cents,
+             CAST((promo.cents * 10000) @IDIV total.cents AS BIGINT) AS ratio_bp
+      FROM
+        (SELECT sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS cents
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE o.o_orderpriority = '1-URGENT'
+           AND year(o.o_orderdate) = 1996) promo,
+        (SELECT sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS cents
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE year(o.o_orderdate) = 1996) total"""
+
+  // Q65 family: (supplier, part) revenue at or below 40% of the
+  // supplier's average part revenue — aggregate-over-aggregate with
+  // the comparison cross-multiplied by the part count.
+  private val nq_q65_best_seller = """
+      WITH sp AS (
+        SELECT l_suppkey AS sk, l_partkey AS pk,
+               sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS rev
+        FROM lineitem GROUP BY 1, 2),
+      sa AS (
+        SELECT sk, sum(rev) AS tot, count(*) AS n FROM sp GROUP BY 1)
+      SELECT s.s_name, p.p_name, CAST(sp.rev AS BIGINT) AS rev_cents
+      FROM sp
+      JOIN sa ON sa.sk = sp.sk
+      JOIN supplier s ON s.s_suppkey = sp.sk
+      JOIN part p ON p.p_partkey = sp.pk
+      WHERE sp.rev * sa.n * 10 <= sa.tot * 4
+      ORDER BY s_name, p_name"""
+
+  // Q53/Q63/Q89 family: monthly brand sales vs the brand-year
+  // average via window sums — deviation filter 10·|n·v − S| > 2·S,
+  // all integer.
+  private val nq_q89_monthly_vs_class_avg = """
+      WITH m AS (
+        SELECT p.p_brand AS brand, CAST(year(l.l_shipdate) AS INT) AS y,
+               CAST(month(l.l_shipdate) AS INT) AS mo,
+               sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS v
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE year(l.l_shipdate) = 1997
+        GROUP BY 1, 2, 3),
+      t AS (
+        SELECT brand, y, mo, v,
+               CAST(sum(v) OVER (PARTITION BY brand, y) AS BIGINT) AS ytot,
+               CAST(count(*) OVER (PARTITION BY brand, y) AS BIGINT) AS nmo
+        FROM m)
+      SELECT brand, y, mo, CAST(v AS BIGINT) AS v, ytot, nmo
+      FROM t
+      WHERE 10 * abs(nmo * v - ytot) > 2 * ytot
+      ORDER BY brand, y, mo"""
+
+  // Q84/Q85/Q91 family: returns joined through customer and nation
+  // dims under OR'd (balance band, quantity band) pairs, integer
+  // average quantity per order priority.
+  private val nq_q85_multi_dim_filter = """
+      SELECT o.o_orderpriority,
+             (100 * CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT))
+               @IDIV CAST(count(*) AS BIGINT) AS qty_avg_c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE l.l_returnflag = 'R'
+        AND ((c.c_acctbal BETWEEN 0 AND 5000 AND l.l_quantity BETWEEN 1 AND 25)
+          OR (c.c_acctbal BETWEEN 5000 AND 10000 AND l.l_quantity BETWEEN 26 AND 50))
+        AND n.n_name IN ('NATION_2', 'NATION_5', 'NATION_8', 'NATION_11', 'NATION_17', 'NATION_21')
+      GROUP BY o.o_orderpriority
+      ORDER BY o_orderpriority"""
+
+  // Q8 family: revenue gated by a name-prefix nation subquery with
+  // a scale-free HAVING (nations holding more than an equal share of
+  // customers) — semi-join on a grouped+filtered dim.
+  private val nq_q8_nation_prefix_semi = """
+      SELECT p.p_brand,
+             CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE c.c_nationkey IN (
+              SELECT c2.c_nationkey FROM customer c2
+              JOIN nation n2 ON n2.n_nationkey = c2.c_nationkey
+              WHERE substr(n2.n_name, 8, 1) IN ('1', '3', '5', '7', '9')
+              GROUP BY c2.c_nationkey
+              HAVING count(*) * 25 > (SELECT count(*) FROM customer))
+        AND year(o.o_orderdate) = 1997
+      GROUP BY p.p_brand
+      ORDER BY p_brand"""
+
+  // Q18/Q27 family: ROLLUP of integer-division AVERAGES over
+  // demographic dims (segment, nation) under an order-priority filter
+  // — the "averages at every subtotal level" pattern, which is NOT a
+  // re-aggregation of sums (each level recomputes its own count).
+  private val nq_q27_demo_rollup_avg = """
+      SELECT c.c_mktsegment, n.n_name,
+             CAST(grouping(c.c_mktsegment) + grouping(n.n_name) AS INT) AS lvl,
+             (100 * CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT))
+               @IDIV CAST(count(*) AS BIGINT) AS qty_avg_c,
+             (CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT))
+               @IDIV CAST(count(*) AS BIGINT) AS price_avg_c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY ROLLUP(c.c_mktsegment, n.n_name)
+      ORDER BY lvl, c_mktsegment NULLS FIRST, n_name NULLS FIRST"""
+
   private val texts: Map[String, (Seq[String], String)] = Map(
+    "tpcds_q27_demo_rollup_avg" -> (Seq("lineitem", "orders", "customer", "nation") -> nq_q27_demo_rollup_avg),
+    "tpcds_q22_rollup_avg_qty" -> (Seq("lineitem", "part") -> nq_q22_rollup_avg_qty),
+    "tpcds_q11_yoy_preference" -> (Seq("lineitem", "orders", "customer") -> nq_q11_yoy_preference),
+    "tpcds_q57_deviation_lag" -> (Seq("lineitem", "supplier") -> nq_q57_deviation_lag),
+    "tpcds_q29_three_fact_qty" -> (Seq("lineitem", "orders", "part") -> nq_q29_three_fact_qty),
+    "tpcds_q69_channel_anti_demo" -> (Seq("customer", "orders") -> nq_q69_channel_anti_demo),
+    "tpcds_q77_pnl_rollup" -> (Seq("lineitem", "supplier") -> nq_q77_pnl_rollup),
+    "tpcds_q3_brand_date_agg" -> (Seq("lineitem", "part") -> nq_q3_brand_date_agg),
+    "tpcds_q7_demo_avg" -> (Seq("lineitem", "orders", "customer", "part") -> nq_q7_demo_avg),
+    "tpcds_q13_or_banded_avg" -> (Seq("lineitem", "orders", "customer") -> nq_q13_or_banded_avg),
+    "tpcds_q19_brand_geo_mismatch" -> (Seq("lineitem", "orders", "customer", "supplier", "part") -> nq_q19_brand_geo_mismatch),
+    "tpcds_q24_netpaid_above_avg" -> (Seq("lineitem", "orders", "customer", "part") -> nq_q24_netpaid_above_avg),
+    "tpcds_q28_banded_distinct" -> (Seq("lineitem") -> nq_q28_banded_distinct),
+    "tpcds_q30_return_ratio_state" -> (Seq("lineitem", "orders", "customer") -> nq_q30_return_ratio_state),
+    "tpcds_q45_zip_or_itemlist" -> (Seq("lineitem", "orders", "customer", "nation", "part") -> nq_q45_zip_or_itemlist),
+    "tpcds_q46_ticket_buckets" -> (Seq("lineitem", "orders", "customer") -> nq_q46_ticket_buckets),
+    "tpcds_q61_promo_ratio" -> (Seq("lineitem", "orders") -> nq_q61_promo_ratio),
+    "tpcds_q65_best_seller" -> (Seq("lineitem", "supplier", "part") -> nq_q65_best_seller),
+    "tpcds_q89_monthly_vs_class_avg" -> (Seq("lineitem", "part") -> nq_q89_monthly_vs_class_avg),
+    "tpcds_q85_multi_dim_filter" -> (Seq("lineitem", "orders", "customer", "nation") -> nq_q85_multi_dim_filter),
+    "tpcds_q8_nation_prefix_semi" -> (Seq("lineitem", "orders", "customer", "nation", "part") -> nq_q8_nation_prefix_semi),
     "tpcds_q92_excess_threshold" -> (Seq("lineitem", "part") -> q92),
     "tpcds_q6_category_avg" -> (Seq("customer", "orders", "lineitem", "part", "nation") -> q6),
     "tpcds_q98_revenue_share" -> (Seq("lineitem") -> q98),

@@ -486,4 +486,35 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("WindowGroupLimit"),
       s"rank filter lost the per-partition group-limit optimization:\n$p")
   }
+
+  test("TPC-DS Q69 shape: EXISTS + NOT EXISTS plan one semi and one anti join") {
+    val p = plan(graft.queries.TpcdsShapeQueries.queries("tpcds_q69_channel_anti_demo")(spark, dir))
+    assert(p.contains("LeftSemi"), s"EXISTS leg lost its semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS leg lost its anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"channel combo fell to all-pairs:\n$p")
+  }
+
+  test("TPC-DS Q77 shape: P&L rollup keeps Expand above full-outer-joined channel aggs") {
+    val p = plan(graft.queries.TpcdsShapeQueries.queries("tpcds_q77_pnl_rollup")(spark, dir))
+    assert(p.contains("Expand"), s"ROLLUP lost its Expand node:\n$p")
+    assert(p.contains("FullOuter"), s"returns netting lost its full outer join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"channel union fell to all-pairs:\n$p")
+  }
+
+  test("TPC-DS Q11 shape: four-way yoy self-join stays equi on the customer key") {
+    val p = plan(graft.queries.TpcdsShapeQueries.queries("tpcds_q11_yoy_preference")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"yoy self-join fell to all-pairs:\n$p")
+    // the per-(customer, year, channel) frame must aggregate two-phase
+    // before any of the four probes consume it
+    assert(p.contains("HashAggregate"), s"yr frame not hash-aggregated:\n$p")
+    assert("Join".r.findAllIn(p).size >= 3, s"expected the 4-way self-join:\n$p")
+  }
+
+  test("TPC-DS Q29 shape: three-fact chain joins stay equi with no all-pairs stage") {
+    val p = plan(graft.queries.TpcdsShapeQueries.queries("tpcds_q29_three_fact_qty")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fact chain fell to all-pairs:\n$p")
+    assert(p.contains("HashAggregate"), s"brand aggregate missing:\n$p")
+  }
 }
