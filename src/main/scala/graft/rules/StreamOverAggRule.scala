@@ -40,6 +40,14 @@ import org.apache.spark.unsafe.types.CalendarInterval
  * UNBOUNDED PRECEDING accumulates a full ts-peer group before
  * emitting — the batch Window semantics for each frame type.
  *
+ * Late data: the operator runs under event-time timeout, so Spark
+ * drops input rows at or below the current watermark before they
+ * reach the state function — the same late-record drop as the
+ * reference's row-time OVER functions. Rows are held until the
+ * watermark strictly passes their timestamp, so an ADMITTED row can
+ * never be a ts-peer of an already-released one: released frames are
+ * final.
+ *
  * Scale: state per key is the frame horizon — last n rows (ROWS),
  * the range interval (RANGE), or O(#aggs) running accumulators
  * (UNBOUNDED — no row history at all); input shuffles once on the
