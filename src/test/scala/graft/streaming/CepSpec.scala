@@ -533,4 +533,64 @@ class CepSpec extends SparkSuite {
       assert(got.map(_.event_ids).toSeq == Seq(Seq(1L)))
     } finally q.stop()
   }
+
+  test("streaming: a timed-out partial emits its maximal prefix at eviction") {
+    // TimedOutPartialMatchHandler analog: click@0 → view@10 bind the
+    // first two steps; no purchase arrives before the within window
+    // closes, so eviction emits ONE timeout record carrying BOTH binds
+    // with __timedout:-prefixed step names.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val sec = 1000000L
+    val p = Cep.Pattern.begin("click", (_: Ev).event_type == "click")
+      .followedBy("view", _.event_type == "view")
+      .followedBy("purchase", _.event_type == "purchase")
+      .within(50 * sec)
+    val ms = MemoryStream[Ev]
+    val q = Cep.runBoundBy(ms.toDS(), p, "user_id", "ts_us", "event_id",
+        watermarkDelay = "0 seconds", timedOut = true).toDF()
+      .writeStream.format("memory").queryName("t_cep_timeout")
+      .outputMode("append").start()
+    try {
+      ms.addData(ev(1, "click", 0), ev(2, "view", 10 * sec))
+      q.processAllAvailable()
+      ms.addData(ev(3, "x", 100 * sec)) // wm 10s: nothing evicts yet
+      q.processAllAvailable()
+      ms.addData(ev(4, "x", 200 * sec)) // wm 100s: horizon 50s evicts ids 1, 2
+      q.processAllAvailable()
+      val got = spark.table("t_cep_timeout")
+        .selectExpr("start_us", "end_us",
+          "transform(binds, b -> b.step) AS steps",
+          "transform(binds, b -> b.ev.event_id) AS ids")
+        .as[(Long, Long, Seq[String], Seq[Long])].collect().toList
+      assert(got == List((0L, 10 * sec,
+        Seq(Cep.TimedOutStep + ":click", Cep.TimedOutStep + ":view"),
+        Seq(1L, 2L))), s"got $got")
+    } finally q.stop()
+  }
+
+  test("streaming: events below the admission horizon surface on the late channel") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val sec = 1000000L
+    val p = Cep.Pattern.begin("click", (_: Ev).event_type == "click")
+      .followedBy("purchase", _.event_type == "purchase")
+      .within(50 * sec)
+    val ms = MemoryStream[Ev]
+    val q = Cep.runBoundBy(ms.toDS(), p, "user_id", "ts_us", "event_id",
+        watermarkDelay = "0 seconds", lateCapture = true).toDF()
+      .writeStream.format("memory").queryName("t_cep_late")
+      .outputMode("append").start()
+    try {
+      ms.addData(ev(1, "click", 100 * sec))
+      q.processAllAvailable() // wm 0 during the batch; 100s after
+      // wm 100s, horizon 50s: ts 10s is LATE (captured), 60s admitted
+      ms.addData(ev(2, "view", 10 * sec), ev(3, "view", 60 * sec))
+      q.processAllAvailable()
+      val got = spark.table("t_cep_late")
+        .selectExpr("binds[0].step AS step", "binds[0].ev.event_id AS id")
+        .as[(String, Long)].collect().toList
+      assert(got == List((Cep.LateStep, 2L)), s"got $got")
+    } finally q.stop()
+  }
 }
