@@ -49,6 +49,12 @@ object Ddl {
     """(?is)\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s*\((.*?)\)\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?WITH\s*\((.*)\)\s*""".r
   private val WatermarkRe =
     """(?is)WATERMARK\s+FOR\s+([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+\1\s*-\s*INTERVAL\s+'(\d+)'\s+(\w+)""".r
+  // general offset EXPRESSION form (reference grammar allows any
+  // expression after AS; this engine's subset is `col - <constant
+  // interval expr>`, the only shape Spark's withWatermark can carry) —
+  // evaluated through the session at registration time
+  private val WatermarkExprRe =
+    """(?is)WATERMARK\s+FOR\s+([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+\1\s*-\s*(.+)""".r
   private val ComputedRe = """(?is)([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.+)""".r
   private val PhysicalRe = """(?is)([A-Za-z_][A-Za-z0-9_]*)\s+([A-Za-z0-9_<>,() ]+)""".r
   private val OptionRe = """'([^']*)'\s*=\s*'([^']*)'""".r
@@ -67,6 +73,7 @@ object Ddl {
     var watermark: Option[WatermarkDef] = None
     splitTop(body).foreach {
       case WatermarkRe(c, n, unit) => watermark = Some(WatermarkDef(c, s"$n $unit"))
+      case WatermarkExprRe(c, e) => watermark = Some(WatermarkDef(c, "expr:" + e.trim))
       case ComputedRe(n, e) => computed :+= ComputedDef(n, e.trim) // has AS → computed
       case PhysicalRe(n, t) => physical :+= ColumnDef(n, t.trim)
       case other => throw new IllegalArgumentException(s"cannot parse column clause: '$other'")
@@ -447,6 +454,23 @@ object Ddl {
 
   /** Build the table's frame from its definition and (re-)register the
    * temp view. */
+  /** Resolve a watermark delay: literal "n unit" passes through; an
+   * "expr:"-marked constant interval expression evaluates through the
+   * session (microsecond resolution; month intervals have no fixed
+   * length and are rejected). */
+  private def resolveDelay(spark: SparkSession, d: String): String =
+    if (!d.startsWith("expr:")) d
+    else spark.sql(s"SELECT (${d.drop(5)})").first().get(0) match {
+      case dur: java.time.Duration =>
+        s"${dur.getSeconds * 1000000L + dur.getNano / 1000} microseconds"
+      case ci: org.apache.spark.unsafe.types.CalendarInterval =>
+        require(ci.months == 0,
+          s"month-based watermark offset unsupported: ${d.drop(5)}")
+        s"${ci.days * 86400000000L + ci.microseconds} microseconds"
+      case other => throw new IllegalArgumentException(
+        s"watermark offset must be a constant interval, got '$other' for: ${d.drop(5)}")
+    }
+
   private def register(spark: SparkSession, t: TableDef): DataFrame = {
     // JDBC source (reference flink-connector-jdbc DDL): bounded scan
     // only — the reference's jdbc table is likewise a bounded/lookup
@@ -521,7 +545,8 @@ object Ddl {
     // a CHAR column see its padded form (as the reference's would)
     charCols.foreach { case (n, len) => df = df.withColumn(n, rpad(col(n), len, " ")) }
     t.computed.foreach(c => df = df.withColumn(c.name, expr(c.sqlExpr)))
-    t.watermark.foreach { w => if (streaming) df = df.withWatermark(w.column, w.delay) }
+    t.watermark.foreach { w =>
+      if (streaming) df = df.withWatermark(w.column, resolveDelay(spark, w.delay)) }
     df.createOrReplaceTempView(t.name)
     df
   }

@@ -257,4 +257,39 @@ class DdlSpec extends SparkSuite {
       .orderBy("ws", "event_type").collect().toSeq
     assert(streamed == batch)
   }
+
+  test("watermark offset may be a constant interval EXPRESSION") {
+    val dir = "/root/testdata/sf0.001"
+    val tsIsLong = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val (tsType, evExpr) =
+      if (tsIsLong) ("BIGINT", "cast(timestamp_micros(ts div 1000) as timestamp)")
+      else ("TIMESTAMP", "cast(ts as timestamp)")
+    val df = Ddl.execute(spark,
+      s"""CREATE TABLE events_stream_wmx (
+            event_id BIGINT, ts $tsType,
+            event_time AS $evExpr,
+            WATERMARK FOR event_time AS event_time - INTERVAL '30' SECOND * 2
+          ) WITH ('connector' = 'filesystem',
+                  'path' = '$dir/events.parquet',
+                  'format' = 'parquet',
+                  'scan.streaming' = 'true')""")
+    val delayUs = df.queryExecution.analyzed.collectFirst {
+      case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark =>
+        e.delay.days * 86400000000L + e.delay.microseconds
+    }
+    assert(delayUs.contains(60000000L), s"expected a 60s delay, got $delayUs")
+    // non-constant or non-interval offsets stay loud
+    intercept[Exception] {
+      Ddl.execute(spark,
+        s"""CREATE TABLE events_stream_wmbad (
+              event_id BIGINT, ts $tsType,
+              event_time AS $evExpr,
+              WATERMARK FOR event_time AS event_time - 5
+            ) WITH ('connector' = 'filesystem',
+                    'path' = '$dir/events.parquet',
+                    'format' = 'parquet',
+                    'scan.streaming' = 'true')""")
+    }
+  }
 }
