@@ -35,20 +35,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * args may appear in any order and normalize to the positional form
  * before the rewrite, so both produce hash-identical plans. Durations
  * are literal `INTERVAL 'n' UNIT`, or (through [[sql]], which has a
- * session to evaluate with) any paren-free constant interval
- * expression, e.g. `INTERVAL '1' MINUTE + INTERVAL '30' SECOND`.
+ * session to evaluate with) any constant interval expression — the
+ * argument list is lexer-matched on balanced parens, so
+ * `make_interval(…)` and parenthesized arithmetic survive.
  *
  * Documented subset (all failures are loud, never silent pass-through):
- * paren-free duration expressions, whole-second resolution, and
- * CUMULATE/HOP steps that divide evenly. Any TVF occurrence the
+ * whole-second resolution, and CUMULATE steps that divide evenly. Any TVF occurrence the
  * rewriter cannot desugar leaves a `DESCRIPTOR(` in the text, which
  * `sql()` rejects before parsing.
  */
 object WindowTvfSql {
-
-  // [TABLE(] TUMBLE|HOP|CUMULATE (TABLE t, DESCRIPTOR(ts), <args>) [)]
-  private val Tvf =
-    """(?is)(TABLE\s*\(\s*)?\b(TUMBLE|HOP|CUMULATE)\s*\(\s*TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s*,\s*DESCRIPTOR\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*,([^)]*)\)\s*""".r
 
   private[sqlx] val IntervalLit =
     """(?is)INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)S?""".r
@@ -93,10 +89,10 @@ object WindowTvfSql {
   private def namedToPositional(out: String): Option[String] = {
     FnOpen.findAllMatchIn(out)
       .filter(m => !SqlLexer.inQuote(out, m.start))
-      .map { mm =>
+      .flatMap { mm =>
         val open = mm.end - 1
         val close = SqlLexer.closeOf(out, open)
-        (mm, close, out.substring(open + 1, close))
+        if (close < 0) None else Some((mm, close, out.substring(open + 1, close)))
       }
       .find { case (_, _, body) =>
         SqlLexer.splitTop(body).exists(_.contains("=>")) }
@@ -123,7 +119,8 @@ object WindowTvfSql {
         val durKeys = fn match {
           case "TUMBLE" => Seq("SIZE") ++
             (if (byName.contains("OFFSET")) Seq("OFFSET") else Nil)
-          case "HOP" => Seq("SLIDE", "SIZE")
+          case "HOP" => Seq("SLIDE", "SIZE") ++
+            (if (byName.contains("OFFSET")) Seq("OFFSET") else Nil)
           case _ => Seq("STEP", "SIZE")
         }
         val extras = byName.keySet -- durKeys.toSet -- Set("DATA", "TIMECOL")
@@ -137,16 +134,42 @@ object WindowTvfSql {
 
   private def dur(secs: Long): String = s"'$secs seconds'"
 
+  private val TableArg = """(?is)TABLE\s+([A-Za-z_][A-Za-z0-9_]*)""".r
+  private val DescriptorArg =
+    """(?is)DESCRIPTOR\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)""".r
+
+  /** Locate the next positional TVF call via the lexer: the argument
+   * list is the paren-BALANCED span (so parenthesized duration
+   * expressions like `make_interval(…)` survive, which a to-first-close
+   * regex could not), split on top-level commas. Returns
+   * (fnStart, fn, close, table, tsCol, durationParts). */
+  private def findPositional(out: String)
+      : Option[(Int, String, Int, String, String, Seq[String])] =
+    FnOpen.findAllMatchIn(out)
+      .filter(m => !SqlLexer.inQuote(out, m.start))
+      .flatMap { mm =>
+        val close = SqlLexer.closeOf(out, mm.end - 1)
+        if (close < 0) None
+        else {
+          val parts = SqlLexer.splitTop(out.substring(mm.end, close))
+          (parts.headOption, parts.drop(1).headOption) match {
+            case (Some(TableArg(table)), Some(DescriptorArg(ts))) =>
+              Some((mm.start, mm.group(1).toUpperCase, close, table, ts,
+                parts.drop(2)))
+            case _ => None
+          }
+        }
+      }.nextOption()
+
   /** Rewrite every window-TVF call in `query` (pure text-to-text). */
   def desugar(query: String, evalSecs: Option[String => Long] = None): String = {
     var out = query
     var named = namedToPositional(out)
     while (named.isDefined) { out = named.get; named = namedToPositional(out) }
-    var m = Tvf.findAllMatchIn(out).find(mm => !SqlLexer.inQuote(out, mm.start))
+    var m = findPositional(out)
     while (m.isDefined) {
-      val mm = m.get
-      val (fn, table, ts, args) =
-        (mm.group(2).toUpperCase, mm.group(3), mm.group(4), mm.group(5))
+      val (fnStart, fn, close, table, ts, durParts) = m.get
+      val args = durParts.mkString(", ")
       val iv = intervals(args, fn, evalSecs)
       val inner = fn match {
         case "TUMBLE" =>
@@ -158,10 +181,14 @@ object WindowTvfSql {
           s"""(SELECT * EXCEPT (__w), __w.start AS window_start, __w.end AS window_end
              | FROM (SELECT *, $win AS __w FROM $table) __tvf)""".stripMargin
         case "HOP" =>
-          require(iv.size == 2, s"HOP takes (slide, size), got: $args")
+          require(iv.size == 2 || iv.size == 3,
+            s"HOP takes (slide, size[, offset]), got: $args")
           val (slide, size) = (iv.head, iv(1)) // reference order: slide first
+          val win =
+            if (iv.size == 3) s"window($ts, ${dur(size)}, ${dur(slide)}, ${dur(iv(2))})"
+            else s"window($ts, ${dur(size)}, ${dur(slide)})"
           s"""(SELECT * EXCEPT (__w), __w.start AS window_start, __w.end AS window_end
-             | FROM (SELECT *, window($ts, ${dur(size)}, ${dur(slide)}) AS __w FROM $table) __tvf)""".stripMargin
+             | FROM (SELECT *, $win AS __w FROM $table) __tvf)""".stripMargin
         case "CUMULATE" =>
           require(iv.size == 2, s"CUMULATE takes (step, size), got: $args")
           val (step, size) = (iv.head, iv(1))
@@ -176,17 +203,30 @@ object WindowTvfSql {
       // the optional TABLE( wrapper swallows its closing paren — only
       // whitespace may sit between the TVF and that close, anything
       // else would be deleted silently
-      val end =
-        if (mm.group(1) != null) {
-          val close = out.indexOf(')', mm.end)
-          require(close >= 0, s"unclosed TABLE( around $fn")
-          require(out.substring(mm.end, close).isBlank,
-            s"unexpected text '${out.substring(mm.end, close).trim}' " +
-            s"between $fn(...) and the TABLE( close")
-          close + 1
-        } else mm.end
-      out = out.substring(0, mm.start) + inner + " " + out.substring(end)
-      m = Tvf.findAllMatchIn(out).find(x => !SqlLexer.inQuote(out, x.start))
+      val (start, end) = {
+        var i = fnStart - 1
+        while (i >= 0 && out.charAt(i).isWhitespace) i -= 1
+        val wrapOpen =
+          if (i >= 0 && out.charAt(i) == '(') {
+            var j = i - 1
+            while (j >= 0 && out.charAt(j).isWhitespace) j -= 1
+            val w = j - 4 // "TABLE" spans w..j
+            if (w >= 0 && out.substring(w, j + 1).equalsIgnoreCase("TABLE") &&
+                (w == 0 || { val c = out.charAt(w - 1)
+                  !c.isLetterOrDigit && c != '_' })) Some(w) else None
+          } else None
+        wrapOpen match {
+          case Some(w) =>
+            var k = close + 1
+            while (k < out.length && out.charAt(k).isWhitespace) k += 1
+            require(k < out.length && out.charAt(k) == ')',
+              s"unexpected text between $fn(...) and the TABLE( close")
+            (w, k + 1)
+          case None => (fnStart, close + 1)
+        }
+      }
+      out = out.substring(0, start) + inner + " " + out.substring(end)
+      m = findPositional(out)
     }
     out
   }

@@ -116,6 +116,34 @@ class WindowTvfSqlSpec extends SparkSuite {
     }
   }
 
+  test("parenthesized durations and the HOP offset argument") {
+    // HOP takes an optional third offset interval (positional + named)
+    val hopOffPos = WindowTvfSql.desugar(
+      "FROM TABLE(HOP(TABLE ev, DESCRIPTOR(ts), INTERVAL '5' MINUTE, " +
+        "INTERVAL '15' MINUTE, INTERVAL '2' MINUTE))")
+    assert(hopOffPos.contains("window(ts, '900 seconds', '300 seconds', '120 seconds')"),
+      hopOffPos)
+    val hopOffNamed = WindowTvfSql.desugar(
+      "FROM TABLE(HOP(DATA => TABLE ev, TIMECOL => DESCRIPTOR(ts), " +
+        "SLIDE => INTERVAL '5' MINUTE, SIZE => INTERVAL '15' MINUTE, " +
+        "OFFSET => INTERVAL '2' MINUTE))")
+    assert(hopOffNamed == hopOffPos)
+    // a parenthesized duration expression (make_interval) survives the
+    // lexer-matched argument span and evaluates via the sql() door
+    val dir = "/root/testdata/sf0.001"
+    graft.Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    val viaMake = WindowTvfSql.sql(spark, """
+      SELECT window_start AS ws, count(*) AS n
+      FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts),
+                        make_interval(0, 0, 0, 0, 1, 0, 0)))
+      GROUP BY window_start ORDER BY ws""").collect()
+    val viaLit = WindowTvfSql.sql(spark, """
+      SELECT window_start AS ws, count(*) AS n
+      FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+      GROUP BY window_start ORDER BY ws""").collect()
+    assert(viaMake.toSeq == viaLit.toSeq)
+  }
+
   test("constant interval expressions evaluate through the sql() door") {
     val dir = "/root/testdata/sf0.001"
     graft.Tables.load(spark, dir, "events").createOrReplaceTempView("events")
