@@ -161,6 +161,68 @@ class StreamPropertySpec extends SparkSuite {
     }
   }
 
+  test("property: the streaming timeout channel equals batch-derived timed-out starts") {
+    // TimedOutPartialMatchHandler analog, randomized: for a 3-step
+    // followedBy chain with disjoint predicates, the timed-out starts
+    // must be EXACTLY the 'a' events bound in no full match, and each
+    // partial's depth must be 2 iff a 'b' follows within the window
+    // (earliest-match prefix) else 1. The batch side derives this with
+    // plain set logic over the full-history matcher — independent of
+    // the streaming eviction/probe machinery it checks.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val W = 5L * 1000000 // 5 s within (second-scale ts so the wm moves)
+    val pat = Cep.Pattern.begin("a", (_: Ev).event_type == "a")
+      .followedBy("b", _.event_type == "b")
+      .followedBy("c", _.event_type == "c")
+      .within(W)
+    for (seed <- 60L to 62L) {
+      val rnd = new scala.util.Random(seed)
+      val events = (1 to 50).map(i =>
+        Ev(i.toLong, 1L + rnd.nextInt(2), Seq("a", "b", "c", "x")(rnd.nextInt(4)),
+          i * 1000000L, 1.0))
+      val sentinels = List(1L, 2L).flatMap(u => List(
+        Ev(900 + u, u, "z", 100000L * 1000000, 0.0),
+        Ev(910 + u, u, "z", 200000L * 1000000, 0.0)))
+      val want = events.groupBy(_.user_id).toList.flatMap { case (u, evs0) =>
+        val evs = evs0.sortBy(e => (e.ts_us, e.event_id)).toIndexedSeq
+        val matched = Cep.matchSorted(evs, pat).flatMap(_.event_ids).toSet
+        evs.filter(e => e.event_type == "a" && !matched(e.event_id)).map { e =>
+          val hasB = evs.exists(x => x.event_type == "b" &&
+            x.ts_us > e.ts_us && x.ts_us - e.ts_us <= W)
+          (u, e.event_id, if (hasB) 2 else 1)
+        }
+      }.toSet
+      val ms = MemoryStream[Ev]
+      val name = StreamOps.freshName("cep_tmo")
+      val q = Cep.runBoundBy(ms.toDS(), pat, "user_id", "ts_us", "event_id",
+          watermarkDelay = "0 seconds", timedOut = true).toDF()
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        var i = 0
+        while (i < events.length) { // ts-ordered, random batch sizes
+          val n = 1 + rnd.nextInt(7)
+          ms.addData(events.slice(i, i + n): _*)
+          q.processAllAvailable()
+          i += n
+        }
+        sentinels.grouped(2).toList.transpose.foreach { round =>
+          ms.addData(round: _*)
+          q.processAllAvailable()
+        }
+        val got = spark.table(name)
+          .where(col("binds").getItem(0).getField("step").startsWith(Cep.TimedOutStep))
+          .selectExpr("binds[0].ev.user_id AS u", "binds[0].ev.event_id AS s",
+            "size(binds) AS k")
+          .as[(Long, Long, Int)].collect().toSet
+        assert(got == want,
+          s"seed=$seed\nmissing=${want -- got}\nextra=${got -- want}")
+      } finally q.stop()
+    }
+  }
+
   test("property: streaming CEP equals the batch matcher under random micro-batch splits") {
     // Patterns whose FINAL step is mandatory with a predicate disjoint
     // from the preceding quantifier's: a match is complete only when
