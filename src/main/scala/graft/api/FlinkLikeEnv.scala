@@ -114,10 +114,35 @@ final class KeyedStream[T <: Product : TypeTag](val ds: Dataset[T], val keyField
     new Stream(StatefulOps.topNBy(ds, keyField, valueField, idField, n, ttl))
 
   /** CEP over this keyed stream (reference `CEP.pattern(keyedStream,
-   * pattern)`): full step→event bindings per match. */
+   * pattern)` returning a `PatternStream`): full step→event bindings
+   * per match, with the reference's side channels — timed-out partial
+   * matches (`flatSelect(timeoutTag, …)` /
+   * `TimedOutPartialMatchHandler`) and late data
+   * (`sideOutputLateData`) — exposed as filtered views of the one
+   * operator output (Spark has no side-output edges; the channel tag
+   * is the pseudo-step marker). */
   def cep(pattern: Cep.Pattern[T], timeField: String, idField: String,
-      watermarkDelay: String = "1 hour"): Dataset[CepBoundG[T]] =
-    Cep.runBoundBy(ds, pattern, keyField, timeField, idField, watermarkDelay)
+      watermarkDelay: String = "1 hour",
+      timedOut: Boolean = false, lateCapture: Boolean = false): PatternStream[T] =
+    new PatternStream(Cep.runBoundBy(ds, pattern, keyField, timeField, idField,
+      watermarkDelay, timedOut = timedOut, lateCapture = lateCapture))
+}
+
+/** Reference `PatternStream` (`cep/PatternStream.java`): the matched
+ * stream plus its tagged side channels. */
+final class PatternStream[T](val all: Dataset[CepBoundG[T]]) {
+  /** Completed matches (reference `select`/`flatSelect` main output). */
+  def select: Dataset[CepBoundG[T]] =
+    all.filter((b: CepBoundG[T]) => !b.binds.head.step.startsWith("__"))
+  /** Timed-out partial matches — binds carry the original step names
+   * behind the `__timedout:` prefix (reference
+   * `TimedOutPartialMatchHandler`). Requires `timedOut = true`. */
+  def timedOutPartials: Dataset[CepBoundG[T]] =
+    all.filter((b: CepBoundG[T]) => b.binds.head.step.startsWith(Cep.TimedOutStep))
+  /** Too-late input events, one pseudo-bind each (reference
+   * `sideOutputLateData`). Requires `lateCapture = true`. */
+  def lateData: Dataset[CepBoundG[T]] =
+    all.filter((b: CepBoundG[T]) => b.binds.head.step == Cep.LateStep)
 }
 
 /** Reference `StreamTableEnvironment`: DDL + SQL, including the

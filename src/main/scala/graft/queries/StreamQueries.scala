@@ -916,7 +916,7 @@ object StreamQueries extends QueryPack {
       import s.implicits._
       val matches = graft.api.StreamEnv.get(s)
         .fromDataset(StreamOps.eventsTyped(s, dir))
-        .keyBy("user_id").cep(pattern, "ts_us", "event_id")
+        .keyBy("user_id").cep(pattern, "ts_us", "event_id").select
         .map(b => (b.binds.head.ev.user_id,
           b.binds.head.ev.event_id, b.binds.last.ev.event_id))
         .toDF("user_id", "click_id", "buy_id")

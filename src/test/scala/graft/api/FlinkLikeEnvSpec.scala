@@ -83,7 +83,7 @@ class FlinkLikeEnvSpec extends SparkSuite {
       .next("b", _.event_type == "purchase")
       .within(60L * 1000000)
     val q = env.fromDataset(ms.toDS()).keyBy("user_id")
-      .cep(pattern, "ts_us", "event_id")
+      .cep(pattern, "ts_us", "event_id").select
       .map(b => (b.key, b.binds.head.ev.event_id, b.binds.last.ev.event_id))
       .toDF("k", "c_id", "b_id")
       .writeStream.format("memory").queryName("fl_cep").outputMode("append").start()
@@ -132,5 +132,40 @@ class FlinkLikeEnvSpec extends SparkSuite {
       te.executeSql("INSERT INTO fl_never_declared SELECT 1")
     }
     assert(errIns.getMessage.contains("not a declared connector table"))
+  }
+
+  test("PatternStream: main, timed-out, and late channels split the operator output") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val sec = 1000000L
+    val pat = Cep.Pattern.begin("a", (_: Ev).event_type == "a")
+      .followedBy("b", _.event_type == "b")
+      .within(50 * sec)
+    val ms = MemoryStream[Ev]
+    val ps = StreamEnv.get(spark).fromDataset(ms.toDS())
+      .keyBy("user_id")
+      .cep(pat, "ts_us", "event_id", watermarkDelay = "0 seconds",
+        timedOut = true, lateCapture = true)
+    val q = ps.all.toDF().writeStream.format("memory")
+      .queryName("t_fl_ps").outputMode("append").start()
+    try {
+      // a@0 matches b@10; a@20 never completes; batch 3's c@30 is LATE
+      ms.addData(ev(1, 1, "a", 0, 1.0), ev(2, 1, "b", 10 * sec, 1.0),
+        ev(3, 1, "a", 20 * sec, 1.0))
+      q.processAllAvailable()
+      ms.addData(ev(4, 1, "x", 100 * sec, 1.0)) // wm 20s
+      q.processAllAvailable()
+      ms.addData(ev(5, 1, "c", 30 * sec, 1.0),  // below 100−50 → late
+        ev(6, 1, "x", 200 * sec, 1.0))          // wm 100s evicts a@20
+      q.processAllAvailable()
+      val all = spark.table("t_fl_ps").as[graft.streaming.CepBoundG[Ev]]
+      def ids(f: org.apache.spark.sql.Dataset[graft.streaming.CepBoundG[Ev]]) =
+        f.collect().map(_.binds.map(b => (b.step, b.ev.event_id)).toList).toList
+      val ps2 = new PatternStream(all)
+      assert(ids(ps2.select) == List(List(("a", 1L), ("b", 2L))))
+      assert(ids(ps2.timedOutPartials) ==
+        List(List((Cep.TimedOutStep + ":a", 3L))))
+      assert(ids(ps2.lateData) == List(List((Cep.LateStep, 5L))))
+    } finally q.stop()
   }
 }
