@@ -18,6 +18,7 @@ object SparkEntry {
     qp.AggregateQueries,
     qp.TpchQueries,
     qp.TpcdsShapeQueries,
+    qp.TpcdsShapeQueries2,
     qp.SubqueryQueries,
     qp.JoinQueries,
     qp.SetOpQueries,

@@ -517,4 +517,45 @@ class PlanAuditSpec extends SparkSuite {
       s"fact chain fell to all-pairs:\n$p")
     assert(p.contains("HashAggregate"), s"brand aggregate missing:\n$p")
   }
+
+  test("TPC-DS Q16 shape: multi-supplier EXISTS plans a semi, returns a NOT EXISTS anti") {
+    val p = plan(graft.queries.TpcdsShapeQueries2.queries("tpcds_q16_catalog_ship")(spark, dir))
+    assert(p.contains("LeftSemi"), s"EXISTS self-join leg lost its semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS returns leg lost its anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ship-confirmation fell to all-pairs:\n$p")
+  }
+
+  test("TPC-DS Q32 shape: windowed correlated scalars decorrelate into aggregate equi-joins") {
+    val p = plan(graft.queries.TpcdsShapeQueries2.queries("tpcds_q32_excess_discount")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"correlated scalar left an all-pairs stage:\n$p")
+    // both scalars (count, sum) become per-part aggregates joined back in
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"scalar legs not decorrelated into aggregates:\n$p")
+  }
+
+  test("TPC-DS Q50 shape: sale-to-return self-join stays equi on the order key") {
+    val p = plan(graft.queries.TpcdsShapeQueries2.queries("tpcds_q50_return_lag_buckets")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"lag self-join fell to all-pairs:\n$p")
+    assert(p.contains("l_orderkey"), s"order-key equi join missing:\n$p")
+  }
+
+  test("TPC-DS Q80 shape: promo NOT IN plans an anti join under the rollup Expand") {
+    val p = plan(graft.queries.TpcdsShapeQueries2.queries("tpcds_q80_pnl_promo_anti")(spark, dir))
+    assert(p.contains("LeftAnti"), s"promo exclusion lost its anti join:\n$p")
+    assert(p.contains("LeftOuter"), s"line-level returns netting lost its left join:\n$p")
+    assert(p.contains("Expand"), s"ROLLUP lost its Expand node:\n$p")
+    assert(!p.contains("CartesianProduct"), s"P&L fell to all-pairs:\n$p")
+  }
+
+  test("TPC-DS Q84 shape: income-band range join broadcasts the 5-row literal dim") {
+    val p = plan(graft.queries.TpcdsShapeQueries2.queries("tpcds_q84_income_band_chain")(spark, dir))
+    // a non-equi probe of a literal 5-row dim should be broadcast
+    // nested-loop (never a shuffled cartesian), with the returned-
+    // purchase EXISTS staying a semi join
+    assert(p.contains("BroadcastNestedLoopJoin"), s"band range join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"band join fell to a shuffled cartesian:\n$p")
+    assert(p.contains("LeftSemi"), s"returned-purchase EXISTS lost its semi join:\n$p")
+  }
 }
