@@ -135,6 +135,37 @@ object CepQueries extends QueryPack {
         .orderBy(col("start_id"))
     }),
 
+    // MATCH_ROWTIME() measure (reference FlinkSqlOperatorTable.java:127
+    // — the rowtime attribute of the match, FLIP-deferred TIMESTAMP_LTZ
+    // rewrite aside): a signup immediately followed by a purchase; the
+    // match's rowtime then drives a DOWNSTREAM 30-minute tumbling
+    // window aggregate, proving the measure stays a usable time
+    // attribute after MATCH_RECOGNIZE (the reference's reason this
+    // function exists).
+    "match_recognize_rowtime" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val mrSql = """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES A.event_id AS signup_id, B.event_id AS buy_id,
+                   MATCH_ROWTIME() AS mrt
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (A B)
+          WITHIN INTERVAL '60' MINUTE
+          DEFINE A AS A.event_type = 'signup', B AS B.event_type = 'purchase'
+        )"""
+      val matches = graft.sqlx.MatchRecognize.run(
+        StreamOps.eventsTyped(s, dir).toDF(), mrSql, "event_id")
+      StreamOps.runToBatch(s, matches, "append", "mr_rowtime")
+        .groupBy(window(timestamp_micros(col("mrt")), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_matches"), sum(col("buy_id")).as("buy_id_sum"))
+        .select(unix_seconds(col("w.start")).as("bucket_s"),
+          col("n_matches"), col("buy_id_sum"))
+        .orderBy(col("bucket_s"))
+    }),
+
     // MATCH_RECOGNIZE with PREV and a cross-symbol DEFINE (reference
     // MatchCodeGenerator PREV navigation + inter-variable conditions):
     // a purchase directly after a click that beats BOTH the click's
@@ -624,6 +655,24 @@ object CepQueries extends QueryPack {
       WHERE c.event_type = 'click'
       GROUP BY c.user_id, c.event_id
       ORDER BY start_id""",
+    "match_recognize_rowtime" -> """
+      WITH o AS (
+        SELECT user_id, event_id, event_type, ts,
+               lead(event_id) OVER w AS nid, lead(event_type) OVER w AS ntype,
+               lead(ts) OVER w AS nts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      m AS (
+        SELECT nid AS buy_id, nts AS mrt
+        FROM o
+        WHERE event_type = 'signup' AND ntype = 'purchase'
+          AND nts <= ts + INTERVAL 60 MINUTE)
+      SELECT (CAST(floor(epoch(mrt)) AS BIGINT) // 1800) * 1800 AS bucket_s,
+             CAST(count(*) AS BIGINT) AS n_matches,
+             CAST(sum(buy_id) AS BIGINT) AS buy_id_sum
+      FROM m
+      GROUP BY 1
+      ORDER BY bucket_s""",
     "match_recognize_prev_define" -> """
       WITH o AS (
         SELECT user_id, event_id, event_type, value, ts,

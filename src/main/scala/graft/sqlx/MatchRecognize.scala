@@ -172,6 +172,13 @@ object MatchRecognize {
   private val FieldRe = """^([A-Za-z_]\w*)\.([A-Za-z_]\w*)$""".r
   private val ClassifierRe =
     """(?i)^CLASSIFIER\s*\(\s*\)\s+AS\s+(\w+)$""".r
+  // MATCH_ROWTIME() (reference FlinkSqlOperatorTable.java:127): the
+  // rowtime of the last row mapped so far — emitted in the ORDER BY
+  // column's own type so the output stays a usable time attribute for
+  // downstream windows/joins. MATCH_PROCTIME() is intentionally
+  // absent: it marks processing time, which has no batch oracle.
+  private val MatchRowtimeRe =
+    """(?i)^MATCH_ROWTIME\s*\(\s*\)\s+AS\s+(\w+)$""".r
   private val MeasureRe =
     """(?i)^(?:(RUNNING|FINAL)\s+)?(?:(FIRST|LAST|SUM|COUNT|MIN|MAX|AVG)\s*\(\s*)?(\w+)\.(\w+|\*)\s*\)?\s+AS\s+(\w+)$""".r
   private val IntervalRe = """(?i)INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)S?""".r
@@ -567,6 +574,7 @@ object MatchRecognize {
         // stream, which Spark (correctly) rejects — and the reference
         // does not support it either.
         case ClassifierRe(alias) => Measure(None, Some("CLASSIFIER"), "", "", alias)
+        case MatchRowtimeRe(alias) => Measure(None, Some("MATCH_ROWTIME"), "", "", alias)
         case MeasureRe(rf, fn, sym, field, alias) =>
           val f = Option(fn).map(_.toUpperCase)
           if (field == "*" && !f.contains("COUNT")) fail(s"only COUNT accepts ${sym}.*")
@@ -704,6 +712,19 @@ object MatchRecognize {
         case Some("CLASSIFIER") => // last matched row's symbol ('#'
           // range expansions collapse to the declared variable)
           split(element_at(binds, -1).getField("step"), "#").getItem(0)
+        case Some("MATCH_ROWTIME") =>
+          // the rowtime of the last row mapped so far (reference
+          // FlinkSqlOperatorTable.MATCH_ROWTIME; under ONE ROW PER
+          // MATCH that is the match's last row — Flink's only output
+          // mode). Emitted in the ORDER BY column's own type so it
+          // remains a time attribute downstream; an integral rowtime
+          // source passes through unscaled.
+          val us = element_at(binds, -1).getField("ev").getField("ts_us")
+          schema(ordName).dataType match {
+            case TimestampType => timestamp_micros(us)
+            case TimestampNTZType => timestamp_micros(us).cast(TimestampNTZType)
+            case _ => us
+          }
         case Some("COUNT") => size(arr).cast("long")
         case Some("SUM") => srcCast(aggregate(arr, lit(0.0), (acc, b) => acc + numOf(b, m.field)), m.field)
         case Some("MIN") => srcCast(array_min(transform(arr, numOf(_, m.field))), m.field)

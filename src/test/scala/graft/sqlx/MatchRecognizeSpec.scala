@@ -698,4 +698,36 @@ class MatchRecognizeSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("empty matches"), e.getMessage)
   }
+
+  test("MATCH_ROWTIME() emits the match's last rowtime in the ORDER BY column's type") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    def mr(order: String) = s"""
+      SELECT * FROM t MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY $order
+        MEASURES A.event_id AS a_id, MATCH_ROWTIME() AS mrt
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (A B)
+        DEFINE A AS A.event_type = 'a', B AS B.event_type = 'b'
+      )"""
+    // integral rowtime source: the value passes through unscaled
+    val df = Seq(
+      (1L, 1L, "a", 1000000L), (1L, 2L, "b", 2000000L),
+      (1L, 3L, "a", 3000000L), (1L, 4L, "b", 4000000L)
+    ).toDF("user_id", "event_id", "event_type", "ts_us")
+    val out = MatchRecognize.runBatch(df, mr("ts_us"), "event_id")
+    assert(out.schema("mrt").dataType == LongType)
+    assert(out.orderBy("a_id").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2000000L), (3L, 4000000L)))
+    // timestamp rowtime source: re-emitted as a timestamp (a usable
+    // downstream time attribute, the reference's purpose for the fn)
+    val tdf = df.withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    val out2 = MatchRecognize.runBatch(tdf, mr("ts"), "event_id")
+    assert(out2.schema("mrt").dataType == TimestampType)
+    assert(out2.orderBy("a_id").collect().map(_.getTimestamp(2).getTime).toSeq ==
+      Seq(2000L, 4000L))
+  }
 }
