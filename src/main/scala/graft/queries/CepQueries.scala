@@ -135,6 +135,32 @@ object CepQueries extends QueryPack {
         .orderBy(col("start_id"))
     }),
 
+    // allowCombinations() (reference Pattern.java:437,
+    // Quantifier.combinations() — SKIP_TILL_ANY inner contiguity):
+    // signup → one-or-more views → purchase, where every in-order
+    // SUB-SEQUENCE of the views (first-qualifying view always
+    // included, later views each in-or-out) is its own match. The
+    // oracle counts branches per (signup, last view, buy) exactly:
+    // 2^(views strictly between the first and the last consumed view).
+    "stream_cep_combinations" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val pattern = Cep.Pattern
+        .begin("signup", _.event_type == "signup")
+        .oneOrMore("views", _.event_type == "view")
+        .allowCombinations()
+        .followedBy("buy", _.event_type == "purchase")
+        .within(ThreeDaysUs)
+      StreamOps.runToBatch(
+        s, Cep.run(StreamOps.eventsTyped(s, dir), pattern).toDF(),
+        "append", "stream_cep_combos")
+        .select(col("event_ids").getItem(0).as("signup_id"),
+          element_at(col("event_ids"), -2).as("last_view_id"),
+          element_at(col("event_ids"), -1).as("buy_id"))
+        .groupBy("signup_id", "last_view_id", "buy_id")
+        .agg(count(lit(1)).as("n_branches"))
+        .orderBy("signup_id", "last_view_id")
+    }),
+
     // MATCH_ROWTIME() measure (reference FlinkSqlOperatorTable.java:127
     // — the rowtime attribute of the match, FLIP-deferred TIMESTAMP_LTZ
     // rewrite aside): a signup immediately followed by a purchase; the
@@ -655,6 +681,37 @@ object CepQueries extends QueryPack {
       WHERE c.event_type = 'click'
       GROUP BY c.user_id, c.event_id
       ORDER BY start_id""",
+    "stream_cep_combinations" -> """
+      WITH ord AS (
+        SELECT event_id, user_id, event_type, ts,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events),
+      sgn AS (SELECT * FROM ord WHERE event_type = 'signup'),
+      vw  AS (SELECT * FROM ord WHERE event_type = 'view'),
+      pur AS (SELECT * FROM ord WHERE event_type = 'purchase'),
+      v1 AS (
+        SELECT s.user_id, s.event_id AS s_id, s.rn AS s_rn, s.ts AS s_ts,
+               min(v.rn) AS v1_rn
+        FROM sgn s JOIN vw v
+          ON v.user_id = s.user_id AND v.rn > s.rn
+         AND v.ts <= s.ts + INTERVAL 3 DAY
+        GROUP BY 1, 2, 3, 4),
+      lastv AS (
+        SELECT f.user_id, f.s_id, f.s_ts, f.v1_rn, v.rn AS lv_rn, v.event_id AS lv_id
+        FROM v1 f JOIN vw v ON v.user_id = f.user_id AND v.rn >= f.v1_rn
+         AND v.ts <= f.s_ts + INTERVAL 3 DAY),
+      ok AS (
+        SELECT l.s_id, l.lv_id, l.user_id, l.v1_rn, l.lv_rn,
+               (SELECT p.event_id FROM pur p WHERE p.user_id = l.user_id
+                  AND p.rn > l.lv_rn AND p.ts <= l.s_ts + INTERVAL 3 DAY
+                ORDER BY p.rn LIMIT 1) AS buy_id
+        FROM lastv l)
+      SELECT o.s_id AS signup_id, o.lv_id AS last_view_id, o.buy_id,
+             CAST(power(2, (SELECT count(*) FROM vw m WHERE m.user_id = o.user_id
+                  AND m.rn > o.v1_rn AND m.rn < o.lv_rn)) AS BIGINT) AS n_branches
+      FROM ok o
+      WHERE o.buy_id IS NOT NULL
+      ORDER BY signup_id, last_view_id""",
     "match_recognize_rowtime" -> """
       WITH o AS (
         SELECT user_id, event_id, event_type, ts,

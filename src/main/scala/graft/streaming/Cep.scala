@@ -94,6 +94,15 @@ object Cep {
    * empty run first, extend one strict repetition at a time only on
    * downstream failure. */
   case object ZeroOrMoreReluctant extends Quant
+  /** Looping with SKIP_TILL_ANY inner contiguity (reference
+   * `Pattern.allowCombinations()`, `Pattern.java:437` via
+   * `Quantifier.combinations()`): after each consumed repetition the
+   * continuation may proceed, and every later qualifying row is also
+   * its own take-branch — all in-order sub-sequences of qualifying
+   * rows become distinct match branches, emitted like [[Any]]. The
+   * reference doc's `A1 A2 B` example yields `A1 B`, `A2 B`,
+   * `A1 A2 B` across start anchors. */
+  case object OneOrMoreCombinations extends Quant
   /** Negative lookahead on the next event (not consumed). */
   case object NotNext extends Quant
   /** Relaxed contiguity with ALL alternatives (reference
@@ -307,6 +316,21 @@ object Cep {
         "until() applies to a oneOrMore-family step")
       copy(steps = steps.init :+ steps.last.copy(until = Some(stop)))
     }
+    /** Reference `Pattern.allowCombinations()` (`Pattern.java:437`):
+     * switch the LAST step — which must be a one-or-more variant — to
+     * SKIP_TILL_ANY inner contiguity, so every in-order sub-sequence
+     * of qualifying rows is its own match branch (vs the contiguous
+     * prefixes/runs of the default modes). Inherently multiplicative,
+     * as in the reference: a selective loop condition is what bounds
+     * the branch count. */
+    def allowCombinations(): Pattern[T] = {
+      require(steps.nonEmpty && Set[Quant](OneOrMore, OneOrMoreReluctant,
+          OneOrMoreRelaxed)(steps.last.quant),
+        "allowCombinations() applies to a oneOrMore-family step")
+      require(steps.last.alts.isEmpty,
+        "allowCombinations() does not compose with alternation groups")
+      copy(steps = steps.init :+ steps.last.copy(quant = OneOrMoreCombinations))
+    }
     /** ALTERNATION step, strict contiguity: the next event must
      * satisfy at least one alternative's condition and binds under the
      * FIRST qualifying alternative's name, in declared order — SQL
@@ -399,7 +423,7 @@ object Cep {
 
   private def isLooping(q: Quant): Boolean =
     q == OneOrMore || q == OneOrMoreReluctant || q == OneOrMoreRelaxed ||
-      q == ZeroOrMore || q == ZeroOrMoreReluctant
+      q == ZeroOrMore || q == ZeroOrMoreReluctant || q == OneOrMoreCombinations
 
   object Pattern {
     /** Generic entry over any event type (reference
@@ -605,6 +629,33 @@ object Cep {
                 matchSteps(start, j, rest, b) #::: runs0(j + 1, b)
               }
             matchSteps(start, pos, rest, acc) #::: runs0(pos + 1, acc)
+          case OneOrMoreCombinations =>
+            // reference Quantifier.combinations() (SKIP_TILL_ANY inner
+            // contiguity): after each consumed repetition the
+            // continuation may proceed, and every later qualifying row
+            // is also its own take-branch — all in-order sub-sequences
+            // of qualifying rows, each a distinct branch (emitted like
+            // Any). A stop row (until) ends the enumeration; the first
+            // repetition follows the step's own contiguity (strict
+            // adjacency for anchored heads, first-qualifying
+            // otherwise).
+            def combos(last: Int, binds: Vector[(String, Int)]): LazyList[(Int, Vector[(String, Int)])] =
+              matchSteps(start, last, rest, binds) #::: LazyList.from(last + 1)
+                .takeWhile(j => inWindow(start, j) && !stopAt(binds, j))
+                .filter(j => gapOk(last, j) && ok(binds, j))
+                .flatMap(j => combos(j, binds :+ ((bindAs(binds, j), j))))
+            val firstRep: LazyList[Int] =
+              if (st.strict) {
+                val j = pos + 1
+                if (reachable(j) && !stopAt(acc, j) && ok(acc, j)) LazyList(j)
+                else LazyList.empty
+              } else {
+                var k = pos + 1
+                while (inWindow(start, k) && gapOk(pos, k) && !stopAt(acc, k) && !ok(acc, k)) k += 1
+                if (inWindow(start, k) && gapOk(pos, k) && !stopAt(acc, k)) LazyList(k)
+                else LazyList.empty
+              }
+            firstRep.flatMap(j => combos(j, acc :+ ((bindAs(acc, j), j))))
           case OneOrMoreRelaxed => // minimal relaxed run: each further
             // repetition jumps to the next qualifying event (gaps OK),
             // but a stop row reached first ends the loop unconsumed
@@ -622,7 +673,8 @@ object Cep {
     }
 
     validate(p) // direct batch callers (specs) get the same checks
-    val hasAny = p.steps.exists(_.quant == Any)
+    val hasAny = p.steps.exists(s =>
+      s.quant == Any || s.quant == OneOrMoreCombinations)
     val headStep = p.steps.head
     val out = List.newBuilder[MatchG[T]]
     var i = 0
@@ -704,8 +756,10 @@ object Cep {
       require(names.forall(m => m == n || !n.startsWith(m + "#")),
         s"step name '$n' aliases the bindings of step '${n.take(h)}'")
     }
-    require(!p.steps.exists(_.quant == Any) || p.skip == NoSkip || p.skip == SkipToNext,
-      "followedByAny emits overlapping matches; only NoSkip/SkipToNext compose with it")
+    require(!p.steps.exists(s => s.quant == Any || s.quant == OneOrMoreCombinations) ||
+        p.skip == NoSkip || p.skip == SkipToNext,
+      "followedByAny/allowCombinations emit overlapping matches; " +
+        "only NoSkip/SkipToNext compose with them")
     require(p.steps.forall(s => s.alts.isEmpty || Set[Quant](Once, Optional,
         OptionalReluctant, OneOrMore, OneOrMoreReluctant, ZeroOrMore,
         ZeroOrMoreReluctant)(s.quant)),
@@ -833,7 +887,8 @@ object Cep {
       time: T => Long, id: T => Long, startIds: Set[Long]): List[MatchG[T]] = {
     val found = scala.collection.mutable.Map.empty[Long, MatchG[T]]
     def mustConsume(q: Quant): Boolean = q match {
-      case Once | OneOrMore | OneOrMoreReluctant | OneOrMoreRelaxed | Any => true
+      case Once | OneOrMore | OneOrMoreReluctant | OneOrMoreRelaxed |
+           OneOrMoreCombinations | Any => true
       case _ => false
     }
     var k = p.steps.length - 1
@@ -1062,7 +1117,8 @@ object Cep {
           // patterns legitimately emit many matches per start, so they
           // dedup on the full binding signature (splitmix64-mixed ids;
           // collisions negligible).
-          val anyPattern = pattern.steps.exists(_.quant == Any)
+          val anyPattern = pattern.steps.exists(s =>
+            s.quant == Any || s.quant == OneOrMoreCombinations)
           def mix(h0: Long, v: Long): Long = {
             var z = h0 + 0x9E3779B97F4A7C15L + v
             z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L

@@ -593,4 +593,54 @@ class CepSpec extends SparkSuite {
       assert(got == List((Cep.LateStep, 2L)), s"got $got")
     } finally q.stop()
   }
+
+  test("allowCombinations enumerates in-order sub-sequences (reference Pattern.java:429)") {
+    // the reference doc's exact example: A.oneOrMore().allowCombinations()
+    // .followedBy(B) over A1 A2 B yields A1 B, A2 B, A1 A2 B (without
+    // combinations only A1 B and A1 A2 B appear across starts)
+    val headLoop = Cep.Pattern.of[Ev]("A", _.event_type == "a")
+    val p = headLoop.copy(steps = headLoop.steps.map(
+        _.copy(strict = true, quant = Cep.OneOrMore)))
+      .allowCombinations()
+      .followedBy("B", _.event_type == "b")
+      .within(600L * 1000000)
+    val events = IndexedSeq(ev(1, "a", 0), ev(2, "a", 10), ev(3, "b", 20))
+    val ms = Cep.matchSortedG[Ev](events, p, _.ts_us, _.event_id)
+    assert(ms.map(_.binds.map(_.ev.event_id)).toSet ==
+      Set(List(1L, 3L), List(2L, 3L), List(1L, 2L, 3L)), s"got $ms")
+
+    // non-head loop: the FIRST repetition keeps followedBy's
+    // first-qualifying contiguity (the reference's preceding
+    // ConsumingStrategy); combinations branch only the later reps
+    val p2 = Cep.Pattern.of[Ev]("C", _.event_type == "click")
+      .oneOrMore("A", _.event_type == "a")
+      .allowCombinations()
+      .followedBy("B", _.event_type == "b")
+      .within(600L * 1000000)
+    val evs2 = IndexedSeq(
+      ev(1, "click", 0), ev(2, "a", 10), ev(3, "a", 20), ev(4, "b", 30))
+    val ms2 = Cep.matchSortedG[Ev](evs2, p2, _.ts_us, _.event_id)
+    assert(ms2.map(_.binds.map(_.ev.event_id)).toSet ==
+      Set(List(1L, 2L, 4L), List(1L, 2L, 3L, 4L)), s"got $ms2")
+
+    // until() stops the enumeration: reps at/after the stop row are
+    // never taken, in any branch
+    val p3 = Cep.Pattern.of[Ev]("C", _.event_type == "click")
+      .oneOrMore("A", _.event_type == "a")
+      .until(_.event_type == "stop")
+      .allowCombinations()
+      .followedBy("B", _.event_type == "b")
+      .within(600L * 1000000)
+    val evs3 = IndexedSeq(
+      ev(1, "click", 0), ev(2, "a", 10), ev(5, "stop", 15),
+      ev(3, "a", 20), ev(4, "b", 30))
+    val ms3 = Cep.matchSortedG[Ev](evs3, p3, _.ts_us, _.event_id)
+    assert(ms3.map(_.binds.map(_.ev.event_id)).toSet ==
+      Set(List(1L, 2L, 4L)), s"got $ms3")
+
+    // guarded composition: only oneOrMore-family steps accept it
+    intercept[IllegalArgumentException] {
+      Cep.Pattern.of[Ev]("C", _.event_type == "click").allowCombinations()
+    }
+  }
 }
