@@ -241,6 +241,15 @@ object Cep {
       val withMin = (1 to min).foldLeft(this)((p, i) => p.followedBy(s"$name#$i", pred))
       (min + 1 to max).foldLeft(withMin)((p, i) => p.optional(s"$name#$i", pred))
     }
+    /** `n` or more occurrences, relaxed contiguity (reference
+     * `Pattern.timesOrMore`): `n - 1` required steps then a
+     * relaxed-reluctant oneOrMore tail — the same expansion the
+     * MATCH_RECOGNIZE `{n,}` quantifier compiles to. */
+    def timesOrMore(name: String, pred: T => Boolean, n: Int): Pattern[T] = {
+      require(n >= 1, "need n >= 1")
+      (1 until n).foldLeft(this)((p, i) => p.followedBy(s"$name#$i", pred))
+        .oneOrMore(s"$name#$n", pred)
+    }
     /** One or more occurrences, RELAXED inner contiguity, reluctant —
      * the reference's default `Pattern.oneOrMore` (SKIP_TILL_NEXT
      * between repetitions, minimal consumption). */

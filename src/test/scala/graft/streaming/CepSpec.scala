@@ -643,4 +643,21 @@ class CepSpec extends SparkSuite {
       Cep.Pattern.of[Ev]("C", _.event_type == "click").allowCombinations()
     }
   }
+
+  test("timesOrMore requires n reps then extends reluctantly (reference Pattern.timesOrMore)") {
+    val p = Cep.Pattern.of[Ev]("C", _.event_type == "click")
+      .timesOrMore("V", _.event_type == "view", 2)
+      .followedBy("B", _.event_type == "purchase")
+      .within(600L * 1000000)
+    // one view only: the {2,} floor is not met
+    val tooFew = IndexedSeq(ev(1, "click", 0), ev(2, "view", 10), ev(3, "purchase", 20))
+    assert(Cep.matchSortedG[Ev](tooFew, p, _.ts_us, _.event_id).isEmpty)
+    // three views: reluctant tail stops at the floor (minimal), B takes
+    // the first later purchase — the {n,} SQL quantifier's expansion
+    val enough = IndexedSeq(
+      ev(1, "click", 0), ev(2, "view", 10), ev(3, "view", 20),
+      ev(4, "view", 30), ev(5, "purchase", 40))
+    val ms = Cep.matchSortedG[Ev](enough, p, _.ts_us, _.event_id)
+    assert(ms.map(_.binds.map(_.ev.event_id)) == List(List(1L, 2L, 3L, 5L)), s"got $ms")
+  }
 }
