@@ -106,6 +106,51 @@ object TimeWindowQueries extends QueryPack {
         .orderBy(col("click_id"), col("buy_id"))
     }),
 
+    // Window join — FULL OUTER (reference StreamExecWindowJoin
+    // supports INNER/LEFT/RIGHT/FULL/SEMI/ANTI): same equi-join on
+    // (window, key), null-extending panes with activity on one side
+    // only. The USING-join coalesces the window/key columns.
+    "win_window_join_outer" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(window(col("ts"), "30 minutes").as("w"), col("user_id"),
+          col("event_id").as("click_id"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(window(col("ts"), "30 minutes").as("w"), col("user_id"),
+          col("event_id").as("buy_id"))
+      clicks.join(buys, Seq("w", "user_id"), "full_outer")
+        .select(col("w.start").as("ws"), col("user_id"),
+          col("click_id"), col("buy_id"))
+        .orderBy(col("ws"), col("user_id"), col("click_id"), col("buy_id"))
+    }),
+
+    // Window join — SEMI: clicks whose (window, user) pane saw at
+    // least one purchase (existence only, no fan-out).
+    "win_window_join_semi" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(window(col("ts"), "30 minutes").as("w"), col("user_id"),
+          col("event_id").as("click_id"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      clicks.join(buys, Seq("w", "user_id"), "left_semi")
+        .select(col("w.start").as("ws"), col("user_id"), col("click_id"))
+        .orderBy(col("click_id"))
+    }),
+
+    // Window join — ANTI: clicks whose pane saw NO purchase.
+    "win_window_join_anti" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(window(col("ts"), "30 minutes").as("w"), col("user_id"),
+          col("event_id").as("click_id"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      clicks.join(buys, Seq("w", "user_id"), "left_anti")
+        .select(col("w.start").as("ws"), col("user_id"), col("click_id"))
+        .orderBy(col("click_id"))
+    }),
+
     // Window rank TVF (reference StreamExecWindowRank): top-2 events by
     // value inside each (1-hour window, event_type) pane.
     "win_window_rank" -> ((s, dir) => {
@@ -371,6 +416,35 @@ object TimeWindowQueries extends QueryPack {
              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
       FROM sessions GROUP BY user_id, sid ORDER BY user_id, ws""",
     "win_window_join" -> windowJoinOracleSql,
+    "win_window_join_outer" -> """
+      SELECT COALESCE(c.ws, b.ws) AS ws, COALESCE(c.user_id, b.user_id) AS user_id,
+             c.click_id, b.buy_id
+      FROM (SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, user_id,
+                   event_id AS click_id
+            FROM events WHERE event_type = 'click') c
+      FULL OUTER JOIN (SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, user_id,
+                   event_id AS buy_id
+            FROM events WHERE event_type = 'purchase') b
+        ON c.ws = b.ws AND c.user_id = b.user_id
+      ORDER BY ws, user_id, click_id, buy_id""",
+    "win_window_join_semi" -> """
+      SELECT c.ws, c.user_id, c.click_id
+      FROM (SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, user_id,
+                   event_id AS click_id
+            FROM events WHERE event_type = 'click') c
+      WHERE EXISTS (SELECT 1 FROM events b
+                    WHERE b.event_type = 'purchase' AND b.user_id = c.user_id
+                      AND time_bucket(INTERVAL 30 MINUTE, b.ts) = c.ws)
+      ORDER BY click_id""",
+    "win_window_join_anti" -> """
+      SELECT c.ws, c.user_id, c.click_id
+      FROM (SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, user_id,
+                   event_id AS click_id
+            FROM events WHERE event_type = 'click') c
+      WHERE NOT EXISTS (SELECT 1 FROM events b
+                    WHERE b.event_type = 'purchase' AND b.user_id = c.user_id
+                      AND time_bucket(INTERVAL 30 MINUTE, b.ts) = c.ws)
+      ORDER BY click_id""",
     "win_window_rank" -> windowRankOracleSql,
     "win_cumulate" -> cumulateOracleSql,
     "win_tumble_tvf_sql" -> tumbleOracleSql,
