@@ -330,6 +330,30 @@ object DdlQueries extends QueryPack {
         FROM fn_part ORDER BY p_partkey""")
     }),
 
+    // METADATA columns (reference SqlTableColumn.SqlMetadataColumn,
+    // 1.14 DDL grammar: `col TYPE METADATA [FROM 'key'] [VIRTUAL]`):
+    // connector metadata surfaces as declared columns — here the file
+    // source's `_metadata` struct. The oracle pins the expected
+    // basename (each testdata table is a single parquet file), so the
+    // gate proves the column resolves from real scan metadata.
+    "ddl_metadata_column" -> ((s, dir) => {
+      Ddl.execute(s,
+        s"""CREATE TABLE ev_meta (
+              event_id BIGINT,
+              user_id BIGINT,
+              fname STRING METADATA FROM 'file_name' VIRTUAL,
+              fsize BIGINT METADATA FROM 'file_size'
+            ) WITH (
+              'connector' = 'filesystem',
+              'path' = '$dir/events.parquet',
+              'format' = 'parquet'
+            )""")
+      s.sql("""
+        SELECT fname, count(*) AS n, min(event_id) AS min_id,
+               CAST(min(fsize) = max(fsize) AND min(fsize) > 0 AS BOOLEAN) AS size_consistent
+        FROM ev_meta GROUP BY fname ORDER BY fname""")
+    }),
+
     "ddl_csv_source" -> ((s, dir) => {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_fmt/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/ddl_supplier_csv"
       graft.Tables.load(s, dir, "supplier")
@@ -366,6 +390,10 @@ object DdlQueries extends QueryPack {
     "ddl_csv_source" -> """
       SELECT s_nationkey, count(*) AS n, min(s_name) AS first_name
       FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "ddl_metadata_column" -> """
+      SELECT 'events.parquet' AS fname, count(*) AS n,
+             min(event_id) AS min_id, true AS size_consistent
+      FROM events GROUP BY 1 ORDER BY fname""",
     "ddl_create_function" -> """
       SELECT p_partkey,
              regexp_replace(p_name, '[aeiou]', '', 'g') AS bare_name,

@@ -32,6 +32,15 @@ object Ddl {
 
   final case class ColumnDef(name: String, typ: String)
   final case class ComputedDef(name: String, sqlExpr: String)
+  /** `col TYPE METADATA [FROM 'key'] [VIRTUAL]` (reference
+   * SqlTableColumn.SqlMetadataColumn, flink-sql-parser): a column
+   * whose value comes from the connector's metadata — here the file
+   * source's `_metadata` struct (file_name, file_path, file_size,
+   * file_modification_time, …). Key defaults to the column name.
+   * File metadata is read-only, so every declared metadata column
+   * behaves as VIRTUAL on write (the reference's semantics for
+   * non-writable metadata keys). */
+  final case class MetadataDef(name: String, typ: String, key: String, virtual: Boolean)
   final case class WatermarkDef(column: String, delay: String)
   final case class TableDef(
       name: String,
@@ -39,7 +48,8 @@ object Ddl {
       computed: Seq[ComputedDef],
       watermark: Option[WatermarkDef],
       options: Map[String, String],
-      partitionedBy: Seq[String] = Nil)
+      partitionedBy: Seq[String] = Nil,
+      metadata: Seq[MetadataDef] = Nil)
 
   // body is non-greedy so the optional PARTITIONED BY clause between
   // the column list and WITH is matched by ITS group, not swallowed
@@ -55,6 +65,8 @@ object Ddl {
   // evaluated through the session at registration time
   private val WatermarkExprRe =
     """(?is)WATERMARK\s+FOR\s+([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+\1\s*-\s*(.+)""".r
+  private val MetadataRe =
+    """(?is)([A-Za-z_][A-Za-z0-9_]*)\s+([A-Za-z0-9_<>,() ]+?)\s+METADATA(?:\s+FROM\s+'([^']*)')?(?:\s+(VIRTUAL))?\s*""".r
   private val ComputedRe = """(?is)([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.+)""".r
   private val PhysicalRe = """(?is)([A-Za-z_][A-Za-z0-9_]*)\s+([A-Za-z0-9_<>,() ]+)""".r
   private val OptionRe = """'([^']*)'\s*=\s*'([^']*)'""".r
@@ -65,20 +77,24 @@ object Ddl {
    * expression like `concat(a, 'x,y')` cannot mis-split. */
   private def splitTop(s: String): Seq[String] = SqlLexer.splitTop(s)
 
-  /** Parse a column-list body into (physical, computed, watermark). */
+  /** Parse a column-list body into (physical, computed, metadata,
+   * watermark). */
   private def parseBody(body: String):
-      (Vector[ColumnDef], Vector[ComputedDef], Option[WatermarkDef]) = {
+      (Vector[ColumnDef], Vector[ComputedDef], Vector[MetadataDef], Option[WatermarkDef]) = {
     var physical = Vector.empty[ColumnDef]
     var computed = Vector.empty[ComputedDef]
+    var metadata = Vector.empty[MetadataDef]
     var watermark: Option[WatermarkDef] = None
     splitTop(body).foreach {
       case WatermarkRe(c, n, unit) => watermark = Some(WatermarkDef(c, s"$n $unit"))
       case WatermarkExprRe(c, e) => watermark = Some(WatermarkDef(c, "expr:" + e.trim))
+      case MetadataRe(n, t, key, virt) => metadata :+= MetadataDef(
+        n, t.trim, Option(key).getOrElse(n), virt != null)
       case ComputedRe(n, e) => computed :+= ComputedDef(n, e.trim) // has AS → computed
       case PhysicalRe(n, t) => physical :+= ColumnDef(n, t.trim)
       case other => throw new IllegalArgumentException(s"cannot parse column clause: '$other'")
     }
-    (physical, computed, watermark)
+    (physical, computed, metadata, watermark)
   }
 
   private def parseOptions(opts: String): Map[String, String] =
@@ -86,7 +102,7 @@ object Ddl {
 
   def parse(ddl: String): TableDef = ddl match {
     case CreateRe(name, body, partBy, opts) =>
-      val (physical, computed, watermark) = parseBody(body)
+      val (physical, computed, metadata, watermark) = parseBody(body)
       val options = parseOptions(opts)
       // PARTITIONED BY (reference `SqlCreateTable` partition-key list,
       // `parserImpls.ftl`): keys must be declared physical columns
@@ -95,7 +111,7 @@ object Ddl {
         require(physical.exists(_.name.equalsIgnoreCase(p)),
           s"PARTITIONED BY column '$p' is not a declared physical column")
       }
-      TableDef(name, physical, computed, watermark, options, parts)
+      TableDef(name, physical, computed, watermark, options, parts, metadata)
     case _ => throw new IllegalArgumentException("expected CREATE TABLE … ( … ) WITH ( … )")
   }
 
@@ -221,8 +237,9 @@ object Ddl {
         val baseComputed = if (feats.contains("EXCLUDING GENERATED")) Vector.empty[ComputedDef]
           else b.computed.toVector
         val baseWm = if (feats.contains("EXCLUDING WATERMARKS")) None else b.watermark
-        val (extraPhys, extraComp, extraWm) =
-          Option(colsOpt).map(parseBody).getOrElse((Vector.empty, Vector.empty, None))
+        val (extraPhys, extraComp, extraMeta, extraWm) =
+          Option(colsOpt).map(parseBody).getOrElse(
+            (Vector.empty, Vector.empty, Vector.empty, None))
         extraPhys.foreach { c =>
           require(!b.physical.exists(_.name.equalsIgnoreCase(c.name)),
             s"LIKE: column '${c.name}' already exists in '$base'")
@@ -239,7 +256,7 @@ object Ddl {
             feats.contains("EXCLUDING WATERMARKS"),
             "LIKE: base already defines a watermark — add (OVERWRITING WATERMARKS)")
         val t = TableDef(name, b.physical ++ extraPhys, baseComputed ++ extraComp,
-          wm, baseOptions ++ newOpts, b.partitionedBy)
+          wm, baseOptions ++ newOpts, b.partitionedBy, b.metadata ++ extraMeta)
         declared.put((sessionKey(spark), name), t)
         return register(spark, t)
       // SHOW CREATE TABLE (reference SqlShowCreateTable): reconstruct
@@ -303,6 +320,8 @@ object Ddl {
    * [[parse]] to an identical [[TableDef]]. */
   private def showCreate(t: TableDef): String = {
     val cols = t.physical.map(c => s"  ${c.name} ${c.typ}") ++
+      t.metadata.map(m => s"  ${m.name} ${m.typ} METADATA FROM '${m.key}'" +
+        (if (m.virtual) " VIRTUAL" else "")) ++
       t.computed.map(c => s"  ${c.name} AS ${c.sqlExpr}") ++
       t.watermark.toSeq.map { w =>
         val Array(n, unit) = w.delay.split(" ", 2)
@@ -359,7 +378,10 @@ object Ddl {
       t.physical.map(c => org.apache.spark.sql.Row(
         c.name, typeOf(c.name), true, null, null, wmOf(c.name).orNull)) ++
       t.computed.map(c => org.apache.spark.sql.Row(
-        c.name, typeOf(c.name), true, null, s"AS ${c.sqlExpr}", null))
+        c.name, typeOf(c.name), true, null, s"AS ${c.sqlExpr}", null)) ++
+      t.metadata.map(m => org.apache.spark.sql.Row(
+        m.name, typeOf(m.name), true, null,
+        s"METADATA FROM '${m.key}'" + (if (m.virtual) " VIRTUAL" else ""), null))
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(rows.asJava, StructType.fromDDL(
       "name STRING, type STRING, null BOOLEAN, key STRING, extras STRING, watermark STRING"))
@@ -541,6 +563,11 @@ object Ddl {
         case other => throw new IllegalArgumentException(s"unsupported format $other")
       }
 
+    // metadata columns resolve against the file source's hidden
+    // `_metadata` struct — applied on the scan (before computed
+    // columns, which may reference them)
+    t.metadata.foreach { m =>
+      df = df.withColumn(m.name, col("_metadata." + m.key).cast(m.typ)) }
     // CHAR normalization precedes computed columns, so expressions over
     // a CHAR column see its padded form (as the reference's would)
     charCols.foreach { case (n, len) => df = df.withColumn(n, rpad(col(n), len, " ")) }

@@ -292,4 +292,40 @@ class DdlSpec extends SparkSuite {
                     'scan.streaming' = 'true')""")
     }
   }
+
+  test("METADATA columns: parse, file _metadata resolution, round-trip, DESCRIBE") {
+    val t = Ddl.parse("""
+      CREATE TABLE m (
+        id BIGINT,
+        fname STRING METADATA FROM 'file_name' VIRTUAL,
+        file_size BIGINT METADATA
+      ) WITH ('connector' = 'filesystem', 'path' = '/x', 'format' = 'parquet')""")
+    assert(t.metadata == Seq(
+      Ddl.MetadataDef("fname", "STRING", "file_name", virtual = true),
+      Ddl.MetadataDef("file_size", "BIGINT", "file_size", virtual = false)))
+    // end-to-end on a real file: the column carries the scan's basename
+    val dir = java.nio.file.Files.createTempDirectory("ddl_meta").toString
+    spark.range(5).toDF("id").coalesce(1).write.mode("overwrite").parquet(dir)
+    Ddl.execute(spark, s"""
+      CREATE TABLE meta_t (
+        id BIGINT,
+        fname STRING METADATA FROM 'file_name' VIRTUAL,
+        file_size BIGINT METADATA
+      ) WITH ('connector' = 'filesystem', 'path' = '$dir', 'format' = 'parquet')""")
+    val rows = spark.sql(
+      "SELECT DISTINCT fname, file_size > 0 FROM meta_t").collect()
+    assert(rows.length == 1 && rows(0).getString(0).endsWith(".parquet")
+      && rows(0).getBoolean(1), rows.toSeq)
+    // SHOW CREATE round-trips through parse; DESCRIBE shows the key
+    val ddlText = Ddl.execute(spark, "SHOW CREATE TABLE meta_t")
+      .collect()(0).getString(1)
+    assert(Ddl.parse(ddlText).metadata == Seq(
+      Ddl.MetadataDef("fname", "STRING", "file_name", virtual = true),
+      Ddl.MetadataDef("file_size", "BIGINT", "file_size", virtual = false)), ddlText)
+    assert(ddlText.contains("METADATA FROM 'file_name' VIRTUAL"), ddlText)
+    val desc = Ddl.execute(spark, "DESCRIBE meta_t").collect()
+      .map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(desc("fname") == "METADATA FROM 'file_name' VIRTUAL", desc)
+    assert(desc("file_size") == "METADATA FROM 'file_size'", desc)
+  }
 }
