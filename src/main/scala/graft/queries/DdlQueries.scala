@@ -330,6 +330,37 @@ object DdlQueries extends QueryPack {
         FROM fn_part ORDER BY p_partkey""")
     }),
 
+    // Catalog namespaces (reference SqlCreateCatalog /
+    // GenericInMemoryCatalog + SqlUseCatalog/SqlUseDatabase): the SAME
+    // unqualified table name resolves to different tables in different
+    // catalogs, switched by USE CATALOG — each frame is analyzed in
+    // its own namespace, then the catalogs are dropped (lifecycle
+    // exercised end-to-end in one session).
+    "ddl_catalog_switch" -> ((s, dir) => {
+      Ddl.execute(s, "CREATE CATALOG cat_a WITH ('type' = 'generic_in_memory')")
+      Ddl.execute(s, "CREATE CATALOG cat_b WITH ('type' = 'generic_in_memory')")
+      Ddl.execute(s, "USE CATALOG cat_a")
+      Ddl.execute(s, "CREATE DATABASE mart")
+      Ddl.execute(s, "USE mart")
+      Ddl.execute(s, s"""CREATE TABLE t (o_orderkey BIGINT, o_totalprice DOUBLE)
+        WITH ('connector'='filesystem','path'='$dir/orders.parquet','format'='parquet')""")
+      val aFrame = s.sql("""
+        SELECT 'cat_a' AS ns, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM t""")
+      Ddl.execute(s, "USE CATALOG cat_b")
+      Ddl.execute(s, s"""CREATE TABLE t (c_custkey BIGINT, c_acctbal DOUBLE)
+        WITH ('connector'='filesystem','path'='$dir/customer.parquet','format'='parquet')""")
+      val bFrame = s.sql("""
+        SELECT 'cat_b' AS ns, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM t""")
+      Ddl.execute(s, "USE CATALOG default_catalog")
+      Ddl.execute(s, "DROP CATALOG cat_a")
+      Ddl.execute(s, "DROP CATALOG cat_b")
+      aFrame.unionAll(bFrame).orderBy("ns")
+    }),
+
     // METADATA columns (reference SqlTableColumn.SqlMetadataColumn,
     // 1.14 DDL grammar: `col TYPE METADATA [FROM 'key'] [VIRTUAL]`):
     // connector metadata surfaces as declared columns — here the file
@@ -394,6 +425,15 @@ object DdlQueries extends QueryPack {
       SELECT 'events.parquet' AS fname, count(*) AS n,
              min(event_id) AS min_id, true AS size_consistent
       FROM events GROUP BY 1 ORDER BY fname""",
+    "ddl_catalog_switch" -> """
+      SELECT 'cat_a' AS ns, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders
+      UNION ALL
+      SELECT 'cat_b', CAST(count(*) AS BIGINT),
+             CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      FROM customer
+      ORDER BY ns""",
     "ddl_create_function" -> """
       SELECT p_partkey,
              regexp_replace(p_name, '[aeiou]', '', 'g') AS bare_name,

@@ -148,6 +148,27 @@ object Ddl {
     """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s*\((.*)\)\s*;?\s*""".r
   private val AlterResetRe =
     """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+RESET\s*\(([^)]*)\)\s*;?\s*""".r
+  // Catalog / database statements (reference SqlCreateCatalog,
+  // SqlUseCatalog, SqlCreateDatabase, SqlUseDatabase, SqlShowCatalogs,
+  // SqlShowDatabases, SqlShowCurrentCatalog/Database, SqlDropFunction
+  // in flink-sql-parser parserImpls.ftl)
+  private val CreateCatalogRe =
+    """(?is)\s*CREATE\s+CATALOG\s+([A-Za-z_][A-Za-z0-9_]*)\s*(?:WITH\s*\((.*)\))?\s*;?\s*""".r
+  private val DropCatalogRe =
+    """(?is)\s*DROP\s+CATALOG\s+(IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+  private val CreateDatabaseRe =
+    """(?is)\s*CREATE\s+DATABASE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+  private val DropDatabaseRe =
+    """(?is)\s*DROP\s+DATABASE\s+(IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*(RESTRICT|CASCADE)?\s*;?\s*""".r
+  private val UseCatalogRe =
+    """(?is)\s*USE\s+CATALOG\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+  private val UseDbRe = """(?is)\s*USE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+  private val ShowCatalogsRe = """(?is)\s*SHOW\s+CATALOGS\s*;?\s*""".r
+  private val ShowDatabasesRe = """(?is)\s*SHOW\s+DATABASES\s*;?\s*""".r
+  private val ShowCurrentCatalogRe = """(?is)\s*SHOW\s+CURRENT\s+CATALOG\s*;?\s*""".r
+  private val ShowCurrentDatabaseRe = """(?is)\s*SHOW\s+CURRENT\s+DATABASE\s*;?\s*""".r
+  private val DropFunctionRe =
+    """(?is)\s*DROP\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+(IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
 
   private def isDeclared(spark: SparkSession, name: String): Boolean =
     declared.contains((sessionKey(spark), name))
@@ -161,6 +182,70 @@ object Ddl {
   /** Views created through this front-end, for SHOW TABLES/VIEWS. */
   private val declaredViews =
     new scala.collection.concurrent.TrieMap[(String, String), String]
+
+  /** Catalog registry (reference GenericInMemoryCatalog + the USE
+   * statements): catalogs → database sets per session; the CURRENT
+   * (catalog, database) resolves unqualified names — CREATE TABLE
+   * files its definition under the current database, and USE switches
+   * which namespace's tables are registered as session temp views
+   * (the reference's unqualified-name resolution; qualified
+   * `cat.db.t` references in queries are not routed). The built-in
+   * `default_catalog.default_database` matches the reference's
+   * TableEnvironment defaults; user catalogs get the
+   * GenericInMemoryCatalog default database `default`. */
+  private val catalogs =
+    new scala.collection.concurrent.TrieMap[(String, String), scala.collection.mutable.Set[String]]
+  private val currentNs =
+    new scala.collection.concurrent.TrieMap[String, (String, String)]
+  private val catalogStore =
+    new scala.collection.concurrent.TrieMap[(String, String, String, String), TableDef]
+
+  private def ensureDefaults(sk: String): Unit =
+    catalogs.getOrElseUpdate((sk, "default_catalog"),
+      scala.collection.mutable.Set("default_database"))
+  private def currentOf(sk: String): (String, String) = {
+    ensureDefaults(sk)
+    currentNs.getOrElse(sk, ("default_catalog", "default_database"))
+  }
+  /** File a table definition under the session's current namespace. */
+  private def fileTable(sk: String, name: String, t: TableDef): Unit = {
+    val (c, d) = currentOf(sk)
+    catalogStore.put((sk, c, d, name), t)
+  }
+  private def unfileTable(sk: String, name: String): Unit = {
+    val (c, d) = currentOf(sk)
+    catalogStore.remove((sk, c, d, name))
+  }
+  private def switchTo(spark: SparkSession, cat: String, db: String): Unit = {
+    val sk = sessionKey(spark)
+    val (oldCat, oldDb) = currentOf(sk)
+    if ((oldCat, oldDb) != (cat, db)) {
+      catalogStore.keys.filter(k => k._1 == sk && k._2 == oldCat && k._3 == oldDb)
+        .foreach { k =>
+          declared.remove((sk, k._4)); spark.catalog.dropTempView(k._4)
+        }
+      currentNs.put(sk, (cat, db))
+      catalogStore.filter { case (k, _) => k._1 == sk && k._2 == cat && k._3 == db }
+        .foreach { case (k, t) =>
+          declared.put((sk, k._4), t)
+          // a table whose storage vanished since filing must not make
+          // USE itself fail — it resurfaces loudly on first query
+          try register(spark, t)
+          catch { case e: Throwable =>
+            System.err.println(s"[ddl] USE: re-register ${k._4} failed: ${e.getMessage}")
+          }
+        }
+    }
+  }
+  private def oneCol(spark: SparkSession, colName: String, vals: Seq[String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    // the reference's result columns contain spaces ("catalog name") —
+    // build the schema directly rather than through DDL text
+    spark.createDataFrame(
+      vals.map(v => org.apache.spark.sql.Row(v)).asJava,
+      StructType(Seq(org.apache.spark.sql.types.StructField(
+        colName, org.apache.spark.sql.types.StringType))))
+  }
 
   private def sessionKey(spark: SparkSession): String =
     System.identityHashCode(spark).toString
@@ -204,6 +289,7 @@ object Ddl {
       // DROP below, which also owns the IF EXISTS / unknown-name errors
       case DropTableRe(_, name) if declared.contains((sessionKey(spark), name)) =>
         declared.remove((sessionKey(spark), name))
+        unfileTable(sessionKey(spark), name)
         spark.catalog.dropTempView(name)
         return ok(spark)
       case DropViewRe(_, name) if declaredViews.contains((sessionKey(spark), name)) =>
@@ -258,6 +344,7 @@ object Ddl {
         val t = TableDef(name, b.physical ++ extraPhys, baseComputed ++ extraComp,
           wm, baseOptions ++ newOpts, b.partitionedBy, b.metadata ++ extraMeta)
         declared.put((sessionKey(spark), name), t)
+        fileTable(sessionKey(spark), name, t)
         return register(spark, t)
       // SHOW CREATE TABLE (reference SqlShowCreateTable): reconstruct
       // the declared DDL — Ddl.parse round-trips the emitted text.
@@ -270,8 +357,10 @@ object Ddl {
       case AlterRenameRe(from, to) if isDeclared(spark, from) =>
         val t = declared.remove((sessionKey(spark), from)).get
         spark.catalog.dropTempView(from)
+        unfileTable(sessionKey(spark), from)
         val renamed = t.copy(name = to)
         declared.put((sessionKey(spark), to), renamed)
+        fileTable(sessionKey(spark), to, renamed)
         return register(spark, renamed)
       // ALTER TABLE … SET ('k'='v') (reference SqlAlterTableOptions):
       // merge-override options and re-register (a changed 'path'
@@ -280,6 +369,7 @@ object Ddl {
         val t = declared((sessionKey(spark), name))
         val altered = t.copy(options = t.options ++ parseOptions(opts))
         declared.put((sessionKey(spark), name), altered)
+        fileTable(sessionKey(spark), name, altered)
         return register(spark, altered)
       // ALTER TABLE … RESET ('k') (reference SqlAlterTableReset)
       case AlterResetRe(name, keys) if isDeclared(spark, name) =>
@@ -290,7 +380,91 @@ object Ddl {
           "forbids resetting the connector identity)")
         val altered = t.copy(options = t.options -- drop)
         declared.put((sessionKey(spark), name), altered)
+        fileTable(sessionKey(spark), name, altered)
         return register(spark, altered)
+      // Catalog / database lifecycle (reference SqlCreateCatalog /
+      // GenericInMemoryCatalog, SqlUseCatalog/SqlUseDatabase,
+      // SqlShowCatalogs/Databases/Current*): see the registry scaladoc
+      case CreateCatalogRe(name, opts) =>
+        val sk = sessionKey(spark); ensureDefaults(sk)
+        val typ = Option(opts).map(parseOptions).getOrElse(Map.empty)
+          .getOrElse("type", "generic_in_memory")
+        require(typ == "generic_in_memory",
+          s"CREATE CATALOG: unsupported catalog type '$typ' (generic_in_memory only)")
+        require(!catalogs.contains((sk, name)), s"catalog '$name' already exists")
+        catalogs.put((sk, name), scala.collection.mutable.Set("default"))
+        return ok(spark)
+      case DropCatalogRe(ifE, name) =>
+        val sk = sessionKey(spark); ensureDefaults(sk)
+        require(name != currentOf(sk)._1,
+          s"DROP CATALOG: '$name' is the current catalog")
+        if (catalogs.remove((sk, name)).isEmpty && ifE == null)
+          throw new IllegalArgumentException(s"catalog '$name' does not exist")
+        catalogStore.keys.filter(k => k._1 == sk && k._2 == name)
+          .foreach(catalogStore.remove)
+        return ok(spark)
+      case UseCatalogRe(name) =>
+        val sk = sessionKey(spark); ensureDefaults(sk)
+        val dbs = catalogs.getOrElse((sk, name), throw new IllegalArgumentException(
+          s"USE CATALOG: catalog '$name' does not exist"))
+        val db = Seq("default_database", "default").find(dbs.contains)
+          .getOrElse(dbs.toSeq.sorted.headOption.getOrElse("default"))
+        switchTo(spark, name, db)
+        return ok(spark)
+      case CreateDatabaseRe(ifNE, db) =>
+        val sk = sessionKey(spark); val (cat, _) = currentOf(sk)
+        val dbs = catalogs((sk, cat))
+        if (dbs.contains(db)) {
+          if (ifNE == null) throw new IllegalArgumentException(
+            s"database '$db' already exists in catalog '$cat'")
+        } else dbs += db
+        return ok(spark)
+      case DropDatabaseRe(ifE, db, mode) =>
+        val sk = sessionKey(spark); val (cat, cur) = currentOf(sk)
+        require(db != cur, s"DROP DATABASE: '$db' is the current database")
+        val dbs = catalogs((sk, cat))
+        if (!dbs.contains(db)) {
+          if (ifE == null) throw new IllegalArgumentException(
+            s"database '$db' does not exist in catalog '$cat'")
+          return ok(spark)
+        }
+        val tables = catalogStore.keys
+          .filter(k => k._1 == sk && k._2 == cat && k._3 == db).toSeq
+        require(tables.isEmpty || (mode != null && mode.equalsIgnoreCase("CASCADE")),
+          s"DROP DATABASE: '$db' is not empty (use CASCADE)")
+        tables.foreach(catalogStore.remove)
+        dbs -= db
+        return ok(spark)
+      case ShowCatalogsRe() =>
+        val sk = sessionKey(spark); ensureDefaults(sk)
+        return oneCol(spark, "catalog name",
+          catalogs.keys.collect { case (s2, c) if s2 == sk => c }.toSeq.sorted)
+      case ShowDatabasesRe() =>
+        val sk = sessionKey(spark)
+        return oneCol(spark, "database name",
+          catalogs((sk, currentOf(sk)._1)).toSeq.sorted)
+      case ShowCurrentCatalogRe() =>
+        return oneCol(spark, "current catalog name", Seq(currentOf(sessionKey(spark))._1))
+      case ShowCurrentDatabaseRe() =>
+        return oneCol(spark, "current database name", Seq(currentOf(sessionKey(spark))._2))
+      // DROP FUNCTION (reference SqlDropFunction): unregister from the
+      // session registry — covers CREATE FUNCTION'd reflective UDFs
+      case DropFunctionRe(ifE, name) =>
+        val reg = spark.sessionState.functionRegistry
+        val fid = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+        if (!reg.functionExists(fid)) {
+          if (ifE == null) throw new IllegalArgumentException(
+            s"DROP FUNCTION: function '$name' does not exist")
+        } else reg.dropFunction(fid)
+        return ok(spark)
+      // USE db — keyword-shaped tails (e.g. USE CATALOG) never reach
+      // here because the CATALOG form matched above
+      case UseDbRe(db) =>
+        val sk = sessionKey(spark); val (cat, _) = currentOf(sk)
+        require(catalogs((sk, cat)).contains(db),
+          s"USE: database '$db' does not exist in catalog '$cat'")
+        switchTo(spark, cat, db)
+        return ok(spark)
       // SET 'key' = 'value' / RESET 'key' (reference SqlSet/SqlReset,
       // FLIP-163): session configuration through the SQL door
       case SetRe(k, v) =>
@@ -312,8 +486,13 @@ object Ddl {
       case _ => ()
     }
     val t = parse(ddl)
+    // register FIRST: a failing CREATE TABLE (bad options, missing
+    // path) must not leave a zombie declaration behind for later
+    // USE-switch re-registration to trip over
+    val df = register(spark, t)
     declared.put((sessionKey(spark), t.name), t)
-    register(spark, t)
+    fileTable(sessionKey(spark), t.name, t)
+    df
   }
 
   /** Reconstructed DDL for SHOW CREATE TABLE — parses back via

@@ -328,4 +328,59 @@ class DdlSpec extends SparkSuite {
     assert(desc("fname") == "METADATA FROM 'file_name' VIRTUAL", desc)
     assert(desc("file_size") == "METADATA FROM 'file_size'", desc)
   }
+
+  test("catalog lifecycle: CREATE/USE/SHOW/DROP catalogs and databases, DROP FUNCTION") {
+    def one(sql: String): String =
+      Ddl.execute(spark, sql).collect()(0).getString(0)
+    assert(one("SHOW CURRENT CATALOG") == "default_catalog")
+    assert(one("SHOW CURRENT DATABASE") == "default_database")
+    Ddl.execute(spark, "CREATE CATALOG spec_cat WITH ('type' = 'generic_in_memory')")
+    // duplicate name and unsupported type are loud
+    intercept[IllegalArgumentException](
+      Ddl.execute(spark, "CREATE CATALOG spec_cat WITH ('type' = 'generic_in_memory')"))
+    intercept[IllegalArgumentException](
+      Ddl.execute(spark, "CREATE CATALOG h WITH ('type' = 'hive')"))
+    assert(Ddl.execute(spark, "SHOW CATALOGS").collect().map(_.getString(0)).toSet
+      .contains("spec_cat"))
+    Ddl.execute(spark, "USE CATALOG spec_cat")
+    // GenericInMemoryCatalog's default database
+    assert(one("SHOW CURRENT DATABASE") == "default")
+    Ddl.execute(spark, "CREATE DATABASE mart")
+    Ddl.execute(spark, "CREATE DATABASE IF NOT EXISTS mart") // quiet
+    intercept[IllegalArgumentException](Ddl.execute(spark, "CREATE DATABASE mart"))
+    assert(Ddl.execute(spark, "SHOW DATABASES").collect().map(_.getString(0)).toSeq
+      == Seq("default", "mart"))
+    Ddl.execute(spark, "USE mart")
+    assert(one("SHOW CURRENT DATABASE") == "mart")
+    // a table filed under spec_cat.mart hides/surfaces with USE
+    val dir = java.nio.file.Files.createTempDirectory("ddl_cat").toString
+    spark.range(3).toDF("id").write.mode("overwrite").parquet(dir)
+    Ddl.execute(spark, s"""CREATE TABLE cat_t (id BIGINT)
+      WITH ('connector'='filesystem','path'='$dir','format'='parquet')""")
+    assert(spark.sql("SELECT count(*) FROM cat_t").collect()(0).getLong(0) == 3)
+    Ddl.execute(spark, "USE CATALOG default_catalog")
+    assert(!spark.catalog.tableExists("cat_t")) // hidden with its namespace
+    Ddl.execute(spark, "USE CATALOG spec_cat")
+    // USE CATALOG lands on the catalog's default db; re-enter mart
+    assert(one("SHOW CURRENT DATABASE") == "default")
+    Ddl.execute(spark, "USE mart")
+    assert(spark.sql("SELECT count(*) FROM cat_t").collect()(0).getLong(0) == 3)
+    // drop protections: current catalog/database, non-empty database
+    intercept[IllegalArgumentException](Ddl.execute(spark, "DROP CATALOG spec_cat"))
+    intercept[IllegalArgumentException](Ddl.execute(spark, "DROP DATABASE mart"))
+    Ddl.execute(spark, "USE default")
+    intercept[IllegalArgumentException](Ddl.execute(spark, "DROP DATABASE mart"))
+    Ddl.execute(spark, "DROP DATABASE mart CASCADE")
+    Ddl.execute(spark, "USE CATALOG default_catalog")
+    Ddl.execute(spark, "DROP CATALOG spec_cat")
+    intercept[IllegalArgumentException](Ddl.execute(spark, "USE CATALOG spec_cat"))
+    // DROP FUNCTION unregisters a CREATE FUNCTION'd UDF
+    Ddl.execute(spark,
+      "CREATE FUNCTION spec_strip AS 'graft.functions.udfx.VowelStrip'")
+    assert(spark.sql("SELECT spec_strip('graft') AS x").collect()(0).getString(0) == "grft")
+    Ddl.execute(spark, "DROP FUNCTION spec_strip")
+    intercept[Exception](spark.sql("SELECT spec_strip('graft')"))
+    Ddl.execute(spark, "DROP FUNCTION IF EXISTS spec_strip") // quiet
+    intercept[IllegalArgumentException](Ddl.execute(spark, "DROP FUNCTION spec_strip"))
+  }
 }
