@@ -167,6 +167,17 @@ object Ddl {
   private val ShowDatabasesRe = """(?is)\s*SHOW\s+DATABASES\s*;?\s*""".r
   private val ShowCurrentCatalogRe = """(?is)\s*SHOW\s+CURRENT\s+CATALOG\s*;?\s*""".r
   private val ShowCurrentDatabaseRe = """(?is)\s*SHOW\s+CURRENT\s+DATABASE\s*;?\s*""".r
+  // Module statements (reference SqlShowModules / SqlLoadModule /
+  // SqlUnloadModule, FLIP-68): the engine's one module is `core` —
+  // the graft function catalog (GraftFunctions.builders). UNLOAD
+  // genuinely drops those functions from the session registry; LOAD
+  // re-registers them. USE MODULES (resolution reordering) is not
+  // routed — with a single module there is no order to change.
+  private val ShowModulesRe = """(?is)\s*SHOW\s+(FULL\s+)?MODULES\s*;?\s*""".r
+  private val LoadModuleRe =
+    """(?is)\s*LOAD\s+MODULE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+  private val UnloadModuleRe =
+    """(?is)\s*UNLOAD\s+MODULE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
   private val DropFunctionRe =
     """(?is)\s*DROP\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+(IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
 
@@ -237,6 +248,10 @@ object Ddl {
         }
     }
   }
+  /** Sessions whose `core` module has been UNLOADed. */
+  private val coreUnloaded =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def oneCol(spark: SparkSession, colName: String, vals: Seq[String]): DataFrame = {
     import scala.jdk.CollectionConverters._
     // the reference's result columns contain spaces ("catalog name") —
@@ -447,6 +462,37 @@ object Ddl {
         return oneCol(spark, "current catalog name", Seq(currentOf(sessionKey(spark))._1))
       case ShowCurrentDatabaseRe() =>
         return oneCol(spark, "current database name", Seq(currentOf(sessionKey(spark))._2))
+      case ShowModulesRe(full) =>
+        val sk = sessionKey(spark)
+        val loaded = if (coreUnloaded.contains(sk)) Nil else Seq("core")
+        if (full == null) return oneCol(spark, "module name", loaded)
+        import scala.jdk.CollectionConverters._
+        return spark.createDataFrame(
+          loaded.map(m => org.apache.spark.sql.Row(m, true)).asJava,
+          StructType(Seq(
+            org.apache.spark.sql.types.StructField("module name",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("used",
+              org.apache.spark.sql.types.BooleanType))))
+      case LoadModuleRe(name) =>
+        require(name.equalsIgnoreCase("core"),
+          s"LOAD MODULE: unknown module '$name' (this engine ships 'core' only)")
+        val sk = sessionKey(spark)
+        require(coreUnloaded.contains(sk), "LOAD MODULE: module 'core' is already loaded")
+        graft.functions.GraftFunctions.register(spark)
+        coreUnloaded.remove(sk)
+        return ok(spark)
+      case UnloadModuleRe(name) =>
+        require(name.equalsIgnoreCase("core"),
+          s"UNLOAD MODULE: unknown module '$name'")
+        val sk = sessionKey(spark)
+        require(!coreUnloaded.contains(sk), "UNLOAD MODULE: module 'core' is not loaded")
+        val reg = spark.sessionState.functionRegistry
+        graft.functions.GraftFunctions.builders.foreach { case (n, _) =>
+          reg.dropFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(n))
+        }
+        coreUnloaded.add(sk)
+        return ok(spark)
       // DROP FUNCTION (reference SqlDropFunction): unregister from the
       // session registry — covers CREATE FUNCTION'd reflective UDFs
       case DropFunctionRe(ifE, name) =>

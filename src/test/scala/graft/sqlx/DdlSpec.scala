@@ -383,4 +383,21 @@ class DdlSpec extends SparkSuite {
     Ddl.execute(spark, "DROP FUNCTION IF EXISTS spec_strip") // quiet
     intercept[IllegalArgumentException](Ddl.execute(spark, "DROP FUNCTION spec_strip"))
   }
+
+  test("modules: SHOW/LOAD/UNLOAD core genuinely toggle function resolution") {
+    val s = spark.newSession()
+    graft.functions.GraftFunctions.register(s)
+    assert(Ddl.execute(s, "SHOW MODULES").collect().map(_.getString(0)).toSeq == Seq("core"))
+    assert(Ddl.execute(s, "SHOW FULL MODULES").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toSeq == Seq(("core", true)))
+    assert(s.sql("SELECT is_digit('7') AS x").collect()(0).getBoolean(0))
+    intercept[IllegalArgumentException](Ddl.execute(s, "LOAD MODULE core")) // already loaded
+    intercept[IllegalArgumentException](Ddl.execute(s, "LOAD MODULE hive")) // unknown
+    Ddl.execute(s, "UNLOAD MODULE core")
+    assert(Ddl.execute(s, "SHOW MODULES").count() == 0)
+    intercept[Exception](s.sql("SELECT is_digit('7')")) // really gone
+    intercept[IllegalArgumentException](Ddl.execute(s, "UNLOAD MODULE core")) // not loaded
+    Ddl.execute(s, "LOAD MODULE core")
+    assert(s.sql("SELECT is_digit('7') AS x").collect()(0).getBoolean(0)) // back
+  }
 }
