@@ -101,6 +101,37 @@ object DedupQueries extends QueryPack {
     // Jaccard is computed over the capped shingle sets on both engines,
     // and the threshold compare is integer cross-multiplication (no
     // float boundary).
+    // N-gram CONTAINMENT near-dup (the asymmetric companion to
+    // Jaccard): |A ∩ B| / min(|A|, |B|) ≥ 0.8 flags SUB-DOCUMENT
+    // duplication — a short doc embedded in a long one scores high
+    // containment while its Jaccard stays low (size-ratio dominated).
+    // Same shingle/hot-cap/equi-join infrastructure as the Jaccard
+    // gate; the threshold compare is integer cross-multiplied.
+    "dedup_ngram_containment" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val sh0 = MinHashLSH.shingles(docs, "doc_id", "text", n = 2)
+        .join(docs.select(col("doc_id").as("doc"), col("source")), Seq("doc"))
+      val hot = sh0.groupBy(col("shingle"))
+        .agg(countDistinct(col("doc")).as("docfreq"))
+        .filter(col("docfreq") > 50)
+        .select(col("shingle"))
+      val sh = sh0.join(broadcast(hot), Seq("shingle"), "left_anti").persist()
+      val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+      val inter = sh.select(col("source"), col("shingle"), col("doc").as("doc_a"))
+        .join(sh.select(col("source"), col("shingle"), col("doc").as("doc_b")),
+          Seq("source", "shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("ninter"))
+      inter
+        .join(sizes.select(col("doc").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(sizes.select(col("doc").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .filter(col("ninter") * 10 >= least(col("na"), col("nb")) * 8)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("ninter") * lit(1.0) / least(col("na"), col("nb")), 4).as("containment"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val sh0 = MinHashLSH.shingles(docs, "doc_id", "text", n = 2)
@@ -250,6 +281,27 @@ object DedupQueries extends QueryPack {
       fp AS (SELECT doc, CAST(sum(bit) AS BIGINT) AS simhash FROM bits GROUP BY doc)
       SELECT simhash, count(*) AS n_docs, min(doc) AS min_doc
       FROM fp GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash""",
+    "dedup_ngram_containment" -> """
+      WITH w AS (SELECT doc_id, source, string_split(trim(lower(text)), ' ') AS w FROM documents),
+      sh0 AS (SELECT doc_id, source,
+                     unnest(list_transform(generate_series(1, greatest(len(w) - 1, 1)),
+                       i -> array_to_string(w[i:i+1], ' '))) AS shingle FROM w),
+      shd AS (SELECT DISTINCT doc_id, source, shingle FROM sh0),
+      keep AS (SELECT shingle FROM shd GROUP BY shingle
+               HAVING count(DISTINCT doc_id) <= 50),
+      sh AS (SELECT shd.* FROM shd JOIN keep USING (shingle)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ninter
+                FROM sh a JOIN sh b
+                  ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+      SELECT doc_a, doc_b,
+             round(ninter * 1.0 / least(na.n, nb.n), 4) AS containment
+      FROM inter i
+      JOIN sizes na ON na.doc_id = i.doc_a
+      JOIN sizes nb ON nb.doc_id = i.doc_b
+      WHERE ninter * 10 >= least(na.n, nb.n) * 8
+      ORDER BY doc_a, doc_b""",
     "dedup_ngram_jaccard" -> """
       WITH w AS (SELECT doc_id, source, string_split(trim(lower(text)), ' ') AS w FROM documents),
       sh0 AS (SELECT doc_id, source,

@@ -357,6 +357,48 @@ object TextQueries extends QueryPack {
     // sum a partitioned window (one shuffle on source) — a single
     // global order would serialize at 100 TB, per-shard is how real
     // pipelines pack. Pure integer cumsum: engine-exact.
+    // Deterministic training-order shuffle: every pretraining run
+    // shuffles its corpus, and a SEEDED integer hash order makes the
+    // permutation reproducible and resumable (no RNG state). The key
+    // is a multiplicative hash mod a 33-bit prime — exact BIGINT
+    // arithmetic in both engines — and the position comes from the
+    // two-phase distributed index (range sort + count-then-offset),
+    // not a single-partition window.
+    "text_seeded_shuffle" -> ((s, dir) => {
+      val keyed = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          (((col("doc_id") + lit(42L)) * lit(2654435761L)) % lit(4294967311L))
+            .as("shuffle_key"))
+      graft.operators.DataSetUtils
+        .zipWithIndexOrdered(keyed, col("shuffle_key"), col("doc_id"))
+        .select(col("idx").as("pos"), col("doc_id"), col("shuffle_key"))
+        .orderBy(col("pos"))
+    }),
+
+    // Unigram log-probability scoring (the CCNet/C4-style LM quality
+    // signal, reduced to its distributable core): corpus unigram
+    // frequencies → per-token floor(1e6·ln(cnt/N)) on the integer
+    // grid (the DSIR/adamic-adar ln-quantization convention) →
+    // per-document mean token log-prob. One token aggregate, a
+    // broadcast 1-row total, one doc aggregate — no driver loops.
+    "text_unigram_logprob" -> ((s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), " ")).as("tok"))
+      val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val total = freq.agg(sum(col("cnt")).as("n_corpus"))
+      val q = freq.crossJoin(broadcast(total))
+        .select(col("tok"),
+          floor(lit(1e6) * log(col("cnt").cast("double") / col("n_corpus")))
+            .cast("long").as("lp_q"))
+      toks.join(q, Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"), sum(col("lp_q")).as("sum_lp_q"))
+        .filter(col("n_toks") >= 5)
+        .select(col("doc_id"), col("n_toks"), col("sum_lp_q"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_pack_sequences" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.load(s, dir, "documents")
@@ -582,6 +624,28 @@ object TextQueries extends QueryPack {
       SELECT doc_id, declared_lang, en_ratio,
              CASE WHEN en_ratio >= 0.1 THEN 'en' ELSE 'unknown' END AS pred_lang
       FROM t ORDER BY doc_id""",
+    "text_seeded_shuffle" -> """
+      SELECT row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS pos,
+             doc_id, shuffle_key
+      FROM (SELECT doc_id,
+                   ((doc_id + 42) * 2654435761) % 4294967311 AS shuffle_key
+            FROM documents)
+      ORDER BY pos""",
+    "text_unigram_logprob" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS tok
+        FROM documents),
+      freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+      total AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_corpus FROM freq),
+      q AS (SELECT tok,
+                   CAST(floor(1e6 * ln(CAST(cnt AS DOUBLE) / n_corpus)) AS BIGINT) AS lp_q
+            FROM freq, total)
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+             CAST(sum(q.lp_q) AS BIGINT) AS sum_lp_q
+      FROM toks t JOIN q USING (tok)
+      GROUP BY t.doc_id
+      HAVING count(*) >= 5
+      ORDER BY doc_id""",
     "text_fingerprint" -> """
       WITH t AS (
         SELECT doc_id, trim(lower(text)) AS norm,
