@@ -549,6 +549,12 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), s"P&L fell to all-pairs:\n$p")
   }
 
+  test("containment dedup: candidate pairs come from the shingle equi-join, never all-pairs") {
+    val p = plan(graft.queries.DedupQueries.queries("dedup_ngram_containment")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment pair mining fell to all-pairs:\n$p")
+  }
+
   test("TPC-DS Q84 shape: income-band range join broadcasts the 5-row literal dim") {
     val p = plan(graft.queries.TpcdsShapeQueries2.queries("tpcds_q84_income_band_chain")(spark, dir))
     // a non-equi probe of a literal 5-row dim should be broadcast

@@ -258,6 +258,16 @@ class StreamPropertySpec extends SparkSuite {
         .stepIter("v#3", (e, _) => e.event_type == "b", strict = true, Cep.Optional)
         .followedBy("c", _.event_type == "c").within(W)
         .afterMatchSkip(Cep.SkipPastLast),
+      // COMBINATIONS loop with a mandatory distinct tail: every
+      // branch (an in-order sub-sequence of b's) completes at its own
+      // c, and later arrivals only ADD branches — the per-batch
+      // re-scan must reproduce every branch exactly once across
+      // splits, which exercises the full-binds dedup signature (not
+      // the per-start one).
+      "combinations_tail" -> Cep.Pattern.begin("a", _.event_type == "a")
+        .oneOrMore("bs", _.event_type == "b")
+        .allowCombinations()
+        .followedBy("c", _.event_type == "c").within(W),
       // RELAXED timesRange WITH emitOnHorizon(): matches hold until
       // the watermark closes the start's within window, so the
       // emitted preference is computed over the complete horizon —
