@@ -178,6 +178,14 @@ object Ddl {
     """(?is)\s*LOAD\s+MODULE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
   private val UnloadModuleRe =
     """(?is)\s*UNLOAD\s+MODULE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+  private val AlterFunctionRe =
+    """(?is)\s*ALTER\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+(IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+'([^']+)'\s*;?\s*""".r
+  private val AlterDatabaseRe =
+    """(?is)\s*ALTER\s+DATABASE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s*\((.*)\)\s*;?\s*""".r
+  private val AlterViewRenameRe =
+    """(?is)\s*ALTER\s+VIEW\s+([A-Za-z_][A-Za-z0-9_]*)\s+RENAME\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+  private val AlterViewAsRe =
+    """(?is)\s*ALTER\s+VIEW\s+([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.*)""".r
   private val DropFunctionRe =
     """(?is)\s*DROP\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+(IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
 
@@ -248,6 +256,19 @@ object Ddl {
         }
     }
   }
+  /** Database properties set via ALTER DATABASE (reference
+   * SqlAlterDatabase / CatalogDatabase.getProperties) — read back
+   * programmatically via [[databaseProps]], the catalog-API analog. */
+  private val dbProps =
+    new scala.collection.concurrent.TrieMap[(String, String, String), Map[String, String]]
+
+  /** The catalog-API read path for ALTER DATABASE properties
+   * (reference Catalog.getDatabase(db).getProperties). */
+  def databaseProps(spark: SparkSession, db: String): Map[String, String] = {
+    val sk = sessionKey(spark)
+    dbProps.getOrElse((sk, currentOf(sk)._1, db), Map.empty)
+  }
+
   /** Sessions whose `core` module has been UNLOADed. */
   private val coreUnloaded =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -492,6 +513,41 @@ object Ddl {
           reg.dropFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(n))
         }
         coreUnloaded.add(sk)
+        return ok(spark)
+      // ALTER FUNCTION (reference SqlAlterFunction): re-point a
+      // registered function name at a new implementation class
+      case AlterFunctionRe(ifE, name, className) =>
+        val reg = spark.sessionState.functionRegistry
+        val fid = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+        if (!reg.functionExists(fid)) {
+          if (ifE == null) throw new IllegalArgumentException(
+            s"ALTER FUNCTION: function '$name' does not exist")
+          return ok(spark)
+        }
+        graft.api.Udfs.registerReflective(spark, name, className)
+        return ok(spark)
+      // ALTER DATABASE db SET (…) (reference SqlAlterDatabase):
+      // properties merge into the catalog entry, read back through the
+      // catalog-API analog databaseProps
+      case AlterDatabaseRe(db, opts) =>
+        val sk = sessionKey(spark); val (cat, _) = currentOf(sk)
+        require(catalogs((sk, cat)).contains(db),
+          s"ALTER DATABASE: database '$db' does not exist in catalog '$cat'")
+        dbProps.put((sk, cat, db),
+          dbProps.getOrElse((sk, cat, db), Map.empty) ++ parseOptions(opts))
+        return ok(spark)
+      // ALTER VIEW … RENAME TO / AS query (reference SqlAlterViewRename
+      // / SqlAlterViewAs)
+      case AlterViewRenameRe(from, to) if declaredViews.contains((sessionKey(spark), from)) =>
+        val q = declaredViews.remove((sessionKey(spark), from)).get
+        spark.catalog.dropTempView(from)
+        spark.sql(q).createOrReplaceTempView(to)
+        declaredViews.put((sessionKey(spark), to), q)
+        return ok(spark)
+      case AlterViewAsRe(name, query) if declaredViews.contains((sessionKey(spark), name)) =>
+        val df = spark.sql(query)
+        df.createOrReplaceTempView(name)
+        declaredViews.put((sessionKey(spark), name), query.trim)
         return ok(spark)
       // DROP FUNCTION (reference SqlDropFunction): unregister from the
       // session registry — covers CREATE FUNCTION'd reflective UDFs

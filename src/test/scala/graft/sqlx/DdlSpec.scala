@@ -384,6 +384,35 @@ class DdlSpec extends SparkSuite {
     intercept[IllegalArgumentException](Ddl.execute(spark, "DROP FUNCTION spec_strip"))
   }
 
+  test("ALTER FUNCTION/DATABASE/VIEW: re-point, properties, rename, redefine") {
+    val s = spark.newSession()
+    // ALTER FUNCTION re-points the implementation class
+    Ddl.execute(s, "CREATE FUNCTION alt_fn AS 'graft.functions.udfx.VowelStrip'")
+    assert(s.sql("SELECT alt_fn('graft') AS x").collect()(0).getString(0) == "grft")
+    Ddl.execute(s, "ALTER FUNCTION alt_fn AS 'graft.functions.udfx.CentsBand'")
+    assert(s.sql("SELECT alt_fn(CAST(1.25 AS DOUBLE), CAST(10 AS BIGINT)) AS x").collect()(0).getLong(0) == 12L)
+    intercept[IllegalArgumentException](
+      Ddl.execute(s, "ALTER FUNCTION nope AS 'graft.functions.udfx.VowelStrip'"))
+    Ddl.execute(s, "ALTER FUNCTION IF EXISTS nope AS 'x.Y'") // quiet
+    // ALTER DATABASE merges properties, read via the catalog-API analog
+    Ddl.execute(s, "CREATE DATABASE alt_db")
+    Ddl.execute(s, "ALTER DATABASE alt_db SET ('owner' = 'graft', 'tier' = 'gold')")
+    Ddl.execute(s, "ALTER DATABASE alt_db SET ('tier' = 'silver')")
+    assert(Ddl.databaseProps(s, "alt_db") == Map("owner" -> "graft", "tier" -> "silver"))
+    intercept[IllegalArgumentException](
+      Ddl.execute(s, "ALTER DATABASE no_db SET ('a' = 'b')"))
+    // ALTER VIEW RENAME TO and AS over a front-end view
+    val dir = "/root/testdata/sf0.001"
+    Ddl.execute(s, s"""CREATE TABLE av_nation (n_nationkey INT, n_name STRING)
+      WITH ('connector'='filesystem','path'='$dir/nation.parquet','format'='parquet')""")
+    Ddl.execute(s, "CREATE VIEW av_v AS SELECT n_name FROM av_nation")
+    Ddl.execute(s, "ALTER VIEW av_v RENAME TO av_v2")
+    assert(!s.catalog.tableExists("av_v") && s.catalog.tableExists("av_v2"))
+    assert(s.table("av_v2").columns.toSeq == Seq("n_name"))
+    Ddl.execute(s, "ALTER VIEW av_v2 AS SELECT n_nationkey, n_name FROM av_nation")
+    assert(s.table("av_v2").columns.toSeq == Seq("n_nationkey", "n_name"))
+  }
+
   test("modules: SHOW/LOAD/UNLOAD core genuinely toggle function resolution") {
     val s = spark.newSession()
     graft.functions.GraftFunctions.register(s)
