@@ -1,7 +1,7 @@
 package graft.sqlx
 
+import graft.SparkSuite
 import graft.streaming.Cep
-import org.scalatest.funsuite.AnyFunSuite
 import scala.util.Random
 
 /**
@@ -27,7 +27,7 @@ import scala.util.Random
  * and always contain at least one mandatory element, so the empty
  * match never arises on either side.
  */
-class MatchRecognizeDifferentialSpec extends AnyFunSuite {
+class MatchRecognizeDifferentialSpec extends SparkSuite {
 
   private val Bands = 4 // values 0.5..3.5 classify to chars 'a'..'d'
 
@@ -169,6 +169,35 @@ class MatchRecognizeDifferentialSpec extends AnyFunSuite {
             s"\npattern=${elems.map(_.sqlText).mkString(" ")}" +
             s"\nregex=$regex\nengine=$got\noracle=$want")
       }
+    }
+  }
+
+  test("differential: WITH UNMATCHED output is the exact row complement on 40 cases") {
+    // SQL:2016 §R020 every-row invariant under SKIP PAST LAST: the
+    // batch executor's WITH UNMATCHED ROWS channel must emit exactly
+    // the rows consumed by NO match — verified against the matcher's
+    // own disjoint spans, which the regex differential above pins.
+    import org.apache.spark.sql.Encoders
+    implicit val enc: org.apache.spark.sql.Encoder[MrEv] = Encoders.product[MrEv]
+    for (seed <- 1L to 40L) {
+      val (bandSeq, elems) = genCase(seed)
+      val events = bandSeq.zipWithIndex.map { case (b, i) => mrev(i, b) }
+      val spec = parseSpec(elems, "SKIP PAST LAST ROW", Some(3))
+      val out = Cep.batchBoundBy(spark.createDataset(events), spec.pattern,
+          "key", "ts_us", "id", unmatched = true)
+        .collect().toList
+      val (un, ms) = out.partition(_.binds.exists(_.step == Cep.UnmatchedStep))
+      val matchedIds = ms.flatMap(_.binds.map(_.ev.id)).toSet
+      val unmatchedIds = un.flatMap(_.binds.map(_.ev.id)).toSet
+      val allIds = events.map(_.id).toSet
+      assert(matchedIds.intersect(unmatchedIds).isEmpty,
+        s"seed=$seed: rows both matched and unmatched: ${matchedIds.intersect(unmatchedIds)}")
+      assert(matchedIds.union(unmatchedIds) == allIds,
+        s"seed=$seed: rows vanished: ${allIds.diff(matchedIds.union(unmatchedIds))}")
+      // the matched set equals the pure matcher's consumed rows
+      val want = Cep.matchSortedG[MrEv](events, spec.pattern, _.ts_us, _.id)
+        .flatMap(_.binds.map(_.ev.id)).toSet
+      assert(matchedIds == want, s"seed=$seed: matched-set drift")
     }
   }
 }
