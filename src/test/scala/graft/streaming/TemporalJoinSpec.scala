@@ -104,4 +104,58 @@ class TemporalJoinSpec extends SparkSuite {
         s"version history not watermark-pruned: ${sizes.toList}")
     } finally q.stop()
   }
+
+  test("property: streaming temporal join equals the full-history as-of under random splits") {
+    // randomized differential in the house style: random dim versions
+    // and probes over a few keys, fed in ts-ordered blocks that never
+    // split a ts-peer group across batches (the event-time-timeout
+    // late-drop contract); the oracle is the full-history as-of rule —
+    // per probe, the max-(t, seq) version of its key at or before its
+    // time. Pins hold-and-release, cross-batch version buffering, and
+    // the same-instant/seq tie rules under arbitrary interleavings.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val sec = 1000000L
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed * 7919L)
+      val dimsData = (1 to 10 + rnd.nextInt(10)).map(i =>
+        DimV(1 + rnd.nextInt(3), (1 + rnd.nextInt(30)) * sec, i.toLong, i * 1.0))
+      val probesData = (1 to 15 + rnd.nextInt(10)).map(i =>
+        PrbV(1 + rnd.nextInt(3), (1 + rnd.nextInt(30)) * sec, 1000L + i))
+      val want = probesData.map { p =>
+        val vs = dimsData.filter(d => d.k == p.k && d.t <= p.t)
+        p.id -> (if (vs.isEmpty) None else Some(vs.maxBy(d => (d.t, d.seq)).seq))
+      }.toMap
+      val dims = MemoryStream[DimV]
+      val probes = MemoryStream[PrbV]
+      val name = s"t_tj_diff_$seed"
+      val q = run(dims, probes, name, "0 seconds")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        // merge both sides, group by ts (peer groups never split),
+        // then cut into random runs of whole groups
+        val byTs = (dimsData.map(Left(_)) ++ probesData.map(Right(_)))
+          .groupBy { case Left(d) => d.t; case Right(p) => p.t }
+          .toSeq.sortBy(_._1).map(_._2)
+        var i = 0
+        while (i < byTs.length) {
+          val n = 1 + rnd.nextInt(4)
+          val block = byTs.slice(i, i + n).flatten
+          val (ds, ps) = block.partitionMap(identity)
+          if (ds.nonEmpty) dims.addData(ds: _*)
+          if (ps.nonEmpty) probes.addData(ps: _*)
+          q.processAllAvailable()
+          i += n
+        }
+        dims.addData(DimV(99, FarUs, -1, 0.0))
+        probes.addData(PrbV(99, FarUs, -1))
+        q.processAllAvailable()
+        val got = spark.table(name).filter($"probe.id" >= 0)
+          .select($"probe.id", $"dim.seq").as[(Long, Option[Long])].collect().toMap
+        assert(got == want,
+          s"seed=$seed:\nmissing=${(want.toSet -- got.toSet).take(5)}" +
+            s"\nextra=${(got.toSet -- want.toSet).take(5)}")
+      } finally q.stop()
+    }
+  }
 }
