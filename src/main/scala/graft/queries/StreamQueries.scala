@@ -306,6 +306,36 @@ object StreamQueries extends QueryPack {
         .orderBy(col("click_id"), col("buy_id"))
     }),
 
+    // Streaming window join — FULL OUTER (reference
+    // StreamExecWindowJoin's outer forms): pane equality is the time
+    // constraint Spark's stream-stream outer join needs, and a pane
+    // with activity on one side only null-extends when the watermark
+    // closes it (sentinel harness, rounds = 2 — null-extensions emit
+    // one watermark advance after eviction). Sentinel rows only ever
+    // join each other and are dropped by the negative-id post-filter.
+    "stream_window_join_outer" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val ev = StreamOps.eventsTypedWithFinalWatermark(s, dir, rounds = 2).toDF()
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+      val clicks = ev.filter(col("event_type") === "click" || col("event_id") < 0)
+        .withWatermark("ts", "0 seconds")
+        .select(window(col("ts"), "30 minutes").as("cw"),
+          col("user_id").as("cu"), col("event_id").as("click_id"))
+      val buys = ev.filter(col("event_type") === "purchase" || col("event_id") < 0)
+        .withWatermark("ts", "0 seconds")
+        .select(window(col("ts"), "30 minutes").as("bw"),
+          col("user_id").as("bu"), col("event_id").as("buy_id"))
+      val joined = clicks
+        .join(buys, col("cw") === col("bw") && col("cu") === col("bu"), "full_outer")
+        .select(coalesce(col("cw.start"), col("bw.start")).as("ws"),
+          coalesce(col("cu"), col("bu")).as("user_id"),
+          col("click_id"), col("buy_id"))
+      StreamOps.runToBatch(s, joined, "append", "stream_wjoin_outer")
+        .filter(coalesce(col("click_id"), lit(0L)) >= 0 &&
+          coalesce(col("buy_id"), lit(0L)) >= 0)
+        .orderBy(col("ws"), col("user_id"), col("click_id"), col("buy_id"))
+    }),
+
     // Streaming window deduplication (reference
     // StreamExecWindowDeduplicate): keep-FIRST row per (30-min pane,
     // user), expressed as a windowed min_by aggregate — partial
@@ -1216,6 +1246,17 @@ object StreamQueries extends QueryPack {
        AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 10 MINUTE
       ORDER BY click_id, buy_id""",
     "stream_window_join" -> TimeWindowQueries.windowJoinOracleSql,
+    "stream_window_join_outer" -> """
+      SELECT COALESCE(c.ws, b.ws) AS ws, COALESCE(c.user_id, b.user_id) AS user_id,
+             c.click_id, b.buy_id
+      FROM (SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, user_id,
+                   event_id AS click_id
+            FROM events WHERE event_type = 'click') c
+      FULL OUTER JOIN (SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, user_id,
+                   event_id AS buy_id
+            FROM events WHERE event_type = 'purchase') b
+        ON c.ws = b.ws AND c.user_id = b.user_id
+      ORDER BY ws, user_id, click_id, buy_id""",
     "stream_window_dedup" -> TimeWindowQueries.windowDedupOracleSql,
     "stream_window_rank" -> TimeWindowQueries.windowRankOracleSql,
     "stream_interval_join_outer" -> """
