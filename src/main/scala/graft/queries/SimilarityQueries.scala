@@ -62,7 +62,7 @@ object SimilarityQueries extends QueryPack {
   /** PQ decomposition: every vector's 4 quantized 16-dim subspaces,
    * plus the codebook (the seed vectors' subspaces, vec_id < 4). */
   private def pqSubspaces(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val subs = quantized(s, dir).select(col("vec_id"),
+    val subs = quantized(s, dir).select(col("vec_id"), col("label"),
       posexplode(expr("transform(sequence(0, 3), m -> slice(qe, m * 16 + 1, 16))"))
         .as(Seq("m", "sub")))
     val seeds = subs.filter(col("vec_id") < 4)
@@ -78,10 +78,38 @@ object SimilarityQueries extends QueryPack {
            CAST(0 AS BIGINT), (acc, v) -> acc + v)""")
     val w = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d2"), col("k"))
     cand.join(broadcast(seeds), col("m") === col("sm"))
-      .select(col("vec_id"), col("m"), col("k"), d2.as("d2"))
+      .select(col("vec_id"), col("label"), col("m"), col("k"), d2.as("d2"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .drop("rn")
   }
+
+  /** One exact-integer Lloyd assignment: every point joined to the
+   * (small, broadcast) centroid frame, nearest by nrm + cn − 2·dot,
+   * ties to the smaller cid. Output: one row per point with its cid
+   * and squared distance. */
+  private def lloydAssign(pts: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    pts.crossJoin(broadcast(cent))
+      .withColumn("dist", col("nrm") + col("cn") - lit(2L) * decDot("cv", "qe"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn", "cv", "cn")
+  }
+
+  /** Recompute centroids from an assignment, exactly: per-(cell, dim)
+   * component sums divided by the member count on a POSITIVE-shifted
+   * integer grid — `(sum + n·SHIFT) div n − SHIFT` is floor division
+   * on a positive numerator, identical in Spark (`div` truncates) and
+   * DuckDB (`//` floors), where a raw `div` on a negative sum would
+   * diverge (truncate vs floor). SHIFT = 1e7 bounds every quantized
+   * component (|x| < 1e7 on the grid for |x| < 1.0 floats). */
+  private def lloydUpdate(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(col("qe")).as(Seq("d", "v")))
+      .groupBy(col("cid"), col("d"))
+      .agg(expr("(sum(v) + count(1) * 10000000L) div count(1) - 10000000L").as("m"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, m))), x -> x.m)").as("cv"),
+           expr("sum(m * m)").as("cn"))
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 per query (queries broadcast).
@@ -197,6 +225,102 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("cid"))
     }),
 
+    // IVF-PQ (Jégou et al. 2011, the combined layout every
+    // billion-scale ANN service runs): candidates are restricted to
+    // the query's coarse cell (IVF — the `label` equi-join), and
+    // within the cell they are scored by PQ asymmetric distance (ADC
+    // — sum of M broadcast-table lookups keyed by the candidate's
+    // codes). Neither stage touches a candidate-side vector at query
+    // time: the scan reads (cell, 4 codes) per candidate — the
+    // memory/IO footprint that makes 100 TB of vectors searchable.
+    "sim_ivfpq_topk" -> ((s, dir) => {
+      val (subs, seeds) = pqSubspaces(s, dir)
+      val codes = pqAssign(subs.filter(col("vec_id") >= 8), seeds)
+      val lut = subs.filter(col("vec_id") >= 4 && col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("label"),
+                col("m").as("qm"), col("sub").as("qsub"))
+        .join(broadcast(seeds), col("qm") === col("sm"))
+        .select(col("q_id"), col("label"), col("qm").as("m"), col("k"), expr(
+          """aggregate(zip_with(qsub, cent, (x, y) -> (x - y) * (x - y)),
+               CAST(0 AS BIGINT), (acc, v) -> acc + v)""").as("pdist"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+      codes.join(broadcast(lut), Seq("label", "m", "k"))
+        .groupBy(col("q_id"), col("label"), col("vec_id")).agg(sum(col("pdist")).as("adc"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("q_id"), col("label"), col("vec_id"), col("rn"), col("adc"))
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
+    // K-MEANS CONVERGENCE (two exact Lloyd iterations): round-1
+    // assignment to the seed centroids, EXACT integer centroid
+    // recompute (positive-shifted floor division — see lloydUpdate),
+    // round-2 re-assignment to the recomputed centroids, and the
+    // convergence signal (n_moved = points whose cell changed). The
+    // per-iteration plan is the 100-TB IVF-build loop: one broadcast
+    // of k centroids, one shuffle on the assignment key, one
+    // per-(cell, dim) aggregate — nothing grows with k × n.
+    "sim_kmeans_iterate" -> ((s, dir) => {
+      val e = quantized(s, dir)
+      val cent0 = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("qe").as("cv"), col("nrm").as("cn"))
+      val pts = e.filter(col("vec_id") >= 8)
+        .select(col("vec_id"), col("qe"), col("nrm"))
+      val a1 = lloydAssign(pts, cent0)
+      val cent1 = lloydUpdate(a1)
+      val a2 = lloydAssign(
+        a1.select(col("vec_id"), col("qe"), col("nrm"), col("cid").as("cid1")), cent1)
+      a2.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"),
+             sum(expr("dist div 1000000")).as("inertia_q"),
+             sum(when(col("cid1") =!= col("cid"), 1L).otherwise(0L)).as("n_moved"))
+        .orderBy(col("cid"))
+    }),
+
+    // SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023): cluster the
+    // corpus with k-means, mine near-duplicate pairs WITHIN each
+    // learned cell (banded random-hyperplane LSH → exact cosine
+    // verify — never all-pairs), connect pairs into duplicate groups,
+    // and keep ONE representative per group — the member FARTHEST
+    // from its cell centroid (the paper's low-centroid-similarity
+    // rule; ties → smaller vec_id). Differs from
+    // dedup_embedding_cosine in both blocking (learned cells, not a
+    // given label) and the keeper rule (centroid distance, not min
+    // id). Scale: assignment is one broadcast + shuffle, candidate
+    // generation is the (cell, band, sig) equi-join, group detection
+    // is bounded label-prop rounds.
+    "dedup_semantic" -> ((s, dir) => {
+      val e = quantized(s, dir)
+      val cent0 = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("qe").as("cv"), col("nrm").as("cn"))
+      val pts = e.filter(col("vec_id") >= 8)
+        .select(col("vec_id"), col("qe"), col("nrm"))
+      val a1 = graft.FrameCache.cached(s, s"semcells:$dir")(
+        lloydAssign(pts, cent0).withColumnRenamed("cid", "cell"))
+      val banded = a1
+        .withColumn("band", explode(expr("sequence(0, 3)")))
+        .withColumn("sig", expr(bandSigSql))
+      val aSide = banded.select(col("cell"), col("band"), col("sig"),
+        col("vec_id").as("id_a"), col("qe").as("qv"), col("nrm").as("qn"))
+      val bSide = banded.select(col("cell"), col("band"), col("sig"),
+        col("vec_id").as("id_b"), col("qe"), col("nrm").as("cn"))
+      val edges = aSide.join(bSide, Seq("cell", "band", "sig"))
+        .filter(col("id_a") < col("id_b"))
+        .dropDuplicates("id_a", "id_b")
+        .withColumn("dot", decDot("qv", "qe"))
+        .withColumn("cos", cosine)
+        .filter(col("cos") >= 0.3)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val grp = graft.graph.Pregel.minLabelPropagation(
+          a1.select(col("vec_id").as("id")), edges, rounds = 4)
+        .select(col("id").as("vec_id"), col("label").as("grp"))
+      val w = Window.partitionBy(col("grp")).orderBy(col("dist").desc, col("vec_id"))
+      a1.select(col("vec_id"), col("cell"), col("dist"))
+        .join(grp, Seq("vec_id"))
+        .withColumn("keep", when(row_number().over(w) === 1, 1).otherwise(0))
+        .select(col("vec_id"), col("cell"), col("grp"), col("keep"))
+        .orderBy(col("vec_id"))
+    }),
+
     // IVF RECALL@3: how many of the EXACT top-3 the cell-restricted
     // IVF search recovers per query — the standard ANN quality metric,
     // exact-integer overlap counts (recall = n_overlap / 3).
@@ -286,6 +410,20 @@ object SimilarityQueries extends QueryPack {
     })
   )
 
+  /** Per-(row, band) 3-bit random-hyperplane signature: hyperplane
+   * coefficients are deterministic ±1 draws from an integer LCG, so
+   * both engines compute bit-identical signatures. Shared by the
+   * near-dup pair miners (label-blocked and learned-cell-blocked). */
+  private val bandSigSql = """
+        aggregate(sequence(0, 2), CAST(0 AS BIGINT), (acc, p) ->
+          acc + CASE WHEN aggregate(sequence(1, size(qe)), CAST(0 AS BIGINT),
+                       (s2, d) -> s2 + element_at(qe, d) *
+                         (CASE WHEN ((CAST(1103515245 AS BIGINT) *
+                                      ((CAST(band AS BIGINT) * 3 + CAST(p AS BIGINT)) * 1000 + d)
+                                      + 12345) div 65536) % 2 = 0
+                               THEN 1 ELSE -1 END)) >= 0
+                     THEN CAST(shiftleft(1, p) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
+
   /** Banded near-dup candidate pairs with exact verified cosine: the
    * shared core of `sim_neardup_pairs` and `dedup_embedding_cosine`. */
   private def bandedNearDupPairs(s: SparkSession, dir: String): DataFrame = {
@@ -294,15 +432,7 @@ object SimilarityQueries extends QueryPack {
     // dedup_embedding_cosine consume the same pairs
     val e = graft.FrameCache.cached(s, s"banded:$dir")(quantized(s, dir)
       .withColumn("band", explode(expr("sequence(0, 3)")))
-      .withColumn("sig", expr("""
-        aggregate(sequence(0, 2), CAST(0 AS BIGINT), (acc, p) ->
-          acc + CASE WHEN aggregate(sequence(1, size(qe)), CAST(0 AS BIGINT),
-                       (s2, d) -> s2 + element_at(qe, d) *
-                         (CASE WHEN ((CAST(1103515245 AS BIGINT) *
-                                      ((CAST(band AS BIGINT) * 3 + CAST(p AS BIGINT)) * 1000 + d)
-                                      + 12345) div 65536) % 2 = 0
-                               THEN 1 ELSE -1 END)) >= 0
-                     THEN CAST(shiftleft(1, p) AS BIGINT) ELSE CAST(0 AS BIGINT) END)""")))
+      .withColumn("sig", expr(bandSigSql)))
     val a = e.select(col("label"), col("band"), col("sig"), col("vec_id").as("id_a"),
                      col("qe").as("qv"), col("nrm").as("qn"))
     val b = e.select(col("label"), col("band"), col("sig"), col("vec_id").as("id_b"),
@@ -463,6 +593,110 @@ object SimilarityQueries extends QueryPack {
             FROM s)
       SELECT q_id, CAST(bucket AS BIGINT) AS bucket, vec_id, rn, round(cos, 6) AS cosine
       FROM r WHERE rn <= 3 ORDER BY q_id, rn""",
+    "sim_ivfpq_topk" -> s"""
+      WITH $normCte,
+      subs AS (SELECT vec_id, label, m, qe[m * 16 + 1 : m * 16 + 16] AS sub
+               FROM e, (SELECT unnest([0, 1, 2, 3]) AS m)),
+      dist AS (SELECT c.vec_id, c.label, c.m, s.vec_id AS k,
+                      list_sum([(c.sub[i] - s.sub[i]) * (c.sub[i] - s.sub[i])
+                                for i in generate_series(1, 16)]) AS d2
+               FROM subs c JOIN subs s ON s.m = c.m AND s.vec_id < 4
+               WHERE c.vec_id >= 8),
+      codes AS (SELECT vec_id, label, m, k, d2,
+                       row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+                FROM dist),
+      lut AS (SELECT q.vec_id AS q_id, q.label, q.m, s.vec_id AS k,
+                     list_sum([(q.sub[i] - s.sub[i]) * (q.sub[i] - s.sub[i])
+                               for i in generate_series(1, 16)]) AS pdist
+              FROM subs q JOIN subs s ON s.m = q.m AND s.vec_id < 4
+              WHERE q.vec_id >= 4 AND q.vec_id < 8),
+      adc AS (SELECT l.q_id, c.label, c.vec_id, CAST(sum(l.pdist) AS BIGINT) AS adc
+              FROM codes c JOIN lut l ON l.label = c.label AND l.m = c.m AND l.k = c.k
+              WHERE c.rn = 1
+              GROUP BY l.q_id, c.label, c.vec_id),
+      r AS (SELECT q_id, label, vec_id, adc,
+                   row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rn
+            FROM adc)
+      SELECT q_id, label, vec_id, CAST(rn AS INT) AS rn, adc
+      FROM r WHERE rn <= 3 ORDER BY q_id, rn""",
+    "sim_kmeans_iterate" -> s"""
+      WITH $normCte,
+      cent0 AS (SELECT vec_id AS cid, qe AS cv, nrm AS cn FROM e WHERE vec_id < 8),
+      pts AS (SELECT vec_id, qe, nrm FROM e WHERE vec_id >= 8),
+      d1 AS (SELECT p.vec_id, p.qe, p.nrm, c.cid,
+                    p.nrm + c.cn - 2 * ${dotSql("c.cv", "p.qe")} AS dist
+             FROM pts p, cent0 c),
+      a1 AS (SELECT vec_id, qe, nrm, cid, dist,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             FROM d1),
+      m1 AS (SELECT cid, d,
+                    (sum(qe[d]) + count(*) * 10000000) // count(*) - 10000000 AS m
+             FROM a1, generate_series(1, 64) AS t(d)
+             WHERE rn = 1
+             GROUP BY cid, d),
+      cent1 AS (SELECT cid, list(m ORDER BY d) AS cv, sum(m * m) AS cn
+                FROM m1 GROUP BY cid),
+      d2 AS (SELECT a.vec_id, a.cid AS cid1, c.cid,
+                    a.nrm + c.cn - 2 * ${dotSql("c.cv", "a.qe")} AS dist
+             FROM (SELECT * FROM a1 WHERE rn = 1) a, cent1 c),
+      a2 AS (SELECT vec_id, cid1, cid, dist,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn2
+             FROM d2)
+      SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+             CAST(sum(dist // 1000000) AS BIGINT) AS inertia_q,
+             CAST(sum(CASE WHEN cid1 <> cid THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+      FROM a2 WHERE rn2 = 1 GROUP BY cid ORDER BY cid""",
+    "dedup_semantic" -> s"""
+      WITH $normCte,
+      cent0 AS (SELECT vec_id AS cid, qe AS cv, nrm AS cn FROM e WHERE vec_id < 8),
+      pts AS (SELECT vec_id, qe, nrm FROM e WHERE vec_id >= 8),
+      d1 AS (SELECT p.vec_id, p.qe, p.nrm, c.cid,
+                    p.nrm + c.cn - 2 * ${dotSql("c.cv", "p.qe")} AS dist
+             FROM pts p, cent0 c),
+      a1 AS (SELECT vec_id, qe, nrm, cid AS cell, dist,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             FROM d1),
+      ac AS (SELECT vec_id, qe, nrm, cell, dist FROM a1 WHERE rn = 1),
+      eb AS (SELECT vec_id, cell, qe, nrm, band,
+               list_sum([CASE WHEN list_sum([qe[d] *
+                   (CASE WHEN ((1103515245 * ((band * 3 + p) * 1000 + d) + 12345) // 65536) % 2 = 0
+                         THEN 1 ELSE -1 END)
+                   for d in generate_series(1, len(qe))]) >= 0
+                 THEN (1 << p) ELSE 0 END
+                 for p in generate_series(0, 2)]) AS sig
+             FROM ac, generate_series(0, 3) AS t(band)),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM eb a JOIN eb b ON a.cell = b.cell AND a.band = b.band
+                 AND a.sig = b.sig AND a.vec_id < b.vec_id),
+      p AS (SELECT c.id_a, c.id_b, ${dotSql("a.qe", "b.qe")} AS dot,
+              a.nrm AS qn, b.nrm AS cn
+            FROM cand c JOIN e a ON a.vec_id = c.id_a JOIN e b ON b.vec_id = c.id_b),
+      pr AS (SELECT id_a, id_b FROM p
+             WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) >= 0.3),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+                UNION SELECT id_b, id_a FROM pr),
+      l0 AS (SELECT vec_id AS id, vec_id AS lbl FROM ac),
+      l1 AS (SELECT l.id, least(l.lbl, coalesce(m.nl, l.lbl)) AS lbl
+             FROM l0 l LEFT JOIN (SELECT e2.dst AS id, min(x.lbl) AS nl
+                                  FROM edges e2 JOIN l0 x ON e2.src = x.id
+                                  GROUP BY e2.dst) m ON l.id = m.id),
+      l2 AS (SELECT l.id, least(l.lbl, coalesce(m.nl, l.lbl)) AS lbl
+             FROM l1 l LEFT JOIN (SELECT e2.dst AS id, min(x.lbl) AS nl
+                                  FROM edges e2 JOIN l1 x ON e2.src = x.id
+                                  GROUP BY e2.dst) m ON l.id = m.id),
+      l3 AS (SELECT l.id, least(l.lbl, coalesce(m.nl, l.lbl)) AS lbl
+             FROM l2 l LEFT JOIN (SELECT e2.dst AS id, min(x.lbl) AS nl
+                                  FROM edges e2 JOIN l2 x ON e2.src = x.id
+                                  GROUP BY e2.dst) m ON l.id = m.id),
+      l4 AS (SELECT l.id, least(l.lbl, coalesce(m.nl, l.lbl)) AS lbl
+             FROM l3 l LEFT JOIN (SELECT e2.dst AS id, min(x.lbl) AS nl
+                                  FROM edges e2 JOIN l3 x ON e2.src = x.id
+                                  GROUP BY e2.dst) m ON l.id = m.id),
+      k AS (SELECT ac.vec_id, ac.cell, l4.lbl AS grp, ac.dist,
+                   row_number() OVER (PARTITION BY l4.lbl ORDER BY ac.dist DESC, ac.vec_id) AS krn
+            FROM ac JOIN l4 ON l4.id = ac.vec_id)
+      SELECT vec_id, cell, grp, CAST(CASE WHEN krn = 1 THEN 1 ELSE 0 END AS INT) AS keep
+      FROM k ORDER BY vec_id""",
     "dedup_embedding_cosine" -> s"""
       WITH $normCte,
       eb AS (SELECT vec_id, label, qe, nrm, band,
