@@ -288,7 +288,92 @@ object TpchQueries extends QueryPack {
         .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
-    })
+    }),
+
+    // Q2: minimum-cost supplier — the corpus's correlated-MIN scalar
+    // subquery over a shared supply view (no partsupp in the driver
+    // schema: per-(part, supplier) min shipped price from lineitem
+    // stands in for ps_supplycost). Catalyst decorrelates the scalar
+    // MIN into an aggregate + join, the reference planner's rewrite.
+    "tpch_q2_min_cost_supplier" -> ((s, dir) =>
+      sql(s, dir, Seq("part", "supplier", "lineitem", "nation", "region"), """
+      WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                         min(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS ps_cost
+                  FROM lineitem GROUP BY l_partkey, l_suppkey)
+      SELECT CAST(floor(s_acctbal * 100) AS BIGINT) AS s_acctbal_q,
+             s_name, n_name, p_partkey, p_type, ps_cost
+      FROM part, supplier, ps, nation, region
+      WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+        AND p_size <= 15 AND p_type = 'PROMO'
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'EUROPE'
+        AND ps_cost = (SELECT min(ps2.ps_cost)
+                       FROM ps ps2, supplier s2, nation n2, region r2
+                       WHERE ps2.ps_partkey = p_partkey
+                         AND s2.s_suppkey = ps2.ps_suppkey
+                         AND s2.s_nationkey = n2.n_nationkey
+                         AND n2.n_regionkey = r2.r_regionkey
+                         AND r2.r_name = 'EUROPE')
+      ORDER BY s_acctbal_q DESC, n_name, s_name, p_partkey
+      LIMIT 100""")),
+
+    // Q17: small-quantity-order revenue — correlated scalar AVG on the
+    // same fact the outer scans (avg floored through integer division;
+    // threshold "below half the average" rather than a fifth so the
+    // synthetic uniform quantities keep the predicate non-trivial).
+    "tpch_q17_small_qty_revenue" -> ((s, dir) => sql(s, dir, Seq("lineitem", "part"), """
+      SELECT CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) div 7 AS BIGINT) AS avg_yearly_q
+      FROM lineitem l1, part
+      WHERE p_partkey = l1.l_partkey AND p_brand = 'Brand#3' AND p_type = 'SMALL'
+        AND CAST(floor(l1.l_quantity * 100) AS BIGINT) * 2 <
+            (SELECT sum(CAST(floor(l2.l_quantity * 100) AS BIGINT)) div count(*)
+             FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""")),
+
+    // Q20: potential part promotion — the three-level semi chain:
+    // suppliers IN (supply pairs whose part is IN a name-filtered set
+    // AND whose holdings exceed twice the target year's shipments —
+    // the availqty > 0.5·qty threshold in the original's form).
+    "tpch_q20_excess_stock" -> ((s, dir) =>
+      sql(s, dir, Seq("supplier", "lineitem", "part", "nation"), """
+      SELECT s_name, CAST(floor(s_acctbal * 100) AS BIGINT) AS s_acctbal_q
+      FROM supplier, nation
+      WHERE s_nationkey = n_nationkey
+        AND n_name IN ('NATION_2', 'NATION_3', 'NATION_8')
+        AND s_suppkey IN (
+          SELECT ps_suppkey FROM
+            (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                    sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS qty_all,
+                    sum(CASE WHEN l_shipdate >= TIMESTAMP_NTZ'1997-01-01 00:00:00'
+                              AND l_shipdate < TIMESTAMP_NTZ'1998-01-01 00:00:00'
+                             THEN CAST(floor(l_quantity * 100) AS BIGINT)
+                             ELSE CAST(0 AS BIGINT) END) AS qty_97
+             FROM lineitem GROUP BY l_partkey, l_suppkey) ps
+          WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+            AND qty_all > 2 * qty_97)
+      ORDER BY s_name""")),
+
+    // Q21: suppliers who kept orders waiting — EXISTS (another supplier
+    // on the order) AND NOT EXISTS (another supplier ALSO late) on one
+    // fact; lateness is shipped >60 days after the order date (the
+    // driver schema has no commit/receipt dates).
+    "tpch_q21_waiting_suppliers" -> ((s, dir) =>
+      sql(s, dir, Seq("supplier", "lineitem", "orders", "nation"), """
+      SELECT s_name, count(*) AS numwait
+      FROM supplier, lineitem l1, orders, nation
+      WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        AND s_nationkey = n_nationkey AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        AND o_orderstatus = 'F'
+        AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 100"""))
   )
 
   override def oracle: Map[String, String] = Map(
@@ -470,6 +555,67 @@ object TpchQueries extends QueryPack {
         AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         AND l_returnflag = 'R' AND c_nationkey = n_nationkey
       GROUP BY c_custkey, c_name, n_name
-      ORDER BY revenue DESC, c_custkey LIMIT 20"""
+      ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "tpch_q2_min_cost_supplier" -> """
+      WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                         min(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS ps_cost
+                  FROM lineitem GROUP BY l_partkey, l_suppkey)
+      SELECT CAST(floor(s_acctbal * 100) AS BIGINT) AS s_acctbal_q,
+             s_name, n_name, p_partkey, p_type, ps_cost
+      FROM part, supplier, ps, nation, region
+      WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+        AND p_size <= 15 AND p_type = 'PROMO'
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'EUROPE'
+        AND ps_cost = (SELECT min(ps2.ps_cost)
+                       FROM ps ps2, supplier s2, nation n2, region r2
+                       WHERE ps2.ps_partkey = p_partkey
+                         AND s2.s_suppkey = ps2.ps_suppkey
+                         AND s2.s_nationkey = n2.n_nationkey
+                         AND n2.n_regionkey = r2.r_regionkey
+                         AND r2.r_name = 'EUROPE')
+      ORDER BY s_acctbal_q DESC, n_name, s_name, p_partkey
+      LIMIT 100""",
+    "tpch_q17_small_qty_revenue" -> """
+      SELECT CAST(CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) // 7 AS BIGINT) AS avg_yearly_q
+      FROM lineitem l1, part
+      WHERE p_partkey = l1.l_partkey AND p_brand = 'Brand#3' AND p_type = 'SMALL'
+        AND CAST(floor(l1.l_quantity * 100) AS BIGINT) * 2 <
+            (SELECT CAST(sum(CAST(floor(l2.l_quantity * 100) AS BIGINT)) AS BIGINT) // count(*)
+             FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""",
+    "tpch_q20_excess_stock" -> """
+      SELECT s_name, CAST(floor(s_acctbal * 100) AS BIGINT) AS s_acctbal_q
+      FROM supplier, nation
+      WHERE s_nationkey = n_nationkey
+        AND n_name IN ('NATION_2', 'NATION_3', 'NATION_8')
+        AND s_suppkey IN (
+          SELECT ps_suppkey FROM
+            (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                    sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS qty_all,
+                    sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                             THEN CAST(floor(l_quantity * 100) AS BIGINT)
+                             ELSE CAST(0 AS BIGINT) END) AS qty_97
+             FROM lineitem GROUP BY l_partkey, l_suppkey) ps
+          WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+            AND qty_all > 2 * qty_97)
+      ORDER BY s_name""",
+    "tpch_q21_waiting_suppliers" -> """
+      SELECT s_name, count(*) AS numwait
+      FROM supplier, lineitem l1, orders, nation
+      WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        AND s_nationkey = n_nationkey AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        AND o_orderstatus = 'F'
+        AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 100"""
   )
 }
