@@ -555,6 +555,47 @@ class PlanAuditSpec extends SparkSuite {
       s"containment pair mining fell to all-pairs:\n$p")
   }
 
+  test("IVF-PQ top-k: codes probe a broadcast LUT on (cell, subspace, code) — no all-pairs") {
+    val p = plan(graft.queries.SimilarityQueries.queries("sim_ivfpq_topk")(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"ADC scoring fell to all-pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"LUT probe not a broadcast hash join:\n$p")
+  }
+
+  test("k-means iterate: both Lloyd assignments broadcast the centroid side, never shuffle it") {
+    val p = plan(graft.queries.SimilarityQueries.queries("sim_kmeans_iterate")(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"centroid probe became a shuffled cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"k-centroid probe should be the deliberate broadcast nested loop:\n$p")
+  }
+
+  test("semantic dedup: no shuffled cartesian anywhere; assignment is the broadcast probe") {
+    // the banded-signature candidate join runs before the label-prop
+    // checkpoint cuts lineage (its shape is pinned by the
+    // sim_neardup_pairs audit); what remains visible here is the
+    // keeper join over the cached assignment — whose only nested-loop
+    // stage must be the deliberate 8-centroid broadcast.
+    val p = plan(graft.queries.SimilarityQueries.queries("dedup_semantic")(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"semantic dedup fell to all-pairs:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroid assignment should be the deliberate broadcast nested loop:\n$p")
+  }
+
+  test("TPC-H Q2 shape: the correlated MIN scalar decorrelates into an aggregate equi-join") {
+    val p = plan(graft.queries.TpchQueries.queries("tpch_q2_min_cost_supplier")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"correlated min left an all-pairs stage:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"min-cost leg not decorrelated into an aggregate:\n$p")
+  }
+
+  test("TPC-H Q21 shape: EXISTS and NOT EXISTS plan as semi and anti joins on one fact") {
+    val p = plan(graft.queries.TpchQueries.queries("tpch_q21_waiting_suppliers")(spark, dir))
+    assert(p.contains("LeftSemi"), s"other-supplier EXISTS lost its semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"also-late NOT EXISTS lost its anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"waiting-supplier plan fell to all-pairs:\n$p")
+  }
+
   test("TPC-DS Q84 shape: income-band range join broadcasts the 5-row literal dim") {
     val p = plan(graft.queries.TpcdsShapeQueries2.queries("tpcds_q84_income_band_chain")(spark, dir))
     // a non-equi probe of a literal 5-row dim should be broadcast

@@ -75,4 +75,30 @@ class OperatorSpec extends SparkSuite {
     assert(fp(1L) != fp(3L))
     assert(fp.values.forall(v => v >= 0 && v < (1L << 16)))
   }
+
+  test("semantic dedup: one keeper per duplicate group, groups stay within their cell") {
+    import spark.implicits._
+    val out = graft.queries.SimilarityQueries
+      .queries("dedup_semantic")(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "cell", "grp", "keep")
+      .as[(Long, Long, Long, Int)].collect()
+    val byGrp = out.groupBy(_._3)
+    // exactly one keeper per group (SemDeDup retains one representative)
+    assert(byGrp.values.forall(_.count(_._4 == 1) == 1))
+    // edges are mined within learned cells, so a group never spans cells
+    assert(byGrp.values.forall(g => g.map(_._2).distinct.size == 1))
+    // the group id is a member's vec_id (min-label propagation fixpoint)
+    assert(byGrp.forall { case (g, ms) => ms.exists(_._1 == g) })
+  }
+
+  test("k-means iterate: assignments cover every point and round 2 moves some but not all") {
+    import spark.implicits._
+    val rows = graft.queries.SimilarityQueries
+      .queries("sim_kmeans_iterate")(spark, "/root/testdata/sf0.001")
+      .select("n_members", "n_moved").as[(Long, Long)].collect()
+    val pts = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(org.apache.spark.sql.functions.col("vec_id") >= 8).count()
+    assert(rows.map(_._1).sum == pts, "every point assigned exactly once")
+    assert(rows.forall { case (n, m) => m >= 0 && m <= n })
+  }
 }
