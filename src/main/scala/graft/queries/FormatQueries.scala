@@ -177,6 +177,33 @@ object FormatQueries extends QueryPack {
         .orderBy(col("p_brand"))
     }),
 
+    // Hadoop SequenceFile write → read → aggregate (reference
+    // flink-formats/flink-sequence-file SequenceFileWriterFactory +
+    // flink-hadoop-compatibility input path). SequenceFile is a K/V
+    // container below the relational layer, so this is the sanctioned
+    // RDD escape: writable conversion on write, typed sequenceFile[]
+    // read, straight back into a DataFrame for the aggregate.
+    "fmt_sequencefile_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val path = scratch(dir, "supplier_seq")
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(path), true)
+      Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), concat_ws("|", col("s_name"),
+          col("s_nationkey"), floor(col("s_acctbal") * 100).cast("long")).as("v"))
+        .as[(Long, String)].rdd
+        .saveAsSequenceFile(path)
+      s.sparkContext.sequenceFile[Long, String](path).toDF("k", "v")
+        .select(col("k").as("s_suppkey"), split(col("v"), "\\|").as("p"))
+        .select(col("s_suppkey"), col("p").getItem(0).as("s_name"),
+          col("p").getItem(1).cast("long").as("s_nationkey"),
+          col("p").getItem(2).cast("long").as("bal_cents"))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), min(col("s_name")).as("first_name"),
+          sum(col("bal_cents")).as("bal_cents"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // Custom DSv2 source (FLIP-27 analog, graft.sources.DatagenSource):
     // split-planned bounded read; derived columns stay deterministic.
     "src_datagen_dsv2" -> ((s, dir) => {
@@ -236,6 +263,11 @@ object FormatQueries extends QueryPack {
       SELECT p_brand, count(*) AS n,
              CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS size_sum
       FROM part GROUP BY p_brand ORDER BY p_brand""",
+    "fmt_sequencefile_roundtrip" -> """
+      SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n,
+             min(s_name) AS first_name,
+             CAST(sum(CAST(floor(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+      FROM supplier GROUP BY 1 ORDER BY s_nationkey""",
     "src_datagen_dsv2" -> """
       SELECT range AS id, CAST(range // 125 AS INT) AS split,
              range % 7 AS bucket, md5(CAST(range AS VARCHAR)) AS tag
