@@ -404,6 +404,38 @@ object DdlQueries extends QueryPack {
       s.sql("""
         SELECT s_nationkey, count(*) AS n, min(s_name) AS first_name
         FROM supplier_csv GROUP BY s_nationkey ORDER BY s_nationkey""")
+    }),
+
+    // FLIP-113 dynamic table options (reference SqlHint /
+    // `table.dynamic-table-options.enabled`): the same declared CSV
+    // table read once with its WITH options (csv.header='false'
+    // mis-reads the single header line as a null data row) and once
+    // with a per-query `/*+ OPTIONS(...) */` hint correcting it —
+    // extra_raw_rows = 1 proves the hint changed THIS query only.
+    "ddl_options_hint" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_fmt/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/ddl_nation_hint_csv"
+      graft.Tables.load(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .coalesce(1) // exactly ONE part file => exactly one header line
+        .write.mode("overwrite").option("header", "true").csv(path)
+      Ddl.execute(s,
+        s"""CREATE TABLE nation_hint_csv (
+              n_nationkey BIGINT,
+              n_name STRING,
+              n_regionkey BIGINT
+            ) WITH (
+              'connector' = 'filesystem',
+              'path' = '$path',
+              'format' = 'csv',
+              'csv.header' = 'false'
+            )""")
+      val raw = s.sql("SELECT count(*) AS c FROM nation_hint_csv")
+      Ddl.query(s, """
+          SELECT count(*) AS n, sum(n_regionkey) AS region_sum
+          FROM nation_hint_csv /*+ OPTIONS('csv.header' = 'true') */""")
+        .crossJoin(broadcast(raw))
+        .select(col("n"), col("region_sum"), (col("c") - col("n")).as("extra_raw_rows"))
     })
   )
 
@@ -421,6 +453,10 @@ object DdlQueries extends QueryPack {
     "ddl_csv_source" -> """
       SELECT s_nationkey, count(*) AS n, min(s_name) AS first_name
       FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "ddl_options_hint" -> """
+      SELECT count(*) AS n, CAST(sum(n_regionkey) AS BIGINT) AS region_sum,
+             CAST(1 AS BIGINT) AS extra_raw_rows
+      FROM nation""",
     "ddl_metadata_column" -> """
       SELECT 'events.parquet' AS fname, count(*) AS n,
              min(event_id) AS min_id, true AS size_consistent

@@ -597,6 +597,34 @@ object Ddl {
     df
   }
 
+  /** FLIP-113 dynamic table options (reference SqlHint / the 1.14
+   * `table.dynamic-table-options.enabled` surface): a query-level
+   * `FROM t &#47;*+ OPTIONS('k'='v') *&#47;` hint merges the hinted options
+   * over the declared table's WITH options FOR THIS STATEMENT ONLY.
+   * The hinted table re-registers under a mangled temp-view name with
+   * the merged options and the statement is rewritten to reference
+   * it; the declared table (and its view) are untouched. Hints on
+   * names this front-end has not declared fail loud, like the
+   * reference's "cannot apply hint on a view/unknown table" errors. */
+  private val HintRe =
+    "(?is)\\b([A-Za-z_][A-Za-z0-9_]*)\\s*/\\*\\+\\s*OPTIONS\\s*\\((.*?)\\)\\s*\\*/".r
+
+  def query(spark: SparkSession, sql0: String): DataFrame = {
+    var q = sql0
+    var n = 0
+    HintRe.findAllMatchIn(sql0).foreach { m =>
+      val (tbl, optsStr) = (m.group(1), m.group(2))
+      val t = declared.getOrElse((sessionKey(spark), tbl),
+        throw new IllegalArgumentException(
+          s"OPTIONS hint on '$tbl': not a declared connector table"))
+      n += 1
+      val alias = s"${tbl}__opts_$n"
+      register(spark, t.copy(name = alias, options = t.options ++ parseOptions(optsStr)))
+      q = q.replace(m.matched, alias)
+    }
+    spark.sql(q)
+  }
+
   /** Reconstructed DDL for SHOW CREATE TABLE — parses back via
    * [[parse]] to an identical [[TableDef]]. */
   private def showCreate(t: TableDef): String = {

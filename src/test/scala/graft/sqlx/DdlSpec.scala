@@ -429,4 +429,29 @@ class DdlSpec extends SparkSuite {
     Ddl.execute(s, "LOAD MODULE core")
     assert(s.sql("SELECT is_digit('7') AS x").collect()(0).getBoolean(0)) // back
   }
+
+  test("OPTIONS hint: per-statement option merge, declared table untouched, loud on unknown names") {
+    val s = spark
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_fmt/ddlspec_hint_csv"
+    import s.implicits._
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+    Ddl.execute(s,
+      s"""CREATE TABLE hint_t (k BIGINT, v STRING) WITH (
+            'connector' = 'filesystem', 'path' = '$path',
+            'format' = 'csv', 'csv.header' = 'false')""")
+    // declared options: the header line arrives as a null row
+    assert(s.sql("SELECT count(*) AS c FROM hint_t").collect()(0).getLong(0) == 4L)
+    // hinted statement: merged options skip the header
+    assert(Ddl.query(s,
+      "SELECT count(*) AS c FROM hint_t /*+ OPTIONS('csv.header' = 'true') */")
+      .collect()(0).getLong(0) == 3L)
+    // the hint was per-statement: the declared table still mis-reads
+    assert(s.sql("SELECT count(*) AS c FROM hint_t").collect()(0).getLong(0) == 4L)
+    // un-hinted statements pass through query() untouched
+    assert(Ddl.query(s, "SELECT count(*) AS c FROM hint_t").collect()(0).getLong(0) == 4L)
+    // unknown table names fail loud, like the reference's hint errors
+    intercept[IllegalArgumentException](
+      Ddl.query(s, "SELECT * FROM no_such_t /*+ OPTIONS('a' = 'b') */"))
+  }
 }
