@@ -69,6 +69,41 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // DISTRIBUTED LINEAR-PROBE TRAINING STEP: one exact least-squares
+    // gradient over 64-bucket hashed text features (the supervised
+    // sibling of sim_kmeans_round's Lloyd step — together they are the
+    // two training loops a data pipeline runs in-engine: clustering
+    // and quality-probe fitting). Labels are lang='en'; weights are a
+    // deterministic integer LCG; margins and the gradient
+    // grad_b = Σ_d n_db·(w·x_d − y_d·1000) stay INTEGER end-to-end, so
+    // the update is bit-identical in any engine. Scale: the weight
+    // vector broadcasts (64 rows); everything else is equi-join/agg —
+    // per-doc margins one shuffle, per-bucket gradient one more.
+    "text_linear_probe_grad" -> ((s, dir) => {
+      val feats = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .filter(col("w").rlike("^[a-z0-9]+$"))
+        .select(col("doc_id"), col("lang"),
+          ((ascii(substring(col("w"), 1, 1)) * 31 + length(col("w")) * 7
+            + ascii(substring(col("w"), -1, 1))) % 64).as("b"))
+        .groupBy(col("doc_id"), col("lang"), col("b"))
+        .agg(count(lit(1)).as("n"))
+      val wts = s.range(0, 64).select(col("id").cast("int").as("b"),
+        (expr("(1103515245 * (id + 1) + 12345) div 65536") % 19 - 9).as("wt"))
+      val margins = feats.join(broadcast(wts), "b")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("n") * col("wt")).as("m"))
+        .select(col("doc_id"),
+          (col("m") - when(col("lang") === "en", 1000L).otherwise(0L)).as("resid"))
+      feats.join(margins, "doc_id")
+        .groupBy(col("b"))
+        .agg(sum(col("n") * col("resid")).as("grad"))
+        .join(broadcast(wts), "b")
+        .select(col("b"), col("wt"), col("grad"))
+        .orderBy(col("b"))
+    }),
+
     // Static domain mixing (DoReMi-style fixed mixture weights): sample
     // the corpus down to per-language quotas (en 80 / de 40 / es 40 /
     // fr 20 / zh 20 of a 200-doc budget) by deterministic hash order.
@@ -484,6 +519,30 @@ object TextQueries extends QueryPack {
              CASE WHEN ((doc_id % 1000003) * 2654435761 % 1000000007 + 1000000007) % 1000000007 % 100 < 90
                   THEN 'train' ELSE 'val' END AS split
       FROM documents ORDER BY doc_id""",
+    "text_linear_probe_grad" -> """
+      WITH feats AS (
+        SELECT doc_id, lang, b, CAST(count(*) AS BIGINT) AS n FROM (
+          SELECT doc_id, lang,
+                 (ascii(substr(w, 1, 1)) * 31 + length(w) * 7 + ascii(substr(w, -1, 1))) % 64 AS b
+          FROM (
+            SELECT doc_id, lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+            FROM documents)
+          WHERE regexp_full_match(w, '[a-z0-9]+'))
+        GROUP BY doc_id, lang, b),
+      wts AS (SELECT b, ((1103515245 * (b + 1) + 12345) // 65536) % 19 - 9 AS wt
+              FROM generate_series(0, 63) AS t(b)),
+      margins AS (
+        SELECT f.doc_id,
+               CAST(sum(f.n * w.wt) AS BIGINT)
+                 - CASE WHEN f.lang = 'en' THEN 1000 ELSE 0 END AS resid
+        FROM feats f JOIN wts w ON f.b = w.b
+        GROUP BY f.doc_id, f.lang),
+      grads AS (
+        SELECT f.b, CAST(sum(f.n * m.resid) AS BIGINT) AS grad
+        FROM feats f JOIN margins m ON f.doc_id = m.doc_id
+        GROUP BY f.b)
+      SELECT CAST(g.b AS INT) AS b, CAST(w.wt AS BIGINT) AS wt, g.grad
+      FROM grads g JOIN wts w ON g.b = w.b ORDER BY g.b""",
     "text_dsir_weights" -> """
       WITH feats AS (
         SELECT doc_id, lang,
