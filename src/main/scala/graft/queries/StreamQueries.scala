@@ -413,6 +413,45 @@ object StreamQueries extends QueryPack {
         .orderBy(col("click_id"), col("buy_id"))
     }),
 
+    // JDBC UPSERT SINK (reference flink-connector-jdbc upsert sink):
+    // per micro-batch, the batch's per-key winner upserts into an
+    // embedded Derby table — per-partition batched delete+insert
+    // transactions (sinks/JdbcUpsertSink), the reference's dialect-
+    // portable upsert fallback. Two deterministic micro-batches (even
+    // event_ids then odd, eventsTypedHalves), so the final table is
+    // LAST-BATCH-WINS per key — the stream-order upsert contract: keys
+    // with odd events hold their odd winner, the rest their even one.
+    "jdbc_upsert_sink" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val db = s"${System.getProperty("java.io.tmpdir")}/graft_fmt/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/derby_upsert/udb"
+      val url = s"jdbc:derby:$db;create=true"
+      graft.sinks.JdbcUpsertSink.resetTable(url, "USER_LATEST",
+        "user_id BIGINT PRIMARY KEY, last_event_id BIGINT, ts_us BIGINT")
+      val q = StreamOps.eventsTypedHalves(s, dir).toDF()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val w = Window.partitionBy(col("user_id"))
+            .orderBy(col("ts_us").desc, col("event_id").desc)
+          graft.sinks.JdbcUpsertSink.upsert(
+            b.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+              .select(col("user_id"), col("event_id").as("last_event_id"),
+                col("ts_us")),
+            url, "USER_LATEST", Seq("user_id", "last_event_id", "ts_us"),
+            "user_id")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.format("jdbc").option("url", url)
+        .option("dbtable", "USER_LATEST")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver").load()
+        .toDF("user_id", "last_event_id", "ts_us")
+        .select(col("user_id").cast("long").as("user_id"),
+          col("last_event_id").cast("long").as("last_event_id"),
+          col("ts_us").cast("long").as("ts_us"))
+        .orderBy(col("user_id"))
+    }),
+
     // Streaming keep-LAST dedup (flatMapGroupsWithState): final winner
     // per user by (event time, id). The update stream is materialized
     // to its final upsert image by a keyed re-rank — the same
@@ -1274,6 +1313,14 @@ object StreamQueries extends QueryPack {
         ON c.user_id = b.user_id
        AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 10 MINUTE
       ORDER BY click_id, buy_id""",
+    "jdbc_upsert_sink" -> """
+      SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS ts_us
+      FROM (SELECT user_id, event_id, ts,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY event_id % 2 DESC,
+                              CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+            FROM events) t
+      WHERE rn = 1 ORDER BY user_id""",
     "stream_dedup_keeplast" -> """
       SELECT user_id, event_id AS last_event_id, CAST(ts AS TIMESTAMP) AS last_ts
       FROM (SELECT user_id, event_id, ts,
