@@ -53,4 +53,26 @@ class SourceSinkSpec extends SparkSuite {
     q.awaitTermination()
     assert(IdempotentSink.readCommitted(spark, out).count() == 50)
   }
+
+  test("JDBC upsert sink: replayed batches are idempotent, later batches overwrite keys") {
+    import graft.sinks.JdbcUpsertSink
+    import spark.implicits._
+    val url = s"jdbc:derby:${Files.createTempDirectory("graft_jdbc_upsert")}/db;create=true"
+    JdbcUpsertSink.resetTable(url, "T", "k BIGINT PRIMARY KEY, v BIGINT")
+    def readBack(): Set[(Long, Long)] =
+      spark.read.format("jdbc").option("url", url).option("dbtable", "T")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver").load()
+        .toDF("k", "v").as[(Long, Long)].collect().toSet
+    val b1 = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    JdbcUpsertSink.upsert(b1, url, "T", Seq("k", "v"), "k")
+    assert(readBack() == Set((1L, 10L), (2L, 20L)))
+    // micro-batch REPLAY (same rows again): delete-before-insert makes
+    // the write idempotent — no duplicate-key failure, same table
+    JdbcUpsertSink.upsert(b1, url, "T", Seq("k", "v"), "k")
+    assert(readBack() == Set((1L, 10L), (2L, 20L)))
+    // a later batch overwrites shared keys and adds new ones
+    JdbcUpsertSink.upsert(Seq((2L, 21L), (3L, 30L)).toDF("k", "v"),
+      url, "T", Seq("k", "v"), "k")
+    assert(readBack() == Set((1L, 10L), (2L, 21L), (3L, 30L)))
+  }
 }
