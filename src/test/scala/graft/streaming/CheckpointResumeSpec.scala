@@ -57,4 +57,51 @@ class CheckpointResumeSpec extends SparkSuite {
     // the checkpoint actually recorded sources/offsets on disk
     assert(Files.exists(Paths.get(ckpt, "offsets")))
   }
+
+  test("stateful job upgrade: restart with a modified downstream projection keeps accumulated state") {
+    // reference flink-stream-stateful-job-upgrade-test: stop a
+    // stateful job, change its topology AROUND the stateful operator
+    // (the operator itself and its state schema unchanged), restart
+    // from the same snapshot, and the accumulated state carries over.
+    // Spark analog: same checkpointLocation, same streaming aggregate,
+    // modified downstream projection — an allowed query change.
+    val src = Files.createTempDirectory("graft_upg_src").toString
+    val out = Files.createTempDirectory("graft_upg_out").toString
+    val ckpt = Files.createTempDirectory("graft_upg_ckpt").toString
+    import spark.implicits._
+
+    def writeFile(name: String, ks: Seq[String]): Unit =
+      ks.toDF("k").coalesce(1).write.mode("overwrite").parquet(s"$src/$name")
+
+    def runOnce(upgraded: Boolean): Unit = {
+      val counts = spark.readStream.schema("k STRING").parquet(s"$src/*")
+        .groupBy(col("k")).count()
+      // v2 adds a derived column downstream of the (unchanged) agg
+      val shaped = if (upgraded) counts.withColumn("scaled", col("count") * 10)
+        else counts
+      val q = shaped.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("overwrite").parquet(out) // complete image per batch
+        }
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    writeFile("f1", Seq("a", "a", "b"))
+    runOnce(upgraded = false)
+    assert(spark.read.parquet(out).select("k", "count").as[(String, Long)]
+      .collect().toSet == Set(("a", 2L), ("b", 1L)))
+
+    // upgrade: new projection, SAME checkpoint — counts must CONTINUE
+    // from the restored state, not restart from zero
+    writeFile("f2", Seq("a", "b", "b"))
+    runOnce(upgraded = true)
+    assert(spark.read.parquet(out).select("k", "count", "scaled")
+      .as[(String, Long, Long)].collect().toSet ==
+      Set(("a", 3L, 30L), ("b", 3L, 30L)),
+      "upgraded topology must resume the aggregate's accumulated state")
+  }
 }
