@@ -76,6 +76,38 @@ class OperatorSpec extends SparkSuite {
     assert(fp.values.forall(v => v >= 0 && v < (1L << 16)))
   }
 
+  test("broadcast variable (withBroadcastSet analog): a collected side set reaches every task") {
+    // reference DataSet API `mapper.withBroadcastSet(ds, "name")` +
+    // `getRuntimeContext.getBroadcastVariable("name")`: in Spark the
+    // side data is collected once on the driver and shipped via
+    // sc.broadcast — tasks read it from the local block manager.
+    import spark.implicits._
+    val allow = spark.sparkContext.broadcast(
+      Seq("a", "c").toDF("k").as[String].collect().toSet)
+    val out = Seq("a", "b", "c", "d").toDF("k").as[String]
+      .mapPartitions(it => it.filter(allow.value))
+      .collect().sorted.toSeq
+    assert(out == Seq("a", "c"))
+  }
+
+  test("distributed cache (registerCachedFile analog): addFile ships a file readable in tasks") {
+    // reference `env.registerCachedFile(path, "name")` +
+    // `getRuntimeContext.getDistributedCache.getFile("name")`: Spark's
+    // sc.addFile distributes the file; tasks resolve a LOCAL copy via
+    // SparkFiles.get (never re-reading the driver path).
+    val f = java.nio.file.Files.createTempFile("graft_cache", ".txt")
+    java.nio.file.Files.writeString(f, "a=1\nb=2\n")
+    spark.sparkContext.addFile(f.toString)
+    val fname = f.getFileName.toString
+    val out = spark.range(0, 4).rdd.mapPartitions { it =>
+      val path = org.apache.spark.SparkFiles.get(fname)
+      val m = scala.io.Source.fromFile(path).getLines()
+        .map { l => val Array(k, v) = l.split("="); k -> v.toLong }.toMap
+      it.map(i => m("a") + m("b") + i)
+    }.collect().sorted
+    assert(out.toSeq == Seq(3L, 4L, 5L, 6L))
+  }
+
   test("semantic dedup: one keeper per duplicate group, groups stay within their cell") {
     import spark.implicits._
     val out = graft.queries.SimilarityQueries
