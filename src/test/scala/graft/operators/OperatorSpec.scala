@@ -108,6 +108,19 @@ class OperatorSpec extends SparkSuite {
     assert(out.toSeq == Seq(3L, 4L, 5L, 6L))
   }
 
+  test("accumulators (RuntimeContext#addAccumulator analog): task-side counts reach the driver") {
+    // reference DataSet accumulators (IntCounter etc., collected into
+    // the JobExecutionResult): Spark's AccumulatorV2 registered on the
+    // context, incremented in tasks, read on the driver after the
+    // action — same merge-on-completion semantics.
+    val rejected = spark.sparkContext.longAccumulator("rejected")
+    val kept = spark.range(0, 100).rdd.mapPartitions { it =>
+      it.filter { i => val ok = i % 3 == 0; if (!ok) rejected.add(1); ok }
+    }.count()
+    assert(kept == 34)
+    assert(rejected.value == 66)
+  }
+
   test("semantic dedup: one keeper per duplicate group, groups stay within their cell") {
     import spark.implicits._
     val out = graft.queries.SimilarityQueries
