@@ -69,6 +69,47 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // END-TO-END TRAINING-DATA PIPELINE (capstone composition): the
+    // full selection DAG a corpus build runs, as ONE Spark DAG —
+    // normalize → language/quality gate → exact dedup (keep lowest
+    // id) → exact decontamination (drop the held-out benchmark slice
+    // doc_id % 50 == 0 AND any training doc sharing its content hash)
+    // → per-language budget by deterministic hash order (DoReMi-style
+    // quotas) → 256-token sequence packing within each language.
+    // Scale: the only shuffles are the dedup hash, the contamination
+    // hash anti-join, and the per-language rank/pack windows — every
+    // stage is the gated single-op's plan, composed.
+    "text_e2e_training_pipeline" -> ((s, dir) => {
+      val stopArr = array(stopList.map(lit): _*)
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("__norm", trim(lower(col("text"))))
+        .withColumn("__w", split(col("__norm"), " "))
+        .withColumn("n_words", size(col("__w")).cast("bigint"))
+        .withColumn("en_ratio",
+          round(size(filter(col("__w"), w => array_contains(stopArr, w))).cast("double") /
+            size(col("__w")), 4))
+        .withColumn("content_md5", md5(col("__norm")))
+      val kept = docs.filter(col("en_ratio") >= 0.1 && col("n_words") >= 20)
+      val wd = Window.partitionBy(col("content_md5")).orderBy(col("doc_id"))
+      val deduped = kept.withColumn("rn", row_number().over(wd))
+        .filter(col("rn") === 1).drop("rn")
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("content_md5")).distinct()
+      val train = deduped.filter(col("doc_id") % 50 =!= 0)
+        .join(bench, Seq("content_md5"), "left_anti")
+      val mixed = graft.operators.Sampling.mixDomains(
+        train.select(col("doc_id"), col("lang"), col("n_words")),
+        "lang", "doc_id",
+        Map("en" -> 60, "de" -> 30, "es" -> 30, "fr" -> 15, "zh" -> 15))
+      val wp = Window.partitionBy(col("lang")).orderBy(col("rk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      mixed.withColumn("cb", coalesce(sum(col("n_words")).over(wp), lit(0L)))
+        .select(col("lang"), col("rk"), col("doc_id"), col("n_words"),
+          expr("cb div 256").as("start_seq"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
     // DISTRIBUTED LINEAR-PROBE TRAINING STEP: one exact least-squares
     // gradient over 64-bucket hashed text features (the supervised
     // sibling of sim_kmeans_round's Lloyd step — together they are the
@@ -519,6 +560,40 @@ object TextQueries extends QueryPack {
              CASE WHEN ((doc_id % 1000003) * 2654435761 % 1000000007 + 1000000007) % 1000000007 % 100 < 90
                   THEN 'train' ELSE 'val' END AS split
       FROM documents ORDER BY doc_id""",
+    "text_e2e_training_pipeline" -> s"""
+      WITH t AS (
+        SELECT doc_id, lang, trim(lower(text)) AS norm,
+               string_split(trim(lower(text)), ' ') AS w
+        FROM documents),
+      scored AS (
+        SELECT doc_id, lang, md5(norm) AS content_md5,
+               CAST(len(w) AS BIGINT) AS n_words,
+               round(CAST(len(list_filter(w, x -> x IN $stopSql)) AS DOUBLE) / len(w), 4) AS en_ratio
+        FROM t),
+      kept AS (SELECT * FROM scored WHERE en_ratio >= 0.1 AND n_words >= 20),
+      dedup AS (
+        SELECT *, row_number() OVER (PARTITION BY content_md5 ORDER BY doc_id) AS rn
+        FROM kept),
+      bench AS (SELECT DISTINCT content_md5 FROM scored WHERE doc_id % 50 = 0),
+      train AS (
+        SELECT d.* FROM dedup d
+        WHERE d.rn = 1 AND d.doc_id % 50 <> 0
+          AND NOT EXISTS (SELECT 1 FROM bench b WHERE b.content_md5 = d.content_md5)),
+      mixed AS (
+        SELECT lang, doc_id, n_words,
+               CAST(row_number() OVER (PARTITION BY lang
+                 ORDER BY ((doc_id % 1000003) * 2654435761) % 1000000007, doc_id) AS INT) AS rk
+        FROM train),
+      q AS (SELECT * FROM mixed
+            WHERE rk <= CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 30 WHEN 'es' THEN 30
+                                  WHEN 'fr' THEN 15 WHEN 'zh' THEN 15 ELSE 0 END),
+      packed AS (
+        SELECT lang, rk, doc_id, n_words,
+               CAST(coalesce(sum(n_words) OVER (PARTITION BY lang ORDER BY rk
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+        FROM q)
+      SELECT lang, rk, doc_id, n_words, cb // 256 AS start_seq
+      FROM packed ORDER BY lang, rk""",
     "text_linear_probe_grad" -> """
       WITH feats AS (
         SELECT doc_id, lang, b, CAST(count(*) AS BIGINT) AS n FROM (
