@@ -596,6 +596,13 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), s"waiting-supplier plan fell to all-pairs:\n$p")
   }
 
+  test("e2e training pipeline: decontamination is an anti join, no all-pairs anywhere") {
+    val p = plan(graft.queries.TextQueries.queries("text_e2e_training_pipeline")(spark, dir))
+    assert(p.contains("LeftAnti"), s"contamination filter lost its anti join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pipeline fell to all-pairs:\n$p")
+  }
+
   test("TPC-DS Q84 shape: income-band range join broadcasts the 5-row literal dim") {
     val p = plan(graft.queries.TpcdsShapeQueries2.queries("tpcds_q84_income_band_chain")(spark, dir))
     // a non-equi probe of a literal 5-row dim should be broadcast
