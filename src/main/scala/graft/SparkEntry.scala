@@ -38,7 +38,8 @@ object SparkEntry {
     qp.GraphQueries,
     qp.DdlQueries,
     qp.DataSetQueries,
-    qp.SimilarityQueries
+    qp.SimilarityQueries,
+    qp.BucketQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -612,4 +612,41 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), s"band join fell to a shuffled cartesian:\n$p")
     assert(p.contains("LeftSemi"), s"returned-purchase EXISTS lost its semi join:\n$p")
   }
+
+  test("bucket gate: co-located join shuffles only the final rollup") {
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan(graft.queries.BucketQueries.queries("bucket_colocated_join")(spark, dir))
+      assert(p.contains("SortMergeJoin"), s"expected sort-merge join:\n$p")
+      // the join subtree must be exchange-free: the tree section lists
+      // children below the join line, so no Exchange may appear after
+      // the SortMergeJoin line before the details section
+      val tree = p.split("\n\n", 2)(0)
+      val joinAt = tree.indexOf("SortMergeJoin")
+      assert(joinAt >= 0 && !tree.substring(joinAt).contains("Exchange"),
+        s"bucketed join input still shuffles — co-location lost:\n$p")
+      // above the join: exactly the rollup exchange + the presentation
+      // range sort's (no extra repartition creeps in)
+      assert("Exchange".r.findAllIn(tree).size == 2,
+        s"expected exactly two exchanges (rollup + presentation sort):\n$p")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("bucket gate: grouping on the bucket key runs with no exchange below the histogram") {
+    val p = plan(graft.queries.BucketQueries.queries("bucket_local_agg")(spark, dir))
+    // per-orderkey agg satisfied by the scan's bucket partitioning: the
+    // only exchanges are the second (histogram) agg's and the
+    // presentation sort's — a third would mean the bucket-key agg
+    // shuffled (splitsGroupedBy contract lost)
+    val tree = p.split("\n\n", 2)(0)
+    assert("Exchange".r.findAllIn(tree).size == 2,
+      s"bucket-key aggregate shuffled — splitsGroupedBy contract lost:\n$p")
+    assert(p.contains("Bucketed: true"), s"scan not recognized as bucketed:\n$p")
+  }
+
+  test("bucket gate: equality on the bucket key prunes to 1 of 8 buckets") {
+    val p = plan(graft.queries.BucketQueries.queries("bucket_pruned_lookup")(spark, dir))
+    assert(p.contains("SelectedBucketsCount: 1 out of 8"),
+      s"bucket pruning not applied:\n$p")
+  }
 }
