@@ -155,6 +155,50 @@ object DedupQueries extends QueryPack {
         .select(col("doc_a"), col("doc_b"),
           round(col("ninter") * lit(1.0) / (col("na") + col("nb") - col("ninter")), 4).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Sliding-window substring dedup (Lee et al. 2021, "Deduplicating
+    // Training Data Makes Language Models Better": remove any ≥k-token
+    // span shared across documents). Unlike text_chunk_dedup's FIXED
+    // 10-token chunks, windows slide by ONE token, so a duplicated
+    // passage is caught at ANY alignment; every token covered by a
+    // cross-doc duplicate window is dropped. Scale: candidate
+    // generation is one equi-join on the window text — at 100 TB the
+    // join key becomes a 64-bit rolling hash (constant-size, computed
+    // incrementally) instead of the string; the span-expansion explode
+    // is bounded by k × dup-window count, and no stage compares doc
+    // pairs.
+    "dedup_substring_spans" -> ((s, dir) => {
+      val k = 8
+      val words = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+      val wins = words.filter(size(col("w")) >= k)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, size(w) - $k), i -> concat_ws(' ', slice(w, i + 1, $k)))")))
+        .withColumnRenamed("pos", "start").withColumnRenamed("col", "win")
+      val dup = wins.groupBy(col("win"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") > 1).select(col("win"))
+      val dupPos = wins.join(dup, Seq("win"))
+        .select(col("doc_id"),
+          explode(sequence(col("start"), col("start") + lit(k - 1))).as("p"))
+        .distinct()
+      val toks = words
+        .select(col("doc_id"), posexplode(col("w")))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
+      val kept = toks.join(dupPos, Seq("doc_id", "p"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(array_join(expr(
+          "transform(sort_array(collect_list(struct(p, tok))), x -> x.tok)"),
+          " ").as("clean_text"))
+      words.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+        .join(dupPos.groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_tokens")),
+          Seq("doc_id"), "left")
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -322,6 +366,31 @@ object DedupQueries extends QueryPack {
       JOIN sizes na ON na.doc_id = i.doc_a
       JOIN sizes nb ON nb.doc_id = i.doc_b
       WHERE ninter * 1000 >= (na.n + nb.n - ninter) * 300
-      ORDER BY doc_a, doc_b"""
+      ORDER BY doc_a, doc_b""",
+    "dedup_substring_spans" -> """
+      WITH words AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+      wins AS (
+        SELECT doc_id, i AS start, array_to_string(w[i+1 : i+8], ' ') AS win
+        FROM words, unnest(generate_series(0, len(w) - 8)) AS t(i)
+        WHERE len(w) >= 8),
+      dup AS (SELECT win FROM wins GROUP BY win HAVING count(DISTINCT doc_id) > 1),
+      dpos AS (
+        SELECT DISTINCT dw.doc_id, p
+        FROM (SELECT w2.doc_id, w2.start FROM wins w2 JOIN dup USING (win)) dw,
+             unnest(generate_series(dw.start, dw.start + 7)) AS t(p)),
+      toks AS (
+        SELECT doc_id, p, w[p+1] AS tok
+        FROM words, unnest(generate_series(0, len(w) - 1)) AS t(p))
+      SELECT wo.doc_id, CAST(len(wo.w) AS BIGINT) AS n_tokens,
+             CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+             coalesce(k.clean_text, '') AS clean_text
+      FROM words wo
+      LEFT JOIN (SELECT doc_id, count(*) AS n_dup FROM dpos GROUP BY doc_id) d
+        USING (doc_id)
+      LEFT JOIN (SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.p) AS clean_text
+                 FROM toks t LEFT JOIN dpos dp ON t.doc_id = dp.doc_id AND t.p = dp.p
+                 WHERE dp.doc_id IS NULL GROUP BY t.doc_id) k USING (doc_id)
+      ORDER BY wo.doc_id"""
   )
 }
