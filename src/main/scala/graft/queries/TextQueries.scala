@@ -24,6 +24,46 @@ object TextQueries extends QueryPack {
   private val stopList = Seq("the", "a", "of", "and", "to", "in", "is", "on")
   private val stopSql = stopList.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** BPE working set: distinct words with corpus frequency, each held
+   * as a space-delimited symbol string (" a b c " — initially one
+   * symbol per character). Single-symbol words carry no pairs and are
+   * dropped up front. */
+  private def bpeWords(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(explode(split(trim(lower(col("text"))), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("padded",
+        concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))
+
+  /** DuckDB twin of [[bpeWords]]+[[bpePairCounts]] (CTEs `wp`, `pc`). */
+  private val bpePcCte = """
+      wf AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(trim(lower(text)), ' ')) AS word
+              FROM documents)
+        WHERE length(word) >= 2 GROUP BY word),
+      wp AS (SELECT word, freq,
+                    ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS padded
+             FROM wf),
+      syms1 AS (SELECT freq, string_split(trim(padded), ' ') AS syms FROM wp),
+      pc AS (
+        SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+        FROM syms1, unnest(generate_series(1, len(syms) - 1)) AS g(i)
+        WHERE len(syms) >= 2 GROUP BY a, b)"""
+
+  /** Adjacent-symbol pair counts over the working set, weighted by
+   * word frequency. */
+  private def bpePairCounts(wordsDf: DataFrame): DataFrame =
+    wordsDf
+      .select(col("freq"), split(trim(col("padded")), " ").as("syms"))
+      .filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), " +
+        "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("cnt"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Deterministic train/val split (llmops): 90/10 assignment as a
     // pure function of doc_id — stable across runs, engines, and
@@ -475,6 +515,40 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Distributed BPE trainer round (Sennrich et al. 2016, the
+    // tokenizer-training inner loop at corpus scale): pair statistics
+    // are computed over the DISTINCT-WORD table weighted by corpus
+    // frequency — after the one word-count shuffle, per-round cost is
+    // vocabulary-sized, independent of corpus size (the trick that
+    // makes BPE training feasible at 100 TB). Words are held as
+    // space-delimited symbol strings (" a b c "); a merge is a single
+    // left-to-right non-overlapping replace of " a b " with " ab "
+    // (in a chain run like "aaa" the shared delimiter is consumed, so
+    // alternate pairs merge — deterministic and identical in Spark and
+    // DuckDB, pinned by OperatorSpec).
+    "text_bpe_pair_counts" -> ((s, dir) => {
+      bpePairCounts(bpeWords(s, dir))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(20)
+    }),
+
+    // One full merge round: argmax pair from the round-1 statistics,
+    // merge applied to every word, pairs recounted. The chosen merge
+    // rides along as constant columns; output is the post-merge top-10.
+    "text_bpe_merge_round" -> ((s, dir) => {
+      val words = bpeWords(s, dir)
+      val best = bpePairCounts(words)
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .select(col("a").as("merge_a"), col("b").as("merge_b"))
+      val merged = words.crossJoin(broadcast(best))
+        .withColumn("padded", expr(
+          "replace(padded, concat(' ', merge_a, ' ', merge_b, ' '), " +
+          "concat(' ', merge_a, merge_b, ' '))"))
+      bpePairCounts(merged)
+        .join(broadcast(best))
+        .select(col("merge_a"), col("merge_b"), col("a"), col("b"), col("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(10)
+    }),
+
     "text_pack_sequences" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.load(s, dir, "documents")
@@ -780,6 +854,25 @@ object TextQueries extends QueryPack {
       GROUP BY t.doc_id
       HAVING count(*) >= 5
       ORDER BY doc_id""",
+    "text_bpe_pair_counts" -> s"""
+      WITH $bpePcCte
+      SELECT a, b, cnt FROM pc ORDER BY cnt DESC, a, b LIMIT 20""",
+    "text_bpe_merge_round" -> s"""
+      WITH $bpePcCte,
+      best AS (SELECT a AS merge_a, b AS merge_b
+               FROM pc ORDER BY cnt DESC, a, b LIMIT 1),
+      merged AS (
+        SELECT freq, replace(padded,
+                 ' ' || merge_a || ' ' || merge_b || ' ',
+                 ' ' || merge_a || merge_b || ' ') AS padded
+        FROM wp, best),
+      syms2 AS (SELECT freq, string_split(trim(padded), ' ') AS syms FROM merged),
+      pc2 AS (
+        SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+        FROM syms2, unnest(generate_series(1, len(syms) - 1)) AS g(i)
+        WHERE len(syms) >= 2 GROUP BY a, b)
+      SELECT merge_a, merge_b, a, b, cnt
+      FROM pc2, best ORDER BY cnt DESC, a, b LIMIT 10""",
     "text_fingerprint" -> """
       WITH t AS (
         SELECT doc_id, trim(lower(text)) AS norm,

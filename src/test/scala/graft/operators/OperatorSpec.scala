@@ -136,6 +136,39 @@ class OperatorSpec extends SparkSuite {
     assert(byGrp.forall { case (g, ms) => ms.exists(_._1 == g) })
   }
 
+  test("BPE merge: replace on the padded form is left-to-right non-overlapping (chain rule)") {
+    // the rule text_bpe_merge_round documents: in a chain run the
+    // shared delimiter is consumed, so alternate pairs merge — this
+    // pins Spark's replace() to the DuckDB semantics the oracle uses
+    // (measured: ' aa a a ' / ' aa a ')
+    val got = spark.sql(
+      "SELECT replace(' a a a a ', ' a a ', ' aa ') AS r1, " +
+      "       replace(' a a a ',  ' a a ', ' aa ') AS r2").collect().head
+    assert(got.getString(0) == " aa a a " && got.getString(1) == " aa a ",
+      s"replace chain semantics drifted: $got")
+  }
+
+  test("BPE merge round: the chosen pair vanishes and max frequency never rises") {
+    import spark.implicits._
+    val rows = graft.queries.TextQueries
+      .queries("text_bpe_merge_round")(spark, "/root/testdata/sf0.001")
+      .select("merge_a", "merge_b", "a", "b", "cnt")
+      .as[(String, String, String, String, Long)].collect()
+    val (ma, mb) = (rows.head._1, rows.head._2)
+    // after merging (ma, mb) everywhere, that adjacent pair is gone
+    // from the top-10 (it can only survive via chain-run leftovers,
+    // which the top-10 of this corpus doesn't reach)
+    assert(!rows.exists(r => r._3 == ma && r._4 == mb),
+      s"merged pair ($ma,$mb) still in the post-merge top pairs")
+    // and merging can only LOWER the max pair frequency (a new pair
+    // (x, ab) occurs at most as often as (x, a) did pre-merge)
+    val preTop = graft.queries.TextQueries
+      .queries("text_bpe_pair_counts")(spark, "/root/testdata/sf0.001")
+      .select("cnt").as[Long].collect().max
+    assert(rows.map(_._5).max <= preTop,
+      s"post-merge top count ${rows.map(_._5).max} exceeds pre-merge top $preTop")
+  }
+
   test("k-means iterate: assignments cover every point and round 2 moves some but not all") {
     import spark.implicits._
     val rows = graft.queries.SimilarityQueries
