@@ -336,6 +336,35 @@ object StreamQueries extends QueryPack {
         .orderBy(col("ws"), col("user_id"), col("click_id"), col("buy_id"))
     }),
 
+    // Streaming windowed coGroup (reference DataStream
+    // `CoGroupedStreams.java:81` — `a.coGroup(b).where(…).equalTo(…)
+    // .window(…).apply(fn)`: the function sees BOTH groups of a
+    // key-pane, either possibly empty — unlike a join, one-sided keys
+    // still produce output). Spark-first as the repo's two-input
+    // emulation: both sides union-tagged into ONE windowed aggregation
+    // whose per-side conditional aggregates are the apply() over
+    // (leftGroup, rightGroup) — a single shuffle, per-pane state one
+    // row, map-side partials intact (vs. the join-based alternative's
+    // two stateful operators).
+    "stream_window_cogroup" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val ev = StreamOps.readStream(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+      val agg = ev
+        .groupBy(window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_clicks"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_buys"),
+          sum(when(col("event_type") === "click", floor(col("value") * 100))
+            .otherwise(0L)).as("click_cents"),
+          sum(when(col("event_type") === "purchase", floor(col("value") * 100))
+            .otherwise(0L)).as("buy_cents"))
+        .select(col("w.start").as("ws"), col("user_id"),
+          col("n_clicks"), col("n_buys"), col("click_cents"), col("buy_cents"))
+      StreamOps.runToBatch(s, agg, "complete", "stream_wcogroup")
+        .orderBy(col("ws"), col("user_id"))
+    }),
+
     // Streaming window deduplication (reference
     // StreamExecWindowDeduplicate): keep-FIRST row per (30-min pane,
     // user), expressed as a windowed min_by aggregate — partial
@@ -1296,6 +1325,20 @@ object StreamQueries extends QueryPack {
             FROM events WHERE event_type = 'purchase') b
         ON c.ws = b.ws AND c.user_id = b.user_id
       ORDER BY ws, user_id, click_id, buy_id""",
+    "stream_window_cogroup" -> """
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, user_id,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_clicks,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_buys,
+             CAST(sum(CASE WHEN event_type = 'click'
+                           THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS click_cents,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS buy_cents
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY ws, user_id ORDER BY ws, user_id""",
     "stream_window_dedup" -> TimeWindowQueries.windowDedupOracleSql,
     "stream_window_rank" -> TimeWindowQueries.windowRankOracleSql,
     "stream_interval_join_outer" -> """
