@@ -348,6 +348,56 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("q_id"))
     }),
 
+    // Int8 symmetric quantization (the in-memory compression tier
+    // between full precision and PQ: 8× smaller than the i64 grid,
+    // dot products in 16-bit multiplies): per-vector scale m =
+    // max|component|, codes floor(x·127/m) via positive-shifted floor
+    // division (Spark div truncates, DuckDB // floors — they agree
+    // only on non-negative numerators). Top-k under int8 scores; the
+    // companion recall gate MEASURES the quantization loss against the
+    // exact ranking, like sim_ivf_recall does for cell restriction.
+    "sim_int8_topk" -> ((s, dir) => {
+      val e = int8(quantized(s, dir))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("c8").as("qv8"), col("n8").as("qn"))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id"), col("c8"), col("n8").as("cn"))
+      val scored = c.crossJoin(broadcast(q))
+        .withColumn("dot", decDot("qv8", "c8"))
+        .withColumn("cos", cosine)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("vec_id"), col("rn"), round(col("cos"), 6).as("cosine8"))
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
+    "sim_int8_recall" -> ((s, dir) => {
+      val full = quantized(s, dir)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      def top5(scored: DataFrame): DataFrame = scored
+        .withColumn("cos", cosine)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("vec_id"))
+      val exact = top5(full.filter(col("vec_id") >= 10)
+        .select(col("vec_id"), col("qe"), col("nrm").as("cn"))
+        .crossJoin(broadcast(full.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("qe").as("qv"), col("nrm").as("qn"))))
+        .withColumn("dot", decDot("qv", "qe")))
+      val e8 = int8(full)
+      val approx = top5(e8.filter(col("vec_id") >= 10)
+        .select(col("vec_id"), col("c8"), col("n8").as("cn"))
+        .crossJoin(broadcast(e8.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("c8").as("qv8"), col("n8").as("qn"))))
+        .withColumn("dot", decDot("qv8", "c8")))
+        .withColumn("hit", lit(1L))
+      exact.join(approx, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+        .orderBy(col("q_id"))
+    }),
+
     // LSH-bucketed ANN: 4 random-hyperplane sign bits → 16 buckets;
     // only same-signature candidates are scored (the other scale path
     // next to IVF — at 100 TB this is band-join LSH with trained
@@ -444,6 +494,27 @@ object SimilarityQueries extends QueryPack {
       .withColumn("cos", cosine)
       .filter(col("cos") >= 0.3)
   }
+
+  /** Int8 symmetric per-vector quantization from the 1e-7 grid:
+   * scale m = max|qe_j| (exact BIGINT), code_j = floor(qe_j·127/m) via
+   * positive-shifted floor division (numerator qe_j·127 + m·127 ≥ 0,
+   * where Spark's truncating `div` equals DuckDB's flooring `//`).
+   * Zero vectors (m = 0) drop — they have no cosine. */
+  private def int8(df: DataFrame): DataFrame = df
+    .withColumn("m", expr(
+      "aggregate(qe, CAST(0 AS BIGINT), (acc, x) -> greatest(acc, abs(x)))"))
+    .filter(col("m") > 0)
+    .withColumn("c8", expr("transform(qe, x -> (x * 127 + m * 127) div m - 127)"))
+    .withColumn("n8", decDot("c8", "c8"))
+
+  private val int8Cte = """
+    i0 AS (SELECT vec_id, label, qe, list_max([abs(x) for x in qe]) AS m
+           FROM e WHERE list_max([abs(x) for x in qe]) > 0),
+    i8 AS (SELECT vec_id, label,
+             [(x * 127 + m * 127) // m - 127 for x in qe] AS c8
+           FROM i0),
+    i AS (SELECT vec_id, label, c8, list_sum([x * x for x in c8]) AS n8
+          FROM i8)"""
 
   private val normCte = """
     e0 AS (SELECT vec_id, label,
@@ -567,6 +638,47 @@ object SimilarityQueries extends QueryPack {
                     row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
              FROM si),
       ti AS (SELECT q_id, vec_id FROM ri WHERE rn <= 3)
+      SELECT tx.q_id,
+             CAST(sum(CASE WHEN ti.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+      FROM tx LEFT JOIN ti ON tx.q_id = ti.q_id AND tx.vec_id = ti.vec_id
+      GROUP BY tx.q_id ORDER BY tx.q_id""",
+    "sim_int8_topk" -> s"""
+      WITH $normCte,
+      $int8Cte,
+      q AS (SELECT vec_id AS q_id, c8 AS qv8, n8 AS qn FROM i WHERE vec_id < 10),
+      c AS (SELECT vec_id, c8, n8 AS cn FROM i WHERE vec_id >= 10),
+      p AS (SELECT q_id, vec_id, ${dotSql("qv8", "c8")} AS dot, qn, cn FROM q, c),
+      s AS (SELECT q_id, vec_id,
+                   CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS cos
+            FROM p),
+      r AS (SELECT q_id, vec_id, cos,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+            FROM s)
+      SELECT q_id, vec_id, rn, round(cos, 6) AS cosine8
+      FROM r WHERE rn <= 5 ORDER BY q_id, rn""",
+    "sim_int8_recall" -> s"""
+      WITH $normCte,
+      $int8Cte,
+      q AS (SELECT vec_id AS q_id, qe AS qv, nrm AS qn FROM e WHERE vec_id < 10),
+      c AS (SELECT vec_id, qe, nrm AS cn FROM e WHERE vec_id >= 10),
+      px AS (SELECT q_id, vec_id, ${dotSql("qv", "qe")} AS dot, qn, cn FROM q, c),
+      sx AS (SELECT q_id, vec_id,
+                    CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS cos
+             FROM px),
+      rx AS (SELECT q_id, vec_id,
+                    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+             FROM sx),
+      tx AS (SELECT q_id, vec_id FROM rx WHERE rn <= 5),
+      q8 AS (SELECT vec_id AS q_id, c8 AS qv8, n8 AS qn FROM i WHERE vec_id < 10),
+      c8s AS (SELECT vec_id, c8, n8 AS cn FROM i WHERE vec_id >= 10),
+      pi AS (SELECT q_id, vec_id, ${dotSql("qv8", "c8")} AS dot, qn, cn FROM q8, c8s),
+      si AS (SELECT q_id, vec_id,
+                    CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS cos
+             FROM pi),
+      ri AS (SELECT q_id, vec_id,
+                    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+             FROM si),
+      ti AS (SELECT q_id, vec_id FROM ri WHERE rn <= 5)
       SELECT tx.q_id,
              CAST(sum(CASE WHEN ti.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
       FROM tx LEFT JOIN ti ON tx.q_id = ti.q_id AND tx.vec_id = ti.vec_id
