@@ -579,7 +579,21 @@ object Ddl {
           !stmt.trim.toUpperCase.startsWith("EXTENDED") &&
           !stmt.trim.toUpperCase.startsWith("CODEGEN") &&
           !stmt.trim.toUpperCase.startsWith("COST") =>
-        return explain(spark, stmt)
+        // reference ExplainDetail (1.14): ESTIMATED_COST,
+        // CHANGELOG_MODE, JSON_EXECUTION_PLAN — a comma-separated
+        // detail list before the statement
+        val DetailWord = "(ESTIMATED_COST|CHANGELOG_MODE|JSON_EXECUTION_PLAN)"
+        var rest = stmt.trim
+        val details = scala.collection.mutable.LinkedHashSet.empty[String]
+        var more = true
+        while (more) {
+          val m = s"(?is)^$DetailWord\\s*(?:,\\s*)?(.*)$$".r.findFirstMatchIn(rest)
+          m match {
+            case Some(g) => details += g.group(1).toUpperCase; rest = g.group(2).trim
+            case None => more = false
+          }
+        }
+        return explain(spark, rest, details.toSet)
       // SHOW/DESCRIBE/DROP/EXPLAIN variants this front-end does not
       // own (LIKE patterns, EXTENDED/FORMATTED, qualified names,
       // DESCRIBE FUNCTION, undeclared drops) execute natively — the
@@ -700,13 +714,35 @@ object Ddl {
    * ExplainOperation): one row carrying the optimized logical and
    * physical plans of the statement, resolved through the same
    * extended-SQL door queries use. */
-  private def explain(spark: SparkSession, stmt: String): DataFrame = {
+  private def explain(spark: SparkSession, stmt: String,
+      details: Set[String] = Set.empty): DataFrame = {
     val df = new graft.api.TableEnv(spark).sqlQuery(stmt)
-    import scala.jdk.CollectionConverters._
+    val qe = df.queryExecution
+    val sb = new StringBuilder(
+      qe.explainString(org.apache.spark.sql.execution.ExtendedMode))
+    if (details.contains("ESTIMATED_COST"))
+      // reference appends per-operator cost estimates; Spark's CostMode
+      // prints the optimized plan with Statistics(sizeInBytes, rowCount)
+      sb.append("\n== Estimated Cost ==\n")
+        .append(qe.explainString(org.apache.spark.sql.execution.CostMode))
+    if (details.contains("CHANGELOG_MODE")) {
+      // per-operator changelog modes under graft's streaming rules:
+      // aggregates and rank rewrites materialize per-micro-batch
+      // UPDATES ([I,UB,UA]); everything else is insert-only. Batch
+      // execution of the same statement always materializes [I].
+      import org.apache.spark.sql.catalyst.plans.logical._
+      val annotated = qe.optimizedPlan.map {
+        case _: Aggregate => "Aggregate(changelogMode=[I,UB,UA])"
+        case _: Window => "Window(changelogMode=[I,UB,UA])"
+        case p => s"${p.nodeName}(changelogMode=[I])"
+      }
+      sb.append("\n== Changelog Mode ==\n").append(annotated.mkString("\n"))
+    }
+    if (details.contains("JSON_EXECUTION_PLAN"))
+      sb.append("\n== JSON Execution Plan ==\n").append(qe.sparkPlan.toJSON)
     spark.createDataFrame(
       java.util.Collections.singletonList(
-        org.apache.spark.sql.Row(df.queryExecution.explainString(
-          org.apache.spark.sql.execution.ExtendedMode))),
+        org.apache.spark.sql.Row(sb.toString)),
       StructType.fromDDL("plan STRING"))
   }
 

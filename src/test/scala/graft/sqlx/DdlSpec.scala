@@ -220,6 +220,32 @@ class DdlSpec extends SparkSuite {
     assert(plan.contains("n_nationkey"), plan)
   }
 
+  test("EXPLAIN detail modes: ESTIMATED_COST, CHANGELOG_MODE, JSON_EXECUTION_PLAN") {
+    val s = spark.newSession()
+    val dir = "/root/testdata/sf0.001"
+    Ddl.execute(s,
+      s"""CREATE TABLE exd_nation (n_nationkey INT, n_name STRING)
+          WITH ('connector' = 'filesystem', 'path' = '$dir/nation.parquet',
+                'format' = 'parquet')""")
+    val plan = Ddl.execute(s,
+      "EXPLAIN ESTIMATED_COST, CHANGELOG_MODE, JSON_EXECUTION_PLAN " +
+      "SELECT n_name, count(*) AS n FROM exd_nation GROUP BY n_name")
+      .collect()(0).getString(0)
+    assert(plan.contains("== Estimated Cost ==") && plan.contains("Statistics("), plan)
+    // the aggregate is update-producing under the streaming rules;
+    // its input scan is insert-only
+    assert(plan.contains("== Changelog Mode ==") &&
+      plan.contains("Aggregate(changelogMode=[I,UB,UA])") &&
+      plan.contains("changelogMode=[I])"), plan)
+    assert(plan.contains("== JSON Execution Plan ==") &&
+      plan.contains("\"class\""), plan)
+    // a single detail works too, and a plain projection is insert-only
+    val p2 = Ddl.execute(s,
+      "EXPLAIN CHANGELOG_MODE SELECT n_name FROM exd_nation")
+      .collect()(0).getString(0)
+    assert(p2.contains("== Changelog Mode ==") && !p2.contains("[I,UB,UA]"), p2)
+  }
+
   test("streaming DDL with watermark: windowed agg equals batch twin") {
     val dir = "/root/testdata/sf0.001"
     // events.parquet has stored ts as int64 nanos in some driver
