@@ -75,7 +75,7 @@ case class StreamRankToTopNRule(session: SparkSession) extends Rule[LogicalPlan]
     }
     if (n <= 0) return None
     // one or more partition attributes (composite keys group by the
-    // NUL-joined string form)
+    // length-prefixed string form built below)
     val partIdx: Seq[Int] = w.partitionSpec.map {
       case a: Attribute =>
         val i = w.child.output.indexWhere(_.exprId == a.exprId)
