@@ -75,6 +75,14 @@ final class Table(val df: DataFrame) {
   /** Reference `Table.groupBy("k1, k2")`. */
   def groupBy(keys: String): GroupedTable = new GroupedTable(df, items(keys))
 
+  /** Reference `Table.window(Tumble.over("15.minutes").on("ts").as("w"))`
+   * (`flink-table-api-java/.../api/Tumble.java:33`, `Slide.java:47`,
+   * `Session.java:43`): the fluent group-window form of the Table API.
+   * The window alias must appear in the subsequent `groupBy`, and the
+   * select list may project `w.start` / `w.end`, as the reference's
+   * window properties resolve. */
+  def window(w: GroupWindowDef): WindowedTable = new WindowedTable(df, w)
+
   /** Reference `Table.orderBy("a.asc, b.desc")` — Flink's field.asc /
    * field.desc suffix form (plain names default ascending). */
   def orderBy(fields: String): Table = {
@@ -98,6 +106,120 @@ final class Table(val df: DataFrame) {
       case m(body, name) => (body, Some(name))
       case _ => (e, None)
     }
+  }
+}
+
+/** A fluent group-window definition (`Tumble`/`Slide`/`Session`
+ * `.over/withGap(…).on(ts).as(alias)`). Durations use the reference's
+ * string-expression spelling `'n.unit'` (e.g. "15.minutes"). */
+sealed trait GroupWindowDef {
+  def tsCol: String
+  def alias: String
+  /** The Spark grouping column realizing this window. */
+  private[api] def sparkWindow: Column
+}
+private[api] object GroupWindowDef {
+  /** "15.minutes" → "15 minutes" (reference ExpressionParser duration
+   * literals; milli/second/minute/hour/day units, loud otherwise). */
+  def duration(s: String): String = {
+    val m = """(?i)^\s*(\d+)\.(millis?|seconds?|minutes?|hours?|days?)\s*$""".r
+    s match {
+      case m(n, u) =>
+        val unit = u.toLowerCase match {
+          case "milli" | "millis" => "milliseconds"
+          case x if x.endsWith("s") => x
+          case x => x + "s"
+        }
+        s"$n $unit"
+      case _ => throw new IllegalArgumentException(
+        s"expected a duration like '15.minutes', got: '$s' " +
+        "(row-count windows are not supported in this facade)")
+    }
+  }
+}
+
+object Tumble {
+  /** Reference `Tumble.over("15.minutes")`. */
+  def over(size: String): TumbleWithSize = new TumbleWithSize(size)
+}
+final class TumbleWithSize(size: String) {
+  def on(ts: String): TumbleOnTime = new TumbleOnTime(size, ts)
+}
+final class TumbleOnTime(size: String, ts: String) {
+  def as(name: String): GroupWindowDef = new GroupWindowDef {
+    val tsCol = ts; val alias = name
+    private[api] def sparkWindow =
+      org.apache.spark.sql.functions.window(col(ts), GroupWindowDef.duration(size))
+  }
+}
+
+object Slide {
+  /** Reference `Slide.over("30.minutes").every("10.minutes")`. */
+  def over(size: String): SlideWithSize = new SlideWithSize(size)
+}
+final class SlideWithSize(size: String) {
+  def every(slide: String): SlideWithSlide = new SlideWithSlide(size, slide)
+}
+final class SlideWithSlide(size: String, slide: String) {
+  def on(ts: String): SlideOnTime = new SlideOnTime(size, slide, ts)
+}
+final class SlideOnTime(size: String, slide: String, ts: String) {
+  def as(name: String): GroupWindowDef = new GroupWindowDef {
+    val tsCol = ts; val alias = name
+    private[api] def sparkWindow = org.apache.spark.sql.functions.window(
+      col(ts), GroupWindowDef.duration(size), GroupWindowDef.duration(slide))
+  }
+}
+
+object Session {
+  /** Reference `Session.withGap("10.minutes")`. */
+  def withGap(gap: String): SessionWithGap = new SessionWithGap(gap)
+}
+final class SessionWithGap(gap: String) {
+  def on(ts: String): SessionOnTime = new SessionOnTime(gap, ts)
+}
+final class SessionOnTime(gap: String, ts: String) {
+  def as(name: String): GroupWindowDef = new GroupWindowDef {
+    val tsCol = ts; val alias = name
+    private[api] def sparkWindow = org.apache.spark.sql.functions
+      .session_window(col(ts), GroupWindowDef.duration(gap))
+  }
+}
+
+/** Reference `WindowedTable` → `WindowGroupedTable`: groupBy must name
+ * the window alias; select mixes keys, `alias.start`/`alias.end`
+ * window properties, and aggregates. */
+final class WindowedTable(df: DataFrame, w: GroupWindowDef) {
+  def groupBy(keys: String): WindowGroupedTable = {
+    val ks = SqlLexer.splitTop(keys).map(_.trim).filter(_.nonEmpty)
+    require(ks.exists(_.equalsIgnoreCase(w.alias)),
+      s"window alias '${w.alias}' must appear in groupBy, got: $keys")
+    new WindowGroupedTable(df, w, ks.filterNot(_.equalsIgnoreCase(w.alias)))
+  }
+}
+
+final class WindowGroupedTable(df: DataFrame, w: GroupWindowDef, keys: Seq[String]) {
+  def select(exprs: String): Table = {
+    val items = SqlLexer.splitTop(exprs).map(_.trim).filter(_.nonEmpty)
+    def isKey(i: String): Boolean = keys.exists(_.equalsIgnoreCase(i))
+    val prop = s"""(?is)^${java.util.regex.Pattern.quote(w.alias)}\\.(start|end)(?:\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*))?$$""".r
+    def isProp(i: String): Boolean = prop.findFirstIn(i).isDefined
+    val aggs = items.filterNot(i => isKey(i) || isProp(i))
+    require(aggs.nonEmpty,
+      "window groupBy select needs at least one aggregate expression")
+    val agged = df
+      .groupBy(w.sparkWindow.as("__gw") +: keys.map(col): _*)
+      .agg(expr(aggs.head), aggs.drop(1).map(expr): _*)
+    val out = items.map {
+      case i if isKey(i) => s"`${keys.find(_.equalsIgnoreCase(i)).get}`"
+      case prop(p, alias) =>
+        s"__gw.$p AS ${Option(alias).getOrElse(p)}"
+      case i =>
+        val n = """(?is)^.*\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+          .findFirstMatchIn(i).map(_.group(1)).getOrElse(i)
+        s"`$n`"
+    }
+    new Table(agged.selectExpr(out: _*))
   }
 }
 

@@ -89,6 +89,21 @@ object UdfQueries extends QueryPack {
         .toDataFrame
     }),
 
+    // Fluent group-window Table API (reference Tumble.java:33 —
+    // `table.window(Tumble.over("15.minutes").on("ts").as("w"))
+    // .groupBy("w, event_type").select("…, w.start, w.end, agg…")`).
+    "table_api_group_window" -> ((s, dir) => {
+      val te = new TableEnv(s)
+      Tables.load(s, dir, "events").createOrReplaceTempView("events_tapi")
+      te.from("events_tapi")
+        .window(graft.api.Tumble.over("15.minutes").on("ts").as("w"))
+        .groupBy("w, event_type")
+        .select("w.start AS ws, w.end AS we, event_type, " +
+          "count(1) AS n, sum(floor(value * 100)) AS cents")
+        .orderBy("ws.asc, event_type.asc")
+        .toDataFrame
+    }),
+
     // ScalarFunction through SQL.
     "udf_scalar_fn" -> ((s, dir) => {
       Udfs.register(s, "price_band", new ExampleFns.PriceBand)
@@ -218,6 +233,13 @@ object UdfQueries extends QueryPack {
       FROM orders JOIN customer ON o_custkey = c_custkey
       WHERE o_orderpriority = '1-URGENT'
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "table_api_group_window" -> """
+      SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS ws,
+             time_bucket(INTERVAL 15 MINUTE, ts) + INTERVAL 15 MINUTE AS we,
+             event_type, count(1) AS n,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events
+      GROUP BY ws, event_type ORDER BY ws, event_type""",
     "udf_scalar_fn" -> """
       SELECT o_orderkey,
              CASE WHEN o_totalprice > 200000 THEN 'high'

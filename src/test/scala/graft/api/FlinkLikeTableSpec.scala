@@ -68,4 +68,43 @@ class FlinkLikeTableSpec extends SparkSuite {
     intercept[IllegalArgumentException](nation.addColumns("n_nationkey + 1"))
     intercept[IllegalArgumentException](nation.renameColumns("n_name"))
   }
+
+  test("fluent group windows: Slide and Session equal their DataFrame twins") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.load(spark, dir, "events")
+    ev.createOrReplaceTempView("events_ft")
+    // Slide.over.every == window(ts, size, slide)
+    val slide = te.from("events_ft")
+      .window(Slide.over("30.minutes").every("10.minutes").on("ts").as("w"))
+      .groupBy("w, event_type")
+      .select("w.start AS ws, event_type, count(1) AS n")
+      .toDataFrame.collect()
+      .map(r => (String.valueOf(r.get(0)), r.getString(1), r.getLong(2))).toSet
+    val slideTwin = ev
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes"), col("event_type"))
+      .agg(count(lit(1)))
+      .collect().map(r => (String.valueOf(r.getStruct(0).get(0)),
+        r.getString(1), r.getLong(2))).toSet
+    assert(slide == slideTwin)
+    // Session.withGap == session_window(ts, gap); w.end resolves too
+    val sess = te.from("events_ft").filter("user_id = 1")
+      .window(Session.withGap("10.minutes").on("ts").as("w"))
+      .groupBy("w")
+      .select("w.start AS ws, w.end AS we, count(1) AS n")
+      .toDataFrame.collect()
+      .map(r => (String.valueOf(r.get(0)), String.valueOf(r.get(1)), r.getLong(2))).toSet
+    val sessTwin = ev.filter(col("user_id") === 1)
+      .groupBy(session_window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)))
+      .collect().map(r => (String.valueOf(r.getStruct(0).get(0)),
+        String.valueOf(r.getStruct(0).get(1)), r.getLong(1))).toSet
+    assert(sess == sessTwin)
+    // bad duration spelling fails loudly, as does a groupBy missing the alias
+    intercept[IllegalArgumentException](
+      te.from("events_ft").window(Tumble.over("10.rows").on("ts").as("w"))
+        .groupBy("w").select("count(1) AS n").toDataFrame.collect())
+    intercept[IllegalArgumentException](
+      te.from("events_ft").window(Tumble.over("10.minutes").on("ts").as("w"))
+        .groupBy("event_type"))
+  }
 }
