@@ -83,6 +83,12 @@ final class Table(val df: DataFrame) {
    * window properties resolve. */
   def window(w: GroupWindowDef): WindowedTable = new WindowedTable(df, w)
 
+  /** Reference `Table.window(Over.partitionBy("k").orderBy("ts")
+   * .preceding("UNBOUNDED_RANGE").as("w")).select("k, sum(x) OVER w AS s")`
+   * (`flink-table-api-java/.../api/Over.java:44`): the fluent OVER
+   * window form. */
+  def window(w: OverWindowDef): OverWindowedTable = new OverWindowedTable(df, w)
+
   /** Reference `Table.orderBy("a.asc, b.desc")` — Flink's field.asc /
    * field.desc suffix form (plain names default ascending). */
   def orderBy(fields: String): Table = {
@@ -183,6 +189,71 @@ final class SessionOnTime(gap: String, ts: String) {
     val tsCol = ts; val alias = name
     private[api] def sparkWindow = org.apache.spark.sql.functions
       .session_window(col(ts), GroupWindowDef.duration(gap))
+  }
+}
+
+/** Fluent OVER window (reference `Over.java:44`): partitionBy →
+ * orderBy → preceding → as. Preceding spellings: `UNBOUNDED_RANGE`
+ * (the default RANGE running frame), `UNBOUNDED_ROW`, or `'n.rows'`
+ * (bounded ROWS frame); following is always the reference default
+ * CURRENT_RANGE / CURRENT_ROW. */
+object Over {
+  def partitionBy(keys: String): OverPartitioned = new OverPartitioned(keys)
+}
+final class OverPartitioned(keys: String) {
+  def orderBy(order: String): OverOrdered = new OverOrdered(keys, order)
+}
+final class OverOrdered(keys: String, order: String) {
+  def preceding(p: String): OverPreceding = new OverPreceding(keys, order, p)
+  /** No explicit frame = the reference default, UNBOUNDED_RANGE. */
+  def as(name: String): OverWindowDef = preceding("UNBOUNDED_RANGE").as(name)
+}
+final class OverPreceding(keys: String, order: String, p: String) {
+  def as(name: String): OverWindowDef = {
+    val spec0 = org.apache.spark.sql.expressions.Window
+      .partitionBy(SqlLexer.splitTop(keys).map(_.trim).filter(_.nonEmpty).map(col): _*)
+      .orderBy(SqlLexer.splitTop(order).map(_.trim).filter(_.nonEmpty).map {
+        case s if s.toLowerCase.endsWith(".desc") => col(s.dropRight(5)).desc
+        case s if s.toLowerCase.endsWith(".asc") => col(s.dropRight(4)).asc
+        case s => col(s).asc
+      }: _*)
+    val rows = """(?i)^\s*(\d+)\.rows\s*$""".r
+    val spec = p.trim.toUpperCase match {
+      case "UNBOUNDED_RANGE" => spec0.rangeBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      case "UNBOUNDED_ROW" => spec0.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      case _ => p.trim match {
+        case rows(n) => spec0.rowsBetween(-n.toLong,
+          org.apache.spark.sql.expressions.Window.currentRow)
+        case other => throw new IllegalArgumentException(
+          s"preceding: expected UNBOUNDED_RANGE, UNBOUNDED_ROW or 'n.rows', got: $other")
+      }
+    }
+    new OverWindowDef(name, spec)
+  }
+}
+final class OverWindowDef(val alias: String,
+    private[api] val spec: org.apache.spark.sql.expressions.WindowSpec)
+
+/** Reference `OverWindowedTable`: select items may carry an
+ * `agg OVER w` suffix, which applies the named window to the
+ * aggregate. */
+final class OverWindowedTable(df: DataFrame, w: OverWindowDef) {
+  def select(exprs: String): Table = {
+    val items = SqlLexer.splitTop(exprs).map(_.trim).filter(_.nonEmpty)
+    val overRe = (s"""(?is)^(.*\\S)\\s+OVER\\s+""" +
+      java.util.regex.Pattern.quote(w.alias) +
+      """(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?$""").r
+    val cols: Seq[Column] = items.map {
+      case overRe(agg, alias) =>
+        val c = expr(agg).over(w.spec)
+        if (alias != null) c.as(alias) else c.as(agg)
+      case plain => expr(plain)
+    }
+    new Table(df.select(cols: _*))
   }
 }
 

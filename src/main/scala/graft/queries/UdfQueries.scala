@@ -104,6 +104,20 @@ object UdfQueries extends QueryPack {
         .toDataFrame
     }),
 
+    // Fluent OVER-window Table API (reference Over.java:44): running
+    // RANGE frame per user, the `agg OVER w` select suffix.
+    "table_api_over_window" -> ((s, dir) => {
+      val te = new TableEnv(s)
+      Tables.load(s, dir, "events").createOrReplaceTempView("events_tapi2")
+      te.from("events_tapi2")
+        .window(graft.api.Over.partitionBy("user_id").orderBy("ts")
+          .preceding("UNBOUNDED_RANGE").as("w"))
+        .select("user_id, event_id, " +
+          "sum(floor(value * 100)) OVER w AS running_cents")
+        .orderBy("user_id.asc, event_id.asc")
+        .toDataFrame
+    }),
+
     // ScalarFunction through SQL.
     "udf_scalar_fn" -> ((s, dir) => {
       Udfs.register(s, "price_band", new ExampleFns.PriceBand)
@@ -240,6 +254,13 @@ object UdfQueries extends QueryPack {
              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
       FROM events
       GROUP BY ws, event_type ORDER BY ws, event_type""",
+    "table_api_over_window" -> """
+      SELECT user_id, event_id,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS running_cents
+      FROM events ORDER BY user_id, event_id""",
     "udf_scalar_fn" -> """
       SELECT o_orderkey,
              CASE WHEN o_totalprice > 200000 THEN 'high'

@@ -107,4 +107,24 @@ class FlinkLikeTableSpec extends SparkSuite {
       te.from("events_ft").window(Tumble.over("10.minutes").on("ts").as("w"))
         .groupBy("event_type"))
   }
+
+  test("fluent OVER windows: n.rows frame equals the DataFrame twin; bad preceding is loud") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.load(spark, dir, "events")
+    ev.createOrReplaceTempView("events_ft2")
+    val got = te.from("events_ft2")
+      .window(Over.partitionBy("user_id").orderBy("event_id")
+        .preceding("2.rows").as("w"))
+      .select("user_id, event_id, count(1) OVER w AS n3")
+      .toDataFrame.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("event_id")).rowsBetween(-2, 0)
+    val twin = ev.select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n3"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == twin)
+    intercept[IllegalArgumentException](
+      Over.partitionBy("user_id").orderBy("ts").preceding("10.minutes").as("w"))
+  }
 }
