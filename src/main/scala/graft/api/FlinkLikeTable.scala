@@ -104,6 +104,10 @@ final class Table(val df: DataFrame) {
   def fetch(n: Int): Table = new Table(df.limit(n))
   def limit(n: Int): Table = fetch(n)
 
+  /** Reference `Table.offset(n)` — meaningful after `orderBy`, as in
+   * the reference (`orderBy(…).offset(o).fetch(n)`). */
+  def offset(n: Int): Table = new Table(df.offset(n))
+
   def toDataFrame: DataFrame = df
 
   private def splitAlias(e: String): (String, Option[String]) = {

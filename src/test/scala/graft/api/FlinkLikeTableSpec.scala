@@ -58,6 +58,11 @@ class FlinkLikeTableSpec extends SparkSuite {
       .orderBy("n_nationkey.desc").fetch(3)
       .df.collect().map(_.getInt(0)).toSeq
     assert(top === top.sorted.reverse && top.length === 3)
+    // orderBy().offset(o).fetch(n) — the reference pagination triple
+    val page = nation.select("n_nationkey")
+      .orderBy("n_nationkey.asc").offset(2).fetch(3)
+      .df.collect().map(_.getInt(0)).toSeq
+    assert(page === Seq(2, 3, 4), s"offset/fetch slice wrong: $page")
     // left outer keeps unmatched probe rows
     val lj = lo.leftOuterJoin(hi.as("k2, name2"), "n_nationkey = k2")
     assert(lj.df.count() === 10)
