@@ -398,6 +398,91 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("q_id"))
     }),
 
+    // BINARY (1-bit) QUANTIZATION top-k: each 64-dim vector collapses
+    // to ONE BIGINT of sign bits (32× smaller than float32, 8× smaller
+    // than int8), and each candidate pair costs exactly one xor + one
+    // popcount — the cheapest possible first-stage scan, the binary
+    // tier every modern embedding store (and MRL §6 of Kusupati et
+    // al.) offers below int8. Hamming distance approximates angular
+    // distance for mean-centered vectors; ties break on vec_id.
+    "sim_hamming_topk" -> ((s, dir) => {
+      val e = signPacked(quantized(s, dir))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("sgn").as("qs"))
+      val c = e.filter(col("vec_id") >= 10).select(col("vec_id"), col("sgn"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("hamming"), col("vec_id"))
+      c.crossJoin(broadcast(q))
+        .withColumn("hamming", expr("bit_count(qs ^ sgn)"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("q_id"), col("vec_id"), col("rn"), col("hamming"))
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
+    // Binary-scan + exact-rerank funnel (the production two-stage):
+    // stage 1 scans ONLY (vec_id, 8-byte sign word) — no vector is
+    // touched — and keeps 20 candidates per query by Hamming; stage 2
+    // fetches full vectors for those 20 (an equi-join back to the
+    // store) and reranks by exact cosine. At 100 TB the stage-1 scan
+    // reads 8 bytes/vector and stage-2 touches 20 rows/query.
+    "sim_hamming_rerank" -> ((s, dir) => {
+      val e = signPacked(quantized(s, dir))
+      val qBits = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("sgn").as("qs"))
+      val cBits = e.filter(col("vec_id") >= 10).select(col("vec_id"), col("sgn"))
+      val w1 = Window.partitionBy(col("q_id")).orderBy(col("hamming"), col("vec_id"))
+      val short = cBits.crossJoin(broadcast(qBits))
+        .withColumn("hamming", expr("bit_count(qs ^ sgn)"))
+        .withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= 20)
+        .select(col("q_id"), col("vec_id"), col("hamming"))
+      val cVec = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id"), col("qe"), col("nrm").as("cn"))
+      val qVec = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("qe").as("qv"), col("nrm").as("qn"))
+      val w2 = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      short.join(cVec, Seq("vec_id"))
+        .join(broadcast(qVec), Seq("q_id"))
+        .withColumn("dot", decDot("qv", "qe"))
+        .withColumn("cos", cosine)
+        .withColumn("rn", row_number().over(w2)).filter(col("rn") <= 5)
+        .select(col("q_id"), col("vec_id"), col("rn"),
+                round(col("cos"), 6).as("cosine"), col("hamming"))
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
+    // MATRYOSHKA funnel retrieval (MRL, Kusupati et al. 2022 §4.1
+    // "adaptive retrieval"): MRL-trained embeddings are usable at any
+    // PREFIX length, so stage 1 ranks by the first 16 of 64 dims (4×
+    // less IO — a column-pruned scan of the prefix), keeps 20
+    // candidates per query, and stage 2 reranks only those by the
+    // full-dim exact cosine. Zero-norm prefixes drop (no direction).
+    "sim_mrl_funnel" -> ((s, dir) => {
+      mrlFunnelTop5(s, dir)
+        .select(col("q_id"), col("vec_id"), col("rn"), round(col("cos"), 6).as("cosine"))
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
+    // MRL funnel RECALL@5 vs the exact full-dim top-5 — the metric
+    // that justifies the prefix length / candidate budget choice
+    // (same contract as sim_ivf_recall / sim_int8_recall).
+    "sim_mrl_recall" -> ((s, dir) => {
+      val full = quantized(s, dir)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      val exact = full.filter(col("vec_id") >= 10)
+        .select(col("vec_id"), col("qe"), col("nrm").as("cn"))
+        .crossJoin(broadcast(full.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("qe").as("qv"), col("nrm").as("qn"))))
+        .withColumn("dot", decDot("qv", "qe"))
+        .withColumn("cos", cosine)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("q_id"), col("vec_id"))
+      val approx = mrlFunnelTop5(s, dir)
+        .select(col("q_id"), col("vec_id")).withColumn("hit", lit(1L))
+      exact.join(approx, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+        .orderBy(col("q_id"))
+    }),
+
     // LSH-bucketed ANN: 4 random-hyperplane sign bits → 16 buckets;
     // only same-signature candidates are scored (the other scale path
     // next to IVF — at 100 TB this is band-join LSH with trained
@@ -493,6 +578,47 @@ object SimilarityQueries extends QueryPack {
       .withColumn("dot", decDot("qv", "qe"))
       .withColumn("cos", cosine)
       .filter(col("cos") >= 0.3)
+  }
+
+  /** Sign-bit packing: bit d of `sgn` is set iff component d ≥ 0 on
+   * the 1e-7 grid — 64 dims collapse to ONE BIGINT via bitwise OR (no
+   * additive overflow at bit 63). The pack runs once per row; every
+   * pairwise Hamming after it is `bit_count(a ^ b)`. */
+  private def signPacked(df: DataFrame): DataFrame =
+    df.withColumn("sgn", expr(
+      """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, d) ->
+           acc | CASE WHEN element_at(qe, d + 1) >= 0
+                      THEN shiftleft(CAST(1 AS BIGINT), d)
+                      ELSE CAST(0 AS BIGINT) END)"""))
+
+  /** Shared MRL funnel core: prefix-16 cosine shortlist of 20 per
+   * query (stage 1 carries only ids + prefix), exact full-dim rerank
+   * of the shortlist via join-back (stage 2). Returns the top-5 with
+   * `cos` unrounded — consumed by sim_mrl_funnel and sim_mrl_recall. */
+  private def mrlFunnelTop5(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+      .withColumn("p16", expr("slice(qe, 1, 16)"))
+      .withColumn("n16", decDot("p16", "p16"))
+      .filter(col("n16") > 0)
+    val q1 = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("p16").as("qp"), col("n16").as("q16"))
+    val c1 = e.filter(col("vec_id") >= 10).select(col("vec_id"), col("p16"), col("n16"))
+    val w1 = Window.partitionBy(col("q_id")).orderBy(col("cos16").desc, col("vec_id"))
+    val short = c1.crossJoin(broadcast(q1))
+      .withColumn("dot16", decDot("qp", "p16"))
+      .withColumn("cos16", col("dot16").cast("double") /
+        (sqrt(col("q16").cast("double")) * sqrt(col("n16").cast("double"))))
+      .withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= 20)
+      .select(col("q_id"), col("vec_id"))
+    val cVec = quantized(s, dir).select(col("vec_id"), col("qe"), col("nrm").as("cn"))
+    val qVec = quantized(s, dir)
+      .select(col("vec_id").as("q_id"), col("qe").as("qv"), col("nrm").as("qn"))
+    val w2 = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    short.join(cVec, Seq("vec_id"))
+      .join(broadcast(qVec), Seq("q_id"))
+      .withColumn("dot", decDot("qv", "qe"))
+      .withColumn("cos", cosine)
+      .withColumn("rn", row_number().over(w2)).filter(col("rn") <= 5)
   }
 
   /** Int8 symmetric per-vector quantization from the 1e-7 grid:
@@ -679,6 +805,112 @@ object SimilarityQueries extends QueryPack {
                     row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
              FROM si),
       ti AS (SELECT q_id, vec_id FROM ri WHERE rn <= 5)
+      SELECT tx.q_id,
+             CAST(sum(CASE WHEN ti.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+      FROM tx LEFT JOIN ti ON tx.q_id = ti.q_id AND tx.vec_id = ti.vec_id
+      GROUP BY tx.q_id ORDER BY tx.q_id""",
+    "sim_hamming_topk" -> s"""
+      WITH $normCte,
+      q AS (SELECT vec_id AS q_id, qe FROM e WHERE vec_id < 10),
+      c AS (SELECT vec_id, qe FROM e WHERE vec_id >= 10),
+      p AS (SELECT q_id, c.vec_id,
+              list_sum([CASE WHEN (q.qe[i] >= 0) <> (c.qe[i] >= 0) THEN 1 ELSE 0 END
+                        for i in generate_series(1, 64)]) AS hamming
+            FROM q, c),
+      r AS (SELECT q_id, vec_id, hamming,
+                   row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rn
+            FROM p)
+      SELECT q_id, vec_id, rn, CAST(hamming AS INT) AS hamming
+      FROM r WHERE rn <= 5 ORDER BY q_id, rn""",
+    "sim_hamming_rerank" -> s"""
+      WITH $normCte,
+      q AS (SELECT vec_id AS q_id, qe FROM e WHERE vec_id < 10),
+      c AS (SELECT vec_id, qe FROM e WHERE vec_id >= 10),
+      p AS (SELECT q_id, c.vec_id,
+              list_sum([CASE WHEN (q.qe[i] >= 0) <> (c.qe[i] >= 0) THEN 1 ELSE 0 END
+                        for i in generate_series(1, 64)]) AS hamming
+            FROM q, c),
+      s1 AS (SELECT q_id, vec_id, hamming,
+                    row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rn1
+             FROM p),
+      cand AS (SELECT q_id, vec_id, hamming FROM s1 WHERE rn1 <= 20),
+      p2 AS (SELECT cand.q_id, cand.vec_id, cand.hamming,
+                    ${dotSql("a.qe", "b.qe")} AS dot, a.nrm AS qn, b.nrm AS cn
+             FROM cand JOIN e a ON a.vec_id = cand.q_id
+                       JOIN e b ON b.vec_id = cand.vec_id),
+      s2 AS (SELECT q_id, vec_id, hamming,
+                    CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS cos
+             FROM p2),
+      r AS (SELECT q_id, vec_id, hamming, cos,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+            FROM s2)
+      SELECT q_id, vec_id, rn, round(cos, 6) AS cosine, CAST(hamming AS INT) AS hamming
+      FROM r WHERE rn <= 5 ORDER BY q_id, rn""",
+    "sim_mrl_funnel" -> s"""
+      WITH $normCte,
+      pe AS (SELECT vec_id, qe, nrm, qe[1:16] AS p16,
+                    list_sum([x * x for x in qe[1:16]]) AS n16
+             FROM e),
+      pf AS (SELECT * FROM pe WHERE n16 > 0),
+      q AS (SELECT vec_id AS q_id, p16 AS qp, n16 AS q16 FROM pf WHERE vec_id < 10),
+      c AS (SELECT vec_id, p16, n16 FROM pf WHERE vec_id >= 10),
+      p1 AS (SELECT q_id, vec_id, ${dotSql("qp", "p16")} AS dot16, q16, n16 FROM q, c),
+      s1 AS (SELECT q_id, vec_id,
+                    CAST(dot16 AS DOUBLE) / (sqrt(CAST(q16 AS DOUBLE)) * sqrt(CAST(n16 AS DOUBLE))) AS cos16
+             FROM p1),
+      r1 AS (SELECT q_id, vec_id,
+                    row_number() OVER (PARTITION BY q_id ORDER BY cos16 DESC, vec_id) AS rn1
+             FROM s1),
+      cand AS (SELECT q_id, vec_id FROM r1 WHERE rn1 <= 20),
+      p2 AS (SELECT cand.q_id, cand.vec_id,
+                    ${dotSql("a.qe", "b.qe")} AS dot, a.nrm AS qn, b.nrm AS cn
+             FROM cand JOIN e a ON a.vec_id = cand.q_id
+                       JOIN e b ON b.vec_id = cand.vec_id),
+      s2 AS (SELECT q_id, vec_id,
+                    CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS cos
+             FROM p2),
+      r2 AS (SELECT q_id, vec_id, cos,
+                    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+             FROM s2)
+      SELECT q_id, vec_id, rn, round(cos, 6) AS cosine
+      FROM r2 WHERE rn <= 5 ORDER BY q_id, rn""",
+    "sim_mrl_recall" -> s"""
+      WITH $normCte,
+      qx AS (SELECT vec_id AS q_id, qe AS qv, nrm AS qn FROM e WHERE vec_id < 10),
+      cx AS (SELECT vec_id, qe, nrm AS cn FROM e WHERE vec_id >= 10),
+      px AS (SELECT q_id, vec_id, ${dotSql("qv", "qe")} AS dot, qn, cn FROM qx, cx),
+      sx AS (SELECT q_id, vec_id,
+                    CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS cos
+             FROM px),
+      rx AS (SELECT q_id, vec_id,
+                    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+             FROM sx),
+      tx AS (SELECT q_id, vec_id FROM rx WHERE rn <= 5),
+      pe AS (SELECT vec_id, qe, nrm, qe[1:16] AS p16,
+                    list_sum([x * x for x in qe[1:16]]) AS n16
+             FROM e),
+      pf AS (SELECT * FROM pe WHERE n16 > 0),
+      q AS (SELECT vec_id AS q_id, p16 AS qp, n16 AS q16 FROM pf WHERE vec_id < 10),
+      c AS (SELECT vec_id, p16, n16 FROM pf WHERE vec_id >= 10),
+      p1 AS (SELECT q_id, vec_id, ${dotSql("qp", "p16")} AS dot16, q16, n16 FROM q, c),
+      s1 AS (SELECT q_id, vec_id,
+                    CAST(dot16 AS DOUBLE) / (sqrt(CAST(q16 AS DOUBLE)) * sqrt(CAST(n16 AS DOUBLE))) AS cos16
+             FROM p1),
+      r1 AS (SELECT q_id, vec_id,
+                    row_number() OVER (PARTITION BY q_id ORDER BY cos16 DESC, vec_id) AS rn1
+             FROM s1),
+      cand AS (SELECT q_id, vec_id FROM r1 WHERE rn1 <= 20),
+      p2 AS (SELECT cand.q_id, cand.vec_id,
+                    ${dotSql("a.qe", "b.qe")} AS dot, a.nrm AS qn, b.nrm AS cn
+             FROM cand JOIN e a ON a.vec_id = cand.q_id
+                       JOIN e b ON b.vec_id = cand.vec_id),
+      s2 AS (SELECT q_id, vec_id,
+                    CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS cos
+             FROM p2),
+      r2 AS (SELECT q_id, vec_id,
+                    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+             FROM s2),
+      ti AS (SELECT q_id, vec_id FROM r2 WHERE rn <= 5)
       SELECT tx.q_id,
              CAST(sum(CASE WHEN ti.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
       FROM tx LEFT JOIN ti ON tx.q_id = ti.q_id AND tx.vec_id = ti.vec_id
