@@ -72,6 +72,44 @@ final class Table(val df: DataFrame) {
 
   def distinct(): Table = new Table(df.distinct())
 
+  /** FLIP-29 row-based `Table.map` (reference `Table.java:314` in
+   * 1.14): the scalar-function call's output REPLACES the row — a
+   * struct-returning function expands to one column per field, an
+   * atomic result becomes the single column `f0`. The call is a
+   * registered function invocation in string form, optionally
+   * `AS (names…)` to rename the output fields positionally. */
+  def map(call: String): Table = {
+    val (body, names) = RowOps.parse(call)
+    new Table(RowOps.expand(df.select(expr(body).as("__m")), "__m", names, Nil))
+  }
+
+  /** FLIP-29 `Table.flatMap` (reference `Table.java:340`): a
+   * table-function call — each collected element becomes its own row,
+   * replacing the input row; struct elements expand per field. */
+  def flatMap(call: String): Table = {
+    val (body, names) = RowOps.parse(call)
+    val ex = df.select(org.apache.spark.sql.functions.explode(expr(body)).as("__e"))
+    new Table(RowOps.expand(ex, "__e", names, Nil))
+  }
+
+  /** Reference `Table.joinLateral(call)` (`Table.java:455`): correlate
+   * each row with the table function's collected rows for it — rows
+   * with an empty result drop (CROSS APPLY). */
+  def joinLateral(call: String): Table = lateral(call, outer = false)
+
+  /** Reference `Table.leftOuterJoinLateral` (`Table.java:489`): as
+   * joinLateral, but rows with an empty function result survive with
+   * null function columns (OUTER APPLY). */
+  def leftOuterJoinLateral(call: String): Table = lateral(call, outer = true)
+
+  private def lateral(call: String, outer: Boolean): Table = {
+    val (body, names) = RowOps.parse(call)
+    val ex = if (outer) org.apache.spark.sql.functions.explode_outer(expr(body))
+             else org.apache.spark.sql.functions.explode(expr(body))
+    val withE = df.withColumn("__e", ex)
+    new Table(RowOps.expand(withE, "__e", names, df.columns.toSeq))
+  }
+
   /** Reference `Table.groupBy("k1, k2")`. */
   def groupBy(keys: String): GroupedTable = new GroupedTable(df, items(keys))
 
@@ -298,9 +336,72 @@ final class WindowGroupedTable(df: DataFrame, w: GroupWindowDef, keys: Seq[Strin
   }
 }
 
+/** Shared mechanics of the FLIP-29 row-based ops: `"f(a) AS (x, y)"`
+ * call parsing and struct-output expansion. */
+private[api] object RowOps {
+  import org.apache.spark.sql.types.StructType
+  private val asParen = """(?is)^(.*?)\s+AS\s*\(([^)]*)\)\s*$""".r
+  private val asOne = """(?is)^(.*\S)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+
+  /** Split "f(x) AS (a, b)" — or "f(x) AS a" — into (call body,
+   * positional output names; empty = keep the function's own). */
+  def parse(call: String): (String, Seq[String]) = call.trim match {
+    case asParen(b, ns) => (b, SqlLexer.splitTop(ns).map(_.trim).filter(_.nonEmpty))
+    case asOne(b, n) => (b, Seq(n))
+    case c => (c, Nil)
+  }
+
+  /** Expand column `c` (struct → one column per field, atomic → one
+   * column named "f0"), renamed positionally by `names` when given,
+   * with `keep` input columns in front. */
+  def expand(df: DataFrame, c: String, names: Seq[String], keep: Seq[String]): DataFrame = {
+    val out = df.schema(c).dataType match {
+      case st: StructType =>
+        val fs = st.fields.map(_.name).toSeq
+        require(names.isEmpty || names.length == fs.length,
+          s"AS(...) names ${names.length} fields but the function emits ${fs.length}")
+        fs.zipWithIndex.map { case (f, i) =>
+          col(c).getField(f).as(names.lift(i).getOrElse(f)) }
+      case _ => Seq(col(c).as(names.headOption.getOrElse("f0")))
+    }
+    df.select(keep.map(col) ++ out: _*)
+  }
+}
+
+/** FLIP-29 `groupBy(...).aggregate(call).select(...)` (reference
+ * `Table.java:585` → `AggregatedTable`): the aggregate-function call
+ * runs once per group; a struct result expands per field. */
+final class AggregatedTable private[api] (df: DataFrame, keys: Seq[String], call: String) {
+  def select(exprs: String): Table = {
+    val (body, names) = RowOps.parse(call)
+    val agged = df.groupBy(keys.map(col): _*).agg(expr(body).as("__a"))
+    new Table(RowOps.expand(agged, "__a", names, keys)).select(exprs)
+  }
+}
+
+/** FLIP-29 `groupBy(...).flatAggregate(call).select(...)` (reference
+ * `Table.java:619` → `FlatAggregateTable`): a table-aggregate call
+ * emitting 0..n rows per group — the emitted collection explodes into
+ * rows after the aggregation. */
+final class FlatAggregatedTable private[api] (df: DataFrame, keys: Seq[String], call: String) {
+  def select(exprs: String): Table = {
+    val (body, names) = RowOps.parse(call)
+    val agged = df.groupBy(keys.map(col): _*).agg(expr(body).as("__ta"))
+      .select(keys.map(col) :+
+        org.apache.spark.sql.functions.explode(col("__ta")).as("__e"): _*)
+    new Table(RowOps.expand(agged, "__e", names, keys)).select(exprs)
+  }
+}
+
 /** Reference `GroupedTable`: `groupBy(...).select("k, agg(x) AS a")` —
  * the select list mixes grouping keys and aggregate expressions. */
 final class GroupedTable(df: DataFrame, keys: Seq[String]) {
+
+  /** FLIP-29 row-based aggregate — see [[AggregatedTable]]. */
+  def aggregate(call: String): AggregatedTable = new AggregatedTable(df, keys, call)
+
+  /** FLIP-29 row-based table aggregate — see [[FlatAggregatedTable]]. */
+  def flatAggregate(call: String): FlatAggregatedTable = new FlatAggregatedTable(df, keys, call)
 
   def select(exprs: String): Table = {
     val items = SqlLexer.splitTop(exprs).map(_.trim).filter(_.nonEmpty)

@@ -16,6 +16,17 @@ object ExampleFns {
   }
 
   /** Emits (word, 0-based idx, length) rows per document. */
+  /** FLIP-29 map demo: the struct output REPLACES the input row, so
+   * the function carries the id through itself. Token count matches
+   * the oracle's `len(string_split(trim(text), ' '))`; char count is
+   * code points (DuckDB `length` semantics), not UTF-16 units. */
+  class DocShape extends ScalarFunction2[Long, String, (Long, Long, Long)] {
+    override def eval(id: Long, text: String): (Long, Long, Long) = {
+      val t = text.trim
+      (id, t.split(" ").length.toLong, text.codePointCount(0, text.length).toLong)
+    }
+  }
+
   class WordsWithIdx extends TableFunction1[String, (String, Int, Int)] {
     override def eval(text: String): Unit =
       text.split(" ").zipWithIndex.foreach { case (w, i) => collect((w, i, w.length)) }
@@ -115,6 +126,50 @@ object UdfQueries extends QueryPack {
         .select("user_id, event_id, " +
           "sum(floor(value * 100)) OVER w AS running_cents")
         .orderBy("user_id.asc, event_id.asc")
+        .toDataFrame
+    }),
+
+    // FLIP-29 row-based map: the registered scalar call's struct
+    // output replaces the row, renamed positionally via AS (…).
+    "table_api_map_fn" -> ((s, dir) => {
+      Udfs.register2(s, "doc_shape", new ExampleFns.DocShape)
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") <= 100)
+        .select(col("doc_id"), col("text"))
+      new TableEnv(s).fromDataFrame(docs)
+        .map("doc_shape(doc_id, text) AS (doc_id, n_tokens, n_chars)")
+        .orderBy("doc_id")
+        .toDataFrame
+    }),
+
+    // FLIP-29 joinLateral + flatAggregate chain: correlate each doc
+    // with its words (table function), filter, then a table-aggregate
+    // (Top2) emits up to two rows per group, exploded by the facade.
+    "table_api_row_ops" -> ((s, dir) => {
+      Udfs.registerTable(s, "words_with_idx", new ExampleFns.WordsWithIdx)
+      s.udf.register("top2", udaf(new ExampleFns.Top2))
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") <= 30)
+        .select(col("doc_id"), col("text"))
+      new TableEnv(s).fromDataFrame(docs)
+        .joinLateral("words_with_idx(trim(text)) AS (word, idx, wlen)")
+        .filter("wlen >= 3")
+        .groupBy("doc_id")
+        .flatAggregate("top2(CAST(wlen AS BIGINT)) AS (top_wlen, rank)")
+        .select("doc_id, top_wlen, rank")
+        .orderBy("doc_id, rank")
+        .toDataFrame
+    }),
+
+    // FLIP-29 aggregate(): the AggregateFunction call through the
+    // fluent groupBy().aggregate().select() chain.
+    "table_api_agg_fn" -> ((s, dir) => {
+      s.udf.register("weighted_avg", udaf(new ExampleFns.WeightedAvg))
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      new TableEnv(s).fromDataFrame(li)
+        .groupBy("l_returnflag")
+        .aggregate("weighted_avg(l_quantity, l_extendedprice) AS wavg_cents")
+        .select("l_returnflag, wavg_cents")
+        .orderBy("l_returnflag")
         .toDataFrame
     }),
 
@@ -261,6 +316,26 @@ object UdfQueries extends QueryPack {
                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS BIGINT) AS running_cents
       FROM events ORDER BY user_id, event_id""",
+    "table_api_map_fn" -> """
+      SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents WHERE doc_id <= 100 ORDER BY doc_id""",
+    "table_api_row_ops" -> """
+      WITH w AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+                 FROM documents WHERE doc_id <= 30),
+      f AS (SELECT doc_id, CAST(length(word) AS BIGINT) AS wlen
+            FROM w WHERE length(word) >= 3),
+      r AS (SELECT doc_id, wlen,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY wlen DESC) AS rank
+            FROM f)
+      SELECT doc_id, wlen AS top_wlen, CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 2 ORDER BY doc_id, rank""",
+    "table_api_agg_fn" -> """
+      SELECT l_returnflag,
+             CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                      * CAST(floor(l_quantity) AS BIGINT))
+                  // sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS wavg_cents
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "udf_scalar_fn" -> """
       SELECT o_orderkey,
              CASE WHEN o_totalprice > 200000 THEN 'high'

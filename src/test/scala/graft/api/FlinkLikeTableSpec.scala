@@ -113,6 +113,62 @@ class FlinkLikeTableSpec extends SparkSuite {
         .groupBy("event_type"))
   }
 
+  test("FLIP-29 row ops: map replaces the row, flatMap explodes, lateral joins correlate") {
+    Udfs.register2(spark, "shape_ft", new graft.queries.ExampleFns.DocShape)
+    Udfs.registerTable(spark, "words_ft", new graft.queries.ExampleFns.WordsWithIdx)
+    import spark.implicits._
+    val docs = Seq((1L, "alpha bb c"), (2L, ""), (3L, "dd ee")).toDF("id", "txt")
+    val t = te.fromDataFrame(docs)
+
+    // map: output columns REPLACE the row; AS (...) renames positionally
+    val m = t.map("shape_ft(id, txt) AS (id, n_tok, n_chr)")
+    assert(m.df.columns.toSeq === Seq("id", "n_tok", "n_chr"))
+    assert(m.df.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 3L), (2L, 1L), (3L, 2L)))
+
+    // flatMap: rows replaced by the table function's collected rows
+    val fm = t.filter("id = 1").flatMap("words_ft(txt) AS (word, idx, wlen)")
+    assert(fm.df.columns.toSeq === Seq("word", "idx", "wlen"))
+    assert(fm.df.orderBy("idx").collect().map(_.getString(0)).toSeq ===
+      Seq("alpha", "bb", "c"))
+
+    // joinLateral keeps input columns and drops empty-result rows;
+    // leftOuterJoinLateral null-extends them instead
+    val inner = t.joinLateral("words_ft(txt) AS (word, idx, wlen)")
+    assert(inner.df.columns.toSeq === Seq("id", "txt", "word", "idx", "wlen"))
+    // "" splits to one empty token, so use a function-empty case: filter first
+    val emptyFn = t.joinLateral("filter(words_ft(txt), w -> w._3 >= 2) AS (word, idx, wlen)")
+    assert(emptyFn.df.filter("id = 2").count() === 0)
+    val outer = t.leftOuterJoinLateral("filter(words_ft(txt), w -> w._3 >= 2) AS (word, idx, wlen)")
+    assert(outer.df.filter("id = 2 AND word IS NULL").count() === 1)
+
+    // atomic map output becomes f0
+    val atomic = t.map("length(txt)")
+    assert(atomic.df.columns.toSeq === Seq("f0"))
+
+    // AS(...) arity mismatch is loud
+    intercept[IllegalArgumentException](t.map("shape_ft(id, txt) AS (a, b)").df.collect())
+  }
+
+  test("FLIP-29 aggregate / flatAggregate through the fluent chain") {
+    import org.apache.spark.sql.functions.udaf
+    spark.udf.register("top2_ft", udaf(new graft.queries.ExampleFns.Top2))
+    import spark.implicits._
+    val vals = Seq(("a", 5L), ("a", 9L), ("a", 7L), ("b", 4L)).toDF("k", "v")
+    val fa = te.fromDataFrame(vals).groupBy("k")
+      .flatAggregate("top2_ft(v) AS (top_v, rk)")
+      .select("k, top_v, rk")
+      .orderBy("k, rk")
+    assert(fa.df.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq ===
+      Seq(("a", 9L, 1), ("a", 7L, 2), ("b", 4L, 1)))
+    val ag = te.fromDataFrame(vals).groupBy("k")
+      .aggregate("sum(v) AS sv")
+      .select("k, sv")
+      .orderBy("k")
+    assert(ag.df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("a", 21L), ("b", 4L)))
+  }
+
   test("fluent OVER windows: n.rows frame equals the DataFrame twin; bad preceding is loud") {
     import org.apache.spark.sql.functions._
     val ev = graft.Tables.load(spark, dir, "events")
