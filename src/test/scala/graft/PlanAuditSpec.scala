@@ -649,4 +649,46 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("SelectedBucketsCount: 1 out of 8"),
       s"bucket pruning not applied:\n$p")
   }
+
+  test("hamming rerank: stage 1 is the deliberate broadcast scan, stage 2 fetches via hash joins") {
+    val p = plan(graft.queries.SimilarityQueries.queries("sim_hamming_rerank")(spark, dir))
+    // the only nested-loop is the 10-query broadcast against the
+    // packed sign words; the vector fetch for the 20-per-query
+    // shortlist must be equi (hash) joins, never a second all-pairs
+    val tree = p.split("\n\n", 2)(0)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(tree).size == 1,
+      s"expected exactly the one deliberate broadcast scan stage:\n$p")
+    assert(!p.contains("CartesianProduct"), s"rerank fell to a shuffled cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"vector fetch not a hash join:\n$p")
+  }
+
+  test("MRL funnel: prefix stage broadcast-scans, full-dim rerank joins back equi") {
+    val p = plan(graft.queries.SimilarityQueries.queries("sim_mrl_funnel")(spark, dir))
+    val tree = p.split("\n\n", 2)(0)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(tree).size == 1,
+      s"expected exactly the one deliberate prefix-scan stage:\n$p")
+    assert(!p.contains("CartesianProduct"), s"funnel fell to a shuffled cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"full-vector fetch not a hash join:\n$p")
+  }
+
+  test("runtime bloom filter: a selective dim side injects might_contain into the fact scan") {
+    // Spark's InjectRuntimeFilter (the runtime row-level semi-join
+    // pre-filter — the 100-TB lever that skips fact rows whose key
+    // cannot match a filtered dim) must fire on a shuffle join whose
+    // build side is selective. Thresholds drop to fixture scale; the
+    // conf keys are public SQLConf entries.
+    withSQLConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtimeFilter.number.threshold" -> "10",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val li = Tables.load(spark, dir, "lineitem")
+      val ord = Tables.load(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val p = plan(li.join(ord, col("l_orderkey") === col("o_orderkey")))
+      assert(p.contains("might_contain"),
+        s"runtime bloom filter not injected into the probe side:\n$p")
+    }
+  }
 }

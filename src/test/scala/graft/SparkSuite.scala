@@ -8,6 +8,19 @@ import org.scalatest.funsuite.AnyFunSuite
  * the forked test JVM). */
 trait SparkSuite extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSuite.session
+
+  /** Run `body` with the given SQL confs set, restoring the previous
+   * values (or unsetting) afterwards — the shared session must not
+   * leak per-test configuration into later suites. */
+  def withSQLConf[A](pairs: (String, String)*)(body: => A): A = {
+    val conf = spark.conf
+    val saved = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try body finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
 
 object SparkSuite {
