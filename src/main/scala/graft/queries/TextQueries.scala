@@ -549,6 +549,29 @@ object TextQueries extends QueryPack {
         .orderBy(col("cnt").desc, col("a"), col("b")).limit(10)
     }),
 
+    // Three CHAINED merge rounds (the trainer loop itself): each round
+    // recounts pairs on the post-merge corpus, takes the argmax, and
+    // applies it — so later merges can consume earlier merge products
+    // ("t h"→"th", then "th e"→"the"). Output: the 15 most frequent
+    // words with their final segmentations. Per round the plan is one
+    // pair-count shuffle + a broadcast of the 1-row argmax — the
+    // vocabulary-sized iteration a distributed BPE trainer runs.
+    "text_bpe_encode" -> ((s, dir) => {
+      val merged3 = (1 to 3).foldLeft(bpeWords(s, dir)) { (w, _) =>
+        val best = bpePairCounts(w)
+          .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+          .select(col("a").as("ma"), col("b").as("mb"))
+        w.crossJoin(broadcast(best))
+          .withColumn("padded", expr(
+            "replace(padded, concat(' ', ma, ' ', mb, ' '), concat(' ', ma, mb, ' '))"))
+          .drop("ma", "mb")
+      }
+      merged3
+        .select(col("word"), col("freq"), trim(col("padded")).as("seg"))
+        .withColumn("n_sym", size(split(col("seg"), " ")).cast("bigint"))
+        .orderBy(col("freq").desc, col("word")).limit(15)
+    }),
+
     "text_pack_sequences" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.load(s, dir, "documents")
@@ -873,6 +896,34 @@ object TextQueries extends QueryPack {
         WHERE len(syms) >= 2 GROUP BY a, b)
       SELECT merge_a, merge_b, a, b, cnt
       FROM pc2, best ORDER BY cnt DESC, a, b LIMIT 10""",
+    "text_bpe_encode" -> s"""
+      WITH $bpePcCte,
+      b1 AS (SELECT a AS ma, b AS mb FROM pc ORDER BY cnt DESC, a, b LIMIT 1),
+      w1 AS (SELECT word, freq,
+                    replace(padded, ' ' || ma || ' ' || mb || ' ',
+                            ' ' || ma || mb || ' ') AS padded
+             FROM wp, b1),
+      s2 AS (SELECT freq, string_split(trim(padded), ' ') AS syms FROM w1),
+      pc2 AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+              FROM s2, unnest(generate_series(1, len(syms) - 1)) AS g(i)
+              WHERE len(syms) >= 2 GROUP BY a, b),
+      b2 AS (SELECT a AS ma, b AS mb FROM pc2 ORDER BY cnt DESC, a, b LIMIT 1),
+      w2 AS (SELECT word, freq,
+                    replace(padded, ' ' || ma || ' ' || mb || ' ',
+                            ' ' || ma || mb || ' ') AS padded
+             FROM w1, b2),
+      s3 AS (SELECT freq, string_split(trim(padded), ' ') AS syms FROM w2),
+      pc3 AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+              FROM s3, unnest(generate_series(1, len(syms) - 1)) AS g(i)
+              WHERE len(syms) >= 2 GROUP BY a, b),
+      b3 AS (SELECT a AS ma, b AS mb FROM pc3 ORDER BY cnt DESC, a, b LIMIT 1),
+      w3 AS (SELECT word, freq,
+                    replace(padded, ' ' || ma || ' ' || mb || ' ',
+                            ' ' || ma || mb || ' ') AS padded
+             FROM w2, b3)
+      SELECT word, freq, trim(padded) AS seg,
+             CAST(len(string_split(trim(padded), ' ')) AS BIGINT) AS n_sym
+      FROM w3 ORDER BY freq DESC, word LIMIT 15""",
     "text_fingerprint" -> """
       WITH t AS (
         SELECT doc_id, trim(lower(text)) AS norm,
