@@ -461,6 +461,49 @@ object Pregel {
       max(col("deg")).as("max_degree"))
   }
 
+  /** Edge metrics (reference Gelly
+   * `library/metric/undirected/EdgeMetrics.java:91`): per vertex s,
+   * `low` counts incident edges where s is the LOW-order endpoint
+   * (d(s) < d(t), ties by id) — then triangle triplets per vertex =
+   * C(low, 2) and rectangle triplets = C(low, 2) + low·(d − low),
+   * summed and maxed over vertices. One degree self-join plus two
+   * aggregates; all integers (C(low, 2) is exact — the numerator is
+   * even and non-negative, so div has no floor/truncate divergence). */
+  def edgeMetrics(edges: DataFrame): DataFrame = {
+    val undirected = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = undirected.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val st = undirected
+      .join(deg.select(col("id"), col("deg").as("ds")), col("src") === col("id")).drop("id")
+      .join(deg.select(col("id"), col("deg").as("dt")), col("dst") === col("id")).drop("id")
+    val stats = st
+      .withColumn("is_low",
+        (col("ds") < col("dt")) || (col("ds") === col("dt") && col("src") < col("dst")))
+      .groupBy(col("src"))
+      .agg(max(col("ds")).as("deg"),
+        sum(when(col("is_low"), 1L).otherwise(0L)).as("low"))
+    stats
+      .select(expr("low * (low - 1) div 2").as("tt"),
+        expr("low * (low - 1) div 2 + low * (deg - low)").as("rt"))
+      .agg(sum(col("tt")).as("triangle_triplet_count"),
+        sum(col("rt")).as("rectangle_triplet_count"),
+        max(col("tt")).as("max_triangle_triplets"),
+        max(col("rt")).as("max_rectangle_triplets"))
+  }
+
+  /** Average clustering coefficient (reference Gelly
+   * `.../clustering/undirected/AverageClusteringCoefficient.java:47`):
+   * mean of the per-vertex local scores, vertices with no neighbor
+   * pair scoring 0. Scores live on a 1e-6 integer grid so the mean is
+   * order-independent (a double sum would be partition-order noise). */
+  def averageClustering(edges: DataFrame): DataFrame =
+    localClustering(edges)
+      .select(expr("""CASE WHEN n_pairs = 0 THEN CAST(0 AS BIGINT)
+                      ELSE (n_tri * CAST(1000000 AS BIGINT)) div n_pairs END""").as("cc_x1e6"))
+      .agg(count(lit(1)).as("n_vertices"),
+        expr("sum(cc_x1e6) div count(1)").as("avg_cc_x1e6"))
+
   /** Triangle enumeration (reference
    * `flink-gelly/.../library/TriangleEnumerator.java`): canonicalize
    * each edge to (lo < hi), build wedges a<b<c by joining edge lists on

@@ -161,6 +161,20 @@ object GraphQueries extends QueryPack {
       Pregel.vertexMetrics(generalEdges(s, dir))
     }),
 
+    // Edge metrics (reference Gelly metric/undirected/EdgeMetrics):
+    // triangle/rectangle triplet counts and maxima from per-vertex
+    // low-order incident-edge counts.
+    "graph_edge_metrics" -> ((s, dir) => {
+      Pregel.edgeMetrics(generalEdges(s, dir))
+    }),
+
+    // Average clustering coefficient (reference Gelly
+    // AverageClusteringCoefficient): mean local score on the 1e-6
+    // integer grid.
+    "graph_avg_clustering" -> ((s, dir) => {
+      Pregel.averageClustering(generalEdges(s, dir))
+    }),
+
     // Local clustering coefficient (reference Gelly
     // LocalClusteringCoefficient): per-vertex exact (degree,
     // incident triangles, neighbor pairs) — score = n_tri / n_pairs.
@@ -439,6 +453,51 @@ object GraphQueries extends QueryPack {
       SELECT a, b, CAST(sum(wq) AS BIGINT) AS score_q
       FROM tp JOIN wq USING (z)
       GROUP BY 1, 2 ORDER BY a, b""",
+    "graph_edge_metrics" -> """
+      WITH raw AS (
+        SELECT DISTINCT user_id AS s, CAST(floor(value * 100) AS BIGINT) % 150 AS d
+        FROM events WHERE event_id % 20 = 0),
+      ed AS (SELECT DISTINCT least(s, d) AS lo, greatest(s, d) AS hi
+             FROM raw WHERE s <> d),
+      edges AS (SELECT lo AS src, hi AS dst FROM ed
+                UNION SELECT hi, lo FROM ed),
+      deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+      st AS (SELECT e.src, e.dst, a.deg AS ds, b.deg AS dt
+             FROM edges e JOIN deg a ON e.src = a.id JOIN deg b ON e.dst = b.id),
+      stats AS (SELECT src, max(ds) AS deg,
+                       CAST(sum(CASE WHEN ds < dt OR (ds = dt AND src < dst)
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS low
+                FROM st GROUP BY src),
+      tr AS (SELECT low * (low - 1) // 2 AS tt,
+                    low * (low - 1) // 2 + low * (deg - low) AS rt
+             FROM stats)
+      SELECT CAST(sum(tt) AS BIGINT) AS triangle_triplet_count,
+             CAST(sum(rt) AS BIGINT) AS rectangle_triplet_count,
+             CAST(max(tt) AS BIGINT) AS max_triangle_triplets,
+             CAST(max(rt) AS BIGINT) AS max_rectangle_triplets
+      FROM tr""",
+    "graph_avg_clustering" -> """
+      WITH raw AS (
+        SELECT DISTINCT user_id AS s, CAST(floor(value * 100) AS BIGINT) % 150 AS d
+        FROM events WHERE event_id % 20 = 0),
+      ed AS (SELECT DISTINCT least(s, d) AS lo, greatest(s, d) AS hi
+             FROM raw WHERE s <> d),
+      deg AS (SELECT id, count(*) AS degree FROM (
+                SELECT lo AS id FROM ed UNION ALL SELECT hi FROM ed) GROUP BY id),
+      ab AS (SELECT lo AS a, hi AS b FROM ed),
+      bc AS (SELECT lo AS b, hi AS c FROM ed),
+      ac AS (SELECT lo AS a, hi AS c FROM ed),
+      tri AS (SELECT a, b, c FROM ab JOIN bc USING (b) JOIN ac USING (a, c)),
+      tpv AS (SELECT id, count(*) AS n_tri FROM (
+                SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri) GROUP BY id),
+      cc AS (SELECT CASE WHEN degree * (degree - 1) // 2 = 0 THEN 0
+                         ELSE CAST(coalesce(n_tri, 0) AS BIGINT) * 1000000
+                              // (degree * (degree - 1) // 2) END AS cc_x1e6
+             FROM deg LEFT JOIN tpv ON deg.id = tpv.id)
+      SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+             CAST(sum(cc_x1e6) // count(*) AS BIGINT) AS avg_cc_x1e6
+      FROM cc""",
     "graph_local_clustering" -> """
       WITH raw AS (
         SELECT DISTINCT user_id AS s, CAST(floor(value * 100) AS BIGINT) % 150 AS d
