@@ -549,6 +549,28 @@ object TextQueries extends QueryPack {
         .orderBy(col("cnt").desc, col("a"), col("b")).limit(10)
     }),
 
+    // CHARACTER-ENTROPY quality signal (the CCNet/C4-family gibberish
+    // and boilerplate detector: natural text sits in a mid-entropy
+    // band — repeated-char spam scores low, uniform noise high). Per
+    // doc H = (1/N)·Σ n_c·(ln N − ln n_c) on the 1e-6 integer ln grid
+    // (same quantization as text_unigram_logprob), so the per-doc
+    // reduction is exact integer arithmetic. Two shuffles: the
+    // (doc, char) count and the per-doc roll-up.
+    "text_char_entropy" -> ((s, dir) => {
+      val chars = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(split(trim(lower(col("text"))), "")).as("ch"))
+        .filter(col("ch") =!= "")
+      val counts = chars.groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("nc"))
+      val tot = counts.groupBy(col("doc_id")).agg(sum(col("nc")).as("n"))
+      counts.join(tot, Seq("doc_id"))
+        .select(col("doc_id"), col("n"),
+          (col("nc") * (floor(lit(1e6) * log(col("n").cast("double"))).cast("long")
+            - floor(lit(1e6) * log(col("nc").cast("double"))).cast("long"))).as("term"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("n")).as("n_chars"), expr("sum(term) div max(n)").as("ent_x1e6"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Three CHAINED merge rounds (the trainer loop itself): each round
     // recounts pairs on the post-merge corpus, takes the argmax, and
     // applies it — so later merges can consume earlier merge products
@@ -896,6 +918,21 @@ object TextQueries extends QueryPack {
         WHERE len(syms) >= 2 GROUP BY a, b)
       SELECT merge_a, merge_b, a, b, cnt
       FROM pc2, best ORDER BY cnt DESC, a, b LIMIT 10""",
+    "text_char_entropy" -> """
+      WITH ch AS (
+        SELECT doc_id, unnest(string_split(trim(lower(text)), '')) AS ch
+        FROM documents),
+      chf AS (SELECT doc_id, ch FROM ch WHERE ch <> ''),
+      cnt AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS nc
+              FROM chf GROUP BY doc_id, ch),
+      tot AS (SELECT doc_id, CAST(sum(nc) AS BIGINT) AS n FROM cnt GROUP BY doc_id),
+      terms AS (SELECT c.doc_id, t.n,
+                       nc * (CAST(floor(1e6 * ln(CAST(n AS DOUBLE))) AS BIGINT)
+                             - CAST(floor(1e6 * ln(CAST(nc AS DOUBLE))) AS BIGINT)) AS term
+                FROM cnt c JOIN tot t ON c.doc_id = t.doc_id)
+      SELECT doc_id, max(n) AS n_chars,
+             CAST(sum(term) // max(n) AS BIGINT) AS ent_x1e6
+      FROM terms GROUP BY doc_id ORDER BY doc_id""",
     "text_bpe_encode" -> s"""
       WITH $bpePcCte,
       b1 AS (SELECT a AS ma, b AS mb FROM pc ORDER BY cnt DESC, a, b LIMIT 1),
