@@ -103,7 +103,22 @@ object SimilarToSql {
           end = afterEsc
         case _ => ()
       }
-      val regex = toJavaRegex(pat, escape).replace("'", "''")
+      // Two Spark-side text hazards when re-embedding the regex as a
+      // SQL string literal (both found by SimilarToDifferentialSpec):
+      //  - the parser treats backslash as a C-style escape inside
+      //    string literals (default spark.sql.parser.escapedStringLiterals
+      //    =false), so the regex's literalizing backslashes (\| \. \^)
+      //    must be doubled or the pattern's literal metacharacters
+      //    silently turn into live regex operators;
+      //  - ${...} variable substitution runs over the RAW query text
+      //    before parsing, so a literal-$ directly before { (e.g.
+      //    pattern '${2,}' → regex '\${2,}') would be substituted
+      //    away — rewrite literal $ to its hex form \x24 first. The
+      //    trailing anchor $ is the last char and can never start ${.
+      val regex = toJavaRegex(pat, escape)
+        .replace("\\$", "\\x24") // literal $ outside classes
+        .replace("${", "\\x24{") // $ as a class member directly before {
+        .replace("\\", "\\\\").replace("'", "''")
       val operand = q.substring(opStart, opEnd)
       val call = s"regexp_like($operand, '$regex')"
       val repl = if (negated) s"(NOT $call)" else s"($call)"
