@@ -515,6 +515,38 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Bigram LM log-probability (the unigram signal one order up —
+    // CCNet's KenLM perplexity filter reduced to a distributable
+    // bigram model trained on the corpus itself): per-token lead()
+    // forms ordered bigrams, corpus counts give P(w2|w1)=c12/c1, and
+    // the per-doc sum of floor(1e6·ln(c12/c1)) on the integer grid is
+    // the fit score (every doc bigram is in the model, so no
+    // smoothing term is needed). All shuffles are equi-keys and the
+    // model tables are vocabulary-sized — the per-doc window is the
+    // only row-scale exchange, the same shape at 100 TB.
+    "text_bigram_logprob" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(trim(lower(col("text"))), " ")).as(Seq("pos", "w1")))
+      val big = toks
+        .withColumn("w2",
+          lead(col("w1"), 1).over(Window.partitionBy("doc_id").orderBy("pos")))
+        .filter(col("w2").isNotNull)
+        .select(col("doc_id"), col("w1"), col("w2"))
+      val c12 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      val lp = c12.join(c1, Seq("w1"))
+        .select(col("w1"), col("w2"),
+          floor(lit(1e6) * log(col("c12").cast("double") / col("c1")))
+            .cast("long").as("lp_q"))
+      big.join(lp, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_q")).as("sum_lp_q"))
+        .filter(col("n_bigrams") >= 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // Distributed BPE trainer round (Sennrich et al. 2016, the
     // tokenizer-training inner loop at corpus scale): pair statistics
     // are computed over the DISTINCT-WORD table weighted by corpus
@@ -897,6 +929,29 @@ object TextQueries extends QueryPack {
              CAST(sum(q.lp_q) AS BIGINT) AS sum_lp_q
       FROM toks t JOIN q USING (tok)
       GROUP BY t.doc_id
+      HAVING count(*) >= 5
+      ORDER BY doc_id""",
+    "text_bigram_logprob" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(trim(lower(text)), ' ')) AS w1,
+               unnest(range(1, len(string_split(trim(lower(text)), ' ')) + 1)) AS pos
+        FROM documents),
+      big AS (
+        SELECT doc_id, w1,
+               lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks),
+      bigf AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
+      cnt12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                FROM bigf GROUP BY w1, w2),
+      cnt1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM cnt12 GROUP BY w1),
+      lp AS (SELECT cnt12.w1, cnt12.w2,
+                    CAST(floor(1e6 * ln(CAST(c12 AS DOUBLE) / c1)) AS BIGINT) AS lp_q
+             FROM cnt12 JOIN cnt1 ON cnt12.w1 = cnt1.w1)
+      SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(lp.lp_q) AS BIGINT) AS sum_lp_q
+      FROM bigf b JOIN lp ON b.w1 = lp.w1 AND b.w2 = lp.w2
+      GROUP BY b.doc_id
       HAVING count(*) >= 5
       ORDER BY doc_id""",
     "text_bpe_pair_counts" -> s"""
