@@ -264,6 +264,40 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // KEEP-ONE span dedup (C4's actual rule — "we removed all but one
+    // of any span occurring more than once", vs text_chunk_dedup's
+    // remove-everywhere-hot): per duplicated chunk the canonical
+    // occurrence is the (doc_id, chunk_pos) min; every other
+    // occurrence is dropped and docs reassemble in position order.
+    // The winner table is one min_by aggregate over the chunk key —
+    // chunk-vocabulary-sized, a plain equi-join back (NOT broadcast:
+    // at 100 TB the winner table scales with the corpus), and the
+    // reassembly groupBy. Every shuffle is an equi-key exchange.
+    "text_span_dedup_keep_one" -> ((s, dir) => {
+      val chunks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, cast(ceil(size(w) / 10.0) as int) - 1), " +
+          "c -> concat_ws(' ', slice(w, c * 10 + 1, 10)))")))
+        .withColumnRenamed("pos", "chunk_pos").withColumnRenamed("col", "chunk")
+      val winner = chunks.groupBy(col("chunk")).agg(
+        min(struct(col("doc_id"), col("chunk_pos"))).as("win"))
+      val kept = chunks.join(winner, Seq("chunk"))
+        .filter(col("doc_id") === col("win.doc_id") &&
+          col("chunk_pos") === col("win.chunk_pos"))
+      chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+        .join(
+          kept.groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_kept"),
+              array_join(expr("transform(sort_array(collect_list(struct(chunk_pos, chunk))), x -> x.chunk)"),
+                " ").as("clean_text")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token counting: whitespace tokens vs regex word tokens vs uniques.
     "text_token_count" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -853,6 +887,29 @@ object TextQueries extends QueryPack {
         SELECT c.doc_id, c.chunk_pos, c.chunk
         FROM chunks c LEFT JOIN hot h ON c.chunk = h.chunk
         WHERE h.chunk IS NULL)
+      SELECT a.doc_id, CAST(a.n_chunks AS BIGINT) AS n_chunks,
+             CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+             coalesce(k.clean_text, '') AS clean_text
+      FROM (SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY doc_id) a
+      LEFT JOIN (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(chunk, ' ' ORDER BY chunk_pos) AS clean_text
+        FROM kept GROUP BY doc_id) k ON a.doc_id = k.doc_id
+      ORDER BY a.doc_id""",
+    "text_span_dedup_keep_one" -> """
+      WITH words AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+      chunks AS (
+        SELECT doc_id, c AS chunk_pos,
+               array_to_string(w[c * 10 + 1 : c * 10 + 10], ' ') AS chunk
+        FROM words, unnest(generate_series(0, CAST(ceil(len(w) / 10.0) AS INT) - 1)) AS t(c)),
+      winner AS (
+        SELECT chunk, min(struct_pack(doc_id := doc_id, chunk_pos := chunk_pos)) AS win
+        FROM chunks GROUP BY chunk),
+      kept AS (
+        SELECT c.doc_id, c.chunk_pos, c.chunk
+        FROM chunks c JOIN winner v ON c.chunk = v.chunk
+        WHERE c.doc_id = v.win.doc_id AND c.chunk_pos = v.win.chunk_pos)
       SELECT a.doc_id, CAST(a.n_chunks AS BIGINT) AS n_chunks,
              CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
              coalesce(k.clean_text, '') AS clean_text
