@@ -641,15 +641,24 @@ object Ddl {
 
   /** Reconstructed DDL for SHOW CREATE TABLE — parses back via
    * [[parse]] to an identical [[TableDef]]. */
+  /** SQL text of a watermark's offset (right of `col -`): literal
+   * offsets re-render as `INTERVAL 'n' UNIT`; "expr:"-marked offsets
+   * re-emit the original expression verbatim — so SHOW CREATE TABLE /
+   * DESCRIBE output re-parses through [[parse]] to the same def. */
+  private def wmOffsetSql(w: WatermarkDef): String =
+    if (w.delay.startsWith("expr:")) w.delay.drop(5)
+    else {
+      val Array(n, unit) = w.delay.split(" ", 2)
+      s"INTERVAL '$n' $unit"
+    }
+
   private def showCreate(t: TableDef): String = {
     val cols = t.physical.map(c => s"  ${c.name} ${c.typ}") ++
       t.metadata.map(m => s"  ${m.name} ${m.typ} METADATA FROM '${m.key}'" +
         (if (m.virtual) " VIRTUAL" else "")) ++
       t.computed.map(c => s"  ${c.name} AS ${c.sqlExpr}") ++
-      t.watermark.toSeq.map { w =>
-        val Array(n, unit) = w.delay.split(" ", 2)
-        s"  WATERMARK FOR ${w.column} AS ${w.column} - INTERVAL '$n' $unit"
-      }
+      t.watermark.toSeq.map(w =>
+        s"  WATERMARK FOR ${w.column} AS ${w.column} - ${wmOffsetSql(w)}")
     val partClause =
       if (t.partitionedBy.isEmpty) ""
       else t.partitionedBy.mkString(" PARTITIONED BY (", ", ", ")")
@@ -693,10 +702,8 @@ object Ddl {
     val resolved = spark.table(name).schema
     def typeOf(c: String): String = resolved(c).dataType.sql
     def wmOf(c: String): Option[String] =
-      t.watermark.filter(_.column == c).map { w =>
-        val Array(n, unit) = w.delay.split(" ", 2)
-        s"${w.column} - INTERVAL '$n' $unit"
-      }
+      t.watermark.filter(_.column == c)
+        .map(w => s"${w.column} - ${wmOffsetSql(w)}")
     val rows =
       t.physical.map(c => org.apache.spark.sql.Row(
         c.name, typeOf(c.name), true, null, null, wmOf(c.name).orNull)) ++

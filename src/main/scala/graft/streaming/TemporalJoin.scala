@@ -101,8 +101,14 @@ object TemporalJoin {
             } else pending ::= ((r.time_us, r.seq, r.probe.get))
           }
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          // Strict release: a probe AT the watermark could still gain a
-          // same-instant dim version from a later batch — hold it.
+          // Strict release: `getCurrentWatermarkMs` is the EVICTION
+          // watermark (advanced by this batch), while Spark's late-row
+          // filter admits arrivals above the PREVIOUS batch's watermark
+          // — so a dim version with time in (wm_prev, wm_evict] can
+          // still arrive in a later batch. A probe AT the eviction
+          // watermark must therefore hold; rows at-or-below wm_prev are
+          // dropped by the exec-level late filter before reaching here
+          // (the stateful-operator late-data contract).
           val (ready, still) = pending.partition(_._1 < wmUs)
           val out = ready.sortBy(r => (r._1, r._2)).map { case (t, _, p) =>
             // newest version at-or-before the probe time: first hit in

@@ -58,4 +58,73 @@ class CachedLookupSpec extends AnyFunSuite {
     t.lookup(1L) // refreshed at t=100, fresh again until 200
     assert(inner.calls == 2)
   }
+
+  test("randomized: cache is transparent over a static table and never amplifies store traffic") {
+    val seed = 20260815L
+    val rnd = new scala.util.Random(seed)
+    for (case_ <- 0 until 50) {
+      val inner = new CountingTable
+      var now = 0L
+      val maxRows = 1 + rnd.nextInt(8)
+      val ttl = 1L + rnd.nextInt(200)
+      val t = new CachedLookupTable(inner, maxRows, ttl, clock = () => now)
+      t.open()
+      val keySpace = 1 + rnd.nextInt(12)
+      val n = 30 + rnd.nextInt(70)
+      for (_ <- 0 until n) {
+        now += rnd.nextInt(40)
+        val k = rnd.nextInt(keySpace).toLong - 2 // includes miss keys (< 0)
+        val got = t.lookup(k)
+        val want = if (k >= 0) Some(s"v$k") else None
+        assert(got == want,
+          s"case $case_ (seed $seed): cached lookup($k) = $got, direct = $want " +
+          s"[maxRows=$maxRows ttl=$ttl]")
+      }
+      assert(inner.calls <= n, "cache amplified store traffic")
+    }
+  }
+
+  test("randomized: with capacity >= key space and no expiry, store traffic is one call per distinct key") {
+    val seed = 77L
+    val rnd = new scala.util.Random(seed)
+    for (case_ <- 0 until 20) {
+      val inner = new CountingTable
+      val keySpace = 1 + rnd.nextInt(10)
+      val t = new CachedLookupTable(inner, maxRows = keySpace + 2,
+        ttlMs = Long.MaxValue / 2, clock = () => 0L)
+      t.open()
+      val ks = Vector.fill(40 + rnd.nextInt(60))(rnd.nextInt(keySpace).toLong)
+      ks.foreach(t.lookup)
+      assert(inner.calls == ks.distinct.size,
+        s"case $case_ (seed $seed): expected exactly one store call per " +
+        s"distinct key, got ${inner.calls} for ${ks.distinct.size} keys")
+    }
+  }
+
+  /** Inner table whose value changes every time the clock moves — the
+   * returned value encodes the read time, so staleness is observable. */
+  private class VersionedTable(clock: () => Long)
+    extends LookupJoin.LookupTable[Long, String] {
+    override def lookup(k: Long): Option[String] = Some(s"$k@${clock()}")
+  }
+
+  test("randomized: every served value is at most ttl old (reference staleness contract)") {
+    val seed = 4242L
+    val rnd = new scala.util.Random(seed)
+    for (case_ <- 0 until 30) {
+      var now = 0L
+      val ttl = 10L + rnd.nextInt(150)
+      val t = new CachedLookupTable(new VersionedTable(() => now),
+        maxRows = 1 + rnd.nextInt(6), ttlMs = ttl, clock = () => now)
+      t.open()
+      for (_ <- 0 until 80) {
+        now += rnd.nextInt(30)
+        val k = rnd.nextInt(8).toLong
+        val readAt = t.lookup(k).get.split('@')(1).toLong
+        assert(now - readAt < ttl,
+          s"case $case_ (seed $seed): served a value read at $readAt when " +
+          s"now=$now, ttl=$ttl — staleness bound violated")
+      }
+    }
+  }
 }
