@@ -956,6 +956,46 @@ object StreamQueries extends QueryPack {
         .orderBy(col("user_id"), col("ws"))
     }),
 
+    // Allowed-lateness window refiring (reference
+    // WindowedStream.allowedLateness): the early-hour rows arrive as a
+    // LATE second micro-batch below the batch-1 watermark; windows the
+    // watermark already closed fire first with on-time content, then
+    // re-fire cumulatively for the late-but-allowed arrivals. The gate
+    // checks the changelog contract: the max-fire_seq image per window
+    // equals the batch aggregate, and the firing COUNT is exactly 2 for
+    // windows that were due at the late batch and received late rows,
+    // 1 otherwise.
+    "stream_window_late_refire" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val out = graft.streaming.LateCapture.tumbleWithLateness(
+        StreamOps.eventsTypedLateSplitWithSentinels(s, dir, 3600L * 1000000),
+        15L * 60 * 1000000, 400L * 86400 * 1000000)
+      StreamOps.runToBatch(s, out.toDF(), "append", "stream_latref")
+        .filter(col("kind") =!= "late")
+        .groupBy(col("user_id"), col("ws_us"))
+        .agg(max_by(struct(col("n"), col("sum_cents")), col("fire_seq")).as("fin"),
+          count(lit(1)).as("fires"))
+        .select(col("user_id"), col("ws_us"), col("fin.n").as("n"),
+          col("fin.sum_cents").as("sum_cents"), col("fires"))
+        .orderBy(col("user_id"), col("ws_us"))
+    }),
+
+    // Degenerate lateness = 0: every below-watermark arrival is beyond
+    // the lateness horizon, so the SAME operator reproduces pure
+    // sideOutputLateData semantics with REAL late rows (the existing
+    // stream_window_late_capture gate replays in order, so its late
+    // side is provably empty; this one exercises the capture path).
+    "stream_window_lateness_capture" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val out = graft.streaming.LateCapture.tumbleWithLateness(
+        StreamOps.eventsTypedLateSplitWithSentinels(s, dir, 3600L * 1000000),
+        15L * 60 * 1000000, 0L)
+      StreamOps.runToBatch(s, out.toDF(), "append", "stream_latcap0")
+        .select(col("kind"), col("user_id"), col("ws_us"),
+          col("n"), col("sum_cents"), col("late_event_id"))
+        .orderBy(col("kind"), col("user_id"), col("ws_us"), col("late_event_id"))
+    }),
+
     // Retraction-aware streaming join (reference StreamingJoinOperator):
     // customer (right upserts) ⋈ latest-order-per-customer (left
     // upserts) through one keyed state op; every change emits -U/+U
@@ -1596,6 +1636,37 @@ object StreamQueries extends QueryPack {
       FROM events
       GROUP BY user_id, ws
       ORDER BY user_id, ws""",
+    "stream_window_late_refire" -> """
+      WITH b AS (SELECT user_id, event_id, value,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      m AS (SELECT min(us) AS mn FROM b),
+      wm AS (SELECT (max(us) // 1000) * 1000 AS wm1 FROM b, m WHERE us >= mn + 3600000000),
+      w AS (SELECT user_id,
+              us - us % 900000000 AS ws_us,
+              us >= (SELECT mn FROM m) + 3600000000 AS ontime,
+              CAST(floor(value * 100) AS BIGINT) AS cents FROM b)
+      SELECT user_id, ws_us, count(*) AS n,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             CAST(CASE WHEN bool_or(ontime) AND bool_or(NOT ontime)
+                        AND ws_us + 900000000 <= (SELECT wm1 FROM wm)
+                  THEN 2 ELSE 1 END AS BIGINT) AS fires
+      FROM w GROUP BY user_id, ws_us ORDER BY user_id, ws_us""",
+    "stream_window_lateness_capture" -> """
+      WITH b AS (SELECT user_id, event_id, value,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      m AS (SELECT min(us) AS mn FROM b)
+      SELECT 'agg' AS kind, user_id, us - us % 900000000 AS ws_us,
+             count(*) AS n,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+             CAST(-1 AS BIGINT) AS late_event_id
+      FROM b, m WHERE us >= mn + 3600000000
+      GROUP BY user_id, ws_us
+      UNION ALL
+      SELECT 'late' AS kind, user_id, us - us % 900000000 AS ws_us,
+             CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS sum_cents,
+             event_id AS late_event_id
+      FROM b, m WHERE us < mn + 3600000000
+      ORDER BY kind, user_id, ws_us, late_event_id""",
     "stream_retract_join" -> """
       SELECT c.c_custkey AS key, o.o_orderkey, o.o_totalprice, c.c_acctbal
       FROM customer c JOIN (

@@ -14,6 +14,18 @@ case class LateWinRow(kind: String, user_id: Long, ws_us: Long,
 /** Per-key open windows: (window_start_us, count, cent_sum). */
 case class LateCapState(windows: List[(Long, Long, Long)])
 
+/** Output of [[LateCapture.tumbleWithLateness]]: `agg` rows are a
+ * window's FIRST firing (fire_seq = 0), `update` rows its cumulative
+ * re-firings for late-but-allowed arrivals (fire_seq 1, 2, …), `late`
+ * rows the beyond-lateness captures (fire_seq = -1, late_event_id
+ * set). */
+case class LatenessWinRow(kind: String, user_id: Long, ws_us: Long,
+    fire_seq: Long, n: Long, sum_cents: Long, late_event_id: Long)
+
+/** Per-key window state for [[LateCapture.tumbleWithLateness]]:
+ * (window_start_us, count, cent_sum, fires_so_far, fired). */
+case class LatenessState(windows: List[(Long, Long, Long, Long, Boolean)])
+
 /**
  * Tumbling event-time window aggregation WITH late-data side capture —
  * the reference's `WindowedStream.java:108` `sideOutputLateData`
@@ -68,6 +80,84 @@ object LateCapture {
             out += LateWinRow("agg", key, ws, n, c, -1L)
           }
           state.update(LateCapState(open.toList.map(w => (w._1, w._2._1, w._2._2))))
+          out.result().iterator
+      })
+  }
+
+  /**
+   * Tumbling event-time windows with ALLOWED LATENESS — the reference's
+   * `WindowedStream.java:108` `allowedLateness(Time)` +
+   * `sideOutputLateData` composition: a window fires when the watermark
+   * passes its end, then KEEPS its state for `latenessUs`; an element
+   * arriving in (end, end + lateness] re-fires the window with the
+   * cumulative (updated) result, and an element beyond the lateness
+   * horizon goes to the late side instead (`EventTimeTrigger.onElement`
+   * returning FIRE for late-but-allowed elements). `fire_seq` orders a
+   * window's firings, so a changelog consumer keeps the max-seq image.
+   *
+   * Micro-batch firing discipline: on each invocation, (1) windows that
+   * became due fire FIRST with their previously-accumulated content —
+   * the watermark that closed them conceptually precedes this batch's
+   * elements — then (2) the batch's rows accumulate (or are captured if
+   * beyond lateness), and (3) touched windows emit: already-fired ones
+   * as `update`, newly-created already-due ones as their first `agg`.
+   * State evicts a window only once the watermark passes
+   * end + lateness, so state stays watermark-bounded with the lateness
+   * horizon added — exactly the reference's window-state cost model.
+   * Same NoTimeout + keyed-sentinel discipline as [[tumble]] (late rows
+   * are the operator's input, so the exec-level late filter must stay
+   * out of the path).
+   */
+  def tumbleWithLateness(ds: Dataset[Ev], sizeUs: Long, latenessUs: Long,
+      watermarkDelay: String = "0 seconds",
+      ttl: Option[String] = None): Dataset[LatenessWinRow] = {
+    import ds.sparkSession.implicits._
+    require(latenessUs >= 0, "allowed lateness must be non-negative")
+    val withWm = ds.toDF()
+      .withColumn("__event_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("__event_ts", watermarkDelay)
+      .as[Ev]
+    withWm.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LatenessState, LatenessWinRow](
+          OutputMode.Append, Ttl.timeoutConf(ttl))(Ttl.wrap(ttl) {
+        (key, it, state: GroupState[LatenessState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // ws -> (n, cents, fires, fired)
+          var wins = state.getOption.fold(Map.empty[Long, (Long, Long, Long, Boolean)])(
+            _.windows.map(w => w._1 -> (w._2, w._3, w._4, w._5)).toMap)
+          val out = List.newBuilder[LatenessWinRow]
+          // (1) fire windows the watermark closed before this batch's rows
+          wins.toList.sortBy(_._1).foreach { case (ws, (n, c, fires, fired)) =>
+            if (!fired && ws + sizeUs <= wmUs) {
+              out += LatenessWinRow("agg", key, ws, fires, n, c, -1L)
+              wins += ws -> (n, c, fires + 1, true)
+            }
+          }
+          // (2) accumulate / capture this batch's rows
+          var dirty = Set.empty[Long]
+          it.toList.filter(_.event_id >= 0)
+            .sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+              val ws = e.ts_us - java.lang.Math.floorMod(e.ts_us, sizeUs)
+              if (ws + sizeUs + latenessUs <= wmUs)
+                out += LatenessWinRow("late", key, ws, -1L, 0L, 0L, e.event_id)
+              else {
+                val (n, c, fires, fired) = wins.getOrElse(ws, (0L, 0L, 0L, false))
+                wins += ws -> (n + 1, c + math.floor(e.value * 100).toLong, fires, fired)
+                dirty += ws
+              }
+            }
+          // (3) touched due windows emit: updates for fired ones, first
+          // firings for windows created by late-but-allowed rows
+          dirty.toList.sorted.foreach { ws =>
+            val (n, c, fires, fired) = wins(ws)
+            if (ws + sizeUs <= wmUs) {
+              out += LatenessWinRow(if (fired) "update" else "agg", key, ws, fires, n, c, -1L)
+              wins += ws -> (n, c, fires + 1, true)
+            }
+          }
+          val open = wins.filter { case (ws, _) => ws + sizeUs + latenessUs > wmUs }
+          state.update(LatenessState(open.toList.map(w =>
+            (w._1, w._2._1, w._2._2, w._2._3, w._2._4))))
           out.result().iterator
       })
   }

@@ -140,6 +140,66 @@ object StreamOps {
       .as[Ev]
   }
 
+  /** [[eventsTypedLateSplit]] composed with the two keyed-sentinel
+   * rounds of [[eventsTypedWithKeyedSentinels]]: batch 1 = on-time
+   * rows (ts >= min + offset), batch 2 = the early rows arriving LATE
+   * below the batch-1 watermark, batches 3-4 = per-key sentinels that
+   * advance the mark past everything and invoke each key once more —
+   * the harness for NoTimeout operators whose late-data behavior needs
+   * an end-of-input flush (allowed-lateness refire, late capture). */
+  def eventsTypedLateSplitWithSentinels(spark: SparkSession, dir: String,
+      splitOffsetUs: Long): Dataset[Ev] = {
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_evlatesent")
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val tsIsLong = batch.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val tsUs = if (tsIsLong) expr("ts div 1000") else unix_micros(col("ts").cast("timestamp"))
+    val minUs = batch.agg(min(tsUs)).head().getAs[Number](0).longValue
+    def parquets(): Set[java.nio.file.Path] = {
+      val s = Files.list(work)
+      try s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSet
+      finally s.close()
+    }
+    def stage(df: DataFrame, mtimeMs: Long): Unit = {
+      val before = parquets()
+      df.coalesce(1).write.mode("append").parquet(work.toString)
+      (parquets() -- before).foreach(p =>
+        Files.setLastModifiedTime(p, FileTime.fromMillis(mtimeMs)))
+    }
+    stage(batch.filter(tsUs >= minUs + splitOffsetUs), 10000L)
+    stage(batch.filter(tsUs < minUs + splitOffsetUs), 20000L)
+    def sentinels(tsNs: Long): DataFrame = {
+      val cols = batch.schema.fields.map { f =>
+        (f.name, f.dataType) match {
+          case ("user_id", _) => col("user_id")
+          case ("event_id", _) => lit(-1L).as("event_id")
+          case ("ts", dt) =>
+            (if (tsIsLong) lit(tsNs)
+             else lit(java.time.LocalDateTime.ofEpochSecond(
+                 tsNs / 1000000000L, 0, java.time.ZoneOffset.UTC).toString
+                   .replace('T', ' ')).cast(dt)).as("ts")
+          case (n, org.apache.spark.sql.types.StringType) => lit("sentinel").as(n)
+          case (n, org.apache.spark.sql.types.LongType) => lit(0L).as(n)
+          case (n, _) => lit(0.0).as(n)
+        }
+      }
+      batch.select(col("user_id")).distinct().select(cols.toSeq: _*)
+    }
+    stage(sentinels(7258118400000000000L), 30000L) // ~2200-01-01
+    stage(sentinels(7258122000000000000L), 40000L) // +1 hour
+    val sdf = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/*.parquet")
+    val norm =
+      if (tsIsLong) sdf.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      else sdf
+    norm.select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"))
+      .as[Ev]
+  }
+
   /** The events stream staged with TWO rounds of PER-KEY far-future
    * sentinel rows, each file its own micro-batch (maxFilesPerTrigger=1,
    * explicit mtime ordering): round 1 advances the watermark past all

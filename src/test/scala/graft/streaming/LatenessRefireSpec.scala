@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Firing discipline of [[LateCapture.tumbleWithLateness]] (reference
+ * `WindowedStream.allowedLateness` + `sideOutputLateData`): windows
+ * fire once when the watermark passes their end, re-fire cumulatively
+ * per late-but-allowed batch, capture beyond-lateness rows on the late
+ * side, and evict state only at end + lateness. */
+class LatenessRefireSpec extends SparkSuite {
+
+  private val Sec = 1000000L
+  private val FarUs = 7258118400000000L // ~2200-01-01
+
+  private def ev(id: Long, key: Long, tsSec: Long, v: Double = 1.0) =
+    Ev(id, key, "t", tsSec * Sec, v)
+
+  private def run(name: String, latenessUs: Long, batches: Seq[Seq[Ev]]): Seq[(String, Long, Long, Long, Long, Long)] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = LateCapture.tumbleWithLateness(in.toDS(), 10L * Sec, latenessUs).toDF()
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      for (round <- 1 to 2) {
+        in.addData(Ev(-round, 1L, "flush", FarUs + round, 0.0))
+        q.processAllAvailable()
+      }
+      spark.table(name)
+        .select($"kind", $"ws_us", $"fire_seq", $"n", $"sum_cents", $"late_event_id")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+        .map(r => (r._1, r._2 / Sec, r._3, r._4, r._5, r._6))
+    } finally q.stop()
+  }
+
+  test("late-but-allowed rows re-fire the window cumulatively; first firing carries on-time content") {
+    // size 10s, lateness 30s
+    val got = run("t_refire1", 30L * Sec, Seq(
+      Seq(ev(1, 1, 2), ev(2, 1, 4), ev(3, 1, 12), ev(4, 1, 25)), // wm -> 25s
+      // windows [0,10) and [10,20) are due: they fire FIRST with
+      // on-time content, THEN the late row updates [0,10)
+      Seq(ev(5, 1, 3), ev(6, 1, 26)) // wm -> 26s
+    ))
+    assert(got.toSet == Set(
+      ("agg", 0L, 0L, 2L, 200L, -1L),    // e1+e2, fired at wm=25
+      ("agg", 10L, 0L, 1L, 100L, -1L),   // e3
+      ("update", 0L, 1L, 3L, 300L, -1L), // +e5 cumulative
+      ("agg", 20L, 0L, 2L, 200L, -1L)    // e4+e6, fired at the sentinel
+    ), s"got $got")
+  }
+
+  test("beyond-lateness rows go to the late side; within-lateness rows update; eviction at end+lateness") {
+    // size 10s, lateness 5s
+    val got = run("t_refire2", 5L * Sec, Seq(
+      Seq(ev(1, 1, 2), ev(2, 1, 14)),  // wm -> 14s
+      Seq(ev(3, 1, 3, 2.0)),           // [0,10) due+fired, 15 > 14: update
+      Seq(ev(4, 1, 30)),               // wm -> 30s
+      Seq(ev(5, 1, 4))                 // [0,10): 15 <= 30 -> captured late
+    ))
+    assert(got.toSet == Set(
+      ("agg", 0L, 0L, 1L, 100L, -1L),    // e1, fired at wm=14
+      ("update", 0L, 1L, 2L, 300L, -1L), // +e3 (200 cents)
+      ("agg", 10L, 0L, 1L, 100L, -1L),   // e2, fired when wm=30 reached the key
+      ("late", 0L, -1L, 0L, 0L, 5L),     // e5 beyond lateness
+      ("agg", 30L, 0L, 1L, 100L, -1L)    // e4, fired at the sentinel
+    ), s"got $got")
+  }
+
+  test("a window created entirely by late-but-allowed rows fires once with their content") {
+    // size 10s, lateness 60s; window [10,20) has no on-time rows
+    val got = run("t_refire3", 60L * Sec, Seq(
+      Seq(ev(1, 1, 2), ev(2, 1, 35)),  // wm -> 35s
+      Seq(ev(3, 1, 12), ev(4, 1, 13))  // [10,20) born late, due -> first agg
+    ))
+    assert(got.toSet == Set(
+      ("agg", 0L, 0L, 1L, 100L, -1L),
+      ("agg", 10L, 0L, 2L, 200L, -1L), // late-born window: ONE firing, kind agg
+      ("agg", 30L, 0L, 1L, 100L, -1L)
+    ), s"got $got")
+  }
+}
