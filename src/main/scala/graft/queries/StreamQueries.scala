@@ -1228,6 +1228,24 @@ object StreamQueries extends QueryPack {
         .orderBy(col("event_type"), col("ws"))
     }),
 
+    // PURGING COUNT TRIGGER (reference PurgingTrigger.of(CountTrigger
+    // .of(n))): within a 24-hour window every 5th element fires AND
+    // PURGES — each pane is the accumulation since the last firing.
+    // The trailing partial pane never fires (the wrapped trigger
+    // replaces the default event-time trigger).
+    "stream_trigger_purging" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val out = graft.streaming.Triggers.tumblePurgingCountTrigger(
+        StreamOps.eventsTypedWithFinalWatermark(s, dir),
+        sizeUs = 24L * 3600 * 1000 * 1000, n = 5)
+      StreamOps.runToBatch(s, out.toDF(), "append", "stream_trig_purge")
+        .filter(col("event_type") =!= "sentinel")
+        .select(col("event_type"),
+          expr("cast(timestamp_micros(ws_us) as timestamp_ntz)").as("ws"),
+          col("fire_idx"), col("n_rows"), col("pane_cents"))
+        .orderBy(col("event_type"), col("ws"), col("fire_idx"))
+    }),
+
     // DELTA TRIGGER (reference DeltaTrigger): within a 6-hour window
     // the first element arms a baseline; an element whose cents jump
     // from the baseline exceeds 15000 FIRES the window's current
@@ -1795,6 +1813,18 @@ object StreamQueries extends QueryPack {
       SELECT event_type, ws, count(*) AS n_kept, CAST(sum(cents) AS BIGINT) AS kept_cents
       FROM r WHERE abs(cents - last_cents) < 10000
       GROUP BY event_type, ws ORDER BY event_type, ws""",
+    "stream_trigger_purging" -> """
+      WITH r AS (
+        SELECT event_type, time_bucket(INTERVAL 24 HOUR, ts) AS ws,
+               CAST(floor(value * 100) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY event_type, time_bucket(INTERVAL 24 HOUR, ts)
+                                  ORDER BY ts, event_id) AS rn
+        FROM events)
+      SELECT event_type, ws, CAST((rn - 1) // 5 + 1 AS BIGINT) AS fire_idx,
+             count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS pane_cents
+      FROM r GROUP BY event_type, ws, (rn - 1) // 5
+      HAVING count(*) = 5
+      ORDER BY event_type, ws, fire_idx""",
     "stream_trigger_delta" -> """
       WITH RECURSIVE r AS (
         SELECT event_type, time_bucket(INTERVAL 6 HOUR, ts) AS ws, event_id,

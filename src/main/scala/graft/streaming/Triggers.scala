@@ -27,6 +27,17 @@ case class ContFireRow(event_type: String, ws_us: Long, fire_us: Long,
 case class ContTrigState(open: List[(Long, Long, Long, Long, Long, Boolean)],
     pending: List[(Long, Long, Long)])
 
+/** One PurgingTrigger(CountTrigger) firing: the PANE accumulated since
+ * the previous firing (purge clears the window content at each fire). */
+case class PurgeFireRow(event_type: String, ws_us: Long, fire_idx: Long,
+    n_rows: Long, pane_cents: Long)
+
+/** Per-key purging-count-trigger state: open windows →
+ * (ws, count_since_fire, cents_since_fire, fires_so_far) plus the
+ * not-yet-released rows. */
+case class PurgeTrigState(open: List[(Long, Long, Long, Long)],
+    pending: List[(Long, Long, Long)])
+
 /**
  * Custom window TRIGGERS beyond the gated CountTrigger/early-firing
  * pair: the reference's DeltaTrigger and ContinuousEventTimeTrigger
@@ -177,6 +188,63 @@ object Triggers {
                        else Math.floorDiv(mn, intervalUs) * intervalUs + intervalUs
               math.min(nb, ws + sizeUs)
             } ++ pending.iterator.map(_._1 + 1)).min
+            state.setTimeoutTimestamp(math.max((nextUs + 999) / 1000, state.getCurrentWatermarkMs() + 1))
+          }
+          out.result().iterator
+      }
+  }
+
+  /**
+   * PURGING COUNT TRIGGER (reference
+   * `streaming/api/windowing/triggers/PurgingTrigger.java:36-43`
+   * wrapping `CountTrigger.java:39-47` — the canonical
+   * `PurgingTrigger.of(CountTrigger.of(n))` composition): within each
+   * tumbling event-time window, every n-th element FIRE_AND_PURGEs —
+   * the emitted pane is the accumulation SINCE THE PREVIOUS FIRING,
+   * and the window content clears at each fire. As with
+   * [[tumbleDeltaTrigger]], the wrapped trigger REPLACES the default
+   * event-time trigger, so a trailing partial pane never fires and
+   * window state drops when the watermark passes the window end.
+   *
+   * Elements fold in (ts, id) order once the watermark passes them, so
+   * pane boundaries are a pure function of the data. State per key:
+   * open windows × one (count, sum, fires) triple + the pending rows
+   * of the current watermark band.
+   */
+  def tumblePurgingCountTrigger(ds: Dataset[Ev], sizeUs: Long, n: Int,
+      watermarkDelay: String = "0 seconds"): Dataset[PurgeFireRow] = {
+    import ds.sparkSession.implicits._
+    require(n >= 1 && sizeUs >= 1, "need positive window and count")
+    val withWm = ds.toDF()
+      .withColumn("__event_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("__event_ts", watermarkDelay)
+      .as[Ev]
+    withWm.groupByKey(_.event_type)
+      .flatMapGroupsWithState[PurgeTrigState, PurgeFireRow](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, it, state: GroupState[PurgeTrigState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption.getOrElse(PurgeTrigState(Nil, Nil))
+          var open = st.open.iterator.map { case (ws, c, s, f) => ws -> (c, s, f) }.toMap
+          val fresh = it.filter(_.event_id >= 0)
+            .map(e => (e.ts_us, e.event_id, math.floor(e.value * 100).toLong))
+            .filter(r => Math.floorDiv(r._1, sizeUs) * sizeUs + sizeUs > wmUs)
+          val (ready, pending) = (st.pending ++ fresh).partition(_._1 < wmUs)
+          val out = List.newBuilder[PurgeFireRow]
+          ready.sortBy(r => (r._1, r._2)).foreach { case (ts, _, cents) =>
+            val ws = Math.floorDiv(ts, sizeUs) * sizeUs
+            val (c, s, f) = open.getOrElse(ws, (0L, 0L, 0L))
+            if (c + 1 == n) {
+              out += PurgeFireRow(key, ws, f + 1, n.toLong, s + cents)
+              open += ws -> (0L, 0L, f + 1) // FIRE_AND_PURGE
+            } else open += ws -> (c + 1, s + cents, f)
+          }
+          open = open.filter { case (ws, _) => ws + sizeUs > wmUs }
+          if (open.isEmpty && pending.isEmpty) state.remove()
+          else {
+            state.update(PurgeTrigState(
+              open.iterator.map { case (ws, (c, s, f)) => (ws, c, s, f) }.toList, pending))
+            val nextUs = (open.keysIterator.map(_ + sizeUs) ++ pending.iterator.map(_._1 + 1)).min
             state.setTimeoutTimestamp(math.max((nextUs + 999) / 1000, state.getCurrentWatermarkMs() + 1))
           }
           out.result().iterator
