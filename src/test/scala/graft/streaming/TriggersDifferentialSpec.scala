@@ -92,6 +92,36 @@ class TriggersDifferentialSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  private def purgeSim(rows: List[R], n: Int): Set[(String, Long, Long, Long, Long)] = {
+    val out = Set.newBuilder[(String, Long, Long, Long, Long)]
+    rows.groupBy(r => (r.key, Math.floorDiv(r.ts, sizeUs) * sizeUs)).foreach {
+      case ((key, ws), group) =>
+        group.sortBy(r => (r.ts, r.id)).grouped(n).zipWithIndex
+          .filter(_._1.size == n) // trailing partial pane never fires
+          .foreach { case (pane, i) =>
+            out += ((key, ws, i + 1L, n.toLong, pane.map(_.cents).sum))
+          }
+    }
+    out.result()
+  }
+
+  test("purging count trigger equals the pane-chunking simulator on random batch cuts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260820L)
+    for (case_ <- 0 until 6) {
+      val n = 2 + rnd.nextInt(3)
+      val batches = genBatches(rnd)
+      runStream(batches, "t_ptrig_fuzz")(
+        ds => Triggers.tumblePurgingCountTrigger(ds, sizeUs, n))
+      val got = spark.table("t_ptrig_fuzz").as[PurgeFireRow].collect()
+        .map(r => (r.event_type, r.ws_us, r.fire_idx, r.n_rows, r.pane_cents)).toSet
+      val want = purgeSim(batches.flatten, n)
+      assert(got == want,
+        s"case $case_ n=$n: got ${got.toList.sorted} want ${want.toList.sorted}")
+      spark.sql("DROP TABLE IF EXISTS t_ptrig_fuzz")
+    }
+  }
+
   test("delta trigger equals the rolling-baseline simulator on random batch cuts") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260818L)
