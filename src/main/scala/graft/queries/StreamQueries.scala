@@ -996,6 +996,36 @@ object StreamQueries extends QueryPack {
         .orderBy(col("kind"), col("user_id"), col("ws_us"), col("late_event_id"))
     }),
 
+    // Session windows with allowed lateness and late-session MERGING
+    // (reference EventTimeSessionWindows + MergingWindowSet under
+    // allowedLateness): the early-hour rows arrive late and may BRIDGE
+    // already-fired sessions into merged ones that re-fire. Superseded
+    // firings are not retracted (the reference's documented behavior),
+    // so the gate applies the changelog contract: keep each key's
+    // firings that no later overlapping firing supersedes (emit_seq
+    // anti-join) — that final image must equal the batch session
+    // island sweep over ALL rows. Keys are densified to 5 so sessions
+    // genuinely chain and merge.
+    "stream_session_late_refire" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      import s.implicits._
+      val gapUs = 30L * 60 * 1000000
+      val in = StreamOps.eventsTypedLateSplitWithSentinels(s, dir, 3600L * 1000000)
+        .map(e => e.copy(user_id = e.user_id % 5))
+      val out = graft.streaming.LateCapture.sessionWithLateness(
+        in, gapUs, 400L * 86400 * 1000000)
+      val raw = StreamOps.runToBatch(s, out.toDF(), "append", "stream_sessref")
+        .filter(col("kind") =!= "late")
+      val later = raw.select(col("user_id").as("b_user"), col("emit_seq").as("b_seq"),
+        col("ws_us").as("b_ws"), col("we_us").as("b_we"))
+      raw.join(later,
+          col("user_id") === col("b_user") && col("b_seq") > col("emit_seq") &&
+            col("b_ws") <= col("we_us") && col("ws_us") <= col("b_we"),
+          "left_anti")
+        .select(col("user_id"), col("ws_us"), col("we_us"), col("n"), col("sum_cents"))
+        .orderBy(col("user_id"), col("ws_us"))
+    }),
+
     // Retraction-aware streaming join (reference StreamingJoinOperator):
     // customer (right upserts) ⋈ latest-order-per-customer (left
     // upserts) through one keyed state op; every change emits -U/+U
@@ -1654,6 +1684,20 @@ object StreamQueries extends QueryPack {
       FROM events
       GROUP BY user_id, ws
       ORDER BY user_id, ws""",
+    "stream_session_late_refire" -> """
+      WITH e AS (SELECT user_id % 5 AS user_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                   CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+      o AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                            OR us - lag(us) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS brk
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+            FROM o)
+      SELECT user_id, min(us) AS ws_us, max(us) + 1800000000 AS we_us,
+             count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM s GROUP BY user_id, sid ORDER BY user_id, ws_us""",
     "stream_window_late_refire" -> """
       WITH b AS (SELECT user_id, event_id, value,
                    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

@@ -26,6 +26,22 @@ case class LatenessWinRow(kind: String, user_id: Long, ws_us: Long,
  * (window_start_us, count, cent_sum, fires_so_far, fired). */
 case class LatenessState(windows: List[(Long, Long, Long, Long, Boolean)])
 
+/** Output of [[LateCapture.sessionWithLateness]]: one firing of a
+ * session window `[ws_us, we_us)` (we = last element + gap). A late
+ * row can MERGE sessions — including already-fired ones — so a firing
+ * may supersede earlier firings of overlapping ranges; `emit_seq` is
+ * the per-key emission order, and the FINAL image is the set of
+ * firings no later overlapping firing supersedes. `late` rows are
+ * beyond-lateness captures. */
+case class SessLateRow(kind: String, user_id: Long, ws_us: Long, we_us: Long,
+    emit_seq: Long, n: Long, sum_cents: Long, late_event_id: Long)
+
+/** Per-key session state for [[LateCapture.sessionWithLateness]]:
+ * sessions as (start, end, count, cent_sum, fires, dirty) plus the
+ * per-key emission counter. */
+case class SessLateState(sessions: List[(Long, Long, Long, Long, Long, Boolean)],
+    emits: Long)
+
 /**
  * Tumbling event-time window aggregation WITH late-data side capture —
  * the reference's `WindowedStream.java:108` `sideOutputLateData`
@@ -158,6 +174,90 @@ object LateCapture {
           val open = wins.filter { case (ws, _) => ws + sizeUs + latenessUs > wmUs }
           state.update(LatenessState(open.toList.map(w =>
             (w._1, w._2._1, w._2._2, w._2._3, w._2._4))))
+          out.result().iterator
+      })
+  }
+
+  /**
+   * SESSION windows with ALLOWED LATENESS and late-session MERGING —
+   * the reference's `EventTimeSessionWindows` + `MergingWindowSet`
+   * (`runtime/operators/windowing/MergingWindowSet.java:58`) under
+   * `allowedLateness`: a session fires when the watermark passes its
+   * end (last element + gap) and its state is KEPT for `latenessUs`;
+   * a late-but-allowed element merges with every session it touches —
+   * INCLUDING already-fired ones, possibly bridging two fired sessions
+   * into one — and the merged session re-fires cumulatively. As in the
+   * reference, superseded firings are not retracted; the emitted
+   * `emit_seq` gives downstream the per-key order, so the final image
+   * is the set of firings with no later overlapping firing (the gate's
+   * oracle contract). Beyond-lateness rows go to the late side.
+   *
+   * Touch-or-overlap merging (`TimeWindow.intersects` is inclusive):
+   * two elements exactly `gap` apart share a session, matching the
+   * batch island sweep's `diff > gap` break rule. A batch's rows merge
+   * before its re-firings emit, so several late rows landing in one
+   * micro-batch produce ONE cumulative update (the per-element trigger
+   * would fire per row; coalescing is the micro-batch analog and keeps
+   * the emission sequence a pure function of data + batch cuts).
+   */
+  def sessionWithLateness(ds: Dataset[Ev], gapUs: Long, latenessUs: Long,
+      watermarkDelay: String = "0 seconds",
+      ttl: Option[String] = None): Dataset[SessLateRow] = {
+    import ds.sparkSession.implicits._
+    require(gapUs > 0 && latenessUs >= 0, "need positive gap, non-negative lateness")
+    val withWm = ds.toDF()
+      .withColumn("__event_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("__event_ts", watermarkDelay)
+      .as[Ev]
+    withWm.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessLateState, SessLateRow](
+          OutputMode.Append, Ttl.timeoutConf(ttl))(Ttl.wrap(ttl) {
+        (key, it, state: GroupState[SessLateState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption.getOrElse(SessLateState(Nil, 0L))
+          // (start, end, n, cents, fires, dirty)
+          var sess = st.sessions
+          var emits = st.emits
+          val out = List.newBuilder[SessLateRow]
+          def fireDue(): Unit = {
+            sess = sess.sortBy(_._1).map { case s @ (ws, we, n, c, fires, dirty) =>
+              if (dirty && we <= wmUs) {
+                out += SessLateRow(if (fires == 0) "agg" else "update",
+                  key, ws, we, emits, n, c, -1L)
+                emits += 1
+                (ws, we, n, c, fires + 1, false)
+              } else s
+            }
+          }
+          // (1) sessions the watermark closed before this batch's rows
+          // fire with their pre-batch content
+          fireDue()
+          // (2) merge this batch's rows; capture beyond-lateness ones
+          it.toList.filter(_.event_id >= 0)
+            .sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+              if (e.ts_us + gapUs + latenessUs <= wmUs) {
+                out += SessLateRow("late", key, e.ts_us, e.ts_us + gapUs,
+                  -1L, 0L, 0L, e.event_id)
+              } else {
+                val cents = math.floor(e.value * 100).toLong
+                val (touch, rest) = sess.partition(s =>
+                  e.ts_us <= s._2 && s._1 <= e.ts_us + gapUs)
+                val merged = (
+                  (e.ts_us +: touch.map(_._1)).min,
+                  ((e.ts_us + gapUs) +: touch.map(_._2)).max,
+                  touch.map(_._3).sum + 1,
+                  touch.map(_._4).sum + cents,
+                  touch.map(_._5).sum, // merged fire count: superseding continues the lineage
+                  true)
+                sess = merged :: rest
+              }
+            }
+          // (3) due merged/new sessions re-fire (or first-fire) with
+          // cumulative content
+          fireDue()
+          val open = sess.filter(s => s._2 + latenessUs > wmUs)
+          if (open.isEmpty) state.remove()
+          else state.update(SessLateState(open, emits))
           out.result().iterator
       })
   }

@@ -68,6 +68,75 @@ class LatenessRefireSpec extends SparkSuite {
     ), s"got $got")
   }
 
+  private def runSession(name: String, gapUs: Long, latenessUs: Long,
+      batches: Seq[Seq[Ev]]): Seq[(String, Long, Long, Long, Long, Long, Long)] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = LateCapture.sessionWithLateness(in.toDS(), gapUs, latenessUs).toDF()
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      for (round <- 1 to 2) {
+        in.addData(Ev(-round, 1L, "flush", FarUs + round, 0.0))
+        q.processAllAvailable()
+      }
+      spark.table(name)
+        .select($"kind", $"ws_us", $"we_us", $"emit_seq", $"n", $"sum_cents", $"late_event_id")
+        .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+        .map(r => (r._1, r._2 / Sec, r._3 / Sec, r._4, r._5, r._6, r._7))
+    } finally q.stop()
+  }
+
+  test("a late row bridges two fired sessions into one merged re-firing") {
+    // gap 10s, lateness 200s
+    val got = runSession("t_sessref1", 10L * Sec, 200L * Sec, Seq(
+      Seq(ev(1, 1, 5), ev(2, 1, 30), ev(3, 1, 100)), // wm -> 100
+      // A=[5,15) and B=[30,40) fire first; then e5@12 merges into A,
+      // e4@20 bridges the merged A' and B -> one cumulative update
+      Seq(ev(4, 1, 20, 2.0), ev(5, 1, 12, 3.0))
+    ))
+    assert(got.toSet == Set(
+      ("agg", 5L, 15L, 0L, 1L, 100L, -1L),     // A on-time firing
+      ("agg", 30L, 40L, 1L, 1L, 100L, -1L),    // B on-time firing
+      ("update", 5L, 40L, 2L, 4L, 700L, -1L),  // merged A+e5+e4+B
+      ("agg", 100L, 110L, 3L, 1L, 100L, -1L)   // e3 at the sentinel
+    ), s"got $got")
+    // the gate's supersession rule recovers the batch islands
+    val finals = got.filter(_._1 != "late").filter { a =>
+      !got.exists(b => b._1 != "late" && b._4 > a._4 &&
+        b._2 <= a._3 && a._2 <= b._3)
+    }.map(r => (r._2, r._3, r._5)).toSet
+    assert(finals == Set((5L, 40L, 4L), (100L, 110L, 1L)), s"finals $finals")
+  }
+
+  test("a beyond-lateness row is captured; sessions evict at end + lateness") {
+    // gap 10s, lateness 60s: e4@20 has 20+10+60=90 <= wm=100 -> late side
+    val got = runSession("t_sessref2", 10L * Sec, 60L * Sec, Seq(
+      Seq(ev(1, 1, 5), ev(2, 1, 30), ev(3, 1, 100)),
+      Seq(ev(4, 1, 20))
+    ))
+    assert(got.toSet == Set(
+      ("agg", 5L, 15L, 0L, 1L, 100L, -1L),
+      ("agg", 30L, 40L, 1L, 1L, 100L, -1L),
+      ("late", 20L, 30L, -1L, 0L, 0L, 4L),
+      ("agg", 100L, 110L, 2L, 1L, 100L, -1L)
+    ), s"got $got")
+  }
+
+  test("elements exactly gap apart share one session (touch-or-overlap merge)") {
+    val got = runSession("t_sessref3", 10L * Sec, 60L * Sec, Seq(
+      Seq(ev(1, 1, 5), ev(2, 1, 15), ev(3, 1, 26), ev(4, 1, 100))
+    ))
+    // 5 and 15 are exactly gap apart -> one session [5,25); 26 > 25
+    // starts a new one
+    assert(got.toSet == Set(
+      ("agg", 5L, 25L, 0L, 2L, 200L, -1L),
+      ("agg", 26L, 36L, 1L, 1L, 100L, -1L),
+      ("agg", 100L, 110L, 2L, 1L, 100L, -1L)
+    ), s"got $got")
+  }
+
   test("a window created entirely by late-but-allowed rows fires once with their content") {
     // size 10s, lateness 60s; window [10,20) has no on-time rows
     val got = run("t_refire3", 60L * Sec, Seq(
