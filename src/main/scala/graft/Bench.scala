@@ -103,12 +103,19 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","gc_sec":$gcs,"storage_bytes":$resid,"canary_start_sec":$canaryStart,"canary_end_sec":$canaryEnd,"canary_ratio":$canaryRatio,"median_ratio_vs_ref":$mrJson,"contended":$contended}"""
     println(line)
     // the driver artifact preserves only the log tail, which truncates
-    // ~50 of the per-query timings — persist the full JSON for audit
-    // resolves against the working directory; SPARK_GRAFT_BENCH_OUT overrides
+    // ~50 of the per-query timings — persist the full JSON for audit.
+    // Default output is BENCH_LAST.json, NOT the committed quiet record
+    // BENCH_FULL.json the contention check reads as its reference: a
+    // multi-run session writing the ref would make run N+1 compare
+    // against run N instead of the record (observed: a slow run's
+    // inflated values masked the next run's contention flag). Promoting
+    // a run to BENCH_FULL.json is a deliberate, separate copy.
+    // Resolves against the working directory; SPARK_GRAFT_BENCH_OUT
+    // overrides.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")), line + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json: ${e.getMessage}") }
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] bench output: ${e.getMessage}") }
     spark.stop()
   }
 }
