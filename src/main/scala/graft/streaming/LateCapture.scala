@@ -199,6 +199,15 @@ object LateCapture {
    * micro-batch produce ONE cumulative update (the per-element trigger
    * would fire per row; coalescing is the micro-batch analog and keeps
    * the emission sequence a pure function of data + batch cuts).
+   *
+   * Too-late test: `ts + gap + lateness <= watermark` — the element's
+   * own would-be window END plus lateness, consistent with
+   * [[tumbleWithLateness]]'s window-cleanup rule. The reference's
+   * merging-window path (`WindowOperator.isElementLate`) tests
+   * `ts + lateness <= watermark`, one gap stricter; this operator
+   * therefore admits (and merges) a gap-wide corridor of rows the
+   * reference would side-output. Both keep the invariant that an
+   * admitted row's merged session is still in state.
    */
   def sessionWithLateness(ds: Dataset[Ev], gapUs: Long, latenessUs: Long,
       watermarkDelay: String = "0 seconds",
