@@ -746,6 +746,76 @@ object StreamQueries extends QueryPack {
         .orderBy(col("event_type"), col("rn"))
     }),
 
+    // SQL-TRANSPARENT streaming deduplication (reference
+    // FlinkLogicalRankRule routes ROW_NUMBER() = 1 over a time
+    // attribute to StreamExecDeduplicate — keep-FIRST when the rowtime
+    // orders ascending, RowTimeDeduplicateFunction keepFirstRow). The
+    // SQL text is the reference's documented dedup recipe verbatim;
+    // Spark cannot run the Window on a stream at all, so the rewrite
+    // is load-bearing. Top-1 of the rank state op gives exactly the
+    // dedup update semantics: a key re-emits only when an
+    // earlier-rowtime row arrives. Re-ranking the distinct updates
+    // materializes the final image.
+    "stream_dedup_keepfirst_sql" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val view = StreamOps.freshName("events_stream")
+      StreamOps.readStream(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .createOrReplaceTempView(view)
+      val analyzed = s.sql(s"""
+        SELECT user_id, event_id, ts FROM (
+          SELECT user_id, event_id, ts,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS rn
+          FROM $view) WHERE rn = 1""").queryExecution.analyzed
+      val rewritten = graft.rules.StreamRankToTopNRule(s)(analyzed)
+      require(rewritten.collectFirst {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.isEmpty, "rank-to-dedup rewrite did not fire")
+      val df = org.apache.spark.sql.graft.SqlShim.ofRows(s, rewritten)
+      val updates = StreamOps.runToBatch(s, df, "update", "dedupfirst_sql")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      updates.select(col("user_id"), col("event_id"), col("ts")).distinct()
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("first_event_id"),
+          col("ts").as("first_ts"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Keep-LAST half of the same rewrite (rowtime DESC →
+    // StreamExecDeduplicate keepLastRow): hash-identical image to the
+    // native keepLast state-op gate, proving the SQL door and the
+    // fluent API land on the same answer.
+    "stream_dedup_keeplast_sql" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val view = StreamOps.freshName("events_stream")
+      StreamOps.readStream(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .createOrReplaceTempView(view)
+      val analyzed = s.sql(s"""
+        SELECT user_id, event_id, ts FROM (
+          SELECT user_id, event_id, ts,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+          FROM $view) WHERE rn = 1""").queryExecution.analyzed
+      val rewritten = graft.rules.StreamRankToTopNRule(s)(analyzed)
+      require(rewritten.collectFirst {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.isEmpty, "rank-to-dedup rewrite did not fire")
+      val df = org.apache.spark.sql.graft.SqlShim.ofRows(s, rewritten)
+      val updates = StreamOps.runToBatch(s, df, "update", "deduplast_sql")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      updates.select(col("user_id"), col("event_id"), col("ts")).distinct()
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("ts").as("last_ts"))
+        .orderBy(col("user_id"))
+    }),
+
     // Event-time stream sort (reference RowTimeSortOperator): rows
     // release in (ts, id) order as the watermark passes them, each
     // stamped with its per-key release index — the oracle checks the
@@ -1453,6 +1523,20 @@ object StreamQueries extends QueryPack {
             FROM events) t
       WHERE rn = 1 ORDER BY user_id""",
     "stream_dedup_keeplast" -> """
+      SELECT user_id, event_id AS last_event_id, CAST(ts AS TIMESTAMP) AS last_ts
+      FROM (SELECT user_id, event_id, ts,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+            FROM events) t
+      WHERE rn = 1 ORDER BY user_id""",
+    "stream_dedup_keepfirst_sql" -> """
+      SELECT user_id, event_id AS first_event_id, CAST(ts AS TIMESTAMP) AS first_ts
+      FROM (SELECT user_id, event_id, ts,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+            FROM events) t
+      WHERE rn = 1 ORDER BY user_id""",
+    "stream_dedup_keeplast_sql" -> """
       SELECT user_id, event_id AS last_event_id, CAST(ts AS TIMESTAMP) AS last_ts
       FROM (SELECT user_id, event_id, ts,
                    row_number() OVER (PARTITION BY user_id

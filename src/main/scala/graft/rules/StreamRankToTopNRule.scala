@@ -26,10 +26,14 @@ import org.apache.spark.sql.types._
  * final image, as the reference's UpdateRank emits upserts).
  *
  * Shape requirements (anything else is left untouched): a single
- * ROW_NUMBER window expression; one or more partition attributes; numeric order
- * attributes (the caller should include a unique tiebreaker for
- * deterministic output, as SQL ROW_NUMBER ties are arbitrary); a
- * `rn <= N` / `rn < N` filter over exactly that rank.
+ * ROW_NUMBER window expression; one or more partition attributes;
+ * numeric, timestamp, date, or string order attributes (the caller
+ * should include a unique tiebreaker for deterministic output, as SQL
+ * ROW_NUMBER ties are arbitrary); a `rn <= N` / `rn < N` / `rn = 1`
+ * filter over exactly that rank. `rn = 1` is the reference's
+ * DEDUPLICATE shape (`StreamExecDeduplicate.java:70` — keep-first when
+ * the time attribute orders ascending, keep-last descending), which
+ * shares this operator as Top-1.
  *
  * Registered via `GraftExtensions` as a post-hoc resolution rule — it
  * must run during ANALYSIS, before the streaming
@@ -71,6 +75,17 @@ case class StreamRankToTopNRule(session: SparkSession) extends Rule[LogicalPlan]
           if a.exprId == rnAlias.exprId => v - 1
       case GreaterThanOrEqual(Literal(v: Int, IntegerType), a: Attribute)
           if a.exprId == rnAlias.exprId => v
+      // rn = 1 is the reference's DEDUPLICATE shape
+      // (FlinkLogicalRankRule routes it to StreamExecDeduplicate:
+      // keep-first when the time attribute orders ascending, keep-last
+      // descending). Top-1 of the same state op has exactly those
+      // update semantics, so it shares the operator. rn = k for k > 1
+      // selects a single interior rank and stays unsupported, as in
+      // the reference.
+      case EqualTo(a: Attribute, Literal(1, IntegerType))
+          if a.exprId == rnAlias.exprId => 1
+      case EqualTo(Literal(1, IntegerType), a: Attribute)
+          if a.exprId == rnAlias.exprId => 1
       case _ => return None
     }
     if (n <= 0) return None
@@ -85,13 +100,22 @@ case class StreamRankToTopNRule(session: SparkSession) extends Rule[LogicalPlan]
     }
     if (partIdx.isEmpty) return None
     val child = w.child
-    // numeric order columns, each with its direction
-    val orderIdx: Seq[(Int, Boolean, Boolean)] = w.orderSpec.map {
+    // order columns, each with its direction and compare mode:
+    // 0 = integral (exact 64-bit), 1 = fractional (double),
+    // 2 = naturally Comparable external type (timestamps/dates/strings
+    //     — the reference's Deduplicate orders by a TIME ATTRIBUTE, so
+    //     rn = 1 over `ORDER BY rowtime` must resolve)
+    val orderIdx: Seq[(Int, Boolean, Int)] = w.orderSpec.map {
       case SortOrder(a: Attribute, dir, _, _)
           if child.output.exists(_.exprId == a.exprId) &&
-            a.dataType.isInstanceOf[NumericType] =>
-        (child.output.indexWhere(_.exprId == a.exprId), dir == Ascending,
-          Seq(ByteType, ShortType, IntegerType, LongType).contains(a.dataType))
+            (a.dataType.isInstanceOf[NumericType] ||
+              Seq(TimestampType, TimestampNTZType, DateType, StringType)
+                .contains(a.dataType)) =>
+        val mode =
+          if (Seq(ByteType, ShortType, IntegerType, LongType).contains(a.dataType)) 0
+          else if (a.dataType.isInstanceOf[NumericType]) 1
+          else 2
+        (child.output.indexWhere(_.exprId == a.exprId), dir == Ascending, mode)
       case _ => return None
     }
 
@@ -105,19 +129,22 @@ case class StreamRankToTopNRule(session: SparkSession) extends Rule[LogicalPlan]
       var i = 0
       var c = 0
       while (c == 0 && i < orderIdx.length) {
-        val (idx, asc, integral) = orderIdx(i)
+        val (idx, asc, mode) = orderIdx(i)
         // 64-bit ids above 2^53 collapse under a double compare, which
         // would break the unique-tiebreaker contract — compare integral
         // columns exactly.
-        c =
-          if (integral)
+        c = mode match {
+          case 0 =>
             java.lang.Long.compare(
               x.get(idx).asInstanceOf[Number].longValue,
               y.get(idx).asInstanceOf[Number].longValue)
-          else
+          case 1 =>
             java.lang.Double.compare(
               x.get(idx).asInstanceOf[Number].doubleValue,
               y.get(idx).asInstanceOf[Number].doubleValue)
+          case _ =>
+            x.get(idx).asInstanceOf[Comparable[Any]].compareTo(y.get(idx))
+        }
         if (!asc) c = -c
         i += 1
       }
@@ -142,11 +169,20 @@ case class StreamRankToTopNRule(session: SparkSession) extends Rule[LogicalPlan]
       }
     // splice back with the ORIGINAL output attribute ids, so everything
     // above the rewritten Filter still resolves
+    // positional splice: the state op's schema is child.output fields
+    // in order plus rn last, so bind each pass-through attribute by
+    // its ORDINAL in child.output (name lookup would bind the wrong
+    // attribute when the child carries duplicate names, legal after
+    // self-joins)
     val newOut = updates.queryExecution.analyzed.output
     val aliases: Seq[NamedExpression] = f.output.map { orig =>
       val src =
         if (orig.exprId == rnAlias.exprId) newOut.last
-        else newOut.find(_.name == orig.name).getOrElse(return None)
+        else {
+          val i = child.output.indexWhere(_.exprId == orig.exprId)
+          if (i < 0) return None
+          newOut(i)
+        }
       Alias(src, orig.name)(exprId = orig.exprId)
     }
     Some(Project(aliases, updates.queryExecution.analyzed))

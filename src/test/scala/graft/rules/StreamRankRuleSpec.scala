@@ -48,6 +48,53 @@ class StreamRankRuleSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("rn = 1 over a time attribute rewrites to dedup (keep-first updates on earlier arrival)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Ev]
+    ms.toDF()
+      .select($"user_id", $"event_id",
+        org.apache.spark.sql.functions.expr(
+          "cast(timestamp_micros(ts_us) as timestamp_ntz)").as("ts"))
+      .createOrReplaceTempView("dedup_stream")
+    val analyzed = spark.sql("""
+      SELECT user_id, event_id, ts FROM (
+        SELECT user_id, event_id, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS rn
+        FROM dedup_stream) WHERE rn = 1""").queryExecution.analyzed
+    val rewritten = StreamRankToTopNRule(spark)(analyzed)
+    assert(rewritten.collectFirst { case w: Window => w }.isEmpty,
+      s"Window survived the dedup rewrite:\n$rewritten")
+    val q = org.apache.spark.sql.graft.SqlShim.ofRows(spark, rewritten)
+      .writeStream.format("memory").queryName("t_dedupsql")
+      .outputMode("update").start()
+    try {
+      ms.addData(Ev(10, 1, "click", 5000000, 1.0))
+      q.processAllAvailable()
+      // later batch, EARLIER rowtime: keep-first must re-emit the key
+      // with the new winner (RowTimeDeduplicateFunction update)
+      ms.addData(Ev(11, 1, "click", 1000000, 1.0), Ev(12, 2, "view", 9000000, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("t_dedupsql").as[(Long, Long, java.time.LocalDateTime)]
+        .collect().groupBy(_._1).map { case (u, rs) => u -> rs.last._2 }
+      assert(rows == Map(1L -> 11L, 2L -> 12L))
+    } finally q.stop()
+  }
+
+  test("rn = k for k > 1 selects an interior rank and is left untouched") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Ev]
+    ms.toDF().createOrReplaceTempView("rank2_stream")
+    val analyzed = spark.sql(
+      rankSql("rank2_stream").replace("WHERE rn <= 2", "WHERE rn = 2"))
+      .queryExecution.analyzed
+    val rewritten = StreamRankToTopNRule(spark)(analyzed)
+    assert(rewritten.collectFirst { case w: Window => w }.nonEmpty,
+      "rn = 2 must stay unsupported (not a Top-N / dedup shape)")
+  }
+
   test("batch rank filters are left untouched") {
     import spark.implicits._
     Seq((1L, "a", 1.0)).toDF("event_id", "event_type", "value")
