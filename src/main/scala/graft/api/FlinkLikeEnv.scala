@@ -84,7 +84,40 @@ final class Stream[T](val ds: Dataset[T]) {
   def mapPartitions[U: Encoder](f: Iterator[T] => Iterator[U]): Stream[U] =
     new Stream(ds.mapPartitions(f))
   def union(other: Stream[T]): Stream[T] = new Stream(ds.union(other.ds))
+  /** Two-input connect (reference `DataStream.connect` →
+   * `ConnectedStreams.java:60`): pair this stream with one of a
+   * DIFFERENT element type for CoFlatMap / keyed co-process. */
+  def connect[U](other: Stream[U]): ConnectedStreams[T, U] =
+    new ConnectedStreams(ds, other.ds)
   def toDF(): DataFrame = ds.toDF()
+}
+
+/** Reference `ConnectedStreams<IN1, IN2>`: the stateless CoFlatMap
+ * pair and the keyed co-process with shared state, both routed to
+ * `graft.streaming.ConnectedOps`. */
+final class ConnectedStreams[A, B](val a: Dataset[A], val b: Dataset[B]) {
+  /** Reference `CoFlatMapFunction`: flatMap1/flatMap2, one output. */
+  def flatMap[O: Encoder](f1: A => IterableOnce[O],
+      f2: B => IterableOnce[O]): Stream[O] =
+    new Stream(graft.streaming.ConnectedOps.coFlatMap(a, b, f1, f2))
+  /** Reference `CoMapFunction`: map1/map2, one output. */
+  def map[O: Encoder](f1: A => O, f2: B => O): Stream[O] =
+    new Stream(graft.streaming.ConnectedOps.coFlatMap(
+      a, b, (x: A) => Seq(f1(x)), (y: B) => Seq(f2(y))))
+  /** Reference `ConnectedStreams.keyBy(k1, k2)` +
+   * `KeyedCoProcessFunction`: shared per-key state, event-time-ordered
+   * delivery (first input wins timestamp ties); rows with id < 0 are
+   * watermark carriers. */
+  def keyedProcessOrdered[S, O](
+      keyA: A => Long, tsA: A => Long, idA: A => Long,
+      keyB: B => Long, tsB: B => Long, idB: B => Long,
+      zero: S,
+      on1: (Long, S, A) => (S, Seq[O]),
+      on2: (Long, S, B) => (S, Seq[O]),
+      watermarkDelay: String = "0 seconds")(
+      implicit aEnc: Encoder[A], bEnc: Encoder[B], oEnc: Encoder[O]): Stream[O] =
+    new Stream(graft.streaming.ConnectedOps.keyedCoProcessOrdered(
+      a, keyA, tsA, idA, b, keyB, tsB, idB, zero, on1, on2, watermarkDelay))
 }
 
 object Stream {

@@ -27,6 +27,13 @@ import org.apache.spark.sql.functions._
  * state is bounded by the join's time range + watermark. The memory
  * sink is only the test harness — any DSv2 streaming sink swaps in.
  */
+/** Connected-streams co-process legs (two DISTINCT element types, the
+ * reference ConnectedStreams contract) and its enriched output. */
+case class ClickIn(user_id: Long, event_id: Long, ts_us: Long, cents: Long)
+case class ActIn(user_id: Long, event_id: Long, ts_us: Long)
+case class CoEnriched(user_id: Long, event_id: Long,
+  n_clicks_before: Long, click_cents_before: Long)
+
 /** Pane-scoped row for the streaming window rank: pk is the composite
  * (window start, type) state key the bounded Top-N op shards on. */
 case class PaneEv(pk: String, ws_us: Long, event_type: String,
@@ -816,6 +823,36 @@ object StreamQueries extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Keyed connected streams (reference ConnectedStreams.keyBy +
+    // KeyedCoProcessFunction): two typed inputs — clicks and non-click
+    // actions split from the staged source — share ONE per-key state
+    // through the union-tagged co-process. Elements deliver in
+    // event-time order (clicks first on timestamp ties), so each
+    // action is stamped with the count and cent-sum of the same user's
+    // clicks at-or-before its timestamp — deterministic, and exactly a
+    // running conditional sum in the oracle.
+    "stream_connect_coprocess" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      import s.implicits._
+      val evs = StreamOps.eventsTypedWithKeyedSentinels(s, dir)
+      // sentinels (event_id = -1) pass BOTH side filters so each leg's
+      // watermark advances past all real rows; the op never buffers them
+      val clicks = evs.filter(e => e.event_type == "click" || e.event_id < 0)
+        .map(e => ClickIn(e.user_id, e.event_id, e.ts_us,
+          math.floor(e.value * 100).toLong))
+      val acts = evs.filter(e => e.event_type != "click")
+        .map(e => ActIn(e.user_id, e.event_id, e.ts_us))
+      val out = graft.streaming.ConnectedOps.keyedCoProcessOrdered[
+          ClickIn, ActIn, (Long, Long), CoEnriched](
+        clicks, _.user_id, _.ts_us, _.event_id,
+        acts, _.user_id, _.ts_us, _.event_id,
+        zero = (0L, 0L),
+        on1 = (_, st, c) => ((st._1 + 1, st._2 + c.cents), Nil),
+        on2 = (k, st, a) => (st, Seq(CoEnriched(k, a.event_id, st._1, st._2))))
+      StreamOps.runToBatch(s, out.toDF(), "append", "stream_connect")
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // Event-time stream sort (reference RowTimeSortOperator): rows
     // release in (ts, id) order as the watermark passes them, each
     // stamped with its per-key release index — the oracle checks the
@@ -1529,6 +1566,22 @@ object StreamQueries extends QueryPack {
                      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
             FROM events) t
       WHERE rn = 1 ORDER BY user_id""",
+    "stream_connect_coprocess" -> """
+      WITH tagged AS (
+        SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t,
+               CAST(floor(value * 100) AS BIGINT) AS cents,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+        FROM events),
+      run AS (
+        SELECT user_id, event_id, event_type,
+               CAST(sum(is_click) OVER w AS BIGINT) AS n_clicks_before,
+               CAST(sum(is_click * cents) OVER w AS BIGINT) AS click_cents_before
+        FROM tagged
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, is_click DESC, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT user_id, event_id, n_clicks_before, click_cents_before
+      FROM run WHERE event_type <> 'click'
+      ORDER BY user_id, event_id""",
     "stream_dedup_keepfirst_sql" -> """
       SELECT user_id, event_id AS first_event_id, CAST(ts AS TIMESTAMP) AS first_ts
       FROM (SELECT user_id, event_id, ts,
