@@ -55,6 +55,38 @@ object Sampling {
    * filter WindowGroupLimit-eligible (per-partition partial top-k
    * before the full per-stratum sort), so the scan never sorts more
    * than max-quota rows per partition at scale. */
+  /** Temperature-scaled mixture quotas (the multilingual-LM sampling
+   * recipe at T = 2, i.e. p_l ∝ n_l^0.5): stratum l keeps
+   * floor(total · w_l / Σw) lowest-hash rows, where w_l =
+   * floor(1e6 · sqrt(n_l)) — the tail upsampled relative to
+   * proportional sampling without drowning the head. sqrt is the one
+   * floating-point step and IEEE-754 requires it correctly rounded, so
+   * the integer weights are engine-exact; the quota split is integer
+   * division. Scale: the weight frame is one row per stratum (tiny,
+   * broadcast back onto the corpus); the rank is the same per-stratum
+   * sort as [[mixDomains]]. */
+  def temperatureMix(df: DataFrame, strataCol: String, idCol: String,
+      total: Int): DataFrame = {
+    require(total > 0, "temperatureMix needs a positive row budget")
+    // the weight frame is one row per stratum, so the all-rows window
+    // total costs one single-partition pass over a tiny frame. NOTE:
+    // the total must NOT be named __W — Spark column names are
+    // case-insensitive, so withColumn("__W") would silently REPLACE __w.
+    val quotas = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+      .select(col(strataCol),
+        floor(lit(1000000.0) * sqrt(col("__n").cast("double"))).cast("long").as("__w"))
+      .withColumn("__wtot", sum(col("__w")).over(Window.partitionBy(lit(1))))
+      .select(col(strataCol),
+        expr(s"CAST((CAST($total AS BIGINT) * __w) div __wtot AS INT)").as("__quota"))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(detHash(col(idCol)), col(idCol))
+    df.join(broadcast(quotas), Seq(strataCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__quota"))
+      .withColumn("rk", col("__rn").cast("int"))
+      .drop("__rn", "__quota")
+  }
+
   def mixDomains(df: DataFrame, strataCol: String, idCol: String,
       quotas: Map[String, Int]): DataFrame = {
     require(quotas.nonEmpty, "mixDomains needs at least one quota")

@@ -196,6 +196,39 @@ object TextQueries extends QueryPack {
         .orderBy(col("lang"), col("rk"))
     }),
 
+    // TEMPERATURE-SCALED DOMAIN MIXING (the multilingual sampling rule
+    // at T = 2: quota_l ∝ sqrt(n_l)): static proportional mixing
+    // drowns tail languages; the sqrt tempers head dominance while
+    // keeping quotas data-derived rather than hand-tuned like
+    // text_mix_domains'. The only float op is the IEEE-correctly-
+    // rounded sqrt, so both engines compute identical integer quotas.
+    "text_temperature_mix" -> ((s, dir) =>
+      graft.operators.Sampling.temperatureMix(
+          Tables.load(s, dir, "documents"), "lang", "doc_id", total = 100)
+        .select(col("lang"), col("rk"), col("doc_id"))
+        .orderBy(col("lang"), col("rk"))),
+
+    // PER-DOMAIN ADAPTIVE QUALITY FLOOR (FineWeb-style: one global
+    // threshold over-prunes clean sources and under-prunes noisy ones,
+    // so the cut adapts to each source's own score distribution):
+    // drop the bottom DECILE of each source by token-count score —
+    // exactly rank > floor(n/10), rank and n per source, pure
+    // integers. One shuffle on source; the rank is the same
+    // per-stratum sort every sampler here pays.
+    "text_domain_quality_floor" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val score = size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .cast("bigint")
+      val bySc = Window.partitionBy(col("source")).orderBy(col("score"), col("doc_id"))
+      Tables.load(s, dir, "documents")
+        .select(col("source"), col("doc_id"), score.as("score"))
+        .withColumn("__rn", row_number().over(bySc))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("source"))))
+        .filter(col("__rn") > expr("__n div 10"))
+        .select(col("source"), col("doc_id"), col("score"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     // Deterministic stratified sample: 20 docs per language, chosen by
     // hash order — a reproducible per-stratum subsample.
     "text_stratified_sample" -> ((s, dir) => {
@@ -829,6 +862,36 @@ object TextQueries extends QueryPack {
              CAST(sum(n) AS BIGINT) AS n_toks
       FROM db JOIN q USING (b)
       GROUP BY doc_id ORDER BY doc_id""",
+    "text_temperature_mix" -> """
+      WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      w AS (SELECT lang,
+                   CAST(floor(1000000 * sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w
+            FROM c),
+      q AS (SELECT lang,
+                   CAST((100 * w) // (SELECT CAST(sum(w) AS BIGINT) FROM w) AS INT) AS quota
+            FROM w),
+      ranked AS (
+        SELECT lang, doc_id,
+               CAST(row_number() OVER (
+                 PARTITION BY lang
+                 ORDER BY ((doc_id % 1000003) * 2654435761) % 1000000007, doc_id) AS INT) AS rk
+        FROM documents)
+      SELECT r.lang AS lang, r.rk, r.doc_id
+      FROM ranked r JOIN q ON r.lang = q.lang
+      WHERE r.rk <= q.quota
+      ORDER BY r.lang, r.rk""",
+    "text_domain_quality_floor" -> """
+      WITH scored AS (
+        SELECT source, doc_id,
+               CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS BIGINT) AS score
+        FROM documents),
+      ranked AS (
+        SELECT source, doc_id, score,
+               row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS rn,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM scored)
+      SELECT source, doc_id, score FROM ranked WHERE rn > n // 10
+      ORDER BY source, doc_id""",
     "text_mix_domains" -> """
       WITH ranked AS (
         SELECT lang, doc_id,
