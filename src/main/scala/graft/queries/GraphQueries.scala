@@ -204,10 +204,35 @@ object GraphQueries extends QueryPack {
       val (_, e) = bipartite(s, dir)
       Pregel.ssspDelta(e, sourceId = -1L, maxRounds = 6)
         .orderBy(col("id"))
+    }),
+
+    // Bipartite SIMPLE projection (reference BipartiteGraph
+    // .projectionTopSimple): suppliers–parts edges from lineitem
+    // (every 100th part keeps the shared-bottom fan-in bounded — the
+    // hot-bottom cap the Scaladoc prescribes at scale), projected onto
+    // suppliers: one edge per ordered supplier pair PER shared part,
+    // carrying both sides' lineitem counts as the edge values.
+    "graph_bipartite_projection" -> ((s, dir) => {
+      val edges = Tables.load(s, dir, "lineitem")
+        .filter(col("l_partkey") % 100 === 0)
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(count(lit(1)).as("n"))
+      graft.graph.Bipartite.projectionTopSimple(edges, "l_suppkey", "l_partkey", "n")
+        .orderBy(col("top_src"), col("top_dst"), col("bottom"))
     })
   )
 
   override def oracle: Map[String, String] = Map(
+    "graph_bipartite_projection" -> """
+      WITH e AS (
+        SELECT l_suppkey, l_partkey, CAST(count(*) AS BIGINT) AS n
+        FROM lineitem WHERE l_partkey % 100 = 0
+        GROUP BY l_suppkey, l_partkey)
+      SELECT a.l_suppkey AS top_src, b.l_suppkey AS top_dst,
+             a.l_partkey AS bottom, a.n AS ev_src, b.n AS ev_dst
+      FROM e a JOIN e b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey <> b.l_suppkey
+      ORDER BY top_src, top_dst, bottom""",
     "graph_cc_labels" -> """
       WITH types AS (SELECT DISTINCT event_type FROM events),
       tmap AS (SELECT event_type,
