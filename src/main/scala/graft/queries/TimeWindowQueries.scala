@@ -59,6 +59,25 @@ object TimeWindowQueries extends QueryPack {
         .orderBy(col("ws"))
     }),
 
+    // SLICED hop (reference slice-shared window aggregation,
+    // SliceAssigners.hopping): same 30min/10min hop as win_hop, but
+    // each row is assigned ONCE to its 10-minute slice and the 3×
+    // window fanout explodes the per-slice aggregate frame instead of
+    // the input — at a 1h/5min hop that is 12× less shuffle volume.
+    // PlanAuditSpec pins the Generate above the first aggregate.
+    "win_hop_sliced" -> ((s, dir) => {
+      graft.operators.SliceHop.hopSliced(
+          Tables.load(s, dir, "events"), "ts",
+          sizeUs = 30L * 60 * 1000000, slideUs = 10L * 60 * 1000000,
+          keys = Nil,
+          partials = Seq(count(lit(1)).as("__pn"),
+            sum(floor(col("value") * 100).cast("long")).as("__ps")),
+          merges = Seq(sum(col("__pn")).cast("bigint").as("n"),
+            sum(col("__ps")).cast("bigint").as("sum_value")))
+        .select(col("ws"), col("we"), col("n"), col("sum_value"))
+        .orderBy(col("ws"))
+    }),
+
     // SESSION with 30min gap per user; end = last event + gap.
     "win_session" -> ((s, dir) => {
       Tables.load(s, dir, "events")
@@ -392,6 +411,14 @@ object TimeWindowQueries extends QueryPack {
       FROM events
       GROUP BY 1 ORDER BY ws""",
     "win_hop" -> hopOracleSql,
+    "win_hop_sliced" -> """
+      SELECT ws, ws + INTERVAL 30 MINUTE AS we, count(*) AS n,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
+      FROM (
+        SELECT time_bucket(INTERVAL 10 MINUTE, ts) - k * INTERVAL 10 MINUTE AS ws,
+               value
+        FROM events, generate_series(0, 2) AS t(k))
+      GROUP BY ws ORDER BY ws""",
     "win_session" -> sessionOracleSql,
     "win_session_dynamic" -> """
       WITH g AS (

@@ -691,4 +691,40 @@ class PlanAuditSpec extends SparkSuite {
         s"runtime bloom filter not injected into the probe side:\n$p")
     }
   }
+
+  test("dynamic partition pruning: a filtered dim prunes the partitioned fact scan") {
+    // the partition-pruning analog of the runtime bloom filter: when
+    // the fact is PARTITIONED on the join key and the dim side is
+    // selective, the scan must read only the partitions the dim
+    // survives — at 100 TB this is the difference between scanning a
+    // year and scanning a week. The dim filter is an aggregate HAVING
+    // (not a literal on the join key), so static pruning cannot fold
+    // it — only DPP's dynamicpruning subquery can.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    Tables.load(spark, dir, "orders")
+      .withColumn("opri", substring(col("o_orderpriority"), 1, 1))
+      .write.mode("overwrite").partitionBy("opri").parquet(tmp)
+    val fact = spark.read.parquet(tmp)
+    val dim = Tables.load(spark, dir, "orders")
+      .groupBy(substring(col("o_orderpriority"), 1, 1).as("dpri"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") < 280) // keeps 1 of 5 priorities at this sf
+    val p = plan(fact.join(dim, col("opri") === col("dpri")))
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the partitioned fact scan:\n$p")
+  }
+
+  test("sliced hop: the window fanout explodes the slice AGGREGATE, not the scan") {
+    // the slice-sharing contract (reference SliceAssigners.hopping):
+    // in the formatted (top-down) plan the Generate must sit BETWEEN
+    // the final and the per-slice HashAggregate — an explode below
+    // the first aggregate would mean raw rows fanned out ×overlap
+    val p = plan(SparkEntry.queries("win_hop_sliced")(spark, dir))
+    val gi = p.indexOf("Generate")
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(gi > 0 && firstAgg >= 0 && firstAgg < gi,
+      s"no aggregate above the fanout Generate:\n$p")
+    assert(p.indexOf("HashAggregate", gi) > gi,
+      s"no per-slice aggregate below the fanout Generate:\n$p")
+  }
 }
