@@ -194,6 +194,23 @@ final class TableEnv(val spark: SparkSession) {
     case _ => sqlQuery(sql)
   }
 
+  /** Reference `StreamTableEnvironment.fromChangelogStream` (FLIP-136):
+   * interpret a frame carrying a `row_kind` column (+I/-U/+U/-D),
+   * keyed by `keys` and ordered by `seqCol`, as an updating table —
+   * materialized to the latest image per surviving key (deleted keys
+   * absent), the same normalize every upsert sink performs. */
+  def fromChangelogStream(changelog: DataFrame, keys: Seq[String],
+      seqCol: String): DataFrame =
+    graft.changelog.ChangelogOps.normalize(changelog, keys, seqCol)
+
+  /** Reference `StreamTableEnvironment.toChangelogStream`: a keyed
+   * table's version history re-expressed as the retract changelog —
+   * +I for a key's first version, then a -U/+U pair per later
+   * version. */
+  def toChangelogStream(history: DataFrame, keys: Seq[String],
+      versionCol: String): DataFrame =
+    graft.changelog.ChangelogOps.toChangelog(history, keys, versionCol)
+
   /** SQL query with the extended surfaces Spark's parser lacks:
    * MATCH_RECOGNIZE clauses splice out first (each becomes a temp view
    * over the CEP engine's output), then window TVFs

@@ -112,6 +112,23 @@ class FlinkLikeEnvSpec extends SparkSuite {
     assert(err.getMessage.contains("registerVersioned"))
   }
 
+  test("TableEnv: changelog bridging round-trips (FLIP-136 from/toChangelogStream)") {
+    import spark.implicits._
+    val te = StreamEnv.get(spark).tableEnv
+    val history = Seq(
+      (1L, 1L, "a"), (1L, 2L, "a2"), // key 1: two versions
+      (2L, 1L, "b")                  // key 2: one version
+    ).toDF("k", "ver", "v")
+    val cl = te.toChangelogStream(history, Seq("k"), "ver")
+    // +I per key + one -U/+U pair for key 1's second version
+    val kinds = cl.groupBy("row_kind").count().as[(String, Long)].collect().toMap
+    assert(kinds == Map("+I" -> 2L, "-U" -> 1L, "+U" -> 1L), s"got $kinds")
+    // normalize back: the latest image per key
+    val img = te.fromChangelogStream(cl, Seq("k"), "ver")
+      .select($"k", $"v").as[(Long, String)].collect().toSet
+    assert(img == Set((1L, "a2"), (2L, "b")))
+  }
+
   test("TableEnv: executeSql is the single door — queries, TVF text, and DDL dispatch") {
     import spark.implicits._
     val te = StreamEnv.get(spark).tableEnv
