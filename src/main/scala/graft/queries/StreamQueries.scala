@@ -120,6 +120,39 @@ object StreamQueries extends QueryPack {
         .orderBy(col("ws"))
     }),
 
+    // STREAMING sliced hop (the reference's slice-shared window
+    // aggregation — SliceAssigners.hopping under
+    // StreamExecWindowAggregate): stage 1 aggregates each row's ONE
+    // 10-minute slice; stage 2 hops over the already-aggregated slice
+    // frame (window_time() carries the event-time attribute across the
+    // stages, Spark's chained-stateful-operator support). The per-key
+    // hop state fans out slices, not raw rows — at a 1h/5min hop that
+    // is 12× less state-store traffic. Same oracle shape as
+    // stream_hop_agg.
+    "stream_hop_sliced" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val sliced = StreamOps.eventsTypedWithFinalWatermark(s, dir, rounds = 2).toDF()
+        .select(expr("timestamp_micros(ts_us)").as("ts"), col("value"))
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "10 minutes").as("w"))
+        .agg(count(lit(1)).as("pn"),
+          sum(floor(col("value") * 100).cast("long")).as("ps"))
+      val hop = sliced
+        .groupBy(window(window_time(col("w")), "30 minutes", "10 minutes").as("hw"))
+        .agg(sum(col("pn")).cast("long").as("n"),
+          sum(col("ps")).cast("long").as("sum_value"))
+        .select(col("hw.start").as("ws"), col("hw.end").as("we"),
+          col("n"), col("sum_value"))
+      StreamOps.runToBatch(s, hop, "append", "stream_slicehop")
+        // the global sentinels aggregate into their own far-future
+        // windows; everything real is decades earlier
+        .filter(col("ws") < lit("2100-01-01").cast("timestamp"))
+        .select(expr("cast(ws as timestamp_ntz)").as("ws"),
+          expr("cast(we as timestamp_ntz)").as("we"),
+          col("n"), col("sum_value"))
+        .orderBy(col("ws"))
+    }),
+
     // Streaming SESSION window aggregation (30-min gap per user).
     "stream_session_agg" -> ((s0, dir) => {
       val s = StreamOps.tuned(s0)
@@ -1446,6 +1479,14 @@ object StreamQueries extends QueryPack {
     // construction)
     "stream_tumble_agg" -> TimeWindowQueries.tumbleOracleSql,
     "stream_hop_agg" -> """
+      SELECT ws, ws + INTERVAL 30 MINUTE AS we, count(*) AS n,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
+      FROM (
+        SELECT time_bucket(INTERVAL 10 MINUTE, ts) - k * INTERVAL 10 MINUTE AS ws,
+               value
+        FROM events, generate_series(0, 2) AS t(k))
+      GROUP BY ws ORDER BY ws""",
+    "stream_hop_sliced" -> """
       SELECT ws, ws + INTERVAL 30 MINUTE AS we, count(*) AS n,
              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
       FROM (
