@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions.{col, timestamp_micros}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, OutputMode}
 
 /** Tagged two-input envelope: exactly one of `a`/`b` is set (the other
  * null), `side` says which. Kryo-encoded so A and B stay fully generic. */
@@ -67,8 +67,10 @@ object ConnectedOps {
       zero: S,
       on1: (Long, S, A) => (S, Seq[O]),
       on2: (Long, S, B) => (S, Seq[O]),
-      watermarkDelay: String = "0 seconds")(
+      watermarkDelay: String = "0 seconds",
+      ttl: Option[String] = None)(
       implicit aEnc: Encoder[A], bEnc: Encoder[B], oEnc: Encoder[O]): Dataset[O] = {
+    Ttl.guard(ttl, watermarkDelay)
     implicit val envEnc: Encoder[CoIn[A, B]] = Encoders.kryo[CoIn[A, B]]
     implicit val tsEnvEnc: Encoder[(java.sql.Timestamp, CoIn[A, B])] =
       Encoders.tuple(Encoders.TIMESTAMP, envEnc)
@@ -97,7 +99,7 @@ object ConnectedOps {
     legA.union(legB)
       .groupByKey(_._2.key)
       .flatMapGroupsWithState[CoProcState[A, B, S], O](
-          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          OutputMode.Append, Ttl.timeoutConf(ttl))(Ttl.wrap(ttl) {
         (k: Long, it: Iterator[(java.sql.Timestamp, CoIn[A, B])],
             state: GroupState[CoProcState[A, B, S]]) =>
           val st0 = state.getOption.getOrElse(CoProcState[A, B, S](Nil, zero))
@@ -118,6 +120,6 @@ object ConnectedOps {
           }
           state.update(CoProcState(pending, user))
           out.result().iterator
-      }
+      })
   }
 }
