@@ -183,7 +183,7 @@ final class PatternStream[T](val all: Dataset[CepBoundG[T]]) {
 final class TableEnv(val spark: SparkSession) {
 
   private val DdlShaped =
-    """(?is)\s*(CREATE\s+(TABLE|(OR\s+REPLACE\s+)?(TEMPORARY\s+)?VIEW|(TEMPORARY\s+)?(SYSTEM\s+)?FUNCTION)|DROP\s+(TABLE|(TEMPORARY\s+)?VIEW)|INSERT\s+(INTO|OVERWRITE)|EXECUTE\s+STATEMENT\s+SET|SHOW\s+(TABLES|VIEWS|CREATE\s+TABLE)|DESC(RIBE)?\s|EXPLAIN\s|ALTER\s+TABLE|SET\s+'|RESET\s+')\b.*""".r
+    """(?is)\s*(CREATE\s+(TABLE|(OR\s+REPLACE\s+)?(TEMPORARY\s+)?VIEW|(TEMPORARY\s+)?(SYSTEM\s+)?FUNCTION)|DROP\s+(TABLE|(TEMPORARY\s+)?VIEW)|INSERT\s+(INTO|OVERWRITE)|EXECUTE\s+STATEMENT\s+SET|SHOW\s+(TABLES|VIEWS|CREATE\s+TABLE|(USER\s+)?FUNCTIONS|PARTITIONS)|DESC(RIBE)?\s|EXPLAIN\s|ALTER\s+TABLE|SET\s+'|RESET\s+')\b.*""".r
 
   /** The reference's single SQL door (`TableEnvironment.executeSql`):
    * DDL, INSERT, and statement sets route to the connector-DDL layer;

@@ -310,6 +310,27 @@ object DdlQueries extends QueryPack {
         .orderBy(org.apache.spark.sql.functions.col("name"))
     }),
 
+    // PRIMARY KEY … NOT ENFORCED (reference SqlTableConstraint — the
+    // upsert sources/sinks key their changelog on it): declared in the
+    // column list, surfaced as PRI(...) on the key rows of DESCRIBE,
+    // and round-tripped through SHOW CREATE TABLE (spec-checked).
+    "ddl_primary_key" -> ((s0, dir) => {
+      val s = s0.newSession()
+      Ddl.execute(s,
+        s"""CREATE TABLE pk_orders (
+              o_orderkey BIGINT,
+              o_custkey BIGINT,
+              o_totalprice DOUBLE,
+              CONSTRAINT pk_ok PRIMARY KEY (o_orderkey, o_custkey) NOT ENFORCED
+            ) WITH (
+              'connector' = 'filesystem',
+              'path' = '$dir/orders.parquet',
+              'format' = 'parquet'
+            )""")
+      Ddl.execute(s, "DESCRIBE pk_orders")
+        .orderBy(org.apache.spark.sql.functions.col("name"))
+    }),
+
     // CREATE FUNCTION … AS 'class' (reference SqlCreateFunction +
     // ScalarFunction eval-by-reflection): both example classes register
     // through the DDL text and run inside a SQL query — a 1-arg
@@ -488,6 +509,16 @@ object DdlQueries extends QueryPack {
          CAST(NULL AS VARCHAR), 'o_orderdate - INTERVAL ''5'' SECOND'),
         ('total_cents', 'BIGINT', true, CAST(NULL AS VARCHAR),
          'AS CAST(floor(o_totalprice * 100) AS BIGINT)', CAST(NULL AS VARCHAR))
+      ) AS t(name, "type", "null", "key", extras, watermark)
+      ORDER BY name""",
+    "ddl_primary_key" -> """
+      SELECT * FROM (VALUES
+        ('o_orderkey', 'BIGINT', true, 'PRI(o_orderkey, o_custkey)',
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+        ('o_custkey', 'BIGINT', true, 'PRI(o_orderkey, o_custkey)',
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+        ('o_totalprice', 'DOUBLE', true, CAST(NULL AS VARCHAR),
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))
       ) AS t(name, "type", "null", "key", extras, watermark)
       ORDER BY name""",
     "ddl_statement_set_stream" -> """

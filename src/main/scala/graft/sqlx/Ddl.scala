@@ -49,7 +49,8 @@ object Ddl {
       watermark: Option[WatermarkDef],
       options: Map[String, String],
       partitionedBy: Seq[String] = Nil,
-      metadata: Seq[MetadataDef] = Nil)
+      metadata: Seq[MetadataDef] = Nil,
+      primaryKey: Seq[String] = Nil)
 
   // body is non-greedy so the optional PARTITIONED BY clause between
   // the column list and WITH is matched by ITS group, not swallowed
@@ -68,6 +69,11 @@ object Ddl {
   private val MetadataRe =
     """(?is)([A-Za-z_][A-Za-z0-9_]*)\s+([A-Za-z0-9_<>,() ]+?)\s+METADATA(?:\s+FROM\s+'([^']*)')?(?:\s+(VIRTUAL))?\s*""".r
   private val ComputedRe = """(?is)([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.+)""".r
+  // PRIMARY KEY constraint in the column list (reference
+  // SqlTableConstraint: `[CONSTRAINT name] PRIMARY KEY (cols) NOT
+  // ENFORCED`; the reference REJECTS enforced mode — so does this)
+  private val PkRe =
+    """(?is)(?:CONSTRAINT\s+[A-Za-z_][A-Za-z0-9_]*\s+)?PRIMARY\s+KEY\s*\(([^)]*)\)\s*(NOT\s+ENFORCED)?\s*""".r
   private val PhysicalRe = """(?is)([A-Za-z_][A-Za-z0-9_]*)\s+([A-Za-z0-9_<>,() ]+)""".r
   private val OptionRe = """'([^']*)'\s*=\s*'([^']*)'""".r
   private val CharRe = """(?i)^\s*CHAR(?:ACTER)?\s*\(\s*(\d+)\s*\)\s*$""".r
@@ -78,23 +84,33 @@ object Ddl {
   private def splitTop(s: String): Seq[String] = SqlLexer.splitTop(s)
 
   /** Parse a column-list body into (physical, computed, metadata,
-   * watermark). */
+   * watermark, primaryKey). */
   private def parseBody(body: String):
-      (Vector[ColumnDef], Vector[ComputedDef], Vector[MetadataDef], Option[WatermarkDef]) = {
+      (Vector[ColumnDef], Vector[ComputedDef], Vector[MetadataDef],
+        Option[WatermarkDef], Seq[String]) = {
     var physical = Vector.empty[ColumnDef]
     var computed = Vector.empty[ComputedDef]
     var metadata = Vector.empty[MetadataDef]
     var watermark: Option[WatermarkDef] = None
+    var primaryKey: Seq[String] = Nil
     splitTop(body).foreach {
       case WatermarkRe(c, n, unit) => watermark = Some(WatermarkDef(c, s"$n $unit"))
       case WatermarkExprRe(c, e) => watermark = Some(WatermarkDef(c, "expr:" + e.trim))
+      case PkRe(cols, notEnforced) =>
+        // the reference rejects enforced primary keys on connector
+        // tables (it cannot guarantee them) — same loud contract here
+        require(notEnforced != null,
+          "PRIMARY KEY must be declared NOT ENFORCED (enforced mode is not supported)")
+        require(primaryKey.isEmpty, "duplicate PRIMARY KEY constraint")
+        primaryKey = splitTop(cols).map(_.trim).filter(_.nonEmpty)
+        require(primaryKey.nonEmpty, "PRIMARY KEY needs at least one column")
       case MetadataRe(n, t, key, virt) => metadata :+= MetadataDef(
         n, t.trim, Option(key).getOrElse(n), virt != null)
       case ComputedRe(n, e) => computed :+= ComputedDef(n, e.trim) // has AS → computed
       case PhysicalRe(n, t) => physical :+= ColumnDef(n, t.trim)
       case other => throw new IllegalArgumentException(s"cannot parse column clause: '$other'")
     }
-    (physical, computed, metadata, watermark)
+    (physical, computed, metadata, watermark, primaryKey)
   }
 
   private def parseOptions(opts: String): Map[String, String] =
@@ -102,7 +118,7 @@ object Ddl {
 
   def parse(ddl: String): TableDef = ddl match {
     case CreateRe(name, body, partBy, opts) =>
-      val (physical, computed, metadata, watermark) = parseBody(body)
+      val (physical, computed, metadata, watermark, pk) = parseBody(body)
       val options = parseOptions(opts)
       // PARTITIONED BY (reference `SqlCreateTable` partition-key list,
       // `parserImpls.ftl`): keys must be declared physical columns
@@ -111,7 +127,11 @@ object Ddl {
         require(physical.exists(_.name.equalsIgnoreCase(p)),
           s"PARTITIONED BY column '$p' is not a declared physical column")
       }
-      TableDef(name, physical, computed, watermark, options, parts, metadata)
+      pk.foreach { p =>
+        require(physical.exists(_.name.equalsIgnoreCase(p)),
+          s"PRIMARY KEY column '$p' is not a declared physical column")
+      }
+      TableDef(name, physical, computed, watermark, options, parts, metadata, pk)
     case _ => throw new IllegalArgumentException("expected CREATE TABLE … ( … ) WITH ( … )")
   }
 
@@ -174,6 +194,17 @@ object Ddl {
   // re-registers them. USE MODULES (resolution reordering) is not
   // routed — with a single module there is no order to change.
   private val ShowModulesRe = """(?is)\s*SHOW\s+(FULL\s+)?MODULES\s*;?\s*""".r
+  private val ShowFunctionsRe = """(?is)\s*SHOW\s+(USER\s+)?FUNCTIONS\s*;?\s*""".r
+  private val ShowPartitionsRe =
+    """(?is)\s*SHOW\s+PARTITIONS\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+  private val DescCatalogRe =
+    """(?is)\s*DESC(?:RIBE)?\s+CATALOG\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+  private val DescDatabaseRe =
+    """(?is)\s*DESC(?:RIBE)?\s+DATABASE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+  private val AlterAddPkRe =
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+((?:CONSTRAINT\s+[A-Za-z_][A-Za-z0-9_]*\s+)?PRIMARY\s+KEY\s*\([^)]*\)\s*(?:NOT\s+ENFORCED)?)\s*;?\s*""".r
+  private val AlterDropConstraintRe =
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+(?:CONSTRAINT\s+[A-Za-z_][A-Za-z0-9_]*|PRIMARY\s+KEY)\s*;?\s*""".r
   private val LoadModuleRe =
     """(?is)\s*LOAD\s+MODULE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
   private val UnloadModuleRe =
@@ -262,6 +293,12 @@ object Ddl {
   private val dbProps =
     new scala.collection.concurrent.TrieMap[(String, String, String), Map[String, String]]
 
+  /** Names registered via CREATE FUNCTION, per session — the "user"
+   * half of SHOW [USER] FUNCTIONS (reference ShowFunctionsOperation
+   * FunctionScope.USER). */
+  private val userFns =
+    new scala.collection.concurrent.TrieMap[String, scala.collection.mutable.Set[String]]
+
   /** The catalog-API read path for ALTER DATABASE properties
    * (reference Catalog.getDatabase(db).getProperties). */
   def databaseProps(spark: SparkSession, db: String): Map[String, String] = {
@@ -336,6 +373,8 @@ object Ddl {
       // reflective eval discovery, registered for SQL use
       case CreateFunctionRe(name, className) =>
         graft.api.Udfs.registerReflective(spark, name, className)
+        userFns.getOrElseUpdate(sessionKey(spark),
+          scala.collection.mutable.Set.empty) += name.toLowerCase
         return ok(spark)
       // CREATE TABLE … LIKE base (reference SqlTableLike, FLIP-110):
       // derive a definition from a declared base with merge strategies.
@@ -359,9 +398,9 @@ object Ddl {
         val baseComputed = if (feats.contains("EXCLUDING GENERATED")) Vector.empty[ComputedDef]
           else b.computed.toVector
         val baseWm = if (feats.contains("EXCLUDING WATERMARKS")) None else b.watermark
-        val (extraPhys, extraComp, extraMeta, extraWm) =
+        val (extraPhys, extraComp, extraMeta, extraWm, extraPk) =
           Option(colsOpt).map(parseBody).getOrElse(
-            (Vector.empty, Vector.empty, Vector.empty, None))
+            (Vector.empty, Vector.empty, Vector.empty, None, Nil))
         extraPhys.foreach { c =>
           require(!b.physical.exists(_.name.equalsIgnoreCase(c.name)),
             s"LIKE: column '${c.name}' already exists in '$base'")
@@ -378,7 +417,8 @@ object Ddl {
             feats.contains("EXCLUDING WATERMARKS"),
             "LIKE: base already defines a watermark — add (OVERWRITING WATERMARKS)")
         val t = TableDef(name, b.physical ++ extraPhys, baseComputed ++ extraComp,
-          wm, baseOptions ++ newOpts, b.partitionedBy, b.metadata ++ extraMeta)
+          wm, baseOptions ++ newOpts, b.partitionedBy, b.metadata ++ extraMeta,
+          if (extraPk.nonEmpty) extraPk else b.primaryKey)
         declared.put((sessionKey(spark), name), t)
         fileTable(sessionKey(spark), name, t)
         return register(spark, t)
@@ -558,6 +598,83 @@ object Ddl {
           if (ifE == null) throw new IllegalArgumentException(
             s"DROP FUNCTION: function '$name' does not exist")
         } else reg.dropFunction(fid)
+        userFns.get(sessionKey(spark)).foreach(_ -= name.toLowerCase)
+        return ok(spark)
+      // SHOW [USER] FUNCTIONS (reference SqlShowFunctions /
+      // ShowFunctionsOperation: USER lists only catalog-registered
+      // functions, the plain form lists system + user)
+      case ShowFunctionsRe(user) =>
+        val mine = userFns.getOrElse(sessionKey(spark),
+          scala.collection.mutable.Set.empty[String]).toSeq
+        val names =
+          if (user != null) mine
+          else (spark.sessionState.functionRegistry.listFunction()
+            .map(_.funcName) ++ mine).distinct
+        return spark.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(
+            names.sorted.map(org.apache.spark.sql.Row(_))).asJava,
+          StructType.fromDDL("`function name` STRING"))
+      // SHOW PARTITIONS t (reference SqlShowPartitions /
+      // ShowPartitionsOperation): the partition specs present in a
+      // PARTITIONED BY table's storage, `k1=v1/k2=v2` formatted
+      case ShowPartitionsRe(name) if isDeclared(spark, name) =>
+        val t = declared((sessionKey(spark), name))
+        require(t.partitionedBy.nonEmpty,
+          s"SHOW PARTITIONS $name: table is not partitioned")
+        import org.apache.spark.sql.functions.{col, concat_ws, lit, concat}
+        val spec = concat_ws("/",
+          t.partitionedBy.map(p => concat(lit(s"$p="), col(p).cast("string"))): _*)
+        return spark.table(name).select(spec.as("partition name"))
+          .distinct().orderBy(col("partition name"))
+      // DESCRIBE CATALOG / DATABASE (reference SqlDescribeCatalog /
+      // SqlDescribeDatabase): info rows from the in-memory catalog
+      case DescCatalogRe(cat) =>
+        val sk = sessionKey(spark); ensureDefaults(sk)
+        require(catalogs.contains((sk, cat)),
+          s"DESCRIBE CATALOG: catalog '$cat' does not exist")
+        return spark.createDataFrame(
+          java.util.List.of(
+            org.apache.spark.sql.Row("name", cat),
+            org.apache.spark.sql.Row("type", "generic_in_memory"),
+            org.apache.spark.sql.Row("comment", "")),
+          StructType.fromDDL("`info name` STRING, `info value` STRING"))
+      case DescDatabaseRe(db) =>
+        val sk = sessionKey(spark); val (cat, _) = currentOf(sk)
+        require(catalogs((sk, cat)).contains(db),
+          s"DESCRIBE DATABASE: database '$db' does not exist in catalog '$cat'")
+        val props = dbProps.getOrElse((sk, cat, db), Map.empty)
+        val rows = Seq(
+          org.apache.spark.sql.Row("name", db),
+          org.apache.spark.sql.Row("catalog", cat),
+          org.apache.spark.sql.Row("comment", "")) ++
+          props.toSeq.sortBy(_._1).map { case (k, v) =>
+            org.apache.spark.sql.Row(s"property:$k", v) }
+        return spark.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
+          StructType.fromDDL("`info name` STRING, `info value` STRING"))
+      // ALTER TABLE … ADD [CONSTRAINT name] PRIMARY KEY (…) NOT
+      // ENFORCED / DROP CONSTRAINT (reference SqlAlterTableAddConstraint
+      // / SqlAlterTableDropConstraint): constraint metadata on the decl
+      case AlterAddPkRe(name, pkClause) if isDeclared(spark, name) =>
+        val t = declared((sessionKey(spark), name))
+        require(t.primaryKey.isEmpty,
+          s"ALTER TABLE $name: table already has a primary key — DROP CONSTRAINT first")
+        val (_, _, _, _, pk) = parseBody(pkClause)
+        pk.foreach { p =>
+          require(t.physical.exists(_.name.equalsIgnoreCase(p)),
+            s"PRIMARY KEY column '$p' is not a declared physical column")
+        }
+        val updated = t.copy(primaryKey = pk)
+        declared.put((sessionKey(spark), name), updated)
+        fileTable(sessionKey(spark), name, updated)
+        return ok(spark)
+      case AlterDropConstraintRe(name) if isDeclared(spark, name) =>
+        val t = declared((sessionKey(spark), name))
+        require(t.primaryKey.nonEmpty,
+          s"ALTER TABLE $name: table has no primary key constraint")
+        val updated = t.copy(primaryKey = Nil)
+        declared.put((sessionKey(spark), name), updated)
+        fileTable(sessionKey(spark), name, updated)
         return ok(spark)
       // USE db — keyword-shaped tails (e.g. USE CATALOG) never reach
       // here because the CATALOG form matched above
@@ -657,6 +774,8 @@ object Ddl {
       t.metadata.map(m => s"  ${m.name} ${m.typ} METADATA FROM '${m.key}'" +
         (if (m.virtual) " VIRTUAL" else "")) ++
       t.computed.map(c => s"  ${c.name} AS ${c.sqlExpr}") ++
+      (if (t.primaryKey.isEmpty) Nil
+       else Seq(t.primaryKey.mkString("  PRIMARY KEY (", ", ", ") NOT ENFORCED"))) ++
       t.watermark.toSeq.map(w =>
         s"  WATERMARK FOR ${w.column} AS ${w.column} - ${wmOffsetSql(w)}")
     val partClause =
@@ -704,9 +823,16 @@ object Ddl {
     def wmOf(c: String): Option[String] =
       t.watermark.filter(_.column == c)
         .map(w => s"${w.column} - ${wmOffsetSql(w)}")
+    // key column: PRI(cols) on every primary-key member row, the
+    // reference DESCRIBE format (SqlRichDescribeTable printing)
+    val priLabel =
+      if (t.primaryKey.isEmpty) null
+      else t.primaryKey.mkString("PRI(", ", ", ")")
     val rows =
       t.physical.map(c => org.apache.spark.sql.Row(
-        c.name, typeOf(c.name), true, null, null, wmOf(c.name).orNull)) ++
+        c.name, typeOf(c.name), true,
+        if (t.primaryKey.exists(_.equalsIgnoreCase(c.name))) priLabel else null,
+        null, wmOf(c.name).orNull)) ++
       t.computed.map(c => org.apache.spark.sql.Row(
         c.name, typeOf(c.name), true, null, s"AS ${c.sqlExpr}", null)) ++
       t.metadata.map(m => org.apache.spark.sql.Row(

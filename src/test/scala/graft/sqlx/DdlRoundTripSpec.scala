@@ -48,9 +48,16 @@ class DdlRoundTripSpec extends SparkSuite {
       val partBy =
         if (rnd.nextInt(4) == 0) s" PARTITIONED BY (${physical(rnd.nextInt(physical.size))._1})"
         else ""
+      val pk = rnd.nextInt(3) match {
+        case 0 => Nil
+        case 1 => Seq(s"PRIMARY KEY (${physical(rnd.nextInt(physical.size))._1}) NOT ENFORCED")
+        case 2 =>
+          val cols = rnd.shuffle(physical).take(1 + rnd.nextInt(2)).map(_._1)
+          Seq(s"CONSTRAINT pk_$case_ ${randCase("PRIMARY KEY", rnd)} (${cols.mkString(", ")}) NOT ENFORCED")
+      }
       val ws = () => if (rnd.nextBoolean()) " " else "\n  "
       val body = (physical.map { case (n, t) => s"$n ${randCase(t, rnd)}" } ++
-        metadata ++ computed ++ wm).mkString("," + ws())
+        metadata ++ computed ++ pk ++ wm).mkString("," + ws())
       val ddl =
         s"""${randCase("CREATE TABLE", rnd)} $name (${ws()}$body${ws()})$partBy
            |WITH ('connector' = 'filesystem',${ws()}'path' = '$dir/events.parquet',
@@ -79,6 +86,8 @@ class DdlRoundTripSpec extends SparkSuite {
         s"case $case_ (seed $seed): options drifted\nSHOWN:\n$shown")
       assert(def2.partitionedBy == def1.partitionedBy,
         s"case $case_ (seed $seed): partition keys drifted\nSHOWN:\n$shown")
+      assert(def2.primaryKey == def1.primaryKey,
+        s"case $case_ (seed $seed): primary key drifted\nDDL:\n$ddl\nSHOWN:\n$shown")
       // the reconstructed DDL must itself execute to the same schema
       Ddl.execute(s, s"DROP TABLE $name")
       Ddl.execute(s, shown)

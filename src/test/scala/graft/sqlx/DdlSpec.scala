@@ -120,6 +120,77 @@ class DdlSpec extends SparkSuite {
       rt.options("path") == out)
   }
 
+  test("PRIMARY KEY NOT ENFORCED: parse, DESCRIBE PRI column, round-trip, ALTER lifecycle") {
+    val out = java.nio.file.Files.createTempDirectory("graft_pk").toString
+    import spark.implicits._
+    Seq((1L, "a", 2.0)).toDF("id", "name", "v").write.mode("overwrite").parquet(out)
+    Ddl.execute(spark, s"""CREATE TABLE pk_t (
+        id BIGINT, name STRING, v DOUBLE,
+        CONSTRAINT pk_id PRIMARY KEY (id) NOT ENFORCED
+      ) WITH ('path' = '$out', 'format' = 'parquet')""")
+    // enforced mode is rejected, as the reference
+    intercept[IllegalArgumentException](Ddl.parse(
+      "CREATE TABLE bad (id BIGINT, PRIMARY KEY (id)) WITH ('path' = '/x')"))
+    intercept[IllegalArgumentException](Ddl.parse(
+      "CREATE TABLE bad (id BIGINT, PRIMARY KEY (nope) NOT ENFORCED) WITH ('path' = '/x')"))
+    // DESCRIBE: PRI(...) on the key row only
+    val desc = Ddl.execute(spark, "DESCRIBE pk_t").collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(desc("id") == "PRI(id)" && desc("name") == null)
+    // SHOW CREATE TABLE round-trips the constraint
+    val shown = Ddl.execute(spark, "SHOW CREATE TABLE pk_t").collect().head.getString(1)
+    assert(Ddl.parse(shown).primaryKey == Seq("id"), shown)
+    // ALTER lifecycle: drop, re-add composite, duplicate add rejected
+    Ddl.execute(spark, "ALTER TABLE pk_t DROP CONSTRAINT pk_id")
+    assert(Ddl.parse(Ddl.execute(spark, "SHOW CREATE TABLE pk_t")
+      .collect().head.getString(1)).primaryKey.isEmpty)
+    Ddl.execute(spark,
+      "ALTER TABLE pk_t ADD CONSTRAINT pk2 PRIMARY KEY (id, name) NOT ENFORCED")
+    assert(Ddl.parse(Ddl.execute(spark, "SHOW CREATE TABLE pk_t")
+      .collect().head.getString(1)).primaryKey == Seq("id", "name"))
+    intercept[IllegalArgumentException](Ddl.execute(spark,
+      "ALTER TABLE pk_t ADD PRIMARY KEY (id) NOT ENFORCED"))
+    Ddl.execute(spark, "DROP TABLE pk_t")
+  }
+
+  test("SHOW [USER] FUNCTIONS, SHOW PARTITIONS, DESCRIBE CATALOG/DATABASE") {
+    import spark.implicits._
+    // functions: CREATE FUNCTION surfaces under USER; DROP removes it
+    Ddl.execute(spark,
+      "CREATE FUNCTION shf_fn AS 'graft.functions.udfx.VowelStrip'")
+    val userFns = Ddl.execute(spark, "SHOW USER FUNCTIONS")
+      .collect().map(_.getString(0)).toSet
+    assert(userFns.contains("shf_fn"))
+    val allFns = Ddl.execute(spark, "SHOW FUNCTIONS")
+      .collect().map(_.getString(0)).toSet
+    assert(allFns.contains("shf_fn") && allFns.contains("sum"),
+      "plain SHOW FUNCTIONS lists system + user functions")
+    Ddl.execute(spark, "DROP FUNCTION shf_fn")
+    assert(!Ddl.execute(spark, "SHOW USER FUNCTIONS")
+      .collect().map(_.getString(0)).contains("shf_fn"))
+    // partitions of a PARTITIONED BY table
+    val out = java.nio.file.Files.createTempDirectory("graft_showpart").toString
+    Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("id", "part")
+      .write.mode("overwrite").partitionBy("part").parquet(out)
+    Ddl.execute(spark, s"""CREATE TABLE sp_t (id BIGINT, part STRING)
+      PARTITIONED BY (part) WITH ('path' = '$out', 'format' = 'parquet')""")
+    val parts = Ddl.execute(spark, "SHOW PARTITIONS sp_t")
+      .collect().map(_.getString(0)).toSeq
+    assert(parts == Seq("part=x", "part=y"), parts.toString)
+    intercept[Exception]( // undeclared → native Spark path → not found
+      Ddl.execute(spark, "SHOW PARTITIONS never_declared_t"))
+    Ddl.execute(spark, "DROP TABLE sp_t")
+    // catalog / database info rows
+    val cat = Ddl.execute(spark, "DESCRIBE CATALOG default_catalog")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cat("name") == "default_catalog" && cat("type") == "generic_in_memory")
+    val db = Ddl.execute(spark, "DESCRIBE DATABASE default_database")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(db("name") == "default_database" && db("catalog") == "default_catalog")
+    intercept[IllegalArgumentException](
+      Ddl.execute(spark, "DESCRIBE CATALOG no_such_cat"))
+  }
+
   test("CREATE TABLE LIKE: inherit, append columns, option merge strategies") {
     val out = java.nio.file.Files.createTempDirectory("graft_like").toString
     import spark.implicits._
