@@ -55,6 +55,38 @@ object Sampling {
    * filter WindowGroupLimit-eligible (per-partition partial top-k
    * before the full per-stratum sort), so the scan never sorts more
    * than max-quota rows per partition at scale. */
+  /** Assign rows, in deterministic hash order, to contiguous shards
+   * of ~`budget` total weight — the token-budget shard writer of a
+   * training pipeline (each output shard carries about the same token
+   * count). A row belongs to the shard where its running-sum START
+   * offset lands (floor(start/budget)), so shard boundaries never
+   * reorder the deterministic sequence.
+   *
+   * Scale: the global cumulative sum is TWO-PHASE — rows bucket by a
+   * RANGE of the deterministic hash (a pure function of the id, no
+   * counting pass), the cumsum runs within each bounded bucket, and
+   * the bucket totals (one `buckets`-row frame) are prefix-summed and
+   * broadcast back as offsets. No single-partition pass ever touches
+   * the data. */
+  def tokenBudgetShards(df: DataFrame, idCol: String, weightCol: String,
+      budget: Long, buckets: Int = 32): DataFrame = {
+    require(budget > 0 && buckets > 0, "tokenBudgetShards needs positive budget/buckets")
+    val bWidth = 1000000007L / buckets + 1
+    val withB = df.withColumn("__h", detHash(col(idCol)))
+      .withColumn("__b", expr(s"__h div $bWidth"))
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("__h"), col(idCol))
+    val cum = withB.withColumn("__cum_in", sum(col(weightCol)).over(wIn))
+    val offsets = withB.groupBy(col("__b")).agg(sum(col(weightCol)).as("__btot"))
+      .withColumn("__off", coalesce(sum(col("__btot")).over(
+        Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__b"), col("__off"))
+    cum.join(broadcast(offsets), Seq("__b"))
+      .withColumn("start_tok", col("__off") + col("__cum_in") - col(weightCol))
+      .withColumn("shard_id", expr(s"start_tok div $budget"))
+      .drop("__h", "__b", "__cum_in", "__off")
+  }
+
   /** Temperature-scaled mixture quotas (the multilingual-LM sampling
    * recipe at T = 2, i.e. p_l ∝ n_l^0.5): stratum l keeps
    * floor(total · w_l / Σw) lowest-hash rows, where w_l =

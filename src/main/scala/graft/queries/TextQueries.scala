@@ -196,6 +196,22 @@ object TextQueries extends QueryPack {
         .orderBy(col("lang"), col("rk"))
     }),
 
+    // TOKEN-BUDGET SHARDS (the training-shard writer: contiguous
+    // output shards of ~10k tokens each in deterministic hash order —
+    // C4/Pile-style fixed-size shard files): a doc joins the shard
+    // where its running-token START offset lands. The global cumsum is
+    // two-phase distributed (hash-range buckets, bucket totals
+    // broadcast) — no single-partition pass, unlike the naive global
+    // window the oracle can afford.
+    "text_token_budget_shards" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), size(words).cast("bigint").as("n_tokens"))
+      graft.operators.Sampling.tokenBudgetShards(docs, "doc_id", "n_tokens",
+          budget = 10000L)
+        .select(col("doc_id"), col("n_tokens"), col("start_tok"), col("shard_id"))
+        .orderBy(col("start_tok"))
+    }),
+
     // TEMPERATURE-SCALED DOMAIN MIXING (the multilingual sampling rule
     // at T = 2: quota_l ∝ sqrt(n_l)): static proportional mixing
     // drowns tail languages; the sqrt tempers head dominance while
@@ -862,6 +878,21 @@ object TextQueries extends QueryPack {
              CAST(sum(n) AS BIGINT) AS n_toks
       FROM db JOIN q USING (b)
       GROUP BY doc_id ORDER BY doc_id""",
+    "text_token_budget_shards" -> """
+      WITH w AS (
+        SELECT doc_id,
+               CAST(len(string_split(trim(lower(text)), ' ')) AS BIGINT) AS n_tokens,
+               ((doc_id % 1000003) * 2654435761) % 1000000007 AS h
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+                 AS BIGINT) AS start_tok
+        FROM w)
+      SELECT doc_id, n_tokens, start_tok,
+             CAST(start_tok // 10000 AS BIGINT) AS shard_id
+      FROM c ORDER BY start_tok""",
     "text_temperature_mix" -> """
       WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
       w AS (SELECT lang,
