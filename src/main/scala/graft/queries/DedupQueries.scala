@@ -43,6 +43,31 @@ object DedupQueries extends QueryPack {
       verifiedLshPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // INCREMENTAL CROSS-CORPUS DEDUP (the production dedup shape: a
+    // new crawl must dedup AGAINST the existing corpus without
+    // re-mining old-vs-old pairs): banded signatures on both sides,
+    // candidates restricted to (existing, incoming) band collisions,
+    // exact-Jaccard verify on candidates only. At 100 TB the existing
+    // side's band index is a materialized table — each increment pays
+    // one equi-join against it, never a self-join of the whole corpus.
+    // Here even doc_ids stand in for the existing corpus, odd for the
+    // increment.
+    "dedup_incremental_lsh" -> ((s, dir) => {
+      import graft.operators.MinHashLSH
+      val docs = Tables.load(s, dir, "documents")
+      val sh = MinHashLSH.shingles(docs, "doc_id", "text", 3)
+      val bnd = MinHashLSH.bands(MinHashLSH.signatures(sh, 8), 8, 4)
+      val existing = bnd.filter(col("doc") % 2 === 0)
+        .select(col("band"), col("key"), col("doc").as("doc_a"))
+      val incoming = bnd.filter(col("doc") % 2 === 1)
+        .select(col("band"), col("key"), col("doc").as("doc_b"))
+      val cand = existing.join(incoming, Seq("band", "key"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      MinHashLSH.verifiedPairs(sh, cand, 0.5)
+        .select(col("doc_b").as("new_doc"), col("doc_a").as("dup_of"), col("jaccard"))
+        .orderBy(col("new_doc"), col("dup_of"))
+    }),
+
     // SimHash fingerprints (16-bit, word-frequency weighted).
     "dedup_simhash" -> ((s, dir) => {
       SimHash(Tables.load(s, dir, "documents"), "doc_id", "text")
@@ -221,6 +246,35 @@ object DedupQueries extends QueryPack {
         FROM documents)
       SELECT md5(pfx) AS prefix_key, min(doc_id) AS keep_doc, count(*) AS n_docs
       FROM t GROUP BY 1 HAVING count(*) > 1 ORDER BY prefix_key""",
+    "dedup_incremental_lsh" -> s"""
+      WITH $shinglesCte,
+      sig AS (SELECT doc_id, min(md5('1:'||shingle)) h1, min(md5('2:'||shingle)) h2,
+                     min(md5('3:'||shingle)) h3, min(md5('4:'||shingle)) h4,
+                     min(md5('5:'||shingle)) h5, min(md5('6:'||shingle)) h6,
+                     min(md5('7:'||shingle)) h7, min(md5('8:'||shingle)) h8
+              FROM sh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, 1 AS band, h1||h2 AS key FROM sig UNION ALL
+        SELECT doc_id, 2, h3||h4 FROM sig UNION ALL
+        SELECT doc_id, 3, h5||h6 FROM sig UNION ALL
+        SELECT doc_id, 4, h7||h8 FROM sig),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.key = b.key
+                AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ninter
+                FROM cand c
+                JOIN sh sa ON sa.doc_id = c.doc_a
+                JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+                GROUP BY c.doc_a, c.doc_b)
+      SELECT doc_b AS new_doc, doc_a AS dup_of,
+             round(ninter * 1.0 / (na.n + nb.n - ninter), 4) AS jaccard
+      FROM inter i
+      JOIN sizes na ON na.doc_id = i.doc_a
+      JOIN sizes nb ON nb.doc_id = i.doc_b
+      WHERE ninter * 1000 >= (na.n + nb.n - ninter) * 500
+      ORDER BY new_doc, dup_of""",
     "dedup_minhash_lsh" -> s"""
       WITH $shinglesCte,
       sig AS (SELECT doc_id, min(md5('1:'||shingle)) h1, min(md5('2:'||shingle)) h2,
