@@ -83,6 +83,61 @@ object Ddl {
    * expression like `concat(a, 'x,y')` cannot mis-split. */
   private def splitTop(s: String): Seq[String] = SqlLexer.splitTop(s)
 
+  /** Re-join splitTop fragments cut INSIDE a generic type argument
+   * list (`ROW<a INT, b STRING>` — the lexer tracks parens/quotes, not
+   * angle brackets): a fragment with more '<' than '>' is an open
+   * generic and absorbs the next fragment. Computed/watermark clauses
+   * are exempt (their generics sit inside CAST(...) parens, already
+   * comma-protected; a bare `x < y` comparison must not absorb). */
+  private def joinGenericSplits(parts: Seq[String]): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var cur: String = null
+    def open(s: String): Boolean =
+      s.count(_ == '<') > s.count(_ == '>') &&
+        !"""(?is).*\bAS\b.*""".r.matches(s)
+    parts.foreach { p =>
+      cur = if (cur == null) p else cur + ", " + p
+      if (!open(cur)) { out += cur; cur = null }
+    }
+    if (cur != null) out += cur
+    out.toSeq
+  }
+
+  /** Reference type names → Spark type text (recursively, inside
+   * ARRAY/MAP/ROW nesting): the reference's `TIMESTAMP(p)` is
+   * WITHOUT time zone (→ TIMESTAMP_NTZ), `TIMESTAMP_LTZ(p)` /
+   * `TIMESTAMP(p) WITH LOCAL TIME ZONE` is the instant type
+   * (→ TIMESTAMP), `ROW<…>` is Spark's STRUCT, and `MULTISET<T>` maps
+   * to the COLLECT count-map convention MAP<T, INT>
+   * (`functions/Multiset.scala`). Types Spark already accepts —
+   * including bare TIMESTAMP, CHAR(n) (padded on read), DECIMAL(p,s)
+   * — pass through untouched. */
+  private[sqlx] def normalizeType(typ0: String): String = {
+    var t = typ0.trim
+    t = """(?i)TIMESTAMP\s*\(\s*\d+\s*\)\s*WITH\s+LOCAL\s+TIME\s+ZONE""".r
+      .replaceAllIn(t, "TIMESTAMP")
+    t = """(?i)TIMESTAMP\s+WITH\s+LOCAL\s+TIME\s+ZONE""".r.replaceAllIn(t, "TIMESTAMP")
+    t = """(?i)TIMESTAMP_LTZ\s*(\(\s*\d+\s*\))?""".r.replaceAllIn(t, "TIMESTAMP")
+    t = """(?i)TIMESTAMP\s*\(\s*\d+\s*\)""".r.replaceAllIn(t, "TIMESTAMP_NTZ")
+    t = """(?i)\bROW\s*<""".r.replaceAllIn(t, "STRUCT<")
+    var i = t.toUpperCase.indexOf("MULTISET<")
+    while (i >= 0) {
+      val start = i + "MULTISET<".length
+      var depth = 1
+      var j = start
+      while (depth > 0 && j < t.length) {
+        val c = t(j)
+        if (c == '<') depth += 1 else if (c == '>') depth -= 1
+        j += 1
+      }
+      require(depth == 0, s"unbalanced MULTISET type: $typ0")
+      val inner = t.substring(start, j - 1)
+      t = t.substring(0, i) + s"MAP<$inner, INT>" + t.substring(j)
+      i = t.toUpperCase.indexOf("MULTISET<")
+    }
+    t
+  }
+
   /** Parse a column-list body into (physical, computed, metadata,
    * watermark, primaryKey). */
   private def parseBody(body: String):
@@ -93,7 +148,7 @@ object Ddl {
     var metadata = Vector.empty[MetadataDef]
     var watermark: Option[WatermarkDef] = None
     var primaryKey: Seq[String] = Nil
-    splitTop(body).foreach {
+    joinGenericSplits(splitTop(body)).foreach {
       case WatermarkRe(c, n, unit) => watermark = Some(WatermarkDef(c, s"$n $unit"))
       case WatermarkExprRe(c, e) => watermark = Some(WatermarkDef(c, "expr:" + e.trim))
       case PkRe(cols, notEnforced) =>
@@ -105,9 +160,9 @@ object Ddl {
         primaryKey = splitTop(cols).map(_.trim).filter(_.nonEmpty)
         require(primaryKey.nonEmpty, "PRIMARY KEY needs at least one column")
       case MetadataRe(n, t, key, virt) => metadata :+= MetadataDef(
-        n, t.trim, Option(key).getOrElse(n), virt != null)
+        n, normalizeType(t), Option(key).getOrElse(n), virt != null)
       case ComputedRe(n, e) => computed :+= ComputedDef(n, e.trim) // has AS → computed
-      case PhysicalRe(n, t) => physical :+= ColumnDef(n, t.trim)
+      case PhysicalRe(n, t) => physical :+= ColumnDef(n, normalizeType(t))
       case other => throw new IllegalArgumentException(s"cannot parse column clause: '$other'")
     }
     (physical, computed, metadata, watermark, primaryKey)

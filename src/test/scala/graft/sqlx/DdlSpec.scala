@@ -120,6 +120,40 @@ class DdlSpec extends SparkSuite {
       rt.options("path") == out)
   }
 
+  test("reference type names normalize: TIMESTAMP(p), TIMESTAMP_LTZ, ROW, MULTISET") {
+    val t = Ddl.parse("""
+      CREATE TABLE types_t (
+        ts3 TIMESTAMP(3),
+        tl TIMESTAMP_LTZ(3),
+        tlz TIMESTAMP(6) WITH LOCAL TIME ZONE,
+        r ROW<a INT, b STRING>,
+        ms MULTISET<STRING>,
+        nested ARRAY<ROW<x INT, tags MULTISET<STRING>>>,
+        c CHAR(4),
+        d DECIMAL(10,2)
+      ) WITH ('path' = '/x', 'format' = 'parquet')""")
+    val types = t.physical.map(c => c.name -> c.typ).toMap
+    assert(types("ts3") == "TIMESTAMP_NTZ")
+    assert(types("tl") == "TIMESTAMP" && types("tlz") == "TIMESTAMP")
+    assert(types("r") == "STRUCT<a INT, b STRING>")
+    assert(types("ms") == "MAP<STRING, INT>")
+    assert(types("nested") == "ARRAY<STRUCT<x INT, tags MAP<STRING, INT>>>")
+    // types Spark already accepts are untouched
+    assert(types("c") == "CHAR(4)" && types("d") == "DECIMAL(10,2)")
+    // the normalized text resolves through Spark's DDL parser — a
+    // declared-but-empty table materializes the translated schema
+    val out = java.nio.file.Files.createTempDirectory("graft_types").toString
+    Ddl.execute(spark, s"""CREATE TABLE types_exec (
+        ts3 TIMESTAMP(3), r ROW<a INT, b STRING>, ms MULTISET<STRING>
+      ) WITH ('path' = '$out', 'format' = 'parquet')""")
+    val schema = spark.table("types_exec").schema
+    import org.apache.spark.sql.types._
+    assert(schema("ts3").dataType == TimestampNTZType)
+    assert(schema("r").dataType.isInstanceOf[StructType])
+    assert(schema("ms").dataType == MapType(StringType, IntegerType))
+    Ddl.execute(spark, "DROP TABLE types_exec")
+  }
+
   test("PRIMARY KEY NOT ENFORCED: parse, DESCRIBE PRI column, round-trip, ALTER lifecycle") {
     val out = java.nio.file.Files.createTempDirectory("graft_pk").toString
     import spark.implicits._
