@@ -100,13 +100,17 @@ case class StreamRankToTopNRule(session: SparkSession) extends Rule[LogicalPlan]
     }
     if (partIdx.isEmpty) return None
     val child = w.child
-    // order columns, each with its direction and compare mode:
+    // order columns, each with its direction, compare mode, and null
+    // placement:
     // 0 = integral (exact 64-bit), 1 = fractional (double),
-    // 2 = naturally Comparable external type (timestamps/dates/strings
+    // 2 = naturally Comparable external type (timestamps/dates
     //     — the reference's Deduplicate orders by a TIME ATTRIBUTE, so
-    //     rn = 1 over `ORDER BY rowtime` must resolve)
-    val orderIdx: Seq[(Int, Boolean, Int)] = w.orderSpec.map {
-      case SortOrder(a: Attribute, dir, _, _)
+    //     rn = 1 over `ORDER BY rowtime` must resolve),
+    // 3 = string, compared in UTF8String binary (code-point) order —
+    //     java.lang.String.compareTo is UTF-16 code-unit order, which
+    //     diverges from Spark's ROW_NUMBER sort on non-BMP code points
+    val orderIdx: Seq[(Int, Boolean, Int, Boolean)] = w.orderSpec.map {
+      case SortOrder(a: Attribute, dir, nullOrd, _)
           if child.output.exists(_.exprId == a.exprId) &&
             (a.dataType.isInstanceOf[NumericType] ||
               Seq(TimestampType, TimestampNTZType, DateType, StringType)
@@ -114,8 +118,10 @@ case class StreamRankToTopNRule(session: SparkSession) extends Rule[LogicalPlan]
         val mode =
           if (Seq(ByteType, ShortType, IntegerType, LongType).contains(a.dataType)) 0
           else if (a.dataType.isInstanceOf[NumericType]) 1
+          else if (a.dataType == StringType) 3
           else 2
-        (child.output.indexWhere(_.exprId == a.exprId), dir == Ascending, mode)
+        (child.output.indexWhere(_.exprId == a.exprId), dir == Ascending,
+          mode, nullOrd == NullsFirst)
       case _ => return None
     }
 
@@ -129,23 +135,40 @@ case class StreamRankToTopNRule(session: SparkSession) extends Rule[LogicalPlan]
       var i = 0
       var c = 0
       while (c == 0 && i < orderIdx.length) {
-        val (idx, asc, mode) = orderIdx(i)
-        // 64-bit ids above 2^53 collapse under a double compare, which
-        // would break the unique-tiebreaker contract — compare integral
-        // columns exactly.
-        c = mode match {
-          case 0 =>
-            java.lang.Long.compare(
-              x.get(idx).asInstanceOf[Number].longValue,
-              y.get(idx).asInstanceOf[Number].longValue)
-          case 1 =>
-            java.lang.Double.compare(
-              x.get(idx).asInstanceOf[Number].doubleValue,
-              y.get(idx).asInstanceOf[Number].doubleValue)
-          case _ =>
-            x.get(idx).asInstanceOf[Comparable[Any]].compareTo(y.get(idx))
+        val (idx, asc, mode, nullsFirst) = orderIdx(i)
+        val xn = x.isNullAt(idx)
+        val yn = y.isNullAt(idx)
+        if (xn || yn) {
+          // SQL null placement is absolute (NULLS FIRST puts nulls
+          // first regardless of ASC/DESC), so it must NOT go through
+          // the direction flip below
+          c = if (xn && yn) 0
+              else if (xn) { if (nullsFirst) -1 else 1 }
+              else { if (nullsFirst) 1 else -1 }
+        } else {
+          // 64-bit ids above 2^53 collapse under a double compare, which
+          // would break the unique-tiebreaker contract — compare integral
+          // columns exactly.
+          c = mode match {
+            case 0 =>
+              java.lang.Long.compare(
+                x.get(idx).asInstanceOf[Number].longValue,
+                y.get(idx).asInstanceOf[Number].longValue)
+            case 1 =>
+              java.lang.Double.compare(
+                x.get(idx).asInstanceOf[Number].doubleValue,
+                y.get(idx).asInstanceOf[Number].doubleValue)
+            case 3 =>
+              // match Spark's binary string order (UTF-8 byte compare)
+              org.apache.spark.unsafe.types.UTF8String
+                .fromString(x.getString(idx))
+                .compareTo(org.apache.spark.unsafe.types.UTF8String
+                  .fromString(y.getString(idx)))
+            case _ =>
+              x.get(idx).asInstanceOf[Comparable[Any]].compareTo(y.get(idx))
+          }
+          if (!asc) c = -c
         }
-        if (!asc) c = -c
         i += 1
       }
       c

@@ -50,7 +50,10 @@ object Ddl {
       options: Map[String, String],
       partitionedBy: Seq[String] = Nil,
       metadata: Seq[MetadataDef] = Nil,
-      primaryKey: Seq[String] = Nil)
+      primaryKey: Seq[String] = Nil,
+      // declared constraint name (`CONSTRAINT pk_x PRIMARY KEY …`) —
+      // kept so SHOW CREATE TABLE round-trips it like the reference
+      pkName: Option[String] = None)
 
   // body is non-greedy so the optional PARTITIONED BY clause between
   // the column list and WITH is matched by ITS group, not swallowed
@@ -73,7 +76,7 @@ object Ddl {
   // SqlTableConstraint: `[CONSTRAINT name] PRIMARY KEY (cols) NOT
   // ENFORCED`; the reference REJECTS enforced mode — so does this)
   private val PkRe =
-    """(?is)(?:CONSTRAINT\s+[A-Za-z_][A-Za-z0-9_]*\s+)?PRIMARY\s+KEY\s*\(([^)]*)\)\s*(NOT\s+ENFORCED)?\s*""".r
+    """(?is)(?:CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s+)?PRIMARY\s+KEY\s*\(([^)]*)\)\s*(NOT\s+ENFORCED)?\s*""".r
   private val PhysicalRe = """(?is)([A-Za-z_][A-Za-z0-9_]*)\s+([A-Za-z0-9_<>,() ]+)""".r
   private val OptionRe = """'([^']*)'\s*=\s*'([^']*)'""".r
   private val CharRe = """(?i)^\s*CHAR(?:ACTER)?\s*\(\s*(\d+)\s*\)\s*$""".r
@@ -110,15 +113,25 @@ object Ddl {
    * (→ TIMESTAMP), `ROW<…>` is Spark's STRUCT, and `MULTISET<T>` maps
    * to the COLLECT count-map convention MAP<T, INT>
    * (`functions/Multiset.scala`). Types Spark already accepts —
-   * including bare TIMESTAMP, CHAR(n) (padded on read), DECIMAL(p,s)
-   * — pass through untouched. */
+   * CHAR(n) (padded on read), DECIMAL(p,s) — pass through untouched.
+   *
+   * Bare TIMESTAMP also maps to TIMESTAMP_NTZ: in the reference,
+   * TIMESTAMP ≡ TIMESTAMP(6) ≡ WITHOUT time zone, so identical
+   * reference DDL must yield the same Spark type whether or not the
+   * precision is spelled (in a non-UTC session, Spark's session-tz
+   * TIMESTAMP would otherwise shift the values). */
   private[sqlx] def normalizeType(typ0: String): String = {
     var t = typ0.trim
+    // LTZ forms first, via a placeholder so the bare-TIMESTAMP rule
+    // below can't re-capture them
     t = """(?i)TIMESTAMP\s*\(\s*\d+\s*\)\s*WITH\s+LOCAL\s+TIME\s+ZONE""".r
-      .replaceAllIn(t, "TIMESTAMP")
-    t = """(?i)TIMESTAMP\s+WITH\s+LOCAL\s+TIME\s+ZONE""".r.replaceAllIn(t, "TIMESTAMP")
-    t = """(?i)TIMESTAMP_LTZ\s*(\(\s*\d+\s*\))?""".r.replaceAllIn(t, "TIMESTAMP")
+      .replaceAllIn(t, "@LTZ@")
+    t = """(?i)TIMESTAMP\s+WITH\s+LOCAL\s+TIME\s+ZONE""".r.replaceAllIn(t, "@LTZ@")
+    t = """(?i)TIMESTAMP_LTZ\s*(\(\s*\d+\s*\))?""".r.replaceAllIn(t, "@LTZ@")
     t = """(?i)TIMESTAMP\s*\(\s*\d+\s*\)""".r.replaceAllIn(t, "TIMESTAMP_NTZ")
+    // \bTIMESTAMP\b skips TIMESTAMP_NTZ ('_' is a word character)
+    t = """(?i)\bTIMESTAMP\b""".r.replaceAllIn(t, "TIMESTAMP_NTZ")
+    t = t.replace("@LTZ@", "TIMESTAMP")
     t = """(?i)\bROW\s*<""".r.replaceAllIn(t, "STRUCT<")
     var i = t.toUpperCase.indexOf("MULTISET<")
     while (i >= 0) {
@@ -139,19 +152,20 @@ object Ddl {
   }
 
   /** Parse a column-list body into (physical, computed, metadata,
-   * watermark, primaryKey). */
+   * watermark, primaryKey, pkName). */
   private def parseBody(body: String):
       (Vector[ColumnDef], Vector[ComputedDef], Vector[MetadataDef],
-        Option[WatermarkDef], Seq[String]) = {
+        Option[WatermarkDef], Seq[String], Option[String]) = {
     var physical = Vector.empty[ColumnDef]
     var computed = Vector.empty[ComputedDef]
     var metadata = Vector.empty[MetadataDef]
     var watermark: Option[WatermarkDef] = None
     var primaryKey: Seq[String] = Nil
+    var pkName: Option[String] = None
     joinGenericSplits(splitTop(body)).foreach {
       case WatermarkRe(c, n, unit) => watermark = Some(WatermarkDef(c, s"$n $unit"))
       case WatermarkExprRe(c, e) => watermark = Some(WatermarkDef(c, "expr:" + e.trim))
-      case PkRe(cols, notEnforced) =>
+      case PkRe(cname, cols, notEnforced) =>
         // the reference rejects enforced primary keys on connector
         // tables (it cannot guarantee them) — same loud contract here
         require(notEnforced != null,
@@ -159,13 +173,14 @@ object Ddl {
         require(primaryKey.isEmpty, "duplicate PRIMARY KEY constraint")
         primaryKey = splitTop(cols).map(_.trim).filter(_.nonEmpty)
         require(primaryKey.nonEmpty, "PRIMARY KEY needs at least one column")
+        pkName = Option(cname)
       case MetadataRe(n, t, key, virt) => metadata :+= MetadataDef(
         n, normalizeType(t), Option(key).getOrElse(n), virt != null)
       case ComputedRe(n, e) => computed :+= ComputedDef(n, e.trim) // has AS → computed
       case PhysicalRe(n, t) => physical :+= ColumnDef(n, normalizeType(t))
       case other => throw new IllegalArgumentException(s"cannot parse column clause: '$other'")
     }
-    (physical, computed, metadata, watermark, primaryKey)
+    (physical, computed, metadata, watermark, primaryKey, pkName)
   }
 
   private def parseOptions(opts: String): Map[String, String] =
@@ -173,7 +188,7 @@ object Ddl {
 
   def parse(ddl: String): TableDef = ddl match {
     case CreateRe(name, body, partBy, opts) =>
-      val (physical, computed, metadata, watermark, pk) = parseBody(body)
+      val (physical, computed, metadata, watermark, pk, pkName) = parseBody(body)
       val options = parseOptions(opts)
       // PARTITIONED BY (reference `SqlCreateTable` partition-key list,
       // `parserImpls.ftl`): keys must be declared physical columns
@@ -186,7 +201,7 @@ object Ddl {
         require(physical.exists(_.name.equalsIgnoreCase(p)),
           s"PRIMARY KEY column '$p' is not a declared physical column")
       }
-      TableDef(name, physical, computed, watermark, options, parts, metadata, pk)
+      TableDef(name, physical, computed, watermark, options, parts, metadata, pk, pkName)
     case _ => throw new IllegalArgumentException("expected CREATE TABLE … ( … ) WITH ( … )")
   }
 
@@ -453,9 +468,9 @@ object Ddl {
         val baseComputed = if (feats.contains("EXCLUDING GENERATED")) Vector.empty[ComputedDef]
           else b.computed.toVector
         val baseWm = if (feats.contains("EXCLUDING WATERMARKS")) None else b.watermark
-        val (extraPhys, extraComp, extraMeta, extraWm, extraPk) =
+        val (extraPhys, extraComp, extraMeta, extraWm, extraPk, extraPkName) =
           Option(colsOpt).map(parseBody).getOrElse(
-            (Vector.empty, Vector.empty, Vector.empty, None, Nil))
+            (Vector.empty, Vector.empty, Vector.empty, None, Nil, None))
         extraPhys.foreach { c =>
           require(!b.physical.exists(_.name.equalsIgnoreCase(c.name)),
             s"LIKE: column '${c.name}' already exists in '$base'")
@@ -473,7 +488,8 @@ object Ddl {
             "LIKE: base already defines a watermark — add (OVERWRITING WATERMARKS)")
         val t = TableDef(name, b.physical ++ extraPhys, baseComputed ++ extraComp,
           wm, baseOptions ++ newOpts, b.partitionedBy, b.metadata ++ extraMeta,
-          if (extraPk.nonEmpty) extraPk else b.primaryKey)
+          if (extraPk.nonEmpty) extraPk else b.primaryKey,
+          if (extraPk.nonEmpty) extraPkName else b.pkName)
         declared.put((sessionKey(spark), name), t)
         fileTable(sessionKey(spark), name, t)
         return register(spark, t)
@@ -714,12 +730,12 @@ object Ddl {
         val t = declared((sessionKey(spark), name))
         require(t.primaryKey.isEmpty,
           s"ALTER TABLE $name: table already has a primary key — DROP CONSTRAINT first")
-        val (_, _, _, _, pk) = parseBody(pkClause)
+        val (_, _, _, _, pk, pkName) = parseBody(pkClause)
         pk.foreach { p =>
           require(t.physical.exists(_.name.equalsIgnoreCase(p)),
             s"PRIMARY KEY column '$p' is not a declared physical column")
         }
-        val updated = t.copy(primaryKey = pk)
+        val updated = t.copy(primaryKey = pk, pkName = pkName)
         declared.put((sessionKey(spark), name), updated)
         fileTable(sessionKey(spark), name, updated)
         return ok(spark)
@@ -727,7 +743,7 @@ object Ddl {
         val t = declared((sessionKey(spark), name))
         require(t.primaryKey.nonEmpty,
           s"ALTER TABLE $name: table has no primary key constraint")
-        val updated = t.copy(primaryKey = Nil)
+        val updated = t.copy(primaryKey = Nil, pkName = None)
         declared.put((sessionKey(spark), name), updated)
         fileTable(sessionKey(spark), name, updated)
         return ok(spark)
@@ -830,7 +846,9 @@ object Ddl {
         (if (m.virtual) " VIRTUAL" else "")) ++
       t.computed.map(c => s"  ${c.name} AS ${c.sqlExpr}") ++
       (if (t.primaryKey.isEmpty) Nil
-       else Seq(t.primaryKey.mkString("  PRIMARY KEY (", ", ", ") NOT ENFORCED"))) ++
+       else Seq(t.primaryKey.mkString(
+         "  " + t.pkName.map(n => s"CONSTRAINT $n ").getOrElse("") +
+           "PRIMARY KEY (", ", ", ") NOT ENFORCED"))) ++
       t.watermark.toSeq.map(w =>
         s"  WATERMARK FOR ${w.column} AS ${w.column} - ${wmOffsetSql(w)}")
     val partClause =

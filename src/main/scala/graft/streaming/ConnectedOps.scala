@@ -42,6 +42,13 @@ case class CoProcState[A, B, S](pending: List[CoIn[A, B]], user: S)
  *    timers (its docs' canonical pattern); here the buffer/timer
  *    half is built in. Rows with id < 0 are watermark carriers
  *    (sentinels): they advance the watermark but never enter state.
+ *    Sentinels are OPTIONAL — when no TTL is set, each key arms an
+ *    event-time timer at its earliest pending row, so buffered rows
+ *    drain as the global watermark advances even for keys that never
+ *    receive further input. A key's trailing rows still need the
+ *    GLOBAL watermark to pass them (some source must keep producing,
+ *    or a final sentinel on either leg closes the stream) — the same
+ *    contract as the reference's min-combined two-input watermark.
  *
  * Scale: one shuffle on the shared key for both inputs together;
  * state per key is the user state plus only the rows still above the
@@ -96,30 +103,50 @@ object ConnectedOps {
     val legB = leg(b, tsB,
       (t: B) => CoIn[A, B](1, keyB(t), tsB(t), idB(t), null.asInstanceOf[A], t))
 
+    val body = (k: Long, it: Iterator[(java.sql.Timestamp, CoIn[A, B])],
+        state: GroupState[CoProcState[A, B, S]]) => {
+      val st0 = state.getOption.getOrElse(CoProcState[A, B, S](Nil, zero))
+      val arrivals = it.map(_._2).filter(_.id >= 0).toList
+      val buf = st0.pending ++ arrivals
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      // strict release: a row releases only once the watermark is
+      // PAST its timestamp, so every ts-peer (either side) has
+      // arrived — the same peer-safety argument as sortedEmit
+      val (ready, pending) = buf.partition(_.ts_us < wmUs)
+      var user = st0.user
+      val out = List.newBuilder[O]
+      ready.sortBy(e => (e.ts_us, e.side, e.id)).foreach { e =>
+        val (next, emits) =
+          if (e.side == 0) on1(k, user, e.a) else on2(k, user, e.b)
+        user = next
+        out ++= emits
+      }
+      state.update(CoProcState(pending, user))
+      // without a TTL, arm an event-time timer at the earliest pending
+      // row, so the buffer drains when the GLOBAL watermark advances
+      // even if this key never sees another input — the reference's
+      // event-time-timer half of the buffered co-process pattern.
+      // (With a TTL the operator runs on processing-time timeouts
+      // instead, and an idle key's state expires wholesale.)
+      if (ttl.isEmpty && pending.nonEmpty)
+        state.setTimeoutTimestamp(math.max(
+          state.getCurrentWatermarkMs() + 1,
+          pending.map(_.ts_us).min / 1000L + 1))
+      out.result().iterator
+    }
+    val timedBody =
+      if (ttl.isDefined) Ttl.wrap(ttl)(body)
+      else (k: Long, it: Iterator[(java.sql.Timestamp, CoIn[A, B])],
+          state: GroupState[CoProcState[A, B, S]]) =>
+        // a fired event-time timer is just a drain pass: empty input,
+        // release whatever the watermark now covers
+        body(k, if (state.hasTimedOut) Iterator.empty else it, state)
     legA.union(legB)
       .groupByKey(_._2.key)
       .flatMapGroupsWithState[CoProcState[A, B, S], O](
-          OutputMode.Append, Ttl.timeoutConf(ttl))(Ttl.wrap(ttl) {
-        (k: Long, it: Iterator[(java.sql.Timestamp, CoIn[A, B])],
-            state: GroupState[CoProcState[A, B, S]]) =>
-          val st0 = state.getOption.getOrElse(CoProcState[A, B, S](Nil, zero))
-          val arrivals = it.map(_._2).filter(_.id >= 0).toList
-          val buf = st0.pending ++ arrivals
-          val wmUs = state.getCurrentWatermarkMs() * 1000L
-          // strict release: a row releases only once the watermark is
-          // PAST its timestamp, so every ts-peer (either side) has
-          // arrived — the same peer-safety argument as sortedEmit
-          val (ready, pending) = buf.partition(_.ts_us < wmUs)
-          var user = st0.user
-          val out = List.newBuilder[O]
-          ready.sortBy(e => (e.ts_us, e.side, e.id)).foreach { e =>
-            val (next, emits) =
-              if (e.side == 0) on1(k, user, e.a) else on2(k, user, e.b)
-            user = next
-            out ++= emits
-          }
-          state.update(CoProcState(pending, user))
-          out.result().iterator
-      })
+        OutputMode.Append,
+        if (ttl.isDefined) Ttl.timeoutConf(ttl)
+        else org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(
+        timedBody)
   }
 }

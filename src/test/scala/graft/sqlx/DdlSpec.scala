@@ -171,17 +171,21 @@ class DdlSpec extends SparkSuite {
     val desc = Ddl.execute(spark, "DESCRIBE pk_t").collect()
       .map(r => r.getString(0) -> r.getString(3)).toMap
     assert(desc("id") == "PRI(id)" && desc("name") == null)
-    // SHOW CREATE TABLE round-trips the constraint
+    // SHOW CREATE TABLE round-trips the constraint INCLUDING its
+    // declared name (the reference re-emits `CONSTRAINT pk_id …`)
     val shown = Ddl.execute(spark, "SHOW CREATE TABLE pk_t").collect().head.getString(1)
     assert(Ddl.parse(shown).primaryKey == Seq("id"), shown)
+    assert(Ddl.parse(shown).pkName.contains("pk_id"), shown)
     // ALTER lifecycle: drop, re-add composite, duplicate add rejected
     Ddl.execute(spark, "ALTER TABLE pk_t DROP CONSTRAINT pk_id")
     assert(Ddl.parse(Ddl.execute(spark, "SHOW CREATE TABLE pk_t")
       .collect().head.getString(1)).primaryKey.isEmpty)
     Ddl.execute(spark,
       "ALTER TABLE pk_t ADD CONSTRAINT pk2 PRIMARY KEY (id, name) NOT ENFORCED")
-    assert(Ddl.parse(Ddl.execute(spark, "SHOW CREATE TABLE pk_t")
-      .collect().head.getString(1)).primaryKey == Seq("id", "name"))
+    val readded = Ddl.parse(Ddl.execute(spark, "SHOW CREATE TABLE pk_t")
+      .collect().head.getString(1))
+    assert(readded.primaryKey == Seq("id", "name"))
+    assert(readded.pkName.contains("pk2"))
     intercept[IllegalArgumentException](Ddl.execute(spark,
       "ALTER TABLE pk_t ADD PRIMARY KEY (id) NOT ENFORCED"))
     Ddl.execute(spark, "DROP TABLE pk_t")
