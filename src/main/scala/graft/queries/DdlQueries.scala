@@ -178,6 +178,49 @@ object DdlQueries extends QueryPack {
         GROUP BY event_type ORDER BY event_type""")
     }),
 
+    // ALTER TABLE ADD/DROP PARTITION (reference SqlAddPartitions /
+    // SqlDropPartitions): DROP prunes a partition directory (the data
+    // disappears from every subsequent read — a static prune), ADD
+    // registers an empty partition that SHOW PARTITIONS lists. The
+    // result joins the listed partitions against the surviving data.
+    "ddl_alter_partition" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_altpart").toString
+      Ddl.execute(s,
+        s"""CREATE TABLE ap_events (
+              event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE
+            ) WITH ('connector' = 'filesystem',
+                    'path' = '$dir/events.parquet', 'format' = 'parquet')""")
+      Ddl.execute(s,
+        s"""CREATE TABLE ap_by_type (
+              user_id BIGINT, cents BIGINT, event_type STRING
+            ) PARTITIONED BY (event_type)
+            WITH ('connector' = 'filesystem', 'path' = '$out', 'format' = 'parquet')""")
+      Ddl.execute(s, """
+        INSERT INTO ap_by_type
+          SELECT user_id, cast(floor(value * 100) as bigint) AS cents, event_type
+          FROM ap_events""")
+      // prune one partition, register one empty partition; the
+      // idempotent forms are exercised too
+      Ddl.execute(s, "ALTER TABLE ap_by_type DROP PARTITION (event_type = 'click')")
+      Ddl.execute(s,
+        "ALTER TABLE ap_by_type DROP IF EXISTS PARTITION (event_type = 'click')")
+      Ddl.execute(s, "ALTER TABLE ap_by_type ADD PARTITION (event_type = 'synthetic')")
+      Ddl.execute(s,
+        "ALTER TABLE ap_by_type ADD IF NOT EXISTS PARTITION (event_type = 'synthetic')")
+      Ddl.execute(s, "SHOW PARTITIONS ap_by_type")
+        .createOrReplaceTempView("ap_parts")
+      s.sql("""
+        SELECT p.`partition name` AS part,
+               coalesce(a.n, 0) AS n, coalesce(a.cents, 0) AS cents
+        FROM ap_parts p
+        LEFT JOIN (
+          SELECT concat('event_type=', event_type) AS part,
+                 count(*) AS n, sum(cents) AS cents
+          FROM ap_by_type GROUP BY event_type) a
+        ON p.`partition name` = a.part
+        ORDER BY part""")
+    }),
+
     "ddl_statement_set" -> ((s, dir) => {
       val outA = java.nio.file.Files.createTempDirectory("graft_sset_a").toString
       val outB = java.nio.file.Files.createTempDirectory("graft_sset_b").toString
@@ -546,6 +589,15 @@ object DdlQueries extends QueryPack {
       FROM events
       WHERE event_type IN ('click', 'view')
       GROUP BY event_type ORDER BY event_type""",
+    "ddl_alter_partition" -> """
+      WITH agg AS (
+        SELECT 'event_type=' || event_type AS part, count(*) AS n,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE event_type <> 'click' GROUP BY event_type)
+      SELECT part, n, cents FROM agg
+      UNION ALL
+      SELECT 'event_type=synthetic', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      ORDER BY part""",
     "ddl_statement_set" -> """
       SELECT 'by_type' AS sink, event_type AS k, count(*) AS n,
              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents

@@ -265,6 +265,34 @@ object TimeWindowQueries extends QueryPack {
         ORDER BY ws""")
     }),
 
+    // expression-interval variants (reference grammar accepts any
+    // constant interval expression, not just INTERVAL literals): the
+    // named TUMBLE size is interval ARITHMETIC, the positional HOP
+    // durations mix make_interval(…) with a literal — both evaluate
+    // through the session and stay hash-identical to the literal twins
+    "win_tumble_tvf_expr_sql" -> ((s, dir) => {
+      Tables.load(s, dir, "events").createOrReplaceTempView("events")
+      graft.sqlx.WindowTvfSql.sql(s, """
+        SELECT window_start AS ws, window_end AS we, event_type,
+               count(*) AS n, sum(floor(value * 100)) AS sum_value
+        FROM TABLE(TUMBLE(DATA => TABLE events, TIMECOL => DESCRIPTOR(ts),
+                          SIZE => INTERVAL '10' MINUTE + INTERVAL '300' SECOND))
+        GROUP BY window_start, window_end, event_type
+        ORDER BY ws, event_type""")
+    }),
+
+    "win_hop_tvf_expr_sql" -> ((s, dir) => {
+      Tables.load(s, dir, "events").createOrReplaceTempView("events")
+      graft.sqlx.WindowTvfSql.sql(s, """
+        SELECT window_start AS ws, window_end AS we,
+               count(*) AS n, count(DISTINCT user_id) AS n_users
+        FROM TABLE(HOP(TABLE events, DESCRIPTOR(ts),
+                       make_interval(0, 0, 0, 0, 0, 10, 0),
+                       INTERVAL '15' MINUTE * 2))
+        GROUP BY window_start, window_end
+        ORDER BY ws""")
+    }),
+
     "win_cumulate_tvf_sql" -> ((s, dir) => {
       Tables.load(s, dir, "events").createOrReplaceTempView("events")
       graft.sqlx.WindowTvfSql.sql(s, """
@@ -476,6 +504,8 @@ object TimeWindowQueries extends QueryPack {
     "win_cumulate" -> cumulateOracleSql,
     "win_tumble_tvf_sql" -> tumbleOracleSql,
     "win_hop_tvf_sql" -> hopOracleSql,
+    "win_tumble_tvf_expr_sql" -> tumbleOracleSql,
+    "win_hop_tvf_expr_sql" -> hopOracleSql,
     "win_cumulate_tvf_sql" -> cumulateOracleSql,
     "win_tumble_legacy_sql" -> tumbleOracleSql,
     "win_hop_legacy_sql" -> hopOracleSql,

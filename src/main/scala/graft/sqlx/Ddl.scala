@@ -186,6 +186,29 @@ object Ddl {
   private def parseOptions(opts: String): Map[String, String] =
     OptionRe.findAllMatchIn(opts).map(m => m.group(1) -> m.group(2)).toMap
 
+  private val PartSpecItemRe =
+    """(?s)\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(?:'([^']*)'|([^,\s']+))\s*""".r
+  /** Parse `k1 = 'v1', k2 = 2` into declared-order pairs. Keys must be
+   * a PREFIX of the table's PARTITIONED BY order (the directory layout
+   * is hierarchical, so only a prefix names a directory); `requireFull`
+   * demands the complete spec (ADD creates one leaf partition). */
+  private def parsePartitionSpec(
+      t: TableDef, spec: String, requireFull: Boolean): Seq[(String, String)] = {
+    require(t.partitionedBy.nonEmpty, s"table ${t.name} is not partitioned")
+    val pairs: Seq[(String, String)] = splitTop(spec).map {
+      case PartSpecItemRe(k, q, raw) => k -> Option(q).getOrElse(raw)
+      case other =>
+        throw new IllegalArgumentException(s"cannot parse partition spec item: '$other'")
+    }
+    val declaredPrefix = t.partitionedBy.take(pairs.length).map(_.toLowerCase)
+    require(pairs.map(_._1.toLowerCase) == declaredPrefix,
+      s"partition spec (${pairs.map(_._1).mkString(", ")}) must follow the " +
+        s"declared partition order (${t.partitionedBy.mkString(", ")})")
+    if (requireFull) require(pairs.length == t.partitionedBy.length,
+      s"ADD PARTITION needs the full spec (${t.partitionedBy.mkString(", ")})")
+    pairs
+  }
+
   def parse(ddl: String): TableDef = ddl match {
     case CreateRe(name, body, partBy, opts) =>
       val (physical, computed, metadata, watermark, pk, pkName) = parseBody(body)
@@ -271,6 +294,14 @@ object Ddl {
     """(?is)\s*DESC(?:RIBE)?\s+CATALOG\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
   private val DescDatabaseRe =
     """(?is)\s*DESC(?:RIBE)?\s+DATABASE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+  // ALTER TABLE … ADD/DROP PARTITION (reference SqlAddPartitions /
+  // SqlDropPartitions, parserImpls.ftl — Hive-style partition DDL on a
+  // PARTITIONED BY filesystem table): ADD registers/creates the
+  // partition directory, DROP prunes it (directory delete)
+  private val AlterAddPartRe =
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+(IF\s+NOT\s+EXISTS\s+)?PARTITION\s*\(([^)]*)\)\s*;?\s*""".r
+  private val AlterDropPartRe =
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+(IF\s+EXISTS\s+)?PARTITION\s*\(([^)]*)\)\s*;?\s*""".r
   private val AlterAddPkRe =
     """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+((?:CONSTRAINT\s+[A-Za-z_][A-Za-z0-9_]*\s+)?PRIMARY\s+KEY\s*\([^)]*\)\s*(?:NOT\s+ENFORCED)?)\s*;?\s*""".r
   private val AlterDropConstraintRe =
@@ -319,6 +350,12 @@ object Ddl {
     new scala.collection.concurrent.TrieMap[String, (String, String)]
   private val catalogStore =
     new scala.collection.concurrent.TrieMap[(String, String, String, String), TableDef]
+
+  // partitions registered via ALTER TABLE ADD PARTITION — SHOW
+  // PARTITIONS lists them even while empty (a catalog-registered
+  // partition with no data yet, as in Hive-style catalogs)
+  private val addedParts =
+    new scala.collection.concurrent.TrieMap[(String, String), Set[String]]
 
   private def ensureDefaults(sk: String): Unit =
     catalogs.getOrElseUpdate((sk, "default_catalog"),
@@ -433,6 +470,7 @@ object Ddl {
       case DropTableRe(_, name) if declared.contains((sessionKey(spark), name)) =>
         declared.remove((sessionKey(spark), name))
         unfileTable(sessionKey(spark), name)
+        addedParts.remove((sessionKey(spark), name))
         spark.catalog.dropTempView(name)
         return ok(spark)
       case DropViewRe(_, name) if declaredViews.contains((sessionKey(spark), name)) =>
@@ -695,7 +733,16 @@ object Ddl {
         import org.apache.spark.sql.functions.{col, concat_ws, lit, concat}
         val spec = concat_ws("/",
           t.partitionedBy.map(p => concat(lit(s"$p="), col(p).cast("string"))): _*)
-        return spark.table(name).select(spec.as("partition name"))
+        val fromData = spark.table(name).select(spec.as("partition name"))
+        // partitions registered via ADD PARTITION appear even while
+        // empty, like catalog-registered partitions in the reference
+        val registered = addedParts
+          .getOrElse((sessionKey(spark), name), Set.empty).toSeq.sorted
+        val regDf = spark.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(
+            registered.map(org.apache.spark.sql.Row(_))).asJava,
+          StructType.fromDDL("`partition name` STRING"))
+        return fromData.union(regDf)
           .distinct().orderBy(col("partition name"))
       // DESCRIBE CATALOG / DATABASE (reference SqlDescribeCatalog /
       // SqlDescribeDatabase): info rows from the in-memory catalog
@@ -723,6 +770,52 @@ object Ddl {
         return spark.createDataFrame(
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
           StructType.fromDDL("`info name` STRING, `info value` STRING"))
+      // ALTER TABLE … ADD/DROP PARTITION (reference SqlAddPartitions /
+      // SqlDropPartitions): directory-level partition management on a
+      // PARTITIONED BY filesystem table. ADD registers (and creates)
+      // the partition directory; DROP prunes it — a static prune, the
+      // DDL-side analog of partition-filter pushdown.
+      case AlterAddPartRe(name, ifNot, spec) if isDeclared(spark, name) =>
+        val t = declared((sessionKey(spark), name))
+        val pairs = parsePartitionSpec(t, spec, requireFull = true)
+        val rel = pairs.map { case (k, v) => s"$k=$v" }.mkString("/")
+        val dir = java.nio.file.Paths.get(t.options("path"), rel.split('/'): _*)
+        val key = (sessionKey(spark), name)
+        val exists = java.nio.file.Files.isDirectory(dir) ||
+          addedParts.getOrElse(key, Set.empty).contains(rel)
+        if (exists) require(ifNot != null,
+          s"ALTER TABLE $name ADD PARTITION: partition ($rel) already " +
+            "exists — use IF NOT EXISTS")
+        else {
+          java.nio.file.Files.createDirectories(dir)
+          addedParts.put(key, addedParts.getOrElse(key, Set.empty) + rel)
+        }
+        return ok(spark)
+      case AlterDropPartRe(name, ifEx, spec) if isDeclared(spark, name) =>
+        val t = declared((sessionKey(spark), name))
+        val pairs = parsePartitionSpec(t, spec, requireFull = false)
+        val rel = pairs.map { case (k, v) => s"$k=$v" }.mkString("/")
+        val dir = java.nio.file.Paths.get(t.options("path"), rel.split('/'): _*)
+        val key = (sessionKey(spark), name)
+        val registered = addedParts.getOrElse(key, Set.empty)
+        val exists = java.nio.file.Files.isDirectory(dir) ||
+          registered.exists(p => p == rel || p.startsWith(rel + "/"))
+        if (!exists) require(ifEx != null,
+          s"ALTER TABLE $name DROP PARTITION: partition ($rel) does not " +
+            "exist — use IF EXISTS")
+        else {
+          if (java.nio.file.Files.isDirectory(dir)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+              .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete(_))
+          }
+          addedParts.put(key,
+            registered.filterNot(p => p == rel || p.startsWith(rel + "/")))
+          // refresh the registered view so its file index drops the
+          // pruned directory
+          register(spark, t)
+        }
+        return ok(spark)
       // ALTER TABLE … ADD [CONSTRAINT name] PRIMARY KEY (…) NOT
       // ENFORCED / DROP CONSTRAINT (reference SqlAlterTableAddConstraint
       // / SqlAlterTableDropConstraint): constraint metadata on the decl

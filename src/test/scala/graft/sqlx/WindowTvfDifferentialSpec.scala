@@ -29,7 +29,17 @@ class WindowTvfDifferentialSpec extends SparkSuite {
     val sizesMin = Vector(5, 10, 15, 20, 30, 60)
     for (case_ <- 0 until 12) {
       val fn = Vector("TUMBLE", "HOP", "CUMULATE")(rnd.nextInt(3))
-      def iv(n: Int) = s"INTERVAL '$n' MINUTE"
+      // a duration of n minutes in a random spelling: literal forms
+      // plus the constant-EXPRESSION forms the reference grammar
+      // accepts (arithmetic, make_interval) — each must evaluate
+      // through the session to the same seconds
+      def iv(n: Int) = rnd.nextInt(5) match {
+        case 0 => s"INTERVAL '$n' MINUTE"
+        case 1 => s"INTERVAL '${n * 60}' SECOND"
+        case 2 if n > 1 => s"INTERVAL '${n - 1}' MINUTE + INTERVAL '60' SECOND"
+        case 3 => s"make_interval(0, 0, 0, 0, 0, $n, 0)"
+        case _ => s"INTERVAL '$n' MINUTE"
+      }
       // (durArgs in positional order, twin)
       val (durs, twin) = fn match {
         case "TUMBLE" =>
