@@ -558,6 +558,36 @@ object StreamQueries extends QueryPack {
         .orderBy(col("event_type"), col("rn"))
     }),
 
+    // State-backend proof (reference EmbeddedRocksDBStateBackend,
+    // flink-statebackend-rocksdb/.../EmbeddedRocksDBStateBackend.java:95):
+    // the SAME keyed Top-N state op with the state store swapped to
+    // RocksDB — at production scale the state store IS RocksDB, so the
+    // provider swap is gated on a hash-identical final image (shared
+    // oracle with stream_topn), not just on config plumbing.
+    "state_rocksdb_topn" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val updates = StreamOps.runToBatch(
+          s, graft.api.StreamEnv.get(s).fromDataset(StreamOps.eventsTyped(s, dir))
+            .keyBy("event_type").topN("value", "event_id", n = 3).toDF(),
+          "update", "state_rocksdb_topn")
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value").desc, col("event_id"))
+        updates.distinct()
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("event_type"), col("event_id"), col("value"), col("rn"))
+          .orderBy(col("event_type"), col("rn"))
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+
     // SQL-TRANSPARENT streaming Top-N (reference FlinkLogicalRankRule +
     // StreamExecRank): the SQL text is a plain ROW_NUMBER() <= 3 rank
     // filter over a STREAMING view — which Spark cannot execute at all
@@ -1282,6 +1312,38 @@ object StreamQueries extends QueryPack {
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
     }),
 
+    // MATCH_RECOGNIZE timed-out partial matches through the SQL door
+    // (engine extension over the reference's TimedOutPartialMatchHandler
+    // — cep/PatternStream.java:26; the SQL standard has no timeout
+    // output): click → view → purchase within 12 hours, ONE ROW PER
+    // MATCH WITH TIMED OUT MATCHES. A click whose window closes before
+    // completing surfaces flagged timed_out=true, with measures over
+    // its PARTIAL binding — CLASSIFIER() tells how far it got ('A' =
+    // click only, 'B' = click+view). Same independent-per-start
+    // semantics as stream_cep_timeout, now reachable from SQL.
+    "match_recognize_timeout" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      val mrSql = """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES A.event_id AS click_id, CLASSIFIER() AS last_step
+          ONE ROW PER MATCH WITH TIMED OUT MATCHES
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (A B C)
+          WITHIN INTERVAL '720' MINUTE
+          DEFINE A AS A.event_type = 'click', B AS B.event_type = 'view',
+                 C AS C.event_type = 'purchase'
+        )"""
+      StreamOps.runToBatch(s,
+          graft.sqlx.MatchRecognize.run(
+            StreamOps.eventsTypedWithKeyedSentinels(s, dir), mrSql),
+          "append", "mr_timeout")
+        .filter(col("timed_out") && col("click_id") >= 0)
+        .select(col("user_id"), col("click_id"), col("last_step"))
+        .orderBy(col("user_id"), col("click_id"))
+    }),
+
     // Broadcast state / connected streams (reference
     // KeyedBroadcastProcessFunction): a control stream of per-type
     // thresholds (batch-computed mean cents, the broadcast side) and
@@ -1733,6 +1795,13 @@ object StreamQueries extends QueryPack {
                      ORDER BY value DESC, event_id) AS rn
             FROM events) t
       WHERE rn <= 3 ORDER BY event_type, rn""",
+    "state_rocksdb_topn" -> """
+      SELECT event_type, event_id, value, rn
+      FROM (SELECT event_type, event_id, value,
+                   row_number() OVER (PARTITION BY event_type
+                     ORDER BY value DESC, event_id) AS rn
+            FROM events) t
+      WHERE rn <= 3 ORDER BY event_type, rn""",
     "stream_sorted_emit" -> """
       SELECT user_id AS key, event_id AS id, CAST(ts AS TIMESTAMP) AS ts,
              row_number() OVER (PARTITION BY user_id
@@ -1994,6 +2063,27 @@ object StreamQueries extends QueryPack {
              CASE WHEN is_a THEN event_id WHEN is_b THEN pid END AS a_id
       FROM c
       ORDER BY user_id, ts_us, event_id""",
+    // MATCH_RECOGNIZE contiguity is STRICT (consecutive rows, unlike
+    // the CEP gate's relaxed followedBy): B must be the row immediately
+    // after the click, C the row after that, both within the 12 h
+    // window. A timed-out partial is a click whose strict run did not
+    // complete; last_step says how far the prefix bound.
+    "match_recognize_timeout" -> """
+      WITH seq AS (
+        SELECT user_id, event_id, event_type, ts,
+               lead(event_type, 1) OVER w AS t1, lead(ts, 1) OVER w AS ts1,
+               lead(event_type, 2) OVER w AS t2, lead(ts, 2) OVER w AS ts2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, event_id AS click_id,
+             CASE WHEN t1 = 'view' AND ts1 <= ts + INTERVAL 12 HOUR
+                  THEN 'B' ELSE 'A' END AS last_step
+      FROM seq
+      WHERE event_type = 'click'
+        AND NOT coalesce(
+          t1 = 'view' AND ts1 <= ts + INTERVAL 12 HOUR
+          AND t2 = 'purchase' AND ts2 <= ts + INTERVAL 12 HOUR, false)
+      ORDER BY user_id, click_id""",
     "stream_broadcast_threshold" -> """
       WITH thr AS (
         SELECT event_type,

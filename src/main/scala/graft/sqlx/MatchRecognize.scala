@@ -131,6 +131,7 @@ object MatchRecognize {
       excluded: Set[String] = Set.empty,
       subsets: Map[String, Seq[String]] = Map.empty,
       withUnmatched: Boolean = false,
+      withTimedOut: Boolean = false,
       orderId: Option[String] = None)
 
   private def fail(msg: String): Nothing =
@@ -598,11 +599,24 @@ object MatchRecognize {
       .replaceAll("""(?i)\b(SHOW|OMIT)\s+EMPTY\s+MATCHES\b""", "").trim
     if (leftover.nonEmpty) fail(s"cannot parse ALL ROWS PER MATCH options '$leftover'")
     if (showEmpty && omitEmpty) fail("SHOW and OMIT EMPTY MATCHES are mutually exclusive")
-    sec.get("ONE ROW PER MATCH").filter(_.trim.nonEmpty).foreach(o =>
-      fail(s"ONE ROW PER MATCH takes no options, got '${o.trim}'"))
+    // ONE ROW PER MATCH WITH TIMED OUT MATCHES (engine extension — the
+    // SQL standard has no timeout output; the reference surfaces the
+    // same information through PatternStream.flatSelect's timeout tag /
+    // TimedOutPartialMatchHandler, cep/PatternStream.java:26): each
+    // partial match whose WITHIN window closes before completing emits
+    // one row with measures over the PARTIAL binding, flagged by an
+    // extra `timed_out` boolean output column (false on completes).
+    val oneRowOpts = sec.get("ONE ROW PER MATCH").map(_.trim.toUpperCase).getOrElse("")
+    val withTimedOut =
+      """\bWITH\s+TIMED\s+OUT\s+MATCHES\b""".r.findFirstIn(oneRowOpts).isDefined
+    val oneRowLeft = oneRowOpts
+      .replaceAll("""(?i)\bWITH\s+TIMED\s+OUT\s+MATCHES\b""", "").trim
+    if (oneRowLeft.nonEmpty)
+      fail(s"cannot parse ONE ROW PER MATCH options '$oneRowLeft'")
     Spec(part, ord, measures, skip, pat,
       allRows = sec.contains("ALL ROWS PER MATCH"), excluded = excluded,
-      subsets = subsets, withUnmatched = withUnmatched, orderId = ordId)
+      subsets = subsets, withUnmatched = withUnmatched,
+      withTimedOut = withTimedOut, orderId = ordId)
   }
 
   /** Ev-fixture shim (the original entry): events stream, id column
@@ -679,9 +693,17 @@ object MatchRecognize {
         spec.pattern.withinUs == Long.MaxValue)
       fail("WITH UNMATCHED ROWS requires WITHIN (watermark eviction of the " +
         "within horizon is what makes 'participates in no match' final)")
+    if (spec.withTimedOut && spec.allRows)
+      fail("WITH TIMED OUT MATCHES requires ONE ROW PER MATCH")
+    if (spec.withTimedOut && streamingDelay.isEmpty)
+      fail("WITH TIMED OUT MATCHES is a streaming mode (a bounded input " +
+        "has no timeout channel — every within window closes at end of input)")
+    if (spec.withTimedOut && spec.pattern.withinUs == Long.MaxValue)
+      fail("WITH TIMED OUT MATCHES requires WITHIN (watermark eviction of " +
+        "the within horizon IS the timeout point)")
     val bound = streamingDelay match {
       case Some(delay) => Cep.runBoundBy(evs, spec.pattern, "key", "ts_us", "id",
-        delay, unmatched = spec.withUnmatched).toDF()
+        delay, unmatched = spec.withUnmatched, timedOut = spec.withTimedOut).toDF()
       case None => Cep.batchBoundBy(evs, spec.pattern, "key", "ts_us", "id",
         unmatched = spec.withUnmatched).toDF()
     }
@@ -750,10 +772,26 @@ object MatchRecognize {
     }
     val partCol = col("key").cast(schema(spec.partitionBy).dataType).as(spec.partitionBy)
 
-    if (!spec.allRows)
-      // ONE ROW PER MATCH: all measures are FINAL (the full match)
-      bound.select(partCol +: spec.measures.map(m => measureCol(m, col("binds")).as(m.alias)): _*)
-    else {
+    if (!spec.allRows) {
+      // ONE ROW PER MATCH: all measures are FINAL (the full match).
+      // Under WITH TIMED OUT MATCHES the timeout channel's binds carry
+      // "__timedout:"-prefixed step names — normalize them back so
+      // measures evaluate over the partial binding (the reference hands
+      // its timeout handler the partial Map<String, List<T>> the same
+      // way), and surface the channel as a `timed_out` boolean column.
+      if (!spec.withTimedOut)
+        bound.select(partCol +: spec.measures.map(m => measureCol(m, col("binds")).as(m.alias)): _*)
+      else {
+        val isTimedOut = col("binds").getItem(0).getField("step")
+          .startsWith(Cep.TimedOutStep + ":")
+        val normBinds = transform(col("binds"), b => struct(
+          regexp_replace(b.getField("step"),
+            "^" + Cep.TimedOutStep + ":", "").as("step"),
+          b.getField("ev").as("ev")))
+        bound.select(partCol +: isTimedOut.as("timed_out") +:
+          spec.measures.map(m => measureCol(m, normBinds).as(m.alias)): _*)
+      }
+    } else {
       val exploded = bound.select(Seq(col("key"), col("binds"),
         posexplode(col("binds")).as(Seq("__pos", "__b"))): _*)
       val rowCols = schema.fields.toSeq
