@@ -137,6 +137,24 @@ object ChangelogQueries extends QueryPack {
         .select(col("event_type"), col("n_rows"),
           col("sum_cents").cast("long").as("sum_cents"))
         .orderBy(col("event_type"))
+    }),
+
+    // PER-RECORD emission cadence (reference GroupAggFunction.java:43
+    // with mini-batch OFF — the engine's default changelog layer is
+    // per-micro-batch, MIGRATION divergence #1/#2; this is the opt-in
+    // per-record mode): the streaming group aggregate emits +I for a
+    // key's first record and -U/+U around EVERY later record, in
+    // watermark-released (ts, id) order. The gate checks the LOG
+    // itself — per-key seq positions, row kinds, and both images —
+    // against the scalar-fold oracle, not just the final image.
+    "changelog_per_record_log" -> ((s0, dir) => {
+      val s = graft.streaming.StreamOps.tuned(s0)
+      graft.streaming.StreamOps.runToBatch(
+        s, graft.streaming.StatefulOps.groupAggChangelogPerRecord(
+          graft.streaming.StreamOps.eventsTypedWithKeyedSentinels(s, dir)).toDF(),
+        "append", "cl_per_record")
+        .filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("seq"))
     })
   )
 
@@ -155,6 +173,27 @@ object ChangelogQueries extends QueryPack {
       UNION ALL
       SELECT user_id, event_id, cents, '+U' FROM t WHERE rn > 1
       ORDER BY user_id, row_kind, event_id""",
+    "changelog_per_record_log" -> """
+      WITH b AS (
+        SELECT user_id,
+               row_number() OVER w AS rn,
+               sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS rc
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      c AS (SELECT *, lag(rc) OVER (PARTITION BY user_id ORDER BY rn) AS prev_rc
+            FROM b)
+      SELECT user_id, CAST(1 AS BIGINT) AS seq, '+I' AS row_kind,
+             CAST(1 AS BIGINT) AS n, CAST(rc AS BIGINT) AS cents
+      FROM c WHERE rn = 1
+      UNION ALL
+      SELECT user_id, CAST(2 * rn - 2 AS BIGINT), '-U',
+             CAST(rn - 1 AS BIGINT), CAST(prev_rc AS BIGINT)
+      FROM c WHERE rn > 1
+      UNION ALL
+      SELECT user_id, CAST(2 * rn - 1 AS BIGINT), '+U',
+             CAST(rn AS BIGINT), CAST(rc AS BIGINT)
+      FROM c WHERE rn > 1
+      ORDER BY user_id, seq""",
     "changelog_normalize" -> """
       SELECT user_id, event_id, cents FROM (
         SELECT user_id, event_id, CAST(floor(value * 100) AS BIGINT) AS cents,

@@ -306,6 +306,72 @@ object StatefulOps {
    * batches the fold continues from state (arrival order across
    * batches is the stream order, as in the reference's proc-time
    * variant). */
+  /** One per-record changelog emission of the streaming group
+   * aggregate: `seq` is the key's 1-based position in the emission LOG
+   * (so the -U/+U cadence itself is oracle-checkable, not just the
+   * final image). */
+  case class AggChangeRow(user_id: Long, seq: Long, row_kind: String,
+      n: Long, cents: Long)
+
+  /** PER-RECORD changelog emission of a streaming group aggregate —
+   * the reference's `GroupAggFunction.java:43` cadence with mini-batch
+   * OFF: every input record that changes a key's accumulator emits the
+   * retraction of the previous image and the new image (`-U` then
+   * `+U`; the key's first record emits `+I`). This engine's default
+   * changelog layer is per-micro-batch (MIGRATION divergence #1/#2 —
+   * same final image, coalesced intermediate cadence); this operator
+   * is the opt-in per-record mode for consumers that react to every
+   * update (e.g. alerting).
+   *
+   * Records fold in strict (ts, id) order under watermark release
+   * (the same peer-safety discipline as [[sortedEmitIndexed]]), so the
+   * LOG is deterministic and equals the scalar fold over the sorted
+   * input. Sentinel rows (event_id < 0) advance the watermark but
+   * never enter state.
+   *
+   * Scale: one shuffle on the key; state per key = accumulator + only
+   * the rows still above the watermark. */
+  def groupAggChangelogPerRecord(ds: Dataset[Ev],
+      watermarkDelay: String = "0 seconds",
+      ttl: Option[String] = None): Dataset[AggChangeRow] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    Ttl.guard(ttl, watermarkDelay)
+    val withWm = ds.toDF()
+      .withColumn("__event_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("__event_ts", watermarkDelay)
+      .as[Ev]
+    // state: (pending (ts, id, cents) buffer, accumulator (n, cents)
+    // — n == 0 means no image yet — and the per-key log position)
+    withWm.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(List[(Long, Long, Long)], (Long, Long), Long), AggChangeRow](
+          OutputMode.Append, Ttl.timeoutConf(ttl))(Ttl.wrap(ttl) {
+        (k, it, state: GroupState[(List[(Long, Long, Long)], (Long, Long), Long)]) =>
+          val (buf0, acc0, seq0) = state.getOption
+            .getOrElse((List.empty[(Long, Long, Long)], (0L, 0L), 0L))
+          val buf = buf0 ++ it.filter(_.event_id >= 0)
+            .map(e => (e.ts_us, e.event_id, math.floor(e.value * 100).toLong))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, pending) = buf.partition(_._1 < wmUs)
+          var (n, cents) = acc0
+          var seq = seq0
+          val out = List.newBuilder[AggChangeRow]
+          ready.sorted.foreach { case (_, _, c) =>
+            if (n > 0) { // retract the previous image first
+              seq += 1
+              out += AggChangeRow(k, seq, graft.changelog.RowKind.UpdateBefore, n, cents)
+              n += 1; cents += c; seq += 1
+              out += AggChangeRow(k, seq, graft.changelog.RowKind.UpdateAfter, n, cents)
+            } else {
+              n = 1; cents = c; seq += 1
+              out += AggChangeRow(k, seq, graft.changelog.RowKind.Insert, n, cents)
+            }
+          }
+          state.update((pending, (n, cents), seq))
+          out.result().iterator
+      })
+  }
+
   def runningByUser(ds: Dataset[Ev], ttl: Option[String] = None): Dataset[RunningRow] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.user_id)
