@@ -131,7 +131,27 @@ object ScaleUp {
       .withColumn("value", eps("value"))
       .withColumn("ts", expr("timestampadd(MICROSECOND, __copy, ts)")))
 
-    scaled("documents")(_.withColumn("doc_id", shift("doc_id", sDoc)))
+    // Documents: copy 1 is VERBATIM (exact-duplicate clusters grow with
+    // scale, like a crawl snapshot); copies >= 2 suffix every word with
+    // the copy id, giving each copy a DISJOINT vocabulary. The driver's
+    // synthetic corpus draws from a ~30-word vocabulary, so its shingle
+    // space saturates: 10 verbatim copies drive shingle doc-frequencies
+    // and minhash-band collisions up ~10× and every pair-space ~100× —
+    // the engine's capped/bucketed plans absorb that, but quadratic
+    // dup-cluster growth is not how a corpus scales (dup RATE grows,
+    // cluster sizes don't — a real crawl's vocabulary is open), and it
+    // makes exact quadratic baselines (the DuckDB gating oracle)
+    // infeasible at large factors. Word COUNT per doc is preserved;
+    // n_chars is recomputed to stay consistent with the text.
+    scaled("documents")(df => df
+      .withColumn("doc_id", shift("doc_id", sDoc))
+      .withColumn("text", when($"__copy" <= 1, $"text").otherwise(
+        array_join(
+          transform(split($"text", " "),
+            w => concat(w, lit("~"), $"__copy".cast("string"))),
+          " ")))
+      .withColumn("n_chars", when($"__copy" <= 1, $"n_chars")
+        .otherwise(length($"text").cast("long"))))
 
     // per-copy, per-dimension float offset (max ±9e-5) so no two copies
     // of a vector are equidistant from any query point
