@@ -231,7 +231,7 @@ object DedupQueries extends QueryPack {
     w AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w FROM documents),
     sh0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
               i -> array_to_string(w[i:i+2], ' '))) AS shingle FROM w),
-    sh AS (SELECT DISTINCT doc_id, shingle FROM sh0)"""
+    sh AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM sh0)"""
 
   override def oracle: Map[String, String] = Map(
     "dedup_exact_text" -> """
@@ -248,7 +248,7 @@ object DedupQueries extends QueryPack {
       FROM t GROUP BY 1 HAVING count(*) > 1 ORDER BY prefix_key""",
     "dedup_incremental_lsh" -> s"""
       WITH $shinglesCte,
-      sig AS (SELECT doc_id, min(md5('1:'||shingle)) h1, min(md5('2:'||shingle)) h2,
+      sig AS MATERIALIZED (SELECT doc_id, min(md5('1:'||shingle)) h1, min(md5('2:'||shingle)) h2,
                      min(md5('3:'||shingle)) h3, min(md5('4:'||shingle)) h4,
                      min(md5('5:'||shingle)) h5, min(md5('6:'||shingle)) h6,
                      min(md5('7:'||shingle)) h7, min(md5('8:'||shingle)) h8
@@ -258,12 +258,12 @@ object DedupQueries extends QueryPack {
         SELECT doc_id, 2, h3||h4 FROM sig UNION ALL
         SELECT doc_id, 3, h5||h6 FROM sig UNION ALL
         SELECT doc_id, 4, h7||h8 FROM sig),
-      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                FROM bands a JOIN bands b
                  ON a.band = b.band AND a.key = b.key
                 AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
-      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ninter
+      sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS MATERIALIZED (SELECT c.doc_a, c.doc_b, count(*) AS ninter
                 FROM cand c
                 JOIN sh sa ON sa.doc_id = c.doc_a
                 JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
@@ -277,7 +277,7 @@ object DedupQueries extends QueryPack {
       ORDER BY new_doc, dup_of""",
     "dedup_minhash_lsh" -> s"""
       WITH $shinglesCte,
-      sig AS (SELECT doc_id, min(md5('1:'||shingle)) h1, min(md5('2:'||shingle)) h2,
+      sig AS MATERIALIZED (SELECT doc_id, min(md5('1:'||shingle)) h1, min(md5('2:'||shingle)) h2,
                      min(md5('3:'||shingle)) h3, min(md5('4:'||shingle)) h4,
                      min(md5('5:'||shingle)) h5, min(md5('6:'||shingle)) h6,
                      min(md5('7:'||shingle)) h7, min(md5('8:'||shingle)) h8
@@ -287,11 +287,11 @@ object DedupQueries extends QueryPack {
         SELECT doc_id, 2, h3||h4 FROM sig UNION ALL
         SELECT doc_id, 3, h5||h6 FROM sig UNION ALL
         SELECT doc_id, 4, h7||h8 FROM sig),
-      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                FROM bands a JOIN bands b
                  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ninter
+      sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS MATERIALIZED (SELECT c.doc_a, c.doc_b, count(*) AS ninter
                 FROM cand c
                 JOIN sh sa ON sa.doc_id = c.doc_a
                 JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
@@ -305,7 +305,7 @@ object DedupQueries extends QueryPack {
       ORDER BY doc_a, doc_b""",
     "dedup_lsh_clusters" -> s"""
       WITH $shinglesCte,
-      sig AS (SELECT doc_id, min(md5('1:'||shingle)) h1, min(md5('2:'||shingle)) h2,
+      sig AS MATERIALIZED (SELECT doc_id, min(md5('1:'||shingle)) h1, min(md5('2:'||shingle)) h2,
                      min(md5('3:'||shingle)) h3, min(md5('4:'||shingle)) h4,
                      min(md5('5:'||shingle)) h5, min(md5('6:'||shingle)) h6,
                      min(md5('7:'||shingle)) h7, min(md5('8:'||shingle)) h8
@@ -315,36 +315,36 @@ object DedupQueries extends QueryPack {
         SELECT doc_id, 2, h3||h4 FROM sig UNION ALL
         SELECT doc_id, 3, h5||h6 FROM sig UNION ALL
         SELECT doc_id, 4, h7||h8 FROM sig),
-      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                FROM bands a JOIN bands b
                  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ninter
+      sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS MATERIALIZED (SELECT c.doc_a, c.doc_b, count(*) AS ninter
                 FROM cand c
                 JOIN sh sa ON sa.doc_id = c.doc_a
                 JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
                 GROUP BY c.doc_a, c.doc_b),
-      pairs AS (SELECT i.doc_a AS src, i.doc_b AS dst
+      pairs AS MATERIALIZED (SELECT i.doc_a AS src, i.doc_b AS dst
                 FROM inter i
                 JOIN sizes na ON na.doc_id = i.doc_a
                 JOIN sizes nb ON nb.doc_id = i.doc_b
                 WHERE ninter * 1000 >= (na.n + nb.n - ninter) * 500),
-      edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+      edges AS MATERIALIZED (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
       v AS (SELECT doc_id AS id FROM documents),
-      l0 AS (SELECT id, id AS label FROM v),
-      l1 AS (SELECT l.id, least(l.label, coalesce(m.nl, l.label)) AS label
+      l0 AS MATERIALIZED (SELECT id, id AS label FROM v),
+      l1 AS MATERIALIZED (SELECT l.id, least(l.label, coalesce(m.nl, l.label)) AS label
              FROM l0 l LEFT JOIN (SELECT e.dst AS id, min(x.label) AS nl
                                   FROM edges e JOIN l0 x ON e.src = x.id
                                   GROUP BY e.dst) m ON l.id = m.id),
-      l2 AS (SELECT l.id, least(l.label, coalesce(m.nl, l.label)) AS label
+      l2 AS MATERIALIZED (SELECT l.id, least(l.label, coalesce(m.nl, l.label)) AS label
              FROM l1 l LEFT JOIN (SELECT e.dst AS id, min(x.label) AS nl
                                   FROM edges e JOIN l1 x ON e.src = x.id
                                   GROUP BY e.dst) m ON l.id = m.id),
-      l3 AS (SELECT l.id, least(l.label, coalesce(m.nl, l.label)) AS label
+      l3 AS MATERIALIZED (SELECT l.id, least(l.label, coalesce(m.nl, l.label)) AS label
              FROM l2 l LEFT JOIN (SELECT e.dst AS id, min(x.label) AS nl
                                   FROM edges e JOIN l2 x ON e.src = x.id
                                   GROUP BY e.dst) m ON l.id = m.id),
-      l4 AS (SELECT l.id, least(l.label, coalesce(m.nl, l.label)) AS label
+      l4 AS MATERIALIZED (SELECT l.id, least(l.label, coalesce(m.nl, l.label)) AS label
              FROM l3 l LEFT JOIN (SELECT e.dst AS id, min(x.label) AS nl
                                   FROM edges e JOIN l3 x ON e.src = x.id
                                   GROUP BY e.dst) m ON l.id = m.id),
@@ -388,7 +388,7 @@ object DedupQueries extends QueryPack {
       keep AS (SELECT shingle FROM shd GROUP BY shingle
                HAVING count(DISTINCT doc_id) <= 50),
       sh AS (SELECT shd.* FROM shd JOIN keep USING (shingle)),
-      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ninter
                 FROM sh a JOIN sh b
                   ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -409,7 +409,7 @@ object DedupQueries extends QueryPack {
       keep AS (SELECT shingle FROM shd GROUP BY shingle
                HAVING count(DISTINCT doc_id) <= 50),
       sh AS (SELECT shd.* FROM shd JOIN keep USING (shingle)),
-      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ninter
                 FROM sh a JOIN sh b
                   ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
