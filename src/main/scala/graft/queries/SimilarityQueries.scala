@@ -297,8 +297,8 @@ object SimilarityQueries extends QueryPack {
       val a1 = graft.FrameCache.cached(s, s"semcells:$dir")(
         lloydAssign(pts, cent0).withColumnRenamed("cid", "cell"))
       val banded = a1
-        .withColumn("band", explode(expr("sequence(0, 3)")))
-        .withColumn("sig", expr(bandSigSql))
+        .withColumn("band", explode(expr("sequence(0, 5)")))
+        .withColumn("sig", bandSigCol)
       val aSide = banded.select(col("cell"), col("band"), col("sig"),
         col("vec_id").as("id_a"), col("qe").as("qv"), col("nrm").as("qn"))
       val bSide = banded.select(col("cell"), col("band"), col("sig"),
@@ -516,15 +516,20 @@ object SimilarityQueries extends QueryPack {
     }),
 
     // Near-dup pair mining through BANDED LSH candidates (the same
-    // plan shape as dedup_minhash_lsh): 4 bands × 3 hyperplane sign
+    // plan shape as dedup_minhash_lsh): 6 bands × 8 hyperplane sign
     // bits; a pair is a candidate iff some band's signatures collide
     // (OR-of-bands), then exact cosine >= 0.3 verifies. The banding is
-    // part of the CONTRACT (standard LSH recall trade-off — here
-    // ~0.6 recall at cos 0.3, rising steeply with similarity), and the
-    // oracle replicates the deterministic LCG hyperplanes bit-for-bit.
+    // part of the CONTRACT (standard LSH recall trade-off — tuned for
+    // NEAR-dups: ~0.87 recall at cos 0.9, ~1.0 for exact copies;
+    // low-similarity pairs are deliberately not mined), and the oracle
+    // replicates the deterministic LCG hyperplanes bit-for-bit.
     // Scale: candidate generation is an equi-join on (label, band,
-    // sig) — O(collisions), never all-pairs within a cell; pair dedup
-    // is one shuffle on the pair id.
+    // sig) — signature WIDTH is what keeps it linear: 8 bits → 256
+    // buckets per (label, band) bounds occupancy so candidates grow
+    // ~n, not n²/2^bits (the r13 sf1 run caught the original 3-bit
+    // form scaling ~32× for 10× vectors; width should grow with
+    // log2(n) at production scale). Pair dedup is one shuffle on the
+    // pair id.
     "sim_neardup_pairs" -> ((s, dir) =>
       bandedNearDupPairs(s, dir)
         .select(col("label"), col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
@@ -549,15 +554,30 @@ object SimilarityQueries extends QueryPack {
    * coefficients are deterministic ±1 draws from an integer LCG, so
    * both engines compute bit-identical signatures. Shared by the
    * near-dup pair miners (label-blocked and learned-cell-blocked). */
-  private val bandSigSql = """
-        aggregate(sequence(0, 2), CAST(0 AS BIGINT), (acc, p) ->
-          acc + CASE WHEN aggregate(sequence(1, size(qe)), CAST(0 AS BIGINT),
-                       (s2, d) -> s2 + element_at(qe, d) *
-                         (CASE WHEN ((CAST(1103515245 AS BIGINT) *
-                                      ((CAST(band AS BIGINT) * 3 + CAST(p AS BIGINT)) * 1000 + d)
-                                      + 12345) div 65536) % 2 = 0
-                               THEN 1 ELSE -1 END)) >= 0
-                     THEN CAST(shiftleft(1, p) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
+  /** The 48 deterministic ±1 hyperplanes (6 bands × 8 sign bits × 64
+   * dims) hoisted into ONE literal array: signature evaluation becomes
+   * a lookup-multiply per element instead of per-element LCG
+   * arithmetic (the DuckDB oracle keeps the inline LCG — bit-identical
+   * by construction, same formula, same truncating division). */
+  private lazy val planesLit: Column = typedLit(
+    (0 until 48).map { bp =>
+      (1 to 64).map { d =>
+        val v = (1103515245L * (bp.toLong * 1000L + d) + 12345L) / 65536L
+        if (v % 2 == 0) 1L else -1L
+      }.toArray
+    }.toArray)
+  private lazy val pow2Lit: Column =
+    typedLit((0 until 8).map(p => 1L << p).toArray)
+
+  /** Per-(row, band) 8-bit random-hyperplane signature over the
+   * literal planes (expects columns `band` and `qe`). */
+  private def bandSigCol: Column =
+    aggregate(sequence(lit(0), lit(7)), lit(0L), (acc, p) => {
+      val plane = element_at(planesLit, col("band").cast("int") * lit(8) + p + lit(1))
+      val dot = aggregate(sequence(lit(1), size(col("qe"))), lit(0L),
+        (s2, d) => s2 + element_at(col("qe"), d) * element_at(plane, d))
+      acc + when(dot >= 0, element_at(pow2Lit, p + lit(1))).otherwise(lit(0L))
+    })
 
   /** Banded near-dup candidate pairs with exact verified cosine: the
    * shared core of `sim_neardup_pairs` and `dedup_embedding_cosine`. */
@@ -566,8 +586,8 @@ object SimilarityQueries extends QueryPack {
     // BOTH sides of the candidate join, and both sim_neardup_pairs and
     // dedup_embedding_cosine consume the same pairs
     val e = graft.FrameCache.cached(s, s"banded:$dir")(quantized(s, dir)
-      .withColumn("band", explode(expr("sequence(0, 3)")))
-      .withColumn("sig", expr(bandSigSql)))
+      .withColumn("band", explode(expr("sequence(0, 5)")))
+      .withColumn("sig", bandSigCol))
     val a = e.select(col("label"), col("band"), col("sig"), col("vec_id").as("id_a"),
                      col("qe").as("qv"), col("nrm").as("qn"))
     val b = e.select(col("label"), col("band"), col("sig"), col("vec_id").as("id_b"),
@@ -1003,12 +1023,12 @@ object SimilarityQueries extends QueryPack {
       ac AS (SELECT vec_id, qe, nrm, cell, dist FROM a1 WHERE rn = 1),
       eb AS (SELECT vec_id, cell, qe, nrm, band,
                list_sum([CASE WHEN list_sum([qe[d] *
-                   (CASE WHEN ((1103515245 * ((band * 3 + p) * 1000 + d) + 12345) // 65536) % 2 = 0
+                   (CASE WHEN ((1103515245 * ((band * 8 + p) * 1000 + d) + 12345) // 65536) % 2 = 0
                          THEN 1 ELSE -1 END)
                    for d in generate_series(1, len(qe))]) >= 0
                  THEN (1 << p) ELSE 0 END
-                 for p in generate_series(0, 2)]) AS sig
-             FROM ac, generate_series(0, 3) AS t(band)),
+                 for p in generate_series(0, 7)]) AS sig
+             FROM ac, generate_series(0, 5) AS t(band)),
       cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
                FROM eb a JOIN eb b ON a.cell = b.cell AND a.band = b.band
                  AND a.sig = b.sig AND a.vec_id < b.vec_id),
@@ -1045,12 +1065,12 @@ object SimilarityQueries extends QueryPack {
       WITH $normCte,
       eb AS (SELECT vec_id, label, qe, nrm, band,
                list_sum([CASE WHEN list_sum([qe[d] *
-                   (CASE WHEN ((1103515245 * ((band * 3 + p) * 1000 + d) + 12345) // 65536) % 2 = 0
+                   (CASE WHEN ((1103515245 * ((band * 8 + p) * 1000 + d) + 12345) // 65536) % 2 = 0
                          THEN 1 ELSE -1 END)
                    for d in generate_series(1, len(qe))]) >= 0
                  THEN (1 << p) ELSE 0 END
-                 for p in generate_series(0, 2)]) AS sig
-             FROM e, generate_series(0, 3) AS t(band)),
+                 for p in generate_series(0, 7)]) AS sig
+             FROM e, generate_series(0, 5) AS t(band)),
       cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
                FROM eb a JOIN eb b ON a.label = b.label AND a.band = b.band
                  AND a.sig = b.sig AND a.vec_id < b.vec_id),
@@ -1084,12 +1104,12 @@ object SimilarityQueries extends QueryPack {
       WITH $normCte,
       eb AS (SELECT vec_id, label, qe, nrm, band,
                list_sum([CASE WHEN list_sum([qe[d] *
-                   (CASE WHEN ((1103515245 * ((band * 3 + p) * 1000 + d) + 12345) // 65536) % 2 = 0
+                   (CASE WHEN ((1103515245 * ((band * 8 + p) * 1000 + d) + 12345) // 65536) % 2 = 0
                          THEN 1 ELSE -1 END)
                    for d in generate_series(1, len(qe))]) >= 0
                  THEN (1 << p) ELSE 0 END
-                 for p in generate_series(0, 2)]) AS sig
-             FROM e, generate_series(0, 3) AS t(band)),
+                 for p in generate_series(0, 7)]) AS sig
+             FROM e, generate_series(0, 5) AS t(band)),
       cand AS (SELECT DISTINCT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b
                FROM eb a JOIN eb b ON a.label = b.label AND a.band = b.band
                  AND a.sig = b.sig AND a.vec_id < b.vec_id),
