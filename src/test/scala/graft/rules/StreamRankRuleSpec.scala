@@ -95,6 +95,46 @@ class StreamRankRuleSpec extends SparkSuite {
       "rn = 2 must stay unsupported (not a Top-N / dedup shape)")
   }
 
+  test("string order columns compare in UTF8 binary order; nulls follow SQL placement") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(Long, String, Long)]
+    ms.toDF().toDF("k", "s", "id").createOrReplaceTempView("str_rank_stream")
+    val analyzed = spark.sql("""
+      SELECT k, s, id FROM (
+        SELECT k, s, id,
+               ROW_NUMBER() OVER (PARTITION BY k ORDER BY s, id) AS rn
+        FROM str_rank_stream) WHERE rn = 1""").queryExecution.analyzed
+    val rewritten = StreamRankToTopNRule(spark)(analyzed)
+    assert(rewritten.collectFirst { case w: Window => w }.isEmpty)
+    val q = org.apache.spark.sql.graft.SqlShim.ofRows(spark, rewritten)
+      .writeStream.format("memory").queryName("t_strrank")
+      .outputMode("update").start()
+    try {
+      // U+FFFD < U+1F600 in UTF-8/code-point order (Spark's sort), but
+      // the surrogate pair D83D DE00 < FFFD in UTF-16 code-unit order —
+      // a Java-Comparable comparator would pick the emoji and diverge
+      // from batch ROW_NUMBER. Key 2 has a NULL order value: ASC
+      // defaults to NULLS FIRST, so the null row must win WITHOUT
+      // throwing.
+      ms.addData((1L, "😀", 1L), (1L, "�", 2L),
+                 (2L, "a", 3L), (2L, null, 4L))
+      q.processAllAvailable()
+      val last = spark.table("t_strrank").as[(Long, String, Long)]
+        .collect().groupBy(_._1).map { case (k, rs) => k -> rs.last._3 }
+      assert(last == Map(1L -> 2L, 2L -> 4L), s"got $last")
+      // and the batch twin agrees on the string pick
+      val batch = Seq((1L, "😀", 1L), (1L, "�", 2L))
+        .toDF("k", "s", "id")
+      batch.createOrReplaceTempView("str_rank_batch")
+      val b = spark.sql("""
+        SELECT id FROM (SELECT id, ROW_NUMBER() OVER (PARTITION BY k
+          ORDER BY s, id) AS rn FROM str_rank_batch) WHERE rn = 1""")
+        .as[Long].head()
+      assert(b == 2L)
+    } finally q.stop()
+  }
+
   test("batch rank filters are left untouched") {
     import spark.implicits._
     Seq((1L, "a", 1.0)).toDF("event_id", "event_type", "value")
