@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` stdout must reach the console RAW (no "[info] " prefix)
+// and the program's last printed line must stay the last stdout line:
+// the driver tail-parses `sbt "runMain graft.Bench"` output, and sbt's
+// default logger re-prefixes forked stdout and appends a
+// "[success] Total time: …" epilogue after it (BENCH_r12/r13
+// "parsed": null). StdoutOutput passes the child stream through
+// untouched; showSuccess drops the epilogue.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -93,6 +93,14 @@ object Bench {
       val body = obj.slice(obj.indexOf('{') + 1, obj.indexOf('}'))
       val refQs = "\"([^\"]+)\":(-?[0-9.eE+-]+)".r.findAllMatchIn(body)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      // a log-tail SUMMARY record (metric "summary", no per-query map)
+      // accidentally promoted to the ref slot must fail LOUDLY, not
+      // silently disable the contention check
+      if (refQs.isEmpty) {
+        System.err.println(s"[bench] ref $ref has an empty queries map " +
+          "(summary record promoted by mistake?) — median check disabled")
+        throw new Exception("empty ref queries")
+      }
       val ratios = results.collect {
         case (k, v, true, _, _) if refQs.get(k).exists(_ > 0) => v / refQs(k)
       }.sorted
@@ -110,7 +118,11 @@ object Bench {
     // lives in the file named by "full".
     val nOk = results.count(_._3)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_ok":$nOk,"failed":$failed,"canary_ratio":$canaryRatio,"median_ratio_vs_ref":$mrJson,"contended":$contended,"queries":{},"full":"$outPath"}"""
+    // no "queries" key here: the summary must be UNMISTAKABLE for the
+    // full record (the ref parser above sniffs indexOf("queries"); an
+    // empty {} stub promoted to BENCH_FULL.json would parse as zero
+    // reference queries and silently disable the contention check)
+    val summary = s"""{"metric":"total","record":"summary","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_ok":$nOk,"failed":$failed,"canary_ratio":$canaryRatio,"median_ratio_vs_ref":$mrJson,"contended":$contended,"full":"$outPath"}"""
     println(summary)
     // the driver artifact preserves only the log tail, which truncates
     // ~50 of the per-query timings — persist the full JSON for audit.

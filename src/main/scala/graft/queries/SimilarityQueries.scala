@@ -570,12 +570,26 @@ object SimilarityQueries extends QueryPack {
     typedLit((0 until 8).map(p => 1L << p).toArray)
 
   /** Per-(row, band) 8-bit random-hyperplane signature over the
-   * literal planes (expects columns `band` and `qe`). */
+   * literal planes (expects columns `band` and `qe`). The hoisted
+   * literal covers dims 1..64 (the fixture contract); dims beyond it
+   * fall back to the SAME inline LCG the literal was built from — the
+   * DuckDB oracle computes that form for every dim, so a wider
+   * embedding fixture stays bit-identical instead of silently scoring
+   * out-of-literal bits as 0 (or, under ANSI, crashing on the
+   * out-of-bounds element_at). */
   private def bandSigCol: Column =
     aggregate(sequence(lit(0), lit(7)), lit(0L), (acc, p) => {
       val plane = element_at(planesLit, col("band").cast("int") * lit(8) + p + lit(1))
+      val bp = col("band").cast("long") * lit(8L) + p.cast("long")
       val dot = aggregate(sequence(lit(1), size(col("qe"))), lit(0L),
-        (s2, d) => s2 + element_at(col("qe"), d) * element_at(plane, d))
+        (s2, d) => {
+          // LCG value is positive, so `div 65536` == shiftright 16
+          val lcg = shiftright(
+            lit(1103515245L) * (bp * lit(1000L) + d.cast("long")) + lit(12345L), 16)
+          val coef = coalesce(try_element_at(plane, d),
+            when(pmod(lcg, lit(2L)) === 0L, lit(1L)).otherwise(lit(-1L)))
+          s2 + element_at(col("qe"), d) * coef
+        })
       acc + when(dot >= 0, element_at(pow2Lit, p + lit(1))).otherwise(lit(0L))
     })
 

@@ -209,6 +209,17 @@ object Ddl {
     pairs
   }
 
+  // Hive-style partition-path escaping (the character set Spark's
+  // ExternalCatalogUtils.escapePathName / Hive's FileUtils use): Spark
+  // writes `dt=2021%2F01` for value `2021/01`, so ADD/DROP must build
+  // the SAME directory name or DROP silently prunes nothing.
+  private val partEscapeChars: Set[Char] =
+    ((1 to 31).map(_.toChar) ++ "\u007F\"#%'*/:=?\\{[]^").toSet
+  private def escapePartValue(v: String): String =
+    v.flatMap { c =>
+      if (partEscapeChars(c)) f"%%${c.toInt}%02X" else c.toString
+    }
+
   def parse(ddl: String): TableDef = ddl match {
     case CreateRe(name, body, partBy, opts) =>
       val (physical, computed, metadata, watermark, pk, pkName) = parseBody(body)
@@ -353,9 +364,18 @@ object Ddl {
 
   // partitions registered via ALTER TABLE ADD PARTITION — SHOW
   // PARTITIONS lists them even while empty (a catalog-registered
-  // partition with no data yet, as in Hive-style catalogs)
+  // partition with no data yet, as in Hive-style catalogs). Keyed by
+  // the table's STORAGE PATH, not the session: registration is
+  // storage-adjacent metadata (the directory itself is created on
+  // disk), so a new session re-declaring a table over the same path
+  // sees the registered empty partitions, like pk/pkName survive via
+  // the re-issued DDL.
   private val addedParts =
-    new scala.collection.concurrent.TrieMap[(String, String), Set[String]]
+    new scala.collection.concurrent.TrieMap[String, Set[String]]
+  private def partKey(t: TableDef): String =
+    t.options.get("path")
+      .map(p => java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString)
+      .getOrElse("mem:" + t.name.toLowerCase)
 
   private def ensureDefaults(sk: String): Unit =
     catalogs.getOrElseUpdate((sk, "default_catalog"),
@@ -468,9 +488,9 @@ object Ddl {
       // created outside this front-end) falls through to Spark's own
       // DROP below, which also owns the IF EXISTS / unknown-name errors
       case DropTableRe(_, name) if declared.contains((sessionKey(spark), name)) =>
-        declared.remove((sessionKey(spark), name))
+        declared.remove((sessionKey(spark), name)).foreach(t =>
+          addedParts.remove(partKey(t)))
         unfileTable(sessionKey(spark), name)
-        addedParts.remove((sessionKey(spark), name))
         spark.catalog.dropTempView(name)
         return ok(spark)
       case DropViewRe(_, name) if declaredViews.contains((sessionKey(spark), name)) =>
@@ -737,7 +757,7 @@ object Ddl {
         // partitions registered via ADD PARTITION appear even while
         // empty, like catalog-registered partitions in the reference
         val registered = addedParts
-          .getOrElse((sessionKey(spark), name), Set.empty).toSeq.sorted
+          .getOrElse(partKey(t), Set.empty).toSeq.sorted
         val regDf = spark.createDataFrame(
           scala.jdk.CollectionConverters.SeqHasAsJava(
             registered.map(org.apache.spark.sql.Row(_))).asJava,
@@ -778,9 +798,13 @@ object Ddl {
       case AlterAddPartRe(name, ifNot, spec) if isDeclared(spark, name) =>
         val t = declared((sessionKey(spark), name))
         val pairs = parsePartitionSpec(t, spec, requireFull = true)
+        // logical name (matches SHOW PARTITIONS' value-derived specs)
+        // vs the on-disk directory (Hive-escaped, matching what
+        // Spark's partitioned writer produces for the same values)
         val rel = pairs.map { case (k, v) => s"$k=$v" }.mkString("/")
-        val dir = java.nio.file.Paths.get(t.options("path"), rel.split('/'): _*)
-        val key = (sessionKey(spark), name)
+        val dir = java.nio.file.Paths.get(t.options("path"),
+          pairs.map { case (k, v) => s"$k=${escapePartValue(v)}" }: _*)
+        val key = partKey(t)
         val exists = java.nio.file.Files.isDirectory(dir) ||
           addedParts.getOrElse(key, Set.empty).contains(rel)
         if (exists) require(ifNot != null,
@@ -795,8 +819,9 @@ object Ddl {
         val t = declared((sessionKey(spark), name))
         val pairs = parsePartitionSpec(t, spec, requireFull = false)
         val rel = pairs.map { case (k, v) => s"$k=$v" }.mkString("/")
-        val dir = java.nio.file.Paths.get(t.options("path"), rel.split('/'): _*)
-        val key = (sessionKey(spark), name)
+        val dir = java.nio.file.Paths.get(t.options("path"),
+          pairs.map { case (k, v) => s"$k=${escapePartValue(v)}" }: _*)
+        val key = partKey(t)
         val registered = addedParts.getOrElse(key, Set.empty)
         val exists = java.nio.file.Files.isDirectory(dir) ||
           registered.exists(p => p == rel || p.startsWith(rel + "/"))

@@ -62,6 +62,30 @@ class PartitionDdlSpec extends SparkSuite {
     Ddl.execute(spark, s"DROP TABLE $t")
   }
 
+  test("partition values with path-special chars use Hive escaping on disk") {
+    val (t, out) = freshTable("pesc")
+    // Spark's partitioned writer escapes '/', ':', '=' etc. in the
+    // directory name; INSERT then DROP must agree on that name or DROP
+    // silently prunes nothing
+    Ddl.execute(spark, s"INSERT INTO $t SELECT 1 AS k, 10 AS v, '2021/01:a=b' AS part")
+    assert(parts(t) == Set("part=2021/01:a=b")) // logical, value-derived
+    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .iterator()
+    val escaped = scala.jdk.CollectionConverters.IteratorHasAsScala(dirs)
+      .asScala.map(_.getFileName.toString).filter(_.startsWith("part=")).toSet
+    assert(escaped == Set("part=2021%2F01%3Aa%3Db"), s"on-disk dirs: $escaped")
+    Ddl.execute(spark, s"ALTER TABLE $t DROP PARTITION (part = '2021/01:a=b')")
+    assert(parts(t).isEmpty)
+    assert(spark.table(t).count() == 0)
+    // ADD with a special value registers the logical name and creates
+    // the ESCAPED directory (what a writer for the same value produces)
+    Ddl.execute(spark, s"ALTER TABLE $t ADD PARTITION (part = 'x:y')")
+    assert(parts(t) == Set("part=x:y"))
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(out, "part=x%3Ay")))
+    Ddl.execute(spark, s"DROP TABLE $t")
+  }
+
   test("randomized ADD/DROP/INSERT sequence tracks the model") {
     val rnd = new scala.util.Random(20260815L)
     val (t, _) = freshTable("pfuzz")
