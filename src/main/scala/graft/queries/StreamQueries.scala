@@ -588,6 +588,74 @@ object StreamQueries extends QueryPack {
       }
     }),
 
+    // Exactly-once RESTART proof as an ORACLE GATE (reference
+    // CheckpointCoordinator.java recovery at the user-visible level;
+    // the per-op kill-and-restart proofs live in RestartRecoverySpec):
+    // the SAME keyed Top-N state op is fed HALF the events (even
+    // event_ids), the query TERMINATES with live Top-N buffers in the
+    // state store, then a fresh query restarts from the SAME
+    // checkpoint with the odd half staged. The update stream
+    // accumulated across both runs re-ranks to the final image, which
+    // must hash-match the whole-stream batch oracle — impossible
+    // unless the per-key buffers round-tripped the checkpoint.
+    "state_restart_topn" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      import java.nio.file.{Files, Paths}
+      import java.nio.file.attribute.FileTime
+      import scala.jdk.CollectionConverters._
+      val work = Files.createTempDirectory("graft_rst_topn_work")
+      val out = Files.createTempDirectory("graft_rst_topn_out").toString
+      val ckpt = Files.createTempDirectory("graft_rst_topn_ckpt").toString
+      val batch = s.read.parquet(s"$dir/events.parquet")
+      val tsIsLong = batch.schema("ts").dataType == org.apache.spark.sql.types.LongType
+      def stageHalf(par: Int, mtimeMs: Long): Unit = {
+        def list(): Set[java.nio.file.Path] = {
+          val st = Files.list(work)
+          try st.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSet
+          finally st.close()
+        }
+        val before = list()
+        batch.filter(col("event_id") % 2 === par).coalesce(1)
+          .write.mode("append").parquet(work.toString)
+        (list() -- before).foreach(p =>
+          Files.setLastModifiedTime(p, FileTime.fromMillis(mtimeMs)))
+      }
+      def runOnce(): Unit = {
+        import s.implicits._
+        val sdf = s.readStream.schema(batch.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$work/*.parquet")
+        val norm =
+          if (tsIsLong) sdf.withColumn("ts",
+            expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+          else sdf
+        val ds = norm.select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"))
+          .as[Ev]
+        val updates = graft.api.StreamEnv.get(s).fromDataset(ds)
+          .keyBy("event_type").topN("value", "event_id", n = 3).toDF()
+        val q = updates.writeStream
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+              b.write.mode("append").parquet(out)
+          }
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      stageHalf(0, 10000L); runOnce() // phase 1, then the query STOPS
+      stageHalf(1, 20000L); runOnce() // restart from the same checkpoint
+      val updates = s.read.parquet(out)
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id"))
+      updates.distinct()
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("event_type"), col("event_id"), col("value"), col("rn"))
+        .orderBy(col("event_type"), col("rn"))
+    }),
+
     // SQL-TRANSPARENT streaming Top-N (reference FlinkLogicalRankRule +
     // StreamExecRank): the SQL text is a plain ROW_NUMBER() <= 3 rank
     // filter over a STREAMING view — which Spark cannot execute at all
@@ -1796,6 +1864,13 @@ object StreamQueries extends QueryPack {
             FROM events) t
       WHERE rn <= 3 ORDER BY event_type, rn""",
     "state_rocksdb_topn" -> """
+      SELECT event_type, event_id, value, rn
+      FROM (SELECT event_type, event_id, value,
+                   row_number() OVER (PARTITION BY event_type
+                     ORDER BY value DESC, event_id) AS rn
+            FROM events) t
+      WHERE rn <= 3 ORDER BY event_type, rn""",
+    "state_restart_topn" -> """
       SELECT event_type, event_id, value, rn
       FROM (SELECT event_type, event_id, value,
                    row_number() OVER (PARTITION BY event_type
