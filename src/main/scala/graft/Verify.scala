@@ -9,11 +9,23 @@ object Verify {
     // the driver always calls with exactly (sfDir, outDir)
     val (sfDir, outDir, only) = (args(0), args(1), args.drop(2).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = Tables.configure(SparkSession.builder()
+    // SPARK_GRAFT_STATE_PROVIDER=rocksdb swaps EVERY streaming query's
+    // state store to RocksDB (the production-scale backend, reference
+    // EmbeddedRocksDBStateBackend) — the full-suite sweep that proves
+    // all kryo/product state envelopes round-trip the provider, not
+    // just the one state_rocksdb_topn gate. Set at BUILDER time: it
+    // must land in the shared SparkConf so the newSession() clones
+    // StreamOps.tuned creates pick it up as their default too.
+    val builder0 = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false"))
-      .getOrCreate()
+    val builder =
+      if (sys.env.get("SPARK_GRAFT_STATE_PROVIDER").exists(_.equalsIgnoreCase("rocksdb")))
+        builder0.config("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      else builder0
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

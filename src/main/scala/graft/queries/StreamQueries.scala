@@ -656,6 +656,65 @@ object StreamQueries extends QueryPack {
         .orderBy(col("event_type"), col("rn"))
     }),
 
+    // Idle-source watermark handling (reference WatermarksWithIdleness,
+    // flink-core/.../eventtime/WatermarksWithIdleness.java, FLIP-126:
+    // a source detected idle is EXCLUDED from the combined watermark so
+    // the live inputs drive the clock): TWO independent file sources
+    // union into one event-time windowed aggregate; the odd-user leg
+    // carries only the stream's first 30 minutes and then goes idle
+    // FOREVER. Under the default min-combined policy the stalled leg
+    // would wedge every window past its last row open; the idleness
+    // analog — multipleWatermarkPolicy=max, track the advancing input —
+    // lets the even-user leg (whose far-future flush row plays the
+    // bounded-source MAX_WATERMARK) finalize every real window. The
+    // append-mode image must equal the batch aggregate over exactly
+    // the rows the two legs carried.
+    "stream_watermark_idleness" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      s.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
+      import java.nio.file.{Files, Paths}
+      import java.nio.file.attribute.FileTime
+      import scala.jdk.CollectionConverters._
+      val liveDir = Files.createTempDirectory("graft_wmidle_live")
+      val idleDir = Files.createTempDirectory("graft_wmidle_idle")
+      val ev = graft.Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val minUs = ev.agg(min(col("ts_us"))).head().getLong(0)
+      def stageTo(work: java.nio.file.Path, df: DataFrame, mtimeMs: Long): Unit = {
+        def list(): Set[java.nio.file.Path] = {
+          val st = Files.list(work)
+          try st.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSet
+          finally st.close()
+        }
+        val before = list()
+        df.coalesce(1).write.mode("append").parquet(work.toString)
+        (list() -- before).foreach(p =>
+          Files.setLastModifiedTime(p, FileTime.fromMillis(mtimeMs)))
+      }
+      stageTo(liveDir, ev.filter(col("user_id") % 2 === 0), 10000L)
+      // the live leg's far-future flush row (its own window never
+      // closes, so it is self-excluding from the append image)
+      stageTo(liveDir, s.range(1).select(lit(-1L).as("event_id"),
+        lit(-1L).as("user_id"), lit(7258118400000000L).as("ts_us"),
+        lit(0L).as("cents")), 20000L)
+      // the idle leg: 30 minutes of odd-user rows, then silence forever
+      stageTo(idleDir, ev.filter(col("user_id") % 2 === 1 &&
+        col("ts_us") < minUs + 1800L * 1000000), 10000L)
+      def leg(work: java.nio.file.Path): DataFrame =
+        s.readStream.schema("event_id BIGINT, user_id BIGINT, ts_us BIGINT, cents BIGINT")
+          .option("maxFilesPerTrigger", "1").parquet(s"$work/*.parquet")
+          .withColumn("ets", timestamp_micros(col("ts_us")))
+          .withWatermark("ets", "0 seconds")
+      val agg = leg(liveDir).union(leg(idleDir))
+        .groupBy(window(col("ets"), "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .select(unix_micros(col("w.start")).as("ws_us"), col("n"), col("cents"))
+      StreamOps.runToBatch(s, agg, "append", "stream_wmidle")
+        .orderBy(col("ws_us"))
+    }),
+
     // SQL-TRANSPARENT streaming Top-N (reference FlinkLogicalRankRule +
     // StreamExecRank): the SQL text is a plain ROW_NUMBER() <= 3 rank
     // filter over a STREAMING view — which Spark cannot execute at all
@@ -1877,6 +1936,21 @@ object StreamQueries extends QueryPack {
                      ORDER BY value DESC, event_id) AS rn
             FROM events) t
       WHERE rn <= 3 ORDER BY event_type, rn""",
+    "stream_watermark_idleness" -> """
+      WITH m AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS mn FROM events),
+      src AS (
+        SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events WHERE user_id % 2 = 0
+        UNION ALL
+        SELECT epoch_us(CAST(ts AS TIMESTAMP)),
+               CAST(floor(value * 100) AS BIGINT)
+        FROM events, m
+        WHERE user_id % 2 = 1
+          AND epoch_us(CAST(ts AS TIMESTAMP)) < m.mn + 1800000000)
+      SELECT ts_us - ts_us % 900000000 AS ws_us, count(*) AS n,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM src GROUP BY 1 ORDER BY ws_us""",
     "stream_sorted_emit" -> """
       SELECT user_id AS key, event_id AS id, CAST(ts AS TIMESTAMP) AS ts,
              row_number() OVER (PARTITION BY user_id

@@ -13,7 +13,11 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS+=(--add-opens "java.base/$p=ALL-UNNAMED")
 done
+# GRAFT_CLASSES overrides the classes dir — point it at a SNAPSHOT copy
+# for long background runs (recompiling swaps .class files under a
+# running JVM otherwise).
+CLASSES="${GRAFT_CLASSES:-target/scala-2.13/classes}"
 exec java "${ADD_OPENS[@]}" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"$MEM" \
-  -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$@"
+  -cp "$CLASSES:/opt/spark/jars/*" "$@"
