@@ -1277,6 +1277,36 @@ object StreamQueries extends QueryPack {
         .orderBy(col("user_id"), col("ws_us"))
     }),
 
+    // PER-ELEMENT re-firing cadence (reference WindowOperator.java:98
+    // processElement → EventTimeTrigger.onElement FIRE per
+    // late-but-allowed element — the engine's default coalesces a
+    // batch's late rows into ONE cumulative update, MIGRATION
+    // divergence #2; this is the opt-in exact-cadence mode, the
+    // lateness analog of changelog_per_record_log): every late row of
+    // an already-due window emits its OWN cumulative firing with an
+    // incrementing fire_seq. The gate checks the firing LOG itself —
+    // one on-time firing per window with on-time content, then one
+    // firing per late row in (ts, id) order with running n/cents —
+    // against a scalar-fold oracle, not just the final image.
+    // Keys are densified to 5 (like stream_session_late_refire) so
+    // windows genuinely receive SEVERAL late rows and mix on-time with
+    // late content — at natural key density each late window holds one
+    // late row and the per-element cadence would be indistinguishable
+    // from the coalesced one.
+    "stream_window_late_refire_per_element" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      import s.implicits._
+      val in = StreamOps.eventsTypedLateSplitWithSentinels(s, dir, 3600L * 1000000)
+        .map(e => e.copy(user_id = e.user_id % 5))
+      val out = graft.streaming.LateCapture.tumbleWithLateness(
+        in, 15L * 60 * 1000000, 400L * 86400 * 1000000, perElement = true)
+      StreamOps.runToBatch(s, out.toDF(), "append", "stream_latref_pe")
+        .filter(col("kind") =!= "late")
+        .select(col("user_id"), col("ws_us"), col("fire_seq"),
+          col("n"), col("sum_cents"))
+        .orderBy(col("user_id"), col("ws_us"), col("fire_seq"))
+    }),
+
     // Degenerate lateness = 0: every below-watermark arrival is beyond
     // the lateness horizon, so the SAME operator reproduces pure
     // sideOutputLateData semantics with REAL late rows (the existing
@@ -2109,6 +2139,38 @@ object StreamQueries extends QueryPack {
                         AND ws_us + 900000000 <= (SELECT wm1 FROM wm)
                   THEN 2 ELSE 1 END AS BIGINT) AS fires
       FROM w GROUP BY user_id, ws_us ORDER BY user_id, ws_us""",
+    "stream_window_late_refire_per_element" -> """
+      WITH b AS (SELECT user_id % 5 AS user_id, event_id, value,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      m AS (SELECT min(us) AS mn FROM b),
+      wm AS (SELECT (max(us) // 1000) * 1000 AS wm1 FROM b, m WHERE us >= mn + 3600000000),
+      w AS (SELECT user_id, event_id,
+              us - us % 900000000 AS ws_us, us,
+              us >= (SELECT mn FROM m) + 3600000000 AS ontime,
+              CAST(floor(value * 100) AS BIGINT) AS cents FROM b),
+      base AS (SELECT user_id, ws_us,
+                 CAST(count(*) FILTER (WHERE ontime) AS BIGINT) AS n_on,
+                 CAST(COALESCE(sum(cents) FILTER (WHERE ontime), 0) AS BIGINT) AS c_on,
+                 CAST(count(*) AS BIGINT) AS n_all,
+                 CAST(sum(cents) AS BIGINT) AS c_all,
+                 (ws_us + 900000000 <= (SELECT wm1 FROM wm)) AS due1
+               FROM w GROUP BY user_id, ws_us),
+      lat AS (SELECT user_id, ws_us, us, event_id, cents,
+                CAST(row_number() OVER pw AS BIGINT) AS i,
+                CAST(sum(cents) OVER pw AS BIGINT) AS csum
+              FROM w WHERE NOT ontime
+              WINDOW pw AS (PARTITION BY user_id, ws_us ORDER BY us, event_id
+                            ROWS UNBOUNDED PRECEDING))
+      SELECT user_id, ws_us, CAST(0 AS BIGINT) AS fire_seq,
+             CASE WHEN due1 THEN n_on ELSE n_all END AS n,
+             CASE WHEN due1 THEN c_on ELSE c_all END AS sum_cents
+      FROM base WHERE (due1 AND n_on > 0) OR NOT due1
+      UNION ALL
+      SELECT l.user_id, l.ws_us,
+             CAST(CASE WHEN b2.n_on > 0 THEN l.i ELSE l.i - 1 END AS BIGINT),
+             b2.n_on + l.i, b2.c_on + l.csum
+      FROM lat l JOIN base b2 USING (user_id, ws_us) WHERE b2.due1
+      ORDER BY user_id, ws_us, fire_seq""",
     "stream_window_lateness_capture" -> """
       WITH b AS (SELECT user_id, event_id, value,
                    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

@@ -126,7 +126,8 @@ object LateCapture {
    */
   def tumbleWithLateness(ds: Dataset[Ev], sizeUs: Long, latenessUs: Long,
       watermarkDelay: String = "0 seconds",
-      ttl: Option[String] = None): Dataset[LatenessWinRow] = {
+      ttl: Option[String] = None,
+      perElement: Boolean = false): Dataset[LatenessWinRow] = {
     import ds.sparkSession.implicits._
     require(latenessUs >= 0, "allowed lateness must be non-negative")
     val withWm = ds.toDF()
@@ -149,7 +150,14 @@ object LateCapture {
               wins += ws -> (n, c, fires + 1, true)
             }
           }
-          // (2) accumulate / capture this batch's rows
+          // (2) accumulate / capture this batch's rows. In PER-ELEMENT
+          // mode (the reference's exact cadence — WindowOperator
+          // processElement → EventTimeTrigger.onElement returns FIRE
+          // for every late-but-allowed element of an already-due
+          // window, `WindowOperator.java:98`), each such element emits
+          // its own cumulative firing HERE instead of coalescing into
+          // one end-of-batch update; elements of not-yet-due windows
+          // accumulate silently in both modes (onElement → CONTINUE).
           var dirty = Set.empty[Long]
           it.toList.filter(_.event_id >= 0)
             .sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
@@ -158,8 +166,15 @@ object LateCapture {
                 out += LatenessWinRow("late", key, ws, -1L, 0L, 0L, e.event_id)
               else {
                 val (n, c, fires, fired) = wins.getOrElse(ws, (0L, 0L, 0L, false))
-                wins += ws -> (n + 1, c + math.floor(e.value * 100).toLong, fires, fired)
-                dirty += ws
+                val acc = (n + 1, c + math.floor(e.value * 100).toLong, fires, fired)
+                if (perElement && ws + sizeUs <= wmUs) {
+                  out += LatenessWinRow(if (fired) "update" else "agg",
+                    key, ws, acc._3, acc._1, acc._2, -1L)
+                  wins += ws -> (acc._1, acc._2, acc._3 + 1, true)
+                } else {
+                  wins += ws -> acc
+                  dirty += ws
+                }
               }
             }
           // (3) touched due windows emit: updates for fired ones, first
