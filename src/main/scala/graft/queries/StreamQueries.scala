@@ -2280,6 +2280,12 @@ object StreamQueries extends QueryPack {
     // window. A timed-out partial is a click whose strict run did not
     // complete; last_step says how far the prefix bound.
     "match_recognize_timeout" -> """
+      -- reference TimedOutPartialMatchHandler semantics: only runs
+      -- still ALIVE at window expiry are timed out. The pattern is
+      -- STRICT-contiguous (A B C), so a click whose ADJACENT row lands
+      -- inside the window but is not a view was killed by the
+      -- contiguity mismatch (a MISS, not a timeout) — same for a
+      -- click+view whose next row inside the window is not a purchase.
       WITH seq AS (
         SELECT user_id, event_id, event_type, ts,
                lead(event_type, 1) OVER w AS t1, lead(ts, 1) OVER w AS ts1,
@@ -2291,9 +2297,9 @@ object StreamQueries extends QueryPack {
                   THEN 'B' ELSE 'A' END AS last_step
       FROM seq
       WHERE event_type = 'click'
-        AND NOT coalesce(
-          t1 = 'view' AND ts1 <= ts + INTERVAL 12 HOUR
-          AND t2 = 'purchase' AND ts2 <= ts + INTERVAL 12 HOUR, false)
+        AND ((t1 IS NULL OR ts1 > ts + INTERVAL 12 HOUR)
+             OR (t1 = 'view' AND ts1 <= ts + INTERVAL 12 HOUR
+                 AND (t2 IS NULL OR ts2 > ts + INTERVAL 12 HOUR)))
       ORDER BY user_id, click_id""",
     "stream_broadcast_threshold" -> """
       WITH thr AS (

@@ -872,7 +872,11 @@ object Cep {
    * bind's step renamed to `"__timedout:" + step`, so the channel is
    * detectable from `binds.head.step` and the original step names stay
    * recoverable (the reference hands the handler the partial
-   * `Map<String, List<T>>` — same information). */
+   * `Map<String, List<T>>` — same information). Only runs still ALIVE
+   * at window expiry qualify — a partial killed earlier by a
+   * strict-contiguity mismatch or a violated negative step dies as a
+   * MISS, exactly as the reference handler never sees mismatch-killed
+   * computation states (see `partialPrefixMatches.aliveAtExpiry`). */
   val TimedOutStep = "__timedout"
 
   /** Step name of the pseudo-binding emitted for a too-late event
@@ -894,7 +898,7 @@ object Cep {
    * skipped (their binding equals the next-shorter prefix anyway). */
   private def partialPrefixMatches[T](events: IndexedSeq[T], p: Pattern[T],
       time: T => Long, id: T => Long, startIds: Set[Long]): List[MatchG[T]] = {
-    val found = scala.collection.mutable.Map.empty[Long, MatchG[T]]
+    val found = scala.collection.mutable.Map.empty[Long, (MatchG[T], Int)]
     def mustConsume(q: Quant): Boolean = q match {
       case Once | OneOrMore | OneOrMoreReluctant | OneOrMoreRelaxed |
            OneOrMoreCombinations | Any => true
@@ -910,12 +914,54 @@ object Cep {
         val sub = p.copy(steps = steps, skip = NoSkip, holdToHorizon = false)
         matchSortedG(events, sub, time, id).foreach { m =>
           val sid = id(m.binds.head.ev)
-          if (startIds(sid) && !found.contains(sid)) found(sid) = m
+          if (startIds(sid) && !found.contains(sid)) found(sid) = (m, k)
         }
       }
       k -= 1
     }
-    found.values.toList.sortBy(m => (m.start_us, id(m.binds.head.ev)))
+    // Reference fidelity (TimedOutPartialMatchHandler only receives
+    // partials discarded by WINDOW EXPIRY, `cep/PatternStream.java:26`
+    // — a computation state killed by a strict-contiguity mismatch or
+    // a violated negative step dies as a MISS, well inside the
+    // window): a maximal prefix is a timed-out run only if it was
+    // still ALIVE when the horizon closed. Relaxed positive next steps
+    // can always still be satisfied by a future in-window event; a
+    // STRICT next step whose adjacency slot is already consumed by a
+    // (necessarily non-qualifying — else the prefix would be longer)
+    // event inside both horizons was killed, not timed out; NotNext /
+    // NotFollowed runs die the moment a qualifying event lands in the
+    // forbidden slot/range.
+    def aliveAtExpiry(m: MatchG[T], k: Int): Boolean = {
+      if (k >= p.steps.length) return false
+      val nxt = p.steps(k)
+      val lastIdx = events.indexWhere(e => id(e) == id(m.binds.last.ev))
+      if (lastIdx < 0) return true
+      def inWin(j: Int) = j < events.length &&
+        time(events(j)) - m.start_us <= p.withinUs
+      def gapOk2(j: Int) = p.stepGapUs == Long.MaxValue ||
+        time(events(j)) - time(events(lastIdx)) <= p.stepGapUs
+      def ctxAtJ(j: Int): MatchCtx[T] = new MatchCtx[T] {
+        def eventsFor(step: String): Seq[T] = m.binds.collect {
+          case b if b.step == step || b.step.startsWith(step + "#") => b.ev
+        }
+        def prev(offset: Int): Option[T] =
+          if (offset >= 1 && j - offset >= 0) Some(events(j - offset)) else None
+      }
+      nxt.quant match {
+        case NotNext =>
+          val j = lastIdx + 1
+          !(inWin(j) && nxt.pred(events(j), ctxAtJ(j)))
+        case NotFollowed =>
+          !((lastIdx + 1) until events.length)
+            .exists(j => inWin(j) && nxt.pred(events(j), ctxAtJ(j)))
+        case _ if nxt.strict =>
+          val j = lastIdx + 1
+          !(inWin(j) && gapOk2(j))
+        case _ => true
+      }
+    }
+    found.values.collect { case (m, k) if aliveAtExpiry(m, k) => m }
+      .toList.sortBy(m => (m.start_us, id(m.binds.head.ev)))
   }
 
   /** BATCH-mode pattern matching over a bounded per-key dataset

@@ -569,6 +569,44 @@ class CepSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming: a strict-contiguity mismatch kills the run as a MISS, not a timeout") {
+    // Reference fidelity (TimedOutPartialMatchHandler only receives
+    // partials discarded by WINDOW EXPIRY): with PATTERN click NEXT
+    // purchase, a click immediately followed by a view inside the
+    // within window dies by the adjacency mismatch — no timeout record
+    // — while a click whose adjacency slot is still EMPTY when the
+    // horizon closes IS timed out.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val sec = 1000000L
+    val p = Cep.Pattern.begin("click", (_: Ev).event_type == "click")
+      .next("purchase", _.event_type == "purchase")
+      .within(50 * sec)
+    val ms = MemoryStream[Ev]
+    val q = Cep.runBoundBy(ms.toDS(), p, "user_id", "ts_us", "event_id",
+        watermarkDelay = "0 seconds", timedOut = true).toDF()
+      .writeStream.format("memory").queryName("t_cep_misskill")
+      .outputMode("append").start()
+    try {
+      // click@0 + adjacent view@10s (in-window mismatch → MISS);
+      // click@30s with NOTHING adjacent before the horizon (→ timeout)
+      ms.addData(ev(1, "click", 0), ev(2, "view", 10 * sec),
+        ev(3, "click", 30 * sec))
+      q.processAllAvailable()
+      ms.addData(ev(4, "x", 200 * sec)) // wm 30s
+      q.processAllAvailable()
+      ms.addData(ev(5, "x", 400 * sec)) // wm 200s: horizon evicts all real rows
+      q.processAllAvailable()
+      val got = spark.table("t_cep_misskill")
+        .selectExpr("transform(binds, b -> b.step) AS steps",
+          "transform(binds, b -> b.ev.event_id) AS ids")
+        .as[(Seq[String], Seq[Long])].collect().toList
+        .filter(_._1.exists(_.startsWith(Cep.TimedOutStep)))
+      assert(got == List((Seq(Cep.TimedOutStep + ":click"), Seq(3L))),
+        s"only the expiry-killed click (id 3) may time out; got $got")
+    } finally q.stop()
+  }
+
   test("streaming: events below the admission horizon surface on the late channel") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
