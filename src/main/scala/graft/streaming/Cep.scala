@@ -42,7 +42,15 @@ case class CepStateG[T](buffer: List[T], emitted: List[(Long, Long)],
     // would surface a sub-match the skip had shadowed (per-start dedup
     // cannot catch it — the shadowed start is a different event).
     floorTs: Long = Long.MinValue, floorId: Long = Long.MinValue,
-    floorStrict: Boolean = false)
+    floorStrict: Boolean = false,
+    // Open incremental runs for eligible (all-Once) patterns — the
+    // analog of the reference NFA's computation states
+    // (`cep/nfa/NFA.java:86` advances these per event instead of
+    // re-deriving them): (start event id, next step index, bound event
+    // ids in consumption order). Append-only batches RESUME these over
+    // the new events only; an out-of-order batch re-derives them from
+    // the merged buffer.
+    runs: List[(Long, Int, List[Long])] = Nil)
 
 /**
  * A linear CEP pattern over an arbitrary event type `T`: ordered steps,
@@ -1078,6 +1086,152 @@ object Cep {
           body(k, it.map(_._2), st)))
   }
 
+  /** The skip floor target an emitted match establishes: the (ts, id,
+   * strict) bound the NEXT match's start must clear. None for
+   * NoSkip/SkipToNext (no region is consumed). Shared by the cross-
+   * batch floor fold and the incremental in-batch selection. */
+  private def skipTarget[T](pattern: Pattern[T], time: T => Long, id: T => Long)(
+      m: MatchG[T]): Option[(Long, Long, Boolean)] = {
+    def stepOf(n: String): String = n.takeWhile(_ != '#')
+    val startId = id(m.binds.head.ev)
+    pattern.skip match {
+      case SkipPastLast => // resume AFTER the last consumed event
+        val e = m.binds.last.ev; Some((time(e), id(e), true))
+      case SkipToFirst(s0) => // resume AT the first event bound to s0
+        m.binds.find(b => stepOf(b.step) == s0).map { b =>
+          val (ts, eid) = (time(b.ev), id(b.ev))
+          // jump to the start itself degenerates to start+1
+          if (ts == m.start_us && eid == startId) (ts, eid, true) else (ts, eid, false)
+        }.orElse(Some((m.start_us, startId, true)))
+      case SkipToLast(s0) =>
+        m.binds.reverse.find(b => stepOf(b.step) == s0).map { b =>
+          val (ts, eid) = (time(b.ev), id(b.ev))
+          if (ts == m.start_us && eid == startId) (ts, eid, true) else (ts, eid, false)
+        }.orElse(Some((m.start_us, startId, true)))
+      case _ => None // NoSkip / SkipToNext: no shadow to persist
+    }
+  }
+
+  /** Diagnostic counter: (run, event) advance attempts + head probes
+   * performed by [[incrementalScan]]. The hot-key flood spec pins the
+   * cost model with it — append-only batches cost open-runs × NEW
+   * events (the reference NFA's per-event bill, `cep/nfa/NFA.java:86`),
+   * not open-runs × whole-buffer re-scans. Test instrumentation only —
+   * incremented nowhere else. */
+  val scanOps = new java.util.concurrent.atomic.LongAdder
+
+  /** Patterns the incremental matcher handles: a linear chain of
+   * single-consume steps (strict or relaxed, iterative conditions
+   * fine), any skip strategy. Quantified/optional/negative steps and
+   * alternations keep the re-scan path — their preferred bindings
+   * depend on lookahead/backtracking that appending events can
+   * reshape, which the per-batch re-derivation already handles. */
+  private[streaming] def incrementalEligible[T](p: Pattern[T]): Boolean =
+    p.steps.forall(s => s.quant == Once && s.alts.isEmpty && s.until.isEmpty) &&
+      !p.holdToHorizon
+
+  /** One incremental pass over `events(fromIdx until length)`: restored
+   * open runs (the reference's computation states) advance per event —
+   * strict adjacency via an at-frontier flag, relaxed steps consume
+   * the first qualifying event, window/per-step-gap violations kill
+   * permanently (time order makes every such death final) — and new
+   * runs spawn at qualifying head events after `floor0`. Completions
+   * then pass the in-batch skip selection in start order (the
+   * consumed-region discipline [[matchSortedG]] applies in-scan).
+   * Returns (selected completions, surviving open-run snapshots).
+   * Semantically equal to [[matchSortedG]] for [[incrementalEligible]]
+   * patterns — pinned by the randomized differential in CepSpec. */
+  private def incrementalScan[T](events: IndexedSeq[T], fromIdx: Int,
+      restored: List[(Int, Int, Vector[Int])], p: Pattern[T],
+      time: T => Long, id: T => Long, floor0: (Long, Long, Boolean))
+      : (List[MatchG[T]], List[(Long, Int, List[Long])]) = {
+    val steps = p.steps
+    val noCtx = EmptyCtx.asInstanceOf[MatchCtx[T]]
+    def afterF(ts: Long, eid: Long, f: (Long, Long, Boolean)): Boolean = {
+      val c = java.lang.Long.compare(ts, f._1)
+      val c2 = if (c != 0) c else java.lang.Long.compare(eid, f._2)
+      if (f._3) c2 > 0 else c2 >= 0
+    }
+    class R(val startIdx: Int, var k: Int, var binds: Vector[(String, Int)],
+        var atFrontier: Boolean) { var dead = false }
+    val open = scala.collection.mutable.ArrayBuffer.empty[R]
+    restored.foreach { case (si, k, bidx) =>
+      open += new R(si, k,
+        steps.iterator.take(k).zip(bidx.iterator).map { case (s, x) => (s.name, x) }.toVector,
+        atFrontier = (if (bidx.nonEmpty) bidx.last else si) == fromIdx - 1)
+    }
+    val comps = scala.collection.mutable.ArrayBuffer.empty[MatchG[T]]
+    def ctxFor(binds: Vector[(String, Int)], j: Int): MatchCtx[T] = new MatchCtx[T] {
+      def eventsFor(step: String): Seq[T] = binds.collect {
+        case (n, x) if n == step || n.startsWith(step + "#") => events(x)
+      }
+      def prev(offset: Int): Option[T] =
+        if (offset >= 1 && j - offset >= 0) Some(events(j - offset)) else None
+    }
+    var j = fromIdx
+    while (j < events.length) {
+      val e = events(j)
+      val ts = time(e)
+      var ri = 0
+      while (ri < open.length) {
+        val r = open(ri)
+        scanOps.increment()
+        val start = events(r.startIdx)
+        if (ts - time(start) > p.withinUs) r.dead = true // window closed
+        else {
+          val stp = steps(r.k)
+          val lastIdx = r.binds.last._2
+          if (p.stepGapUs != Long.MaxValue && ts - time(events(lastIdx)) > p.stepGapUs)
+            r.dead = true // per-step gap can only grow — permanent
+          else if (stp.strict && !r.atFrontier) r.dead = true
+          else {
+            val pred = stp.pred
+            if (pred(e, if (ctxFree(pred)) noCtx else ctxFor(r.binds, j))) {
+              r.binds :+= ((stp.name, j)); r.k += 1; r.atFrontier = true
+              if (r.k == steps.length) {
+                comps += MatchG(time(start), ts,
+                  r.binds.map { case (n, x) => BoundG(n, events(x)) }.toList)
+                r.dead = true // completed — one match per start
+              }
+            } else if (stp.strict) r.dead = true // adjacency slot consumed
+            else r.atFrontier = false
+          }
+        }
+        ri += 1
+      }
+      open.filterInPlace(r => !r.dead)
+      // spawn a new run anchored at j
+      val head = steps.head
+      scanOps.increment()
+      if (head.pred(e, if (ctxFree(head.pred)) noCtx else ctxFor(Vector.empty, j)) &&
+          afterF(ts, id(e), floor0)) {
+        if (steps.length == 1) comps += MatchG(ts, ts, List(BoundG(head.name, e)))
+        else open += new R(j, 1, Vector((head.name, j)), atFrontier = true)
+      }
+      j += 1
+    }
+    // in-batch skip selection in start order — identical discipline to
+    // matchSortedG's in-scan consumed-region jumps
+    var lf = floor0
+    val selected = List.newBuilder[MatchG[T]]
+    comps.sortBy(m => (m.start_us, id(m.binds.head.ev))).foreach { m =>
+      if (afterF(m.start_us, id(m.binds.head.ev), lf)) {
+        selected += m
+        skipTarget(p, time, id)(m).foreach { t =>
+          val c = java.lang.Long.compare(t._1, lf._1)
+          val c2 = if (c != 0) c else java.lang.Long.compare(t._2, lf._2)
+          if (c2 > 0) lf = t
+          else if (c2 == 0) lf = (lf._1, lf._2, lf._3 || t._3)
+        }
+      }
+    }
+    val runsOut = open.iterator
+      .filter(r => afterF(time(events(r.startIdx)), id(events(r.startIdx)), lf))
+      .map(r => (id(events(r.startIdx)), r.k, r.binds.map(b => id(events(b._2))).toList))
+      .toList
+    (selected.result(), runsOut)
+  }
+
   /** The per-key micro-batch body shared by [[runBoundBy]] and
    * [[runBoundByF]]: buffer + re-match + dedup + watermark eviction.
    * With `unmatched` on, a row leaving the buffer that never
@@ -1147,7 +1301,47 @@ object Cep {
           val (admitted, floorDropped) = (st.buffer ++ arrived)
             .partition(e => afterFloor(time(e), id(e), st.floorTs, st.floorId, st.floorStrict))
           val buffer = admitted.sortBy(e => (time(e), id(e)))
-          val all = matchSortedG(buffer.toIndexedSeq, pattern, time, id)
+          val bufferIdx = buffer.toIndexedSeq
+          val incremental = incrementalEligible(pattern)
+          // append-only iff every arrival sorts strictly after the
+          // retained buffer — the common in-order case, where open runs
+          // RESUME over just the new events (reference NFA cost: active
+          // runs × new events) instead of re-deriving over the buffer
+          val appendOnly = incremental && st.buffer.lastOption.forall { last =>
+            val (lts, lid) = (time(last), id(last))
+            arrived.forall { e =>
+              val c = java.lang.Long.compare(time(e), lts)
+              (if (c != 0) c else java.lang.Long.compare(id(e), lid)) > 0
+            }
+          }
+          var runsOut: List[(Long, Int, List[Long])] = Nil
+          val all =
+            if (incremental) {
+              val idIdx = new java.util.HashMap[Long, Integer](bufferIdx.length * 2)
+              var i2 = 0
+              while (i2 < bufferIdx.length) { idIdx.put(id(bufferIdx(i2)), i2); i2 += 1 }
+              val fromIdx = if (appendOnly) st.buffer.length else 0
+              val restored: List[(Int, Int, Vector[Int])] =
+                if (!appendOnly) Nil // out-of-order merge: re-derive from scratch
+                else st.runs.flatMap { case (sid, k, bids) =>
+                  val si = idIdx.get(sid)
+                  val bIdx = bids.map(idIdx.get(_))
+                  if (si == null || bIdx.exists(_ == null) ||
+                      k > pattern.steps.length || bIdx.size != k) None
+                  else {
+                    val v = bIdx.map(_.intValue).toVector
+                    // a strict-step run not at the buffer frontier died
+                    // when a non-qualifying event followed it
+                    if (k < pattern.steps.length && pattern.steps(k).strict &&
+                        v.last != fromIdx - 1) None
+                    else Some((si.intValue, k, v))
+                  }
+                }
+              val (sel, ro) = incrementalScan(bufferIdx, fromIdx, restored,
+                pattern, time, id, (st.floorTs, st.floorId, st.floorStrict))
+              runsOut = ro
+              sel
+            } else matchSortedG(bufferIdx, pattern, time, id)
           // A pattern containing a negative step asserts ABSENCE, which
           // a later batch can falsify with a late in-horizon event — so
           // when a within bound exists, hold its matches until the
@@ -1205,27 +1399,9 @@ object Cep {
             .filter(floorAllows)
           val emitted = st.emitted ++ fresh.map(m => (m.start_us, sig(m)))
           // advance the floor to each fresh match's skip jump target
-          def stepOf(n: String): String = n.takeWhile(_ != '#')
           val (floorTs, floorId, floorStrict) =
             fresh.foldLeft((st.floorTs, st.floorId, st.floorStrict)) { case (f @ (fts, fid, fst), m) =>
-              val startId = id(m.binds.head.ev)
-              val target: Option[(Long, Long, Boolean)] = pattern.skip match {
-                case SkipPastLast => // resume AFTER the last consumed event
-                  val e = m.binds.last.ev; Some((time(e), id(e), true))
-                case SkipToFirst(s0) => // resume AT the first event bound to s0
-                  m.binds.find(b => stepOf(b.step) == s0).map { b =>
-                    val (ts, eid) = (time(b.ev), id(b.ev))
-                    // jump to the start itself degenerates to start+1
-                    if (ts == m.start_us && eid == startId) (ts, eid, true) else (ts, eid, false)
-                  }.orElse(Some((m.start_us, startId, true)))
-                case SkipToLast(s0) =>
-                  m.binds.reverse.find(b => stepOf(b.step) == s0).map { b =>
-                    val (ts, eid) = (time(b.ev), id(b.ev))
-                    if (ts == m.start_us && eid == startId) (ts, eid, true) else (ts, eid, false)
-                  }.orElse(Some((m.start_us, startId, true)))
-                case _ => None // NoSkip / SkipToNext: no shadow to persist
-              }
-              target.fold(f) { case (ts, eid, strict) =>
+              skipTarget(pattern, time, id)(m).fold(f) { case (ts, eid, strict) =>
                 val c = java.lang.Long.compare(ts, fts)
                 val c2 = if (c != 0) c else java.lang.Long.compare(eid, fid)
                 if (c2 > 0) (ts, eid, strict)
@@ -1263,7 +1439,7 @@ object Cep {
             else {
               val cands = evicted.filter(e => !live(time(e)) && !matchedAll(id(e)))
               if (cands.isEmpty) Nil
-              else partialPrefixMatches(buffer.toIndexedSeq, pattern, time, id,
+              else partialPrefixMatches(bufferIdx, pattern, time, id,
                   cands.map(id).toSet)
                 .map(m => CepBoundG(k, m.start_us, m.end_us,
                   m.binds.map(b => BoundG(TimedOutStep + ":" + b.step, b.ev))))
@@ -1276,7 +1452,7 @@ object Cep {
                 .distinct.filter(keptIds)
             }
           state.update(CepStateG(kept, emitted.filter(p => live(p._1)), keptMatched,
-            floorTs, floorId, floorStrict))
+            floorTs, floorId, floorStrict, runsOut))
           (fresh.iterator.map(m => CepBoundG(k, m.start_us, m.end_us, m.binds))
             ++ unmatchedOut.iterator ++ timeoutOut.iterator ++ lateOut.iterator)
   }

@@ -607,6 +607,78 @@ class CepSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming: an out-of-order batch falls back to re-derivation without duplicates") {
+    // The incremental matcher resumes open runs only on append-only
+    // batches; an arrival sorting BELOW the retained buffer discards
+    // the cached runs and re-derives from the merged buffer — emitted
+    // matches must not duplicate and cross-batch completions must
+    // still land.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val sec = 1000000L
+    val p = Cep.Pattern.begin("a", (_: Ev).event_type == "click")
+      .followedBy("b", _.event_type == "purchase")
+      .within(3600 * sec)
+    val ms = MemoryStream[Ev]
+    val q = Cep.run(ms.toDS(), p, "2 hours").toDF()
+      .writeStream.format("memory").queryName("t_cep_ooo")
+      .outputMode("append").start()
+    try {
+      ms.addData(ev(10, "click", 300 * sec))
+      q.processAllAvailable()
+      // out-of-order: a view BELOW the buffered click (admitted — the
+      // watermark delay covers it), plus the purchase that completes
+      // the cross-batch match
+      ms.addData(ev(5, "view", 250 * sec), ev(11, "purchase", 400 * sec))
+      q.processAllAvailable()
+      // append-only again: a second click+purchase pair resumes
+      // incrementally after the fallback rebuilt the run cache
+      ms.addData(ev(12, "click", 500 * sec))
+      q.processAllAvailable()
+      ms.addData(ev(13, "purchase", 600 * sec))
+      q.processAllAvailable()
+      val got = spark.table("t_cep_ooo").as[CepMatch].collect()
+        .map(_.event_ids).toSet
+      assert(got == Set(Seq(10L, 11L), Seq(12L, 13L)), s"got $got")
+    } finally q.stop()
+  }
+
+  test("hot-key flood: per-batch cost is open-runs × new events, not × buffer") {
+    // The round-13 verdict's CEP stress case: ONE key, every event
+    // inside one within horizon, a head predicate that always opens a
+    // run and a second step that never completes — the worst case for
+    // the old per-batch re-scan, whose cost was Σ_b (runs_b × buffer_b)
+    // ≈ n²·B/3 advance attempts for B batches. The incremental matcher
+    // bills runs_b × NEW events (the reference NFA's per-event cost,
+    // cep/nfa/NFA.java:86), Σ ≈ n²/2 — the scanOps counter pins that
+    // bound, which any buffer-proportional re-scan breaks by ~2B/3×.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val sec = 1000000L
+    val n = 1200
+    val batches = 8
+    val p = Cep.Pattern.begin("a", (_: Ev).event_type == "click")
+      .followedBy("b", _.event_type == "no_such_type")
+      .within(86400L * 365 * sec)
+    val events = (1 to n).map(i => ev(i.toLong, "click", i.toLong * sec))
+    val ms = MemoryStream[Ev]
+    val q = Cep.run(ms.toDS(), p, "0 seconds").toDF()
+      .writeStream.format("memory").queryName("t_cep_flood")
+      .outputMode("append").start()
+    try {
+      Cep.scanOps.reset()
+      events.grouped(n / batches).foreach { b =>
+        ms.addData(b: _*); q.processAllAvailable()
+      }
+      val ops = Cep.scanOps.sum()
+      val bound = n.toLong * n // incremental ≈ n²/2; old re-scan ≈ n²·B/3 ≈ 2.7·n²
+      assert(ops <= bound,
+        s"per-batch matcher cost must track NEW events, not the buffer: " +
+          s"$ops advance attempts > $bound for n=$n, B=$batches")
+      assert(spark.table("t_cep_flood").count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming: events below the admission horizon surface on the late channel") {
     implicit val sql = spark.sqlContext
     import spark.implicits._

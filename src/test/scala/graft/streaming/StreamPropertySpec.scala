@@ -244,6 +244,20 @@ class StreamPropertySpec extends SparkSuite {
       "followedBy_skip" -> Cep.Pattern.begin("a", _.event_type == "a")
         .followedBy("b", _.event_type == "b").within(W)
         .afterMatchSkip(Cep.SkipPastLast),
+      // all-Once chains take the INCREMENTAL matcher (open runs resume
+      // over each batch's new events instead of re-scanning the
+      // buffer) — these three pin its parity across strict/relaxed
+      // mixes, skip-to-bound floors, and per-step gaps
+      "mixed_chain_incremental" -> Cep.Pattern.begin("a", _.event_type == "a")
+        .followedBy("b", _.event_type == "b")
+        .next("c", _.event_type == "c").within(W),
+      "skip_to_first_incremental" -> Cep.Pattern.begin("a", _.event_type == "a")
+        .followedBy("b", _.event_type == "b")
+        .followedBy("c", _.event_type == "c").within(W)
+        .afterMatchSkip(Cep.SkipToFirst("b")),
+      "step_gap_incremental" -> Cep.Pattern.begin("a", _.event_type == "a")
+        .followedBy("b", _.event_type == "b").within(W)
+        .withinStep(300L),
       "plus_tail" -> Cep.Pattern.begin("a", _.event_type == "a")
         .oneOrMoreNext("bs", _.event_type == "b")
         .next("c", _.event_type == "c").within(W),
