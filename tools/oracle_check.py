@@ -58,6 +58,31 @@ def frame(con, rel):
     return [cols[i] for i in order], [types[i] for i in order], out
 
 
+# Above this many rows, skip the Python fetchall (which would hold two
+# canonicalized copies in memory — 60M-row gates at sf10 are ~25 GB a
+# side) and compare entirely inside DuckDB: sorted column names/type
+# classes from a LIMIT 0 probe, then count + an order-insensitive
+# sum-of-row-hashes over the name-sorted projection on BOTH sides —
+# identical canonicalization because both sides go through DuckDB.
+BIG_ROWS = 2_000_000
+
+
+def meta(con, q):
+    rel = con.sql(f"SELECT * FROM ({q}) t LIMIT 0")
+    cols, types = rel.columns, [type_class(str(t)) for t in rel.types]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return [cols[i] for i in order], [types[i] for i in order]
+
+
+def big_sig(con, q, cols_sorted):
+    sel = ", ".join(f'"{c}"' for c in cols_sorted)
+    row = f"ROW({sel})" if len(cols_sorted) > 1 else f'ROW("{cols_sorted[0]}")'
+    n, sig = con.sql(
+        f"SELECT count(*), CAST(sum(CAST(hash({row}) AS HUGEINT)) AS VARCHAR) "
+        f"FROM ({q}) t").fetchall()[0]
+    return n, sig
+
+
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -69,9 +94,32 @@ def main():
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        got_q = f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
         try:
-            got_cols, got_types, got = frame(con, con.sql(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"))
+            n_got = con.sql(f"SELECT count(*) FROM ({got_q}) t").fetchall()[0][0]
+            if n_got > BIG_ROWS:
+                got_cols, got_types = meta(con, got_q)
+                exp_cols, exp_types = meta(con, sql)
+                problems = []
+                if got_cols != exp_cols:
+                    problems.append(f"cols {got_cols} != {exp_cols}")
+                if got_types != exp_types:
+                    problems.append(f"types {got_types} != {exp_types}")
+                if not problems:
+                    gn, gs = big_sig(con, got_q, got_cols)
+                    en, es = big_sig(con, sql, exp_cols)
+                    if gn != en:
+                        problems.append(f"rows {gn} != {en}")
+                    elif gs != es:
+                        problems.append(f"row-hash sum {gs} != {es}")
+                if problems:
+                    print(f"FAIL {name}: " + "; ".join(problems))
+                    n_fail += 1
+                else:
+                    print(f"PASS {name} rows={n_got} hash=bigsig:{gs[:12]}")
+                    n_pass += 1
+                continue
+            got_cols, got_types, got = frame(con, con.sql(got_q))
             exp_cols, exp_types, exp = frame(con, con.sql(sql))
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
