@@ -296,9 +296,11 @@ object SimilarityQueries extends QueryPack {
         .select(col("vec_id"), col("qe"), col("nrm"))
       val a1 = graft.FrameCache.cached(s, s"semcells:$dir")(
         lloydAssign(pts, cent0).withColumnRenamed("cid", "cell"))
+      // width follows per-cell occupancy (8 learned cells)
+      val bits = sigBits(pts.count() / 8L)
       val banded = a1
         .withColumn("band", explode(expr("sequence(0, 5)")))
-        .withColumn("sig", bandSigCol)
+        .withColumn("sig", bandSigCol(bits))
       val aSide = banded.select(col("cell"), col("band"), col("sig"),
         col("vec_id").as("id_a"), col("qe").as("qv"), col("nrm").as("qn"))
       val bSide = banded.select(col("cell"), col("band"), col("sig"),
@@ -560,14 +562,39 @@ object SimilarityQueries extends QueryPack {
    * arithmetic (the DuckDB oracle keeps the inline LCG — bit-identical
    * by construction, same formula, same truncating division). */
   private lazy val planesLit: Column = typedLit(
-    (0 until 48).map { bp =>
+    (0 until 96).map { bp => // 6 bands × up to 16 sign bits
       (1 to 64).map { d =>
         val v = (1103515245L * (bp.toLong * 1000L + d) + 12345L) / 65536L
         if (v % 2 == 0) 1L else -1L
       }.toArray
     }.toArray)
   private lazy val pow2Lit: Column =
-    typedLit((0 until 8).map(p => 1L << p).toArray)
+    typedLit((0 until 16).map(p => 1L << p).toArray)
+
+  /** Signature WIDTH as a function of block occupancy — the r13 sf1
+   * lesson made executable (bits must grow ~log2(n) or candidate
+   * pairs grow ~n²/2^bits; the r14 sf10 sweep caught the 8-bit form
+   * spilling ~n²/5120 candidate pairs at 200k vectors): 8 bits up to
+   * 2048 rows per block, +1 bit per doubling, capped at 16. A pure
+   * integer ladder — NOT ceil(log2(...)) — so Spark and the DuckDB
+   * oracle compute the identical width with no float-rounding edge.
+   * Recall trade (standard LSH): exact/near-exact duplicate clusters
+   * (cos ≈ 1) collide at any width; mid-similarity recall at a given
+   * band count decreases as bits grow — the production dial is more
+   * bands, which block count keeps at 6 here. */
+  private[queries] def sigBits(rowsPerBlock: Long): Int =
+    8 + Seq(2048L, 4096L, 8192L, 16384L, 32768L, 65536L,
+      131072L, 262144L).count(rowsPerBlock > _)
+
+  /** The same ladder as SQL, over a one-row relation aliased `params`
+   * with column `npl` (rows per block). */
+  private def sigBitsSql(nplSql: String): String = s"""
+      params AS (
+        SELECT 8 + CAST(npl > 2048 AS INT) + CAST(npl > 4096 AS INT)
+                 + CAST(npl > 8192 AS INT) + CAST(npl > 16384 AS INT)
+                 + CAST(npl > 32768 AS INT) + CAST(npl > 65536 AS INT)
+                 + CAST(npl > 131072 AS INT) + CAST(npl > 262144 AS INT) AS bits
+        FROM ($nplSql) n0)"""
 
   /** Per-(row, band) 8-bit random-hyperplane signature over the
    * literal planes (expects columns `band` and `qe`). The hoisted
@@ -577,10 +604,10 @@ object SimilarityQueries extends QueryPack {
    * embedding fixture stays bit-identical instead of silently scoring
    * out-of-literal bits as 0 (or, under ANSI, crashing on the
    * out-of-bounds element_at). */
-  private def bandSigCol: Column =
-    aggregate(sequence(lit(0), lit(7)), lit(0L), (acc, p) => {
-      val plane = element_at(planesLit, col("band").cast("int") * lit(8) + p + lit(1))
-      val bp = col("band").cast("long") * lit(8L) + p.cast("long")
+  private def bandSigCol(bits: Int): Column =
+    aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, p) => {
+      val plane = element_at(planesLit, col("band").cast("int") * lit(bits) + p + lit(1))
+      val bp = col("band").cast("long") * lit(bits.toLong) + p.cast("long")
       val dot = aggregate(sequence(lit(1), size(col("qe"))), lit(0L),
         (s2, d) => {
           // LCG value is positive, so `div 65536` == shiftright 16
@@ -596,12 +623,17 @@ object SimilarityQueries extends QueryPack {
   /** Banded near-dup candidate pairs with exact verified cosine: the
    * shared core of `sim_neardup_pairs` and `dedup_embedding_cosine`. */
   private def bandedNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    // signature width follows block occupancy (see sigBits) — computed
+    // from the data so the DuckDB oracle derives the identical width
+    val r0 = Tables.load(s, dir, "embeddings")
+      .agg(count(lit(1)), countDistinct(col("label"))).head()
+    val bits = sigBits(r0.getLong(0) / math.max(r0.getLong(1), 1L))
     // the banded-signature frame is itself session-cached: it feeds
     // BOTH sides of the candidate join, and both sim_neardup_pairs and
     // dedup_embedding_cosine consume the same pairs
     val e = graft.FrameCache.cached(s, s"banded:$dir")(quantized(s, dir)
       .withColumn("band", explode(expr("sequence(0, 5)")))
-      .withColumn("sig", bandSigCol))
+      .withColumn("sig", bandSigCol(bits)))
     val a = e.select(col("label"), col("band"), col("sig"), col("vec_id").as("id_a"),
                      col("qe").as("qv"), col("nrm").as("qn"))
     val b = e.select(col("label"), col("band"), col("sig"), col("vec_id").as("id_b"),
@@ -1035,14 +1067,15 @@ object SimilarityQueries extends QueryPack {
                     row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
              FROM d1),
       ac AS (SELECT vec_id, qe, nrm, cell, dist FROM a1 WHERE rn = 1),
+      ${sigBitsSql("SELECT count(*) // 8 AS npl FROM e WHERE vec_id >= 8")},
       eb AS (SELECT vec_id, cell, qe, nrm, band,
                list_sum([CASE WHEN list_sum([qe[d] *
-                   (CASE WHEN ((1103515245 * ((band * 8 + p) * 1000 + d) + 12345) // 65536) % 2 = 0
+                   (CASE WHEN ((1103515245 * ((band * bits + p) * 1000 + d) + 12345) // 65536) % 2 = 0
                          THEN 1 ELSE -1 END)
                    for d in generate_series(1, len(qe))]) >= 0
                  THEN (1 << p) ELSE 0 END
-                 for p in generate_series(0, 7)]) AS sig
-             FROM ac, generate_series(0, 5) AS t(band)),
+                 for p in generate_series(0, bits - 1)]) AS sig
+             FROM ac, params, generate_series(0, 5) AS t(band)),
       cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
                FROM eb a JOIN eb b ON a.cell = b.cell AND a.band = b.band
                  AND a.sig = b.sig AND a.vec_id < b.vec_id),
@@ -1077,14 +1110,15 @@ object SimilarityQueries extends QueryPack {
       FROM k ORDER BY vec_id""",
     "dedup_embedding_cosine" -> s"""
       WITH $normCte,
+      ${sigBitsSql("SELECT count(*) // count(DISTINCT label) AS npl FROM embeddings")},
       eb AS (SELECT vec_id, label, qe, nrm, band,
                list_sum([CASE WHEN list_sum([qe[d] *
-                   (CASE WHEN ((1103515245 * ((band * 8 + p) * 1000 + d) + 12345) // 65536) % 2 = 0
+                   (CASE WHEN ((1103515245 * ((band * bits + p) * 1000 + d) + 12345) // 65536) % 2 = 0
                          THEN 1 ELSE -1 END)
                    for d in generate_series(1, len(qe))]) >= 0
                  THEN (1 << p) ELSE 0 END
-                 for p in generate_series(0, 7)]) AS sig
-             FROM e, generate_series(0, 5) AS t(band)),
+                 for p in generate_series(0, bits - 1)]) AS sig
+             FROM e, params, generate_series(0, 5) AS t(band)),
       cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
                FROM eb a JOIN eb b ON a.label = b.label AND a.band = b.band
                  AND a.sig = b.sig AND a.vec_id < b.vec_id),
@@ -1116,14 +1150,15 @@ object SimilarityQueries extends QueryPack {
       SELECT id AS vec_id, lbl AS canonical FROM l4 ORDER BY vec_id""",
     "sim_neardup_pairs" -> s"""
       WITH $normCte,
+      ${sigBitsSql("SELECT count(*) // count(DISTINCT label) AS npl FROM embeddings")},
       eb AS (SELECT vec_id, label, qe, nrm, band,
                list_sum([CASE WHEN list_sum([qe[d] *
-                   (CASE WHEN ((1103515245 * ((band * 8 + p) * 1000 + d) + 12345) // 65536) % 2 = 0
+                   (CASE WHEN ((1103515245 * ((band * bits + p) * 1000 + d) + 12345) // 65536) % 2 = 0
                          THEN 1 ELSE -1 END)
                    for d in generate_series(1, len(qe))]) >= 0
                  THEN (1 << p) ELSE 0 END
-                 for p in generate_series(0, 7)]) AS sig
-             FROM e, generate_series(0, 5) AS t(band)),
+                 for p in generate_series(0, bits - 1)]) AS sig
+             FROM e, params, generate_series(0, 5) AS t(band)),
       cand AS (SELECT DISTINCT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b
                FROM eb a JOIN eb b ON a.label = b.label AND a.band = b.band
                  AND a.sig = b.sig AND a.vec_id < b.vec_id),

@@ -1007,7 +1007,13 @@ object TpcdsShapeQueries extends QueryPack {
       ORDER BY order_month"""
 
   // Q98/Q20: share-of-class revenue — a WINDOW SUM over the grouped
-  // aggregate (partition total), ratio on the integer ppm grid.
+  // aggregate (partition total), ratio on the integer ppm grid. The
+  // ppm is floor(double) rather than BIGINT `cents * 1000000 div …`:
+  // group cents reach ~4e13 at sf10 (60M lineitem), so the integer
+  // numerator overflows Long at exactly the scale this engine targets
+  // (caught by the r14 sf10 sweep under ANSI). cents < 2^53 converts
+  // to double exactly and *, /, floor are IEEE-deterministic, so both
+  // engines compute the identical ppm at any realistic scale.
   private val q98 = """
       WITH rev AS (
         SELECT l_returnflag AS class, l_linestatus AS item,
@@ -1015,7 +1021,8 @@ object TpcdsShapeQueries extends QueryPack {
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus)
       SELECT class, item, cents,
-             (cents * 1000000) @IDIV CAST(sum(cents) OVER (PARTITION BY class) AS BIGINT)
+             CAST(floor(CAST(cents AS DOUBLE) * 1000000 /
+                        CAST(sum(cents) OVER (PARTITION BY class) AS DOUBLE)) AS BIGINT)
                AS share_ppm
       FROM rev
       ORDER BY class, item"""
