@@ -221,6 +221,49 @@ object DdlQueries extends QueryPack {
         ORDER BY part""")
     }),
 
+    // Hive-dialect column DDL (reference SqlAddReplaceColumns /
+    // SqlChangeColumn — the reference parses these; its in-memory
+    // catalog rejects them; this catalog executes them): phase-1 rows
+    // land under the ORIGINAL schema, then ADD COLUMNS (cents,
+    // batch_no), CHANGE COLUMN event_type→etype (rename + reposition),
+    // phase-2 rows land under the NEW schema, REPLACE COLUMNS drops
+    // batch_no again. The final aggregate must see: renamed etype
+    // across BOTH file generations (alias + coalesce), cents NULL on
+    // phase-1 rows (typed-null backfill), batch_no gone.
+    "ddl_alter_columns" -> ((s, dir) => {
+      val store = java.nio.file.Files.createTempDirectory("graft_altcol").toString
+      Ddl.execute(s,
+        s"""CREATE TABLE ac_src (
+              event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE
+            ) WITH ('connector' = 'filesystem',
+                    'path' = '$dir/events.parquet', 'format' = 'parquet')""")
+      Ddl.execute(s,
+        s"""CREATE TABLE ac_tab (
+              event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE
+            ) WITH ('connector' = 'filesystem', 'path' = '$store',
+                    'format' = 'parquet')""")
+      Ddl.execute(s, """
+        INSERT INTO ac_tab
+          SELECT event_id, user_id, event_type, value
+          FROM ac_src WHERE event_id % 2 = 0""")
+      Ddl.execute(s, """ALTER TABLE ac_tab ADD COLUMNS (
+        cents BIGINT COMMENT 'value in integer cents', batch_no INT)""")
+      Ddl.execute(s,
+        "ALTER TABLE ac_tab CHANGE COLUMN event_type etype STRING AFTER user_id")
+      Ddl.execute(s, """
+        INSERT INTO ac_tab
+          SELECT event_id, user_id, event_type AS etype, value,
+                 cast(floor(value * 100) as bigint) AS cents, 2 AS batch_no
+          FROM ac_src WHERE event_id % 2 = 1""")
+      Ddl.execute(s, """ALTER TABLE ac_tab REPLACE COLUMNS (
+        event_id BIGINT, user_id BIGINT, etype STRING, value DOUBLE, cents BIGINT)""")
+      s.sql("""
+        SELECT etype, count(*) AS n,
+               sum(coalesce(cents, cast(0 as bigint))) AS cents_new,
+               cast(sum(cast(floor(value * 100) as bigint)) as bigint) AS cents_all
+        FROM ac_tab GROUP BY etype ORDER BY etype""")
+    }),
+
     "ddl_statement_set" -> ((s, dir) => {
       val outA = java.nio.file.Files.createTempDirectory("graft_sset_a").toString
       val outB = java.nio.file.Files.createTempDirectory("graft_sset_b").toString
@@ -598,6 +641,13 @@ object DdlQueries extends QueryPack {
       UNION ALL
       SELECT 'event_type=synthetic', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
       ORDER BY part""",
+    "ddl_alter_columns" -> """
+      SELECT event_type AS etype, count(*) AS n,
+             CAST(sum(CASE WHEN event_id % 2 = 1
+                           THEN CAST(floor(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS cents_new,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents_all
+      FROM events GROUP BY event_type ORDER BY etype""",
     "ddl_statement_set" -> """
       SELECT 'by_type' AS sink, event_type AS k, count(*) AS n,
              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents

@@ -98,7 +98,15 @@ object JoinQueries extends QueryPack {
     // Non-equi theta join → broadcast nested loop; aggregated output.
     "join_theta_nonequi" -> ((s, dir) => {
       val supp = Tables.load(s, dir, "supplier")
-      val part = Tables.load(s, dir, "part")
+      // The comparison volume is quadratic by construction (that IS
+      // the theta-join gate) — but it must still DISTRIBUTE: the
+      // streamed side of a broadcast NLJ inherits the scan's split
+      // count, and a single compact parquet file is one split, so
+      // without the explicit repartition the whole |S|×|P| loop runs
+      // on ONE task (measured at sf10: 100k×2M comparisons pinned a
+      // single core ~30 min). The fixed width keeps AQE from
+      // size-coalescing the tiny shuffle back to one partition.
+      val part = Tables.load(s, dir, "part").repartition(32)
       supp.join(part, col("s_acctbal") < col("p_retailprice"))
         .groupBy(col("s_suppkey"))
         .agg(count(lit(1)).as("n_cheaper"))

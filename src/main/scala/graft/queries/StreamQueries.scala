@@ -656,6 +656,82 @@ object StreamQueries extends QueryPack {
         .orderBy(col("event_type"), col("rn"))
     }),
 
+    // Savepoint RESCALING as an ORACLE GATE (reference
+    // StateAssignmentOperation.java:60 — key groups re-assigned across
+    // a DIFFERENT parallelism on restore from a savepoint; the `flink
+    // stop --savepointPath` → redeploy-wider workflow): the keyed
+    // totals fold runs HALF the events at THREE state partitions and
+    // STOPS; the checkpoint is read back as a savepoint frame
+    // (state data source, streaming/Rescale.scala); a FRESH query at
+    // SEVEN partitions — a layout change Structured Streaming forbids
+    // on a native restart — resumes seeded with that frame and folds
+    // the other half. The latest per-key total across both runs must
+    // hash-match the whole-stream batch oracle, impossible unless
+    // every key's (n, cents) crossed the 3→7 redistribution intact.
+    // RescaleSpec pins the physical movement itself (keys provably
+    // spread over more partitions after the resume).
+    "state_rescale_totals" -> ((s0, dir) => {
+      import java.nio.file.Files
+      val out = Files.createTempDirectory("graft_rescale_out").toString
+      val batch = s0.read.parquet(s"$dir/events.parquet")
+      val tsIsLong = batch.schema("ts").dataType == org.apache.spark.sql.types.LongType
+      def stageHalf(par: Int): String = {
+        val work = Files.createTempDirectory(s"graft_rescale_in$par")
+        batch.filter(col("event_id") % 2 === par).coalesce(1)
+          .write.mode("append").parquet(work.toString)
+        work.toString
+      }
+      def evStream(s: SparkSession, work: String) = {
+        import s.implicits._
+        val sdf = s.readStream.schema(batch.schema).parquet(s"$work/*.parquet")
+        val norm =
+          if (tsIsLong) sdf.withColumn("ts",
+            expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+          else sdf
+        norm.select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"))
+          .as[Ev]
+      }
+      def runPhase(s: SparkSession, work: String, ckpt: String,
+          seed: org.apache.spark.sql.Dataset[graft.streaming.BootTotal]): Unit = {
+        val updates = graft.streaming.Rescale.resumeTotals(evStream(s, work), seed).toDF()
+        val q = updates.writeStream
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+              b.write.mode("append").parquet(out)
+          }
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // transformWithState needs column families → RocksDB provider
+      // (the faithful pairing anyway: the reference's savepoint story
+      // is EmbeddedRocksDBStateBackend's)
+      def rocks(s: SparkSession): SparkSession = {
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        s
+      }
+      val s1 = rocks(StreamOps.tuned(s0, 3))
+      val ckpt1 = Files.createTempDirectory("graft_rescale_ck1").toString
+      locally {
+        import s1.implicits._
+        runPhase(s1, stageHalf(0), ckpt1, s1.emptyDataset[graft.streaming.BootTotal])
+      }
+      val s2 = rocks(StreamOps.tuned(s0, 7))
+      val ckpt2 = Files.createTempDirectory("graft_rescale_ck2").toString
+      runPhase(s2, stageHalf(1), ckpt2,
+        graft.streaming.Rescale.savepointTotals(s2, ckpt1))
+      val updates = s0.read.parquet(out)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("n").desc)
+      updates.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("n"), col("cents"))
+        .orderBy(col("user_id"))
+    }),
+
     // Idle-source watermark handling (reference WatermarksWithIdleness,
     // flink-core/.../eventtime/WatermarksWithIdleness.java, FLIP-126:
     // a source detected idle is EXCLUDED from the combined watermark so
@@ -1966,6 +2042,10 @@ object StreamQueries extends QueryPack {
                      ORDER BY value DESC, event_id) AS rn
             FROM events) t
       WHERE rn <= 3 ORDER BY event_type, rn""",
+    "state_rescale_totals" -> """
+      SELECT user_id, count(*) AS n,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY user_id ORDER BY user_id""",
     "stream_watermark_idleness" -> """
       WITH m AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS mn FROM events),
       src AS (

@@ -1,7 +1,7 @@
 package graft.sqlx
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, rpad}
+import org.apache.spark.sql.functions.{coalesce, col, expr, lit, rpad}
 import org.apache.spark.sql.types.StructType
 
 /**
@@ -53,7 +53,16 @@ object Ddl {
       primaryKey: Seq[String] = Nil,
       // declared constraint name (`CONSTRAINT pk_x PRIMARY KEY …`) —
       // kept so SHOW CREATE TABLE round-trips it like the reference
-      pkName: Option[String] = None)
+      pkName: Option[String] = None,
+      // Hive-dialect column DDL (reference SqlChangeColumn /
+      // SqlAddReplaceColumns): declared-name (lowercase) → every PRIOR
+      // storage name, newest first — files written between two renames
+      // carry the intermediate name, so reads coalesce over the whole
+      // history. schemaAltered switches register() to the
+      // schema-evolution projection (missing columns → typed NULL,
+      // retypes → cast) without touching the untouched-table fast path
+      renames: Map[String, Seq[String]] = Map.empty,
+      schemaAltered: Boolean = false)
 
   // body is non-greedy so the optional PARTITIONED BY clause between
   // the column list and WITH is matched by ITS group, not swallowed
@@ -317,6 +326,31 @@ object Ddl {
     """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+((?:CONSTRAINT\s+[A-Za-z_][A-Za-z0-9_]*\s+)?PRIMARY\s+KEY\s*\([^)]*\)\s*(?:NOT\s+ENFORCED)?)\s*;?\s*""".r
   private val AlterDropConstraintRe =
     """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+(?:CONSTRAINT\s+[A-Za-z_][A-Za-z0-9_]*|PRIMARY\s+KEY)\s*;?\s*""".r
+  // Hive-dialect residual column DDL (reference SqlAddReplaceColumns /
+  // SqlChangeColumn, flink-sql-parser-hive — the reference parses these
+  // but its generic in-memory catalog rejects them; this catalog
+  // executes them): ADD appends nullable columns (pre-existing files
+  // read NULL), REPLACE swaps the full column list, CHANGE renames /
+  // retypes / repositions one column. Each accepts an optional
+  // trailing COMMENT per column, which is parsed and dropped.
+  private val AlterAddColsRe =
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+COLUMNS\s*\((.*)\)\s*;?\s*""".r
+  private val AlterReplaceColsRe =
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+REPLACE\s+COLUMNS\s*\((.*)\)\s*;?\s*""".r
+  private val AlterChangeColRe =
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+CHANGE\s+(?:COLUMN\s+)?([A-Za-z_][A-Za-z0-9_]*)\s+([A-Za-z_][A-Za-z0-9_]*)\s+([A-Za-z0-9_<>,() ]+?)(?:\s+COMMENT\s+'[^']*')?\s*(FIRST|AFTER\s+[A-Za-z_][A-Za-z0-9_]*)?\s*;?\s*""".r
+  // Jar resources (reference SqlAddJar/SqlRemoveJar/SqlShowJars,
+  // FLIP-214): ADD ships the jar to the executors via SparkContext;
+  // REMOVE unregisters it for future statements (like the reference,
+  // classes already loaded stay loaded until the session ends)
+  private val AddJarRe = """(?is)\s*ADD\s+JAR\s+'([^']+)'\s*;?\s*""".r
+  private val RemoveJarRe = """(?is)\s*REMOVE\s+JAR\s+'([^']+)'\s*;?\s*""".r
+  private val ShowJarsRe = """(?is)\s*SHOW\s+JARS\s*;?\s*""".r
+  // USE MODULES m1[, m2 …] (reference SqlUseModules, FLIP-68): declares
+  // the resolution order AND the enabled subset — a loaded module left
+  // off the list stays loaded but stops resolving functions
+  private val UseModulesRe =
+    """(?is)\s*USE\s+MODULES\s+([A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*;?\s*""".r
   private val LoadModuleRe =
     """(?is)\s*LOAD\s+MODULE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
   private val UnloadModuleRe =
@@ -385,6 +419,30 @@ object Ddl {
     currentNs.getOrElse(sk, ("default_catalog", "default_database"))
   }
   /** File a table definition under the session's current namespace. */
+  /** Column DDL applies to batch parquet filesystem tables — the one
+   * storage whose name-based column resolution makes add/replace/
+   * rename safe as pure metadata. */
+  private def requireEvolvable(t: TableDef, stmt: String): Unit = {
+    require(!t.options.get("connector").contains("jdbc") &&
+      t.options.getOrElse("format", "parquet") == "parquet",
+      s"$stmt: only parquet filesystem tables support column DDL")
+    require(!t.options.get("scan.streaming").contains("true"),
+      s"$stmt: not supported on a streaming table")
+  }
+
+  /** Parse `name TYPE [COMMENT '…']` column lists (ADD/REPLACE
+   * COLUMNS bodies — no computed/metadata/watermark clauses here,
+   * matching the reference's Hive-dialect grammar). */
+  private def parseBareColumns(body: String, stmt: String): Seq[ColumnDef] =
+    joinGenericSplits(splitTop(body)).map(_.trim).filter(_.nonEmpty).map { c =>
+      val noComment = """(?is)\s+COMMENT\s+'[^']*'\s*$""".r.replaceAllIn(c, "")
+      noComment match {
+        case PhysicalRe(n, typ) => ColumnDef(n, normalizeType(typ.trim))
+        case other => throw new IllegalArgumentException(
+          s"$stmt: cannot parse column '$other'")
+      }
+    }
+
   private def fileTable(sk: String, name: String, t: TableDef): Unit = {
     val (c, d) = currentOf(sk)
     catalogStore.put((sk, c, d, name), t)
@@ -436,6 +494,18 @@ object Ddl {
   /** Sessions whose `core` module has been UNLOADed. */
   private val coreUnloaded =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Jars registered via ADD JAR, insertion-ordered per session
+   * (reference ResourceManager's jar registry backing SHOW JARS). */
+  private val sessionJars =
+    new scala.collection.concurrent.TrieMap[String, Vector[String]]
+
+  private def dropCoreFns(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    graft.functions.GraftFunctions.builders.foreach { case (n, _) =>
+      reg.dropFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(n))
+    }
+  }
 
   private def oneCol(spark: SparkSession, colName: String, vals: Seq[String]): DataFrame = {
     import scala.jdk.CollectionConverters._
@@ -655,6 +725,11 @@ object Ddl {
       case ShowModulesRe(full) =>
         val sk = sessionKey(spark)
         val loaded = if (coreUnloaded.contains(sk)) Nil else Seq("core")
+        // SHOW MODULES lists USED modules; SHOW FULL MODULES lists
+        // every loaded module with its used flag (reference
+        // ShowModulesOperation requireFull). With a single loadable
+        // module, used ≡ loaded: USE MODULES cannot name an empty
+        // list, so `core` can only leave use via UNLOAD MODULE.
         if (full == null) return oneCol(spark, "module name", loaded)
         import scala.jdk.CollectionConverters._
         return spark.createDataFrame(
@@ -677,12 +752,46 @@ object Ddl {
           s"UNLOAD MODULE: unknown module '$name'")
         val sk = sessionKey(spark)
         require(!coreUnloaded.contains(sk), "UNLOAD MODULE: module 'core' is not loaded")
-        val reg = spark.sessionState.functionRegistry
-        graft.functions.GraftFunctions.builders.foreach { case (n, _) =>
-          reg.dropFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(n))
-        }
+        dropCoreFns(spark)
         coreUnloaded.add(sk)
         return ok(spark)
+      // USE MODULES m1[, m2 …] (reference SqlUseModules): declares the
+      // resolution order over LOADED modules. Every listed module must
+      // be loaded and listed once; with `core` the only loadable
+      // module the accepted order is exactly ["core"], so this
+      // validates and records rather than reshuffling anything.
+      case UseModulesRe(list) =>
+        val sk = sessionKey(spark)
+        val mods = list.split(",").map(_.trim.toLowerCase).toSeq
+        require(mods.distinct.size == mods.size,
+          s"USE MODULES: duplicate module name in '$list'")
+        mods.foreach { m =>
+          require(m == "core" && !coreUnloaded.contains(sk),
+            s"USE MODULES: module '$m' is not loaded")
+        }
+        return ok(spark)
+      case AddJarRe(p) =>
+        require(new java.io.File(p).isFile, s"ADD JAR: file not found: $p")
+        val sk = sessionKey(spark)
+        val cur = sessionJars.getOrElse(sk, Vector.empty)
+        require(!cur.contains(p), s"ADD JAR: jar already registered: $p")
+        // real distribution: the jar ships to every executor (and, on
+        // a cluster, onto the task classpath) through the engine
+        spark.sparkContext.addJar(p)
+        sessionJars.put(sk, cur :+ p)
+        return ok(spark)
+      case RemoveJarRe(p) =>
+        val sk = sessionKey(spark)
+        val cur = sessionJars.getOrElse(sk, Vector.empty)
+        require(cur.contains(p), s"REMOVE JAR: jar is not registered: $p")
+        // unregisters for future statements; classes already loaded
+        // stay loaded until session end — the reference's documented
+        // REMOVE JAR semantics
+        sessionJars.put(sk, cur.filterNot(_ == p))
+        return ok(spark)
+      case ShowJarsRe() =>
+        return oneCol(spark, "jars",
+          sessionJars.getOrElse(sessionKey(spark), Vector.empty))
       // ALTER FUNCTION (reference SqlAlterFunction): re-point a
       // registered function name at a new implementation class
       case AlterFunctionRe(ifE, name, className) =>
@@ -841,6 +950,76 @@ object Ddl {
           register(spark, t)
         }
         return ok(spark)
+      // Hive-dialect column DDL (reference SqlAddReplaceColumns /
+      // SqlChangeColumn — parsed by the reference, rejected by its
+      // generic in-memory catalog; executed here). Batch parquet tables
+      // only: parquet's name-based column resolution is what makes
+      // add/replace/rename safe as pure metadata (missing names read
+      // as typed NULL, renamed names alias the stored column).
+      case AlterAddColsRe(name, body) if isDeclared(spark, name) =>
+        val t = declared((sessionKey(spark), name))
+        requireEvolvable(t, "ADD COLUMNS")
+        val adds = parseBareColumns(body, "ADD COLUMNS")
+        adds.foreach(c => require(
+          !t.physical.exists(_.name.equalsIgnoreCase(c.name)),
+          s"ADD COLUMNS: column '${c.name}' already exists"))
+        val altered = t.copy(physical = t.physical ++ adds, schemaAltered = true)
+        declared.put((sessionKey(spark), name), altered)
+        fileTable(sessionKey(spark), name, altered)
+        return register(spark, altered)
+      case AlterReplaceColsRe(name, body) if isDeclared(spark, name) =>
+        val t = declared((sessionKey(spark), name))
+        requireEvolvable(t, "REPLACE COLUMNS")
+        val cols = parseBareColumns(body, "REPLACE COLUMNS")
+        (t.partitionedBy ++ t.primaryKey).foreach(p => require(
+          cols.exists(_.name.equalsIgnoreCase(p)),
+          s"REPLACE COLUMNS: partition/primary-key column '$p' cannot be dropped"))
+        // renames targeting dropped columns die with them
+        val kept = t.renames.filter { case (n, _) =>
+          cols.exists(_.name.equalsIgnoreCase(n)) }
+        val altered = t.copy(physical = cols, renames = kept, schemaAltered = true)
+        declared.put((sessionKey(spark), name), altered)
+        fileTable(sessionKey(spark), name, altered)
+        return register(spark, altered)
+      case AlterChangeColRe(name, oldN, newN, typ0, pos) if isDeclared(spark, name) =>
+        val t = declared((sessionKey(spark), name))
+        requireEvolvable(t, "CHANGE COLUMN")
+        val idx = t.physical.indexWhere(_.name.equalsIgnoreCase(oldN))
+        require(idx >= 0, s"CHANGE COLUMN: column '$oldN' does not exist")
+        require(!t.partitionedBy.exists(_.equalsIgnoreCase(oldN)),
+          s"CHANGE COLUMN: '$oldN' is a partition column")
+        if (!oldN.equalsIgnoreCase(newN)) require(
+          !t.physical.exists(_.name.equalsIgnoreCase(newN)),
+          s"CHANGE COLUMN: target name '$newN' already exists")
+        val newDef = ColumnDef(newN, normalizeType(typ0.trim))
+        var cols = t.physical.updated(idx, newDef).toVector
+        Option(pos).map(_.trim).foreach { p =>
+          cols = cols.patch(idx, Nil, 1) // take it out, then re-place
+          if (p.equalsIgnoreCase("FIRST")) cols = newDef +: cols
+          else { // AFTER other
+            val after = p.split("\\s+").last
+            val at = cols.indexWhere(_.name.equalsIgnoreCase(after))
+            require(at >= 0, s"CHANGE COLUMN: AFTER column '$after' does not exist")
+            cols = (cols.take(at + 1) :+ newDef) ++ cols.drop(at + 1)
+          }
+        }
+        // a rename PREPENDS the outgoing name to the storage-name
+        // history — files written between any two renames carry the
+        // then-current name, so reads must see every prior name
+        val renames =
+          if (oldN.equalsIgnoreCase(newN)) t.renames
+          else (t.renames - oldN.toLowerCase) + (newN.toLowerCase ->
+            (oldN +: t.renames.getOrElse(oldN.toLowerCase, Nil)))
+        val altered = t.copy(
+          physical = cols,
+          primaryKey = t.primaryKey.map(p =>
+            if (p.equalsIgnoreCase(oldN)) newN else p),
+          watermark = t.watermark.map(w =>
+            if (w.column.equalsIgnoreCase(oldN)) w.copy(column = newN) else w),
+          renames = renames, schemaAltered = true)
+        declared.put((sessionKey(spark), name), altered)
+        fileTable(sessionKey(spark), name, altered)
+        return register(spark, altered)
       // ALTER TABLE … ADD [CONSTRAINT name] PRIMARY KEY (…) NOT
       // ENFORCED / DROP CONSTRAINT (reference SqlAlterTableAddConstraint
       // / SqlAlterTableDropConstraint): constraint metadata on the decl
@@ -1222,6 +1401,33 @@ object Ddl {
         // a declared-but-not-yet-written sink directory has no files to
         // infer from — fall back to the declared schema (empty scan),
         // as the reference's catalog tables resolve before first write
+        case "parquet" if t.schemaAltered =>
+          // schema-evolution projection (Hive-dialect column DDL):
+          // per declared column — alias the original storage name if
+          // the column was renamed (coalescing when post-rename
+          // INSERTs wrote the new name into newer files), typed NULL
+          // if no file carries it yet (ADD COLUMNS), and a cast to
+          // the declared type (CHANGE retype). mergeSchema makes the
+          // union of per-file schemas visible to `have`.
+          try {
+            val raw = spark.read.option("mergeSchema", "true").parquet(path)
+            val have = raw.columns.map(_.toLowerCase).toSet
+            val cols = readCols.map { c =>
+              val priors = t.renames.getOrElse(c.name.toLowerCase, Nil)
+                .filter(o => have.contains(o.toLowerCase))
+              val sources =
+                (if (have.contains(c.name.toLowerCase)) Seq(col(c.name)) else Nil) ++
+                  priors.map(col)
+              val base = sources match {
+                case Seq() => lit(null)
+                case Seq(one) => one
+                case many => coalesce(many: _*)
+              }
+              base.cast(c.typ).as(c.name)
+            }
+            raw.select(cols: _*)
+          } catch { case _: org.apache.spark.sql.AnalysisException =>
+            spark.read.schema(schema).parquet(path) }
         case "parquet" =>
           try spark.read.parquet(path).selectExpr(t.physical.map(_.name): _*)
           catch { case _: org.apache.spark.sql.AnalysisException =>

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Savepoint rescaling — the reference's change-parallelism-on-restore
+ * (`flink-runtime/.../checkpoint/StateAssignmentOperation.java:60`:
+ * key groups are re-assigned across a DIFFERENT operator parallelism
+ * when a job restarts from a savepoint; the user-facing workflow is
+ * `flink stop --savepointPath` → redeploy with a new parallelism).
+ *
+ * Structured Streaming pins a stateful query's state-store partition
+ * count to the shuffle-partition count of its FIRST micro-batch — a
+ * native restart from the same checkpoint cannot change parallelism.
+ * This module reproduces the savepoint workflow on top of two public
+ * Spark surfaces instead:
+ *
+ *   1. the stopped query's checkpoint IS the savepoint: its keyed
+ *      state is read out with the state data source
+ *      (`spark.read.format("statestore")`, `stateVarName` for
+ *      transformWithState operators) — the analog of the reference's
+ *      savepoint reader (`flink-libraries/flink-state-processing-api/
+ *      .../SavepointReader.java` readKeyedState);
+ *   2. a FRESH query starts at the new parallelism with its state
+ *      seeded through transformWithState's initial-state overload
+ *      ([[BootstrapOps]]) — the initial frame hash-shuffles on the
+ *      grouping key into the NEW partition layout, which is exactly
+ *      the reference's key-group redistribution, done by the engine's
+ *      ordinary exchange instead of a bespoke assigner.
+ *
+ * Scale: the savepoint read scans the state store once (parallel per
+ * store partition); redistribution is ONE hash shuffle of |keys| state
+ * rows. Nothing round-trips the driver, so a 1000-executor restore of
+ * a billion-key store is the same plan, wider.
+ */
+object Rescale {
+
+  /** Savepoint read: the per-key running totals out of a STOPPED
+   * totals query's checkpoint (state variable `totals` of
+   * [[BootstrapOps.BootstrappedTotalsProcessor]]). The state source
+   * exposes `partition_id` too — [[savepointTotalsWithPartition]]
+   * keeps it for rescale verification; this projection is the seed
+   * frame shape. */
+  def savepointTotals(spark: SparkSession, ckpt: String): Dataset[BootTotal] = {
+    import spark.implicits._
+    savepointTotalsWithPartition(spark, ckpt)
+      .select(col("user_id"), col("n"), col("cents")).as[BootTotal]
+  }
+
+  /** Savepoint read keeping the source store partition — the proof
+   * surface that a later rescale actually MOVED keys across a
+   * different partition count. */
+  def savepointTotalsWithPartition(spark: SparkSession, ckpt: String) =
+    spark.read.format("statestore")
+      .option("stateVarName", "totals")
+      .load(ckpt)
+      .select(col("value.user_id").as("user_id"), col("value.n").as("n"),
+        col("value.cents").as("cents"), col("partition_id"))
+
+  /** Resume the totals fold at the CURRENT session parallelism, seeded
+   * from a savepoint frame read at the OLD parallelism. The caller
+   * picks the new scale by handing a session whose
+   * `spark.sql.shuffle.partitions` differs from the stopped query's —
+   * the seed shuffle and the new state store both follow it. */
+  def resumeTotals(stream: Dataset[Ev], savepoint: Dataset[BootTotal]): Dataset[BootTotal] =
+    BootstrapOps.totalsWithBootstrap(stream, savepoint)
+}
