@@ -113,6 +113,37 @@ object JoinQueries extends QueryPack {
         .orderBy(col("s_suppkey"))
     }),
 
+    // The SCALABLE twin of the theta gate (operators/BandJoin.scala):
+    // the same per-supplier count of costlier parts, but via a
+    // histogram + suffix-sum broadcast and an own-bucket equi-join —
+    // O(|S| + |P| + |S||P|/B) instead of |S|×|P|. Hash-identical to
+    // join_theta_nonequi's oracle; plan-pinned to contain NO
+    // nested-loop join (PlanAuditSpec).
+    "join_theta_banded" -> ((s, dir) => {
+      val supp = Tables.load(s, dir, "supplier")
+      val part = Tables.load(s, dir, "part")
+      graft.operators.BandJoin.countGreater(
+          supp, "s_suppkey", "s_acctbal", part, "p_retailprice", "n_cheaper")
+        .filter(col("n_cheaper") > 0) // inner-join semantics of the twin
+        .select(col("s_suppkey"), col("n_cheaper"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // Value-domain band join (operators/BandJoin.absBand): suppliers
+    // paired with customers of near-identical account balance
+    // (|s_acctbal - c_acctbal| <= 5) through a bucket±1 equi-join,
+    // candidates output-proportional instead of |S|×|C| — the value
+    // analog of the interval join's time-bucket decomposition.
+    "join_band_abs" -> ((s, dir) => {
+      val supp = Tables.load(s, dir, "supplier")
+      val cust = Tables.load(s, dir, "customer")
+      graft.operators.BandJoin.absBand(supp, "s_acctbal", cust, "c_acctbal", 5.0)
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_near"),
+          sum(floor(col("c_acctbal") * 100)).as("cents"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // Explicit broadcast-hint join on a small dim.
     "join_broadcast_dim" -> ((s, dir) => {
       val cust = Tables.load(s, dir, "customer")
@@ -320,6 +351,15 @@ object JoinQueries extends QueryPack {
     "join_theta_nonequi" -> """
       SELECT s_suppkey, count(*) AS n_cheaper
       FROM supplier JOIN part ON s_acctbal < p_retailprice
+      GROUP BY s_suppkey ORDER BY s_suppkey""",
+    "join_theta_banded" -> """
+      SELECT s_suppkey, count(*) AS n_cheaper
+      FROM supplier JOIN part ON s_acctbal < p_retailprice
+      GROUP BY s_suppkey ORDER BY s_suppkey""",
+    "join_band_abs" -> """
+      SELECT s_suppkey, count(*) AS n_near,
+             CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM supplier JOIN customer ON abs(s_acctbal - c_acctbal) <= 5.0
       GROUP BY s_suppkey ORDER BY s_suppkey""",
     "join_broadcast_dim" -> """
       SELECT n_name, count(*) AS n_cust,
