@@ -65,4 +65,24 @@ object Rescale {
    * the seed shuffle and the new state store both follow it. */
   def resumeTotals(stream: Dataset[Ev], savepoint: Dataset[BootTotal]): Dataset[BootTotal] =
     BootstrapOps.totalsWithBootstrap(stream, savepoint)
+
+  /** Savepoint read for the keep-last dedup op ([[TwsOps]], state
+   * variable `winner` — a full Ev row per key): the same
+   * checkpoint-is-the-savepoint workflow over a DIFFERENT state shape,
+   * showing the pattern is generic across value-state operators. */
+  def savepointKeepLast(spark: SparkSession, ckpt: String): Dataset[Ev] = {
+    import spark.implicits._
+    spark.read.format("statestore")
+      .option("stateVarName", "winner")
+      .load(ckpt)
+      .select(col("value.event_id"), col("value.user_id"),
+        col("value.event_type"), col("value.ts_us"), col("value.value"))
+      .as[Ev]
+  }
+
+  /** Resume keep-last at the current session parallelism, seeded from
+   * a savepoint frame; restored winners displace only on strictly
+   * newer events, exactly as live ones. */
+  def resumeKeepLast(stream: Dataset[Ev], savepoint: Dataset[Ev]): Dataset[Ev] =
+    TwsOps.keepLastByUserSeeded(stream, savepoint)
 }

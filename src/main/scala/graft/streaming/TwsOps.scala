@@ -38,4 +38,38 @@ object TwsOps {
     ds.groupByKey(_.user_id)
       .transformWithState(new KeepLastProcessor(ttl), TimeMode.None(), OutputMode.Update())
   }
+
+  /** [[KeepLastProcessor]] with savepoint seeding: restored winners
+   * behave exactly like live ones (a later event must be strictly
+   * newer to displace them, and seeding emits nothing). */
+  class KeepLastProcessorSeeded(ttl: TTLConfig)
+      extends StatefulProcessorWithInitialState[Long, Ev, Ev, Ev] {
+    @transient private var winner: ValueState[Ev] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      winner = getHandle.getValueState[Ev]("winner", Encoders.product[Ev], ttl)
+
+    override def handleInitialState(key: Long, initial: Ev,
+        timerValues: TimerValues): Unit =
+      winner.update(initial)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[Ev] = {
+      val prev = if (winner.exists()) Some(winner.get()) else None
+      val cand = (prev.iterator ++ rows).maxBy(e => (e.ts_us, e.event_id))
+      val changed = prev.forall(o => (o.ts_us, o.event_id) != (cand.ts_us, cand.event_id))
+      winner.update(cand)
+      if (changed) Iterator.single(cand) else Iterator.empty
+    }
+  }
+
+  /** Keep-last resumed from a savepoint frame (see
+   * [[graft.streaming.Rescale]] for the read side). */
+  def keepLastByUserSeeded(ds: Dataset[Ev], initial: Dataset[Ev],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[Ev] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new KeepLastProcessorSeeded(ttl),
+        TimeMode.None(), OutputMode.Update(), initial.groupByKey(_.user_id))
+  }
 }

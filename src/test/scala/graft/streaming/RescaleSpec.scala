@@ -127,4 +127,47 @@ class RescaleSpec extends SparkSuite {
       BootTotal(k, v.size.toLong,
         v.map(e => math.floor(e.value * 100).toLong).sum)
     }.toSeq
+
+  test("second state shape: keep-last winners rescale and keep their tie semantics") {
+    val old = sessionAt(2)
+    val ckptOld = Files.createTempDirectory("graft_rsc_kl1").toString
+    locally { // phase 1: winners land at 2 partitions
+      implicit val sql = old.sqlContext
+      import old.implicits._
+      val ms = MemoryStream[Ev]
+      val q = TwsOps.keepLastByUser(ms.toDS()).toDF()
+        .writeStream.format("memory").queryName("t_klrsc1")
+        .outputMode("update").option("checkpointLocation", ckptOld).start()
+      try {
+        ms.addData(Ev(1, 10, "a", 100, 1.0), Ev(2, 10, "b", 200, 1.0),
+          Ev(3, 11, "a", 500, 1.0))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val wide = sessionAt(5)
+    implicit val sql = wide.sqlContext
+    import wide.implicits._
+    val seed = Rescale.savepointKeepLast(wide, ckptOld)
+    assert(seed.collect().map(e => e.user_id -> e.event_id).toMap ==
+      Map(10L -> 2L, 11L -> 3L))
+    val ms = MemoryStream[Ev]
+    val q = Rescale.resumeKeepLast(ms.toDS(),
+        wide.createDataset(seed.collect().toSeq)).toDF()
+      .writeStream.format("memory").queryName("t_klrsc2")
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_rsc_kl2").toString)
+      .start()
+    try {
+      // OLDER event for a seeded key: restored winner must hold (no
+      // emission) — provable only if state crossed the rescale
+      ms.addData(Ev(4, 10, "c", 150, 1.0))
+      q.processAllAvailable()
+      // strictly newer event displaces; fresh key emits
+      ms.addData(Ev(5, 10, "d", 300, 1.0), Ev(6, 12, "a", 50, 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = wide.table("t_klrsc2").as[Ev].collect().map(_.event_id).toSet
+    assert(emitted == Set(5L, 6L), s"got $emitted")
+  }
 }
