@@ -295,15 +295,15 @@ object JoinQueries extends QueryPack {
         val names = cs.map(_._2).toList
         if (names.isEmpty) Iterator.empty
         else {
-          // exact, order-independent money math (group iteration order is
-          // not deterministic under distributed execution)
+          // floor-quantized integer cents: order-independent AND
+          // tie-free — a HALF_UP/HALF_EVEN cent rounding divergence
+          // vs the oracle surfaced at sf10 (scale-up epsilons land
+          // prices exactly on .xx5 boundaries); floor has no ties
           val prices = os.map(_._2).toList
-          val spend = prices
-            .map(BigDecimal(_).setScale(2, BigDecimal.RoundingMode.HALF_UP))
-            .foldLeft(BigDecimal(0))(_ + _)
-          Iterator((k, names.head, prices.size.toLong, spend.toDouble))
+          val cents = prices.map(p => math.floor(p * 100).toLong).sum
+          Iterator((k, names.head, prices.size.toLong, cents))
         }
-      }.toDF("c_custkey", "c_name", "n_orders", "spend")
+      }.toDF("c_custkey", "c_name", "n_orders", "spend_cents")
         .orderBy(col("c_custkey"))
     })
   )
@@ -432,7 +432,8 @@ object JoinQueries extends QueryPack {
       ORDER BY e.event_id""",
     "join_cogroup" -> """
       SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
-             CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS spend
+             CAST(coalesce(sum(CAST(floor(o_totalprice * 100) AS BIGINT)), 0)
+                  AS BIGINT) AS spend_cents
       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       GROUP BY c_custkey, c_name ORDER BY c_custkey"""
   )

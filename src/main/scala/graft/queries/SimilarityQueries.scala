@@ -538,11 +538,26 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("label"), col("id_a"), col("id_b"))),
 
     // Embedding-cosine near-dup DEDUP (the cluster-and-keep cascade
-    // over the banded pairs — same shape as dedup_lsh_clusters): pairs
-    // → undirected edges → 4 fixed min-label-propagation rounds → each
-    // vector mapped to its cluster's canonical keeper (min vec_id).
+    // over banded candidates — same shape as dedup_lsh_clusters):
+    // STAR edges per signature bucket → exact-cosine verification →
+    // 4 fixed min-label-propagation rounds → each vector mapped to
+    // its cluster's canonical keeper (min vec_id).
+    //
+    // Star edges, not all-pairs: a TRUE duplicate cluster shares its
+    // signatures in every band, so all-pairs candidate emission is
+    // quadratic in cluster size no matter how wide the signature —
+    // and dup clusters GROW with corpus scale by design (the r14 sf10
+    // sweep measured the all-pairs form spilling >70 GB from one
+    // ~100k-member cluster; no width ladder can fix a clique).
+    // Connecting every bucket member to the bucket MINIMUM yields the
+    // same bucket-level connectivity with k−1 edges instead of
+    // k(k−1)/2. Post-verification the star can differ from the
+    // verified clique only for borderline-cosine members (the bucket
+    // min fails the threshold where some other member would pass) —
+    // the standard trade every representative-based dedup pipeline
+    // makes; the oracle computes the identical star.
     "dedup_embedding_cosine" -> ((s, dir) => {
-      val edges = bandedNearDupPairs(s, dir)
+      val edges = bandedStarEdges(s, dir)
         .select(col("id_a").as("src"), col("id_b").as("dst"))
       val vertices = Tables.load(s, dir, "embeddings")
         .select(col("vec_id").as("id"))
@@ -641,6 +656,35 @@ object SimilarityQueries extends QueryPack {
     a.join(b, Seq("label", "band", "sig"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .withColumn("dot", decDot("qv", "qe"))
+      .withColumn("cos", cosine)
+      .filter(col("cos") >= 0.3)
+  }
+
+  /** Verified STAR candidate edges per signature bucket: each
+   * (label, band, sig) bucket contributes (bucket-min, member) pairs
+   * — k−1 edges where the all-pairs form emits k(k−1)/2 — deduped
+   * across bands, then exact-cosine verified at the same 0.3
+   * threshold as [[bandedNearDupPairs]]. Linear in bucket occupancy,
+   * so TRUE dup clusters (whose members collide in every band at any
+   * signature width) scale with corpus growth instead of its square. */
+  private def bandedStarEdges(s: SparkSession, dir: String): DataFrame = {
+    val r0 = Tables.load(s, dir, "embeddings")
+      .agg(count(lit(1)), countDistinct(col("label"))).head()
+    val bits = sigBits(r0.getLong(0) / math.max(r0.getLong(1), 1L))
+    val e = graft.FrameCache.cached(s, s"banded:$dir")(quantized(s, dir)
+      .withColumn("band", explode(expr("sequence(0, 5)")))
+      .withColumn("sig", bandSigCol(bits)))
+    val mins = e.groupBy(col("label"), col("band"), col("sig"))
+      .agg(min(col("vec_id")).as("id_a"))
+    val cand = e.join(mins, Seq("label", "band", "sig"))
+      .filter(col("vec_id") > col("id_a"))
+      .select(col("id_a"), col("vec_id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val v = quantized(s, dir)
+    val a = v.select(col("vec_id").as("id_a"), col("qe").as("qv"), col("nrm").as("qn"))
+    val b = v.select(col("vec_id").as("id_b"), col("qe"), col("nrm").as("cn"))
+    cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
       .withColumn("dot", decDot("qv", "qe"))
       .withColumn("cos", cosine)
       .filter(col("cos") >= 0.3)
@@ -1111,7 +1155,7 @@ object SimilarityQueries extends QueryPack {
     "dedup_embedding_cosine" -> s"""
       WITH $normCte,
       ${sigBitsSql("SELECT count(*) // count(DISTINCT label) AS npl FROM embeddings")},
-      eb AS (SELECT vec_id, label, qe, nrm, band,
+      eb AS MATERIALIZED (SELECT vec_id, label, qe, nrm, band,
                list_sum([CASE WHEN list_sum([qe[d] *
                    (CASE WHEN ((1103515245 * ((band * bits + p) * 1000 + d) + 12345) // 65536) % 2 = 0
                          THEN 1 ELSE -1 END)
@@ -1119,9 +1163,12 @@ object SimilarityQueries extends QueryPack {
                  THEN (1 << p) ELSE 0 END
                  for p in generate_series(0, bits - 1)]) AS sig
              FROM e, params, generate_series(0, 5) AS t(band)),
-      cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-               FROM eb a JOIN eb b ON a.label = b.label AND a.band = b.band
-                 AND a.sig = b.sig AND a.vec_id < b.vec_id),
+      bm AS (SELECT label, band, sig, min(vec_id) AS id_a
+             FROM eb GROUP BY label, band, sig),
+      cand AS (SELECT DISTINCT bm.id_a, eb.vec_id AS id_b
+               FROM eb JOIN bm ON eb.label = bm.label AND eb.band = bm.band
+                 AND eb.sig = bm.sig
+               WHERE eb.vec_id > bm.id_a),
       p AS (SELECT c.id_a, c.id_b, ${dotSql("a.qe", "b.qe")} AS dot,
               a.nrm AS qn, b.nrm AS cn
             FROM cand c JOIN e a ON a.vec_id = c.id_a JOIN e b ON b.vec_id = c.id_b),

@@ -45,9 +45,14 @@ object TpcdsShapeQueries extends QueryPack {
   }
 
   private def spark(t: String): String =
+    // @MAT marks a DuckDB-side CTE materialization hint (AS MATERIALIZED
+    // forces a mis-planned oracle join order or stops exponential CTE
+    // re-inlining); Spark has no such clause and plans the plain CTE fine
     t.replace("@TS", "TIMESTAMP_NTZ").replace("@IDIV", "div")
+      .replace("@MAT ", "")
   private def duck(t: String): String =
     t.replace("@TS", "TIMESTAMP").replace("@IDIV", "//")
+      .replace("@MAT", "MATERIALIZED")
 
   // Q5/Q71 family: per-channel SELECTs with channel-specific filters
   // and a returns leg, UNION ALL'd, then ROLLUP over (channel, flag)
@@ -1293,18 +1298,26 @@ object TpcdsShapeQueries extends QueryPack {
   // Q19 family: brand revenue where the CUSTOMER's nation differs
   // from the SUPPLIER's (the buyer-zip <> store-zip analog) — a
   // five-table star with a cross-dim inequality.
+  // The geo-mismatch filter sits in a MATERIALIZED CTE ABOVE the
+  // equi-join chain: left in the flat WHERE, DuckDB (the oracle
+  // engine) planned customer×supplier as a NESTED_LOOP_JOIN on the
+  // <> predicate at sf10 — 1.5e11 pairs before any equi key applied
+  // (found by the sf10 sweep; identical results either way)
   private val nq_q19_brand_geo_mismatch = """
-      SELECT p.p_brand,
-             CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
-      FROM lineitem l
-      JOIN orders o ON l.l_orderkey = o.o_orderkey
-      JOIN customer c ON c.c_custkey = o.o_custkey
-      JOIN supplier s ON s.s_suppkey = l.l_suppkey
-      JOIN part p ON p.p_partkey = l.l_partkey
-      WHERE c.c_nationkey <> s.s_nationkey
-        AND month(o.o_orderdate) = 11
-      GROUP BY p.p_brand
-      ORDER BY p.p_brand"""
+      WITH j AS @MAT (
+        SELECT p.p_brand, l.l_extendedprice, c.c_nationkey AS cn, s.s_nationkey AS sn
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE month(o.o_orderdate) = 11)
+      SELECT p_brand,
+             CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM j
+      WHERE cn <> sn
+      GROUP BY p_brand
+      ORDER BY p_brand"""
 
   // Q24 family: per-(customer, type) net paid, kept when above a
   // scalar share of the overall average — the CTE consumed three

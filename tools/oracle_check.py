@@ -88,6 +88,16 @@ def main():
     only = set(sys.argv[3:])
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
+    # bound the oracle engine: DuckDB's default memory limit is 80% of
+    # RAM, and a mis-planned oracle at sf10 (nested-loop on a <>
+    # predicate) once grew past 60 GB and ENOSPC'd the disk with spill
+    # next to concurrently-running Spark jobs. A hard cap + a dedicated
+    # spill dir turns that failure mode into a clean per-query error.
+    con.sql("SET memory_limit='24GB'")
+    tmp = f"{out_dir}/.ducktmp"
+    import os
+    os.makedirs(tmp, exist_ok=True)
+    con.sql(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     n_pass = n_fail = 0
