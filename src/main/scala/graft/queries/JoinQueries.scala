@@ -130,17 +130,24 @@ object JoinQueries extends QueryPack {
     }),
 
     // Value-domain band join (operators/BandJoin.absBand): suppliers
-    // paired with customers of near-identical account balance
-    // (|s_acctbal - c_acctbal| <= 5) through a bucket±1 equi-join,
-    // candidates output-proportional instead of |S|×|C| — the value
-    // analog of the interval join's time-bucket decomposition.
+    // paired with customers within 500 CENTS of account balance
+    // through a bucket±1 equi-join, candidates output-proportional
+    // instead of |S|×|C| — the value analog of the interval join's
+    // time-bucket decomposition. The band lives on the floor-quantized
+    // integer-cent grid: a raw-double band (|s−c| <= 5.0) evaluates
+    // the boundary differently between `abs(s−c)` and DuckDB's
+    // IEJoin-friendly `c BETWEEN s−5 AND s+5` spelling (float
+    // cancellation vs endpoint rounding — caught by the sf0.1/sf10
+    // sweeps), while integer cents compare exactly in both engines.
     "join_band_abs" -> ((s, dir) => {
       val supp = Tables.load(s, dir, "supplier")
+        .withColumn("s_cents", floor(col("s_acctbal") * 100))
       val cust = Tables.load(s, dir, "customer")
-      graft.operators.BandJoin.absBand(supp, "s_acctbal", cust, "c_acctbal", 5.0)
+        .withColumn("c_cents", floor(col("c_acctbal") * 100))
+      graft.operators.BandJoin.absBand(supp, "s_cents", cust, "c_cents", 500.0)
         .groupBy(col("s_suppkey"))
         .agg(count(lit(1)).as("n_near"),
-          sum(floor(col("c_acctbal") * 100)).as("cents"))
+          sum(col("c_cents")).as("cents"))
         .orderBy(col("s_suppkey"))
     }),
 
@@ -358,8 +365,12 @@ object JoinQueries extends QueryPack {
       GROUP BY s_suppkey ORDER BY s_suppkey""",
     "join_band_abs" -> """
       SELECT s_suppkey, count(*) AS n_near,
-             CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents
-      FROM supplier JOIN customer ON abs(s_acctbal - c_acctbal) <= 5.0
+             CAST(sum(c_cents) AS BIGINT) AS cents
+      FROM (SELECT s_suppkey, CAST(floor(s_acctbal * 100) AS BIGINT) AS s_cents
+            FROM supplier) s
+      JOIN (SELECT CAST(floor(c_acctbal * 100) AS BIGINT) AS c_cents
+            FROM customer) c
+        ON c_cents BETWEEN s_cents - 500 AND s_cents + 500
       GROUP BY s_suppkey ORDER BY s_suppkey""",
     "join_broadcast_dim" -> """
       SELECT n_name, count(*) AS n_cust,
