@@ -196,14 +196,16 @@ class ColumnDdlSpec extends SparkSuite {
     Ddl.execute(spark, s"DROP TABLE $t")
   }
 
-  test("USE MODULES: disabling core stops function resolution; re-use restores it") {
+  test("USE MODULES: validates order against loaded modules; core stays resolvable") {
     // session-scoped module state — use a clone so other suites keep core
     val ss = spark.newSession()
     graft.functions.GraftFunctions.register(ss)
     assert(ss.sql("SELECT SPLIT_INDEX('a,b,c', ',', 1)").head().getString(0) == "b")
-    Ddl.execute(ss, "USE MODULES core") // no-op, already used
+    Ddl.execute(ss, "USE MODULES core") // the only accepted order
     assert(Ddl.execute(ss, "SHOW MODULES").collect().map(_.getString(0)).toSeq ==
       Seq("core"))
+    // functions still resolve after the (validate-and-record) statement
+    assert(ss.sql("SELECT SPLIT_INDEX('a,b,c', ',', 2)").head().getString(0) == "c")
     intercept[IllegalArgumentException](Ddl.execute(ss, "USE MODULES hive"))
     intercept[IllegalArgumentException](Ddl.execute(ss, "USE MODULES core, core"))
   }
