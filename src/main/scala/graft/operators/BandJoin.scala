@@ -70,6 +70,11 @@ object BandJoin {
     // footer statistics usually answer without reading data
     val lrow = left.agg(min(col(lv)).cast("double"), max(col(lv)).cast("double")).head()
     val rrow = right.agg(min(col(rv)).cast("double"), max(col(rv)).cast("double")).head()
+    // an empty (or all-NULL) side means no qualifying pairs at all:
+    // right empty → every count is 0; left empty/all-NULL → `rv > NULL`
+    // is never true, so 0 again (and an empty left stays empty)
+    if (lrow.isNullAt(0) || rrow.isNullAt(0))
+      return left.withColumn(countCol, lit(0L))
     val lo = math.min(lrow.getDouble(0), rrow.getDouble(0))
     val hi = math.max(lrow.getDouble(1), rrow.getDouble(1))
     val width = math.max((hi - lo) / bands, java.lang.Double.MIN_NORMAL)

@@ -49,7 +49,7 @@ object TpcdsShapeQueries extends QueryPack {
     // forces a mis-planned oracle join order or stops exponential CTE
     // re-inlining); Spark has no such clause and plans the plain CTE fine
     t.replace("@TS", "TIMESTAMP_NTZ").replace("@IDIV", "div")
-      .replace("@MAT ", "")
+      .replaceAll("@MAT\\b\\s*", "")
   private def duck(t: String): String =
     t.replace("@TS", "TIMESTAMP").replace("@IDIV", "//")
       .replace("@MAT", "MATERIALIZED")

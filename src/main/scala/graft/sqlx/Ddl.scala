@@ -62,6 +62,18 @@ object Ddl {
       // schema-evolution projection (missing columns → typed NULL,
       // retypes → cast) without touching the untouched-table fast path
       renames: Map[String, Seq[String]] = Map.empty,
+      // declared-name (lowercase) → the storage name new INSERTs write
+      // for that column, when it differs from the declared name. A
+      // CHANGE/REPLACE retype starts a fresh storage GENERATION
+      // (`name__gN`) so parquet never holds two physical types under
+      // one storage name — mergeSchema across pre- and post-retype
+      // files would otherwise fail and leave the table unreadable.
+      storage: Map[String, String] = Map.empty,
+      // every storage name (lowercase) that belonged to a column this
+      // table has since dropped — old files still carry data under
+      // those names, so ADD/CHANGE/REPLACE must never reintroduce
+      // them (the stale values would silently surface on read)
+      retired: Set[String] = Set.empty,
       schemaAltered: Boolean = false)
 
   // body is non-greedy so the optional PARTITIONED BY clause between
@@ -396,20 +408,49 @@ object Ddl {
   private val catalogStore =
     new scala.collection.concurrent.TrieMap[(String, String, String, String), TableDef]
 
-  // partitions registered via ALTER TABLE ADD PARTITION — SHOW
+  // Partitions registered via ALTER TABLE ADD PARTITION — SHOW
   // PARTITIONS lists them even while empty (a catalog-registered
-  // partition with no data yet, as in Hive-style catalogs). Keyed by
-  // the table's STORAGE PATH, not the session: registration is
-  // storage-adjacent metadata (the directory itself is created on
-  // disk), so a new session re-declaring a table over the same path
-  // sees the registered empty partitions, like pk/pkName survive via
-  // the re-issued DDL.
-  private val addedParts =
-    new scala.collection.concurrent.TrieMap[String, Set[String]]
-  private def partKey(t: TableDef): String =
-    t.options.get("path")
-      .map(p => java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString)
-      .getOrElse("mem:" + t.name.toLowerCase)
+  // partition with no data yet, as in Hive-style catalogs). The
+  // registration IS the partition directory ADD PARTITION creates:
+  // deriving the registered set from the storage directory makes it
+  // durable across sessions AND processes (external-table semantics —
+  // a new engine instance re-declaring the table over the same path
+  // sees every registered partition), with no side metadata to lose.
+  private def diskPartitions(t: TableDef): Set[String] = {
+    import java.nio.file.{Files, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    t.options.get("path").map(Paths.get(_)) match {
+      case Some(root) if Files.isDirectory(root) && t.partitionedBy.nonEmpty =>
+        def walk(dir: Path, keys: Seq[String]): Seq[String] = keys match {
+          case Seq() => Seq("")
+          case k +: rest =>
+            val s = Files.list(dir)
+            val kids = try s.iterator().asScala.toVector finally s.close()
+            kids.filter(p => Files.isDirectory(p) &&
+                p.getFileName.toString.toLowerCase.startsWith(k.toLowerCase + "="))
+              .flatMap { p =>
+                val v = unescapePartValue(p.getFileName.toString.drop(k.length + 1))
+                walk(p, rest).map(tail =>
+                  if (tail.isEmpty) s"$k=$v" else s"$k=$v/$tail")
+              }
+        }
+        walk(root, t.partitionedBy).toSet
+      case _ => Set.empty
+    }
+  }
+  /** Inverse of [[escapePartValue]] (Hive %XX escapes). */
+  private def unescapePartValue(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   private def ensureDefaults(sk: String): Unit =
     catalogs.getOrElseUpdate((sk, "default_catalog"),
@@ -428,6 +469,45 @@ object Ddl {
       s"$stmt: only parquet filesystem tables support column DDL")
     require(!t.options.get("scan.streaming").contains("true"),
       s"$stmt: not supported on a streaming table")
+  }
+
+  /** The storage name new writes use for a declared column (the
+   * declared name itself unless a retype started a new generation). */
+  private def storageName(t: TableDef, declared: String): String =
+    t.storage.getOrElse(declared.toLowerCase, declared)
+
+  /** Every storage name (lowercase) some existing file may carry for a
+   * column OTHER than `exceptOwn` — names a new/renamed column must
+   * not take, or pre-existing files' data for the old column would
+   * silently surface under the new one. `exceptOwn` (a declared name)
+   * keeps rename-back legal: a column may reclaim a name from its OWN
+   * history, which is the same logical column in every file. */
+  private def reservedStorageNames(t: TableDef, exceptOwn: Option[String]): Set[String] = {
+    val all = t.retired ++
+      t.renames.valuesIterator.flatten.map(_.toLowerCase) ++
+      t.storage.valuesIterator.map(_.toLowerCase)
+    exceptOwn match {
+      case None => all
+      case Some(own) =>
+        val key = own.toLowerCase
+        all -- t.renames.getOrElse(key, Nil).map(_.toLowerCase) -
+          storageName(t, own).toLowerCase
+    }
+  }
+
+  private def requireUnreserved(t: TableDef, stmt: String, name: String,
+      exceptOwn: Option[String] = None): Unit =
+    require(!reservedStorageNames(t, exceptOwn).contains(name.toLowerCase),
+      s"$stmt: name '$name' was a storage name of a previous column — " +
+        "existing files still carry that column's data under it; pick a fresh name")
+
+  /** A fresh storage name for a retyped column: `declared__gN`, N past
+   * every name already reserved on this table. */
+  private def freshStorage(t: TableDef, declared: String): String = {
+    val taken = reservedStorageNames(t, None) ++
+      t.physical.map(_.name.toLowerCase)
+    Iterator.from(1).map(i => s"${declared}__g$i")
+      .find(n => !taken.contains(n.toLowerCase)).get
   }
 
   /** Parse `name TYPE [COMMENT '…']` column lists (ADD/REPLACE
@@ -557,9 +637,10 @@ object Ddl {
       // session catalog; anything else (qualified names, temp views
       // created outside this front-end) falls through to Spark's own
       // DROP below, which also owns the IF EXISTS / unknown-name errors
+      // external-table semantics: DROP leaves the storage directory —
+      // and with it any registered partitions — untouched
       case DropTableRe(_, name) if declared.contains((sessionKey(spark), name)) =>
-        declared.remove((sessionKey(spark), name)).foreach(t =>
-          addedParts.remove(partKey(t)))
+        declared.remove((sessionKey(spark), name))
         unfileTable(sessionKey(spark), name)
         spark.catalog.dropTempView(name)
         return ok(spark)
@@ -865,8 +946,7 @@ object Ddl {
         val fromData = spark.table(name).select(spec.as("partition name"))
         // partitions registered via ADD PARTITION appear even while
         // empty, like catalog-registered partitions in the reference
-        val registered = addedParts
-          .getOrElse(partKey(t), Set.empty).toSeq.sorted
+        val registered = diskPartitions(t).toSeq.sorted
         val regDf = spark.createDataFrame(
           scala.jdk.CollectionConverters.SeqHasAsJava(
             registered.map(org.apache.spark.sql.Row(_))).asJava,
@@ -913,16 +993,11 @@ object Ddl {
         val rel = pairs.map { case (k, v) => s"$k=$v" }.mkString("/")
         val dir = java.nio.file.Paths.get(t.options("path"),
           pairs.map { case (k, v) => s"$k=${escapePartValue(v)}" }: _*)
-        val key = partKey(t)
-        val exists = java.nio.file.Files.isDirectory(dir) ||
-          addedParts.getOrElse(key, Set.empty).contains(rel)
+        val exists = java.nio.file.Files.isDirectory(dir)
         if (exists) require(ifNot != null,
           s"ALTER TABLE $name ADD PARTITION: partition ($rel) already " +
             "exists — use IF NOT EXISTS")
-        else {
-          java.nio.file.Files.createDirectories(dir)
-          addedParts.put(key, addedParts.getOrElse(key, Set.empty) + rel)
-        }
+        else java.nio.file.Files.createDirectories(dir)
         return ok(spark)
       case AlterDropPartRe(name, ifEx, spec) if isDeclared(spark, name) =>
         val t = declared((sessionKey(spark), name))
@@ -930,21 +1005,14 @@ object Ddl {
         val rel = pairs.map { case (k, v) => s"$k=$v" }.mkString("/")
         val dir = java.nio.file.Paths.get(t.options("path"),
           pairs.map { case (k, v) => s"$k=${escapePartValue(v)}" }: _*)
-        val key = partKey(t)
-        val registered = addedParts.getOrElse(key, Set.empty)
-        val exists = java.nio.file.Files.isDirectory(dir) ||
-          registered.exists(p => p == rel || p.startsWith(rel + "/"))
+        val exists = java.nio.file.Files.isDirectory(dir)
         if (!exists) require(ifEx != null,
           s"ALTER TABLE $name DROP PARTITION: partition ($rel) does not " +
             "exist — use IF EXISTS")
         else {
-          if (java.nio.file.Files.isDirectory(dir)) {
-            import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(dir).iterator().asScala.toSeq
-              .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete(_))
-          }
-          addedParts.put(key,
-            registered.filterNot(p => p == rel || p.startsWith(rel + "/")))
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete(_))
           // refresh the registered view so its file index drops the
           // pruned directory
           register(spark, t)
@@ -960,9 +1028,11 @@ object Ddl {
         val t = declared((sessionKey(spark), name))
         requireEvolvable(t, "ADD COLUMNS")
         val adds = parseBareColumns(body, "ADD COLUMNS")
-        adds.foreach(c => require(
-          !t.physical.exists(_.name.equalsIgnoreCase(c.name)),
-          s"ADD COLUMNS: column '${c.name}' already exists"))
+        adds.foreach { c =>
+          require(!t.physical.exists(_.name.equalsIgnoreCase(c.name)),
+            s"ADD COLUMNS: column '${c.name}' already exists")
+          requireUnreserved(t, "ADD COLUMNS", c.name)
+        }
         val altered = t.copy(physical = t.physical ++ adds, schemaAltered = true)
         declared.put((sessionKey(spark), name), altered)
         fileTable(sessionKey(spark), name, altered)
@@ -974,10 +1044,38 @@ object Ddl {
         (t.partitionedBy ++ t.primaryKey).foreach(p => require(
           cols.exists(_.name.equalsIgnoreCase(p)),
           s"REPLACE COLUMNS: partition/primary-key column '$p' cannot be dropped"))
-        // renames targeting dropped columns die with them
+        // dropped columns retire their whole storage-name history —
+        // old files keep that data, so the names must never be reused
+        val dropped = t.physical.filterNot(p =>
+          cols.exists(_.name.equalsIgnoreCase(p.name)))
+        val retired = t.retired ++ dropped.flatMap(d =>
+          storageName(t, d.name).toLowerCase +:
+            t.renames.getOrElse(d.name.toLowerCase, Nil).map(_.toLowerCase))
+        // renames/storage entries targeting dropped columns die with them
         val kept = t.renames.filter { case (n, _) =>
           cols.exists(_.name.equalsIgnoreCase(n)) }
-        val altered = t.copy(physical = cols, renames = kept, schemaAltered = true)
+        val keptStorage = t.storage.filter { case (n, _) =>
+          cols.exists(_.name.equalsIgnoreCase(n)) }
+        var altered = t.copy(physical = cols, renames = kept,
+          storage = keptStorage, retired = retired, schemaAltered = true)
+        cols.foreach { c =>
+          t.physical.find(_.name.equalsIgnoreCase(c.name)) match {
+            case None =>
+              // a truly new column must not resurrect a retired or
+              // still-chained storage name
+              requireUnreserved(altered, "REPLACE COLUMNS", c.name)
+            case Some(prev) if prev.typ != c.typ =>
+              // kept-but-retyped: start a fresh storage generation,
+              // chaining the prior one so old files keep feeding reads
+              val prior = storageName(altered, c.name)
+              val next = freshStorage(altered, c.name)
+              altered = altered.copy(
+                renames = altered.renames + (c.name.toLowerCase ->
+                  (prior +: altered.renames.getOrElse(c.name.toLowerCase, Nil))),
+                storage = altered.storage + (c.name.toLowerCase -> next))
+            case _ => ()
+          }
+        }
         declared.put((sessionKey(spark), name), altered)
         fileTable(sessionKey(spark), name, altered)
         return register(spark, altered)
@@ -988,9 +1086,14 @@ object Ddl {
         require(idx >= 0, s"CHANGE COLUMN: column '$oldN' does not exist")
         require(!t.partitionedBy.exists(_.equalsIgnoreCase(oldN)),
           s"CHANGE COLUMN: '$oldN' is a partition column")
-        if (!oldN.equalsIgnoreCase(newN)) require(
-          !t.physical.exists(_.name.equalsIgnoreCase(newN)),
-          s"CHANGE COLUMN: target name '$newN' already exists")
+        if (!oldN.equalsIgnoreCase(newN)) {
+          require(!t.physical.exists(_.name.equalsIgnoreCase(newN)),
+            s"CHANGE COLUMN: target name '$newN' already exists")
+          // reclaiming a name from the column's OWN rename history is
+          // fine (same logical column in every file); any other prior
+          // storage name would surface stale data
+          requireUnreserved(t, "CHANGE COLUMN", newN, exceptOwn = Some(oldN))
+        }
         val newDef = ColumnDef(newN, normalizeType(typ0.trim))
         var cols = t.physical.updated(idx, newDef).toVector
         Option(pos).map(_.trim).foreach { p =>
@@ -1003,20 +1106,27 @@ object Ddl {
             cols = (cols.take(at + 1) :+ newDef) ++ cols.drop(at + 1)
           }
         }
-        // a rename PREPENDS the outgoing name to the storage-name
-        // history — files written between any two renames carry the
+        // a rename (or a retype, which starts a fresh storage
+        // generation) PREPENDS the outgoing storage name to the
+        // history — files written between any two changes carry the
         // then-current name, so reads must see every prior name
+        val typeChanged = newDef.typ != t.physical(idx).typ
+        val priorStorage = storageName(t, oldN)
         val renames =
-          if (oldN.equalsIgnoreCase(newN)) t.renames
+          if (oldN.equalsIgnoreCase(newN) && !typeChanged) t.renames
           else (t.renames - oldN.toLowerCase) + (newN.toLowerCase ->
-            (oldN +: t.renames.getOrElse(oldN.toLowerCase, Nil)))
+            (priorStorage +: t.renames.getOrElse(oldN.toLowerCase, Nil)))
+        val storage0 = t.storage - oldN.toLowerCase
+        val storage =
+          if (typeChanged) storage0 + (newN.toLowerCase -> freshStorage(t, newN))
+          else storage0
         val altered = t.copy(
           physical = cols,
           primaryKey = t.primaryKey.map(p =>
             if (p.equalsIgnoreCase(oldN)) newN else p),
           watermark = t.watermark.map(w =>
             if (w.column.equalsIgnoreCase(oldN)) w.copy(column = newN) else w),
-          renames = renames, schemaAltered = true)
+          renames = renames, storage = storage, schemaAltered = true)
         declared.put((sessionKey(spark), name), altered)
         fileTable(sessionKey(spark), name, altered)
         return register(spark, altered)
@@ -1249,6 +1359,26 @@ object Ddl {
       StructType.fromDDL("plan STRING"))
   }
 
+  /** INSERT-side half of schema evolution: route retyped columns to
+   * their current storage-generation name, cast to the declared type.
+   * Only generation-named columns are cast — their names are fresh, so
+   * every file carrying them got this cast and parquet schema merge
+   * sees ONE type per storage name. Columns under their declared name
+   * write raw (casting those would conflict with files written before
+   * the ALTER, whose types Spark's schema merge refuses to widen). */
+  private def remapForWrite(b: DataFrame, t: TableDef): DataFrame = {
+    var out = b
+    t.physical.foreach { c =>
+      val sn = storageName(t, c.name)
+      if (!sn.equalsIgnoreCase(c.name) &&
+          out.columns.exists(_.equalsIgnoreCase(c.name))) {
+        out = out.withColumn(c.name, col(c.name).cast(c.typ))
+          .withColumnRenamed(c.name, sn)
+      }
+    }
+    out
+  }
+
   private def statementSet(spark: SparkSession, body: String): DataFrame = {
     val stmts = SqlLexer.splitTopOn(body, ';')
     require(stmts.nonEmpty, "empty statement set")
@@ -1271,10 +1401,15 @@ object Ddl {
           } else {
             val path = t.options("path")
             val fmt = t.options.getOrElse("format", "parquet")
+            // schema-evolved tables: pin each file's physical type to
+            // the declared type at write time and route retyped
+            // columns to their current storage-generation name, so no
+            // two files ever disagree on one storage name's type
+            val data = if (t.schemaAltered) remapForWrite(b, t) else b
             // partitioned sink (reference filesystem-connector partition
             // keys): one directory per key value — the scan side prunes
             // them statically (see the partition-pruning plan audit)
-            val w0 = b.write.mode(mode)
+            val w0 = data.write.mode(mode)
             val w = if (t.partitionedBy.nonEmpty) w0.partitionBy(t.partitionedBy: _*) else w0
             fmt match {
               case "parquet" => w.parquet(path)
@@ -1413,21 +1548,44 @@ object Ddl {
             val raw = spark.read.option("mergeSchema", "true").parquet(path)
             val have = raw.columns.map(_.toLowerCase).toSet
             val cols = readCols.map { c =>
+              val sn = storageName(t, c.name)
               val priors = t.renames.getOrElse(c.name.toLowerCase, Nil)
                 .filter(o => have.contains(o.toLowerCase))
+              // cast each generation INDIVIDUALLY: a retype leaves
+              // prior generations under their own storage names with
+              // their own physical types, so a single post-coalesce
+              // cast would fail analysis on the mixed-type chain.
+              // try_cast: a prior generation's value that does not fit
+              // the CURRENT declared type reads as NULL (schema
+              // evolution semantics), not as a runtime ANSI error.
               val sources =
-                (if (have.contains(c.name.toLowerCase)) Seq(col(c.name)) else Nil) ++
-                  priors.map(col)
+                ((if (have.contains(sn.toLowerCase)) Seq(col(sn)) else Nil) ++
+                  priors.map(col)).map(_.try_cast(c.typ))
               val base = sources match {
-                case Seq() => lit(null)
+                case Seq() => lit(null).cast(c.typ)
                 case Seq(one) => one
                 case many => coalesce(many: _*)
               }
-              base.cast(c.typ).as(c.name)
+              base.as(c.name)
             }
             raw.select(cols: _*)
-          } catch { case _: org.apache.spark.sql.AnalysisException =>
-            spark.read.schema(schema).parquet(path) }
+          } catch {
+            case _: org.apache.spark.sql.AnalysisException =>
+              spark.read.schema(schema).parquet(path)
+            case e: org.apache.spark.SparkException
+                if e.getMessage != null &&
+                  e.getMessage.contains("merge incompatible data types") =>
+              // column DDL in this catalog starts a new storage
+              // generation on every retype, so OUR files never clash —
+              // this means files written outside the DDL path hold two
+              // physical types under one name. Fail loudly instead of
+              // leaving the table unreadable with a cryptic merge error.
+              throw new IllegalArgumentException(
+                s"table ${t.name}: existing parquet files hold incompatible " +
+                  "physical types for the same column name (written outside " +
+                  "this catalog's column DDL, which isolates retypes into " +
+                  s"fresh storage generations): ${e.getMessage}", e)
+          }
         case "parquet" =>
           try spark.read.parquet(path).selectExpr(t.physical.map(_.name): _*)
           catch { case _: org.apache.spark.sql.AnalysisException =>

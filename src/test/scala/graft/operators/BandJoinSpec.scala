@@ -45,6 +45,24 @@ class BandJoinSpec extends SparkSuite {
       .select(col("lk"), col("n")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(one == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+    // truly EMPTY right side: every count is zero (min/max aggregate
+    // returns NULL — must short-circuit, not NPE)
+    val emptyR = BandJoin.countGreater(
+        leftDf(Seq(1.0, 2.0)), "lk", "lv", rightDf(Seq.empty), "rv", "n", 4)
+      .select(col("lk"), col("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(emptyR == Map(0L -> 0L, 1L -> 0L))
+    // all-NULL right values behave like empty
+    val nullR = BandJoin.countGreater(
+        leftDf(Seq(1.0)), "lk", "lv",
+        rightDf(Seq(9.0)).withColumn("rv", lit(null).cast("double")),
+        "rv", "n", 4)
+      .select(col("n")).collect().map(_.getLong(0)).toSeq
+    assert(nullR == Seq(0L))
+    // empty LEFT side: empty result, count column present
+    val emptyL = BandJoin.countGreater(
+        leftDf(Seq.empty), "lk", "lv", rightDf(Seq(1.0, 2.0)), "rv", "n", 4)
+    assert(emptyL.columns.contains("n") && emptyL.count() == 0)
   }
 
   test("absBand matches brute force and never plans a nested-loop join") {

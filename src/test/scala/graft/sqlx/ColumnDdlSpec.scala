@@ -86,6 +86,60 @@ class ColumnDdlSpec extends SparkSuite {
       spark.sql(s"SELECT v FROM $t").collect())
   }
 
+  test("CHANGE retype + INSERT: mixed-generation files stay readable (storage generations)") {
+    val t = freshTable() // holds one row: k=1, v=10 BIGINT, s='a'
+    Ddl.execute(spark, s"ALTER TABLE $t CHANGE v v STRING")
+    // the new generation's value is NOT castable to BIGINT — proves
+    // the post-retype file really stores a string, not a re-cast long
+    Ddl.execute(spark, s"INSERT INTO $t SELECT 2 AS k, 'zz' AS v, 'b' AS s")
+    assert(spark.sql(s"SELECT k, v FROM $t ORDER BY k").collect().toSeq ==
+      Seq(Row(1L, "10"), Row(2L, "zz")))
+    // a second retype back to BIGINT: the uncastable 'zz' reads NULL,
+    // the original long and fresh inserts read through
+    Ddl.execute(spark, s"ALTER TABLE $t CHANGE v v BIGINT")
+    Ddl.execute(spark, s"INSERT INTO $t SELECT 3 AS k, 30 AS v, 'c' AS s")
+    assert(spark.sql(s"SELECT k, v FROM $t ORDER BY k").collect().toSeq ==
+      Seq(Row(1L, 10L), Row(2L, null), Row(3L, 30L)))
+    // retype then rename: the generation chain follows the new name.
+    // Reads are per-file value-preserving: row 2's file stores 'zz'
+    // (unrepresentable while the column was BIGINT), so retyping back
+    // to STRING surfaces the stored value again
+    Ddl.execute(spark, s"ALTER TABLE $t CHANGE v w STRING")
+    assert(spark.sql(s"SELECT k, w FROM $t ORDER BY k").collect().toSeq ==
+      Seq(Row(1L, "10"), Row(2L, "zz"), Row(3L, "30")))
+  }
+
+  test("REPLACE COLUMNS retype keeps mixed generations readable") {
+    val t = freshTable()
+    Ddl.execute(spark, s"ALTER TABLE $t REPLACE COLUMNS (k BIGINT, v STRING)")
+    Ddl.execute(spark, s"INSERT INTO $t SELECT 2 AS k, 'yy' AS v")
+    assert(spark.sql(s"SELECT k, v FROM $t ORDER BY k").collect().toSeq ==
+      Seq(Row(1L, "10"), Row(2L, "yy")))
+  }
+
+  test("prior storage names are reserved: ADD/CHANGE/REPLACE cannot resurrect them") {
+    val t = freshTable()
+    Ddl.execute(spark, s"ALTER TABLE $t CHANGE s label STRING")
+    // the advisor scenario: ADD COLUMNS (s …) would read the OLD
+    // column's data out of pre-rename files — must be rejected
+    intercept[IllegalArgumentException](
+      Ddl.execute(spark, s"ALTER TABLE $t ADD COLUMNS (s BIGINT)"))
+    // CHANGE to another column's prior storage name — rejected
+    intercept[IllegalArgumentException](
+      Ddl.execute(spark, s"ALTER TABLE $t CHANGE v s BIGINT"))
+    // REPLACE introducing a prior storage name — rejected
+    intercept[IllegalArgumentException](Ddl.execute(spark,
+      s"ALTER TABLE $t REPLACE COLUMNS (k BIGINT, label STRING, s BIGINT)"))
+    // a DROPPED column's storage name stays retired after REPLACE
+    Ddl.execute(spark, s"ALTER TABLE $t REPLACE COLUMNS (k BIGINT, label STRING)")
+    intercept[IllegalArgumentException](
+      Ddl.execute(spark, s"ALTER TABLE $t ADD COLUMNS (v BIGINT)"))
+    // …but a column may reclaim a name from its OWN history
+    // (rename-back is the same logical column in every file)
+    Ddl.execute(spark, s"ALTER TABLE $t CHANGE label s STRING")
+    assert(spark.sql(s"SELECT s FROM $t").collect().toSeq == Seq(Row("a")))
+  }
+
   test("column DDL refuses non-parquet and partition-column targets") {
     val out = java.nio.file.Files.createTempDirectory("graft_cddl_csv").toString
     Ddl.execute(spark,

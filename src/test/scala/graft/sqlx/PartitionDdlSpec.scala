@@ -86,6 +86,30 @@ class PartitionDdlSpec extends SparkSuite {
     Ddl.execute(spark, s"DROP TABLE $t")
   }
 
+  test("registrations are storage-durable: survive re-declaration, DROP TABLE, and other processes") {
+    val (t, out) = freshTable("pdur")
+    Ddl.execute(spark, s"ALTER TABLE $t ADD PARTITION (part = 'empty1')")
+    // a registration made by ANOTHER process is just the escaped
+    // directory — simulate one with a raw mkdir and expect SHOW
+    // PARTITIONS to see it (the directory IS the registration)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(out, "part=x%3Ay"))
+    assert(parts(t) == Set("part=empty1", "part=x:y"))
+    // DROP TABLE leaves external storage (and with it the registered
+    // partitions) untouched; a re-declared table over the same path
+    // sees them again — including in a fresh session
+    Ddl.execute(spark, s"DROP TABLE $t")
+    val ss = spark.newSession()
+    Ddl.execute(ss,
+      s"""CREATE TABLE $t (
+            k BIGINT, v BIGINT, part STRING
+          ) PARTITIONED BY (part)
+          WITH ('connector' = 'filesystem', 'path' = '$out', 'format' = 'parquet')""")
+    assert(Ddl.execute(ss, s"SHOW PARTITIONS $t").collect()
+      .map(_.getString(0)).toSet == Set("part=empty1", "part=x:y"))
+    Ddl.execute(ss, s"DROP TABLE $t")
+  }
+
   test("randomized ADD/DROP/INSERT sequence tracks the model") {
     val rnd = new scala.util.Random(20260815L)
     val (t, _) = freshTable("pfuzz")

@@ -93,9 +93,14 @@ def main():
     # predicate) once grew past 60 GB and ENOSPC'd the disk with spill
     # next to concurrently-running Spark jobs. A hard cap + a dedicated
     # spill dir turns that failure mode into a clean per-query error.
-    con.sql("SET memory_limit='24GB'")
-    tmp = f"{out_dir}/.ducktmp"
+    # ... but never HIGHER than DuckDB's own 80%-of-RAM default would
+    # be: on a small host a flat 24GB would loosen the limit exactly
+    # where pressure is worst.
     import os
+    ram_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / 2**30
+    cap_gb = min(24, max(1, int(ram_gb * 0.6)))
+    con.sql(f"SET memory_limit='{cap_gb}GB'")
+    tmp = f"{out_dir}/.ducktmp"
     os.makedirs(tmp, exist_ok=True)
     con.sql(f"SET temp_directory='{tmp}'")
     for t in TABLES:
