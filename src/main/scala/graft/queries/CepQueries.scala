@@ -76,6 +76,42 @@ object CepQueries extends QueryPack {
         .orderBy(col("a_id"))
     }),
 
+    // QUANTIFIED HOT-KEY FLOOD (round-15 verdict task): the same
+    // one-key stress shape as stream_cep_hotkey_flood, but with a
+    // quantified loop (`oneOrMore` — the reference's default reluctant
+    // relaxed quantifier) between the opening click and the rare
+    // completing purchase. Round 14's incremental matcher only
+    // resumed all-Once chains; quantified patterns re-derived from the
+    // whole horizon buffer each micro-batch. The loop families are now
+    // incremental too (open runs resume per batch, cost open-runs ×
+    // NEW events — reference NFA quantifier states, cep/nfa/State.java)
+    // — the deterministic cost pin is CepSpec's "quantified hot-key
+    // flood" scanOps bound. Reluctant semantics: the loop consumes the
+    // FIRST view after the click; the purchase is the first qualifying
+    // one after that view.
+    "stream_cep_hotkey_flood_quantified" -> ((s0, dir) => {
+      val s = StreamOps.tuned(s0)
+      import s.implicits._
+      val in = StreamOps.eventsTypedWithKeyedSentinels(s, dir)
+        .map(e => e.copy(user_id = 0L))
+      val pattern = Cep.Pattern
+        .begin("a", (e: Ev) => e.event_type == "click" && e.value < 1.0)
+        .oneOrMore("v", (e: Ev) => e.event_type == "view")
+        .followedBy("b", (e: Ev) => e.event_type == "purchase" && e.value > 300.0)
+        .within(TwelveHoursUs)
+      require(Cep.incrementalEligible(pattern),
+        "flood gate must exercise the incremental quantified path")
+      val out = Cep.runBoundBy(in, pattern, "user_id", "ts_us", "event_id")
+      val head = col("binds").getItem(0)
+      StreamOps.runToBatch(s, out.toDF(), "append", "cep_qflood")
+        .filter(head.getField("ev").getField("event_id") =!= -1L)
+        .select(
+          head.getField("ev").getField("event_id").as("a_id"),
+          col("binds").getItem(1).getField("ev").getField("event_id").as("v_id"),
+          col("binds").getItem(2).getField("ev").getField("event_id").as("b_id"))
+        .orderBy(col("a_id"))
+    }),
+
     // until() stop condition on a looping step (reference
     // `Pattern.java:219`): a click followed by page views, where the
     // view loop stops (unconsumed) at the first purchase — so the match
@@ -700,6 +736,33 @@ object CepQueries extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "stream_cep_hotkey_flood_quantified" -> """
+      WITH e AS (
+        SELECT event_id, event_type, value,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events),
+      c AS (SELECT * FROM e WHERE event_type = 'click' AND value < 1),
+      m AS (
+        SELECT c.event_id AS a_id, c.us AS a_us,
+               (SELECT v.event_id FROM e v
+                WHERE v.event_type = 'view'
+                  AND (v.us > c.us OR (v.us = c.us AND v.event_id > c.event_id))
+                  AND v.us - c.us <= 43200000000
+                ORDER BY v.us, v.event_id LIMIT 1) AS v_id
+        FROM c),
+      mv AS (
+        SELECT m.a_id, m.a_us, m.v_id, v.us AS v_us
+        FROM m JOIN e v ON v.event_id = m.v_id),
+      mb AS (
+        SELECT mv.a_id, mv.v_id,
+               (SELECT p.event_id FROM e p
+                WHERE p.event_type = 'purchase' AND p.value > 300
+                  AND (p.us > mv.v_us OR (p.us = mv.v_us AND p.event_id > mv.v_id))
+                  AND p.us - mv.a_us <= 43200000000
+                ORDER BY p.us, p.event_id LIMIT 1) AS b_id
+        FROM mv)
+      SELECT a_id, v_id, b_id FROM mb
+      WHERE b_id IS NOT NULL ORDER BY a_id""",
     "stream_cep_hotkey_flood" -> """
       WITH e AS (
         SELECT event_id, event_type, value,

@@ -907,6 +907,14 @@ object Cep {
   private def partialPrefixMatches[T](events: IndexedSeq[T], p: Pattern[T],
       time: T => Long, id: T => Long, startIds: Set[Long]): List[MatchG[T]] = {
     val found = scala.collection.mutable.Map.empty[Long, (MatchG[T], Int)]
+    // id → buffer index, built once: aliveAtExpiry resolves each
+    // candidate's last bound event in O(1). A linear indexWhere here
+    // was candidates × buffer — quadratic on a hot-key flood (caught
+    // by the round-15 sf10 sweep: 38k timed-out candidates over a 10M
+    // single-key buffer pinned one core for hours)
+    val idIdx = new java.util.HashMap[Long, Integer](events.length * 2)
+    var ii = 0
+    while (ii < events.length) { idIdx.put(id(events(ii)), ii); ii += 1 }
     def mustConsume(q: Quant): Boolean = q match {
       case Once | OneOrMore | OneOrMoreReluctant | OneOrMoreRelaxed |
            OneOrMoreCombinations | Any => true
@@ -942,8 +950,9 @@ object Cep {
     def aliveAtExpiry(m: MatchG[T], k: Int): Boolean = {
       if (k >= p.steps.length) return false
       val nxt = p.steps(k)
-      val lastIdx = events.indexWhere(e => id(e) == id(m.binds.last.ev))
-      if (lastIdx < 0) return true
+      val lastIdxBoxed = idIdx.get(id(m.binds.last.ev))
+      if (lastIdxBoxed == null) return true
+      val lastIdx = lastIdxBoxed.intValue
       def inWin(j: Int) = j < events.length &&
         time(events(j)) - m.start_us <= p.withinUs
       def gapOk2(j: Int) = p.stepGapUs == Long.MaxValue ||
@@ -1122,48 +1131,110 @@ object Cep {
 
   /** Patterns the incremental matcher handles: a linear chain of
    * single-consume steps (strict or relaxed, iterative conditions
-   * fine), any skip strategy. Quantified/optional/negative steps and
-   * alternations keep the re-scan path — their preferred bindings
-   * depend on lookahead/backtracking that appending events can
-   * reshape, which the per-batch re-derivation already handles. */
-  private[streaming] def incrementalEligible[T](p: Pattern[T]): Boolean =
-    p.steps.forall(s => s.quant == Once && s.alts.isEmpty && s.until.isEmpty) &&
-      !p.holdToHorizon
+   * fine, any skip strategy), plus AT MOST ONE quantified loop step in
+   * two families where the preferred binding is provably maintainable
+   * per event without backtracking over the buffer:
+   *
+   *  - `OneOrMoreRelaxed` (the fluent `oneOrMore` — the reference's
+   *    default reluctant relaxed loop) when every LATER step is a
+   *    relaxed ctx-free `Once` and no per-step gap is set. The
+   *    reluctant preference tries the continuation after the FIRST
+   *    repetition, and a continuation of relaxed ctx-free Once steps
+   *    searched from the first repetition sees a SUPERSET of every
+   *    longer run's search range — so the first-rep branch completes
+   *    whenever any branch does, and it is the preferred one
+   *    (first-closing dominance). The loop degenerates to one relaxed
+   *    consume; run count stays one per start.
+   *
+   *  - strict greedy `OneOrMore`/`ZeroOrMore` (`oneOrMoreNext` /
+   *    `zeroOrMoreNext`) when every later step is a ctx-free `Once`.
+   *    The repetition block is CONTIGUOUS, so no continuation event
+   *    can hide inside it: the max-reps closing dominates every
+   *    shorter prefix (same continuation anchor, smallest step gap,
+   *    only it can satisfy strict adjacency). One extender run per
+   *    start suffices, plus one bounded backtrack fork per event that
+   *    satisfies BOTH the loop and the continuation predicate (the
+   *    branch the batch enumerator reaches by backtracking one rep).
+   *
+   * Everything else (multiple loops, optional steps, alternations,
+   * until, combinations, negations, quantified heads, ctx-dependent
+   * tails) keeps the re-scan path — their preferred bindings depend on
+   * lookahead/backtracking that appending events can reshape, which
+   * the per-batch re-derivation already handles. */
+  private[graft] def incrementalEligible[T](p: Pattern[T]): Boolean = {
+    if (p.holdToHorizon) false
+    else if (!p.steps.forall(s => s.alts.isEmpty && s.until.isEmpty)) false
+    else {
+      val loops = p.steps.zipWithIndex.filter(_._1.quant != Once)
+      if (loops.isEmpty) true
+      else if (loops.sizeIs > 1) false
+      else {
+        val (ls, li) = loops.head
+        val tail = p.steps.drop(li + 1)
+        if (li == 0) false
+        else ls.quant match {
+          case OneOrMoreRelaxed =>
+            !ls.strict && ctxFree(ls.pred) && p.stepGapUs == Long.MaxValue &&
+              tail.forall(t => t.quant == Once && !t.strict && ctxFree(t.pred))
+          case OneOrMore | ZeroOrMore =>
+            ls.strict && ctxFree(ls.pred) &&
+              tail.forall(t => t.quant == Once && ctxFree(t.pred))
+          case _ => false
+        }
+      }
+    }
+  }
 
   /** One incremental pass over `events(fromIdx until length)`: restored
    * open runs (the reference's computation states) advance per event —
    * strict adjacency via an at-frontier flag, relaxed steps consume
    * the first qualifying event, window/per-step-gap violations kill
    * permanently (time order makes every such death final) — and new
-   * runs spawn at qualifying head events after `floor0`. Completions
-   * then pass the in-batch skip selection in start order (the
-   * consumed-region discipline [[matchSortedG]] applies in-scan).
-   * Returns (selected completions, surviving open-run snapshots).
-   * Semantically equal to [[matchSortedG]] for [[incrementalEligible]]
-   * patterns — pinned by the randomized differential in CepSpec. */
+   * runs spawn at qualifying head events after `floor0`. A reluctant
+   * relaxed loop consumes exactly its first repetition (first-closing
+   * dominance, see [[incrementalEligible]]); a strict greedy loop
+   * keeps ONE extender run that closes into the continuation at the
+   * first non-qualifying event, plus a bounded backtrack fork per
+   * event satisfying both the loop and the continuation predicate.
+   * Per-start completions reduce to the batch enumerator's preferred
+   * branch (greedy: most repetitions; reluctant: fewest) before the
+   * in-batch skip selection in start order (the consumed-region
+   * discipline [[matchSortedG]] applies in-scan).
+   * Returns (selected completions, surviving open-run snapshots —
+   * binds encoded as interleaved (stepIdx, eventId) pairs).
+   * Semantically equal to the per-batch re-scan for
+   * [[incrementalEligible]] patterns — pinned by the randomized
+   * differential in CepSpec/StreamPropertySpec. */
   private def incrementalScan[T](events: IndexedSeq[T], fromIdx: Int,
-      restored: List[(Int, Int, Vector[Int])], p: Pattern[T],
+      restored: List[(Int, Int, Vector[(Int, Int)])], p: Pattern[T],
       time: T => Long, id: T => Long, floor0: (Long, Long, Boolean))
       : (List[MatchG[T]], List[(Long, Int, List[Long])]) = {
     val steps = p.steps
     val noCtx = EmptyCtx.asInstanceOf[MatchCtx[T]]
+    val loopIdx = steps.indexWhere(_.quant != Once) // -1 for all-Once chains
+    def minRepsOf(q: Quant): Int = if (q == ZeroOrMore) 0 else 1
     def afterF(ts: Long, eid: Long, f: (Long, Long, Boolean)): Boolean = {
       val c = java.lang.Long.compare(ts, f._1)
       val c2 = if (c != 0) c else java.lang.Long.compare(eid, f._2)
       if (f._3) c2 > 0 else c2 >= 0
     }
-    class R(val startIdx: Int, var k: Int, var binds: Vector[(String, Int)],
-        var atFrontier: Boolean) { var dead = false }
+    class R(val startIdx: Int, var k: Int, var binds: Vector[(Int, Int)],
+        var atFrontier: Boolean, var reps: Int) { var dead = false }
     val open = scala.collection.mutable.ArrayBuffer.empty[R]
-    restored.foreach { case (si, k, bidx) =>
-      open += new R(si, k,
-        steps.iterator.take(k).zip(bidx.iterator).map { case (s, x) => (s.name, x) }.toVector,
-        atFrontier = (if (bidx.nonEmpty) bidx.last else si) == fromIdx - 1)
+    restored.foreach { case (si, k, bs) =>
+      open += new R(si, k, bs,
+        atFrontier = (if (bs.nonEmpty) bs.last._2 else si) == fromIdx - 1,
+        reps = bs.count(_._1 == k))
     }
-    val comps = scala.collection.mutable.ArrayBuffer.empty[MatchG[T]]
-    def ctxFor(binds: Vector[(String, Int)], j: Int): MatchCtx[T] = new MatchCtx[T] {
+    // completions carry their bind indexes so the per-start preference
+    // can compare repetition counts before materializing
+    val comps = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Vector[(Int, Int)])]
+    def complete(startIdx: Int, endIdx: Int, binds: Vector[(Int, Int)]): Unit =
+      comps += ((startIdx, time(events(endIdx)), binds))
+    def ctxFor(binds: Vector[(Int, Int)], j: Int): MatchCtx[T] = new MatchCtx[T] {
       def eventsFor(step: String): Seq[T] = binds.collect {
-        case (n, x) if n == step || n.startsWith(step + "#") => events(x)
+        case (si2, x) if steps(si2).name == step ||
+          steps(si2).name.startsWith(step + "#") => events(x)
       }
       def prev(offset: Int): Option[T] =
         if (offset >= 1 && j - offset >= 0) Some(events(j - offset)) else None
@@ -1172,6 +1243,7 @@ object Cep {
     while (j < events.length) {
       val e = events(j)
       val ts = time(e)
+      val spawned = scala.collection.mutable.ArrayBuffer.empty[R]
       var ri = 0
       while (ri < open.length) {
         val r = open(ri)
@@ -1179,42 +1251,113 @@ object Cep {
         val start = events(r.startIdx)
         if (ts - time(start) > p.withinUs) r.dead = true // window closed
         else {
-          val stp = steps(r.k)
-          val lastIdx = r.binds.last._2
-          if (p.stepGapUs != Long.MaxValue && ts - time(events(lastIdx)) > p.stepGapUs)
-            r.dead = true // per-step gap can only grow — permanent
-          else if (stp.strict && !r.atFrontier) r.dead = true
-          else {
-            val pred = stp.pred
-            if (pred(e, if (ctxFree(pred)) noCtx else ctxFor(r.binds, j))) {
-              r.binds :+= ((stp.name, j)); r.k += 1; r.atFrontier = true
-              if (r.k == steps.length) {
-                comps += MatchG(time(start), ts,
-                  r.binds.map { case (n, x) => BoundG(n, events(x)) }.toList)
-                r.dead = true // completed — one match per start
-              }
-            } else if (stp.strict) r.dead = true // adjacency slot consumed
-            else r.atFrontier = false
+          // `again` lets a closing strict-loop extender re-evaluate the
+          // SAME event at its continuation step (the event that broke
+          // the block may itself be the continuation's consume)
+          var again = true
+          while (again && !r.dead && r.k < steps.length) {
+            again = false
+            val stp = steps(r.k)
+            val lastIdx = if (r.binds.nonEmpty) r.binds.last._2 else r.startIdx
+            if (p.stepGapUs != Long.MaxValue && ts - time(events(lastIdx)) > p.stepGapUs)
+              r.dead = true // per-step gap can only grow — permanent
+            else stp.quant match {
+              case OneOrMoreRelaxed =>
+                // first-closing dominance: consume the first qualifying
+                // repetition and immediately prefer the continuation
+                if (stp.pred(e, noCtx)) {
+                  r.binds :+= ((r.k, j)); r.k += 1; r.atFrontier = true; r.reps = 0
+                  if (r.k == steps.length) { complete(r.startIdx, j, r.binds); r.dead = true }
+                } else r.atFrontier = false
+              case OneOrMore | ZeroOrMore => // strict greedy extender
+                val minReps = minRepsOf(stp.quant)
+                if (r.atFrontier && stp.pred(e, noCtx)) {
+                  // backtrack fork: greedy prefers e as another rep, but
+                  // if e ALSO starts the continuation, the one-rep-
+                  // shorter closing is the branch the batch enumerator
+                  // reaches by backtracking — spawn it once
+                  if (r.k + 1 < steps.length && r.reps >= minReps) {
+                    val nxt = steps(r.k + 1)
+                    scanOps.increment()
+                    if (nxt.pred(e, noCtx)) {
+                      val fb = r.binds :+ ((r.k + 1, j))
+                      if (r.k + 2 == steps.length) complete(r.startIdx, j, fb)
+                      else spawned += new R(r.startIdx, r.k + 2, fb,
+                        atFrontier = true, reps = 0)
+                    }
+                  }
+                  r.binds :+= ((r.k, j)); r.atFrontier = true; r.reps += 1
+                } else if (r.reps >= minReps) {
+                  // block closed (non-qualifying event): move to the
+                  // continuation and re-evaluate THIS event there
+                  r.k += 1; r.reps = 0
+                  if (r.k == steps.length) {
+                    complete(r.startIdx, r.binds.last._2, r.binds); r.dead = true
+                  } else again = true
+                } else r.dead = true // OneOrMore with zero reps
+              case _ => // Once (strict or relaxed)
+                if (stp.strict && !r.atFrontier) r.dead = true
+                else {
+                  val pred = stp.pred
+                  if (pred(e, if (ctxFree(pred)) noCtx else ctxFor(r.binds, j))) {
+                    r.binds :+= ((r.k, j)); r.k += 1; r.atFrontier = true
+                    if (r.k == steps.length) {
+                      complete(r.startIdx, j, r.binds)
+                      r.dead = true // completed — one match per start
+                    }
+                  } else if (stp.strict) r.dead = true // adjacency slot consumed
+                  else r.atFrontier = false
+                }
+            }
           }
         }
         ri += 1
       }
       open.filterInPlace(r => !r.dead)
+      open ++= spawned
       // spawn a new run anchored at j
       val head = steps.head
       scanOps.increment()
       if (head.pred(e, if (ctxFree(head.pred)) noCtx else ctxFor(Vector.empty, j)) &&
           afterF(ts, id(e), floor0)) {
-        if (steps.length == 1) comps += MatchG(ts, ts, List(BoundG(head.name, e)))
-        else open += new R(j, 1, Vector((head.name, j)), atFrontier = true)
+        if (steps.length == 1) comps += ((j, ts, Vector((0, j))))
+        else open += new R(j, 1, Vector((0, j)), atFrontier = true, reps = 0)
       }
       j += 1
+    }
+    // trailing greedy loop: the longest block so far is a complete
+    // match as of this buffer (the re-scan's preferred branch this
+    // batch). The run stays open — a longer completion next batch
+    // dedups on the caller's per-start marker.
+    if (loopIdx == steps.length - 1 && loopIdx > 0 &&
+        (steps(loopIdx).quant == OneOrMore || steps(loopIdx).quant == ZeroOrMore))
+      open.foreach { r =>
+        if (r.k == loopIdx && r.reps >= minRepsOf(steps(loopIdx).quant))
+          complete(r.startIdx, r.binds.last._2, r.binds)
+      }
+    // per-start preference: the batch enumerator's branch order —
+    // greedy loops prefer MORE repetitions, reluctant fewer; Once
+    // steps are deterministic given the start, so completions of one
+    // start differ only at the loop step
+    val loopGreedy = loopIdx >= 0 &&
+      (steps(loopIdx).quant == OneOrMore || steps(loopIdx).quant == ZeroOrMore)
+    val reduced: Seq[(Int, Long, Vector[(Int, Int)])] =
+      if (loopIdx < 0) comps.toSeq
+      else comps.groupBy(_._1).valuesIterator.map { ms =>
+        ms.reduceLeft { (x, y) =>
+          val (rx, ry) = (x._3.count(_._1 == loopIdx), y._3.count(_._1 == loopIdx))
+          if (rx == ry) x else if (loopGreedy == (ry > rx)) y else x
+        }
+      }.toSeq
+    val matches = reduced.map { case (si, endTs, bs) =>
+      MatchG(time(events(si)), endTs,
+        bs.map { case (si2, x) => BoundG(steps(si2).name, events(x)) }.toList)
     }
     // in-batch skip selection in start order — identical discipline to
     // matchSortedG's in-scan consumed-region jumps
     var lf = floor0
     val selected = List.newBuilder[MatchG[T]]
-    comps.sortBy(m => (m.start_us, id(m.binds.head.ev))).foreach { m =>
+    matches.sortBy(m => (m.start_us, id(m.binds.head.ev))).foreach { m =>
       if (afterF(m.start_us, id(m.binds.head.ev), lf)) {
         selected += m
         skipTarget(p, time, id)(m).foreach { t =>
@@ -1227,7 +1370,9 @@ object Cep {
     }
     val runsOut = open.iterator
       .filter(r => afterF(time(events(r.startIdx)), id(events(r.startIdx)), lf))
-      .map(r => (id(events(r.startIdx)), r.k, r.binds.map(b => id(events(b._2))).toList))
+      .map(r => (id(events(r.startIdx)), r.k,
+        r.binds.iterator.flatMap { case (si2, x) =>
+          Iterator(si2.toLong, id(events(x))) }.toList))
       .toList
     (selected.result(), runsOut)
   }
@@ -1321,20 +1466,44 @@ object Cep {
               var i2 = 0
               while (i2 < bufferIdx.length) { idIdx.put(id(bufferIdx(i2)), i2); i2 += 1 }
               val fromIdx = if (appendOnly) st.buffer.length else 0
-              val restored: List[(Int, Int, Vector[Int])] =
+              // persisted binds are interleaved (stepIdx, eventId)
+              // pairs — decode against the current buffer, dropping
+              // any run whose events were evicted or whose strictness
+              // invariant no longer holds (it died last batch)
+              val restored: List[(Int, Int, Vector[(Int, Int)])] =
                 if (!appendOnly) Nil // out-of-order merge: re-derive from scratch
-                else st.runs.flatMap { case (sid, k, bids) =>
+                else st.runs.flatMap { case (sid, k, flat) =>
                   val si = idIdx.get(sid)
-                  val bIdx = bids.map(idIdx.get(_))
-                  if (si == null || bIdx.exists(_ == null) ||
-                      k > pattern.steps.length || bIdx.size != k) None
+                  if (si == null || k > pattern.steps.length ||
+                      flat.length % 2 != 0) None
                   else {
-                    val v = bIdx.map(_.intValue).toVector
-                    // a strict-step run not at the buffer frontier died
-                    // when a non-qualifying event followed it
-                    if (k < pattern.steps.length && pattern.steps(k).strict &&
-                        v.last != fromIdx - 1) None
-                    else Some((si.intValue, k, v))
+                    val pairs = flat.grouped(2).map {
+                      case List(s2, eid) =>
+                        val bi = idIdx.get(eid)
+                        if (bi == null || s2 < 0 || s2 >= pattern.steps.length ||
+                            s2 > k) None
+                        else Some((s2.toInt, bi.intValue))
+                      case _ => None
+                    }.toVector
+                    if (pairs.exists(_.isEmpty)) None
+                    else {
+                      val v = pairs.flatten
+                      val lastIdx = if (v.nonEmpty) v.last._2 else si.intValue
+                      // a run whose CURRENT step demands adjacency
+                      // (strict Once, or a strict-loop extender — which
+                      // only ever persists at the frontier) died if any
+                      // event followed its last bind
+                      val needsFrontier = k < pattern.steps.length && {
+                        val s = pattern.steps(k)
+                        s.quant match {
+                          case Once => s.strict
+                          case OneOrMore | ZeroOrMore => true
+                          case _ => false
+                        }
+                      }
+                      if (needsFrontier && lastIdx != fromIdx - 1) None
+                      else Some((si.intValue, k, v))
+                    }
                   }
                 }
               val (sel, ro) = incrementalScan(bufferIdx, fromIdx, restored,

@@ -215,6 +215,16 @@ object LateCapture {
    * would fire per row; coalescing is the micro-batch analog and keeps
    * the emission sequence a pure function of data + batch cuts).
    *
+   * PER-ELEMENT mode (`perElement = true`) reproduces the reference's
+   * exact cadence on MERGED windows too (`WindowOperator.java:98`
+   * processElement → merge via `MergingWindowSet` → `EventTimeTrigger
+   * .onElement` returns FIRE for an already-due merged window): each
+   * late-but-allowed element whose MERGED session is due emits its own
+   * cumulative firing immediately — window identity changes across
+   * merges, so consecutive firings may carry different `[ws, we)`
+   * extents. Elements of not-yet-due sessions accumulate silently in
+   * both modes and fire on watermark passage.
+   *
    * Too-late test: `ts + gap + lateness <= watermark` — the element's
    * own would-be window END plus lateness, consistent with
    * [[tumbleWithLateness]]'s window-cleanup rule. The reference's
@@ -226,7 +236,8 @@ object LateCapture {
    */
   def sessionWithLateness(ds: Dataset[Ev], gapUs: Long, latenessUs: Long,
       watermarkDelay: String = "0 seconds",
-      ttl: Option[String] = None): Dataset[SessLateRow] = {
+      ttl: Option[String] = None,
+      perElement: Boolean = false): Dataset[SessLateRow] = {
     import ds.sparkSession.implicits._
     require(gapUs > 0 && latenessUs >= 0, "need positive gap, non-negative lateness")
     val withWm = ds.toDF()
@@ -273,7 +284,15 @@ object LateCapture {
                   touch.map(_._4).sum + cents,
                   touch.map(_._5).sum, // merged fire count: superseding continues the lineage
                   true)
-                sess = merged :: rest
+                if (perElement && merged._2 <= wmUs) {
+                  // reference cadence: the merged window is already due,
+                  // so this element's arrival FIRES it immediately
+                  out += SessLateRow(if (merged._5 == 0L) "agg" else "update",
+                    key, merged._1, merged._2, emits, merged._3, merged._4, -1L)
+                  emits += 1
+                  sess = (merged._1, merged._2, merged._3, merged._4,
+                    merged._5 + 1, false) :: rest
+                } else sess = merged :: rest
               }
             }
           // (3) due merged/new sessions re-fire (or first-fire) with

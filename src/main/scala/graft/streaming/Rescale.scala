@@ -36,6 +36,19 @@ import org.apache.spark.sql.functions._
  */
 object Rescale {
 
+  /** GENERIC savepoint read — the reference's operator-generic
+   * `SavepointReader.readKeyedState` analog: ANY transformWithState
+   * operator's named state variable out of a stopped query's
+   * checkpoint, as the raw (key, value, partition_id) frame. Every
+   * per-operator reader below is a projection over this; new stateful
+   * operators get savepoint/rescale support by writing only their
+   * seed projection + an initial-state processor overload. */
+  def savepointRead(spark: SparkSession, ckpt: String,
+      stateVarName: String): org.apache.spark.sql.DataFrame =
+    spark.read.format("statestore")
+      .option("stateVarName", stateVarName)
+      .load(ckpt)
+
   /** Savepoint read: the per-key running totals out of a STOPPED
    * totals query's checkpoint (state variable `totals` of
    * [[BootstrapOps.BootstrappedTotalsProcessor]]). The state source
@@ -52,11 +65,25 @@ object Rescale {
    * surface that a later rescale actually MOVED keys across a
    * different partition count. */
   def savepointTotalsWithPartition(spark: SparkSession, ckpt: String) =
-    spark.read.format("statestore")
-      .option("stateVarName", "totals")
-      .load(ckpt)
+    savepointRead(spark, ckpt, "totals")
       .select(col("value.user_id").as("user_id"), col("value.n").as("n"),
         col("value.cents").as("cents"), col("partition_id"))
+
+  /** Savepoint read for the keyed Top-N op ([[TwsOps.TopNProcessor]],
+   * state variable `topn` — the key's current top-n buffer): seed
+   * frame for [[resumeTopN]], through the generic reader. */
+  def savepointTopN(spark: SparkSession, ckpt: String): Dataset[TopNBuf] = {
+    import spark.implicits._
+    savepointRead(spark, ckpt, "topn")
+      .select(col("value.event_type").as("event_type"), col("value.rows").as("rows"))
+      .as[TopNBuf]
+  }
+
+  /** Resume Top-N at the current session parallelism, seeded from a
+   * savepoint frame read at the OLD parallelism. */
+  def resumeTopN(stream: Dataset[Ev], savepoint: Dataset[TopNBuf],
+      n: Int = 3): Dataset[Ev] =
+    TwsOps.topNByTypeSeeded(stream, savepoint, n)
 
   /** Resume the totals fold at the CURRENT session parallelism, seeded
    * from a savepoint frame read at the OLD parallelism. The caller
@@ -72,9 +99,7 @@ object Rescale {
    * showing the pattern is generic across value-state operators. */
   def savepointKeepLast(spark: SparkSession, ckpt: String): Dataset[Ev] = {
     import spark.implicits._
-    spark.read.format("statestore")
-      .option("stateVarName", "winner")
-      .load(ckpt)
+    savepointRead(spark, ckpt, "winner")
       .select(col("value.event_id"), col("value.user_id"),
         col("value.event_type"), col("value.ts_us"), col("value.value"))
       .as[Ev]

@@ -643,6 +643,91 @@ class CepSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("quantified incremental: single-batch emission equals the batch matcher, overlapping predicates") {
+    // Patterns with a loop whose predicate OVERLAPS the continuation's
+    // force the incremental matcher's backtrack forks (greedy) /
+    // first-closing dominance (reluctant). A single-batch feed from
+    // empty state is append-only, so the whole buffer goes through
+    // incrementalScan — its emissions must equal matchSorted exactly,
+    // including the per-start preferred-branch reduction.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val sec = 1000000L
+    val W = 2000 * sec
+    val bOrC = (e: Ev) => e.event_type == "b" || e.event_type == "c"
+    val patterns: List[(String, Cep.Pattern[Ev])] = List(
+      "greedy_overlap" -> Cep.Pattern.begin("a", (_: Ev).event_type == "a")
+        .oneOrMoreNext("bs", bOrC)
+        .followedBy("cc", _.event_type == "c").within(W),
+      "zstar_overlap" -> Cep.Pattern.begin("a", (_: Ev).event_type == "a")
+        .zeroOrMoreNext("bs", bOrC)
+        .followedBy("cc", _.event_type == "c").within(W),
+      "reluctant_overlap" -> Cep.Pattern.begin("a", (_: Ev).event_type == "a")
+        .oneOrMore("bs", bOrC)
+        .followedBy("cc", _.event_type == "c").within(W),
+      "greedy_trailing" -> Cep.Pattern.begin("a", (_: Ev).event_type == "a")
+        .oneOrMoreNext("bs", _.event_type == "b").within(W),
+      "greedy_skip_past" -> Cep.Pattern.begin("a", (_: Ev).event_type == "a")
+        .oneOrMoreNext("bs", bOrC)
+        .followedBy("cc", _.event_type == "c").within(W)
+        .afterMatchSkip(Cep.SkipPastLast))
+    for (seed <- 70L to 73L; (pname, pat) <- patterns) {
+      assert(Cep.incrementalEligible(pat), s"$pname must take the incremental path")
+      val rnd = new scala.util.Random(seed * 131 + pname.hashCode)
+      val events = (1 to 40).map(i =>
+        Ev(i.toLong, 1L, Seq("a", "b", "c")(rnd.nextInt(3)), i * sec, 1.0))
+      val want = Cep.matchSorted(events.toIndexedSeq, pat)
+        .map(_.event_ids).toSet
+      val ms = MemoryStream[Ev]
+      val name = StreamOps.freshName("cep_q1b")
+      val q = Cep.run(ms.toDS(), pat, "0 seconds").toDF()
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        ms.addData(events: _*)
+        q.processAllAvailable()
+        val got = spark.table(name).as[CepMatch].collect().map(_.event_ids).toSet
+        assert(got == want, s"seed=$seed pattern=$pname\n got=$got\n want=$want")
+      } finally q.stop()
+    }
+  }
+
+  test("quantified hot-key flood: per-batch cost is open-runs × new events, not × buffer") {
+    // The round-14 verdict's remaining CEP stress case: a QUANTIFIED
+    // pattern (reluctant relaxed oneOrMore) on one key. Clicks open
+    // runs, views feed each run's first repetition, the continuation
+    // never completes — the re-scan path would re-derive every run
+    // over the whole buffer per batch (≈ n²·B/3); the incremental
+    // loop handling bills open-runs × NEW events (≈ n²/4 here).
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val sec = 1000000L
+    val n = 1200
+    val batches = 8
+    val p = Cep.Pattern.begin("a", (_: Ev).event_type == "click")
+      .oneOrMore("bs", _.event_type == "view")
+      .followedBy("c", _.event_type == "no_such_type")
+      .within(86400L * 365 * sec)
+    assert(Cep.incrementalEligible(p))
+    val events = (1 to n).map(i =>
+      ev(i.toLong, if (i % 2 == 0) "view" else "click", i.toLong * sec))
+    val ms = MemoryStream[Ev]
+    val q = Cep.run(ms.toDS(), p, "0 seconds").toDF()
+      .writeStream.format("memory").queryName("t_cep_qflood")
+      .outputMode("append").start()
+    try {
+      Cep.scanOps.reset()
+      events.grouped(n / batches).foreach { b =>
+        ms.addData(b: _*); q.processAllAvailable()
+      }
+      val ops = Cep.scanOps.sum()
+      val bound = n.toLong * n // incremental ≈ n²/4; re-scan ≈ n²·B/3 ≈ 2.7·n²
+      assert(ops <= bound,
+        s"quantified per-batch matcher cost must track NEW events, not " +
+          s"the buffer: $ops advance attempts > $bound for n=$n, B=$batches")
+      assert(spark.table("t_cep_qflood").count() == 0)
+    } finally q.stop()
+  }
+
   test("hot-key flood: per-batch cost is open-runs × new events, not × buffer") {
     // The round-13 verdict's CEP stress case: ONE key, every event
     // inside one within horizon, a head predicate that always opens a

@@ -69,11 +69,13 @@ class LatenessRefireSpec extends SparkSuite {
   }
 
   private def runSession(name: String, gapUs: Long, latenessUs: Long,
-      batches: Seq[Seq[Ev]]): Seq[(String, Long, Long, Long, Long, Long, Long)] = {
+      batches: Seq[Seq[Ev]], perElement: Boolean = false)
+      : Seq[(String, Long, Long, Long, Long, Long, Long)] = {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val in = MemoryStream[Ev]
-    val q = LateCapture.sessionWithLateness(in.toDS(), gapUs, latenessUs).toDF()
+    val q = LateCapture.sessionWithLateness(in.toDS(), gapUs, latenessUs,
+        perElement = perElement).toDF()
       .writeStream.format("memory").queryName(name).outputMode("append").start()
     try {
       batches.foreach { b => in.addData(b); q.processAllAvailable() }
@@ -108,6 +110,47 @@ class LatenessRefireSpec extends SparkSuite {
         b._2 <= a._3 && a._2 <= b._3)
     }.map(r => (r._2, r._3, r._5)).toSet
     assert(finals == Set((5L, 40L, 4L), (100L, 110L, 1L)), s"finals $finals")
+  }
+
+  test("per-element session mode: each late row fires its own merged extent (reference cadence)") {
+    // Same bridge scenario as above, but per-element (the reference's
+    // WindowOperator.processElement → EventTimeTrigger.onElement FIRE
+    // on merged windows): e5 fires the A+e5 merge on its own, then e4
+    // fires the full bridge — TWO firings with different extents where
+    // the coalesced mode emits one. Window identity changes across the
+    // merges, which is exactly what the firing log must surface.
+    val got = runSession("t_sessref_pe1", 10L * Sec, 200L * Sec, Seq(
+      Seq(ev(1, 1, 5), ev(2, 1, 30), ev(3, 1, 100)), // wm -> 100
+      // processed in (ts, id) order: e5@12 first, then e4@20
+      Seq(ev(4, 1, 20, 2.0), ev(5, 1, 12, 3.0))
+    ), perElement = true)
+    assert(got.toSet == Set(
+      ("agg", 5L, 15L, 0L, 1L, 100L, -1L),     // A on-time firing
+      ("agg", 30L, 40L, 1L, 1L, 100L, -1L),    // B on-time firing
+      ("update", 5L, 22L, 2L, 2L, 400L, -1L),  // e5 fires A+e5 alone
+      ("update", 5L, 40L, 3L, 4L, 700L, -1L),  // e4 fires the full bridge
+      ("agg", 100L, 110L, 4L, 1L, 100L, -1L)   // e3 at the sentinel
+    ), s"got $got")
+    // supersession still recovers the batch islands from the log
+    val finals = got.filter(_._1 != "late").filter { a =>
+      !got.exists(b => b._1 != "late" && b._4 > a._4 &&
+        b._2 <= a._3 && a._2 <= b._3)
+    }.map(r => (r._2, r._3, r._5)).toSet
+    assert(finals == Set((5L, 40L, 4L), (100L, 110L, 1L)), s"finals $finals")
+  }
+
+  test("per-element session mode: a late row into a NOT-due session accumulates silently") {
+    // gap 10s, lateness 200s: e4@95 merges into e3's session [95,120)
+    // (e3@100 + e5@110) whose end 120 > wm 110 — no per-element firing;
+    // the merged session fires ONCE at the sentinel with everything
+    val got = runSession("t_sessref_pe2", 10L * Sec, 200L * Sec, Seq(
+      Seq(ev(1, 1, 5), ev(3, 1, 100), ev(5, 1, 110)), // wm -> 110
+      Seq(ev(4, 1, 95, 2.0))
+    ), perElement = true)
+    assert(got.toSet == Set(
+      ("agg", 5L, 15L, 0L, 1L, 100L, -1L),
+      ("agg", 95L, 120L, 1L, 3L, 400L, -1L) // merged, fired once at sentinel
+    ), s"got $got")
   }
 
   test("a beyond-lateness row is captured; sessions evict at end + lateness") {

@@ -282,6 +282,25 @@ class StreamPropertySpec extends SparkSuite {
         .oneOrMore("bs", _.event_type == "b")
         .allowCombinations()
         .followedBy("c", _.event_type == "c").within(W),
+      // QUANTIFIED INCREMENTAL patterns (round 15): one loop step with
+      // a mandatory disjoint tail takes the incremental matcher's
+      // loop handling — reluctant relaxed oneOrMore via first-closing
+      // dominance, strict greedy via the single extender. Disjoint
+      // predicates make the preferred binding split-invariant, so the
+      // random-split stream must equal the batch matcher exactly.
+      "relaxed_plus_tail_incremental" -> Cep.Pattern.begin("a", _.event_type == "a")
+        .oneOrMore("bs", _.event_type == "b")
+        .followedBy("c", _.event_type == "c").within(W),
+      "relaxed_plus_tail_skip_incremental" -> Cep.Pattern.begin("a", _.event_type == "a")
+        .oneOrMore("bs", _.event_type == "b")
+        .followedBy("c", _.event_type == "c").within(W)
+        .afterMatchSkip(Cep.SkipPastLast),
+      "zstar_strict_tail_incremental" -> Cep.Pattern.begin("a", _.event_type == "a")
+        .zeroOrMoreNext("bs", _.event_type == "b")
+        .followedBy("c", _.event_type == "c").within(W),
+      "times_or_more_incremental" -> Cep.Pattern.begin("a", _.event_type == "a")
+        .timesOrMore("bs", _.event_type == "b", 2)
+        .followedBy("c", _.event_type == "c").within(W),
       // RELAXED timesRange WITH emitOnHorizon(): matches hold until
       // the watermark closes the start's within window, so the
       // emitted preference is computed over the complete horizon —
