@@ -110,4 +110,26 @@ object Rescale {
    * newer events, exactly as live ones. */
   def resumeKeepLast(stream: Dataset[Ev], savepoint: Dataset[Ev]): Dataset[Ev] =
     TwsOps.keepLastByUserSeeded(stream, savepoint)
+
+  /** Queryable-state POINT READ (the reference's
+   * `flink-queryable-state` QueryableStateClient.getKvState, at the
+   * nearest Spark-native equivalent): look up ONE key's current state
+   * in a (running or stopped) query's checkpoint. The state source
+   * prunes to the key's store partition via the pushed filter; the
+   * result is the key's raw value struct as of the last committed
+   * batch — the same read-committed snapshot semantics the reference's
+   * queryable state serves. `stateVarName` as in [[savepointRead]]
+   * (None for flatMapGroupsWithState operators, whose single state is
+   * unnamed). */
+  def pointRead(spark: SparkSession, ckpt: String, key: Any,
+      stateVarName: Option[String] = None): Option[org.apache.spark.sql.Row] = {
+    var r = spark.read.format("statestore")
+    stateVarName.foreach(v => r = r.option("stateVarName", v))
+    // a deliberate single-row driver read — the point lookup IS the
+    // operation, exactly one key's value crosses to the caller
+    r.load(ckpt)
+      .filter(col("key.value") === lit(key))
+      .select(col("value"))
+      .head(1).headOption.map(_.getStruct(0))
+  }
 }

@@ -72,6 +72,19 @@ class RescaleSpec extends SparkSuite {
     assert(parts.size <= 2, s"old layout leaked: $parts")
   }
 
+  test("queryable-state point read: one key's live value out of a checkpoint") {
+    val ss = sessionAt(2)
+    val ckpt = Files.createTempDirectory("graft_rsc_pr").toString
+    runTotals(ss, evsA, ckpt, None)
+    // key 10 folded two events (150 cents); generic path, no projection
+    val got = Rescale.pointRead(ss, ckpt, 10L, Some("totals"))
+    assert(got.isDefined, "key 10 must be present")
+    val v = got.get
+    assert(v.getAs[Long]("n") == 2L && v.getAs[Long]("cents") == 150L, s"got $v")
+    // a key the query never saw
+    assert(Rescale.pointRead(ss, ckpt, 99L, Some("totals")).isEmpty)
+  }
+
   test("resume at a wider parallelism: keys redistribute and totals continue, not restart") {
     val old = sessionAt(2)
     val ckptOld = Files.createTempDirectory("graft_rsc_old").toString
