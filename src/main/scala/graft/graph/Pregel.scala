@@ -312,16 +312,26 @@ object Pregel {
    *
    * Scale: two-paths are generated by joining the adjacency list with
    * itself ON THE COMMON NEIGHBOR — Σ deg(z)² pairs, the same bound as
-   * the reference's group-span approach; a degree cap (reference
-   * groupSize spans) is the refinement if hubs dominate. No all-pairs
-   * stage. */
-  def jaccardIndex(edges: DataFrame): DataFrame = {
+   * the reference's group-span approach. `maxMediatorDegree` excludes
+   * super-hub vertices from MEDIATING pairs (they still appear as pair
+   * endpoints): both the wedge stage and the OUTPUT of pair similarity
+   * are Σ C(deg(z),2), quadratic in hub degree, and a corpus whose hub
+   * degrees grow with size (the sf10 derived graph: 150 fixed buckets ×
+   * 100× the users) makes the result itself unboundedly larger than
+   * the input. Same convention as the dedup family's hot-shingle
+   * docfreq cap: the cap is far above any real degree at gate scales
+   * (binds only when hubs dominate), and the oracle applies the
+   * identical cap. */
+  def jaccardIndex(edges: DataFrame, maxMediatorDegree: Long = Long.MaxValue): DataFrame = {
     val undirected = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = undirected.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val mediators = deg.filter(col("deg") <= maxMediatorDegree)
+      .select(col("id").as("z"))
     val n1 = undirected.select(col("src").as("z"), col("dst").as("a"))
+      .join(mediators, Seq("z"))
     val n2 = undirected.select(col("src").as("z"), col("dst").as("b"))
     val shared = n1.join(n2, Seq("z")).filter(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
@@ -344,7 +354,7 @@ object Pregel {
    * engines hash-match (the same determinism trick as the
    * embedding-cosine family). deg(z) ≥ 2 for every common neighbor by
    * construction, so ln never hits zero. */
-  def adamicAdar(edges: DataFrame): DataFrame = {
+  def adamicAdar(edges: DataFrame, maxMediatorDegree: Long = Long.MaxValue): DataFrame = {
     val undirected = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -352,13 +362,18 @@ object Pregel {
     val weighted = undirected
       .groupBy(col("src").as("z")).agg(count(lit(1)).as("deg"))
       // deg-1 vertices can never be a COMMON neighbor, and ln(1) = 0
-      // would divide by zero — drop them before the weight compute
-      .filter(col("deg") >= 2)
+      // would divide by zero — drop them before the weight compute.
+      // The mediator-degree cap bounds wedge AND output volume on
+      // hub-dominated graphs — see jaccardIndex's scaladoc; a capped
+      // hub contributes ~0 score anyway (1/ln(deg) → 0 as deg grows).
+      .filter(col("deg") >= 2 && col("deg") <= maxMediatorDegree)
       .select(col("z"), floor(lit(10000000L) / log(col("deg"))).cast("bigint").as("wq"))
+    // weight join BEFORE the wedge self-join: the cap must prune
+    // super-hub mediators ahead of the quadratic pair stage
     val n1 = undirected.select(col("src").as("z"), col("dst").as("a"))
+      .join(weighted, Seq("z"))
     val n2 = undirected.select(col("src").as("z"), col("dst").as("b"))
     val out = n1.join(n2, Seq("z")).filter(col("a") < col("b"))
-      .join(weighted, Seq("z"))
       .groupBy(col("a"), col("b")).agg(sum(col("wq")).as("score_q"))
       .localCheckpoint()
     undirected.unpersist()

@@ -141,17 +141,22 @@ object GraphQueries extends QueryPack {
 
     // Jaccard index per vertex pair with >= 1 shared neighbor
     // (reference Gelly JaccardIndex): exact integer (shared, union)
-    // counts, no float trust needed.
+    // counts, no float trust needed. Mediator-degree cap 1000: far
+    // above any real degree through sf1 (max 62 at sf0.1), binds only
+    // when fixed-bucket hubs accumulate 100× the users (sf10) — where
+    // uncapped pair output is quadratic in hub degree. Oracle applies
+    // the identical cap.
     "graph_jaccard_index" -> ((s, dir) => {
-      Pregel.jaccardIndex(generalEdges(s, dir))
+      Pregel.jaccardIndex(generalEdges(s, dir), maxMediatorDegree = 1000L)
         .orderBy(col("a"), col("b"))
     }),
 
     // Adamic-Adar similarity (reference Gelly AdamicAdar): per-pair
     // sum of 1/ln(deg) over common neighbors, each weight quantized to
-    // the 1e-7 grid before the exact integer sum.
+    // the 1e-7 grid before the exact integer sum. Same mediator cap as
+    // graph_jaccard_index (capped hubs contribute ~0 score by 1/ln).
     "graph_adamic_adar" -> ((s, dir) => {
-      Pregel.adamicAdar(generalEdges(s, dir))
+      Pregel.adamicAdar(generalEdges(s, dir), maxMediatorDegree = 1000L)
         .orderBy(col("a"), col("b"))
     }),
 
@@ -454,8 +459,10 @@ object GraphQueries extends QueryPack {
       edges AS (SELECT lo AS src, hi AS dst FROM ed
                 UNION SELECT hi, lo FROM ed),
       deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY 1),
+      medge AS (SELECT e.src, e.dst FROM edges e
+                JOIN deg dm ON e.src = dm.id AND dm.deg <= 1000),
       shared AS (SELECT n1.dst AS a, n2.dst AS b, count(*) AS shared
-                 FROM edges n1 JOIN edges n2
+                 FROM medge n1 JOIN edges n2
                    ON n1.src = n2.src AND n1.dst < n2.dst
                  GROUP BY 1, 2)
       SELECT a, b, shared, da.deg + db.deg - shared AS denom
@@ -471,12 +478,14 @@ object GraphQueries extends QueryPack {
       edges AS (SELECT lo AS src, hi AS dst FROM ed
                 UNION SELECT hi, lo FROM ed),
       wq AS (SELECT src AS z, CAST(floor(10000000 / ln(count(*))) AS BIGINT) AS wq
-             FROM edges GROUP BY src HAVING count(*) >= 2),
-      tp AS (SELECT n1.src AS z, n1.dst AS a, n2.dst AS b
-             FROM edges n1 JOIN edges n2
+             FROM edges GROUP BY src
+             HAVING count(*) >= 2 AND count(*) <= 1000),
+      tp AS (SELECT w.z, w.wq, n1.dst AS a, n2.dst AS b
+             FROM wq w JOIN edges n1 ON n1.src = w.z
+                       JOIN edges n2
                ON n1.src = n2.src AND n1.dst < n2.dst)
       SELECT a, b, CAST(sum(wq) AS BIGINT) AS score_q
-      FROM tp JOIN wq USING (z)
+      FROM tp
       GROUP BY 1, 2 ORDER BY a, b""",
     "graph_edge_metrics" -> """
       WITH raw AS (

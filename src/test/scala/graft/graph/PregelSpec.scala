@@ -139,6 +139,25 @@ class PregelSpec extends SparkSuite {
     assert(!r.contains((1L, 2L)))
   }
 
+  test("mediator-degree cap prunes super-hub wedges, keeps full degrees in denom") {
+    import spark.implicits._
+    // star center 9 links 1..4 (degree 4 — over the cap of 3); 1 and 2
+    // also share the small mediator 10 (degree 2)
+    val e = Seq((1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L), (1L, 10L), (2L, 10L))
+      .toDF("src", "dst")
+    val r = Pregel.jaccardIndex(e, maxMediatorDegree = 3L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    // 3,4 share only the capped hub -> pruned entirely
+    assert(!r.contains((3L, 4L)))
+    // 1,2 keep the small mediator; denom uses FULL degrees (2 + 2 - 1)
+    assert(r((1L, 2L)) == ((1L, 3L)))
+    val aa = Pregel.adamicAdar(e, maxMediatorDegree = 3L)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(!aa.contains((3L, 4L)))
+    assert(aa((1L, 2L)) == math.floor(1e7 / math.log(2)).toLong)
+  }
+
   test("adamic-adar weights common neighbors by 1/ln(degree), quantized") {
     import spark.implicits._
     // 1 and 2 share z=10 (degree 2) and z=20 (degree 3: also joins 3)
