@@ -55,15 +55,37 @@ object StreamOps {
     else sdf
   }
 
-  /** Run a streaming frame through a memory sink until all available
-   * input is consumed (Trigger.AvailableNow); returns the sink as a
-   * batch DataFrame for downstream batch post-processing / ordering. */
+  /** Run a streaming frame to completion (Trigger.AvailableNow) and
+   * return its full output as a batch DataFrame.
+   *
+   * Sink choice is a SCALE decision: the memory sink serializes every
+   * output row to the driver (the r15 sf10 sweep broke it — a 10M-row
+   * changelog blew spark.driver.maxResultSize), so this writes each
+   * micro-batch to a parquet spool from the EXECUTORS via foreachBatch
+   * — output volume never crosses the driver, the same reason a real
+   * deployment ends in a file/Kafka sink rather than collect().
+   * append/update accumulate batches (exactly the rows those modes
+   * emit); complete keeps the last batch's full table (what the memory
+   * sink's truncate-per-batch leaves behind). */
   def runToBatch(spark: SparkSession, sdf: DataFrame, mode: String, prefix: String): DataFrame = {
     val name = freshName(prefix)
-    val q = sdf.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_sink_$name")
+    val out = dir.resolve("out").toString
+    val writeMode = if (mode == "complete") "overwrite" else "append"
+    val q = sdf.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.write.mode(writeMode).parquet(out): Unit
+      }
+      .outputMode(mode).trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .start()
     q.awaitTermination()
-    spark.table(name)
+    // a stream may legitimately fire zero batches (no input): surface
+    // that as an empty frame with the stream's own schema
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(out)))
+      spark.read.schema(sdf.schema).parquet(out)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sdf.schema)
   }
 
   /** The events stream as a typed Dataset[Ev] (event time in micros). */

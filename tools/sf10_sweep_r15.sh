@@ -15,7 +15,7 @@ set -uo pipefail
 cd /root/repo
 OUT=.data/verify_sf10_r15
 SF=.data/sf10
-CHUNKS="c3_text c4_graph c2_match_state c1a_stream c1b_stream c1c_cep c6_sim c5_misc c7_flood"
+CHUNKS="${SWEEP_CHUNKS:-c3_text c4_graph c2_match_state c1a_stream c1b_stream c1c_cep c6_sim c5_misc c7_flood}"
 
 if [[ "${ORACLE_FOLLOW:-}" == "1" ]]; then
   LOG=.data/sf10_r15_oracle.log
@@ -37,7 +37,7 @@ echo "== sweep start $(date -u +%H:%M:%S)" | tee -a "$LOG"
 for chunk in $CHUNKS; do
   names=$(python3 -c "import json;print(' '.join(json.load(open('.data/sf10_chunks.json'))['$chunk']))")
   echo "== $chunk verify start $(date -u +%H:%M:%S)" | tee -a "$LOG"
-  GRAFT_CLASSES=.data/classes_r15b SPARK_GRAFT_CPUS=24 SPARK_LOCAL_DIRS=/tmp/spark_sf10 \
+  GRAFT_CLASSES="${SWEEP_CLASSES:-.data/classes_r15b}" SPARK_GRAFT_CPUS=24 SPARK_LOCAL_DIRS=/tmp/spark_sf10 \
     timeout 7200 tools/run_main.sh -mem 40g graft.Verify "$SF" "$OUT" $names \
     > ".data/sf10_r15_${chunk}.out" 2>&1
   rc=$?
