@@ -243,21 +243,21 @@ object GraphQueries extends QueryPack {
       tmap AS (SELECT event_type,
                       -CAST(dense_rank() OVER (ORDER BY event_type) AS BIGINT) AS tid
                FROM types),
-      e0 AS (SELECT DISTINCT e.user_id AS src, t.tid AS dst
+      e0 AS MATERIALIZED (SELECT DISTINCT e.user_id AS src, t.tid AS dst
              FROM events e JOIN tmap t USING (event_type)),
-      edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      edges AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
       v AS (SELECT DISTINCT user_id AS id FROM events
             UNION SELECT tid FROM tmap),
-      l0 AS (SELECT id, id AS label FROM v),
-      l1 AS (SELECT l.id, least(l.label, coalesce(m.nl, l.label)) AS label
+      l0 AS MATERIALIZED (SELECT id, id AS label FROM v),
+      l1 AS MATERIALIZED (SELECT l.id, least(l.label, coalesce(m.nl, l.label)) AS label
              FROM l0 l LEFT JOIN (SELECT e.dst AS id, min(x.label) AS nl
                                   FROM edges e JOIN l0 x ON e.src = x.id
                                   GROUP BY e.dst) m ON l.id = m.id),
-      l2 AS (SELECT l.id, least(l.label, coalesce(m.nl, l.label)) AS label
+      l2 AS MATERIALIZED (SELECT l.id, least(l.label, coalesce(m.nl, l.label)) AS label
              FROM l1 l LEFT JOIN (SELECT e.dst AS id, min(x.label) AS nl
                                   FROM edges e JOIN l1 x ON e.src = x.id
                                   GROUP BY e.dst) m ON l.id = m.id),
-      l3 AS (SELECT l.id, least(l.label, coalesce(m.nl, l.label)) AS label
+      l3 AS MATERIALIZED (SELECT l.id, least(l.label, coalesce(m.nl, l.label)) AS label
              FROM l2 l LEFT JOIN (SELECT e.dst AS id, min(x.label) AS nl
                                   FROM edges e JOIN l2 x ON e.src = x.id
                                   GROUP BY e.dst) m ON l.id = m.id),
