@@ -609,27 +609,27 @@ object GraphQueries extends QueryPack {
       tmap AS (SELECT event_type,
                       -CAST(dense_rank() OVER (ORDER BY event_type) AS BIGINT) AS tid
                FROM types),
-      e0 AS (SELECT DISTINCT e.user_id AS src, t.tid AS dst
+      e0 AS MATERIALIZED (SELECT DISTINCT e.user_id AS src, t.tid AS dst
              FROM events e JOIN tmap t USING (event_type)),
-      edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
-      d0 AS (SELECT CAST(-1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist),
-      d1 AS (SELECT id, min(dist) AS dist FROM (
+      edges AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      d0 AS MATERIALIZED (SELECT CAST(-1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist),
+      d1 AS MATERIALIZED (SELECT id, min(dist) AS dist FROM (
                SELECT id, dist FROM d0 UNION ALL
                SELECT e.dst, x.dist + 1 FROM edges e JOIN d0 x ON e.src = x.id
              ) GROUP BY id),
-      d2 AS (SELECT id, min(dist) AS dist FROM (
+      d2 AS MATERIALIZED (SELECT id, min(dist) AS dist FROM (
                SELECT id, dist FROM d1 UNION ALL
                SELECT e.dst, x.dist + 1 FROM edges e JOIN d1 x ON e.src = x.id
              ) GROUP BY id),
-      d3 AS (SELECT id, min(dist) AS dist FROM (
+      d3 AS MATERIALIZED (SELECT id, min(dist) AS dist FROM (
                SELECT id, dist FROM d2 UNION ALL
                SELECT e.dst, x.dist + 1 FROM edges e JOIN d2 x ON e.src = x.id
              ) GROUP BY id),
-      d4 AS (SELECT id, min(dist) AS dist FROM (
+      d4 AS MATERIALIZED (SELECT id, min(dist) AS dist FROM (
                SELECT id, dist FROM d3 UNION ALL
                SELECT e.dst, x.dist + 1 FROM edges e JOIN d3 x ON e.src = x.id
              ) GROUP BY id),
-      d5 AS (SELECT id, min(dist) AS dist FROM (
+      d5 AS MATERIALIZED (SELECT id, min(dist) AS dist FROM (
                SELECT id, dist FROM d4 UNION ALL
                SELECT e.dst, x.dist + 1 FROM edges e JOIN d4 x ON e.src = x.id
              ) GROUP BY id),
