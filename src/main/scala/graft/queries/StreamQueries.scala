@@ -2332,38 +2332,43 @@ object StreamQueries extends QueryPack {
                     count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
              FROM ots GROUP BY user_id, sid
              HAVING max(us) + 1800000000 <= (SELECT wm1 FROM wmv)),
-      lat AS (SELECT * FROM e2 WHERE NOT ontime),
-      p2 AS (
-        SELECT l.user_id, isl.ws_us, isl.we_us, isl.n, isl.sum_cents
-        FROM lat l, LATERAL (
-          SELECT min(us) AS ws_us, max(us) + 1800000000 AS we_us,
-                 count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
-          FROM (SELECT *, sum(brk) OVER (ORDER BY us, event_id
-                                         ROWS UNBOUNDED PRECEDING) AS sid
-                FROM (SELECT us, event_id, cents,
-                        CASE WHEN lag(us) OVER w IS NULL
-                              OR us - lag(us) OVER w > 1800000000
-                        THEN 1 ELSE 0 END AS brk
-                      FROM e2 r
-                      WHERE r.user_id = l.user_id
-                        AND (r.ontime OR r.us < l.us
-                             OR (r.us = l.us AND r.event_id <= l.event_id))
-                      WINDOW w AS (ORDER BY us, event_id)) t1) s
-          WHERE s.sid = (SELECT s2.sid
-                         FROM (SELECT event_id, sum(brk) OVER (ORDER BY us, event_id
-                                         ROWS UNBOUNDED PRECEDING) AS sid
-                               FROM (SELECT us, event_id,
-                                       CASE WHEN lag(us) OVER w IS NULL
-                                             OR us - lag(us) OVER w > 1800000000
-                                       THEN 1 ELSE 0 END AS brk
-                                     FROM e2 r2
-                                     WHERE r2.user_id = l.user_id
-                                       AND (r2.ontime OR r2.us < l.us
-                                            OR (r2.us = l.us AND r2.event_id <= l.event_id))
-                                     WINDOW w AS (ORDER BY us, event_id)) t2) s2
-                         WHERE s2.event_id = l.event_id)
-        ) isl
-        WHERE isl.we_us <= (SELECT wm1 FROM wmv)),
+      -- Per-element late firings in CLOSED FORM: late rows arrive in
+      -- (us, event_id) order and all precede every on-time row in event
+      -- time, so the merged session firing for late row l is exactly
+      -- the prefix of l's STATIC late-island up to l, plus the FIRST
+      -- on-time island iff its head is within the gap of l. The naive
+      -- spelling (a LATERAL prefix re-scan per late row) is quadratic:
+      -- at sf10 it spilled DuckDB past the machine's disk.
+      lisl AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+               FROM (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                                     OR us - lag(us) OVER w > 1800000000
+                               THEN 1 ELSE 0 END AS brk
+                     FROM e2 WHERE NOT ontime
+                     WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)) t),
+      lpref AS (SELECT user_id, event_id, us,
+                  min(us) OVER isl AS chain_ws,
+                  count(*) OVER isl AS chain_n,
+                  sum(cents) OVER isl AS chain_cents
+                FROM lisl
+                WINDOW isl AS (PARTITION BY user_id, sid ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING)),
+      ofirst AS (SELECT user_id, min(us) AS o1_us, max(us) AS o1_max,
+                        count(*) AS o1_n, CAST(sum(cents) AS BIGINT) AS o1_cents
+                 FROM ots WHERE sid = 1 GROUP BY user_id),
+      p2 AS (SELECT user_id, ws_us, we_us, n, sum_cents FROM (
+               SELECT l.user_id, l.chain_ws AS ws_us,
+                      CASE WHEN o.o1_us IS NOT NULL AND o.o1_us - l.us <= 1800000000
+                           THEN o.o1_max + 1800000000
+                           ELSE l.us + 1800000000 END AS we_us,
+                      l.chain_n + CASE WHEN o.o1_us IS NOT NULL
+                                        AND o.o1_us - l.us <= 1800000000
+                                   THEN o.o1_n ELSE 0 END AS n,
+                      CAST(l.chain_cents + CASE WHEN o.o1_us IS NOT NULL
+                                                 AND o.o1_us - l.us <= 1800000000
+                                            THEN o.o1_cents ELSE 0 END AS BIGINT) AS sum_cents
+               FROM lpref l LEFT JOIN ofirst o ON l.user_id = o.user_id) q
+             WHERE we_us <= (SELECT wm1 FROM wmv)),
       als AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
                                        ROWS UNBOUNDED PRECEDING) AS sid
               FROM (SELECT *, CASE WHEN lag(us) OVER w IS NULL
