@@ -741,45 +741,59 @@ object CepQueries extends QueryPack {
         SELECT event_id, event_type, value,
                epoch_us(CAST(ts AS TIMESTAMP)) AS us
         FROM events),
-      c AS (SELECT * FROM e WHERE event_type = 'click' AND value < 1),
-      m AS (
-        SELECT c.event_id AS a_id, c.us AS a_us,
-               (SELECT v.event_id FROM e v
-                WHERE v.event_type = 'view'
-                  AND (v.us > c.us OR (v.us = c.us AND v.event_id > c.event_id))
-                  AND v.us - c.us <= 43200000000
-                ORDER BY v.us, v.event_id LIMIT 1) AS v_id
-        FROM c),
-      mv AS (
-        SELECT m.a_id, m.a_us, m.v_id, v.us AS v_us
-        FROM m JOIN e v ON v.event_id = m.v_id),
-      mb AS (
-        SELECT mv.a_id, mv.v_id,
-               (SELECT p.event_id FROM e p
-                WHERE p.event_type = 'purchase' AND p.value > 300
-                  AND (p.us > mv.v_us OR (p.us = mv.v_us AND p.event_id > mv.v_id))
-                  AND p.us - mv.a_us <= 43200000000
-                ORDER BY p.us, p.event_id LIMIT 1) AS b_id
-        FROM mv)
-      SELECT a_id, v_id, b_id FROM mb
-      WHERE b_id IS NOT NULL ORDER BY a_id""",
+      -- Next-qualifying-row CLOSED FORM: 'first view / first qualifying
+      -- purchase strictly after (us, event_id)' is one IGNORE NULLS
+      -- window over the reverse frame of the sorted stream. The
+      -- correlated LIMIT-1 spelling decorrelates into clicks x every
+      -- candidate inside the 12h horizon - quadratic in time DENSITY
+      -- (x100 at sf10 on both axes; ENOSPC'd DuckDB's spill). The
+      -- first-after row either satisfies the horizon bound or nothing
+      -- later can, so the bound becomes a plain post-filter.
+      nxt AS MATERIALIZED (
+        SELECT event_id, event_type, value, us,
+               first_value(CASE WHEN event_type = 'view'
+                                THEN struct_pack(us := us, id := event_id) END
+                           IGNORE NULLS) OVER aft AS nv,
+               first_value(CASE WHEN event_type = 'purchase' AND value > 300
+                                THEN struct_pack(us := us, id := event_id) END
+                           IGNORE NULLS) OVER aft AS np
+        FROM e
+        WINDOW aft AS (ORDER BY us, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+      a AS (SELECT event_id AS a_id, us AS a_us,
+                   struct_extract(nv, 'id') AS v_id
+            FROM nxt
+            WHERE event_type = 'click' AND value < 1 AND nv IS NOT NULL
+              AND struct_extract(nv, 'us') - us <= 43200000000),
+      mb AS (SELECT a.a_id, a.v_id, a.a_us, vv.np
+             FROM a JOIN nxt vv ON vv.event_id = a.v_id)
+      SELECT a_id, v_id, struct_extract(np, 'id') AS b_id
+      FROM mb
+      WHERE np IS NOT NULL
+        AND struct_extract(np, 'us') - a_us <= 43200000000
+      ORDER BY a_id""",
     "stream_cep_hotkey_flood" -> """
       WITH e AS (
         SELECT event_id, event_type, value,
                epoch_us(CAST(ts AS TIMESTAMP)) AS us
         FROM events),
-      c AS (SELECT * FROM e WHERE event_type = 'click' AND value < 1),
-      m AS (
-        SELECT c.event_id AS a_id,
-               (SELECT p.event_id FROM e p
-                WHERE p.event_type = 'purchase' AND p.value > 300
-                  AND (p.us > c.us OR (p.us = c.us AND p.event_id > c.event_id))
-                  AND p.us - c.us <= 43200000000
-                ORDER BY p.us, p.event_id LIMIT 1) AS b_id
-        FROM c)
-      SELECT a_id, b_id,
-             CASE WHEN b_id IS NULL THEN 'timeout' ELSE 'match' END AS kind
-      FROM m ORDER BY a_id""",
+      nxt AS (
+        SELECT event_id, event_type, value, us,
+               first_value(CASE WHEN event_type = 'purchase' AND value > 300
+                                THEN struct_pack(us := us, id := event_id) END
+                           IGNORE NULLS) OVER aft AS np
+        FROM e
+        WINDOW aft AS (ORDER BY us, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+      SELECT event_id AS a_id,
+             CASE WHEN np IS NOT NULL
+                   AND struct_extract(np, 'us') - us <= 43200000000
+                  THEN struct_extract(np, 'id') END AS b_id,
+             CASE WHEN np IS NULL
+                   OR struct_extract(np, 'us') - us > 43200000000
+                  THEN 'timeout' ELSE 'match' END AS kind
+      FROM nxt
+      WHERE event_type = 'click' AND value < 1 ORDER BY a_id""",
     "match_recognize_agg_measures" -> """
       WITH o AS (
         SELECT user_id, event_id, event_type, ts,

@@ -277,9 +277,10 @@ object SimilarityQueries extends QueryPack {
     }),
 
     // SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023): cluster the
-    // corpus with k-means, mine near-duplicate pairs WITHIN each
-    // learned cell (banded random-hyperplane LSH → exact cosine
-    // verify — never all-pairs), connect pairs into duplicate groups,
+    // corpus with k-means, mine near-duplicate STAR edges WITHIN each
+    // learned cell (banded random-hyperplane LSH buckets → bucket-min
+    // star → exact cosine verify — never all-pairs, never a clique),
+    // connect the verified edges into duplicate groups,
     // and keep ONE representative per group — the member FARTHEST
     // from its cell centroid (the paper's low-centroid-similarity
     // rule; ties → smaller vec_id). Differs from
@@ -301,13 +302,25 @@ object SimilarityQueries extends QueryPack {
       val banded = a1
         .withColumn("band", explode(expr("sequence(0, 5)")))
         .withColumn("sig", bandSigCol(bits))
-      val aSide = banded.select(col("cell"), col("band"), col("sig"),
-        col("vec_id").as("id_a"), col("qe").as("qv"), col("nrm").as("qn"))
-      val bSide = banded.select(col("cell"), col("band"), col("sig"),
-        col("vec_id").as("id_b"), col("qe"), col("nrm").as("cn"))
-      val edges = aSide.join(bSide, Seq("cell", "band", "sig"))
-        .filter(col("id_a") < col("id_b"))
+      // STAR edges per (cell, band, sig) bucket — the same move
+      // dedup_embedding_cosine made after the r14 sf10 sweep: all-pairs
+      // within a bucket is quadratic in TRUE dup-cluster size (clusters
+      // grow with the corpus by design and collide at any signature
+      // width; this gate's all-pairs form spilled >75 GB at 200k
+      // vectors), while the bucket-min star keeps the bucket-level
+      // connectivity the label-prop cascade needs at k−1 edges. Pairs
+      // dedup as slim ids; vectors re-join AFTER the dedup.
+      val mins = banded.groupBy(col("cell"), col("band"), col("sig"))
+        .agg(min(col("vec_id")).as("id_a"))
+      val cand = banded.select(col("cell"), col("band"), col("sig"), col("vec_id"))
+        .join(mins, Seq("cell", "band", "sig"))
+        .filter(col("vec_id") > col("id_a"))
+        .select(col("id_a"), col("vec_id").as("id_b"))
         .dropDuplicates("id_a", "id_b")
+      val v = quantized(s, dir)
+      val va = v.select(col("vec_id").as("id_a"), col("qe").as("qv"), col("nrm").as("qn"))
+      val vb = v.select(col("vec_id").as("id_b"), col("qe"), col("nrm").as("cn"))
+      val edges = cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
         .withColumn("dot", decDot("qv", "qe"))
         .withColumn("cos", cosine)
         .filter(col("cos") >= 0.3)
@@ -649,13 +662,23 @@ object SimilarityQueries extends QueryPack {
     val e = graft.FrameCache.cached(s, s"banded:$dir")(quantized(s, dir)
       .withColumn("band", explode(expr("sequence(0, 5)")))
       .withColumn("sig", bandSigCol(bits)))
-    val a = e.select(col("label"), col("band"), col("sig"), col("vec_id").as("id_a"),
-                     col("qe").as("qv"), col("nrm").as("qn"))
-    val b = e.select(col("label"), col("band"), col("sig"), col("vec_id").as("id_b"),
-                     col("qe"), col("nrm").as("cn"))
-    a.join(b, Seq("label", "band", "sig"))
+    // The candidate join and pair dedup carry IDS ONLY: true dup
+    // clusters collide in EVERY band (no signature width separates
+    // cos≈1 copies), so the pre-dedup pair stream is quadratic in
+    // cluster size — at sf10 carrying both 64-dim vectors through that
+    // shuffle spilled past the machine's disk. Slim pairs make the
+    // shuffle ~24 bytes/row; vectors re-join by id AFTER the dedup, so
+    // wide rows are output-proportional.
+    val a = e.select(col("label"), col("band"), col("sig"), col("vec_id").as("id_a"))
+    val b = e.select(col("label"), col("band"), col("sig"), col("vec_id").as("id_b"))
+    val cand = a.join(b, Seq("label", "band", "sig"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("label"), col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val v = quantized(s, dir)
+    val va = v.select(col("vec_id").as("id_a"), col("qe").as("qv"), col("nrm").as("qn"))
+    val vb = v.select(col("vec_id").as("id_b"), col("qe"), col("nrm").as("cn"))
+    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .withColumn("dot", decDot("qv", "qe"))
       .withColumn("cos", cosine)
       .filter(col("cos") >= 0.3)
@@ -1112,7 +1135,7 @@ object SimilarityQueries extends QueryPack {
              FROM d1),
       ac AS (SELECT vec_id, qe, nrm, cell, dist FROM a1 WHERE rn = 1),
       ${sigBitsSql("SELECT count(*) // 8 AS npl FROM e WHERE vec_id >= 8")},
-      eb AS (SELECT vec_id, cell, qe, nrm, band,
+      eb AS MATERIALIZED (SELECT vec_id, cell, qe, nrm, band,
                list_sum([CASE WHEN list_sum([qe[d] *
                    (CASE WHEN ((1103515245 * ((band * bits + p) * 1000 + d) + 12345) // 65536) % 2 = 0
                          THEN 1 ELSE -1 END)
@@ -1120,9 +1143,12 @@ object SimilarityQueries extends QueryPack {
                  THEN (1 << p) ELSE 0 END
                  for p in generate_series(0, bits - 1)]) AS sig
              FROM ac, params, generate_series(0, 5) AS t(band)),
-      cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-               FROM eb a JOIN eb b ON a.cell = b.cell AND a.band = b.band
-                 AND a.sig = b.sig AND a.vec_id < b.vec_id),
+      bm AS (SELECT cell, band, sig, min(vec_id) AS id_a
+             FROM eb GROUP BY cell, band, sig),
+      cand AS (SELECT DISTINCT bm.id_a, eb.vec_id AS id_b
+               FROM eb JOIN bm ON eb.cell = bm.cell AND eb.band = bm.band
+                 AND eb.sig = bm.sig
+               WHERE eb.vec_id > bm.id_a),
       p AS (SELECT c.id_a, c.id_b, ${dotSql("a.qe", "b.qe")} AS dot,
               a.nrm AS qn, b.nrm AS cn
             FROM cand c JOIN e a ON a.vec_id = c.id_a JOIN e b ON b.vec_id = c.id_b),

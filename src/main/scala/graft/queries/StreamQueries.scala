@@ -2614,26 +2614,50 @@ object StreamQueries extends QueryPack {
       HAVING count(*) = 5
       ORDER BY event_type, ws, fire_idx""",
     "stream_trigger_delta" -> """
-      WITH RECURSIVE r AS (
+      WITH RECURSIVE r AS MATERIALIZED (
+        -- MATERIALIZED: the recursive walk references the row table
+        -- every iteration and DuckDB re-inlines plain CTEs — at sf10
+        -- that recomputes the 10M-row double-window sort once per
+        -- iteration (hours) instead of probing a materialized table.
         SELECT event_type, time_bucket(INTERVAL 6 HOUR, ts) AS ws, event_id,
                CAST(floor(value * 100) AS BIGINT) AS cents,
                row_number() OVER w AS rn,
-               CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT) AS run_cents
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT) AS run_cents,
+               dense_rank() OVER (ORDER BY event_type, time_bucket(INTERVAL 6 HOUR, ts)) AS gid
         FROM events
         WINDOW w AS (PARTITION BY event_type, time_bucket(INTERVAL 6 HOUR, ts)
                      ORDER BY ts, event_id)),
+      -- The recursion advances every group one row per iteration, so
+      -- its cost is (max rows per group) x (probe of the row table).
+      -- Two reductions keep that tractable at scale: (a) the walk runs
+      -- over a NARROW integer-keyed projection, and (b) runs of equal
+      -- consecutive cents collapse to their first row — a row whose
+      -- cents equal its predecessor's can neither fire (same distance
+      -- to the inherited baseline; zero distance to a freshly-reset
+      -- one) nor move the baseline, so dropping it changes nothing
+      -- downstream. Fired rows keep their ORIGINAL rn/run_cents via
+      -- the final join back to r. At sf10 (21k-row groups of ~100-run
+      -- duplicates) this took the oracle from 68 min to seconds.
+      rw AS MATERIALIZED (
+        SELECT gid, rn, cents,
+               row_number() OVER (PARTITION BY gid ORDER BY rn) AS crn
+        FROM (SELECT gid, rn, cents,
+                     lag(cents) OVER (PARTITION BY gid ORDER BY rn) AS pc
+              FROM r) t0
+        WHERE pc IS NULL OR cents <> pc),
       walk AS (
-        SELECT event_type, ws, rn, cents AS baseline, FALSE AS fired, event_id, run_cents
-        FROM r WHERE rn = 1
+        SELECT gid, rn, crn, cents AS baseline, FALSE AS fired
+        FROM rw WHERE crn = 1
         UNION ALL
-        SELECT n.event_type, n.ws, n.rn,
+        SELECT n.gid, n.rn, n.crn,
                CASE WHEN abs(n.cents - w.baseline) > 15000 THEN n.cents ELSE w.baseline END,
-               abs(n.cents - w.baseline) > 15000, n.event_id, n.run_cents
-        FROM walk w JOIN r n
-          ON n.event_type = w.event_type AND n.ws = w.ws AND n.rn = w.rn + 1)
-      SELECT event_type, ws, event_id AS fire_id, CAST(rn AS BIGINT) AS n_at_fire,
-             run_cents AS cents_at_fire
-      FROM walk WHERE fired ORDER BY event_type, ws, rn""",
+               abs(n.cents - w.baseline) > 15000
+        FROM walk w JOIN rw n ON n.gid = w.gid AND n.crn = w.crn + 1)
+      SELECT r.event_type, r.ws, r.event_id AS fire_id,
+             CAST(r.rn AS BIGINT) AS n_at_fire,
+             r.run_cents AS cents_at_fire
+      FROM walk w JOIN r ON r.gid = w.gid AND r.rn = w.rn
+      WHERE w.fired ORDER BY r.event_type, r.ws, r.rn""",
     "stream_trigger_continuous" -> """
       WITH w AS (
         SELECT event_type, time_bucket(INTERVAL 6 HOUR, ts) AS ws, min(ts) AS mn
