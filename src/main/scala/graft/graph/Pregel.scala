@@ -44,6 +44,23 @@ object Pregel {
     org.apache.spark.sql.graft.SqlShim.checkpointRdd(df)
       .foreach(_.unpersist(blocking = false))
 
+  /** Hash-partition a loop-persisted edge frame on its per-round join
+   * key when `spark.graft.graph.partitionEdges=true` (guide §2.4): the
+   * iterative drivers below join the SAME edge frame every round, and a
+   * frame persisted with the join's partitioning is never re-exchanged
+   * — without it each round re-shuffles the edge side (the big side of
+   * a graph at scale: |E| ≫ |V|) while only the small vertex state
+   * changes. Default OFF: below the broadcast threshold the per-round
+   * joins broadcast the state side and never shuffle edges anyway, so
+   * the up-front repartition is pure overhead at bench scale (measured
+   * +20-35% per loop query at sf0.1); on a cluster where vertex state
+   * exceeds the broadcast threshold, set it to true. Plan shape under
+   * the flag is pinned by PregelPartitionSpec. */
+  private def partitionEdges(df: DataFrame, key: String): DataFrame =
+    if (df.sparkSession.conf.getOption("spark.graft.graph.partitionEdges")
+        .contains("true")) df.repartition(col(key))
+    else df
+
   /**
    * Generic Pregel / scatter-gather driver (reference Gelly
    * `Graph.runScatterGatherIteration` / `runGatherSumApplyIteration`,
@@ -87,10 +104,16 @@ object Pregel {
    * (labels = min vertex id in the component). Fixed rounds keep the
    * result exactly reproducible by the SQL oracle. */
   def minLabelPropagation(vertices: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
-    // undirected: send messages both ways
+    // undirected: send messages both ways. Persisted HASH-PARTITIONED
+    // ON src (the per-round join key): every round joins this frame on
+    // src, and a frame persisted with the join's partitioning is never
+    // re-exchanged — without it each round re-shuffles the (large at
+    // scale) edge side while only the (small) vertex-state side
+    // actually changes (guide §2.4: keyed ops share one exchange).
     val undirected = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .transform(partitionEdges(_, "src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val st = pregel(
       vertices.select(col("id"), col("id").as("state")), undirected, rounds,
@@ -115,8 +138,14 @@ object Pregel {
    */
   def pageRankFixed(vertices: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     val n = vertices.count()
-    val degEdges = edges
-      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
+    // One repartition(src) up front: the degree aggregate, the
+    // degree-attach join, AND every round's message join are all keyed
+    // on src, so they share this single exchange — the persisted frame
+    // keeps HashPartitioning(src) and rounds never re-shuffle the edge
+    // side (guide §2.4).
+    val pedges = partitionEdges(edges, "src")
+    val degEdges = pedges
+      .join(pedges.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val st = pregel(
       vertices.select(col("id"), lit(1000000000L / n).as("state")), degEdges, iters,
@@ -135,8 +164,10 @@ object Pregel {
    * graph (the fixed-point variant above is the hash-gated one). */
   def pageRank(vertices: DataFrame, edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
     val n = vertices.count().toDouble
-    val degEdges = edges
-      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
+    // same single-exchange layout as pageRankFixed
+    val pedges = partitionEdges(edges, "src")
+    val degEdges = pedges
+      .join(pedges.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val st = pregel(
       vertices.select(col("id"), lit(1.0 / n).as("state")), degEdges, iters,
@@ -164,9 +195,12 @@ object Pregel {
   def labelPropagationMostFrequent(vertices: DataFrame, edges: DataFrame,
       rounds: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // hash-partitioned on src, the per-round join key — see
+    // minLabelPropagation
     val undirected = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .transform(partitionEdges(_, "src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var state = vertices.select(col("id"), col("id").as("label"))
     var prevRound: Option[DataFrame] = None
@@ -210,9 +244,12 @@ object Pregel {
   def communityDetection(vertices: DataFrame, edges: DataFrame, rounds: Int,
       deltaQ: Long = 500000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // hash-partitioned on src, the per-round join key — see
+    // minLabelPropagation
     val undirected = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .transform(partitionEdges(_, "src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var state = vertices.select(col("id"), col("id").as("label"),
       lit(1000000L).as("scoreq"))
@@ -260,8 +297,19 @@ object Pregel {
    * the max is an AGGREGATE broadcast back into the plan (crossJoin of
    * a 1-row frame), never a driver collect. */
   def hitsFixed(edges: DataFrame, rounds: Int): DataFrame = {
+    // TWO persisted copies, one per join key: every round joins the
+    // edge list on src (auth step) AND on dst (hub step) — a copy
+    // hash-partitioned per key means neither join ever re-shuffles
+    // edges inside the loop (one extra |E| of storage buys 2·rounds
+    // edge shuffles; guide §2.4).
     val e = edges.select(col("src"), col("dst")).distinct()
+      .transform(partitionEdges(_, "src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val eByDst =
+      if (e.sparkSession.conf.getOption("spark.graft.graph.partitionEdges")
+          .contains("true"))
+        e.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+      else e
     val vertices = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id"))).distinct()
     var state = ckpt(vertices
@@ -281,7 +329,7 @@ object Pregel {
       val auth = authRaw.crossJoin(amax)
         .select(col("id"),
           expr("((araw div s) * 1000000000L) div (amax div s)").as("authq"))
-      val hubRaw = e
+      val hubRaw = eByDst
         .join(auth.select(col("id").as("dst"), col("authq").as("aq")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(sum(col("aq")).as("hraw"))
       val hmax = hubRaw.agg(max(col("hraw")).as("hmax"))
@@ -299,6 +347,7 @@ object Pregel {
       prevRound = Some(state)
     }
     e.unpersist()
+    eByDst.unpersist()
     state
   }
 

@@ -27,6 +27,36 @@ object DedupQueries extends QueryPack {
       MinHashLSH(Tables.load(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.5))
 
+  /** Shared core of `dedup_ngram_containment` / `dedup_ngram_jaccard`:
+   * both score the SAME blocked pairwise shingle intersections and
+   * differ only in the final threshold formula — so the capped shingle
+   * frame, per-doc sizes, and the intersection-count self-join compute
+   * once per session (FrameCache), not once per query. Previously each
+   * query re-ran the self-join behind its own `.persist()` (which also
+   * leaked: those per-query persists were never released). */
+  private def ngramPairCore(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val sh = graft.FrameCache.cached(s, s"ngram_sh2:$dir") {
+      val docs = Tables.load(s, dir, "documents")
+      val sh0 = MinHashLSH.shingles(docs, "doc_id", "text", n = 2)
+        .join(docs.select(col("doc_id").as("doc"), col("source")), Seq("doc"))
+      val hot = sh0.groupBy(col("shingle"))
+        .agg(countDistinct(col("doc")).as("docfreq"))
+        .filter(col("docfreq") > 50)
+        .select(col("shingle"))
+      sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
+    }
+    val inter = graft.FrameCache.cached(s, s"ngram_inter2:$dir") {
+      sh.select(col("source"), col("shingle"), col("doc").as("doc_a"))
+        .join(sh.select(col("source"), col("shingle"), col("doc").as("doc_b")),
+          Seq("source", "shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("ninter"))
+    }
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    (inter, sizes)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: canonical doc per normalized-content hash.
     "dedup_exact_text" -> ((s, dir) => {
@@ -133,21 +163,7 @@ object DedupQueries extends QueryPack {
     // Same shingle/hot-cap/equi-join infrastructure as the Jaccard
     // gate; the threshold compare is integer cross-multiplied.
     "dedup_ngram_containment" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val sh0 = MinHashLSH.shingles(docs, "doc_id", "text", n = 2)
-        .join(docs.select(col("doc_id").as("doc"), col("source")), Seq("doc"))
-      val hot = sh0.groupBy(col("shingle"))
-        .agg(countDistinct(col("doc")).as("docfreq"))
-        .filter(col("docfreq") > 50)
-        .select(col("shingle"))
-      val sh = sh0.join(broadcast(hot), Seq("shingle"), "left_anti").persist()
-      val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-      val inter = sh.select(col("source"), col("shingle"), col("doc").as("doc_a"))
-        .join(sh.select(col("source"), col("shingle"), col("doc").as("doc_b")),
-          Seq("source", "shingle"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("ninter"))
+      val (inter, sizes) = ngramPairCore(s, dir)
       inter
         .join(sizes.select(col("doc").as("doc_a"), col("n").as("na")), Seq("doc_a"))
         .join(sizes.select(col("doc").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
@@ -158,21 +174,7 @@ object DedupQueries extends QueryPack {
     }),
 
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val sh0 = MinHashLSH.shingles(docs, "doc_id", "text", n = 2)
-        .join(docs.select(col("doc_id").as("doc"), col("source")), Seq("doc"))
-      val hot = sh0.groupBy(col("shingle"))
-        .agg(countDistinct(col("doc")).as("docfreq"))
-        .filter(col("docfreq") > 50)
-        .select(col("shingle"))
-      val sh = sh0.join(broadcast(hot), Seq("shingle"), "left_anti").persist()
-      val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-      val inter = sh.select(col("source"), col("shingle"), col("doc").as("doc_a"))
-        .join(sh.select(col("source"), col("shingle"), col("doc").as("doc_b")),
-          Seq("source", "shingle"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("ninter"))
+      val (inter, sizes) = ngramPairCore(s, dir)
       inter
         .join(sizes.select(col("doc").as("doc_a"), col("n").as("na")), Seq("doc_a"))
         .join(sizes.select(col("doc").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
@@ -204,10 +206,18 @@ object DedupQueries extends QueryPack {
       val dup = wins.groupBy(col("win"))
         .agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df") > 1).select(col("win"))
+      // Materialized: dupPos feeds BOTH the n_dup_tokens aggregate and
+      // the keep-token anti-join; without persist the whole window
+      // explode → dup-window detect → span explode chain runs TWICE
+      // (the plan showed the 2.6M-window Generate four times). The
+      // frame itself is output-proportional — (doc_id, token_pos) for
+      // dup-covered tokens only — so materializing it is safe at any
+      // scale while the recompute is two extra full-corpus passes.
       val dupPos = wins.join(dup, Seq("win"))
         .select(col("doc_id"),
           explode(sequence(col("start"), col("start") + lit(k - 1))).as("p"))
         .distinct()
+        .persist()
       val toks = words
         .select(col("doc_id"), posexplode(col("w")))
         .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")

@@ -299,9 +299,16 @@ object SimilarityQueries extends QueryPack {
         lloydAssign(pts, cent0).withColumnRenamed("cid", "cell"))
       // width follows per-cell occupancy (8 learned cells)
       val bits = sigBits(pts.count() / 8L)
-      val banded = a1
+      // Slim banded signatures materialized ONCE per session: the frame
+      // feeds BOTH the bucket-min aggregate and the candidate probe, and
+      // bandSigCol is the most expensive expression in the query (bits ×
+      // dim integer ops per row per band) — without caching it computes
+      // twice. Projected to (vec_id, cell, band, sig) so the cached
+      // blocks carry no 64-dim vectors.
+      val banded = graft.FrameCache.cached(s, s"sembanded:$dir")(a1
         .withColumn("band", explode(expr("sequence(0, 5)")))
         .withColumn("sig", bandSigCol(bits))
+        .select(col("vec_id"), col("cell"), col("band"), col("sig")))
       // STAR edges per (cell, band, sig) bucket — the same move
       // dedup_embedding_cosine made after the r14 sf10 sweep: all-pairs
       // within a bucket is quadratic in TRUE dup-cluster size (clusters

@@ -480,6 +480,11 @@ object TextQueries extends QueryPack {
           Window.partitionBy(col("lang")).orderBy(col("c").desc, col("g"))))
         .filter(col("rn") <= 20)
         .select(col("lang").as("plang"), col("g"))
+      // r15 optimization note: joining the RAW occurrence stream against
+      // the broadcast profile first and distinct-counting after was
+      // measured SLOWER (7.0 s vs 3.9 s at sf0.1) — profile grams are by
+      // construction the most frequent ones, so the join multiplies the
+      // occurrence stream instead of thinning it; distinct-first stays.
       val docTris = tri.select(col("doc_id"), col("g")).distinct()
       val scores = docTris.join(broadcast(prof), Seq("g"))
         .groupBy(col("doc_id"), col("plang")).agg(count(lit(1)).as("hits"))

@@ -68,6 +68,10 @@ object StreamOps {
    * emit); complete keeps the last batch's full table (what the memory
    * sink's truncate-per-batch leaves behind). */
   def runToBatch(spark: SparkSession, sdf: DataFrame, mode: String, prefix: String): DataFrame = {
+    val t0 = System.nanoTime()
+    def mark(what: String): Unit =
+      if (sys.env.contains("SPARK_GRAFT_STREAM_TIMING"))
+        System.err.println(f"[stream-timing] $prefix $what ${(System.nanoTime() - t0) / 1e9}%.2f s")
     val name = freshName(prefix)
     val dir = java.nio.file.Files.createTempDirectory(s"graft_sink_$name")
     val out = dir.resolve("out").toString
@@ -79,7 +83,9 @@ object StreamOps {
       .outputMode(mode).trigger(Trigger.AvailableNow())
       .option("checkpointLocation", dir.resolve("ckpt").toString)
       .start()
+    mark("started")
     q.awaitTermination()
+    mark("stream done")
     // a stream may legitimately fire zero batches (no input): surface
     // that as an empty frame with the stream's own schema
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(out)))
