@@ -48,7 +48,7 @@ object FrameCache {
    * id — unlike identityHashCode, which the JVM may reuse). */
   private val ids = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, String]())
-  private def idOf(s: SparkSession): String =
+  private[graft] def idOf(s: SparkSession): String =
     ids.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
 
   /** Memoized `build`, persisted on first use. */

@@ -30,6 +30,28 @@ object StreamOps {
   private val ctr = new AtomicLong(0)
   def freshName(prefix: String): String = s"${prefix}_${ctr.incrementAndGet()}"
 
+  /** Session-scoped memo of STAGED INPUT directories (the FrameCache
+   * pattern applied to harness inputs): the staging functions below
+   * write the same deterministic file set — data split + mtime-ordered
+   * sentinel files — for every query that uses the same harness, and
+   * ~35 gate queries restage identical inputs per run. The first caller
+   * pays the staging writes; later callers read the same directory
+   * through their OWN readStream + fresh checkpoint, so every query
+   * still computes its result from the (staged) parquet inputs. Keyed
+   * by session id like FrameCache so separate driver sessions never
+   * share, and staging failures are not cached. */
+  private val stagedDirs =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+  private def stagedDir(spark: SparkSession, key: String)(
+      stage: java.nio.file.Path => Unit): java.nio.file.Path =
+    stagedDirs.synchronized {
+      stagedDirs.getOrElseUpdate(s"${graft.FrameCache.idOf(spark)}#$key", {
+        val work = java.nio.file.Files.createTempDirectory("graft_stage")
+        stage(work)
+        work
+      })
+    }
+
   /** A cloned session with fewer shuffle/state partitions: at test
    * scale every micro-batch pays per-partition state-store I/O, so 8
    * partitions cuts that 4× vs the batch-tuned 32. On a real cluster
@@ -113,15 +135,16 @@ object StreamOps {
     import java.nio.file.Files
     import java.nio.file.attribute.FileTime
     import spark.implicits._
-    val work = Files.createTempDirectory("graft_evhalves")
     val batch = spark.read.parquet(s"$dir/events.parquet")
     val tsIsLong = batch.schema("ts").dataType == org.apache.spark.sql.types.LongType
-    Seq(0, 1).foreach { par =>
-      val before = listParquets(work)
-      batch.filter(col("event_id") % 2 === par).coalesce(1)
-        .write.mode("append").parquet(work.toString)
-      (listParquets(work) -- before).foreach(p =>
-        Files.setLastModifiedTime(p, FileTime.fromMillis(10000L + par * 10000L)))
+    val work = stagedDir(spark, s"evhalves:$dir") { work =>
+      Seq(0, 1).foreach { par =>
+        val before = listParquets(work)
+        batch.filter(col("event_id") % 2 === par).coalesce(1)
+          .write.mode("append").parquet(work.toString)
+        (listParquets(work) -- before).foreach(p =>
+          Files.setLastModifiedTime(p, FileTime.fromMillis(10000L + par * 10000L)))
+      }
     }
     val sdf = spark.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$work/*.parquet")
@@ -146,18 +169,19 @@ object StreamOps {
     import java.nio.file.Files
     import java.nio.file.attribute.FileTime
     import spark.implicits._
-    val work = Files.createTempDirectory("graft_evlate")
     val batch = spark.read.parquet(s"$dir/events.parquet")
     val tsIsLong = batch.schema("ts").dataType == org.apache.spark.sql.types.LongType
-    val tsUs = if (tsIsLong) expr("ts div 1000") else unix_micros(col("ts").cast("timestamp"))
-    val minUs = batch.agg(min(tsUs)).head().getAs[Number](0).longValue
-    Seq(tsUs >= minUs + splitOffsetUs, tsUs < minUs + splitOffsetUs)
-      .zipWithIndex.foreach { case (pred, i) =>
-        val before = listParquets(work)
-        batch.filter(pred).coalesce(1).write.mode("append").parquet(work.toString)
-        (listParquets(work) -- before).foreach(p =>
-          Files.setLastModifiedTime(p, FileTime.fromMillis(10000L + i * 10000L)))
-      }
+    val work = stagedDir(spark, s"evlate:$splitOffsetUs:$dir") { work =>
+      val tsUs = if (tsIsLong) expr("ts div 1000") else unix_micros(col("ts").cast("timestamp"))
+      val minUs = batch.agg(min(tsUs)).head().getAs[Number](0).longValue
+      Seq(tsUs >= minUs + splitOffsetUs, tsUs < minUs + splitOffsetUs)
+        .zipWithIndex.foreach { case (pred, i) =>
+          val before = listParquets(work)
+          batch.filter(pred).coalesce(1).write.mode("append").parquet(work.toString)
+          (listParquets(work) -- before).foreach(p =>
+            Files.setLastModifiedTime(p, FileTime.fromMillis(10000L + i * 10000L)))
+        }
+    }
     val sdf = spark.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$work/*.parquet")
     val norm =
@@ -181,43 +205,44 @@ object StreamOps {
     import java.nio.file.attribute.FileTime
     import scala.jdk.CollectionConverters._
     import spark.implicits._
-    val work = Files.createTempDirectory("graft_evlatesent")
     val batch = spark.read.parquet(s"$dir/events.parquet")
     val tsIsLong = batch.schema("ts").dataType == org.apache.spark.sql.types.LongType
-    val tsUs = if (tsIsLong) expr("ts div 1000") else unix_micros(col("ts").cast("timestamp"))
-    val minUs = batch.agg(min(tsUs)).head().getAs[Number](0).longValue
-    def parquets(): Set[java.nio.file.Path] = {
-      val s = Files.list(work)
-      try s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSet
-      finally s.close()
-    }
-    def stage(df: DataFrame, mtimeMs: Long): Unit = {
-      val before = parquets()
-      df.coalesce(1).write.mode("append").parquet(work.toString)
-      (parquets() -- before).foreach(p =>
-        Files.setLastModifiedTime(p, FileTime.fromMillis(mtimeMs)))
-    }
-    stage(batch.filter(tsUs >= minUs + splitOffsetUs), 10000L)
-    stage(batch.filter(tsUs < minUs + splitOffsetUs), 20000L)
-    def sentinels(tsNs: Long): DataFrame = {
-      val cols = batch.schema.fields.map { f =>
-        (f.name, f.dataType) match {
-          case ("user_id", _) => col("user_id")
-          case ("event_id", _) => lit(-1L).as("event_id")
-          case ("ts", dt) =>
-            (if (tsIsLong) lit(tsNs)
-             else lit(java.time.LocalDateTime.ofEpochSecond(
-                 tsNs / 1000000000L, 0, java.time.ZoneOffset.UTC).toString
-                   .replace('T', ' ')).cast(dt)).as("ts")
-          case (n, org.apache.spark.sql.types.StringType) => lit("sentinel").as(n)
-          case (n, org.apache.spark.sql.types.LongType) => lit(0L).as(n)
-          case (n, _) => lit(0.0).as(n)
-        }
+    val work = stagedDir(spark, s"evlatesent:$splitOffsetUs:$dir") { work =>
+      val tsUs = if (tsIsLong) expr("ts div 1000") else unix_micros(col("ts").cast("timestamp"))
+      val minUs = batch.agg(min(tsUs)).head().getAs[Number](0).longValue
+      def parquets(): Set[java.nio.file.Path] = {
+        val s = Files.list(work)
+        try s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSet
+        finally s.close()
       }
-      batch.select(col("user_id")).distinct().select(cols.toSeq: _*)
+      def stage(df: DataFrame, mtimeMs: Long): Unit = {
+        val before = parquets()
+        df.coalesce(1).write.mode("append").parquet(work.toString)
+        (parquets() -- before).foreach(p =>
+          Files.setLastModifiedTime(p, FileTime.fromMillis(mtimeMs)))
+      }
+      stage(batch.filter(tsUs >= minUs + splitOffsetUs), 10000L)
+      stage(batch.filter(tsUs < minUs + splitOffsetUs), 20000L)
+      def sentinels(tsNs: Long): DataFrame = {
+        val cols = batch.schema.fields.map { f =>
+          (f.name, f.dataType) match {
+            case ("user_id", _) => col("user_id")
+            case ("event_id", _) => lit(-1L).as("event_id")
+            case ("ts", dt) =>
+              (if (tsIsLong) lit(tsNs)
+               else lit(java.time.LocalDateTime.ofEpochSecond(
+                   tsNs / 1000000000L, 0, java.time.ZoneOffset.UTC).toString
+                     .replace('T', ' ')).cast(dt)).as("ts")
+            case (n, org.apache.spark.sql.types.StringType) => lit("sentinel").as(n)
+            case (n, org.apache.spark.sql.types.LongType) => lit(0L).as(n)
+            case (n, _) => lit(0.0).as(n)
+          }
+        }
+        batch.select(col("user_id")).distinct().select(cols.toSeq: _*)
+      }
+      stage(sentinels(7258118400000000000L), 30000L) // ~2200-01-01
+      stage(sentinels(7258122000000000000L), 40000L) // +1 hour
     }
-    stage(sentinels(7258118400000000000L), 30000L) // ~2200-01-01
-    stage(sentinels(7258122000000000000L), 40000L) // +1 hour
     val sdf = spark.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$work/*.parquet")
     val norm =
@@ -242,13 +267,13 @@ object StreamOps {
     import scala.jdk.CollectionConverters._
     import spark.implicits._
     val src = Paths.get(s"$dir/events.parquet")
-    val work = Files.createTempDirectory("graft_evsent")
+    val batch = spark.read.parquet(src.toString)
+    val tsIsLong = batch.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val work = stagedDir(spark, s"evsent:$dir") { work =>
     val dataFile = work.resolve("events_data.parquet")
     try Files.createLink(dataFile, src)
     catch { case _: Exception => Files.copy(src, dataFile) }
     Files.setLastModifiedTime(dataFile, FileTime.fromMillis(10000L))
-    val batch = spark.read.parquet(src.toString)
-    val tsIsLong = batch.schema("ts").dataType == org.apache.spark.sql.types.LongType
     def parquets(): Set[java.nio.file.Path] = {
       val s = Files.list(work)
       try s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSet
@@ -280,6 +305,7 @@ object StreamOps {
     }
     sentinelRound(7258118400000000000L, 20000L) // ~2200-01-01
     sentinelRound(7258122000000000000L, 30000L) // +1 hour
+    }
     val sdf = spark.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$work/*.parquet")
     val norm =
@@ -307,13 +333,13 @@ object StreamOps {
     import java.nio.file.attribute.FileTime
     import spark.implicits._
     val src = Paths.get(s"$dir/events.parquet")
-    val work = Files.createTempDirectory("graft_evflush")
+    val batch = spark.read.parquet(src.toString)
+    val tsIsLong = batch.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val work = stagedDir(spark, s"evflush:$rounds:$dir") { work =>
     val dataFile = work.resolve("events_data.parquet")
     try Files.createLink(dataFile, src)
     catch { case _: Exception => Files.copy(src, dataFile) }
     Files.setLastModifiedTime(dataFile, FileTime.fromMillis(10000L))
-    val batch = spark.read.parquet(src.toString)
-    val tsIsLong = batch.schema("ts").dataType == org.apache.spark.sql.types.LongType
     (1 to rounds).foreach { r =>
       val tsNs = 7258118400000000000L + r * 3600000000000L // ~2200 + r hours
       val sentinelTs: Any = batch.schema("ts").dataType match {
@@ -342,6 +368,7 @@ object StreamOps {
       (listParquets(work) -- before).foreach(p =>
         Files.setLastModifiedTime(p, FileTime.fromMillis(10000L + r * 10000L)))
     }
+    }
     val reader = spark.readStream.schema(batch.schema)
     val sdf = (if (rounds > 1) reader.option("maxFilesPerTrigger", "1") else reader)
       .parquet(s"$work/*.parquet")
@@ -366,12 +393,13 @@ object StreamOps {
     import java.nio.file.{Files, Paths}
     import java.nio.file.attribute.FileTime
     val src = Paths.get(s"$dir/$name.parquet")
-    val work = Files.createTempDirectory(s"graft_${name}_flush")
+    val batch = spark.read.parquet(src.toString)
+    val work = stagedDir(spark,
+        s"tflush:$name:$timeCol:${idCols.mkString(",")}:$rounds:$dir") { work =>
     val dataFile = work.resolve(s"${name}_data.parquet")
     try Files.createLink(dataFile, src)
     catch { case _: Exception => Files.copy(src, dataFile) }
     Files.setLastModifiedTime(dataFile, FileTime.fromMillis(10000L))
-    val batch = spark.read.parquet(src.toString)
     (1 to rounds).foreach { r =>
       val cols = batch.schema.fields.map { f =>
         if (idCols.contains(f.name)) lit(-1L).cast(f.dataType).as(f.name)
@@ -400,6 +428,7 @@ object StreamOps {
         .coalesce(1).write.mode("append").parquet(work.toString)
       (listParquets(work) -- before).foreach(p =>
         Files.setLastModifiedTime(p, FileTime.fromMillis(10000L + r * 10000L)))
+    }
     }
     val reader = spark.readStream.schema(batch.schema)
     (if (rounds > 1) reader.option("maxFilesPerTrigger", "1") else reader)
