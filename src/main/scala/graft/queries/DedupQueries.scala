@@ -22,10 +22,25 @@ object DedupQueries extends QueryPack {
   /** LSH-verified near-dup pairs — the shared core of
    * `dedup_minhash_lsh` and `dedup_lsh_clusters`, computed once per
    * session (see [[graft.FrameCache]]). */
+  /** Word-trigram shingles of the documents table — the frame every
+   * MinHash gate starts from. Session-cached: `dedup_minhash_lsh` /
+   * `dedup_lsh_clusters` (via the verified-pair core) and
+   * `dedup_incremental_lsh` all consume it; before r15 the incremental
+   * gate re-shingled and re-signed the corpus from scratch. */
+  private def lshShingles(s: SparkSession, dir: String): DataFrame =
+    graft.FrameCache.cached(s, s"lsh_sh3:$dir")(
+      MinHashLSH.shingles(Tables.load(s, dir, "documents"), "doc_id", "text", 3))
+
+  /** Banded 8-hash/4-band signatures over [[lshShingles]], shared the
+   * same way. */
+  private def lshBands(s: SparkSession, dir: String): DataFrame =
+    graft.FrameCache.cached(s, s"lsh_bands:$dir")(
+      MinHashLSH.bands(MinHashLSH.signatures(lshShingles(s, dir), 8), 8, 4))
+
   private def verifiedLshPairs(s: SparkSession, dir: String): DataFrame =
     graft.FrameCache.cached(s, s"lsh_pairs:$dir")(
-      MinHashLSH(Tables.load(s, dir, "documents"), "doc_id", "text",
-        shingleN = 3, numHashes = 8, numBands = 4, threshold = 0.5))
+      MinHashLSH.verifiedPairs(lshShingles(s, dir),
+        MinHashLSH.candidatePairs(lshBands(s, dir)), threshold = 0.5))
 
   /** Shared core of `dedup_ngram_containment` / `dedup_ngram_jaccard`:
    * both score the SAME blocked pairwise shingle intersections and
@@ -84,9 +99,8 @@ object DedupQueries extends QueryPack {
     // increment.
     "dedup_incremental_lsh" -> ((s, dir) => {
       import graft.operators.MinHashLSH
-      val docs = Tables.load(s, dir, "documents")
-      val sh = MinHashLSH.shingles(docs, "doc_id", "text", 3)
-      val bnd = MinHashLSH.bands(MinHashLSH.signatures(sh, 8), 8, 4)
+      val sh = lshShingles(s, dir)
+      val bnd = lshBands(s, dir)
       val existing = bnd.filter(col("doc") % 2 === 0)
         .select(col("band"), col("key"), col("doc").as("doc_a"))
       val incoming = bnd.filter(col("doc") % 2 === 1)
